@@ -1,13 +1,137 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Core TSDB surface (SURVEY §2 #1-9)
+    "ts_put_shard" -> (TimeSeriesOps.putShard _),
+    "ts_get_point" -> (TimeSeriesOps.getPoint _),
+    "ts_scan_range" -> (TimeSeriesOps.scanRange _),
+    "ts_scan_latest" -> (TimeSeriesOps.scanLatest _),
+    "ts_compact_block" -> (TimeSeriesOps.compactBlock _),
+    "ts_outdate" -> (TimeSeriesOps.outdate _),
+    "ts_downsample" -> (TimeSeriesOps.downsample _),
+    "ts_delta_encode" -> (TimeSeriesOps.deltaEncode _),
+    "ts_multiget" -> (TimeSeriesOps.multiGet _),
+    // Analytics (#10-15)
+    "q1_pricing" -> (Analytics.q1Pricing _),
+    "q3_topk_revenue" -> (Analytics.q3TopkRevenue _),
+    "q5_nation_revenue" -> (Analytics.q5NationRevenue _),
+    "q_window_topn" -> (Analytics.qWindowTopn _),
+    "q_sessionize" -> (Analytics.qSessionize _),
+    "q_json_props" -> (Analytics.qJsonProps _),
+  )
+
+  /** DuckDB-equivalent SQL per query key (same column names — the driver
+    * sorts columns by name before hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "ts_put_shard" ->
+      """SELECT user_id % 8 AS shard_id,
+        |  epoch_us(date_trunc('day', ts)) AS bucket_us, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ts_get_point" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |WHERE user_id = 42
+        |  AND ts = (SELECT max(ts) FROM events WHERE user_id = 42)""".stripMargin,
+    "ts_scan_range" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+        |WHERE user_id BETWEEN 10 AND 50
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+        |ORDER BY user_id, ts_us""".stripMargin,
+    "ts_scan_latest" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1""".stripMargin,
+    "ts_compact_block" ->
+      """SELECT user_id % 8 AS shard_id, user_id,
+        |  epoch_us(date_trunc('day', ts)) AS bucket_us,
+        |  count(*) AS n_entries, min(epoch_us(ts)) AS min_ts_us,
+        |  max(epoch_us(ts)) AS max_ts_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "ts_outdate" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS n_keys
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-10' GROUP BY 1""".stripMargin,
+    "ts_downsample" ->
+      """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |  count(*) AS cnt, min(value) AS min_value, max(value) AS max_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ts_delta_encode" ->
+      """SELECT user_id, count(*) AS n_deltas, min(delta_us) AS min_delta_us,
+        |  max(delta_us) AS max_delta_us,
+        |  CAST(sum(delta_us) AS BIGINT) AS sum_delta_us
+        |FROM (SELECT user_id, epoch_us(ts) -
+        |    epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS delta_us
+        |  FROM events)
+        |WHERE delta_us IS NOT NULL GROUP BY user_id""".stripMargin,
+    "ts_multiget" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events WHERE user_id IN (7, 42, 99, 123)) WHERE rn = 1""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_revenue" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 2""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |      epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS prev_us
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "q_json_props" ->
+      """SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/**
+ * Spark-native re-expression of the reference TSDB surface
+ * (reference: src/db.rs:33-80 — put/get/scan over (key, timestamp) → value;
+ * src/level.rs:523-592 — compact/outdate lifecycle).
+ *
+ * The `events` table plays the role of the KV log: key = user_id,
+ * logical timestamp = ts, value = value.
+ *
+ * Scale notes: every op is a single shuffle keyed on the key column (or
+ * none at all for pure filters). Point/range reads are predicate-pushdown
+ * filters — at 100 TB with shard/bucket-partitioned storage (see
+ * graft.core.HelixStore) they become partition-pruned scans.
+ */
+object TimeSeriesOps {
+  private val NumShards = 8
+
+  /** #1 — sharded put layout: which (shard, day-bucket) each entry routes
+    * to, as the reference's ShardingKeyFn does per key
+    * (reference: src/db.rs:146-160, src/fn_registry.rs:55). */
+  def putShard(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        pmod(col("user_id"), lit(NumShards)).as("shard_id"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("bucket_us"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** #2 — exact-timestamp point get (reference: src/db.rs:54). The probe
+    * timestamp is "this key's newest", located with a per-key max —
+    * equivalent to get(max_ts, key). */
+  def getPoint(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") === 42)
+    val probe = ev.agg(max("ts").as("ts"))
+    ev.join(broadcast(probe), Seq("ts"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+  }
+
+  /** #3 — time-range × key-range rectangle scan, (key, ts) ordered
+    * (reference: src/db.rs:67-74, iterator.rs ShardMuxTimeIterator). The
+    * global order comes from a range-partitioned sort, not a mux thread. */
+  def scanRange(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").between(10, 50) &&
+        col("ts") >= lit("2024-01-05").cast("timestamp") &&
+        col("ts") < lit("2024-01-12").cast("timestamp"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy("user_id", "ts_us")
+
+  /** #4 — latest value per key as of T (TimeIterator newest-wins merge,
+    * reference: src/iterator.rs). */
+  def scanLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+    Tables.events(s, dir)
+      .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+  }
+
+  /** #5 — compaction block build: per (shard, key, rick-bucket) roll all
+    * (ts, value) pairs into one block, as UDCF compress does
+    * (reference: src/level.rs:356-470, src/fn_registry.rs:127-198).
+    * Block stats stand in for the opaque compressed bytes. */
+  def compactBlock(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        pmod(col("user_id"), lit(NumShards)).as("shard_id"),
+        col("user_id"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("bucket_us"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** #6 — outdate/retention: drop everything older than the threshold,
+    * report surviving day-buckets (reference: src/level.rs:337-354,584-588).
+    * On partitioned storage this is a partition drop, not a rewrite. */
+  def outdate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp"))
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("bucket_us"))
+      .agg(count(lit(1)).as("cnt"), countDistinct("user_id").as("n_keys"))
+
+  /** #7 — time-hierarchy downsample: per key per hour rollup (the
+    * "Hierarchy" capability in the reference README). */
+  def downsample(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_value"))
+
+  /** #8 — per-key timestamp delta chain (the delta encoding a TS codec —
+    * reference UDCF — would exploit; here surfaced as analytics). */
+  def deltaEncode(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, dir)
+      .withColumn("delta_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("delta_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_deltas"),
+        min("delta_us").as("min_delta_us"),
+        max("delta_us").as("max_delta_us"),
+        sum("delta_us").as("sum_delta_us"))
+  }
+
+  /** #9 — batched multi-key point get (one shuffle for the whole batch;
+    * reference does N sharded gets, src/db.rs:171-196). */
+  def multiGet(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(7L, 42L, 99L, 123L)
+    val ev = Tables.events(s, dir).filter(col("user_id").isin(keys: _*))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+  }
+}
