@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Programmatically-generated DuckDB oracle SQL for the pipeline
+  * operators, built from the SAME constants (salt counts, band layout,
+  * hyperplane weights, stopword lists) as the Scala implementations so
+  * the two can't drift apart. */
+object OracleSqlGen {
+
+  /** Shared CTE fragments. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents)"""
+  private val shCte =
+    """idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def jaccardSelect(candJoin: String) =
+    s"""SELECT i.doc_id1, i.doc_id2 FROM ($candJoin) i
+       |JOIN sz s1 ON i.doc_id1 = s1.doc_id JOIN sz s2 ON i.doc_id2 = s2.doc_id
+       |WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)""".stripMargin
+
+  val dedupExact: String =
+    """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val dedupNgramJaccard: String =
+    s"""WITH $toksCte, $shCte
+       |${jaccardSelect(
+      """SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin)}""".stripMargin
+
+  val dedupMinhashLsh: String = {
+    val minExprs = (0 until Dedup.NumHashes)
+      .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+    val bandSelects = (0 until Dedup.NumBands).map { bnd =>
+      val concat = (bnd * 4 until bnd * 4 + 4).map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $bnd AS band, md5($concat) AS bkey FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $toksCte, $shCte,
+       |mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |${jaccardSelect(
+      """SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
+        |  JOIN sh a ON a.doc_id = c1.doc_id1 JOIN sh b ON b.doc_id = c1.doc_id2 AND b.s = a.s
+        |  GROUP BY 1, 2""".stripMargin)}""".stripMargin
+  }
+
+  val dedupSimhash: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val simExpr = (0 until 32)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)
+       |SELECT s.doc_id, s.simhash,
+       |  CAST(bit_count(xor(s.simhash, r.simhash)) AS BIGINT) AS ham0
+       |FROM sim s, (SELECT simhash FROM sim WHERE doc_id = 0) r""".stripMargin
+  }
+
+  /** dot(x,y) with the exact same fold order as the Spark zip_with+aggregate. */
+  private def dot(x: String, y: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> $x[i] * $y[i]), (p, q) -> p + q)"
+  private def cos(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  private val eCte =
+    "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  val dedupEmbedding: String =
+    s"""WITH $eCte
+       |SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${cos("a.v", "b.v")} >= 0.45""".stripMargin
+
+  val annTopkBrute: String =
+    s"""WITH $eCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk
+       |FROM (SELECT e.vec_id, ${cos("e.v", "q.qv")} AS c FROM e, q WHERE e.vec_id <> 0)
+       |ORDER BY rnk LIMIT 10""".stripMargin
+
+  val annLshBucket: String = {
+    val planeDots = (0 until 8).map { p =>
+      val terms = (0 until 64)
+        .map(j => s"v[${j + 1}] * (${Similarity.planeWeight(p, j)})")
+      // parenthesize to force the same left-to-right addition order
+      val dotExpr = terms.reduce((acc, t) => s"($acc + $t)")
+      s"(CASE WHEN $dotExpr > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $eCte
+       |SELECT vec_id, CAST($planeDots AS BIGINT) AS bucket FROM e""".stripMargin
+  }
+
+  val knnLabelCentroid: String =
+    s"""WITH $eCte,
+       |byd AS (SELECT clabel, j, sum(x) / count(*) AS m FROM (
+       |    SELECT label AS clabel, unnest(generate_series(1, 64)) AS j, unnest(v) AS x FROM e)
+       |  GROUP BY 1, 2),
+       |cv AS (SELECT clabel, list(m ORDER BY j) AS cv FROM byd GROUP BY clabel)
+       |SELECT vec_id, label, assigned_label FROM (
+       |  SELECT e.vec_id, e.label, cv.clabel AS assigned_label,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${cos("e.v", "cv.cv")}, 6) DESC, cv.clabel) AS rn
+       |  FROM e, cv) WHERE rn = 1""".stripMargin
+
+  val textLangid: String = {
+    val scores = TextOps.StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$lang' AS lang, len(list_filter(t, w -> w IN ($list))) AS sc FROM toks"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $toksCte,
+       |sc AS ($scores)
+       |SELECT doc_id, CASE WHEN sc = 0 THEN 'und' ELSE lang END AS pred_lang FROM (
+       |  SELECT doc_id, lang, sc,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang DESC) AS rn
+       |  FROM sc) WHERE rn = 1""".stripMargin
+  }
+
+  val textQuality: String = {
+    val en = TextOps.StopWords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH $toksCte
+       |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(t, w -> w IN ($en))) AS BIGINT) AS n_stop,
+       |  CAST(len(list_filter(t, w -> w IN ($en))) AS DOUBLE) / len(t) AS stop_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS punct_ratio,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(t) AS mean_tok_len
+       |FROM documents d JOIN toks ON d.doc_id = toks.doc_id""".stripMargin
+  }
+
+  val textTokens: String =
+    s"""WITH $toksCte
+       |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       |  CAST(len(list_filter(t, x -> length(x) > 5)) AS BIGINT) AS n_long,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace_chars
+       |FROM documents d JOIN toks ON d.doc_id = toks.doc_id""".stripMargin
+
+  val textFingerprint: String =
+    s"""WITH $toksCte
+       |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+       |FROM toks""".stripMargin
+
+  val mmBinaryMeta: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  substr(md5(text), 1, 8) AS content_id,
+      |  CAST(strlen(text) % 640 AS BIGINT) AS width,
+      |  CAST((ascii(text) * 3) % 480 AS BIGINT) AS height
+      |FROM documents""".stripMargin
+
+  val mmFrameSample: String =
+    """SELECT doc_id, frame_no FROM (
+      |  SELECT doc_id, unnest(generate_series(0, n_chars // 200)) AS frame_no
+      |  FROM documents) WHERE frame_no % 3 = 0""".stripMargin
+
+  val streamTumbling: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

