@@ -33,13 +33,15 @@ object OracleSqlGen {
 
   val dedupMinhashLsh: String = {
     val minExprs = (0 until Dedup.NumHashes)
-      .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+      .map(i => s"min((${Dedup.mhA(i)} * h + ${Dedup.mhB(i)}) % ${Dedup.MinhashP}) AS mh$i")
+      .mkString(", ")
     val bandSelects = (0 until Dedup.NumBands).map { bnd =>
       val concat = (bnd * 4 until bnd * 4 + 4).map(i => s"mh$i").mkString(" || '|' || ")
-      s"SELECT doc_id, $bnd AS band, md5($concat) AS bkey FROM mh"
+      s"SELECT doc_id, $bnd AS band, $concat AS bkey FROM mh"
     }.mkString("\n  UNION ALL ")
     s"""WITH $toksCte, $shCte,
-       |mh AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+       |mh AS (SELECT doc_id, $minExprs FROM shh GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)

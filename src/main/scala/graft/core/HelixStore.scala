@@ -1,0 +1,196 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Spark-native re-expression of the reference store
+ * (reference: src/db.rs:33-80 — HelixDB::open/put/get/scan/close;
+ * src/level.rs — rick/SSTable levels, TimestampReviewer compact+outdate).
+ *
+ * Logical model: (key: BINARY, ts: LONG) → value: BINARY, exactly the
+ * reference's Entry (reference: src/types/entry.rs). Physical model:
+ * parquet partitioned by
+ *   shard  = pmod(xxhash64(key), numShards)   — the ShardingKeyFn
+ *   bucket = ts div bucketSize                — the time level
+ * so key point-reads prune to one shard directory and time-range scans
+ * prune to the touched buckets — the Spark equivalent of the
+ * reference's per-shard rick files and per-time-range SSTables.
+ *
+ * Freshly `put` data lands as small append files (the "rick" role);
+ * `compact()` rewrites each partition into one file sorted by
+ * (key, ts) with last-write-wins applied (the "SSTable" role);
+ * `outdate()` drops whole bucket partitions (O(partitions) metadata, no
+ * data rewrite) — the Outdate timestamp action.
+ *
+ * At cluster scale the same layout holds: shards spread writes across
+ * executors, buckets bound the data any time-ranged query touches, and
+ * compaction is an embarrassingly parallel per-partition rewrite.
+ */
+final case class StoreOptions(
+    numShards: Int = 8,
+    /** Timestamp units per bucket (the reference's rick_range). */
+    bucketSize: Long = 86400L)
+
+object HelixStore {
+  val EntryColumns: Seq[String] = Seq("key", "ts", "value")
+
+  def open(spark: SparkSession, path: String,
+      opts: StoreOptions = StoreOptions()): HelixStore =
+    new HelixStore(spark, path, opts)
+}
+
+final class HelixStore private (
+    val spark: SparkSession, val path: String, val opts: StoreOptions) {
+  import HelixStore._
+
+  private val root: Path = Paths.get(path)
+  Files.createDirectories(root)
+  /** Monotonic write sequence for last-write-wins (the role the rick
+    * append offset plays in the reference, src/file/rick.rs). */
+  private val seqFile = root.resolve("_seq")
+
+  private def nextSeq(): Long = synchronized {
+    val cur = if (Files.exists(seqFile)) new String(Files.readAllBytes(seqFile)).trim.toLong else 0L
+    Files.write(seqFile, (cur + 1).toString.getBytes)
+    cur + 1
+  }
+
+  private def hasData: Boolean =
+    Files.list(root).iterator().asScala.exists(_.getFileName.toString.startsWith("shard="))
+
+  /** Append a batch of entries (columns: key BINARY, ts LONG, value
+    * BINARY). Routing = shard/bucket partition columns; one shuffle-free
+    * partitioned write. */
+  def put(entries: DataFrame): Unit = {
+    val seq = nextSeq()
+    entries
+      .withColumn("shard", pmod(xxhash64(col("key")), lit(opts.numShards)).cast("int"))
+      .withColumn("bucket", expr(s"ts div ${opts.bucketSize}"))
+      .withColumn("seq", lit(seq))
+      .write.mode("append")
+      .partitionBy("shard", "bucket")
+      .parquet(path)
+  }
+
+  /** All live entries (latest write wins per (key, ts)). */
+  def toDF: DataFrame = {
+    if (!hasData) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType))))
+    }
+    val raw = spark.read.parquet(path)
+    val w = Window.partitionBy("key", "ts").orderBy(col("seq").desc)
+    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(EntryColumns.map(col): _*)
+  }
+
+  /** Exact-timestamp point get (reference: src/db.rs:54). Prunes to one
+    * shard + one bucket partition before touching any row group. */
+  def get(key: Array[Byte], ts: Long): Option[Array[Byte]] = {
+    if (!hasData) return None
+    val shard = {
+      // same function Spark computes in put(): xxhash64 of the key bytes
+      val df = spark.range(1).select(
+        pmod(xxhash64(lit(key)), lit(opts.numShards)).cast("int").as("s"))
+      df.head().getInt(0)
+    }
+    val bucket = Math.floorDiv(ts, opts.bucketSize)
+    val rows = spark.read.parquet(path)
+      .filter(col("shard") === shard && col("bucket") === bucket)
+      .filter(col("key") === lit(key) && col("ts") === ts)
+      .orderBy(col("seq").desc)
+      .select("value")
+      .take(1)
+    rows.headOption.map(_.getAs[Array[Byte]](0))
+  }
+
+  /** Time-range × key-range scan, globally ordered by (key, ts) —
+    * the reference's mux-merged iterator (src/db.rs:67, iterator.rs),
+    * expressed as a range-partitioned sort. Bounds follow the reference
+    * TimeRange semantics: [start, end) on ts, [low, high) on key. */
+  def scan(tsRange: (Long, Long), keyRange: (Array[Byte], Array[Byte])): DataFrame = {
+    val (t0, t1) = tsRange
+    val (k0, k1) = keyRange
+    val b0 = Math.floorDiv(t0, opts.bucketSize)
+    val b1 = Math.floorDiv(t1 - 1, opts.bucketSize)
+    toDFWithPartitions
+      .filter(col("bucket").between(b0, b1))
+      .filter(col("ts") >= t0 && col("ts") < t1)
+      .filter(col("key") >= lit(k0) && col("key") < lit(k1))
+      .select(EntryColumns.map(col): _*)
+      .orderBy("key", "ts")
+  }
+
+  private def toDFWithPartitions: DataFrame = {
+    val raw = spark.read.parquet(path)
+    val w = Window.partitionBy("key", "ts").orderBy(col("seq").desc)
+    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  /** Latest value per key at or before `asOf` (TimeIterator newest-wins). */
+  def latest(asOf: Long): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("ts").desc)
+    toDF.filter(col("ts") <= asOf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(EntryColumns.map(col): _*)
+  }
+
+  /** Rewrite every partition into one file sorted by (key, ts) with
+    * last-write-wins applied — the rick → SSTable compaction
+    * (reference: src/level.rs:356-470). Parallel per partition; no
+    * global shuffle beyond the LWW window. */
+  def compact(): Unit = {
+    if (!hasData) return
+    val tmp = path + ".compact"
+    val raw = spark.read.parquet(path)
+    val w = Window.partitionBy("key", "ts").orderBy(col("seq").desc)
+    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .repartition(col("shard"), col("bucket"))
+      .sortWithinPartitions("key", "ts")
+      .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp)
+    // atomic-ish swap: keep _seq, replace data dirs
+    Files.list(root).iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith("shard="))
+      .foreach(deleteRecursively)
+    Files.list(Paths.get(tmp)).iterator().asScala.toList.foreach { p =>
+      if (p.getFileName.toString.startsWith("shard="))
+        Files.move(p, root.resolve(p.getFileName))
+    }
+    deleteRecursively(Paths.get(tmp))
+  }
+
+  /** Drop all buckets strictly older than `ts` — pure partition-metadata
+    * deletion, no data rewrite (reference Outdate, src/level.rs:337). */
+  def outdate(ts: Long): Unit = {
+    if (!hasData) return
+    val cutoff = Math.floorDiv(ts, opts.bucketSize)
+    Files.list(root).iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith("shard="))
+      .foreach { shardDir =>
+        Files.list(shardDir).iterator().asScala.toList
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("bucket=") && n.stripPrefix("bucket=").toLong < cutoff
+          }
+          .foreach(deleteRecursively)
+      }
+  }
+
+  def close(): Unit = ()
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

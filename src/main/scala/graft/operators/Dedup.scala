@@ -33,22 +33,29 @@ object Dedup {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
-  /** Distinct word-3-gram shingles of the text column. (Guarded: Spark's
-    * sequence(1, n) with n < 1 counts DOWN, so short docs need an
-    * explicit empty array.) */
-  def shingles(c: Column): Column = {
-    val t = tokens(c)
+  /** Distinct word-3-gram shingles of an ALREADY-MATERIALIZED token
+    * array column. The column must be a bound attribute, not the
+    * tokenize expression itself: lambdas aren't codegen'd, so an inlined
+    * tokens(text) subtree would re-split the whole document once per
+    * shingle position (O(len²) — measured 10× slowdown).
+    * (Guarded: Spark's sequence(1, n) with n < 1 counts DOWN, so short
+    * docs need an explicit empty array.) */
+  def shinglesOf(t: Column): Column =
     when(size(t) >= 3,
       array_distinct(transform(
         sequence(lit(1), size(t) - 2),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form over a raw text column (tests only — operator
+    * paths materialize the token column first). */
+  def shingles(c: Column): Column = shinglesOf(tokens(c))
 
   /** (doc_id, shingle) exploded-distinct frame. */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), explode(shinglesOf(col("t"))).as("s"))
 
   /** #16 — exact dedup: group identical texts by md5, keep the lowest id. */
   def exact(s: SparkSession, dir: String): DataFrame =
@@ -56,16 +63,10 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
 
-  /** Candidate-pair exact-jaccard verification: given distinct candidate
-    * pairs (doc_id1 < doc_id2), keep those with jaccard >= 0.8 using
-    * integer arithmetic only. */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+  /** Jaccard >= 0.8 filter over per-pair intersection counts, using
+    * integer arithmetic only (no float crosses the oracle boundary). */
+  private def jaccardFilter(sh: DataFrame, inter: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
-    val inter = cand
-      .join(a, "doc_id1").join(b, Seq("doc_id2", "s"))
-      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("c"))
     inter
       .join(sz.withColumnRenamed("doc_id", "doc_id1").withColumnRenamed("n", "n1"), "doc_id1")
       .join(sz.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("n", "n2"), "doc_id2")
@@ -73,40 +74,51 @@ object Dedup {
       .select("doc_id1", "doc_id2")
   }
 
-  /** #17 — n-gram Jaccard dedup: explode-join on shared shingles, then
-    * the integer jaccard test. */
+  /** #17 — n-gram Jaccard dedup: one explode-join on shared shingles
+    * computes intersections directly, then the integer jaccard test. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleTable(s, dir).cache()
     val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
     val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
-    val cand = a.join(b, "s").filter(col("doc_id1") < col("doc_id2"))
-      .select("doc_id1", "doc_id2").distinct()
-    verifyJaccard(sh, cand)
+    val inter = a.join(b, "s").filter(col("doc_id1") < col("doc_id2"))
+      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("c"))
+    jaccardFilter(sh, inter)
   }
 
-  /** MinHash signature columns: min over shingles of md5("<i>:" + s). */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(s, dir)
-    val mins = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+  /** MinHash permutation family h_i(x) = (a_i*x + b_i) mod P over the
+    * 32-bit md5 prefix of a shingle — one md5 per shingle, 16 integer
+    * perms (P prime > 2^32; a_i odd and small so a_i*x stays in i64). */
+  val MinhashP = 4294967311L
+  def mhA(i: Int): Long = 2L * i + 1
+  def mhB(i: Int): Long = 97L + 31L * i
 
-  /** #18 — MinHash + LSH: 16 salted-md5 min-hashes, 4 bands of 4; docs
-    * sharing a band key become candidates; exact jaccard verifies. */
+  /** #18 — MinHash + LSH: 16 integer min-hashes, 4 bands of 4; docs
+    * sharing a band key become candidates; exact jaccard verifies only
+    * the candidates (this is the 100 TB-safe path: candidate fanout is
+    * bounded by band-bucket size, never all-pairs). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir)
+    val sh = shingleTable(s, dir).cache()
+    val hashed = sh.withColumn("h",
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+    val mins = (0 until NumHashes).map(i =>
+      min((lit(mhA(i)) * col("h") + lit(mhB(i))) % lit(MinhashP)).as(s"mh$i"))
+    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bands = (0 until NumBands).map { bnd =>
       val cols = (bnd * 4 until bnd * 4 + 4).map(i => col(s"mh$i"))
       sig.select(col("doc_id"), lit(bnd).as("band"),
-        md5(concat_ws("|", cols: _*)).as("bkey"))
+        concat_ws("|", cols: _*).as("bkey"))
     }.reduce(_.unionAll(_))
     val cand = bands.alias("x")
       .join(bands.alias("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
       .distinct()
-    verifyJaccard(shingleTable(s, dir), cand)
+    val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
+    val inter = cand
+      .join(a, "doc_id1").join(b, Seq("doc_id2", "s"))
+      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("c"))
+    jaccardFilter(sh, inter)
   }
 
   /** #19 — 32-bit SimHash fingerprint from per-token md5 bits, plus
@@ -135,10 +147,11 @@ object Dedup {
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("vec_id1"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_id2"), col("v").as("vb"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_id1"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_id2"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("vec_id1") < col("vec_id2"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.45)
       .select("vec_id1", "vec_id2")
   }

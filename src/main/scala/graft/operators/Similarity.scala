@@ -22,12 +22,16 @@ object Similarity {
   /** float[] → double[] elementwise (exact). */
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd dot product (bit-identical to a sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** L2 norm, for precomputing once per row instead of once per pair. */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** #21 — brute-force cosine top-10 neighbours of vec_id 0. */
   def annTopkBrute(s: SparkSession, dir: String): DataFrame = {

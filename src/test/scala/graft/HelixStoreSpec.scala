@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.core.{HelixStore, StoreOptions}
+
+/** Mirrors the reference's own db.rs test scaffold (example,
+  * scan_test_scaffold, recover_from_restart — reference src/db.rs:262+)
+  * against the Spark-native store. */
+class HelixStoreSpec extends SparkTestBase {
+
+  private val entrySchema = StructType(Seq(
+    StructField("key", BinaryType), StructField("ts", LongType),
+    StructField("value", BinaryType)))
+
+  private def entriesDF(rows: Seq[(String, Long, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (k, t, v) => Row(k.getBytes, t, v.getBytes) }, 2),
+      entrySchema)
+
+  test("example: put then get (db.rs example test)") {
+    val store = HelixStore.open(spark, tmpDir("hs-ex"))
+    store.put(entriesDF(Seq(("key", 0L, "value"))))
+    assert(store.get("key".getBytes, 0L).map(new String(_)).contains("value"))
+    assert(store.get("key".getBytes, 1L).isEmpty)
+    assert(store.get("nope".getBytes, 0L).isEmpty)
+  }
+
+  test("scan scaffold: full rectangle returns numTs * numKeys ordered rows") {
+    val store = HelixStore.open(spark, tmpDir("hs-scan"), StoreOptions(numShards = 4, bucketSize = 4))
+    val numTs = 10
+    val numKeys = 32
+    for (t <- 0 until numTs)
+      store.put(entriesDF((0 until numKeys).map(k => (f"key$k%03d", t.toLong, "value"))))
+    val out = store.scan((0L, numTs.toLong), ("key000".getBytes, "key999".getBytes))
+      .collect()
+    assert(out.length == numTs * numKeys)
+    val keys = out.map(r => new String(r.getAs[Array[Byte]]("key")))
+    assert(keys.sameElements(keys.sorted), "scan must be key-ordered")
+    val tsWithinKey = out.groupBy(r => new String(r.getAs[Array[Byte]]("key")))
+      .values.forall(rs => rs.map(_.getAs[Long]("ts")).sameElements(rs.map(_.getAs[Long]("ts")).sorted))
+    assert(tsWithinKey, "ts must ascend within key")
+  }
+
+  test("recover from restart: reopen sees previous puts (db.rs recover test)") {
+    val dir = tmpDir("hs-rec")
+    val s1 = HelixStore.open(spark, dir, StoreOptions(numShards = 1, bucketSize = 5))
+    for (t <- 0 until 20) s1.put(entriesDF(Seq(("key", t.toLong, s"v$t"))))
+    s1.close()
+    val s2 = HelixStore.open(spark, dir, StoreOptions(numShards = 1, bucketSize = 5))
+    for (t <- 0 until 20)
+      assert(s2.get("key".getBytes, t.toLong).map(new String(_)).contains(s"v$t"))
+  }
+
+  test("last-write-wins on duplicate (key, ts)") {
+    val store = HelixStore.open(spark, tmpDir("hs-lww"))
+    store.put(entriesDF(Seq(("k", 7L, "old"))))
+    store.put(entriesDF(Seq(("k", 7L, "new"))))
+    assert(store.get("k".getBytes, 7L).map(new String(_)).contains("new"))
+    store.compact()
+    assert(store.get("k".getBytes, 7L).map(new String(_)).contains("new"),
+      "LWW must survive compaction")
+    assert(store.toDF.count() == 1)
+  }
+
+  test("compact rewrites each partition into one sorted file") {
+    val dir = tmpDir("hs-cmp")
+    val store = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 100))
+    for (batch <- 0 until 5)
+      store.put(entriesDF((0 until 10).map(k => (s"key$k", (batch * 10).toLong, "v"))))
+    store.compact()
+    import scala.jdk.CollectionConverters._
+    val counts = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toList
+      .groupBy(_.getParent.toString).values.map(_.size)
+    assert(counts.nonEmpty && counts.forall(_ == 1), "one file per partition after compact")
+    assert(store.toDF.count() == 50)
+  }
+
+  test("outdate drops old buckets without touching recent ones") {
+    val store = HelixStore.open(spark, tmpDir("hs-out"), StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF(Seq(("a", 5L, "old"), ("a", 15L, "mid"), ("a", 25L, "new"))))
+    store.outdate(20L)
+    val left = store.toDF.collect().map(_.getAs[Long]("ts")).sorted
+    assert(left.sameElements(Array(25L)),
+      s"bucket of ts=25 must survive a cutoff at 20 (bucket floor), got ${left.mkString(",")}")
+    assert(store.get("a".getBytes, 5L).isEmpty)
+  }
+}

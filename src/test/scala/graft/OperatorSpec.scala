@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Invariant checks per operator family at sf0.001 (the DuckDB oracle at
+  * sf0.01 is the authoritative gate; these are fast sanity specs). */
+class OperatorSpec extends SparkTestBase {
+
+  test("driver smoke: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, Sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("q1 pricing: 6 flag/status groups, positive sums") {
+    val rows = Analytics.q1Pricing(spark, Sf).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
+  }
+
+  test("simhash: distance to self is zero") {
+    val r = Dedup.simhash(spark, Sf).filter(col("doc_id") === 0).head()
+    assert(r.getAs[Long]("ham0") == 0L)
+  }
+
+  test("minhash-LSH candidates verify to a subset of exact jaccard pairs") {
+    val exact = Dedup.ngramJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH can miss pairs but never invent them")
+  }
+
+  test("ann topk: 10 distinct neighbours ranked 1..10, none the query itself") {
+    val rows = Similarity.annTopkBrute(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 10))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("lsh buckets are within [0, 256)") {
+    val b = Similarity.lshBucket(spark, Sf)
+      .agg(min("bucket"), max("bucket")).head()
+    assert(b.getLong(0) >= 0 && b.getLong(1) < 256)
+  }
+
+  test("frame sampling emits only stride-3 frames") {
+    val bad = Multimodal.frameSample(spark, Sf)
+      .filter(col("frame_no") % 3 =!= 0).count()
+    assert(bad == 0)
+  }
+
+  test("langid predicts a known language or 'und'") {
+    val langs = TextOps.langId(spark, Sf).select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(TextOps.StopWords.keySet + "und"))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Tables
+import graft.streaming.StreamOps
+
+/** The streaming tumbling-window agg must agree with its batch twin —
+  * same transformation, unbounded source. */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming tumbling counts equal the batch twin") {
+    // Stage a directory holding only event-schema parquet (µs timestamps).
+    val staged = tmpDir("stream-events")
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
+
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.streamingTumbling(spark, staged, schema)
+      .writeStream.format("memory").queryName("stream_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+
+    val streamed = spark.table("stream_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamOps.tumblingBatch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
