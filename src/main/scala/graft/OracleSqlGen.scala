@@ -40,15 +40,18 @@ object OracleSqlGen {
       s"SELECT doc_id, $bnd AS band, $concat AS bkey FROM mh"
     }.mkString("\n  UNION ALL ")
     s"""WITH $toksCte, $shCte,
-       |shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+       |shh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+       |szh AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
        |mh AS (SELECT doc_id, $minExprs FROM shh GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-       |${jaccardSelect(
-      """SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
-        |  JOIN sh a ON a.doc_id = c1.doc_id1 JOIN sh b ON b.doc_id = c1.doc_id2 AND b.s = a.s
-        |  GROUP BY 1, 2""".stripMargin)}""".stripMargin
+       |SELECT i.doc_id1, i.doc_id2 FROM (
+       |  SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
+       |  JOIN shh a ON a.doc_id = c1.doc_id1 JOIN shh b ON b.doc_id = c1.doc_id2 AND b.h = a.h
+       |  GROUP BY 1, 2) i
+       |JOIN szh s1 ON i.doc_id1 = s1.doc_id JOIN szh s2 ON i.doc_id2 = s2.doc_id
+       |WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)""".stripMargin
   }
 
   val dedupSimhash: String = {

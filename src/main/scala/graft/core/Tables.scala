@@ -30,6 +30,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  /** events with a time-range predicate applied BEFORE the nanos→micros
+    * conversion, so it reaches the parquet scan as a pushed filter on
+    * the raw int64 column (a filter on the converted timestamp cannot
+    * be pushed). Bounds are epoch-µs; [lo, hi). */
+  def eventsRange(s: SparkSession, d: String,
+      loUs: Option[Long], hiUs: Option[Long]): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        val lo = loUs.map(us => col("ts") >= us * 1000L).getOrElse(lit(true))
+        val hi = hiUs.map(us => col("ts") < us * 1000L).getOrElse(lit(true))
+        df.filter(lo && hi)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        val lo = loUs.map(us => col("ts") >= timestamp_micros(lit(us))).getOrElse(lit(true))
+        val hi = hiUs.map(us => col("ts") < timestamp_micros(lit(us))).getOrElse(lit(true))
+        df.filter(lo && hi)
+    }
+  }
+
+  /** Epoch-µs of a UTC midnight date literal (for range bounds). */
+  def dayUs(date: String): Long =
+    java.time.Instant.parse(date + "T00:00:00Z").toEpochMilli * 1000L
+
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

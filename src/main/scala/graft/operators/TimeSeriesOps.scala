@@ -46,10 +46,9 @@ object TimeSeriesOps {
     * (reference: src/db.rs:67-74, iterator.rs ShardMuxTimeIterator). The
     * global order comes from a range-partitioned sort, not a mux thread. */
   def scanRange(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .filter(col("user_id").between(10, 50) &&
-        col("ts") >= lit("2024-01-05").cast("timestamp") &&
-        col("ts") < lit("2024-01-12").cast("timestamp"))
+    Tables.eventsRange(s, dir,
+      Some(Tables.dayUs("2024-01-05")), Some(Tables.dayUs("2024-01-12")))
+      .filter(col("user_id").between(10, 50))
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"), col("value"))
       .orderBy("user_id", "ts_us")
@@ -58,8 +57,7 @@ object TimeSeriesOps {
     * reference: src/iterator.rs). */
   def scanLatest(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
-    Tables.events(s, dir)
-      .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+    Tables.eventsRange(s, dir, None, Some(Tables.dayUs("2024-01-15")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
@@ -85,8 +83,7 @@ object TimeSeriesOps {
     * report surviving day-buckets (reference: src/level.rs:337-354,584-588).
     * On partitioned storage this is a partition drop, not a rewrite. */
   def outdate(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .filter(col("ts") >= lit("2024-01-10").cast("timestamp"))
+    Tables.eventsRange(s, dir, Some(Tables.dayUs("2024-01-10")), None)
       .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("bucket_us"))
       .agg(count(lit(1)).as("cnt"), countDistinct("user_id").as("n_keys"))
 
