@@ -164,6 +164,13 @@ object OracleSqlGen {
       |  SELECT doc_id, unnest(generate_series(0, n_chars // 200)) AS frame_no
       |  FROM documents) WHERE frame_no % 3 = 0""".stripMargin
 
+  val mmDecodeStub: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+      |  CAST(list_sum(list_transform(generate_series(1, least(16, strlen(text))),
+      |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum16
+      |FROM documents""".stripMargin
+
   val streamTumbling: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
       |  count(*) AS cnt,

@@ -48,6 +48,7 @@ object SparkEntry {
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_decode_stub" -> (Multimodal.decodeFeatures _),
     // Streaming batch twin (#30)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
   )
@@ -167,6 +168,7 @@ object SparkEntry {
     "text_fingerprint" -> OracleSqlGen.textFingerprint,
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
+    "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
   )
 }

@@ -41,6 +41,34 @@ object Multimodal {
       FakeDecode.widthExpr.as("width"),
       FakeDecode.heightExpr.as("height"))
 
+  /** Typed batch-decode output row. */
+  final case class MediaFeature(
+      doc_id: Long, n_bytes: Long, first_byte: Long, checksum16: Long)
+
+  /** #31 — the mapPartitions decode path: payload bytes are handed to a
+    * per-partition decoder, the shape a real codec (image resize, audio
+    * feature-extract) plugs into — one native-lib handle per partition,
+    * rows streamed through it. The decode itself is a STUB (no media
+    * libs here): deterministic byte arithmetic stands in for real
+    * features, but the schema/Encoder/batching plumbing is the real
+    * thing. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // real impl: open codec/native handle once per partition here
+        batch.map { case (id, bytes) =>
+          val checksum = bytes.take(16).foldLeft(0L)((a, b) => a + (b & 0xff))
+          MediaFeature(id, bytes.length.toLong,
+            (if (bytes.nonEmpty) bytes(0) & 0xff else 0).toLong, checksum)
+        }
+        // real impl: close the handle via a completion iterator
+      }
+      .toDF()
+  }
+
   /** #29 — frame sampling plumbing: a "video" with n_chars/200 + 1
     * frames, sampled at stride 3; explodes ids only, never payloads. */
   def frameSample(s: SparkSession, dir: String): DataFrame =
