@@ -23,6 +23,7 @@ object SparkEntry {
     "ts_downsample" -> (TimeSeriesOps.downsample _),
     "ts_delta_encode" -> (TimeSeriesOps.deltaEncode _),
     "ts_multiget" -> (TimeSeriesOps.multiGet _),
+    "ts_codec_roundtrip" -> (TimeSeriesOps.codecRoundtrip _),
     // Analytics (#10-15)
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk_revenue" -> (Analytics.q3TopkRevenue _),
@@ -103,6 +104,8 @@ object SparkEntry {
         |  SELECT user_id, ts, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
         |  FROM events WHERE user_id IN (7, 42, 99, 123)) WHERE rn = 1""".stripMargin,
+    "ts_codec_roundtrip" ->
+      "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -66,13 +66,19 @@ final class HelixStore private (
   /** Append a batch of entries (columns: key BINARY, ts LONG, value
     * BINARY). Routing = shard/bucket partition columns; one shuffle-free
     * partitioned write. */
-  def put(entries: DataFrame): Unit = {
+  def put(entries: DataFrame, coalescePartitions: Boolean = true): Unit = {
     val seq = nextSeq()
-    entries
+    val routed = entries
       .withColumn("shard", pmod(xxhash64(col("key")), lit(opts.numShards)).cast("int"))
       .withColumn("bucket", expr(s"ts div ${opts.bucketSize}"))
       .withColumn("seq", lit(seq))
-      .write.mode("append")
+    // Cluster rows by target partition before the write: without this,
+    // EVERY input task emits a file into every (shard, bucket) it
+    // happens to hold — the classic small-files explosion at scale.
+    val arranged =
+      if (coalescePartitions) routed.repartition(col("shard"), col("bucket"))
+      else routed
+    arranged.write.mode("append")
       .partitionBy("shard", "bucket")
       .parquet(path)
   }

@@ -72,12 +72,14 @@ object Similarity {
   def knnLabelCentroid(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
-    val byDim = e.select(col("label").as("clabel"), posexplode(col("v")).as(Seq("j", "x")))
-      .groupBy("clabel", "j")
-      .agg((sum("x") / count(lit(1))).as("m"))
-    val centroids = byDim.groupBy("clabel")
-      .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
-      .select(col("clabel"), transform(col("jm"), s => s.getField("m")).as("cv"))
+    // per-dim sums as 64 map-side-combinable aggregates — no posexplode,
+    // so the shuffle carries 64 partials per (label, partition) instead
+    // of 64x the row count
+    val dimSums = (0 until 64).map(j => sum(element_at(col("v"), j + 1)).as(s"s$j"))
+    val centroids = e.groupBy(col("label").as("clabel"))
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
+      .select(col("clabel"),
+        array((0 until 64).map(j => col(s"s$j") / col("cnt")): _*).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("rcos").desc, col("clabel"))
     e.crossJoin(broadcast(centroids))

@@ -115,6 +115,23 @@ object TimeSeriesOps {
         sum("delta_us").as("sum_delta_us"))
   }
 
+  /** #32 — UDCF codec roundtrip: delta-compress every (key, day-bucket)
+    * run into blocks, decompress back, and return the points — the
+    * compress/decompress identity the reference's noop_udcf test checks
+    * (reference: src/fn_registry.rs:200-222). The oracle is simply the
+    * original table. */
+  def codecRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TsCodec
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val pts = Tables.events(s, dir)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[TsCodec.TsPoint]
+    TsCodec.decompress(TsCodec.compress(pts, 86400L * 1000000L))
+      .select(col("key").as("user_id"), col("ts_us"), col("value"))
+  }
+
   /** #9 — batched multi-key point get (one shuffle for the whole batch;
     * reference does N sharded gets, src/db.rs:171-196). */
   def multiGet(s: SparkSession, dir: String): DataFrame = {
