@@ -24,6 +24,9 @@ object SparkEntry {
     "ts_delta_encode" -> (TimeSeriesOps.deltaEncode _),
     "ts_multiget" -> (TimeSeriesOps.multiGet _),
     "ts_codec_roundtrip" -> (TimeSeriesOps.codecRoundtrip _),
+    "ts_asof_join" -> (TimeSeriesOps.asofJoin _),
+    "ts_range_join" -> (TimeSeriesOps.rangeJoin _),
+    "q_percentiles" -> (Analytics.qPercentiles _),
     // Analytics (#10-15)
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk_revenue" -> (Analytics.q3TopkRevenue _),
@@ -106,6 +109,34 @@ object SparkEntry {
         |  FROM events WHERE user_id IN (7, 42, 99, 123)) WHERE rn = 1""".stripMargin,
     "ts_codec_roundtrip" ->
       "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
+    "ts_asof_join" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, prior_view_us FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+        |      PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_us
+        |  FROM events) WHERE event_type = 'purchase'""".stripMargin,
+    "ts_range_join" ->
+      """SELECT event_id, user_id, ts_us, n_recent FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 300000000 PRECEDING AND 1 PRECEDING) AS n_recent
+        |  FROM events) WHERE event_type = 'purchase'""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type, n AS n_rows,
+        |  lo50 + ((n-1)*0.5::DOUBLE - floor((n-1)*0.5::DOUBLE)) * (coalesce(hi50, lo50) - lo50) AS p50,
+        |  lo95 + ((n-1)*0.95::DOUBLE - floor((n-1)*0.95::DOUBLE)) * (coalesce(hi95, lo95) - lo95) AS p95
+        |FROM (
+        |  SELECT event_type, n,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5::DOUBLE) AS BIGINT)+1 THEN value END) AS lo50,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5::DOUBLE) AS BIGINT)+2 THEN value END) AS hi50,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95::DOUBLE) AS BIGINT)+1 THEN value END) AS lo95,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95::DOUBLE) AS BIGINT)+2 THEN value END) AS hi95
+        |  FROM (SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM events)
+        |  GROUP BY event_type, n)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,29 @@ object Analytics {
           .otherwise(0))
       .groupBy("user_id")
       .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** #35 — exact interpolated percentiles (p50/p95 of value per
+    * event_type), computed from rank arithmetic so both engines produce
+    * bit-identical doubles (approx sketches would not oracle-match).
+    * One shuffle; the rank window and the final agg share it. */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy("event_type").orderBy("value")
+    val all = Window.partitionBy("event_type")
+    def interp(q: Double): Column = {
+      val pos = (col("n") - 1) * lit(q)
+      val loRn = floor(pos).cast("long") + 1
+      val frac = pos - floor(pos)
+      val lo = max(when(col("rn") === loRn, col("value")))
+      val hi = max(when(col("rn") === loRn + 1, col("value")))
+      lo + frac.cast("double") * (coalesce(hi, lo) - lo)
+    }
+    val ranked = Tables.events(s, dir)
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(all))
+    ranked.groupBy(col("event_type"), col("n"))
+      .agg(interp(0.5).as("p50"), interp(0.95).as("p95"))
+      .select(col("event_type"), col("n").as("n_rows"), col("p50"), col("p95"))
   }
 
   /** #15 — semi-structured prop extraction from events.props JSON. */

@@ -132,6 +132,35 @@ object TimeSeriesOps {
       .select(col("key").as("user_id"), col("ts_us"), col("value"))
   }
 
+  /** #33 — as-of join: each purchase event picks up the same user's
+    * latest STRICTLY-prior view event. Expressed as a running
+    * conditional max over a row frame — one shuffle on the key, no join
+    * operator at all; this is the formulation that survives 100 TB
+    * (a sort-merge as-of join degenerates to the same shuffle+sort). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("prior_view_us",
+        max(when(col("event_type") === "view", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("prior_view_us"))
+  }
+
+  /** #34 — range join: events of the same user in the 5 minutes before
+    * each purchase, counted via a RANGE window frame on epoch-µs — the
+    * bounded-interval join as a single shuffle, no O(n·k) pair blowup. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-300000000L, -1L)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_recent", count(lit(1)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("ts_us"), col("n_recent"))
+  }
+
   /** #9 — batched multi-key point get (one shuffle for the whole batch;
     * reference does N sharded gets, src/db.rs:171-196). */
   def multiGet(s: SparkSession, dir: String): DataFrame = {
