@@ -36,16 +36,22 @@ case class DotProductD(left: Expression, right: Expression)
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names: several DotProductD instances can land in ONE generated
+    // function (e.g. cosine = dot/(sqrt(dot)*sqrt(dot)) in a predicate)
+    val n = ctx.freshName("dotN")
+    val acc = ctx.freshName("dotAcc")
+    val i = ctx.freshName("dotI")
     nullSafeCodeGen(ctx, ev, (x, y) =>
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $x.getDouble(i) * $y.getDouble(i);
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

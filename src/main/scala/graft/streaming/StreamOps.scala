@@ -39,4 +39,32 @@ object StreamOps {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     tumblingCounts(
       s.readStream.schema(schema).format("parquet").load(eventsDir))
+
+  /** Stateful streaming sessionization via mapGroupsWithState — the
+    * custom-state path (KeyValueGroupedDataset) for semantics windowed
+    * aggs can't express. State per user: (last event ts, running session
+    * count); a >30-min gap opens a new session. Agrees with the batch
+    * q_sessionize operator (spec-checked). */
+  def sessionizeStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    import s.implicits._
+    val GapUs = 30L * 60 * 1000000
+    s.readStream.schema(schema).format("parquet").load(eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (last, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          it.map(_._2).toArray.sorted.foreach { t =>
+            if (last == Long.MinValue || t - last > GapUs) n += 1
+            last = t
+          }
+          state.update((last, n))
+          (uid, n)
+      }
+      .toDF("user_id", "n_sessions")
+  }
 }

@@ -57,6 +57,17 @@ class OperatorSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("graft_dot is callable from SQL via HelixExtensions") {
+    val v = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("codec roundtrip preserves every point") {
+    val n = graft.operators.TimeSeriesOps.codecRoundtrip(spark, Sf).count()
+    assert(n == graft.core.Tables.events(spark, Sf).count())
+  }
+
   test("langid predicts a known language or 'und'") {
     val langs = TextOps.langId(spark, Sf).select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet

@@ -29,4 +29,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stateful mapGroupsWithState sessionization matches batch sessionize") {
+    val staged = tmpDir("stream-sess")
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val q = StreamOps.sessionizeStreaming(spark, staged, schema)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+
+    // keep only each user's final state row (update mode may emit per batch)
+    val streamed = spark.table("sess_out").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.operators.Analytics.qSessionize(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
