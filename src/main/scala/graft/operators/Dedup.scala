@@ -63,26 +63,24 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
 
-  /** Jaccard >= 0.8 filter over per-pair intersection counts, using
-    * integer arithmetic only (no float crosses the oracle boundary). */
-  private def jaccardFilter(sh: DataFrame, inter: DataFrame): DataFrame = {
+  /** #17 — n-gram Jaccard dedup (exact): one explode-join on shared
+    * shingles computes per-pair intersection counts directly (the
+    * aggregation rides the join shuffle — measured faster than
+    * candidate-pairs + array_intersect, whose per-pair set scan repeats
+    * work when candidates are plentiful), then the integer jaccard
+    * test over per-doc set sizes. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
+    val inter = a.join(b, "s").filter(col("doc_id1") < col("doc_id2"))
+      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("c"))
     inter
       .join(sz.withColumnRenamed("doc_id", "doc_id1").withColumnRenamed("n", "n1"), "doc_id1")
       .join(sz.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("n", "n2"), "doc_id2")
       .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
       .select("doc_id1", "doc_id2")
-  }
-
-  /** #17 — n-gram Jaccard dedup: one explode-join on shared shingles
-    * computes intersections directly, then the integer jaccard test. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(s, dir).cache()
-    val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
-    val inter = a.join(b, "s").filter(col("doc_id1") < col("doc_id2"))
-      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("c"))
-    jaccardFilter(sh, inter)
   }
 
   /** MinHash permutation family h_i(x) = (a_i*x + b_i) mod P over the
