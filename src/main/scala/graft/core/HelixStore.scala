@@ -123,18 +123,32 @@ final class HelixStore private (
     * the reference's mux-merged iterator (src/db.rs:67, iterator.rs),
     * expressed as a range-partitioned sort. Bounds follow the reference
     * TimeRange semantics: [start, end) on ts, [low, high) on key. */
-  def scan(tsRange: (Long, Long), keyRange: (Array[Byte], Array[Byte])): DataFrame = {
+  def scan(tsRange: (Long, Long), keyRange: (Array[Byte], Array[Byte]),
+      ordered: Boolean = true): DataFrame = {
     val (t0, t1) = tsRange
     val (k0, k1) = keyRange
     val b0 = Math.floorDiv(t0, opts.bucketSize)
     val b1 = Math.floorDiv(t1 - 1, opts.bucketSize)
-    toDFWithPartitions
+    val filtered = toDFWithPartitions
       .filter(col("bucket").between(b0, b1))
       .filter(col("ts") >= t0 && col("ts") < t1)
       .filter(col("key") >= lit(k0) && col("key") < lit(k1))
       .select(EntryColumns.map(col): _*)
-      .orderBy("key", "ts")
+    // ordered=false is the reference's NoOrderComparator scan (util.rs):
+    // skip the global sort when the consumer doesn't need key order.
+    if (ordered) filtered.orderBy("key", "ts") else filtered
   }
+
+  /** Continuous ingestion: attach a streaming entries source (key BINARY,
+    * ts LONG, value BINARY) and route every micro-batch through put() —
+    * the reference's always-on write path (io_worker.rs) as a
+    * foreachBatch sink. Caller manages the returned query's lifecycle. */
+  def streamingPut(entries: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    entries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => put(batch) }
+      .start()
 
   private def toDFWithPartitions: DataFrame = {
     val raw = spark.read.parquet(path)

@@ -52,6 +52,16 @@ object Tables {
     }
   }
 
+  /** Register every test table as a temp view so the whole engine is
+    * reachable from plain `spark.sql` (events gets the normalized µs
+    * timestamp column). */
+  def registerAll(s: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => apply(s, dir, n).createOrReplaceTempView(n))
+    events(s, dir).createOrReplaceTempView("events")
+  }
+
   /** Epoch-µs of a UTC midnight date literal (for range bounds). */
   def dayUs(date: String): Long =
     java.time.Instant.parse(date + "T00:00:00Z").toEpochMilli * 1000L

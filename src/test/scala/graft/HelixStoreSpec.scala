@@ -80,6 +80,29 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.toDF.count() == 50)
   }
 
+  test("unordered scan returns the same rows as ordered scan") {
+    val store = HelixStore.open(spark, tmpDir("hs-noord"), StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF((0 until 20).map(k => (s"k$k", k.toLong, s"v$k"))))
+    val ord = store.scan((0L, 20L), ("k".getBytes, "l".getBytes))
+      .collect().map(r => new String(r.getAs[Array[Byte]]("key"))).toSet
+    val unord = store.scan((0L, 20L), ("k".getBytes, "l".getBytes), ordered = false)
+      .collect().map(r => new String(r.getAs[Array[Byte]]("key"))).toSet
+    assert(ord == unord && ord.size == 20)
+  }
+
+  test("streamingPut ingests a stream of entries into the store") {
+    val srcDir = tmpDir("hs-stream-src")
+    val entries = entriesDF((0 until 30).map(k => (s"sk$k", k.toLong, s"sv$k")))
+    entries.write.mode("overwrite").parquet(srcDir)
+    val store = HelixStore.open(spark, tmpDir("hs-stream"), StoreOptions(numShards = 2, bucketSize = 10))
+    val stream = spark.readStream
+      .schema(entries.schema).parquet(srcDir)
+    val q = store.streamingPut(stream, tmpDir("hs-stream-ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    assert(store.toDF.count() == 30)
+    assert(store.get("sk7".getBytes, 7L).map(new String(_)).contains("sv7"))
+  }
+
   test("outdate drops old buckets without touching recent ones") {
     val store = HelixStore.open(spark, tmpDir("hs-out"), StoreOptions(numShards = 2, bucketSize = 10))
     store.put(entriesDF(Seq(("a", 5L, "old"), ("a", 15L, "mid"), ("a", 25L, "new"))))

@@ -68,6 +68,14 @@ class OperatorSpec extends SparkTestBase {
     assert(n == graft.core.Tables.events(spark, Sf).count())
   }
 
+  test("registerAll exposes the engine through plain spark.sql") {
+    graft.core.Tables.registerAll(spark, Sf)
+    val n = spark.sql(
+      "SELECT count(*) FROM events e JOIN lineitem l ON e.user_id = l.l_orderkey % 150")
+      .head().getLong(0)
+    assert(n > 0)
+  }
+
   test("langid predicts a known language or 'und'") {
     val langs = TextOps.langId(spark, Sf).select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet
