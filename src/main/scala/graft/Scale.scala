@@ -1,0 +1,44 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    // stage sf0.1 events x10 with disjoint user ids -> ~6M rows "sf1"
+    val ev = graft.core.Tables.events(spark, base)
+    val big = (0 until 10).map(i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * 1000L))
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+      .reduce(_.unionAll(_))
+    big.write.mode("overwrite").parquet("/tmp/scale/events.parquet")
+    // likewise documents x4 (20k docs)
+    val docs = graft.core.Tables.documents(spark, base)
+    (0 until 4).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 100000L)))
+      .reduce(_.unionAll(_)).write.mode("overwrite").parquet("/tmp/scale/documents.parquet")
+    spark.range(1).count()
+    def time(n: String)(f: => Any): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); f
+      println(f"SCALE $n%-22s ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    import graft.operators._
+    for (pass_ <- 1 to 2; dir <- Seq(base, "/tmp/scale")) {
+      println(s"pass $pass_")
+      println(s"--- $dir")
+      time("ts_downsample")(TimeSeriesOps.downsample(spark, dir).count())
+      time("ts_compact_block")(TimeSeriesOps.compactBlock(spark, dir).count())
+      time("q_sessionize")(Analytics.qSessionize(spark, dir).count())
+      time("ts_asof_join")(TimeSeriesOps.asofJoin(spark, dir).count())
+      time("dedup_minhash_lsh")(Dedup.minhashLsh(spark, dir).count())
+      time("text_langid")(TextOps.langId(spark, dir).count())
+    }
+    spark.stop()
+  }
+}
