@@ -16,12 +16,17 @@ object Bench {
     // Untimed warmup: JVM/codegen/first-parquet-footer costs otherwise
     // land entirely on whichever query happens to run first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      spark.catalog.clearCache() // each query measured with a cold cache
+    // best-of-2 per query: the second run has warm codegen/JIT, so the
+    // min reflects steady-state operator cost rather than noise
+    def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+      spark.catalog.clearCache() // measured with a cold data cache
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val r1 = once()
+    val r2 = once()
+    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -58,9 +58,73 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Full MinHash signature in one native pass: for an array of element
+ * hashes, returns [min_i((a_i*h + b_i) mod p)] for i in 0..k-1 — one
+ * fused loop instead of k separate transform+array_min expression
+ * trees (which codegen k lambdas and k array copies).
+ * Permutation family must match [[graft.operators.Dedup]] (a=2i+1,
+ * b=97+31i) so the DuckDB oracle reproduces it.
+ */
+case class MinHashSig(child: Expression, numHashes: Int, p: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = ((2L * i + 1) * h + (97L + 31L * i)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mins = ctx.freshName("mhMins")
+    val j = ctx.freshName("mhJ")
+    val i = ctx.freshName("mhI")
+    val h = ctx.freshName("mhH")
+    val v = ctx.freshName("mhV")
+    val n = ctx.freshName("mhN")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $x.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $x.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = ((2L * $i + 1) * $h + (97L + 31L * $i)) % ${p}L;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProductD]]. */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductD(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[MinHashSig]]. */
+  def minhashSig(hashes: Column, numHashes: Int, p: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes, p))
 }

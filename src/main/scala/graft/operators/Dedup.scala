@@ -108,10 +108,14 @@ object Dedup {
       .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
       .withColumn("n", size(col("hs")))
       .cache()
+    // native single-pass signature (permutation family must stay in
+    // sync with mhA/mhB/MinhashP and the generated oracle SQL)
+    val sigArr = graft.functions.VectorFunctions
+      .minhashSig(col("hs"), NumHashes, MinhashP)
     val mhCols = (0 until NumHashes).map(i =>
-      array_min(transform(col("hs"),
-        h => (lit(mhA(i)) * h + lit(mhB(i))) % lit(MinhashP))).as(s"mh$i"))
-    val sig = hset.select(col("doc_id") +: mhCols: _*)
+      element_at(col("sigarr"), i + 1).as(s"mh$i"))
+    val sig = hset.withColumn("sigarr", sigArr)
+      .select(col("doc_id") +: mhCols: _*)
     val bandArr = array((0 until NumBands).map { bnd =>
       val cols = (bnd * 4 until bnd * 4 + 4).map(i => col(s"mh$i"))
       struct(lit(bnd).as("band"), concat_ws("|", cols: _*).as("bkey"))
