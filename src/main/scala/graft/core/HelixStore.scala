@@ -103,11 +103,12 @@ final class HelixStore private (
     * shard + one bucket partition before touching any row group. */
   def get(key: Array[Byte], ts: Long): Option[Array[Byte]] = {
     if (!hasData) return None
+    // same function Spark's xxhash64(col) computes in put() (seed 42),
+    // evaluated driver-side — no job just to route the read
     val shard = {
-      // same function Spark computes in put(): xxhash64 of the key bytes
-      val df = spark.range(1).select(
-        pmod(xxhash64(lit(key)), lit(opts.numShards)).cast("int").as("s"))
-      df.head().getInt(0)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, key.length, 42L)
+      ((h % opts.numShards) + opts.numShards) % opts.numShards
     }
     val bucket = Math.floorDiv(ts, opts.bucketSize)
     val rows = spark.read.parquet(path)
