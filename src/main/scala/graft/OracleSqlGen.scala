@@ -113,6 +113,34 @@ object OracleSqlGen {
        |      ORDER BY round(${cos("e.v", "cv.cv")}, 6) DESC, cv.clabel) AS rn
        |  FROM e, cv) WHERE rn = 1""".stripMargin
 
+  val annIvfTopk: String =
+    s"""WITH $eCte,
+       |byd AS (SELECT clabel, j, sum(x) / count(*) AS m FROM (
+       |    SELECT label AS clabel, unnest(generate_series(1, 64)) AS j, unnest(v) AS x FROM e)
+       |  GROUP BY 1, 2),
+       |cvt AS (SELECT clabel, list(m ORDER BY j) AS cv FROM byd GROUP BY clabel),
+       |assigned AS (SELECT vec_id, v, clabel AS assigned_label FROM (
+       |  SELECT e.vec_id, e.v, cvt.clabel,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${cos("e.v", "cvt.cv")}, 6) DESC, cvt.clabel) AS rn
+       |  FROM e, cvt) WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT clabel AS assigned_label FROM cvt, q
+       |  ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel LIMIT 2)
+       |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk FROM (
+       |  SELECT a.vec_id, ${cos("a.v", "q.qv")} AS c
+       |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label, q
+       |  WHERE a.vec_id <> 0)
+       |ORDER BY rnk LIMIT 10""".stripMargin
+
+  val textRollingHash: String =
+    s"""WITH $toksCte
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(0, list_transform(t,
+       |    w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
+       |    (acc, h) -> (acc * ${TextOps.RollB} + h) % ${TextOps.RollP}) AS rhash
+       |FROM toks""".stripMargin
+
   val textLangid: String = {
     val scores = TextOps.StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(", ")
@@ -144,7 +172,9 @@ object OracleSqlGen {
        |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
        |  CAST(len(list_filter(t, x -> length(x) > 5)) AS BIGINT) AS n_long,
-       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace_chars
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace_chars,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+       |    AS n_bpe_pieces
        |FROM documents d JOIN toks ON d.doc_id = toks.doc_id""".stripMargin
 
   val textFingerprint: String =
@@ -156,7 +186,9 @@ object OracleSqlGen {
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
       |  substr(md5(text), 1, 8) AS content_id,
       |  CAST(strlen(text) % 640 AS BIGINT) AS width,
-      |  CAST((ascii(text) * 3) % 480 AS BIGINT) AS height
+      |  CAST((ascii(text) * 3) % 480 AS BIGINT) AS height,
+      |  CAST(224 AS BIGINT) AS resize_w,
+      |  CAST(((ascii(text) * 3) % 480 * 224) // (strlen(text) % 640 + 1) AS BIGINT) AS resize_h
       |FROM documents""".stripMargin
 
   val mmFrameSample: String =

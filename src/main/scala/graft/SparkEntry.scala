@@ -44,11 +44,13 @@ object SparkEntry {
     "ann_topk_brute" -> (Similarity.annTopkBrute _),
     "ann_lsh_bucket" -> (Similarity.lshBucket _),
     "knn_label_centroid" -> (Similarity.knnLabelCentroid _),
+    "ann_ivf_topk" -> (Similarity.annIvfTopk _),
     // Text analysis (#24-27)
     "text_langid" -> (TextOps.langId _),
     "text_quality" -> (TextOps.quality _),
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
+    "text_rolling_hash" -> (TextOps.rollingHash _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -196,10 +198,12 @@ object SparkEntry {
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,
     "ann_lsh_bucket" -> OracleSqlGen.annLshBucket,
     "knn_label_centroid" -> OracleSqlGen.knnLabelCentroid,
+    "ann_ivf_topk" -> OracleSqlGen.annIvfTopk,
     "text_langid" -> OracleSqlGen.textLangid,
     "text_quality" -> OracleSqlGen.textQuality,
     "text_tokens" -> OracleSqlGen.textTokens,
     "text_fingerprint" -> OracleSqlGen.textFingerprint,
+    "text_rolling_hash" -> OracleSqlGen.textRollingHash,
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
     "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,

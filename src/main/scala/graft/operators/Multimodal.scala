@@ -39,7 +39,11 @@ object Multimodal {
       octet_length(col("payload")).cast("long").as("n_bytes"),
       substring(md5(col("payload")), 1, 8).as("content_id"),
       FakeDecode.widthExpr.as("width"),
-      FakeDecode.heightExpr.as("height"))
+      FakeDecode.heightExpr.as("height"),
+      // "resize": fit to 224 wide preserving aspect, integer arithmetic
+      lit(224L).as("resize_w"),
+      expr("(((ascii(text) * 3) % 480) * 224) div (octet_length(cast(text as binary)) % 640 + 1)")
+        .cast("long").as("resize_h"))
 
   /** Typed batch-decode output row. */
   final case class MediaFeature(

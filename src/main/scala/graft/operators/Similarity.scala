@@ -65,6 +65,50 @@ object Similarity {
     e.select(col("vec_id"), bucket.as("bucket"))
   }
 
+  /** Per-label centroids + per-vector nearest-centroid assignment
+    * (shared by #23 and the IVF search #36). */
+  private def assignments(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+    val dimSums = (0 until 64).map(j => sum(element_at(col("v"), j + 1)).as(s"s$j"))
+    val centroids = e.groupBy(col("label").as("clabel"))
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
+      .select(col("clabel"),
+        array((0 until 64).map(j => col(s"s$j") / col("cnt")): _*).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("rcos").desc, col("clabel"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("rcos", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("clabel").as("assigned_label"))
+    (assigned, centroids)
+  }
+
+  /** #36 — IVF top-k search: probe the 2 cells whose centroids are
+    * nearest the query, then exact top-10 cosine within those cells
+    * only — the inverted-file ANN search path. At scale the cell
+    * assignment is a stored partition column, so a probe touches
+    * nprobe/ncells of the data. */
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centroids) = assignments(s, dir)
+    val q = assigned.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+      .orderBy(col("rcos").desc, col("clabel")).limit(2)
+      .select(col("clabel").as("assigned_label"))
+    assigned
+      .join(broadcast(probeCells), "assigned_label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))).as("rnk"))
+  }
+
   /** #23 — IVF coarse step: per-label centroid, then nearest-centroid
     * assignment by cosine (rounded to 6 dp before the argmax so the
     * cross-row float sums in the centroid can't flip an engine-boundary

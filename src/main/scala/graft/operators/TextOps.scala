@@ -74,7 +74,9 @@ object TextOps {
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
         size(filter(col("toks"), t => length(t) > 5)).cast("long").as("n_long"),
-        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace_chars"))
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace_chars"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("n_bpe_pieces"))
 
   /** #27 — document fingerprint: md5 over the sorted distinct token set
     * (order-canonical, whitespace-insensitive content hash). */
@@ -82,4 +84,20 @@ object TextOps {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fp"))
+
+  /** #37 — ORDER-SENSITIVE rolling-hash fingerprint (Rabin-Karp): fold
+    * H = (H*257 + h(tok)) mod P over the token sequence, h = 32-bit md5
+    * prefix. Pure integer fold — parity with the oracle is exact, and
+    * reordered/edited docs hash differently (unlike #27's set hash). */
+  val RollB = 257L
+  val RollP = 4294967311L
+  def rollingHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("toks"),
+            w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")),
+          lit(0L),
+          (acc, h) => (acc * RollB + h) % RollP).as("rhash"))
 }
