@@ -21,6 +21,7 @@ object SparkEntry {
     "ts_compact_block" -> (TimeSeriesOps.compactBlock _),
     "ts_outdate" -> (TimeSeriesOps.outdate _),
     "ts_downsample" -> (TimeSeriesOps.downsample _),
+    "ts_downsample_salted" -> (TimeSeriesOps.downsampleSalted _),
     "ts_delta_encode" -> (TimeSeriesOps.deltaEncode _),
     "ts_multiget" -> (TimeSeriesOps.multiGet _),
     "ts_codec_roundtrip" -> (TimeSeriesOps.codecRoundtrip _),
@@ -92,6 +93,13 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_keys
         |FROM events WHERE ts >= TIMESTAMP '2024-01-10' GROUP BY 1""".stripMargin,
     "ts_downsample" ->
+      """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |  count(*) AS cnt, min(value) AS min_value, max(value) AS max_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // identical semantics to ts_downsample — the salted two-phase plan
+    // must produce exactly the same result
+    "ts_downsample_salted" ->
       """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
         |  count(*) AS cnt, min(value) AS min_value, max(value) AS max_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value

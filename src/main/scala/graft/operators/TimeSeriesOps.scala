@@ -100,6 +100,29 @@ object TimeSeriesOps {
         (sum(col("value").cast("decimal(18,2)")).cast("double") /
           count(lit(1))).as("avg_value"))
 
+  /** #38 — skew-hardened downsample: identical output to #7, computed
+    * as a two-phase SALTED aggregation — partials over (key, hour,
+    * salt) spread one hot key across 8 reducers, the final phase merges
+    * the 8 partials. Decimal sums keep the two-phase result exactly
+    * equal to the direct one (same oracle as #7 proves it). */
+  def downsampleSalted(s: SparkSession, dir: String): DataFrame = {
+    val partial = Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("user_id"),
+        unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"), col("salt"))
+      .agg(
+        count(lit(1)).as("pcnt"),
+        min("value").as("pmin"),
+        max("value").as("pmax"),
+        sum(col("value").cast("decimal(18,2)")).as("psum"))
+    partial.groupBy("user_id", "hour_us")
+      .agg(
+        sum("pcnt").as("cnt"),
+        min("pmin").as("min_value"),
+        max("pmax").as("max_value"),
+        (sum("psum").cast("double") / sum("pcnt")).as("avg_value"))
+  }
+
   /** #8 — per-key timestamp delta chain (the delta encoding a TS codec —
     * reference UDCF — would exploit; here surfaced as analytics). */
   def deltaEncode(s: SparkSession, dir: String): DataFrame = {
