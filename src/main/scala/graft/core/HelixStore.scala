@@ -126,6 +126,7 @@ final class HelixStore private (
     * TimeRange semantics: [start, end) on ts, [low, high) on key. */
   def scan(tsRange: (Long, Long), keyRange: (Array[Byte], Array[Byte]),
       ordered: Boolean = true): DataFrame = {
+    if (!hasData) return toDF // empty frame with the entry schema
     val (t0, t1) = tsRange
     val (k0, k1) = keyRange
     val b0 = Math.floorDiv(t0, opts.bucketSize)
