@@ -110,7 +110,10 @@ final class HelixStore private (
         key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, key.length, 42L)
       ((h % opts.numShards) + opts.numShards) % opts.numShards
     }
-    val bucket = Math.floorDiv(ts, opts.bucketSize)
+    // Spark SQL `div` truncates toward zero; use the same semantics here
+    // (floorDiv would floor, routing negative logical timestamps to a
+    // different bucket than put() wrote)
+    val bucket = ts / opts.bucketSize
     val rows = spark.read.parquet(path)
       .filter(col("shard") === shard && col("bucket") === bucket)
       .filter(col("key") === lit(key) && col("ts") === ts)
@@ -129,8 +132,10 @@ final class HelixStore private (
     if (!hasData) return toDF // empty frame with the entry schema
     val (t0, t1) = tsRange
     val (k0, k1) = keyRange
-    val b0 = Math.floorDiv(t0, opts.bucketSize)
-    val b1 = Math.floorDiv(t1 - 1, opts.bucketSize)
+    // truncating division matches put()'s `ts div bucketSize` and is
+    // monotone, so [bucket(t0), bucket(t1-1)] covers the range exactly
+    val b0 = t0 / opts.bucketSize
+    val b1 = (t1 - 1) / opts.bucketSize
     val filtered = toDFWithPartitions
       .filter(col("bucket").between(b0, b1))
       .filter(col("ts") >= t0 && col("ts") < t1)
@@ -195,7 +200,7 @@ final class HelixStore private (
     * deletion, no data rewrite (reference Outdate, src/level.rs:337). */
   def outdate(ts: Long): Unit = {
     if (!hasData) return
-    val cutoff = Math.floorDiv(ts, opts.bucketSize)
+    val cutoff = ts / opts.bucketSize // truncating, matching put()
     Files.list(root).iterator().asScala.toList
       .filter(_.getFileName.toString.startsWith("shard="))
       .foreach { shardDir =>

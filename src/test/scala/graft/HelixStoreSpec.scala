@@ -103,6 +103,16 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.get("sk7".getBytes, 7L).map(new String(_)).contains("sv7"))
   }
 
+  test("negative logical timestamps route consistently between put and get/scan") {
+    val store = HelixStore.open(spark, tmpDir("hs-neg"), StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF(Seq(("nk", -15L, "a"), ("nk", -5L, "b"), ("nk", 5L, "c"))))
+    assert(store.get("nk".getBytes, -15L).map(new String(_)).contains("a"))
+    assert(store.get("nk".getBytes, -5L).map(new String(_)).contains("b"))
+    val scanned = store.scan((-20L, 10L), ("n".getBytes, "o".getBytes))
+      .collect().map(_.getAs[Long]("ts")).sorted
+    assert(scanned.sameElements(Array(-15L, -5L, 5L)))
+  }
+
   test("outdate drops old buckets without touching recent ones") {
     val store = HelixStore.open(spark, tmpDir("hs-out"), StoreOptions(numShards = 2, bucketSize = 10))
     store.put(entriesDF(Seq(("a", 5L, "old"), ("a", 15L, "mid"), ("a", 25L, "new"))))
