@@ -39,6 +39,14 @@ final case class StoreOptions(
 object HelixStore {
   val EntryColumns: Seq[String] = Seq("key", "ts", "value")
 
+  /** Compressed block: one key's run within one (shard, bucket), ts
+    * delta-encoded from t0, per-entry seq preserved for LWW — the
+    * SSTable+UDCF unit (reference: src/file/sstable.rs +
+    * fn_registry.rs compress_entries). */
+  final case class BinBlock(key: Array[Byte], shard: Int, bucket: Long,
+      t0: Long, deltas: Array[Long], seqs: Array[Long],
+      vals: Array[Array[Byte]])
+
   def open(spark: SparkSession, path: String,
       opts: StoreOptions = StoreOptions()): HelixStore =
     new HelixStore(spark, path, opts)
@@ -60,8 +68,54 @@ final class HelixStore private (
     cur + 1
   }
 
-  private def hasData: Boolean =
-    Files.list(root).iterator().asScala.exists(_.getFileName.toString.startsWith("shard="))
+  /** Block ("SSTable") files live in a sibling directory so row reads of
+    * `path` never see them (and Spark's file index skips underscore
+    * paths entirely, even as a read root). */
+  private val blocksRoot: Path = Paths.get(path + ".blocks")
+
+  /** True when at least one (shard, bucket) partition actually exists —
+    * outdate can leave empty shard dirs behind, which must not count. */
+  private def hasDataDirs(r: Path): Boolean =
+    Files.exists(r) && Files.list(r).iterator().asScala.exists { d =>
+      d.getFileName.toString.startsWith("shard=") &&
+        Files.list(d).iterator().asScala.exists(_.getFileName.toString.startsWith("bucket="))
+    }
+  private def hasRows: Boolean = hasDataDirs(root)
+  private def hasBlocks: Boolean = hasDataDirs(blocksRoot)
+  private def hasData: Boolean = hasRows || hasBlocks
+
+  private def emptyEntriesWithMeta: DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("key", BinaryType), StructField("ts", LongType),
+        StructField("value", BinaryType), StructField("seq", LongType),
+        StructField("shard", IntegerType), StructField("bucket", LongType))))
+  }
+
+  /** Every raw entry (pre-LWW) from both layers: rick rows + decompressed
+    * blocks, all carrying (key, ts, value, seq, shard, bucket). The
+    * `decompress` flag mirrors the reference ReadOption: when false the
+    * block layer is skipped (reference: src/option.rs:131). */
+  private def rawEntries(decompress: Boolean = true): DataFrame = {
+    val cols = Seq("key", "ts", "value", "seq", "shard", "bucket")
+    val rows =
+      if (hasRows) Some(spark.read.parquet(path).select(cols.map(col): _*))
+      else None
+    val blocks =
+      if (decompress && hasBlocks) {
+        import spark.implicits._
+        Some(spark.read.parquet(blocksRoot.toString).as[HelixStore.BinBlock]
+          .flatMap { b =>
+            var t = b.t0
+            (0 until b.deltas.length).iterator.map { i =>
+              t += b.deltas(i)
+              (b.key, t, b.vals(i), b.seqs(i), b.shard, b.bucket)
+            }
+          }.toDF(cols: _*))
+      } else None
+    (rows ++ blocks).reduceOption(_.unionByName(_)).getOrElse(emptyEntriesWithMeta)
+  }
 
   /** Append a batch of entries (columns: key BINARY, ts LONG, value
     * BINARY). Routing = shard/bucket partition columns; one shuffle-free
@@ -84,24 +138,11 @@ final class HelixStore private (
   }
 
   /** All live entries (latest write wins per (key, ts)). */
-  def toDF: DataFrame = {
-    if (!hasData) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType))))
-    }
-    val raw = spark.read.parquet(path)
-    val w = Window.partitionBy("key", "ts").orderBy(col("seq").desc)
-    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(EntryColumns.map(col): _*)
-  }
+  def toDF: DataFrame = toDFWithPartitions.select(EntryColumns.map(col): _*)
 
   /** Exact-timestamp point get (reference: src/db.rs:54). Prunes to one
     * shard + one bucket partition before touching any row group. */
-  def get(key: Array[Byte], ts: Long): Option[Array[Byte]] = {
+  def get(key: Array[Byte], ts: Long, decompress: Boolean = true): Option[Array[Byte]] = {
     if (!hasData) return None
     // same function Spark's xxhash64(col) computes in put() (seed 42),
     // evaluated driver-side — no job just to route the read
@@ -114,7 +155,7 @@ final class HelixStore private (
     // (floorDiv would floor, routing negative logical timestamps to a
     // different bucket than put() wrote)
     val bucket = ts / opts.bucketSize
-    val rows = spark.read.parquet(path)
+    val rows = rawEntries(decompress)
       .filter(col("shard") === shard && col("bucket") === bucket)
       .filter(col("key") === lit(key) && col("ts") === ts)
       .orderBy(col("seq").desc)
@@ -158,9 +199,8 @@ final class HelixStore private (
       .start()
 
   private def toDFWithPartitions: DataFrame = {
-    val raw = spark.read.parquet(path)
     val w = Window.partitionBy("key", "ts").orderBy(col("seq").desc)
-    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    rawEntries().withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
   }
 
   /** Latest value per key at or before `asOf` (TimeIterator newest-wins). */
@@ -176,7 +216,7 @@ final class HelixStore private (
     * (reference: src/level.rs:356-470). Parallel per partition; no
     * global shuffle beyond the LWW window. */
   def compact(): Unit = {
-    if (!hasData) return
+    if (!hasRows) return
     val tmp = path + ".compact"
     val raw = spark.read.parquet(path)
     val w = Window.partitionBy("key", "ts").orderBy(col("seq").desc)
@@ -196,21 +236,70 @@ final class HelixStore private (
     deleteRecursively(Paths.get(tmp))
   }
 
+  /** Compact the row ("rick") layer into compressed block ("SSTable")
+    * files: per (key, shard, bucket) one delta-encoded block, merged
+    * with any existing blocks, written under _blocks, then the row dirs
+    * are dropped — the reference's level compaction applying the codec
+    * (reference: src/level.rs:356-470 + fn_registry.rs compress_entries).
+    * One groupByKey shuffle; block size is bounded by the bucket. */
+  def blockCompact(): Unit = {
+    if (!hasData) return
+    import spark.implicits._
+    val tmp = path + ".blockcompact"
+    val blocks = rawEntries()
+      .select(col("key"), col("ts"), col("value"), col("seq"),
+        col("shard"), col("bucket"))
+      .as[(Array[Byte], Long, Array[Byte], Long, Int, Long)]
+      .groupByKey(r => (r._1.toSeq, r._5, r._6))
+      .mapGroups { (k: (Seq[Byte], Int, Long), it: Iterator[(Array[Byte], Long, Array[Byte], Long, Int, Long)]) =>
+        // LWW inside the block: keep the max-seq entry per ts
+        val byTs = it.toArray.groupBy(_._2).valuesIterator
+          .map(_.maxBy(_._4)).toArray.sortBy(_._2)
+        val t0 = byTs.head._2
+        val deltas = new Array[Long](byTs.length)
+        var prev = t0
+        var i = 0
+        while (i < byTs.length) {
+          deltas(i) = byTs(i)._2 - prev; prev = byTs(i)._2; i += 1
+        }
+        HelixStore.BinBlock(k._1.toArray, k._2, k._3, t0, deltas,
+          byTs.map(_._4), byTs.map(_._3))
+      }
+      .toDF()
+    blocks.repartition(col("shard"), col("bucket"))
+      .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp)
+    // swap: new blocks replace old blocks AND the row layer they absorbed
+    if (Files.exists(blocksRoot)) deleteRecursively(blocksRoot)
+    Files.createDirectories(blocksRoot)
+    Files.list(Paths.get(tmp)).iterator().asScala.toList.foreach { p =>
+      if (p.getFileName.toString.startsWith("shard="))
+        Files.move(p, blocksRoot.resolve(p.getFileName))
+    }
+    deleteRecursively(Paths.get(tmp))
+    Files.list(root).iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith("shard="))
+      .foreach(deleteRecursively)
+  }
+
   /** Drop all buckets strictly older than `ts` — pure partition-metadata
     * deletion, no data rewrite (reference Outdate, src/level.rs:337). */
   def outdate(ts: Long): Unit = {
     if (!hasData) return
     val cutoff = ts / opts.bucketSize // truncating, matching put()
-    Files.list(root).iterator().asScala.toList
-      .filter(_.getFileName.toString.startsWith("shard="))
-      .foreach { shardDir =>
-        Files.list(shardDir).iterator().asScala.toList
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.startsWith("bucket=") && n.stripPrefix("bucket=").toLong < cutoff
-          }
-          .foreach(deleteRecursively)
-      }
+    val dataRoots = Seq(root).filter(_ => hasRows) ++
+      Seq(blocksRoot).filter(_ => hasBlocks)
+    dataRoots.foreach { r =>
+      Files.list(r).iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("shard="))
+        .foreach { shardDir =>
+          Files.list(shardDir).iterator().asScala.toList
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith("bucket=") && n.stripPrefix("bucket=").toLong < cutoff
+            }
+            .foreach(deleteRecursively)
+        }
+    }
   }
 
   def close(): Unit = ()

@@ -113,6 +113,41 @@ class HelixStoreSpec extends SparkTestBase {
     assert(scanned.sameElements(Array(-15L, -5L, 5L)))
   }
 
+  test("blockCompact compresses the rick layer into blocks transparently") {
+    val dir = tmpDir("hs-blocks")
+    val store = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF(Seq(("bk", 1L, "v1"), ("bk", 3L, "v3"), ("ck", 4L, "w4"))))
+    store.put(entriesDF(Seq(("bk", 3L, "v3b")))) // LWW candidate
+    store.blockCompact()
+    // row layer gone, block layer serves reads
+    import scala.jdk.CollectionConverters._
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("shard=")))
+    assert(store.get("bk".getBytes, 1L).map(new String(_)).contains("v1"))
+    assert(store.get("bk".getBytes, 3L).map(new String(_)).contains("v3b"),
+      "LWW must survive block compaction")
+    assert(store.toDF.count() == 3)
+    // no_decompress analogue: block-only data is not consulted
+    assert(store.get("bk".getBytes, 1L, decompress = false).isEmpty)
+    // rick resumes after compaction; both layers merge on read
+    store.put(entriesDF(Seq(("bk", 5L, "v5"), ("bk", 3L, "v3c"))))
+    assert(store.get("bk".getBytes, 5L).map(new String(_)).contains("v5"))
+    assert(store.get("bk".getBytes, 3L).map(new String(_)).contains("v3c"),
+      "newer rick write must win over the block")
+    // scan sees both layers ordered
+    val ts = store.scan((0L, 10L), ("a".getBytes, "z".getBytes))
+      .filter(org.apache.spark.sql.functions.col("key") === "bk".getBytes)
+      .collect().map(_.getAs[Long]("ts"))
+    assert(ts.sameElements(Array(1L, 3L, 5L)))
+    // second blockCompact merges blocks + rick into fresh blocks
+    store.blockCompact()
+    assert(store.get("bk".getBytes, 3L).map(new String(_)).contains("v3c"))
+    assert(store.toDF.count() == 4)
+    // outdate drops old BLOCK buckets too
+    store.outdate(10L)
+    assert(store.toDF.count() == 0)
+  }
+
   test("outdate drops old buckets without touching recent ones") {
     val store = HelixStore.open(spark, tmpDir("hs-out"), StoreOptions(numShards = 2, bucketSize = 10))
     store.put(entriesDF(Seq(("a", 5L, "old"), ("a", 15L, "mid"), ("a", 25L, "new"))))
