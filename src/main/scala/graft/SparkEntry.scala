@@ -35,6 +35,8 @@ object SparkEntry {
     "q_window_topn" -> (Analytics.qWindowTopn _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_json_props" -> (Analytics.qJsonProps _),
+    "q6_selective" -> (Analytics.q6Selective _),
+    "q_rollup" -> (Analytics.qRollup _),
     // Dedup (#16-20)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -198,6 +200,19 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q6_selective" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "dedup_exact" -> OracleSqlGen.dedupExact,
     "dedup_ngram_jaccard" -> OracleSqlGen.dedupNgramJaccard,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,

@@ -115,6 +115,27 @@ object Analytics {
       .select(col("event_type"), col("n").as("n_rows"), col("p50"), col("p95"))
   }
 
+  /** #39 — TPC-H Q6-style selective revenue: every predicate reaches the
+    * scan (date range, discount band, quantity cap), so at 100 TB this
+    * reads only matching row groups and aggregates map-side to one row. */
+  def q6Selective(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * col("l_discount").cast("decimal(3,2)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** #40 — multi-level ROLLUP aggregate: (flag, status), (flag), () in
+    * one pass — Spark expands grouping sets without re-reading the
+    * input. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
   /** #15 — semi-structured prop extraction from events.props JSON. */
   def qJsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -148,6 +148,21 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.toDF.count() == 0)
   }
 
+  test("EntryIO roundtrips entries through parquet, csv, and json") {
+    import graft.sources.EntryIO
+    val df = entriesDF(Seq(("a", 1L, "x"), ("b", 2L, "y")))
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("key")), r.getAs[Long]("ts"),
+        new String(r.getAs[Array[Byte]]("value")))).toSet
+    val expected = Set(("a", 1L, "x"), ("b", 2L, "y"))
+    val pq = tmpDir("eio-pq"); EntryIO.writeParquet(df, s"$pq/d")
+    assert(asSet(EntryIO.readParquet(spark, s"$pq/d")) == expected)
+    val cv = tmpDir("eio-csv"); EntryIO.writeCsv(df, s"$cv/d")
+    assert(asSet(EntryIO.readCsv(spark, s"$cv/d")) == expected)
+    val js = tmpDir("eio-json"); EntryIO.writeJson(df, s"$js/d")
+    assert(asSet(EntryIO.readJson(spark, s"$js/d")) == expected)
+  }
+
   test("outdate drops old buckets without touching recent ones") {
     val store = HelixStore.open(spark, tmpDir("hs-out"), StoreOptions(numShards = 2, bucketSize = 10))
     store.put(entriesDF(Seq(("a", 5L, "old"), ("a", 15L, "mid"), ("a", 25L, "new"))))
