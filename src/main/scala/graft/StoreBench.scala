@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.core.{HelixStore, StoreOptions}
+
+/** Store-level benchmark mirroring the reference's own workload shape
+  * (benchmarks/src/{load,read,scan}.rs: fill numKey × numTimestamp,
+  * point-read, full scan). Prints one JSON line. */
+object StoreBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val numKeys = sys.env.getOrElse("SPARK_GRAFT_NUM_KEYS", "1000").toInt
+    val numTs = sys.env.getOrElse("SPARK_GRAFT_NUM_TS", "1000").toInt
+    val dir = java.nio.file.Files.createTempDirectory("storebench").toString
+    val store = HelixStore.open(spark, dir, StoreOptions(numShards = 8, bucketSize = numTs / 10 + 1))
+
+    val schema = StructType(Seq(
+      StructField("key", BinaryType), StructField("ts", LongType),
+      StructField("value", BinaryType)))
+    import org.apache.spark.sql.functions._
+    val entries = spark.range(numKeys.toLong * numTs)
+      .select(
+        expr(s"cast(concat('key', lpad(cast(id % $numKeys as string), 8, '0')) as binary)").as("key"),
+        expr(s"id div $numKeys").as("ts"),
+        expr("cast(concat('value-', cast(id as string)) as binary)").as("value"))
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, tPut) = time(store.put(entries))
+    val gets = (0 until 50).map { i =>
+      val k = f"key${(i * 37) % numKeys}%08d".getBytes
+      time(store.get(k, (i * 13) % numTs))._2
+    }
+    val (nScan, tScan) = time(
+      store.scan((0L, numTs.toLong), ("key".getBytes, "kez".getBytes)).count())
+    val (_, tCompact) = time(store.blockCompact())
+    val (nScan2, tScan2) = time(
+      store.scan((0L, numTs.toLong), ("key".getBytes, "kez".getBytes)).count())
+    require(nScan == numKeys.toLong * numTs && nScan2 == nScan,
+      s"scan count mismatch: $nScan / $nScan2")
+
+    val rows = numKeys.toLong * numTs
+    println(f"""{"rows":$rows,"put_s":$tPut%.2f,"put_rows_per_s":${rows / tPut}%.0f,""" +
+      f""""get_avg_ms":${gets.sum / gets.size * 1000}%.0f,"scan_s":$tScan%.2f,""" +
+      f""""scan_rows_per_s":${rows / tScan}%.0f,"block_compact_s":$tCompact%.2f,""" +
+      f""""scan_after_compact_s":$tScan2%.2f}""")
+    spark.stop()
+  }
+}
