@@ -28,6 +28,8 @@ object SparkEntry {
     "ts_asof_join" -> (TimeSeriesOps.asofJoin _),
     "ts_range_join" -> (TimeSeriesOps.rangeJoin _),
     "q_percentiles" -> (Analytics.qPercentiles _),
+    "ts_gap_fill" -> (TimeSeriesOps.gapFill _),
+    "ts_rate" -> (TimeSeriesOps.rate _),
     // Analytics (#10-15)
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk_revenue" -> (Analytics.q3TopkRevenue _),
@@ -200,6 +202,32 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "ts_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM (
+        |    SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1))
+        |SELECT s.user_id, s.hour * 3600000000 AS hour_us,
+        |  last_value(h.cnt IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cnt,
+        |  CASE WHEN h.cnt IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour""".stripMargin,
+    "ts_rate" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*) AS n_deltas,
+        |  CAST(sum(dv) AS DOUBLE) / (CAST(sum(dt_us) AS BIGINT) / 1000000) AS rate_per_s
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(value AS DECIMAL(18,2)) -
+        |      lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts) AS dv,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS dt_us
+        |  FROM events)
+        |WHERE dt_us IS NOT NULL AND dt_us > 0
+        |GROUP BY 1, 2""".stripMargin,
     "q6_selective" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,

@@ -184,6 +184,42 @@ object TimeSeriesOps {
       .select(col("event_id"), col("user_id"), col("us").as("ts_us"), col("n_recent"))
   }
 
+  /** #41 — gap fill: materialize every missing hour in each key's
+    * range and carry the last observed hourly count forward. The hour
+    * spine comes from sequence()+explode per key (bounded by that key's
+    * own range), the fill from a running last_value — one shuffle. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled_cnt", last(col("cnt"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("cnt").isNull.cast("int"))
+      .select(col("user_id"), (col("hour") * 3600000000L).as("hour_us"),
+        col("filled_cnt"), col("is_gap"))
+  }
+
+  /** #42 — counter rate (PromQL-style): per key, value delta over time
+    * delta between consecutive events, averaged per day. Deltas are a
+    * lag window; the rollup shares the same key shuffle. */
+  def rate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, dir)
+      .withColumn("dv", col("value").cast("decimal(18,2)") -
+        lag(col("value").cast("decimal(18,2)"), 1).over(w))
+      .withColumn("dt_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("dt_us").isNotNull && col("dt_us") > 0)
+      .groupBy(col("user_id"), unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("n_deltas"),
+        (sum(col("dv")).cast("double") / (sum(col("dt_us")) / lit(1000000L))).as("rate_per_s"))
+  }
+
   /** #9 — batched multi-key point get (one shuffle for the whole batch;
     * reference does N sharded gets, src/db.rs:171-196). */
   def multiGet(s: SparkSession, dir: String): DataFrame = {
