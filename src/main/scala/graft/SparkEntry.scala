@@ -39,6 +39,10 @@ object SparkEntry {
     "q_json_props" -> (Analytics.qJsonProps _),
     "q6_selective" -> (Analytics.q6Selective _),
     "q_rollup" -> (Analytics.qRollup _),
+    "q_funnel" -> (Analytics.qFunnel _),
+    // sketch op: intentionally NO oracle (HLL internals are engine-
+    // specific); accuracy vs exact is asserted in OperatorSpec
+    "q_approx_distinct" -> (Analytics.qApproxDistinct _),
     // Dedup (#16-20)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -202,6 +206,15 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_funnel" ->
+      """SELECT user_id, CAST(t_view IS NOT NULL AS INTEGER) AS did_view,
+        |  CAST(t_view < t_click AS INTEGER) AS view_then_click,
+        |  CAST(t_view < t_click AND t_click < t_purchase AS INTEGER) AS full_funnel
+        |FROM (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)""".stripMargin,
     "ts_gap_fill" ->
       """WITH hourly AS (
         |  SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour,

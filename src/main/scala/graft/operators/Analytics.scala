@@ -136,6 +136,32 @@ object Analytics {
       .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
         count(lit(1)).as("cnt"))
 
+  /** #43 — funnel: users who did view → click → purchase in strict
+    * timestamp order; per-stage first-times via one conditional-min
+    * window pass, no self-joins. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_purchase"))
+      .select(col("user_id"),
+        col("t_view").isNotNull.cast("int").as("did_view"),
+        (col("t_view") < col("t_click")).cast("int").as("view_then_click"),
+        (col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
+          .cast("int").as("full_funnel"))
+
+  /** #44 — sketch path: HyperLogLog approximate distinct users per
+    * event_type. No DuckDB oracle (sketch internals differ by engine) —
+    * accuracy vs exact is spec-asserted instead; at 100 TB this is the
+    * only affordable distinct-count. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("cnt"))
+
   /** #15 — semi-structured prop extraction from events.props JSON. */
   def qJsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

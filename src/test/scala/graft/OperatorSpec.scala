@@ -76,6 +76,17 @@ class OperatorSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("approx distinct is within 5% of exact") {
+    val approx = Analytics.qApproxDistinct(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.events(spark, Sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: ${approx(k)} vs $n")
+    }
+  }
+
   test("langid predicts a known language or 'und'") {
     val langs = TextOps.langId(spark, Sf).select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet

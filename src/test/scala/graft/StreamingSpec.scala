@@ -30,6 +30,25 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup with watermark matches batch distinct") {
+    val staged = tmpDir("stream-dedup")
+    // duplicate the stream on purpose
+    val ev = Tables.events(spark, Sf)
+    ev.unionAll(ev).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = spark.readStream.schema(schema).parquet(staged)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("dedup_out").head().getLong(0)
+    assert(streamed == ev.count(), "streaming dedup must drop the duplicated half")
+  }
+
   test("stateful mapGroupsWithState sessionization matches batch sessionize") {
     val staged = tmpDir("stream-sess")
     Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
