@@ -20,8 +20,38 @@ import org.apache.spark.sql.{Dataset, SparkSession}
  */
 object TsCodec {
   final case class TsPoint(key: Long, ts_us: Long, value: Double)
+  /** `xvals` are Gorilla-style XOR-chained IEEE754 bits: xvals(0) is
+    * value(0) raw, xvals(i) = bits(v_i) XOR bits(v_{i-1}) — long runs of
+    * similar floats become mostly-zero words parquet compresses hard. */
   final case class TsBlock(key: Long, bucket: Long, t0: Long,
-      deltas: Array[Long], values: Array[Double])
+      deltas: Array[Long], xvals: Array[Long])
+
+  /** XOR-chain encode doubles (exact, order-preserving). */
+  def xorEncode(vs: Array[Double]): Array[Long] = {
+    val out = new Array[Long](vs.length)
+    var prev = 0L
+    var i = 0
+    while (i < vs.length) {
+      val bits = java.lang.Double.doubleToRawLongBits(vs(i))
+      out(i) = bits ^ prev
+      prev = bits
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of [[xorEncode]]. */
+  def xorDecode(xs: Array[Long]): Array[Double] = {
+    val out = new Array[Double](xs.length)
+    var prev = 0L
+    var i = 0
+    while (i < xs.length) {
+      prev = xs(i) ^ prev
+      out(i) = java.lang.Double.longBitsToDouble(prev)
+      i += 1
+    }
+    out
+  }
 
   def compress(points: Dataset[TsPoint], bucketUs: Long)
       (implicit s: SparkSession): Dataset[TsBlock] = {
@@ -38,7 +68,7 @@ object TsCodec {
         while (i < pts.length) {
           deltas(i) = pts(i).ts_us - prev; prev = pts(i).ts_us; i += 1
         }
-        TsBlock(key, bucket, t0, deltas, pts.map(_.value))
+        TsBlock(key, bucket, t0, deltas, xorEncode(pts.map(_.value)))
       }
   }
 
@@ -47,7 +77,7 @@ object TsCodec {
     import s.implicits._
     blocks.flatMap { b =>
       var t = b.t0
-      b.deltas.iterator.zip(b.values.iterator).map { case (d, v) =>
+      b.deltas.iterator.zip(xorDecode(b.xvals).iterator).map { case (d, v) =>
         t += d
         TsPoint(b.key, t, v)
       }
