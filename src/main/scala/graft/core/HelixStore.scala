@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
 final case class StoreOptions(
     numShards: Int = 8,
     /** Timestamp units per bucket (the reference's rick_range). */
-    bucketSize: Long = 86400L)
+    bucketSize: Long = 86400L,
+    /** User-registered sharding function over the key column — the
+      * reference's ShardingKeyFn (fn_registry.rs:55). Must return a
+      * value in [0, numShards). None = pmod(xxhash64(key), numShards). */
+    shardingFn: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
 
 object HelixStore {
   val EntryColumns: Seq[String] = Seq("key", "ts", "value")
@@ -120,10 +124,17 @@ final class HelixStore private (
   /** Append a batch of entries (columns: key BINARY, ts LONG, value
     * BINARY). Routing = shard/bucket partition columns; one shuffle-free
     * partitioned write. */
+  /** Shard routing expression: custom ShardingKeyFn when registered. */
+  private def shardExpr(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    opts.shardingFn match {
+      case Some(f) => f(key).cast("int")
+      case None => pmod(xxhash64(key), lit(opts.numShards)).cast("int")
+    }
+
   def put(entries: DataFrame, coalescePartitions: Boolean = true): Unit = {
     val seq = nextSeq()
     val routed = entries
-      .withColumn("shard", pmod(xxhash64(col("key")), lit(opts.numShards)).cast("int"))
+      .withColumn("shard", shardExpr(col("key")))
       .withColumn("bucket", expr(s"ts div ${opts.bucketSize}"))
       .withColumn("seq", lit(seq))
     // Cluster rows by target partition before the write: without this,
@@ -144,12 +155,17 @@ final class HelixStore private (
     * shard + one bucket partition before touching any row group. */
   def get(key: Array[Byte], ts: Long, decompress: Boolean = true): Option[Array[Byte]] = {
     if (!hasData) return None
-    // same function Spark's xxhash64(col) computes in put() (seed 42),
-    // evaluated driver-side — no job just to route the read
-    val shard = {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, key.length, 42L)
-      ((h % opts.numShards) + opts.numShards) % opts.numShards
+    // default route: same function Spark's xxhash64(col) computes in
+    // put() (seed 42), evaluated driver-side — no job just to route the
+    // read. A custom ShardingKeyFn is an arbitrary Column expression, so
+    // it's evaluated through a one-row frame instead.
+    val shard = opts.shardingFn match {
+      case None =>
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, key.length, 42L)
+        ((h % opts.numShards) + opts.numShards) % opts.numShards
+      case Some(_) =>
+        spark.range(1).select(shardExpr(lit(key)).as("s")).head().getInt(0).toLong
     }
     // Spark SQL `div` truncates toward zero; use the same semantics here
     // (floorDiv would floor, routing negative logical timestamps to a

@@ -148,6 +148,18 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.toDF.count() == 0)
   }
 
+  test("custom ShardingKeyFn routes puts and gets consistently (fn_registry analogue)") {
+    import org.apache.spark.sql.functions.{length => sqlLength, pmod}
+    val store = HelixStore.open(spark, tmpDir("hs-shardfn"),
+      StoreOptions(numShards = 4, bucketSize = 10,
+        shardingFn = Some(k => pmod(sqlLength(k), org.apache.spark.sql.functions.lit(4)))))
+    store.put(entriesDF(Seq(("a", 1L, "v1"), ("bb", 1L, "v2"), ("ccc", 1L, "v3"))))
+    assert(store.get("a".getBytes, 1L).map(new String(_)).contains("v1"))
+    assert(store.get("bb".getBytes, 1L).map(new String(_)).contains("v2"))
+    assert(store.get("ccc".getBytes, 1L).map(new String(_)).contains("v3"))
+    assert(store.get("dddd".getBytes, 1L).isEmpty)
+  }
+
   test("EntryIO roundtrips entries through parquet, csv, and json") {
     import graft.sources.EntryIO
     val df = entriesDF(Seq(("a", 1L, "x"), ("b", 2L, "y")))
