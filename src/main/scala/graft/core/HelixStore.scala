@@ -77,6 +77,40 @@ final class HelixStore private (
     * paths entirely, even as a read root). */
   private val blocksRoot: Path = Paths.get(path + ".blocks")
 
+  /** Per-(shard, bucket) min/max key manifest for the block layer — the
+    * reference's sstable index block (src/file/sstable.rs
+    * IndexBlockBuilder): point reads consult it driver-side and skip
+    * block partitions that cannot contain the key. */
+  private val manifestRoot: Path = Paths.get(path + ".manifest")
+  @volatile private var manifestCache:
+      Option[Map[(Int, Long), (Array[Byte], Array[Byte])]] = None
+
+  private def manifest: Map[(Int, Long), (Array[Byte], Array[Byte])] = {
+    manifestCache.getOrElse {
+      val m =
+        if (!Files.exists(manifestRoot)) Map.empty[(Int, Long), (Array[Byte], Array[Byte])]
+        else spark.read.parquet(manifestRoot.toString).collect().map { r =>
+          (r.getAs[Number]("shard").intValue(), r.getAs[Number]("bucket").longValue()) ->
+            ((r.getAs[Array[Byte]]("min_key"), r.getAs[Array[Byte]]("max_key")))
+        }.toMap
+      manifestCache = Some(m)
+      m
+    }
+  }
+
+  /** True when the block layer might hold `key` in (shard, bucket) —
+    * false only on manifest proof of absence. */
+  private def blockMayContain(shard: Long, bucket: Long, key: Array[Byte]): Boolean = {
+    if (!hasBlocks) return false
+    if (!Files.exists(manifestRoot)) return true // no manifest: can't prune
+    manifest.get((shard.toInt, bucket)) match {
+      case None => false // manifest is complete: partition absent = no data
+      case Some((lo, hi)) =>
+        java.util.Arrays.compareUnsigned(key, lo) >= 0 &&
+          java.util.Arrays.compareUnsigned(key, hi) <= 0
+    }
+  }
+
   /** True when at least one (shard, bucket) partition actually exists —
     * outdate can leave empty shard dirs behind, which must not count. */
   private def hasDataDirs(r: Path): Boolean =
@@ -171,7 +205,9 @@ final class HelixStore private (
     // (floorDiv would floor, routing negative logical timestamps to a
     // different bucket than put() wrote)
     val bucket = ts / opts.bucketSize
-    val rows = rawEntries(decompress)
+    // manifest-proven absence in the block layer → read only rick rows
+    val useBlocks = decompress && blockMayContain(shard, bucket, key)
+    val rows = rawEntries(useBlocks)
       .filter(col("shard") === shard && col("bucket") === bucket)
       .filter(col("key") === lit(key) && col("ts") === ts)
       .orderBy(col("seq").desc)
@@ -295,6 +331,17 @@ final class HelixStore private (
     Files.list(root).iterator().asScala.toList
       .filter(_.getFileName.toString.startsWith("shard="))
       .foreach(deleteRecursively)
+    // rebuild the min/max-key manifest from the freshly-written blocks
+    val tmpM = path + ".manifest.tmp"
+    spark.read.parquet(blocksRoot.toString)
+      .groupBy("shard", "bucket")
+      .agg(min("key").as("min_key"), max("key").as("max_key"),
+        count(lit(1)).as("n_blocks"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmpM)
+    if (Files.exists(manifestRoot)) deleteRecursively(manifestRoot)
+    Files.move(Paths.get(tmpM), manifestRoot)
+    manifestCache = None
   }
 
   /** Drop all buckets strictly older than `ts` — pure partition-metadata

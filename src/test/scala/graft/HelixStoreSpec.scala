@@ -148,6 +148,23 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.toDF.count() == 0)
   }
 
+  test("block manifest proves absence without breaking present-key reads") {
+    val dir = tmpDir("hs-manifest")
+    val store = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF(Seq(("mmm", 1L, "v1"), ("nnn", 2L, "v2"))))
+    store.blockCompact()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".manifest")))
+    assert(store.get("mmm".getBytes, 1L).map(new String(_)).contains("v1"))
+    assert(store.get("nnn".getBytes, 2L).map(new String(_)).contains("v2"))
+    // keys outside the manifest key range / absent partitions
+    assert(store.get("aaa".getBytes, 1L).isEmpty)
+    assert(store.get("zzz".getBytes, 1L).isEmpty)
+    assert(store.get("mmm".getBytes, 999L).isEmpty)
+    // rick writes after compaction are found even if outside block range
+    store.put(entriesDF(Seq(("aaa", 3L, "fresh"))))
+    assert(store.get("aaa".getBytes, 3L).map(new String(_)).contains("fresh"))
+  }
+
   test("custom ShardingKeyFn routes puts and gets consistently (fn_registry analogue)") {
     import org.apache.spark.sql.functions.{length => sqlLength, pmod}
     val store = HelixStore.open(spark, tmpDir("hs-shardfn"),
