@@ -1,0 +1,78 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Timestamp-driven lifecycle policy — the reference's TimestampReviewer
+ * (reference: src/level.rs:523-592). "Timestamp" is logical: the policy
+ * only sees the max timestamp of each ingested batch and decides when
+ * to freeze ("compact") a range and when to age data out ("outdate").
+ */
+sealed trait TimestampAction
+/** Freeze data in [start, end] into the compressed block layer. */
+final case class CompactAction(start: Long, end: Long) extends TimestampAction
+/** Drop data with timestamps <= before. */
+final case class OutdateAction(before: Long) extends TimestampAction
+
+trait TimestampReviewer {
+  /** Observe the newest timestamp written; return due actions. */
+  def observe(maxTs: Long): Seq[TimestampAction]
+}
+
+/**
+ * The reference's simple policy re-stated: compaction fires once every
+ * `rickRange` timestamp units of progress; retention fires once every
+ * `outdateRange` units, aging out one rick-range worth of data each
+ * time (reference behavior: src/level.rs:550-592 — implementation here
+ * is written from that spec, not translated).
+ */
+final class SimpleTimestampReviewer(rickRange: Long, outdateRange: Long)
+  extends TimestampReviewer {
+  private var compactedUpTo = 0L // next compaction window starts here
+  private var outdatedUpTo = 0L  // next retention window starts here
+
+  override def observe(maxTs: Long): Seq[TimestampAction] = {
+    val due = Seq.newBuilder[TimestampAction]
+    if (maxTs - compactedUpTo + 1 >= rickRange) {
+      due += CompactAction(compactedUpTo, maxTs)
+      compactedUpTo = maxTs + 1
+    }
+    if (maxTs - outdatedUpTo + 1 >= outdateRange) {
+      due += OutdateAction(outdatedUpTo + rickRange - 1)
+      outdatedUpTo += rickRange
+    }
+    due.result()
+  }
+}
+
+/** Wires a [[TimestampReviewer]] onto a [[HelixStore]]'s write path. */
+object Lifecycle {
+
+  /** Batch put + policy maintenance: after the write, the reviewer sees
+    * the batch's max ts; Compact triggers blockCompact (the whole rick
+    * layer freezes — Spark rewrites are full-partition anyway) and
+    * Outdate drops aged buckets. Returns the actions taken. */
+  def putReviewed(store: HelixStore, entries: DataFrame,
+      reviewer: TimestampReviewer): Seq[TimestampAction] = {
+    store.put(entries)
+    val maxTs = entries.agg(max("ts")).head().getLong(0)
+    val actions = reviewer.observe(maxTs)
+    actions.foreach {
+      case CompactAction(_, _) => store.blockCompact()
+      case OutdateAction(before) => store.outdate(before + 1) // drop <= before
+    }
+    actions
+  }
+
+  /** Streaming ingestion with the same policy applied per micro-batch. */
+  def streamingPutReviewed(store: HelixStore, entries: DataFrame,
+      checkpoint: String, reviewer: TimestampReviewer)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    entries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) putReviewed(store, batch, reviewer): Unit
+      }
+      .start()
+}

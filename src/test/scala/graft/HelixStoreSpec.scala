@@ -177,6 +177,36 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.get("dddd".getBytes, 1L).isEmpty)
   }
 
+  test("SimpleTimestampReviewer policy fires compaction and retention like the reference") {
+    val r = new graft.core.SimpleTimestampReviewer(5, 10)
+    // mirror of the reference's expectations: nothing until 5 ts of
+    // progress, compact each 5, outdate each 10 aging one rick-range
+    assert(r.observe(3).isEmpty)
+    assert(r.observe(4) == Seq(graft.core.CompactAction(0, 4)))
+    assert(r.observe(8).isEmpty)
+    assert(r.observe(9) == Seq(graft.core.CompactAction(5, 9),
+      graft.core.OutdateAction(4)))
+    assert(r.observe(14) == Seq(graft.core.CompactAction(10, 14),
+      graft.core.OutdateAction(9)))
+    assert(r.observe(19) == Seq(graft.core.CompactAction(15, 19),
+      graft.core.OutdateAction(14)))
+  }
+
+  test("putReviewed runs the lifecycle automatically") {
+    import graft.core.{Lifecycle, SimpleTimestampReviewer}
+    val dir = tmpDir("hs-lifecycle")
+    val store = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 5))
+    val reviewer = new SimpleTimestampReviewer(5, 10)
+    // ts 0..4 → compaction fires, rows become blocks
+    Lifecycle.putReviewed(store, entriesDF((0 until 5).map(t => ("k", t.toLong, s"v$t"))), reviewer)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".blocks")))
+    assert(store.toDF.count() == 5)
+    // ts 5..9 → compaction + outdate(<=4): first bucket gone
+    Lifecycle.putReviewed(store, entriesDF((5 until 10).map(t => ("k", t.toLong, s"v$t"))), reviewer)
+    val left = store.toDF.collect().map(_.getAs[Long]("ts")).sorted
+    assert(left.sameElements(Array(5L, 6L, 7L, 8L, 9L)), left.mkString(","))
+  }
+
   test("EntryIO roundtrips entries through parquet, csv, and json") {
     import graft.sources.EntryIO
     val df = entriesDF(Seq(("a", 1L, "x"), ("b", 2L, "y")))
