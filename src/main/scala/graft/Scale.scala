@@ -11,10 +11,10 @@ object Scale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/root/testdata/sf0.1"
-    // stage sf0.1 events x10 with disjoint user ids -> ~6M rows "sf1"
+    // stage sf0.1 events x10 with disjoint user ids (uid range is 0..1499, so offset by 10000)
     val ev = graft.core.Tables.events(spark, base)
     val big = (0 until 10).map(i =>
-      ev.withColumn("user_id", col("user_id") + lit(i * 1000L))
+      ev.withColumn("user_id", col("user_id") + lit(i * 10000L))
         .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
       .reduce(_.unionAll(_))
     big.write.mode("overwrite").parquet("/tmp/scale/events.parquet")

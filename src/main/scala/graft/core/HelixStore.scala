@@ -111,12 +111,19 @@ final class HelixStore private (
     }
   }
 
+  /** List a directory with the stream closed (Files.list leaks an fd
+    * per call otherwise — hasData runs on every read). */
+  private def listDir(p: Path): List[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toList finally st.close()
+  }
+
   /** True when at least one (shard, bucket) partition actually exists —
     * outdate can leave empty shard dirs behind, which must not count. */
   private def hasDataDirs(r: Path): Boolean =
-    Files.exists(r) && Files.list(r).iterator().asScala.exists { d =>
+    Files.exists(r) && listDir(r).exists { d =>
       d.getFileName.toString.startsWith("shard=") &&
-        Files.list(d).iterator().asScala.exists(_.getFileName.toString.startsWith("bucket="))
+        listDir(d).exists(_.getFileName.toString.startsWith("bucket="))
     }
   private def hasRows: Boolean = hasDataDirs(root)
   private def hasBlocks: Boolean = hasDataDirs(blocksRoot)
@@ -128,6 +135,7 @@ final class HelixStore private (
       StructType(Seq(
         StructField("key", BinaryType), StructField("ts", LongType),
         StructField("value", BinaryType), StructField("seq", LongType),
+        StructField("subseq", LongType),
         StructField("shard", IntegerType), StructField("bucket", LongType))))
   }
 
@@ -136,19 +144,21 @@ final class HelixStore private (
     * `decompress` flag mirrors the reference ReadOption: when false the
     * block layer is skipped (reference: src/option.rs:131). */
   private def rawEntries(decompress: Boolean = true): DataFrame = {
-    val cols = Seq("key", "ts", "value", "seq", "shard", "bucket")
+    val cols = Seq("key", "ts", "value", "seq", "subseq", "shard", "bucket")
     val rows =
       if (hasRows) Some(spark.read.parquet(path).select(cols.map(col): _*))
       else None
     val blocks =
       if (decompress && hasBlocks) {
         import spark.implicits._
+        // block entries are already LWW winners; their in-block position
+        // serves as the subseq tiebreak
         Some(spark.read.parquet(blocksRoot.toString).as[HelixStore.BinBlock]
           .flatMap { b =>
             var t = b.t0
             (0 until b.deltas.length).iterator.map { i =>
               t += b.deltas(i)
-              (b.key, t, b.vals(i), b.seqs(i), b.shard, b.bucket)
+              (b.key, t, b.vals(i), b.seqs(i), i.toLong, b.shard, b.bucket)
             }
           }.toDF(cols: _*))
       } else None
@@ -171,6 +181,10 @@ final class HelixStore private (
       .withColumn("shard", shardExpr(col("key")))
       .withColumn("bucket", expr(s"ts div ${opts.bucketSize}"))
       .withColumn("seq", lit(seq))
+      // within-batch tiebreak: duplicate (key, ts) rows in ONE put would
+      // otherwise tie on seq and resolve LWW nondeterministically (the
+      // reference's rick append offset makes the later entry win)
+      .withColumn("subseq", monotonically_increasing_id())
     // Cluster rows by target partition before the write: without this,
     // EVERY input task emits a file into every (shard, bucket) it
     // happens to hold — the classic small-files explosion at scale.
@@ -251,7 +265,8 @@ final class HelixStore private (
       .start()
 
   private def toDFWithPartitions: DataFrame = {
-    val w = Window.partitionBy("key", "ts").orderBy(col("seq").desc)
+    val w = Window.partitionBy("key", "ts")
+      .orderBy(col("seq").desc, col("subseq").desc)
     rawEntries().withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
   }
 
@@ -278,10 +293,10 @@ final class HelixStore private (
       .sortWithinPartitions("key", "ts")
       .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp)
     // atomic-ish swap: keep _seq, replace data dirs
-    Files.list(root).iterator().asScala.toList
+    listDir(root)
       .filter(_.getFileName.toString.startsWith("shard="))
       .foreach(deleteRecursively)
-    Files.list(Paths.get(tmp)).iterator().asScala.toList.foreach { p =>
+    listDir(Paths.get(tmp)).foreach { p =>
       if (p.getFileName.toString.startsWith("shard="))
         Files.move(p, root.resolve(p.getFileName))
     }
@@ -299,14 +314,14 @@ final class HelixStore private (
     import spark.implicits._
     val tmp = path + ".blockcompact"
     val blocks = rawEntries()
-      .select(col("key"), col("ts"), col("value"), col("seq"),
+      .select(col("key"), col("ts"), col("value"), col("seq"), col("subseq"),
         col("shard"), col("bucket"))
-      .as[(Array[Byte], Long, Array[Byte], Long, Int, Long)]
-      .groupByKey(r => (r._1.toSeq, r._5, r._6))
-      .mapGroups { (k: (Seq[Byte], Int, Long), it: Iterator[(Array[Byte], Long, Array[Byte], Long, Int, Long)]) =>
-        // LWW inside the block: keep the max-seq entry per ts
+      .as[(Array[Byte], Long, Array[Byte], Long, Long, Int, Long)]
+      .groupByKey(r => (r._1.toSeq, r._6, r._7))
+      .mapGroups { (k: (Seq[Byte], Int, Long), it: Iterator[(Array[Byte], Long, Array[Byte], Long, Long, Int, Long)]) =>
+        // LWW inside the block: max (seq, subseq) entry per ts
         val byTs = it.toArray.groupBy(_._2).valuesIterator
-          .map(_.maxBy(_._4)).toArray.sortBy(_._2)
+          .map(_.maxBy(r => (r._4, r._5))).toArray.sortBy(_._2)
         val t0 = byTs.head._2
         val deltas = new Array[Long](byTs.length)
         var prev = t0
@@ -323,12 +338,12 @@ final class HelixStore private (
     // swap: new blocks replace old blocks AND the row layer they absorbed
     if (Files.exists(blocksRoot)) deleteRecursively(blocksRoot)
     Files.createDirectories(blocksRoot)
-    Files.list(Paths.get(tmp)).iterator().asScala.toList.foreach { p =>
+    listDir(Paths.get(tmp)).foreach { p =>
       if (p.getFileName.toString.startsWith("shard="))
         Files.move(p, blocksRoot.resolve(p.getFileName))
     }
     deleteRecursively(Paths.get(tmp))
-    Files.list(root).iterator().asScala.toList
+    listDir(root)
       .filter(_.getFileName.toString.startsWith("shard="))
       .foreach(deleteRecursively)
     // rebuild the min/max-key manifest from the freshly-written blocks
@@ -352,10 +367,10 @@ final class HelixStore private (
     val dataRoots = Seq(root).filter(_ => hasRows) ++
       Seq(blocksRoot).filter(_ => hasBlocks)
     dataRoots.foreach { r =>
-      Files.list(r).iterator().asScala.toList
+      listDir(r)
         .filter(_.getFileName.toString.startsWith("shard="))
         .foreach { shardDir =>
-          Files.list(shardDir).iterator().asScala.toList
+          listDir(shardDir)
             .filter { p =>
               val n = p.getFileName.toString
               n.startsWith("bucket=") && n.stripPrefix("bucket=").toLong < cutoff
@@ -368,8 +383,7 @@ final class HelixStore private (
   def close(): Unit = ()
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -38,7 +38,11 @@ final class SimpleTimestampReviewer(rickRange: Long, outdateRange: Long)
       due += CompactAction(compactedUpTo, maxTs)
       compactedUpTo = maxTs + 1
     }
-    if (maxTs - outdatedUpTo + 1 >= outdateRange) {
+    // `while`, not `if`: one coarse Spark batch can advance maxTs by many
+    // rick-ranges at once, and retention must catch up rather than lag
+    // one step per observe forever (degenerates to the reference's
+    // behavior under its fine-grained per-put observes)
+    while (maxTs - outdatedUpTo + 1 >= outdateRange) {
       due += OutdateAction(outdatedUpTo + rickRange - 1)
       outdatedUpTo += rickRange
     }
@@ -55,14 +59,20 @@ object Lifecycle {
     * Outdate drops aged buckets. Returns the actions taken. */
   def putReviewed(store: HelixStore, entries: DataFrame,
       reviewer: TimestampReviewer): Seq[TimestampAction] = {
-    store.put(entries)
-    val maxTs = entries.agg(max("ts")).head().getLong(0)
-    val actions = reviewer.observe(maxTs)
-    actions.foreach {
-      case CompactAction(_, _) => store.blockCompact()
-      case OutdateAction(before) => store.outdate(before + 1) // drop <= before
-    }
-    actions
+    // pin the batch so the write and the max-ts probe see the same data
+    // (a re-evaluated source could drift between the two passes)
+    val pinned = entries.cache()
+    try {
+      val maxRow = pinned.agg(max("ts")).head()
+      if (maxRow.isNullAt(0)) return Seq.empty // empty batch: nothing to do
+      store.put(pinned)
+      val actions = reviewer.observe(maxRow.getLong(0))
+      actions.foreach {
+        case CompactAction(_, _) => store.blockCompact()
+        case OutdateAction(before) => store.outdate(before + 1) // drop <= before
+      }
+      actions
+    } finally pinned.unpersist(): Unit
   }
 
   /** Streaming ingestion with the same policy applied per micro-batch. */
