@@ -224,7 +224,7 @@ final class HelixStore private (
     val rows = rawEntries(useBlocks)
       .filter(col("shard") === shard && col("bucket") === bucket)
       .filter(col("key") === lit(key) && col("ts") === ts)
-      .orderBy(col("seq").desc)
+      .orderBy(col("seq").desc, col("subseq").desc)
       .select("value")
       .take(1)
     rows.headOption.map(_.getAs[Array[Byte]](0))
@@ -286,7 +286,8 @@ final class HelixStore private (
     if (!hasRows) return
     val tmp = path + ".compact"
     val raw = spark.read.parquet(path)
-    val w = Window.partitionBy("key", "ts").orderBy(col("seq").desc)
+    val w = Window.partitionBy("key", "ts")
+      .orderBy(col("seq").desc, col("subseq").desc)
     raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
       .repartition(col("shard"), col("bucket"))

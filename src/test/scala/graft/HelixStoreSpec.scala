@@ -65,6 +65,18 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.toDF.count() == 1)
   }
 
+  test("duplicate (key, ts) within ONE batch resolves deterministically") {
+    val winners = (1 to 3).map { _ =>
+      val store = HelixStore.open(spark, tmpDir("hs-batchdup"))
+      store.put(entriesDF(Seq(("dup", 1L, "first"), ("dup", 1L, "second"))))
+      val v = store.get("dup".getBytes, 1L).map(new String(_)).get
+      store.compact() // winner must also survive compaction unchanged
+      assert(store.get("dup".getBytes, 1L).map(new String(_)).contains(v))
+      v
+    }
+    assert(winners.distinct.size == 1, s"nondeterministic LWW: $winners")
+  }
+
   test("compact rewrites each partition into one sorted file") {
     val dir = tmpDir("hs-cmp")
     val store = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 100))
