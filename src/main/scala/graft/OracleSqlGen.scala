@@ -25,11 +25,28 @@ object OracleSqlGen {
     """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
       |FROM documents GROUP BY 1""".stripMargin
 
-  val dedupNgramJaccard: String =
-    s"""WITH $toksCte, $shCte
-       |${jaccardSelect(
-      """SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin)}""".stripMargin
+  private val ngramCtes = s"$toksCte, $shCte"
+  private val ngramSelect = jaccardSelect(
+    """SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin)
+
+  val dedupNgramJaccard: String = s"WITH $ngramCtes\n$ngramSelect"
+
+  /** Connected components over the jaccard pairs: transitive closure by
+    * recursive CTE, then min reachable id per node — the same fixpoint
+    * the Spark min-label propagation reaches. */
+  val dedupCluster: String =
+    s"""WITH RECURSIVE $ngramCtes,
+       |pairs AS ($ngramSelect),
+       |edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+       |  UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+       |reach(a, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b)
+       |SELECT a AS doc_id, min(r) AS cluster_id,
+       |  CAST(a = min(r) AS INTEGER) AS keep
+       |FROM reach GROUP BY a""".stripMargin
 
   val dedupMinhashLsh: String = {
     val minExprs = (0 until Dedup.NumHashes)

@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
+    "dedup_cluster" -> (Dedup.clusterDups _),
     // Similarity search (#21-23)
     "ann_topk_brute" -> (Similarity.annTopkBrute _),
     "ann_lsh_bucket" -> (Similarity.lshBucket _),
@@ -259,6 +260,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding,
+    "dedup_cluster" -> OracleSqlGen.dedupCluster,
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,
     "ann_lsh_bucket" -> OracleSqlGen.annLshBucket,
     "knn_label_centroid" -> OracleSqlGen.knnLabelCentroid,

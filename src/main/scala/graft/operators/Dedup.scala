@@ -159,6 +159,42 @@ object Dedup {
         bit_count(col("simhash").bitwiseXOR(col("sim0"))).cast("long").as("ham0"))
   }
 
+  /** #45 — duplicate-cluster resolution: connected components over the
+    * jaccard dup pairs via min-label propagation (each doc adopts the
+    * smallest doc_id reachable; loop until fixpoint). The fixpoint is
+    * iteration-order independent, so the DuckDB recursive-CTE oracle
+    * lands on the identical assignment. Iterations are O(component
+    * diameter) joins over the PAIR set, which is tiny relative to the
+    * corpus at any scale. Output: every clustered doc with its canonical
+    * (minimum) id, keep = 1 on the survivor. */
+  def clusterDups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).cache()
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2")))
+    var labels = edges.groupBy(col("doc_id1").as("doc_id"))
+      .agg(least(min(col("doc_id2")), first(col("doc_id1"))).as("root"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // adopt the smallest root among my neighbours' roots and my own
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("root", "nroot"),
+          "doc_id2")
+        .groupBy(col("doc_id1").as("doc_id"))
+        .agg(min(col("nroot")).as("propagated"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("root"), col("propagated")).as("root"))
+      converged = next.alias("n")
+        .join(labels.alias("l"), "doc_id")
+        .filter(col("n.root") =!= col("l.root"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("root").as("cluster_id"),
+      (col("doc_id") === col("root")).cast("int").as("keep"))
+  }
+
   /** #20 — embedding near-dup pairs: cosine >= 0.45 over all pairs.
     * Exact at test scale; at 100 TB the candidate set comes from LSH
     * buckets (see Similarity.lshBucket) before this exact check. */
