@@ -61,6 +61,8 @@ object SparkEntry {
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_rolling_hash" -> (TextOps.rollingHash _),
+    "sample_stratified" -> (TextOps.sampleStratified _),
+    "text_scrub_digits" -> (TextOps.scrubDigits _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -270,6 +272,19 @@ object SparkEntry {
     "text_tokens" -> OracleSqlGen.textTokens,
     "text_fingerprint" -> OracleSqlGen.textFingerprint,
     "text_rolling_hash" -> OracleSqlGen.textRollingHash,
+    "sample_stratified" ->
+      """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0
+        |GROUP BY source""".stripMargin,
+    "text_scrub_digits" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+        |    AS n_digits,
+        |  CAST(text <> regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g') AS INTEGER)
+        |    AS was_scrubbed
+        |FROM documents""".stripMargin,
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
     "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,

@@ -28,6 +28,31 @@ object TextOps {
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
+  /** #46 — deterministic stratified sampling: a stable md5-bucket of the
+    * content keeps ~1/10 of docs per source — reproducible across runs
+    * and engines, unlike Bernoulli rand(), which matters when a 100 TB
+    * sample must be re-derivable. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"), lit(10)))
+      .filter(col("bucket") === 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+
+  /** #47 — content scrubbing: mask long digit runs (id/phone-shaped
+    * spans) and report how much was touched — the redaction pass of a
+    * training-data pipeline, as a pure codegen'd projection. */
+  def scrubDigits(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(col("text"), "[0-9]{3,}", "<NUM>")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(scrubbed).as("scrubbed_md5"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+        .cast("long").as("n_digits"),
+      (col("text") =!= scrubbed).cast("int").as("was_scrubbed"))
+  }
+
   /** #24 — language ID: most stopword hits wins; ties break by language
     * code; zero hits → "und". */
   def langId(s: SparkSession, dir: String): DataFrame = {
