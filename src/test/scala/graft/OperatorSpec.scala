@@ -87,6 +87,38 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("eventsRange pushdown matches the unpushed filter exactly") {
+    import graft.core.Tables
+    val lo = Tables.dayUs("2024-01-05")
+    val hi = Tables.dayUs("2024-01-12")
+    val pushed = Tables.eventsRange(spark, Sf, Some(lo), Some(hi)).count()
+    val plain = Tables.events(spark, Sf)
+      .filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi).count()
+    assert(pushed == plain && pushed > 0)
+  }
+
+  test("as-of join never reports a future view; range join counts are non-negative") {
+    val asof = TimeSeriesOps.asofJoin(spark, Sf)
+      .filter(col("prior_view_us") >= col("ts_us")).count()
+    assert(asof == 0)
+    val neg = TimeSeriesOps.rangeJoin(spark, Sf).filter(col("n_recent") < 0).count()
+    assert(neg == 0)
+  }
+
+  test("percentiles are ordered and within the observed range") {
+    val bad = Analytics.qPercentiles(spark, Sf)
+      .filter(col("p50") > col("p95")).count()
+    assert(bad == 0)
+  }
+
+  test("dup clusters: every canonical id is a member of its own cluster") {
+    val rows = Dedup.clusterDups(spark, Sf).collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.forall(r => ids.contains(r.getAs[Long]("cluster_id"))))
+    assert(rows.filter(r => r.getAs[Int]("keep") == 1)
+      .forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+  }
+
   test("langid predicts a known language or 'und'") {
     val langs = TextOps.langId(spark, Sf).select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet
