@@ -219,6 +219,31 @@ class HelixStoreSpec extends SparkTestBase {
     assert(left.sameElements(Array(5L, 6L, 7L, 8L, 9L)), left.mkString(","))
   }
 
+  test("end-to-end: the events table ingested as a store reconciles with table queries") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, Sf)
+    val entries = ev.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      unix_micros(col("ts")).as("ts"),
+      col("value").cast("string").cast("binary").as("value"))
+    val store = HelixStore.open(spark, tmpDir("hs-e2e"),
+      StoreOptions(numShards = 8, bucketSize = 86400L * 1000000L))
+    store.put(entries)
+    assert(store.toDF.count() == ev.count())
+    store.blockCompact()
+    assert(store.toDF.count() == ev.count(), "compaction must not lose entries")
+    // latest-per-key through the store == latest-per-key over the table
+    val viaStore = store.latest(Long.MaxValue).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key")) ->
+        new String(r.getAs[Array[Byte]]("value"))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc)
+    val viaTable = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("user_id").toString ->
+        r.getAs[Double]("value").toString).toMap
+    assert(viaStore == viaTable)
+  }
+
   test("EntryIO roundtrips entries through parquet, csv, and json") {
     import graft.sources.EntryIO
     val df = entriesDF(Seq(("a", 1L, "x"), ("b", 2L, "y")))
