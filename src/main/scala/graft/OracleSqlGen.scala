@@ -199,25 +199,34 @@ object OracleSqlGen {
        |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
        |FROM toks""".stripMargin
 
+  // Byte-based on BOTH sides: DuckDB hex(text) is the hex of the UTF-8
+  // bytes, so first-byte arithmetic matches Spark's binary payload even
+  // for non-ASCII content (strlen is already byte length in DuckDB).
   val mmBinaryMeta: String =
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
       |  substr(md5(text), 1, 8) AS content_id,
       |  CAST(strlen(text) % 640 AS BIGINT) AS width,
-      |  CAST((ascii(text) * 3) % 480 AS BIGINT) AS height,
+      |  CAST((fb * 3) % 480 AS BIGINT) AS height,
       |  CAST(224 AS BIGINT) AS resize_w,
-      |  CAST(((ascii(text) * 3) % 480 * 224) // (strlen(text) % 640 + 1) AS BIGINT) AS resize_h
-      |FROM documents""".stripMargin
+      |  CAST(((fb * 3) % 480 * 224) // (strlen(text) % 640 + 1) AS BIGINT) AS resize_h
+      |FROM (SELECT *, CASE WHEN strlen(text) = 0 THEN 0
+      |    ELSE ('0x' || substr(hex(text), 1, 2))::BIGINT END AS fb
+      |  FROM documents)""".stripMargin
 
   val mmFrameSample: String =
     """SELECT doc_id, frame_no FROM (
       |  SELECT doc_id, unnest(generate_series(0, n_chars // 200)) AS frame_no
       |  FROM documents) WHERE frame_no % 3 = 0""".stripMargin
 
+  // Byte-based: sums the first 16 UTF-8 BYTES (via hex pairs), matching
+  // Spark's bytes.take(16) checksum for any content, not just ASCII.
   val mmDecodeStub: String =
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-      |  CAST(list_sum(list_transform(generate_series(1, least(16, strlen(text))),
-      |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum16
+      |  CAST(CASE WHEN strlen(text) = 0 THEN 0
+      |    ELSE ('0x' || substr(hex(text), 1, 2))::BIGINT END AS BIGINT) AS first_byte,
+      |  CAST(coalesce(list_sum(list_transform(
+      |    generate_series(1, least(16, strlen(text))),
+      |    i -> ('0x' || substr(hex(text), 2*i-1, 2))::BIGINT)), 0) AS BIGINT) AS checksum16
       |FROM documents""".stripMargin
 
   val streamTumbling: String =

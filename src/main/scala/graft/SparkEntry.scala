@@ -204,8 +204,10 @@ object SparkEntry {
         |      epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS prev_us
         |    FROM events))
         |GROUP BY user_id""".stripMargin,
+    // NULLIF guard: a props value with no digits must become a NULL group
+    // (matching Spark's cast('' as long) = null), not a cast error
     "q_json_props" ->
-      """SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS k_mod,
+      """SELECT CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT) % 10 AS k_mod,
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
  * prune to the touched buckets — the Spark equivalent of the
  * reference's per-shard rick files and per-time-range SSTables.
  *
+ * == Crash-safe layout ==
+ * All state lives under one root:
+ * {{{
+ *   <path>/_current    commit pointer (atomic rename is the commit point)
+ *   <path>/_seqs/<n>   one atomically-created file per claimed write seq
+ *   <path>/r-<g>/...   rick (row) layer, generation g
+ *   <path>/b-<g>/...   block ("SSTable") layer, generation g
+ *   <path>/m-<g>/...   min/max-key manifest for the block layer
+ * }}}
+ * Compactions write complete NEW generation directories, then commit by
+ * atomically replacing `_current` (rows, blocks and manifest flip
+ * together), then delete the old generations. A crash at any point
+ * leaves either the old pointer (new dirs are unreferenced orphans,
+ * rolled back by `open()`) or the new pointer (old dirs are orphans,
+ * likewise removed) — committed data is never lost mid-swap, matching
+ * the reference's crash-recoverable level swap (src/level.rs).
+ *
  * Freshly `put` data lands as small append files (the "rick" role);
  * `compact()` rewrites each partition into one file sorted by
  * (key, ts) with last-write-wins applied (the "SSTable" role);
@@ -29,7 +46,8 @@ import org.apache.spark.sql.functions._
  *
  * At cluster scale the same layout holds: shards spread writes across
  * executors, buckets bound the data any time-ranged query touches, and
- * compaction is an embarrassingly parallel per-partition rewrite.
+ * compaction is an embarrassingly parallel per-partition rewrite whose
+ * commit is one metadata rename.
  */
 final case class StoreOptions(
     numShards: Int = 8,
@@ -61,38 +79,151 @@ final class HelixStore private (
   import HelixStore._
 
   private val root: Path = Paths.get(path)
-  Files.createDirectories(root)
-  /** Monotonic write sequence for last-write-wins (the role the rick
-    * append offset plays in the reference, src/file/rick.rs). */
-  private val seqFile = root.resolve("_seq")
+  private val seqsDir: Path = root.resolve("_seqs")
+  private val pointerFile: Path = root.resolve("_current")
 
-  private def nextSeq(): Long = synchronized {
-    val cur = if (Files.exists(seqFile)) new String(Files.readAllBytes(seqFile)).trim.toLong else 0L
-    Files.write(seqFile, (cur + 1).toString.getBytes)
-    cur + 1
+  /** The committed generation set. `gen` is the highest generation
+    * number ever allocated (new dirs get gen+1 so names never clash
+    * with orphans from a crashed swap). */
+  private final case class Pointer(
+      gen: Long, rows: String, blocks: Option[String], manifest: Option[String])
+
+  @volatile private var ptr: Pointer = initPointer()
+  @volatile private var manifestCache:
+      Option[Map[(Int, Long), (Array[Byte], Array[Byte])]] = None
+  /** High-water mark of claimed write seqs; -1 = not yet initialized. */
+  @volatile private var seqHw: Long = -1L
+
+  // ---- pointer (commit) machinery -------------------------------------
+
+  private def initPointer(): Pointer = {
+    Files.createDirectories(root)
+    Files.createDirectories(seqsDir)
+    if (!Files.exists(pointerFile)) {
+      val p = Pointer(0L, "r-0", None, None)
+      Files.createDirectories(root.resolve(p.rows))
+      writePointer(p)
+      p
+    } else {
+      val p = readPointer()
+      // roll back any interrupted swap: generation dirs not referenced
+      // by the committed pointer are orphans (either a crashed
+      // compaction's half-written output, or an already-committed swap's
+      // leftover input) — delete them before serving reads
+      val live = Set(Some(p.rows), p.blocks, p.manifest).flatten
+      listDir(root)
+        .filter { d =>
+          val n = d.getFileName.toString
+          n.matches("^[rbm]-[0-9]+$") && !live.contains(n)
+        }
+        .foreach(deleteRecursively)
+      p
+    }
   }
 
-  /** Block ("SSTable") files live in a sibling directory so row reads of
-    * `path` never see them (and Spark's file index skips underscore
-    * paths entirely, even as a read root). */
-  private val blocksRoot: Path = Paths.get(path + ".blocks")
+  private def readPointer(): Pointer = {
+    val kv = new String(Files.readAllBytes(pointerFile)).split('\n')
+      .map(_.trim).filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    Pointer(kv("gen").toLong, kv("rows"),
+      kv.get("blocks").filter(_.nonEmpty), kv.get("manifest").filter(_.nonEmpty))
+  }
+
+  /** Atomic commit: write a temp file, then rename over `_current`. */
+  private def writePointer(p: Pointer): Unit = {
+    val body = (Seq(s"gen=${p.gen}", s"rows=${p.rows}") ++
+      p.blocks.map(b => s"blocks=$b") ++ p.manifest.map(m => s"manifest=$m"))
+      .mkString("", "\n", "\n")
+    val tmp = root.resolve("_current.tmp")
+    Files.write(tmp, body.getBytes)
+    Files.move(tmp, pointerFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def commit(p: Pointer): Unit = {
+    writePointer(p)
+    ptr = p
+    manifestCache = None
+  }
+
+  /** Re-read the committed pointer if another instance on the same path
+    * advanced it (e.g. a second writer's compaction): reads must never
+    * serve a generation that has already been swapped out and deleted.
+    * Cheap — one tiny driver-side file read per public operation. */
+  private def refreshPointer(): Unit = synchronized {
+    val onDisk = readPointer()
+    if (onDisk != ptr) { ptr = onDisk; manifestCache = None }
+  }
+
+  /** First free generation number strictly above the committed one. */
+  private def allocGen(cur: Pointer): Long = {
+    var g = cur.gen + 1
+    while (Seq("r", "b", "m").exists(pfx => Files.exists(root.resolve(s"$pfx-$g"))))
+      g += 1
+    g
+  }
+
+  private def dirOf(name: String): Path = root.resolve(name)
+  private def rowsPath: String = dirOf(ptr.rows).toString
+  private[graft] def hasRickRows: Boolean = { refreshPointer(); hasRows }
+  private[graft] def hasBlockLayer: Boolean = { refreshPointer(); hasBlocks }
+  private[graft] def hasManifestLayer: Boolean = { refreshPointer(); ptr.manifest.isDefined }
+
+  // ---- write sequence (LWW total order) -------------------------------
+
+  /** Highest seq claimed in `_seqs` (0 when none). */
+  private def scanSeqFiles(): Long = {
+    if (!Files.exists(seqsDir)) { Files.createDirectories(seqsDir); return 0L }
+    listDir(seqsDir)
+      .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Mint the next write sequence. Each seq is claimed by atomically
+    * creating `_seqs/<n>` — safe across store INSTANCES on the same
+    * path (e.g. a streamingPut sink plus a batch writer), unlike a
+    * read-modify-write of one counter file, and crash-safe (a crash
+    * merely skips a number). If `_seqs` was lost, the high-water mark
+    * is recovered by scanning existing data for max(seq). */
+  private def nextSeq(): Long = synchronized {
+    if (seqHw < 0L) {
+      val fromFiles = scanSeqFiles()
+      seqHw =
+        if (fromFiles > 0L || !hasData) fromFiles
+        else { // corrupt/missing _seqs with live data: recover from data
+          val r = rawEntries().agg(max("seq")).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+    }
+    var hw = seqHw
+    while (true) {
+      val cand = hw + 1
+      try {
+        Files.createFile(seqsDir.resolve(cand.toString))
+        seqHw = cand
+        return cand
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          hw = math.max(scanSeqFiles(), cand) // another instance won the race
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Per-(shard, bucket) min/max key manifest for the block layer — the
     * reference's sstable index block (src/file/sstable.rs
     * IndexBlockBuilder): point reads consult it driver-side and skip
     * block partitions that cannot contain the key. */
-  private val manifestRoot: Path = Paths.get(path + ".manifest")
-  @volatile private var manifestCache:
-      Option[Map[(Int, Long), (Array[Byte], Array[Byte])]] = None
-
   private def manifest: Map[(Int, Long), (Array[Byte], Array[Byte])] = {
     manifestCache.getOrElse {
-      val m =
-        if (!Files.exists(manifestRoot)) Map.empty[(Int, Long), (Array[Byte], Array[Byte])]
-        else spark.read.parquet(manifestRoot.toString).collect().map { r =>
-          (r.getAs[Number]("shard").intValue(), r.getAs[Number]("bucket").longValue()) ->
-            ((r.getAs[Array[Byte]]("min_key"), r.getAs[Array[Byte]]("max_key")))
-        }.toMap
+      val m = ptr.manifest match {
+        case None => Map.empty[(Int, Long), (Array[Byte], Array[Byte])]
+        case Some(name) =>
+          spark.read.parquet(dirOf(name).toString).collect().map { r =>
+            (r.getAs[Number]("shard").intValue(), r.getAs[Number]("bucket").longValue()) ->
+              ((r.getAs[Array[Byte]]("min_key"), r.getAs[Array[Byte]]("max_key")))
+          }.toMap
+      }
       manifestCache = Some(m)
       m
     }
@@ -102,7 +233,7 @@ final class HelixStore private (
     * false only on manifest proof of absence. */
   private def blockMayContain(shard: Long, bucket: Long, key: Array[Byte]): Boolean = {
     if (!hasBlocks) return false
-    if (!Files.exists(manifestRoot)) return true // no manifest: can't prune
+    if (ptr.manifest.isEmpty) return true // no manifest: can't prune
     manifest.get((shard.toInt, bucket)) match {
       case None => false // manifest is complete: partition absent = no data
       case Some((lo, hi)) =>
@@ -125,8 +256,8 @@ final class HelixStore private (
       d.getFileName.toString.startsWith("shard=") &&
         listDir(d).exists(_.getFileName.toString.startsWith("bucket="))
     }
-  private def hasRows: Boolean = hasDataDirs(root)
-  private def hasBlocks: Boolean = hasDataDirs(blocksRoot)
+  private def hasRows: Boolean = hasDataDirs(dirOf(ptr.rows))
+  private def hasBlocks: Boolean = ptr.blocks.exists(b => hasDataDirs(dirOf(b)))
   private def hasData: Boolean = hasRows || hasBlocks
 
   private def emptyEntriesWithMeta: DataFrame = {
@@ -146,14 +277,14 @@ final class HelixStore private (
   private def rawEntries(decompress: Boolean = true): DataFrame = {
     val cols = Seq("key", "ts", "value", "seq", "subseq", "shard", "bucket")
     val rows =
-      if (hasRows) Some(spark.read.parquet(path).select(cols.map(col): _*))
+      if (hasRows) Some(spark.read.parquet(rowsPath).select(cols.map(col): _*))
       else None
     val blocks =
       if (decompress && hasBlocks) {
         import spark.implicits._
         // block entries are already LWW winners; their in-block position
         // serves as the subseq tiebreak
-        Some(spark.read.parquet(blocksRoot.toString).as[HelixStore.BinBlock]
+        Some(spark.read.parquet(dirOf(ptr.blocks.get).toString).as[HelixStore.BinBlock]
           .flatMap { b =>
             var t = b.t0
             (0 until b.deltas.length).iterator.map { i =>
@@ -165,9 +296,6 @@ final class HelixStore private (
     (rows ++ blocks).reduceOption(_.unionByName(_)).getOrElse(emptyEntriesWithMeta)
   }
 
-  /** Append a batch of entries (columns: key BINARY, ts LONG, value
-    * BINARY). Routing = shard/bucket partition columns; one shuffle-free
-    * partitioned write. */
   /** Shard routing expression: custom ShardingKeyFn when registered. */
   private def shardExpr(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     opts.shardingFn match {
@@ -175,7 +303,12 @@ final class HelixStore private (
       case None => pmod(xxhash64(key), lit(opts.numShards)).cast("int")
     }
 
-  def put(entries: DataFrame, coalescePartitions: Boolean = true): Unit = {
+  /** Append a batch of entries (columns: key BINARY, ts LONG, value
+    * BINARY). Routing = shard/bucket partition columns; one shuffle-free
+    * partitioned write. Synchronized with compactions so a batch can't
+    * land in a rows generation that is being swapped out. */
+  def put(entries: DataFrame, coalescePartitions: Boolean = true): Unit = synchronized {
+    refreshPointer()
     val seq = nextSeq()
     val routed = entries
       .withColumn("shard", shardExpr(col("key")))
@@ -193,7 +326,7 @@ final class HelixStore private (
       else routed
     arranged.write.mode("append")
       .partitionBy("shard", "bucket")
-      .parquet(path)
+      .parquet(rowsPath)
   }
 
   /** All live entries (latest write wins per (key, ts)). */
@@ -202,6 +335,7 @@ final class HelixStore private (
   /** Exact-timestamp point get (reference: src/db.rs:54). Prunes to one
     * shard + one bucket partition before touching any row group. */
   def get(key: Array[Byte], ts: Long, decompress: Boolean = true): Option[Array[Byte]] = {
+    refreshPointer()
     if (!hasData) return None
     // default route: same function Spark's xxhash64(col) computes in
     // put() (seed 42), evaluated driver-side — no job just to route the
@@ -236,6 +370,7 @@ final class HelixStore private (
     * TimeRange semantics: [start, end) on ts, [low, high) on key. */
   def scan(tsRange: (Long, Long), keyRange: (Array[Byte], Array[Byte]),
       ordered: Boolean = true): DataFrame = {
+    refreshPointer()
     if (!hasData) return toDF // empty frame with the entry schema
     val (t0, t1) = tsRange
     val (k0, k1) = keyRange
@@ -265,6 +400,7 @@ final class HelixStore private (
       .start()
 
   private def toDFWithPartitions: DataFrame = {
+    refreshPointer()
     val w = Window.partitionBy("key", "ts")
       .orderBy(col("seq").desc, col("subseq").desc)
     rawEntries().withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -278,42 +414,47 @@ final class HelixStore private (
       .select(EntryColumns.map(col): _*)
   }
 
-  /** Rewrite every partition into one file sorted by (key, ts) with
-    * last-write-wins applied — the rick → SSTable compaction
-    * (reference: src/level.rs:356-470). Parallel per partition; no
-    * global shuffle beyond the LWW window. */
-  def compact(): Unit = {
+  /** Rewrite the rick layer into one file per partition sorted by
+    * (key, ts) with last-write-wins applied — the rick → SSTable
+    * compaction (reference: src/level.rs:356-470). Parallel per
+    * partition; the swap commits via one atomic pointer rename, so a
+    * crash leaves either the old or the new generation intact. */
+  def compact(): Unit = synchronized {
+    refreshPointer()
     if (!hasRows) return
-    val tmp = path + ".compact"
-    val raw = spark.read.parquet(path)
+    val cur = ptr
+    val g = allocGen(cur)
+    val newRows = s"r-$g"
+    val raw = spark.read.parquet(rowsPath)
     val w = Window.partitionBy("key", "ts")
       .orderBy(col("seq").desc, col("subseq").desc)
     raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
       .repartition(col("shard"), col("bucket"))
       .sortWithinPartitions("key", "ts")
-      .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp)
-    // atomic-ish swap: keep _seq, replace data dirs
-    listDir(root)
-      .filter(_.getFileName.toString.startsWith("shard="))
-      .foreach(deleteRecursively)
-    listDir(Paths.get(tmp)).foreach { p =>
-      if (p.getFileName.toString.startsWith("shard="))
-        Files.move(p, root.resolve(p.getFileName))
-    }
-    deleteRecursively(Paths.get(tmp))
+      .write.mode("overwrite").partitionBy("shard", "bucket")
+      .parquet(dirOf(newRows).toString)
+    commit(cur.copy(gen = g, rows = newRows))
+    deleteRecursively(dirOf(cur.rows)) // post-commit cleanup (crash-safe)
   }
 
-  /** Compact the row ("rick") layer into compressed block ("SSTable")
-    * files: per (key, shard, bucket) one delta-encoded block, merged
-    * with any existing blocks, written under _blocks, then the row dirs
-    * are dropped — the reference's level compaction applying the codec
-    * (reference: src/level.rs:356-470 + fn_registry.rs compress_entries).
-    * One groupByKey shuffle; block size is bounded by the bucket. */
-  def blockCompact(): Unit = {
+  /** Fold BOTH layers into fresh compressed block ("SSTable") files —
+    * per (key, shard, bucket) one delta-encoded block (reference:
+    * src/level.rs:356-470 + fn_registry.rs compress_entries) — plus a
+    * rebuilt min/max-key manifest and an empty rick generation. All
+    * three flip in ONE atomic pointer commit; the absorbed old
+    * generations are deleted only after the commit, so a crash
+    * mid-compaction never loses committed entries. One groupByKey
+    * shuffle; block size is bounded by the bucket. */
+  def blockCompact(): Unit = synchronized {
+    refreshPointer()
     if (!hasData) return
     import spark.implicits._
-    val tmp = path + ".blockcompact"
+    val cur = ptr
+    val g = allocGen(cur)
+    val newBlocks = s"b-$g"
+    val newManifest = s"m-$g"
+    val newRows = s"r-$g"
     val blocks = rawEntries()
       .select(col("key"), col("ts"), col("value"), col("seq"), col("subseq"),
         col("shard"), col("bucket"))
@@ -335,38 +476,32 @@ final class HelixStore private (
       }
       .toDF()
     blocks.repartition(col("shard"), col("bucket"))
-      .write.mode("overwrite").partitionBy("shard", "bucket").parquet(tmp)
-    // swap: new blocks replace old blocks AND the row layer they absorbed
-    if (Files.exists(blocksRoot)) deleteRecursively(blocksRoot)
-    Files.createDirectories(blocksRoot)
-    listDir(Paths.get(tmp)).foreach { p =>
-      if (p.getFileName.toString.startsWith("shard="))
-        Files.move(p, blocksRoot.resolve(p.getFileName))
-    }
-    deleteRecursively(Paths.get(tmp))
-    listDir(root)
-      .filter(_.getFileName.toString.startsWith("shard="))
-      .foreach(deleteRecursively)
-    // rebuild the min/max-key manifest from the freshly-written blocks
-    val tmpM = path + ".manifest.tmp"
-    spark.read.parquet(blocksRoot.toString)
+      .write.mode("overwrite").partitionBy("shard", "bucket")
+      .parquet(dirOf(newBlocks).toString)
+    // manifest derives from the freshly-written (still uncommitted) blocks
+    spark.read.parquet(dirOf(newBlocks).toString)
       .groupBy("shard", "bucket")
       .agg(min("key").as("min_key"), max("key").as("max_key"),
         count(lit(1)).as("n_blocks"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(tmpM)
-    if (Files.exists(manifestRoot)) deleteRecursively(manifestRoot)
-    Files.move(Paths.get(tmpM), manifestRoot)
-    manifestCache = None
+      .write.mode("overwrite").parquet(dirOf(newManifest).toString)
+    Files.createDirectories(dirOf(newRows)) // fresh, empty rick layer
+    commit(Pointer(g, newRows, Some(newBlocks), Some(newManifest)))
+    // post-commit cleanup of the absorbed generations (orphan-safe)
+    deleteRecursively(dirOf(cur.rows))
+    cur.blocks.foreach(b => deleteRecursively(dirOf(b)))
+    cur.manifest.foreach(m => deleteRecursively(dirOf(m)))
   }
 
   /** Drop all buckets strictly older than `ts` — pure partition-metadata
-    * deletion, no data rewrite (reference Outdate, src/level.rs:337). */
-  def outdate(ts: Long): Unit = {
+    * deletion, no data rewrite (reference Outdate, src/level.rs:337).
+    * Idempotent: a crash mid-deletion is healed by re-running. */
+  def outdate(ts: Long): Unit = synchronized {
+    refreshPointer()
     if (!hasData) return
     val cutoff = ts / opts.bucketSize // truncating, matching put()
-    val dataRoots = Seq(root).filter(_ => hasRows) ++
-      Seq(blocksRoot).filter(_ => hasBlocks)
+    val dataRoots = Seq(dirOf(ptr.rows)).filter(_ => hasRows) ++
+      ptr.blocks.map(dirOf).filter(_ => hasBlocks)
     dataRoots.foreach { r =>
       listDir(r)
         .filter(_.getFileName.toString.startsWith("shard="))

@@ -38,13 +38,18 @@ final class SimpleTimestampReviewer(rickRange: Long, outdateRange: Long)
       due += CompactAction(compactedUpTo, maxTs)
       compactedUpTo = maxTs + 1
     }
-    // `while`, not `if`: one coarse Spark batch can advance maxTs by many
-    // rick-ranges at once, and retention must catch up rather than lag
-    // one step per observe forever (degenerates to the reference's
-    // behavior under its fine-grained per-put observes)
-    while (maxTs - outdatedUpTo + 1 >= outdateRange) {
-      due += OutdateAction(outdatedUpTo + rickRange - 1)
-      outdatedUpTo += rickRange
+    // One coarse Spark batch can advance maxTs by many rick-ranges at
+    // once; catch up to the LATEST due boundary in a single step and
+    // emit ONE OutdateAction for the whole span (outdate(ts) already
+    // drops every older bucket, so the intermediate actions the
+    // reference's fine-grained per-put observes would have emitted are
+    // subsumed — emitting them one per rick-range would turn a
+    // real-epoch-microsecond first observe into tens of thousands of
+    // full retention passes).
+    if (maxTs - outdatedUpTo + 1 >= outdateRange) {
+      val steps = (maxTs - outdatedUpTo + 1 - outdateRange) / rickRange + 1
+      outdatedUpTo += steps * rickRange
+      due += OutdateAction(outdatedUpTo - 1)
     }
     due.result()
   }

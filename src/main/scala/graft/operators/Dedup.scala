@@ -171,28 +171,44 @@ object Dedup {
     val pairs = ngramJaccard(s, dir).cache()
     val edges = pairs
       .unionAll(pairs.select(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2")))
-    var labels = edges.groupBy(col("doc_id1").as("doc_id"))
-      .agg(least(min(col("doc_id2")), first(col("doc_id1"))).as("root"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      // adopt the smallest root among my neighbours' roots and my own
-      val next = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("root", "nroot"),
-          "doc_id2")
-        .groupBy(col("doc_id1").as("doc_id"))
-        .agg(min(col("nroot")).as("propagated"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"), least(col("root"), col("propagated")).as("root"))
-      converged = next.alias("n")
-        .join(labels.alias("l"), "doc_id")
-        .filter(col("n.root") =!= col("l.root"))
-        .isEmpty
-      labels = next
-      iter += 1
-    }
-    labels.select(col("doc_id"), col("root").as("cluster_id"),
-      (col("doc_id") === col("root")).cast("int").as("keep"))
+      .cache()
+    try {
+      var labels = edges.groupBy(col("doc_id1").as("doc_id"))
+        .agg(least(min(col("doc_id2")), first(col("doc_id1"))).as("root"))
+      var converged = false
+      var iter = 0
+      // Converges in O(log(diameter)) effective rounds in practice (the
+      // min label hops a full neighbourhood per round); the hard cap only
+      // guards against a logic bug and FAILS LOUDLY rather than returning
+      // an unconverged (oracle-divergent) labelling.
+      val MaxIters = 64
+      while (!converged) {
+        if (iter >= MaxIters)
+          throw new IllegalStateException(
+            s"clusterDups failed to converge after $MaxIters label-propagation rounds")
+        // adopt the smallest root among my neighbours' roots and my own;
+        // localCheckpoint truncates the otherwise iteration-deep join
+        // lineage (each round's plan would embed every prior round)
+        val next = edges
+          .join(labels.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("root", "nroot"),
+            "doc_id2")
+          .groupBy(col("doc_id1").as("doc_id"))
+          .agg(min(col("nroot")).as("propagated"))
+          .join(labels, "doc_id")
+          .select(col("doc_id"), least(col("root"), col("propagated")).as("root"))
+          .localCheckpoint()
+        converged = next.alias("n")
+          .join(labels.alias("l"), "doc_id")
+          .filter(col("n.root") =!= col("l.root"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      // safe to release both caches here: labels is checkpoint-
+      // materialized, so the returned frame no longer reads them
+      labels.select(col("doc_id"), col("root").as("cluster_id"),
+        (col("doc_id") === col("root")).cast("int").as("keep"))
+    } finally { edges.unpersist(); pairs.unpersist(): Unit }
   }
 
   /** #20 — embedding near-dup pairs: cosine >= 0.45 over all pairs.

@@ -24,7 +24,11 @@ object Multimodal {
     * lib), we derive deterministic fake dimensions from the bytes. */
   object FakeDecode {
     def widthExpr = (octet_length(col("payload")) % 640).cast("long")
-    def heightExpr = ((ascii(col("text")) * 3) % 480).cast("long")
+    /** First PAYLOAD BYTE (hex-extracted, so the value is well-defined
+      * for any UTF-8 content, not just ASCII) drives the fake height. */
+    def firstByteExpr =
+      coalesce(conv(substring(hex(col("payload")), 1, 2), 16, 10).cast("long"), lit(0L))
+    def heightExpr = (firstByteExpr * 3) % 480
   }
 
   /** The documents table with a synthesized binary payload column —
@@ -42,7 +46,7 @@ object Multimodal {
       FakeDecode.heightExpr.as("height"),
       // "resize": fit to 224 wide preserving aspect, integer arithmetic
       lit(224L).as("resize_w"),
-      expr("(((ascii(text) * 3) % 480) * 224) div (octet_length(cast(text as binary)) % 640 + 1)")
+      floor((FakeDecode.heightExpr * 224) / (FakeDecode.widthExpr + 1))
         .cast("long").as("resize_h"))
 
   /** Typed batch-decode output row. */

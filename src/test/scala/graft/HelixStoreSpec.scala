@@ -132,9 +132,7 @@ class HelixStoreSpec extends SparkTestBase {
     store.put(entriesDF(Seq(("bk", 3L, "v3b")))) // LWW candidate
     store.blockCompact()
     // row layer gone, block layer serves reads
-    import scala.jdk.CollectionConverters._
-    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.exists(_.getFileName.toString.startsWith("shard=")))
+    assert(!store.hasRickRows && store.hasBlockLayer)
     assert(store.get("bk".getBytes, 1L).map(new String(_)).contains("v1"))
     assert(store.get("bk".getBytes, 3L).map(new String(_)).contains("v3b"),
       "LWW must survive block compaction")
@@ -165,7 +163,7 @@ class HelixStoreSpec extends SparkTestBase {
     val store = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
     store.put(entriesDF(Seq(("mmm", 1L, "v1"), ("nnn", 2L, "v2"))))
     store.blockCompact()
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".manifest")))
+    assert(store.hasManifestLayer)
     assert(store.get("mmm".getBytes, 1L).map(new String(_)).contains("v1"))
     assert(store.get("nnn".getBytes, 2L).map(new String(_)).contains("v2"))
     // keys outside the manifest key range / absent partitions
@@ -204,6 +202,25 @@ class HelixStoreSpec extends SparkTestBase {
       graft.core.OutdateAction(14)))
   }
 
+  test("reviewer catch-up emits ONE outdate action for a huge ts jump") {
+    // first observe with real epoch-microsecond timestamps: the catch-up
+    // must jump to the latest due boundary in one step, not emit tens of
+    // thousands of per-rick-range actions (each a full retention pass)
+    val rick = 3600L * 1000000L // 1h in µs
+    val r = new graft.core.SimpleTimestampReviewer(rick, 24 * rick)
+    val maxTs = 1704067200L * 1000000L // 2024-01-01 in epoch-µs
+    val actions = r.observe(maxTs)
+    val outdates = actions.collect { case o: graft.core.OutdateAction => o }
+    assert(outdates.size == 1, s"expected one catch-up outdate, got ${outdates.size}")
+    // the single action must cover the whole span: boundary within one
+    // outdate-range of maxTs, aligned to a rick-range boundary
+    assert(outdates.head.before >= maxTs - 25 * rick && outdates.head.before < maxTs)
+    assert((outdates.head.before + 1) % rick == 0)
+    // and the policy must keep firing normally afterwards
+    assert(r.observe(maxTs + 24 * rick)
+      .collect { case o: graft.core.OutdateAction => o }.size == 1)
+  }
+
   test("putReviewed runs the lifecycle automatically") {
     import graft.core.{Lifecycle, SimpleTimestampReviewer}
     val dir = tmpDir("hs-lifecycle")
@@ -211,7 +228,7 @@ class HelixStoreSpec extends SparkTestBase {
     val reviewer = new SimpleTimestampReviewer(5, 10)
     // ts 0..4 → compaction fires, rows become blocks
     Lifecycle.putReviewed(store, entriesDF((0 until 5).map(t => ("k", t.toLong, s"v$t"))), reviewer)
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".blocks")))
+    assert(store.hasBlockLayer)
     assert(store.toDF.count() == 5)
     // ts 5..9 → compaction + outdate(<=4): first bucket gone
     Lifecycle.putReviewed(store, entriesDF((5 until 10).map(t => ("k", t.toLong, s"v$t"))), reviewer)
@@ -257,6 +274,60 @@ class HelixStoreSpec extends SparkTestBase {
     assert(asSet(EntryIO.readCsv(spark, s"$cv/d")) == expected)
     val js = tmpDir("eio-json"); EntryIO.writeJson(df, s"$js/d")
     assert(asSet(EntryIO.readJson(spark, s"$js/d")) == expected)
+  }
+
+  test("interrupted compaction swap rolls back on reopen (crash recovery)") {
+    val dir = tmpDir("hs-crash")
+    val s1 = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    s1.put(entriesDF(Seq(("ka", 1L, "va"), ("kb", 2L, "vb"))))
+    s1.blockCompact()
+    s1.put(entriesDF(Seq(("kc", 3L, "vc"))))
+    // simulate a compaction that crashed AFTER writing its new
+    // generation dirs but BEFORE the pointer commit: orphan r-/b-/m-
+    // dirs with garbage content sit beside the committed generations
+    val root = java.nio.file.Paths.get(dir)
+    for (orphan <- Seq("r-99", "b-99", "m-99")) {
+      val d = root.resolve(orphan).resolve("shard=0").resolve("bucket=0")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("junk.parquet"), "not parquet".getBytes)
+    }
+    val s2 = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    // orphans rolled back, committed data fully intact
+    for (orphan <- Seq("r-99", "b-99", "m-99"))
+      assert(!java.nio.file.Files.exists(root.resolve(orphan)), s"$orphan must be rolled back")
+    assert(s2.get("ka".getBytes, 1L).map(new String(_)).contains("va"))
+    assert(s2.get("kb".getBytes, 2L).map(new String(_)).contains("vb"))
+    assert(s2.get("kc".getBytes, 3L).map(new String(_)).contains("vc"))
+    assert(s2.toDF.count() == 3)
+  }
+
+  test("two store instances on one path mint distinct seqs: cross-instance LWW holds") {
+    val dir = tmpDir("hs-twoinst")
+    val s1 = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    val s2 = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    s1.put(entriesDF(Seq(("k", 1L, "from-s1-old"))))
+    s2.put(entriesDF(Seq(("k", 1L, "from-s2-mid")))) // must claim a seq ABOVE s1's
+    s1.put(entriesDF(Seq(("k", 1L, "from-s1-new")))) // and s1 must then go above s2's
+    assert(s1.get("k".getBytes, 1L).map(new String(_)).contains("from-s1-new"))
+    assert(s2.get("k".getBytes, 1L).map(new String(_)).contains("from-s1-new"))
+    s1.blockCompact()
+    assert(s2.toDF.count() == 1)
+  }
+
+  test("seq high-water recovers from data when _seqs is lost (corruption tolerance)") {
+    val dir = tmpDir("hs-seqloss")
+    val s1 = HelixStore.open(spark, dir, StoreOptions(numShards = 1, bucketSize = 10))
+    s1.put(entriesDF(Seq(("k", 1L, "old"))))
+    s1.put(entriesDF(Seq(("k", 1L, "older-write-wins-without-recovery"))))
+    // wipe the seq ledger — a fresh instance must rebuild the high-water
+    // mark from max(seq) in the data, or new writes would LOSE LWW ties
+    val seqs = java.nio.file.Paths.get(dir).resolve("_seqs")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(seqs).iterator().asScala.toList
+      .foreach(java.nio.file.Files.delete)
+    val s2 = HelixStore.open(spark, dir, StoreOptions(numShards = 1, bucketSize = 10))
+    s2.put(entriesDF(Seq(("k", 1L, "newest"))))
+    assert(s2.get("k".getBytes, 1L).map(new String(_)).contains("newest"))
   }
 
   test("outdate drops old buckets without touching recent ones") {
