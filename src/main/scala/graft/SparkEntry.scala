@@ -40,6 +40,12 @@ object SparkEntry {
     "q6_selective" -> (Analytics.q6Selective _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_funnel" -> (Analytics.qFunnel _),
+    "q4_order_priority" -> (Analytics.q4OrderPriority _),
+    "q_anti_dormant" -> (Analytics.qAntiDormant _),
+    "q7_volume" -> (Analytics.q7Volume _),
+    "q10_returns" -> (Analytics.q10Returns _),
+    "q_retention" -> (Analytics.qRetention _),
+    "ts_heavy_hitters" -> (Analytics.heavyHitters _),
     // sketch op: intentionally NO oracle (HLL internals are engine-
     // specific); accuracy vs exact is asserted in OperatorSpec
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
@@ -246,6 +252,62 @@ object SparkEntry {
         |  FROM events)
         |WHERE dt_us IS NOT NULL AND dt_us > 0
         |GROUP BY 1, 2""".stripMargin,
+    "q_retention" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+        |  FROM events),
+        |u AS (SELECT user_id, min(day_us) AS d0 FROM daily GROUP BY 1),
+        |flags AS (
+        |  SELECT u.user_id, u.d0,
+        |    max(CASE WHEN d.day_us = u.d0 + 86400000000 THEN 1 ELSE 0 END) AS r1,
+        |    max(CASE WHEN d.day_us > u.d0 AND d.day_us <= u.d0 + 604800000000
+        |      THEN 1 ELSE 0 END) AS r7
+        |  FROM u JOIN daily d USING (user_id) GROUP BY 1, 2)
+        |SELECT d0 AS cohort_us, count(*) AS n_users,
+        |  CAST(sum(r1) AS BIGINT) AS n_d1, CAST(sum(r7) AS BIGINT) AS n_d7
+        |FROM flags GROUP BY 1""".stripMargin,
+    "ts_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    "q_anti_dormant" ->
+      """SELECT c_mktsegment, count(*) AS n_dormant, min(c_custkey) AS first_custkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q6_selective" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,

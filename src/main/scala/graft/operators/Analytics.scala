@@ -162,6 +162,120 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("cnt"))
 
+  /** #48 — TPC-H Q4-style priority count via LEFT SEMI join: orders with
+    * at least one line shipped after the order date. The semi join never
+    * duplicates the probe side, so no post-join dedup; only
+    * (l_orderkey, l_shipdate) streams through the shuffle, and at 100 TB
+    * both sides hash-partition on the order key — one co-located
+    * shuffle, no fact-×-fact blowup. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** #49 — dormant customers via LEFT ANTI join (NOT EXISTS): customers
+    * with no order since 2001-01-01. The date predicate is pushed to the
+    * orders scan, so the anti join's build side holds only recent order
+    * keys — at 100 TB that's the pruned slice, not the full fact. */
+  def qAntiDormant(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_dormant"), min("c_custkey").as("first_custkey"))
+  }
+
+  /** #50 — TPC-H Q7-style nation-pair volume: revenue flowing between
+    * two nations (either direction) per ship year. Nations broadcast;
+    * supplier/customer/orders join on their natural keys (each a single
+    * co-partitioned shuffle — at 100 TB none of those sides fits a
+    * broadcast, so the plan must survive as shuffled hash joins). */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(n1), supp("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), cust("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .cast("double").as("revenue"))
+  }
+
+  /** #51 — TPC-H Q10-style returned-item report: top-20 customers by
+    * revenue lost to returns. The returnflag filter is pushed to the
+    * lineitem scan; top-k collapses to TakeOrderedAndProject (no global
+    * sort materialization). */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+    val nation = Tables.nation(s, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** #52 — cohort retention: per first-seen-day cohort, how many users
+    * came back the next day (D1) and within a week (D7). One distinct
+    * shuffle to daily activity, one groupBy user (day sets are ≤31
+    * elements, so collect_set stays tiny regardless of event volume),
+    * one groupBy cohort — no self-join of the raw event log. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .distinct()
+    daily.groupBy("user_id")
+      .agg(min("day_us").as("d0"), collect_set("day_us").as("days"))
+      .select(col("d0"),
+        exists(col("days"), d => d === col("d0") + dayUs).cast("int").as("r1"),
+        exists(col("days"), d => d > col("d0") && d <= col("d0") + 7 * dayUs)
+          .cast("int").as("r7"))
+      .groupBy(col("d0").as("cohort_us"))
+      .agg(count(lit(1)).as("n_users"),
+        sum("r1").cast("long").as("n_d1"),
+        sum("r7").cast("long").as("n_d7"))
+  }
+
+  /** #53 — heavy hitters: top-10 users by event count, deterministic
+    * ties. Map-side partial counts collapse the shuffle to one row per
+    * user; the top-k is TakeOrderedAndProject (per-partition heaps, no
+    * global sort) — the exact-counting complement of q_approx_distinct. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(10)
+
   /** #15 — semi-structured prop extraction from events.props JSON. */
   def qJsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

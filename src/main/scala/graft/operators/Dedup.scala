@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -62,6 +63,21 @@ object Dedup {
     Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+
+  /** #54 — survivorship for exact-dup groups: every doc keeps its group
+    * id (the text md5) and a keep flag — the survivor is the longest doc
+    * in the group, ties to the lowest doc_id. One window over the same
+    * md5 shuffle exact() uses; at 100 TB group sizes are bounded by the
+    * dup rate, so no partition ever holds more than one group's docs. */
+  def survivor(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text_md5")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("text_md5", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("text_md5"),
+        (col("rn") === 1).cast("int").as("keep"))
+  }
 
   /** #17 — n-gram Jaccard dedup (exact): one explode-join on shared
     * shingles computes per-pair intersection counts directly (the

@@ -110,6 +110,26 @@ object TextOps {
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fp"))
 
+  /** #55 — corpus bigram frequency: top-20 word bigrams by raw
+    * occurrence count, deterministic ties. The explode rides one shuffle
+    * into map-side partial counts (bigram cardinality ≪ occurrence
+    * count, so the combine does the heavy lifting at 100 TB); the final
+    * top-k is TakeOrderedAndProject, never a global sort. Token array is
+    * materialized first — an inlined tokens(text) inside the lambda
+    * would re-split the doc per bigram position (see shinglesOf). */
+  def bigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .select(explode(
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
   /** #37 — ORDER-SENSITIVE rolling-hash fingerprint (Rabin-Karp): fold
     * H = (H*257 + h(tok)) mod P over the token sequence, h = 32-bit md5
     * prefix. Pure integer fold — parity with the oracle is exact, and
