@@ -158,6 +158,14 @@ object OracleSqlGen {
        |    (acc, h) -> (acc * ${TextOps.RollB} + h) % ${TextOps.RollP}) AS rhash
        |FROM toks""".stripMargin
 
+  val textBigrams: String =
+    s"""WITH $toksCte,
+       |big AS (SELECT t[i] || ' ' || t[i+1] AS bigram
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+       |        FROM toks WHERE len(t) >= 2))
+       |SELECT bigram, count(*) AS cnt FROM big
+       |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
   val textLangid: String = {
     val scores = TextOps.StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(", ")

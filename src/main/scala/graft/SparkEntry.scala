@@ -51,6 +51,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
     // Dedup (#16-20)
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_survivor" -> (Dedup.survivor _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_rolling_hash" -> (TextOps.rollingHash _),
+    "text_bigrams" -> (TextOps.bigrams _),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "text_scrub_digits" -> (TextOps.scrubDigits _),
     // Multimodal plumbing (#28-29)
@@ -322,6 +324,11 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "dedup_exact" -> OracleSqlGen.dedupExact,
+    "dedup_survivor" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY n_chars DESC, doc_id) = 1 AS INTEGER) AS keep
+        |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> OracleSqlGen.dedupNgramJaccard,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,
@@ -336,6 +343,7 @@ object SparkEntry {
     "text_tokens" -> OracleSqlGen.textTokens,
     "text_fingerprint" -> OracleSqlGen.textFingerprint,
     "text_rolling_hash" -> OracleSqlGen.textRollingHash,
+    "text_bigrams" -> OracleSqlGen.textBigrams,
     "sample_stratified" ->
       """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
         |FROM documents

@@ -84,9 +84,12 @@ final class HelixStore private (
 
   /** The committed generation set. `gen` is the highest generation
     * number ever allocated (new dirs get gen+1 so names never clash
-    * with orphans from a crashed swap). */
+    * with orphans from a crashed swap). `seqhw` is the write-seq
+    * high-water mark as of the commit (-1 = not recorded), so seq
+    * recovery never under-reads even if `_seqs` files are lost. */
   private final case class Pointer(
-      gen: Long, rows: String, blocks: Option[String], manifest: Option[String])
+      gen: Long, rows: String, blocks: Option[String], manifest: Option[String],
+      seqhw: Long = -1L)
 
   @volatile private var ptr: Pointer = initPointer()
   @volatile private var manifestCache:
@@ -126,13 +129,15 @@ final class HelixStore private (
       .map(_.trim).filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
     Pointer(kv("gen").toLong, kv("rows"),
-      kv.get("blocks").filter(_.nonEmpty), kv.get("manifest").filter(_.nonEmpty))
+      kv.get("blocks").filter(_.nonEmpty), kv.get("manifest").filter(_.nonEmpty),
+      kv.get("seqhw").map(_.toLong).getOrElse(-1L))
   }
 
   /** Atomic commit: write a temp file, then rename over `_current`. */
   private def writePointer(p: Pointer): Unit = {
     val body = (Seq(s"gen=${p.gen}", s"rows=${p.rows}") ++
-      p.blocks.map(b => s"blocks=$b") ++ p.manifest.map(m => s"manifest=$m"))
+      p.blocks.map(b => s"blocks=$b") ++ p.manifest.map(m => s"manifest=$m") ++
+      (if (p.seqhw >= 0L) Seq(s"seqhw=${p.seqhw}") else Nil))
       .mkString("", "\n", "\n")
     val tmp = root.resolve("_current.tmp")
     Files.write(tmp, body.getBytes)
@@ -141,8 +146,13 @@ final class HelixStore private (
   }
 
   private def commit(p: Pointer): Unit = {
-    writePointer(p)
-    ptr = p
+    // stamp the seq high-water mark into every commit: max over this
+    // instance's counter and the `_seqs` ledger (another instance may
+    // have minted higher), so a later recovery never mints a stale seq
+    val hw = math.max(seqHw, scanSeqFiles())
+    val stamped = p.copy(seqhw = math.max(p.seqhw, hw))
+    writePointer(stamped)
+    ptr = stamped
     manifestCache = None
   }
 
@@ -155,12 +165,23 @@ final class HelixStore private (
     if (onDisk != ptr) { ptr = onDisk; manifestCache = None }
   }
 
-  /** First free generation number strictly above the committed one. */
+  /** First free generation number strictly above the committed one,
+    * CLAIMED by atomically creating its r- directory (Files
+    * .createDirectory throws if present), so two concurrent compactors
+    * can never pick the same generation and overwrite each other's
+    * uncommitted output. */
   private def allocGen(cur: Pointer): Long = {
     var g = cur.gen + 1
-    while (Seq("r", "b", "m").exists(pfx => Files.exists(root.resolve(s"$pfx-$g"))))
+    while (true) {
+      val taken = Seq("r", "b", "m")
+        .exists(pfx => Files.exists(root.resolve(s"$pfx-$g")))
+      if (!taken) {
+        try { Files.createDirectory(root.resolve(s"r-$g")); return g }
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
       g += 1
-    g
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def dirOf(name: String): Path = root.resolve(name)
@@ -187,9 +208,17 @@ final class HelixStore private (
     * is recovered by scanning existing data for max(seq). */
   private def nextSeq(): Long = synchronized {
     if (seqHw < 0L) {
+      // recovery takes the MAX over every surviving record of the high
+      // water: the `_seqs` ledger, the pointer-stamped mark from the
+      // last commit, and — only when neither exists but data does (a
+      // pre-seqhw store with a wiped ledger) — a max(seq) scan of the
+      // data itself. Partial ledger loss (files above N gone, 1..N
+      // intact) can no longer mint a seq below a live entry's.
       val fromFiles = scanSeqFiles()
+      val fromPtr = math.max(ptr.seqhw, 0L)
       seqHw =
-        if (fromFiles > 0L || !hasData) fromFiles
+        if (fromFiles > 0L || ptr.seqhw >= 0L || !hasData)
+          math.max(fromFiles, fromPtr)
         else { // corrupt/missing _seqs with live data: recover from data
           val r = rawEntries().agg(max("seq")).head()
           if (r.isNullAt(0)) 0L else r.getLong(0)

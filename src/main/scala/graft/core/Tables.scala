@@ -12,9 +12,16 @@ object Tables {
   /** events.parquet stores TIMESTAMP(NANOS) which Spark 4 only reads as a
     * long (nanos) under the legacy conf; normalize back to a timestamp
     * column (µs precision — the data is µs-aligned). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Set the nanos-as-long legacy conf once (idempotent guard: mutating
+    * session conf on every table read shows up as churn in plan caches). */
+  private def ensureNanosConf(s: SparkSession): Unit = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    try { if (s.conf.getOption(k).forall(_ != "true")) s.conf.set(k, "true") }
     catch { case _: Throwable => () }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    ensureNanosConf(s)
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
@@ -36,8 +43,7 @@ object Tables {
     * be pushed). Bounds are epoch-µs; [lo, hi). */
   def eventsRange(s: SparkSession, d: String,
       loUs: Option[Long], hiUs: Option[Long]): DataFrame = {
-    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
+    ensureNanosConf(s)
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>

@@ -38,15 +38,25 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    e.filter(col("vec_id") =!= 0)
+    rankedTopK(e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("v"), col("qv")))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
-      .select(col("vec_id"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cos").desc, col("vec_id"))).as("rnk"))
+      .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
+
+  /** Top-k by (cos desc, vec_id) with a 1-based `rnk` column, computed
+    * WITHOUT an unpartitioned window (which would single-partition the
+    * full input and trip Spark's scale warning): the take itself
+    * (TakeOrderedAndProject) reduces to k rows, those k rows are forced
+    * into one sorted partition, and the rank is simply the row position
+    * — monotonically_increasing_id is 0..k-1 in partition order there. */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .repartition(1)
+      .sortWithinPartitions(col("cos").desc, col("vec_id"))
+      .select(col("vec_id"),
+        (monotonically_increasing_id() + 1).cast("int").as("rnk"))
 
   /** Integer hyperplane component for plane p, 0-based dim j: a small
     * deterministic pseudo-random weight in [-3, 3]. */
@@ -97,16 +107,11 @@ object Similarity {
       .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
       .orderBy(col("rcos").desc, col("clabel")).limit(2)
       .select(col("clabel").as("assigned_label"))
-    assigned
+    rankedTopK(assigned
       .join(broadcast(probeCells), "assigned_label")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("v"), col("qv")))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
-      .select(col("vec_id"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cos").desc, col("vec_id"))).as("rnk"))
+      .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
 
   /** #23 — IVF coarse step: per-label centroid, then nearest-centroid
