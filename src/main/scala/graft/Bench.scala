@@ -18,6 +18,10 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // best-of-2 per query: the second run has warm codegen/JIT, so the
     // min reflects steady-state operator cost rather than noise
+    // A failed query MUST NOT silently record its (tiny) failure time —
+    // that once masked a broken operator as a 6x "speedup". Failures are
+    // reported loudly in the JSON and on stderr.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       spark.catalog.clearCache() // measured with a cold data cache
       val t0 = System.nanoTime()
@@ -25,7 +29,10 @@ object Bench {
       // prune away exactly the expressions being measured (md5 chains,
       // dot products) for projection-final queries
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        errors(name) = e.toString.take(200)
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val r1 = once()
@@ -34,7 +41,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
+      .mkString(""","errors":{""", ",", "}")
+    val errField = if (errors.nonEmpty) errJson else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

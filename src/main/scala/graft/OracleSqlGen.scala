@@ -32,12 +32,43 @@ object OracleSqlGen {
 
   val dedupNgramJaccard: String = s"WITH $ngramCtes\n$ngramSelect"
 
-  /** Connected components over the jaccard pairs: transitive closure by
-    * recursive CTE, then min reachable id per node — the same fixpoint
-    * the Spark min-label propagation reaches. */
+  /** MinHash+LSH candidate-pair machinery as embeddable CTE fragments,
+    * shared by dedup_minhash_lsh and dedup_cluster (whose pair source
+    * IS the minhash pipeline — band buckets, never the shingle join). */
+  private val minhashCtes: String = {
+    val minExprs = (0 until Dedup.NumHashes)
+      .map(i => s"min((${Dedup.mhA(i)} * h + ${Dedup.mhB(i)}) % ${Dedup.MinhashP}) AS mh$i")
+      .mkString(", ")
+    val bandSelects = (0 until Dedup.NumBands).map { bnd =>
+      val concat = (bnd * 4 until bnd * 4 + 4).map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $bnd AS band, $concat AS bkey FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""$toksCte, $shCte,
+       |shh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+       |szh AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |mh AS (SELECT doc_id, $minExprs FROM shh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private val minhashSelect: String =
+    s"""SELECT i.doc_id1, i.doc_id2 FROM (
+       |  SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
+       |  JOIN shh a ON a.doc_id = c1.doc_id1 JOIN shh b ON b.doc_id = c1.doc_id2 AND b.h = a.h
+       |  GROUP BY 1, 2) i
+       |JOIN szh s1 ON i.doc_id1 = s1.doc_id JOIN szh s2 ON i.doc_id2 = s2.doc_id
+       |WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)""".stripMargin
+
+  val dedupMinhashLsh: String = s"WITH $minhashCtes\n$minhashSelect"
+
+  /** Connected components over the MINHASH dup pairs (same pair source
+    * as the Spark operator): transitive closure by recursive CTE, then
+    * min reachable id per node — the same fixpoint the Spark min-label
+    * propagation reaches. */
   val dedupCluster: String =
-    s"""WITH RECURSIVE $ngramCtes,
-       |pairs AS ($ngramSelect),
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS ($minhashSelect),
        |edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
        |  UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
        |reach(a, r) AS (
@@ -47,29 +78,6 @@ object OracleSqlGen {
        |SELECT a AS doc_id, min(r) AS cluster_id,
        |  CAST(a = min(r) AS INTEGER) AS keep
        |FROM reach GROUP BY a""".stripMargin
-
-  val dedupMinhashLsh: String = {
-    val minExprs = (0 until Dedup.NumHashes)
-      .map(i => s"min((${Dedup.mhA(i)} * h + ${Dedup.mhB(i)}) % ${Dedup.MinhashP}) AS mh$i")
-      .mkString(", ")
-    val bandSelects = (0 until Dedup.NumBands).map { bnd =>
-      val concat = (bnd * 4 until bnd * 4 + 4).map(i => s"mh$i").mkString(" || '|' || ")
-      s"SELECT doc_id, $bnd AS band, $concat AS bkey FROM mh"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH $toksCte, $shCte,
-       |shh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
-       |szh AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-       |mh AS (SELECT doc_id, $minExprs FROM shh GROUP BY doc_id),
-       |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-       |SELECT i.doc_id1, i.doc_id2 FROM (
-       |  SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
-       |  JOIN shh a ON a.doc_id = c1.doc_id1 JOIN shh b ON b.doc_id = c1.doc_id2 AND b.h = a.h
-       |  GROUP BY 1, 2) i
-       |JOIN szh s1 ON i.doc_id1 = s1.doc_id JOIN szh s2 ON i.doc_id2 = s2.doc_id
-       |WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)""".stripMargin
-  }
 
   val dedupSimhash: String = {
     val bitSums = (0 until 32)
@@ -94,11 +102,27 @@ object OracleSqlGen {
   private val eCte =
     "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
-  val dedupEmbedding: String =
-    s"""WITH $eCte
-       |SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+  /** LSH-blocked near-dup pairs: the identical banded hyperplane sign
+    * codes (same integer planes, same left-to-right dot order) generate
+    * candidates; exact cosine verifies. Mirrors Dedup.embeddingCosine. */
+  val dedupEmbedding: String = {
+    val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
+      val code = (0 until Dedup.EmbRows).map { k =>
+        val p = bnd * Dedup.EmbRows + k
+        val terms = (0 until 64).map(j => s"v[${j + 1}] * (${Similarity.planeWeight(p, j)})")
+        val dotExpr = terms.reduce((acc, t) => s"($acc + $t)")
+        s"(CASE WHEN $dotExpr > 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bnd AS band, $code AS bkey FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $eCte,
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_id1, y.vec_id AS vec_id2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+       |SELECT c.vec_id1, c.vec_id2 FROM cand c
+       |JOIN e a ON a.vec_id = c.vec_id1 JOIN e b ON b.vec_id = c.vec_id2
        |WHERE ${cos("a.v", "b.v")} >= 0.45""".stripMargin
+  }
 
   val annTopkBrute: String =
     s"""WITH $eCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -56,7 +56,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
-    "dedup_cluster" -> (Dedup.clusterDups _),
+    "dedup_cluster" -> ((s: SparkSession, d: String) => Dedup.clusterDups(s, d)),
     // Similarity search (#21-23)
     "ann_topk_brute" -> (Similarity.annTopkBrute _),
     "ann_lsh_bucket" -> (Similarity.lshBucket _),

@@ -118,6 +118,98 @@ case class MinHashSig(child: Expression, numHashes: Int, p: Long)
     copy(child = newChild)
 }
 
+/** Deterministic integer hyperplane weights shared by every LSH family
+  * (Similarity.planeWeight delegates here; OracleSqlGen bakes the same
+  * integers into the DuckDB SQL; BandCodes loops over the same table). */
+object PlaneWeights {
+  /** Murmur-style finalizer mix → weight in [-3, 3]. (A plain linear
+    * form like (p*73 + j*131) % 7 collapses mod 7 and yields only 7
+    * distinct planes — the mix keeps every (p, j) independent.) */
+  def weight(p: Int, j: Int): Int = {
+    var h = p * 0x9E3779B1 + j * 0x85EBCA77
+    h ^= h >>> 16
+    h *= 0xC2B2AE35
+    h ^= h >>> 13
+    (((h.toLong & 0xFFFFFFFFL) % 7) - 3).toInt
+  }
+
+  /** Plane-major weight table for planes [0, nPlanes) × dims [0, nDims). */
+  def table(nPlanes: Int, nDims: Int): Array[Array[Int]] =
+    Array.tabulate(nPlanes, nDims)(weight)
+}
+
+/**
+ * All banded hyperplane sign codes of a double vector in ONE native
+ * pass: band b's code sets bit k iff dot(v, plane[b*nRows+k]) > 0, the
+ * dot accumulated strictly left-to-right (oracle bit-parity). A single
+ * fused loop replaces nBands*nRows Catalyst sum trees of 64 terms each —
+ * those trees exceed the JVM method limit, kill whole-stage codegen for
+ * the enclosing stage, and run interpreted (measured ~10× slower).
+ */
+case class BandCodes(child: Expression, nBands: Int, nRows: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def prettyName: String = "graft_band_codes"
+
+  @transient private lazy val weights: Array[Array[Int]] =
+    PlaneWeights.table(nBands * nRows, 64)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), 64)
+    val out = new Array[Int](nBands)
+    var b = 0
+    while (b < nBands) {
+      var code = 0
+      var k = 0
+      while (k < nRows) {
+        val w = weights(b * nRows + k)
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += v.getDouble(j) * w(j); j += 1 }
+        if (acc > 0) code |= (1 << k)
+        k += 1
+      }
+      out(b) = code
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bandWeights", weights, "int[][]")
+    val out = ctx.freshName("bcOut")
+    val n = ctx.freshName("bcN")
+    val b = ctx.freshName("bcB")
+    val k = ctx.freshName("bcK")
+    val j = ctx.freshName("bcJ")
+    val w = ctx.freshName("bcW")
+    val acc = ctx.freshName("bcAcc")
+    val code = ctx.freshName("bcCode")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |int[] $out = new int[$nBands];
+         |int $n = java.lang.Math.min($x.numElements(), 64);
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  int $code = 0;
+         |  for (int $k = 0; $k < $nRows; $k++) {
+         |    int[] $w = $wRef[$b * $nRows + $k];
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) { $acc += $x.getDouble($j) * $w[$j]; }
+         |    if ($acc > 0) $code |= (1 << $k);
+         |  }
+         |  $out[$b] = $code;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProductD]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -127,4 +219,8 @@ object VectorFunctions {
   /** Column API for [[MinHashSig]]. */
   def minhashSig(hashes: Column, numHashes: Int, p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes, p))
+
+  /** Column API for [[BandCodes]]. */
+  def bandCodes(v: Column, nBands: Int, nRows: Int): Column =
+    ColumnBridge.column(BandCodes(ColumnBridge.expression(v), nBands, nRows))
 }

@@ -176,15 +176,19 @@ object Dedup {
   }
 
   /** #45 — duplicate-cluster resolution: connected components over the
-    * jaccard dup pairs via min-label propagation (each doc adopts the
-    * smallest doc_id reachable; loop until fixpoint). The fixpoint is
+    * dup pairs via min-label propagation (each doc adopts the
+    * smallest doc_id reachable; loop until fixpoint). The default pair
+    * source is [[minhashLsh]] — band-bucketed candidates, never the
+    * skew-prone shingle self-join — so the whole chain survives 100 TB.
+    * The fixpoint is
     * iteration-order independent, so the DuckDB recursive-CTE oracle
     * lands on the identical assignment. Iterations are O(component
     * diameter) joins over the PAIR set, which is tiny relative to the
     * corpus at any scale. Output: every clustered doc with its canonical
     * (minimum) id, keep = 1 on the survivor. */
-  def clusterDups(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).cache()
+  def clusterDups(s: SparkSession, dir: String,
+      pairSource: (SparkSession, String) => DataFrame = minhashLsh): DataFrame = {
+    val pairs = pairSource(s, dir).cache()
     val edges = pairs
       .unionAll(pairs.select(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2")))
       .cache()
@@ -227,10 +231,67 @@ object Dedup {
     } finally { edges.unpersist(); pairs.unpersist(): Unit }
   }
 
-  /** #20 — embedding near-dup pairs: cosine >= 0.45 over all pairs.
-    * Exact at test scale; at 100 TB the candidate set comes from LSH
-    * buckets (see Similarity.lshBucket) before this exact check. */
+  /** Hyperplane-band layout for embedding LSH blocking: EmbBands bands
+    * of EmbRows sign bits each, over the shared deterministic integer
+    * hyperplanes (Similarity.planeWeight). Banding trades the single
+    * 8-bit bucket's low recall for OR-amplification: a pair is a
+    * candidate if ANY band's 4-bit sign code matches. */
+  val EmbBands = 4
+  val EmbRows = 4
+
+  /** (vec_id, band, bkey, v, nrm) banded hyperplane signature of a
+    * double-vec frame `e(vec_id, v, nrm)` — the vector rides along so
+    * the candidate self-join needs no second pass over the table. Codes
+    * come from the native [[graft.functions.BandCodes]] expression (one
+    * fused loop; the equivalent Catalyst sum trees overflow the JVM
+    * method limit and de-codegen the whole stage). Per-plane dots
+    * accumulate strictly left-to-right so the sign decision is
+    * bit-identical in DuckDB. */
+  private def embeddingBands(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(graft.functions.VectorFunctions.bandCodes(col("v"), EmbBands, EmbRows)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"),
+        col("v"), col("nrm"))
+
+  /** #20 — embedding near-dup pairs, LSH-BLOCKED end-to-end: candidates
+    * come from banded random-hyperplane buckets (16 planes, 4 bands of 4
+    * sign bits — a pair is a candidate iff some band code matches), and
+    * only candidates pay the exact cosine >= 0.45 check. One self-join
+    * on (band, bkey) with the vectors riding the shuffle, cosine checked
+    * inline, and distinct() only on the tiny surviving pair set — never
+    * the all-pairs crossJoin, so the operator runs at 100 TB as
+    * registered. (At that scale EmbRows grows with log(n) to keep bucket
+    * sizes bounded; the band count trades recall against candidate
+    * volume.) Recall is governed by the band layout (spec asserts the
+    * blocked pairs are a subset of [[embeddingCosineExact]] with >= 0.5
+    * recall). */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val bands = embeddingBands(e)
+    // the band key space is small (EmbBands * 2^EmbRows values), so an
+    // unsalted join would funnel each bucket's pair generation through
+    // one task; salting the left side (and replicating the right S ways)
+    // spreads the cosine verification across S partitions per bucket
+    val S = 16
+    val x = bands.select(col("band"), col("bkey"),
+      pmod(col("vec_id"), lit(S)).cast("int").as("salt"),
+      col("vec_id").as("vec_id1"), col("v").as("va"), col("nrm").as("na"))
+    val y = bands.select(col("band"), col("bkey"),
+      explode(sequence(lit(0), lit(S - 1))).as("salt"),
+      col("vec_id").as("vec_id2"), col("v").as("vb"), col("nrm").as("nb"))
+    x.join(y, Seq("band", "bkey", "salt"))
+      .filter(col("vec_id1") < col("vec_id2"))
+      .filter(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.45)
+      .select("vec_id1", "vec_id2")
+      .distinct()
+  }
+
+  /** Exact all-pairs baseline for #20 — O(n²), test-scale only: the
+    * spec measures the blocked operator's recall against it. NOT
+    * registered as a query (it cannot run at 100 TB). */
+  private[graft] def embeddingCosineExact(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))

@@ -59,8 +59,11 @@ object Similarity {
         (monotonically_increasing_id() + 1).cast("int").as("rnk"))
 
   /** Integer hyperplane component for plane p, 0-based dim j: a small
-    * deterministic pseudo-random weight in [-3, 3]. */
-  def planeWeight(p: Int, j: Int): Int = (p * 73 + j * 131) % 7 - 3
+    * deterministic pseudo-random weight in [-3, 3] (see
+    * [[graft.functions.PlaneWeights]] — shared with the native BandCodes
+    * expression and the generated oracle SQL). */
+  def planeWeight(p: Int, j: Int): Int =
+    graft.functions.PlaneWeights.weight(p, j)
 
   /** #22 — random-hyperplane LSH bucket assignment: 8 sign bits. */
   def lshBucket(s: SparkSession, dir: String): DataFrame = {

@@ -39,6 +39,17 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.subsetOf(exact), "LSH can miss pairs but never invent them")
   }
 
+  test("embedding LSH blocking: subset of exact all-pairs, usable recall") {
+    val exact = Dedup.embeddingCosineExact(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.embeddingCosine(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), "blocking can miss pairs but never invent them")
+    if (exact.nonEmpty)
+      assert(blocked.size * 2 >= exact.size,
+        s"recall ${blocked.size}/${exact.size} below 0.5 — band layout degraded")
+  }
+
   test("ann topk: 10 distinct neighbours ranked 1..10, none the query itself") {
     val rows = Similarity.annTopkBrute(spark, Sf).collect()
     assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 10))
