@@ -93,26 +93,69 @@ object Analytics {
   }
 
   /** #35 — exact interpolated percentiles (p50/p95 of value per
-    * event_type), computed from rank arithmetic so both engines produce
-    * bit-identical doubles (approx sketches would not oracle-match).
-    * One shuffle; the rank window and the final agg share it. */
+    * event_type), TWO-PHASE rank selection so no window ever sees a
+    * whole group (a per-event_type window would funnel the entire fact
+    * table into #event_type tasks at scale):
+    *  1. per-group (n, min, max) — one map-side-combinable agg;
+    *  2. equal-width bucket histogram per group (B=256) — the only
+    *     full-data pass, and it combines map-side to <= B rows/group;
+    *  3. prefix-sum offsets over the <= B bucket rows per group;
+    *  4. the 4 target ranks (lo/hi for each quantile) locate their
+    *     bucket by offset arithmetic, and ONLY rows of those <= 4
+    *     buckets per group (~4/B of the data) are shuffled and ranked
+    *     within-bucket to extract the k-th smallest value.
+    * The interpolation arithmetic is unchanged, so the oracle's doubles
+    * are still bit-identical. (Degenerate all-equal-values groups fall
+    * into one bucket; rank extraction there is bounded by the group's
+    * duplicate count — recursing the bucketing would bound it further.) */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
-    val byVal = Window.partitionBy("event_type").orderBy("value")
-    val all = Window.partitionBy("event_type")
-    def interp(q: Double): Column = {
-      val pos = (col("n") - 1) * lit(q)
-      val loRn = floor(pos).cast("long") + 1
-      val frac = pos - floor(pos)
-      val lo = max(when(col("rn") === loRn, col("value")))
-      val hi = max(when(col("rn") === loRn + 1, col("value")))
+    val B = 256
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+    val bucketed = ev.join(broadcast(stats), "event_type")
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(B - 1),
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * B).cast("int"))))
+      .select(col("event_type"), col("value"), col("bucket"))
+    val hist = bucketed.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+    val wB = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist.withColumn("off", coalesce(sum("c").over(wB), lit(0L)))
+    // the 4 target ranks per group: floor(pos)+1 and its successor, for
+    // q in {0.5, 0.95} (successor ranks past n are dropped; the interp
+    // coalesces hi to lo exactly as before)
+    def pos(q: Double): Column = (col("n") - 1) * lit(q)
+    val targets = stats.select(col("event_type"), col("n"),
+        explode(array(Seq(0.5 -> "50", 0.95 -> "95").flatMap { case (q, tag) => Seq(
+          struct(lit(s"lo$tag").as("which"), (floor(pos(q)).cast("long") + 1).as("k")),
+          struct(lit(s"hi$tag").as("which"), (floor(pos(q)).cast("long") + 2).as("k")))
+        }: _*)).as("t"))
+      .select(col("event_type"), col("t.which").as("which"), col("t.k").as("k"))
+      .filter(col("k") <= col("n"))
+    val located = targets.join(offs, "event_type")
+      .filter(col("k") > col("off") && col("k") <= col("off") + col("c"))
+      .select(col("event_type"), col("which"), col("bucket"), (col("k") - col("off")).as("kb"))
+    val neededBuckets = located.select("event_type", "bucket").distinct()
+    val wInB = Window.partitionBy("event_type", "bucket").orderBy("value")
+    val ranked = bucketed.join(broadcast(neededBuckets), Seq("event_type", "bucket"))
+      .withColumn("rnb", row_number().over(wInB))
+    val found = located.join(ranked.withColumnRenamed("rnb", "kb"),
+        Seq("event_type", "bucket", "kb"))
+      .select(col("event_type"), col("which"), col("value"))
+    def pick(which: String): Column = max(when(col("which") === which, col("value")))
+    def interp(q: Double, lo: Column, hi: Column): Column = {
+      val frac = pos(q) - floor(pos(q))
       lo + frac.cast("double") * (coalesce(hi, lo) - lo)
     }
-    val ranked = Tables.events(s, dir)
-      .withColumn("rn", row_number().over(byVal))
-      .withColumn("n", count(lit(1)).over(all))
-    ranked.groupBy(col("event_type"), col("n"))
-      .agg(interp(0.5).as("p50"), interp(0.95).as("p95"))
-      .select(col("event_type"), col("n").as("n_rows"), col("p50"), col("p95"))
+    found.groupBy("event_type")
+      .agg(pick("lo50").as("lo50"), pick("hi50").as("hi50"),
+        pick("lo95").as("lo95"), pick("hi95").as("hi95"))
+      .join(stats.select(col("event_type"), col("n")), "event_type")
+      .select(col("event_type"), col("n").as("n_rows"),
+        interp(0.5, col("lo50"), col("hi50")).as("p50"),
+        interp(0.95, col("lo95"), col("hi95")).as("p95"))
   }
 
   /** #39 — TPC-H Q6-style selective revenue: every predicate reaches the

@@ -41,4 +41,19 @@ class PlanSpec extends SparkTestBase {
     // 1 pair dot + 2 per-row norm dots = 3; the unfactored form had 3 per pair
     assert(p.contains("graft_dot"), "native dot product must be in the plan")
   }
+
+  test("dedup_embedding generates candidates from LSH bands, not all pairs") {
+    val p = plan("dedup_embedding")
+    assert(p.contains("graft_band_codes"), "native band-code signature must be in the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must never be an all-pairs product")
+  }
+
+  test("q_percentiles windows only within histogram buckets, never a whole group") {
+    val p = plan("q_percentiles")
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty, "expected the prefix-sum and in-bucket rank windows")
+    assert(windowSpecs.forall(_.contains("bucket")),
+      s"every window must be keyed by bucket, got: ${windowSpecs.mkString("\n")}")
+  }
 }
