@@ -49,6 +49,40 @@ import org.apache.spark.sql.functions._
  * compaction is an embarrassingly parallel per-partition rewrite whose
  * commit is one metadata rename.
  */
+/** User-defined compress function (UDCF) over a block's value payload —
+  * the reference's headline custom-compression surface (reference:
+  * src/fn_registry.rs:12-16 CompressFn/DecompressFn). `encode` packs one
+  * key's value run into a single blob at compaction; `decode` must
+  * invert it exactly. Implementations must be Serializable: they run
+  * inside executor-side compaction tasks. */
+trait BlockCodec extends Serializable {
+  def name: String
+  def encode(vals: Array[Array[Byte]]): Array[Byte]
+  def decode(blob: Array[Byte]): Array[Array[Byte]]
+}
+
+/** Built-in codec mirroring the reference's `noop` UDCF (fn_registry.rs
+  * noop compress: concatenated values with a length footer): 4-byte
+  * big-endian length prefix per value. */
+object NoopCodec extends BlockCodec {
+  val name = "noop"
+  def encode(vals: Array[Array[Byte]]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(vals.map(_.length + 4).sum)
+    vals.foreach { v => buf.putInt(v.length); buf.put(v) }
+    buf.array()
+  }
+  def decode(blob: Array[Byte]): Array[Array[Byte]] = {
+    val buf = java.nio.ByteBuffer.wrap(blob)
+    val out = Array.newBuilder[Array[Byte]]
+    while (buf.remaining() > 0) {
+      val v = new Array[Byte](buf.getInt())
+      buf.get(v)
+      out += v
+    }
+    out.result()
+  }
+}
+
 final case class StoreOptions(
     numShards: Int = 8,
     /** Timestamp units per bucket (the reference's rick_range). */
@@ -56,18 +90,37 @@ final case class StoreOptions(
     /** User-registered sharding function over the key column — the
       * reference's ShardingKeyFn (fn_registry.rs:55). Must return a
       * value in [0, numShards). None = pmod(xxhash64(key), numShards). */
-    shardingFn: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+    shardingFn: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
+    /** Named UDCF registry — reference register_udcf (fn_registry.rs:75).
+      * Every codec a dispatch can name must be registered BEFORE data is
+      * compacted with it and kept registered for as long as blocks
+      * encoded with it exist. */
+    codecs: Map[String, BlockCodec] = Map(NoopCodec.name -> NoopCodec),
+    /** Per-key codec dispatch — reference register_dispatch_fn
+      * (fn_registry.rs:88): maps a key to the name of the codec that
+      * compresses its blocks. None = everything through `noop`. Must be
+      * deterministic and Serializable (runs in compaction tasks). */
+    codecDispatch: Option[Array[Byte] => String] = None,
+    /** Age (ms) after which a superseded generation in the graveyard may
+      * be physically deleted by vacuum(). Retention gives lazily-running
+      * reader plans time to finish against swapped-out generations —
+      * the snapshot-retention idea from log-structured table formats. */
+    graveyardRetentionMs: Long = 10 * 60 * 1000L,
+    /** Age (ms) after which a cross-process mutation lock is presumed
+      * abandoned (holder crashed) and may be broken. */
+    lockStaleMs: Long = 10 * 60 * 1000L)
 
 object HelixStore {
   val EntryColumns: Seq[String] = Seq("key", "ts", "value")
 
   /** Compressed block: one key's run within one (shard, bucket), ts
-    * delta-encoded from t0, per-entry seq preserved for LWW — the
+    * delta-encoded from t0, per-entry seq preserved for LWW, values
+    * packed into one `payload` blob by the named UDCF `codec` — the
     * SSTable+UDCF unit (reference: src/file/sstable.rs +
     * fn_registry.rs compress_entries). */
   final case class BinBlock(key: Array[Byte], shard: Int, bucket: Long,
       t0: Long, deltas: Array[Long], seqs: Array[Long],
-      vals: Array[Array[Byte]])
+      codec: String, payload: Array[Byte])
 
   def open(spark: SparkSession, path: String,
       opts: StoreOptions = StoreOptions()): HelixStore =
@@ -311,14 +364,21 @@ final class HelixStore private (
     val blocks =
       if (decompress && hasBlocks) {
         import spark.implicits._
+        // local vals only inside the closure: the task must never
+        // capture the store instance (SparkSession isn't serializable)
+        val codecsByName = opts.codecs
         // block entries are already LWW winners; their in-block position
         // serves as the subseq tiebreak
         Some(spark.read.parquet(dirOf(ptr.blocks.get).toString).as[HelixStore.BinBlock]
           .flatMap { b =>
+            val codec = codecsByName.getOrElse(b.codec, throw new IllegalArgumentException(
+              s"block encoded with unregistered codec '${b.codec}' " +
+                s"(registered: ${codecsByName.keys.mkString(", ")})"))
+            val vals = codec.decode(b.payload)
             var t = b.t0
             (0 until b.deltas.length).iterator.map { i =>
               t += b.deltas(i)
-              (b.key, t, b.vals(i), b.seqs(i), i.toLong, b.shard, b.bucket)
+              (b.key, t, vals(i), b.seqs(i), i.toLong, b.shard, b.bucket)
             }
           }.toDF(cols: _*))
       } else None
@@ -336,11 +396,27 @@ final class HelixStore private (
     * BINARY). Routing = shard/bucket partition columns; one shuffle-free
     * partitioned write. Synchronized with compactions so a batch can't
     * land in a rows generation that is being swapped out. */
-  def put(entries: DataFrame, coalescePartitions: Boolean = true): Unit = synchronized {
+  def put(entries: DataFrame, coalescePartitions: Boolean = true): Unit =
+    putWithShard(entries, shardExpr(col("key")), coalescePartitions)
+
+  /** Shard-addressed write bypassing the sharding function — the
+    * reference's `direct_put` (src/db.rs:49): every entry in the batch
+    * lands in `shard`, whatever its key hashes to. Reads must then use
+    * [[directGet]] with the same shard. */
+  def directPut(shard: Int, entries: DataFrame,
+      coalescePartitions: Boolean = true): Unit = {
+    require(shard >= 0 && shard < opts.numShards,
+      s"shard $shard outside [0, ${opts.numShards})")
+    putWithShard(entries, lit(shard).cast("int"), coalescePartitions)
+  }
+
+  private def putWithShard(entries: DataFrame,
+      shardCol: org.apache.spark.sql.Column,
+      coalescePartitions: Boolean): Unit = synchronized {
     refreshPointer()
     val seq = nextSeq()
     val routed = entries
-      .withColumn("shard", shardExpr(col("key")))
+      .withColumn("shard", shardCol)
       .withColumn("bucket", expr(s"ts div ${opts.bucketSize}"))
       .withColumn("seq", lit(seq))
       // within-batch tiebreak: duplicate (key, ts) rows in ONE put would
@@ -378,6 +454,23 @@ final class HelixStore private (
       case Some(_) =>
         spark.range(1).select(shardExpr(lit(key)).as("s")).head().getInt(0).toLong
     }
+    getInShard(shard, key, ts, decompress)
+  }
+
+  /** Shard-addressed point get bypassing the sharding function — the
+    * reference's `direct_get` (src/db.rs:57): reads exactly the named
+    * shard, pairing with [[directPut]]. */
+  def directGet(shard: Int, key: Array[Byte], ts: Long,
+      decompress: Boolean = true): Option[Array[Byte]] = {
+    require(shard >= 0 && shard < opts.numShards,
+      s"shard $shard outside [0, ${opts.numShards})")
+    refreshPointer()
+    if (!hasData) return None
+    getInShard(shard.toLong, key, ts, decompress)
+  }
+
+  private def getInShard(shard: Long, key: Array[Byte], ts: Long,
+      decompress: Boolean): Option[Array[Byte]] = {
     // Spark SQL `div` truncates toward zero; use the same semantics here
     // (floorDiv would floor, routing negative logical timestamps to a
     // different bucket than put() wrote)
@@ -484,6 +577,12 @@ final class HelixStore private (
     val newBlocks = s"b-$g"
     val newManifest = s"m-$g"
     val newRows = s"r-$g"
+    // UDCF dispatch: registry + fn pulled into locals so the task
+    // closure captures plain Serializable values, not `this`. A dispatch
+    // to an unregistered codec name fails the compaction loudly
+    // (reference FnRegistry::udcf errors, fn_registry.rs:96).
+    val codecsByName = opts.codecs
+    val dispatch = opts.codecDispatch.getOrElse((_: Array[Byte]) => NoopCodec.name)
     val blocks = rawEntries()
       .select(col("key"), col("ts"), col("value"), col("seq"), col("subseq"),
         col("shard"), col("bucket"))
@@ -500,8 +599,13 @@ final class HelixStore private (
         while (i < byTs.length) {
           deltas(i) = byTs(i)._2 - prev; prev = byTs(i)._2; i += 1
         }
-        HelixStore.BinBlock(k._1.toArray, k._2, k._3, t0, deltas,
-          byTs.map(_._4), byTs.map(_._3))
+        val keyBytes = k._1.toArray
+        val codecName = dispatch(keyBytes)
+        val codec = codecsByName.getOrElse(codecName, throw new IllegalArgumentException(
+          s"codec dispatch returned unregistered name '$codecName' " +
+            s"(registered: ${codecsByName.keys.mkString(", ")})"))
+        HelixStore.BinBlock(keyBytes, k._2, k._3, t0, deltas,
+          byTs.map(_._4), codecName, codec.encode(byTs.map(_._3)))
       }
       .toDF()
     blocks.repartition(col("shard"), col("bucket"))

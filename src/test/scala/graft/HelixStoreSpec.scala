@@ -175,6 +175,65 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.get("aaa".getBytes, 3L).map(new String(_)).contains("fresh"))
   }
 
+  test("UDCF registry dispatches codecs per key prefix (fn_registry.rs:75-99)") {
+    val dir = tmpDir("hs-udcf")
+    val store = HelixStore.open(spark, dir, StoreOptions(
+      numShards = 2, bucketSize = 10,
+      codecs = Map(
+        graft.core.NoopCodec.name -> graft.core.NoopCodec,
+        XorCodec.name -> XorCodec),
+      // keys beginning "x:" compress through XOR, everything else noop —
+      // the per-key-family dispatch the reference's README headlines
+      codecDispatch = Some((k: Array[Byte]) =>
+        if (k.length >= 2 && k(0) == 'x' && k(1) == ':') XorCodec.name
+        else graft.core.NoopCodec.name)))
+    store.put(entriesDF(Seq(
+      ("x:a", 1L, "secret"), ("x:a", 2L, "secret2"), ("plain", 1L, "open"))))
+    store.blockCompact()
+    // roundtrip through both codecs (mirror of fn_registry's noop_udcf test)
+    assert(store.get("x:a".getBytes, 1L).map(new String(_)).contains("secret"))
+    assert(store.get("x:a".getBytes, 2L).map(new String(_)).contains("secret2"))
+    assert(store.get("plain".getBytes, 1L).map(new String(_)).contains("open"))
+    // the on-disk payloads really went through the dispatched codecs
+    val blockDir = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("b-")).get
+    val blocks = spark.read.parquet(blockDir.toString)
+      .collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("key")), r.getAs[String]("codec"),
+        r.getAs[Array[Byte]]("payload")))
+    assert(blocks.collect { case (k, c, _) if k == "x:a" => c }.toSeq == Seq(XorCodec.name))
+    assert(blocks.collect { case (k, c, _) if k == "plain" => c }.toSeq == Seq(graft.core.NoopCodec.name))
+    val xorPayload = blocks.collectFirst { case ("x:a", _, p) => p }.get
+    assert(!new String(xorPayload).contains("secret"),
+      "xor-dispatched payload must not contain plaintext")
+    // dispatch to an unregistered codec fails loudly
+    val bad = HelixStore.open(spark, tmpDir("hs-udcf-bad"), StoreOptions(
+      numShards = 2, bucketSize = 10,
+      codecDispatch = Some((_: Array[Byte]) => "no-such-codec")))
+    bad.put(entriesDF(Seq(("k", 1L, "v"))))
+    val e = intercept[org.apache.spark.SparkException] { bad.blockCompact() }
+    assert(e.getMessage.contains("no-such-codec") ||
+      Option(e.getCause).exists(_.getMessage.contains("no-such-codec")))
+  }
+
+  test("direct_put / direct_get bypass routing to an explicit shard (db.rs:49,57)") {
+    val store = HelixStore.open(spark, tmpDir("hs-direct"),
+      StoreOptions(numShards = 4, bucketSize = 10))
+    // mirror of the reference example: write to a chosen shard, read it back
+    store.directPut(3, entriesDF(Seq(("dk", 0L, "dv"))))
+    assert(store.directGet(3, "dk".getBytes, 0L).map(new String(_)).contains("dv"))
+    // other shards don't see it; absent ts doesn't resolve
+    assert(store.directGet(0, "dk".getBytes, 0L).isEmpty)
+    assert(store.directGet(3, "dk".getBytes, 1L).isEmpty)
+    // direct writes survive compaction and LWW like routed ones
+    store.directPut(3, entriesDF(Seq(("dk", 0L, "dv2"))))
+    store.blockCompact()
+    assert(store.directGet(3, "dk".getBytes, 0L).map(new String(_)).contains("dv2"))
+    // out-of-range shard is rejected
+    intercept[IllegalArgumentException] { store.directPut(4, entriesDF(Seq(("k", 0L, "v")))) }
+    intercept[IllegalArgumentException] { store.directGet(-1, "k".getBytes, 0L) }
+  }
+
   test("custom ShardingKeyFn routes puts and gets consistently (fn_registry analogue)") {
     import org.apache.spark.sql.functions.{length => sqlLength, pmod}
     val store = HelixStore.open(spark, tmpDir("hs-shardfn"),
@@ -339,4 +398,16 @@ class HelixStoreSpec extends SparkTestBase {
       s"bucket of ts=25 must survive a cutoff at 20 (bucket floor), got ${left.mkString(",")}")
     assert(store.get("a".getBytes, 5L).isEmpty)
   }
+}
+
+/** Test codec: XOR every payload byte with 0x5A — visibly scrambles
+  * plaintext and is its own inverse. Top-level object so compaction
+  * tasks serialize it without an enclosing spec instance. */
+object XorCodec extends graft.core.BlockCodec {
+  val name = "xor"
+  private def x(b: Array[Byte]): Array[Byte] = b.map(v => (v ^ 0x5A).toByte)
+  def encode(vals: Array[Array[Byte]]): Array[Byte] =
+    x(graft.core.NoopCodec.encode(vals))
+  def decode(blob: Array[Byte]): Array[Array[Byte]] =
+    graft.core.NoopCodec.decode(x(blob))
 }
