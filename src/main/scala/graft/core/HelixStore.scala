@@ -134,6 +134,98 @@ final class HelixStore private (
   private val root: Path = Paths.get(path)
   private val seqsDir: Path = root.resolve("_seqs")
   private val pointerFile: Path = root.resolve("_current")
+  private val mutexFile: Path = root.resolve("_mutex")
+  private val graveyardFile: Path = root.resolve("_graveyard")
+  /** Identifies this instance's cross-process lock ownership. */
+  private val instanceId: String = java.util.UUID.randomUUID().toString
+
+  // ---- cross-process mutation lock ------------------------------------
+  // Every MUTATION (put, compact, blockCompact, outdate, vacuum, open-
+  // time orphan cleanup) runs under an exclusive on-disk lock claimed by
+  // atomically creating `_mutex` — so another process's put can never
+  // interleave with this process's compaction swap (the lost-write and
+  // deleted-uncommitted-output races). The lock is reentrant PER
+  // INSTANCE (hold count), which is what lets a put proceed while this
+  // same instance's background compaction holds the lock — intra-
+  // instance interleaving is governed by the finer putGate below. A lock
+  // whose file is older than opts.lockStaleMs is presumed abandoned by a
+  // crashed process and broken. At cluster scale this role is played by
+  // a catalog/metastore transaction lock; a lock FILE works for any
+  // filesystem with atomic create (not S3 — document before porting).
+  private val lockState = new Object
+  private var lockHolds = 0
+
+  private def acquireMutex(): Unit = {
+    lockState.synchronized {
+      if (lockHolds > 0) { lockHolds += 1; return }
+    }
+    while (true) {
+      try {
+        Files.write(mutexFile, instanceId.getBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        lockState.synchronized { lockHolds = 1 }
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // stale-break: holder crashed without releasing
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(mutexFile).toMillis
+            if (age > opts.lockStaleMs) Files.deleteIfExists(mutexFile)
+            else Thread.sleep(5)
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
+  }
+
+  private def releaseMutex(): Unit = lockState.synchronized {
+    lockHolds -= 1
+    if (lockHolds == 0) {
+      // only delete a lock we still own (a stale-break may have handed
+      // the file to another process while we overstayed)
+      try {
+        if (new String(Files.readAllBytes(mutexFile)) == instanceId)
+          Files.deleteIfExists(mutexFile)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def withMutex[T](f: => T): T = {
+    acquireMutex()
+    try f finally releaseMutex()
+  }
+
+  // ---- intra-instance put/compaction gate -----------------------------
+  // Puts and a background compaction of the SAME instance overlap almost
+  // entirely: the compaction reads a snapshot of the rick file list,
+  // builds the new generation, and only its brief commit window excludes
+  // puts — entries put meanwhile land in the old rick dir and are MOVED
+  // into the new generation during that window (reference analogue: the
+  // rick keeps accepting writes while level compaction runs off-path,
+  // compact_sched.rs).
+  private val putGate = new Object
+  private var activePuts = 0
+  private var commitPending = false
+
+  private def beginPut(): Unit = putGate.synchronized {
+    while (commitPending) putGate.wait()
+    activePuts += 1
+  }
+  private def endPut(): Unit = putGate.synchronized {
+    activePuts -= 1
+    putGate.notifyAll()
+  }
+  /** Run `f` with puts drained and excluded (the commit window). */
+  private def withPutsExcluded[T](f: => T): T = {
+    putGate.synchronized {
+      commitPending = true
+      while (activePuts > 0) putGate.wait()
+    }
+    try f finally putGate.synchronized {
+      commitPending = false
+      putGate.notifyAll()
+    }
+  }
 
   /** The committed generation set. `gen` is the highest generation
     * number ever allocated (new dirs get gen+1 so names never clash
@@ -160,21 +252,67 @@ final class HelixStore private (
       Files.createDirectories(root.resolve(p.rows))
       writePointer(p)
       p
-    } else {
+    } else withMutex {
+      // Under the mutation lock no compaction is mid-flight, so any
+      // unreferenced, un-graveyarded generation dir is a crashed swap's
+      // half-written output — roll it back. Graveyarded dirs are
+      // superseded-but-retained (lazily-running reader plans may still
+      // reference them) and fall to age-based vacuum instead.
       val p = readPointer()
-      // roll back any interrupted swap: generation dirs not referenced
-      // by the committed pointer are orphans (either a crashed
-      // compaction's half-written output, or an already-committed swap's
-      // leftover input) — delete them before serving reads
       val live = Set(Some(p.rows), p.blocks, p.manifest).flatten
+      val buried = readGraveyard().map(_._1).toSet
       listDir(root)
         .filter { d =>
           val n = d.getFileName.toString
-          n.matches("^[rbm]-[0-9]+$") && !live.contains(n)
+          n.matches("^[rbm]-[0-9]+$") && !live.contains(n) && !buried.contains(n)
         }
         .foreach(deleteRecursively)
+      vacuumLocked(opts.graveyardRetentionMs)
       p
     }
+  }
+
+  // ---- graveyard (deferred generation deletion) -----------------------
+  // Superseded generations are not deleted at commit: an in-flight
+  // reader's plan may materialize long after the swap (Spark laziness).
+  // They are recorded here with a burial time and physically deleted by
+  // vacuum() once older than the retention window — the snapshot-
+  // retention discipline of log-structured table formats.
+
+  private def readGraveyard(): Seq[(String, Long)] =
+    if (!Files.exists(graveyardFile)) Seq.empty
+    else new String(Files.readAllBytes(graveyardFile)).split('\n').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(n, s) = l.split(" ", 2); (n, s.toLong) }
+
+  private def writeGraveyard(entries: Seq[(String, Long)]): Unit = {
+    val tmp = root.resolve("_graveyard.tmp")
+    Files.write(tmp,
+      entries.map { case (n, s) => s"$n $s" }.mkString("", "\n", "\n").getBytes)
+    Files.move(tmp, graveyardFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Record superseded generation dirs for deferred deletion (caller
+    * holds the mutation lock). */
+  private def bury(dirs: Seq[String]): Unit = {
+    val now = System.currentTimeMillis()
+    writeGraveyard(readGraveyard() ++ dirs.map(_ -> now))
+  }
+
+  /** Physically delete graveyarded generations older than `olderThanMs`.
+    * Readers that might still reference a generation are only safe while
+    * retention exceeds their plan's lifetime — the same contract as
+    * VACUUM in log-structured table formats. */
+  def vacuum(olderThanMs: Long = opts.graveyardRetentionMs): Unit =
+    withMutex { vacuumLocked(olderThanMs) }
+
+  private def vacuumLocked(olderThanMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    val (dead, live) = readGraveyard()
+      .partition { case (_, since) => now - since >= olderThanMs }
+    dead.foreach { case (n, _) => deleteRecursively(dirOf(n)) }
+    if (dead.nonEmpty || Files.exists(graveyardFile)) writeGraveyard(live)
   }
 
   private def readPointer(): Pointer = {
@@ -298,7 +436,8 @@ final class HelixStore private (
     * block partitions that cannot contain the key. */
   private def manifest: Map[(Int, Long), (Array[Byte], Array[Byte])] = {
     manifestCache.getOrElse {
-      val m = ptr.manifest match {
+      val p0 = ptr // snapshot: a compaction can commit while we load
+      val m = p0.manifest match {
         case None => Map.empty[(Int, Long), (Array[Byte], Array[Byte])]
         case Some(name) =>
           spark.read.parquet(dirOf(name).toString).collect().map { r =>
@@ -306,7 +445,10 @@ final class HelixStore private (
               ((r.getAs[Array[Byte]]("min_key"), r.getAs[Array[Byte]]("max_key")))
           }.toMap
       }
-      manifestCache = Some(m)
+      // only cache if the pointer didn't move during the load: a stale
+      // manifest cached over a newer commit would prove FALSE absence
+      // for keys the new generation holds (missed reads)
+      if (ptr eq p0) manifestCache = Some(m)
       m
     }
   }
@@ -356,11 +498,21 @@ final class HelixStore private (
     * blocks, all carrying (key, ts, value, seq, shard, bucket). The
     * `decompress` flag mirrors the reference ReadOption: when false the
     * block layer is skipped (reference: src/option.rs:131). */
-  private def rawEntries(decompress: Boolean = true): DataFrame = {
+  private def rawEntries(decompress: Boolean = true,
+      rowFilesSnapshot: Option[Seq[Path]] = None): DataFrame = {
     val cols = Seq("key", "ts", "value", "seq", "subseq", "shard", "bucket")
-    val rows =
-      if (hasRows) Some(spark.read.parquet(rowsPath).select(cols.map(col): _*))
-      else None
+    val rows = rowFilesSnapshot match {
+      // explicit file snapshot (compaction): read exactly these files so
+      // concurrently-appended entries are excluded (they move to the new
+      // generation at commit instead)
+      case Some(files) =>
+        if (files.isEmpty) None
+        else Some(spark.read.option("basePath", rowsPath)
+          .parquet(files.map(_.toString): _*).select(cols.map(col): _*))
+      case None =>
+        if (hasRows) Some(spark.read.parquet(rowsPath).select(cols.map(col): _*))
+        else None
+    }
     val blocks =
       if (decompress && hasBlocks) {
         import spark.implicits._
@@ -412,26 +564,33 @@ final class HelixStore private (
 
   private def putWithShard(entries: DataFrame,
       shardCol: org.apache.spark.sql.Column,
-      coalescePartitions: Boolean): Unit = synchronized {
-    refreshPointer()
-    val seq = nextSeq()
-    val routed = entries
-      .withColumn("shard", shardCol)
-      .withColumn("bucket", expr(s"ts div ${opts.bucketSize}"))
-      .withColumn("seq", lit(seq))
-      // within-batch tiebreak: duplicate (key, ts) rows in ONE put would
-      // otherwise tie on seq and resolve LWW nondeterministically (the
-      // reference's rick append offset makes the later entry win)
-      .withColumn("subseq", monotonically_increasing_id())
-    // Cluster rows by target partition before the write: without this,
-    // EVERY input task emits a file into every (shard, bucket) it
-    // happens to hold — the classic small-files explosion at scale.
-    val arranged =
-      if (coalescePartitions) routed.repartition(col("shard"), col("bucket"))
-      else routed
-    arranged.write.mode("append")
-      .partitionBy("shard", "bucket")
-      .parquet(rowsPath)
+      coalescePartitions: Boolean): Unit = withMutex {
+    // mutex: excludes other PROCESSES' compaction swaps (reentrant under
+    // this instance's own background compaction); putGate: excludes only
+    // the brief commit window, during which the target rick generation
+    // flips. The rowsPath must be resolved after both.
+    beginPut()
+    try {
+      refreshPointer()
+      val seq = nextSeq()
+      val routed = entries
+        .withColumn("shard", shardCol)
+        .withColumn("bucket", expr(s"ts div ${opts.bucketSize}"))
+        .withColumn("seq", lit(seq))
+        // within-batch tiebreak: duplicate (key, ts) rows in ONE put would
+        // otherwise tie on seq and resolve LWW nondeterministically (the
+        // reference's rick append offset makes the later entry win)
+        .withColumn("subseq", monotonically_increasing_id())
+      // Cluster rows by target partition before the write: without this,
+      // EVERY input task emits a file into every (shard, bucket) it
+      // happens to hold — the classic small-files explosion at scale.
+      val arranged =
+        if (coalescePartitions) routed.repartition(col("shard"), col("bucket"))
+        else routed
+      arranged.write.mode("append")
+        .partitionBy("shard", "bucket")
+        .parquet(rowsPath)
+    } finally endPut()
   }
 
   /** All live entries (latest write wins per (key, ts)). */
@@ -536,29 +695,64 @@ final class HelixStore private (
       .select(EntryColumns.map(col): _*)
   }
 
+  /** All parquet part files under a generation dir (sorted for
+    * deterministic snapshots). */
+  private def listParquetFiles(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val st = Files.walk(dir)
+      try st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList.sortBy(_.toString)
+      finally st.close()
+    }
+
+  /** Move every parquet file under `from` that is NOT in `snapshot` into
+    * the same relative location under `to` — the entries put while a
+    * compaction was building its new generation. Runs inside the commit
+    * window (no put in flight), so the leftover set is stable. */
+  private def moveLeftovers(from: Path, snapshot: Set[Path], to: Path): Unit =
+    listParquetFiles(from).filterNot(snapshot).foreach { f =>
+      val dest = to.resolve(from.relativize(f))
+      Files.createDirectories(dest.getParent)
+      Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** Serializes this instance's compactions (the cross-process mutex is
+    * instance-reentrant, so it alone wouldn't stop two threads of ONE
+    * instance compacting concurrently). */
+  private val compactionMutex = new Object
+
   /** Rewrite the rick layer into one file per partition sorted by
     * (key, ts) with last-write-wins applied — the rick → SSTable
     * compaction (reference: src/level.rs:356-470). Parallel per
     * partition; the swap commits via one atomic pointer rename, so a
-    * crash leaves either the old or the new generation intact. */
-  def compact(): Unit = synchronized {
+    * crash leaves either the old or the new generation intact. Puts of
+    * this instance proceed concurrently: the rewrite works off a file
+    * snapshot, and entries appended meanwhile are moved into the new
+    * generation inside the brief put-excluded commit window. */
+  def compact(): Unit = compactionMutex.synchronized { withMutex {
     refreshPointer()
-    if (!hasRows) return
-    val cur = ptr
-    val g = allocGen(cur)
-    val newRows = s"r-$g"
-    val raw = spark.read.parquet(rowsPath)
-    val w = Window.partitionBy("key", "ts")
-      .orderBy(col("seq").desc, col("subseq").desc)
-    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn")
-      .repartition(col("shard"), col("bucket"))
-      .sortWithinPartitions("key", "ts")
-      .write.mode("overwrite").partitionBy("shard", "bucket")
-      .parquet(dirOf(newRows).toString)
-    commit(cur.copy(gen = g, rows = newRows))
-    deleteRecursively(dirOf(cur.rows)) // post-commit cleanup (crash-safe)
-  }
+    if (hasRows) {
+      val cur = ptr
+      val g = allocGen(cur)
+      val newRows = s"r-$g"
+      val snapshot = listParquetFiles(dirOf(cur.rows))
+      val raw = spark.read.option("basePath", dirOf(cur.rows).toString)
+        .parquet(snapshot.map(_.toString): _*)
+      val w = Window.partitionBy("key", "ts")
+        .orderBy(col("seq").desc, col("subseq").desc)
+      raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+        .repartition(col("shard"), col("bucket"))
+        .sortWithinPartitions("key", "ts")
+        .write.mode("overwrite").partitionBy("shard", "bucket")
+        .parquet(dirOf(newRows).toString)
+      withPutsExcluded {
+        moveLeftovers(dirOf(cur.rows), snapshot.toSet, dirOf(newRows))
+        commit(cur.copy(gen = g, rows = newRows))
+      }
+      bury(Seq(cur.rows)) // deferred deletion: in-flight readers drain first
+    }
+  }}
 
   /** Fold BOTH layers into fresh compressed block ("SSTable") files —
     * per (key, shard, bucket) one delta-encoded block (reference:
@@ -568,22 +762,27 @@ final class HelixStore private (
     * generations are deleted only after the commit, so a crash
     * mid-compaction never loses committed entries. One groupByKey
     * shuffle; block size is bounded by the bucket. */
-  def blockCompact(): Unit = synchronized {
+  def blockCompact(): Unit = compactionMutex.synchronized { withMutex {
+    compactionsRun.incrementAndGet()
     refreshPointer()
-    if (!hasData) return
+    if (hasData) {
     import spark.implicits._
     val cur = ptr
     val g = allocGen(cur)
     val newBlocks = s"b-$g"
     val newManifest = s"m-$g"
     val newRows = s"r-$g"
+    // snapshot the rick file list: entries put while this compaction
+    // builds its output land in files outside the snapshot and are moved
+    // into the fresh rick generation at commit
+    val rickSnapshot = listParquetFiles(dirOf(cur.rows))
     // UDCF dispatch: registry + fn pulled into locals so the task
     // closure captures plain Serializable values, not `this`. A dispatch
     // to an unregistered codec name fails the compaction loudly
     // (reference FnRegistry::udcf errors, fn_registry.rs:96).
     val codecsByName = opts.codecs
     val dispatch = opts.codecDispatch.getOrElse((_: Array[Byte]) => NoopCodec.name)
-    val blocks = rawEntries()
+    val blocks = rawEntries(rowFilesSnapshot = Some(rickSnapshot))
       .select(col("key"), col("ts"), col("value"), col("seq"), col("subseq"),
         col("shard"), col("bucket"))
       .as[(Array[Byte], Long, Array[Byte], Long, Long, Int, Long)]
@@ -618,18 +817,25 @@ final class HelixStore private (
         count(lit(1)).as("n_blocks"))
       .coalesce(1)
       .write.mode("overwrite").parquet(dirOf(newManifest).toString)
-    Files.createDirectories(dirOf(newRows)) // fresh, empty rick layer
-    commit(Pointer(g, newRows, Some(newBlocks), Some(newManifest)))
-    // post-commit cleanup of the absorbed generations (orphan-safe)
-    deleteRecursively(dirOf(cur.rows))
-    cur.blocks.foreach(b => deleteRecursively(dirOf(b)))
-    cur.manifest.foreach(m => deleteRecursively(dirOf(m)))
-  }
+    // allocGen already claimed r-<g> as the fresh rick layer; entries
+    // put during the build move into it inside the commit window
+    withPutsExcluded {
+      moveLeftovers(dirOf(cur.rows), rickSnapshot.toSet, dirOf(newRows))
+      commit(Pointer(g, newRows, Some(newBlocks), Some(newManifest)))
+    }
+    // deferred deletion of the absorbed generations: in-flight readers
+    // keep resolving against them until vacuum's retention expires
+    bury(Seq(cur.rows) ++ cur.blocks ++ cur.manifest)
+    }
+  }}
 
   /** Drop all buckets strictly older than `ts` — pure partition-metadata
     * deletion, no data rewrite (reference Outdate, src/level.rs:337).
-    * Idempotent: a crash mid-deletion is healed by re-running. */
-  def outdate(ts: Long): Unit = synchronized {
+    * Idempotent: a crash mid-deletion is healed by re-running. Takes the
+    * compaction mutex: deleting bucket dirs out from under a running
+    * compaction would break its file-snapshot read (retention boundaries
+    * are orders of magnitude rarer than puts, so this wait is cheap). */
+  def outdate(ts: Long): Unit = compactionMutex.synchronized { withMutex {
     refreshPointer()
     if (!hasData) return
     val cutoff = ts / opts.bucketSize // truncating, matching put()
@@ -647,9 +853,54 @@ final class HelixStore private (
             .foreach(deleteRecursively)
         }
     }
+  }}
+
+  // ---- background compaction scheduling -------------------------------
+  // The reference runs compactions off the write path through a deduped
+  // task queue (compact_sched.rs:1-143): a put that trips a rick_range
+  // boundary must not stall ingestion for a full compaction. Same shape
+  // here: one lazily-started daemon worker per store, and a pending flag
+  // that coalesces schedule requests arriving while one is already
+  // queued (requests arriving DURING a run schedule a follow-up — the
+  // running pass may already have missed their data).
+
+  /** Total blockCompact invocations (test observability). */
+  private[graft] val compactionsRun = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var compactError: Option[Throwable] = None
+  private val compactPending = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var compactExecStarted = false
+  private lazy val compactExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, s"helixstore-compact-${root.getFileName}")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Queue a block compaction off the write path. Deduped: while one is
+    * pending, further requests coalesce into it. Failures surface on the
+    * next [[awaitCompactions]] (and are never silently dropped). */
+  def scheduleBlockCompact(): Unit =
+    if (compactPending.compareAndSet(false, true)) {
+      compactExecStarted = true
+      compactExec.execute { () =>
+        compactPending.set(false) // before running: see coalescing note
+        try blockCompact()
+        catch { case t: Throwable => compactError = Some(t) }
+      }
+    }
+
+  /** Barrier: wait for every scheduled compaction to finish; rethrows
+    * the first background failure. */
+  def awaitCompactions(): Unit = {
+    if (compactExecStarted)
+      compactExec.submit(new Runnable { def run(): Unit = () }).get()
+    compactError.foreach { t => compactError = None; throw t }
   }
 
-  def close(): Unit = ()
+  def close(): Unit = {
+    awaitCompactions()
+    if (compactExecStarted) compactExec.shutdown()
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)

@@ -59,11 +59,15 @@ final class SimpleTimestampReviewer(rickRange: Long, outdateRange: Long)
 object Lifecycle {
 
   /** Batch put + policy maintenance: after the write, the reviewer sees
-    * the batch's max ts; Compact triggers blockCompact (the whole rick
-    * layer freezes — Spark rewrites are full-partition anyway) and
-    * Outdate drops aged buckets. Returns the actions taken. */
+    * the batch's max ts; Compact SCHEDULES a blockCompact off the write
+    * path (reference compact_sched.rs — a rick_range boundary must not
+    * stall ingestion for a full compaction; `store.awaitCompactions()`
+    * is the barrier when the caller needs the result) and Outdate drops
+    * aged buckets. `asyncCompaction = false` restores the inline,
+    * blocking compaction. Returns the actions taken. */
   def putReviewed(store: HelixStore, entries: DataFrame,
-      reviewer: TimestampReviewer): Seq[TimestampAction] = {
+      reviewer: TimestampReviewer,
+      asyncCompaction: Boolean = true): Seq[TimestampAction] = {
     // pin the batch so the write and the max-ts probe see the same data
     // (a re-evaluated source could drift between the two passes)
     val pinned = entries.cache()
@@ -73,7 +77,9 @@ object Lifecycle {
       store.put(pinned)
       val actions = reviewer.observe(maxRow.getLong(0))
       actions.foreach {
-        case CompactAction(_, _) => store.blockCompact()
+        case CompactAction(_, _) =>
+          if (asyncCompaction) store.scheduleBlockCompact()
+          else store.blockCompact()
         case OutdateAction(before) => store.outdate(before + 1) // drop <= before
       }
       actions

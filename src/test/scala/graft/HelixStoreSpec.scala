@@ -84,12 +84,23 @@ class HelixStoreSpec extends SparkTestBase {
       store.put(entriesDF((0 until 10).map(k => (s"key$k", (batch * 10).toLong, "v"))))
     store.compact()
     import scala.jdk.CollectionConverters._
-    val counts = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    // inspect only the LIVE rows generation: superseded generations stay
+    // on disk (graveyard retention for in-flight readers) until vacuum
+    val rowsGen = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_current")))
+      .linesIterator.find(_.startsWith("rows=")).get.stripPrefix("rows=")
+    val counts = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, rowsGen))
       .iterator().asScala
       .filter(_.toString.endsWith(".parquet")).toList
       .groupBy(_.getParent.toString).values.map(_.size)
     assert(counts.nonEmpty && counts.forall(_ == 1), "one file per partition after compact")
     assert(store.toDF.count() == 50)
+    // vacuum(0) may now physically delete the superseded generation
+    store.vacuum(0L)
+    val gens = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("^[rbm]-[0-9]+$")).toSet
+    assert(gens == Set(rowsGen), s"only the live generation survives vacuum(0): $gens")
+    assert(store.toDF.count() == 50, "vacuum must not touch live data")
   }
 
   test("unordered scan returns the same rows as ordered scan") {
@@ -234,6 +245,65 @@ class HelixStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { store.directGet(-1, "k".getBytes, 0L) }
   }
 
+  test("puts proceed during a background compaction; none are lost (compact_sched analogue)") {
+    val store = HelixStore.open(spark, tmpDir("hs-async"),
+      StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF((0 until 20).map(k => (s"a$k", (k % 10).toLong, s"v$k"))))
+    store.scheduleBlockCompact()
+    // these puts race the running compaction: the file-snapshot + commit-
+    // window move must carry every one of them into the new generation
+    for (b <- 0 until 3)
+      store.put(entriesDF((0 until 5).map(k => (s"late$b$k", k.toLong, s"w$b$k"))))
+    store.awaitCompactions()
+    assert(store.toDF.count() == 35, "no put may be lost across the async swap")
+    assert(store.get("late21".getBytes, 1L).map(new String(_)).contains("w21"))
+    // a second compaction folds the late rick entries into blocks too
+    store.blockCompact()
+    assert(store.toDF.count() == 35)
+    store.close()
+  }
+
+  test("rapid compaction requests coalesce through the pending flag (compact_sched dedup)") {
+    val store = HelixStore.open(spark, tmpDir("hs-coalesce"),
+      StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF((0 until 10).map(k => (s"c$k", k.toLong, s"v$k"))))
+    val before = store.compactionsRun.get()
+    (0 until 10).foreach(_ => store.scheduleBlockCompact())
+    store.awaitCompactions()
+    val ran = store.compactionsRun.get() - before
+    assert(ran >= 1 && ran <= 3, s"10 rapid requests must coalesce, ran $ran times")
+    assert(store.toDF.count() == 10)
+    store.close()
+  }
+
+  test("a reader plan built before a compaction swap still materializes (graveyard retention)") {
+    val store = HelixStore.open(spark, tmpDir("hs-reader"),
+      StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF((0 until 12).map(k => (s"r$k", k.toLong % 10, s"v$k"))))
+    // plan pins the CURRENT generation's file listing (Spark laziness)
+    val df = store.scan((0L, 10L), ("r".getBytes, "s".getBytes))
+    store.blockCompact() // swaps generations; old dirs go to the graveyard
+    assert(df.collect().length == 12,
+      "a pre-swap plan must still resolve against the superseded generation")
+    // after retention expires the superseded generation may be vacuumed
+    store.vacuum(0L)
+    assert(store.scan((0L, 10L), ("r".getBytes, "s".getBytes)).collect().length == 12)
+    store.close()
+  }
+
+  test("two instances interleave puts and compactions without losing writes") {
+    val dir = tmpDir("hs-twoinst")
+    val a = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    val b = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    a.put(entriesDF(Seq(("ia", 1L, "va"))))
+    b.blockCompact() // b swaps generations under the cross-process lock
+    a.put(entriesDF(Seq(("ib", 2L, "vb")))) // a must land in the NEW generation
+    b.compact()
+    assert(a.toDF.count() == 2 && b.toDF.count() == 2)
+    assert(b.get("ia".getBytes, 1L).map(new String(_)).contains("va"))
+    assert(a.get("ib".getBytes, 2L).map(new String(_)).contains("vb"))
+  }
+
   test("custom ShardingKeyFn routes puts and gets consistently (fn_registry analogue)") {
     import org.apache.spark.sql.functions.{length => sqlLength, pmod}
     val store = HelixStore.open(spark, tmpDir("hs-shardfn"),
@@ -285,12 +355,15 @@ class HelixStoreSpec extends SparkTestBase {
     val dir = tmpDir("hs-lifecycle")
     val store = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 5))
     val reviewer = new SimpleTimestampReviewer(5, 10)
-    // ts 0..4 → compaction fires, rows become blocks
+    // ts 0..4 → compaction fires OFF the write path; the barrier makes
+    // the assertion deterministic
     Lifecycle.putReviewed(store, entriesDF((0 until 5).map(t => ("k", t.toLong, s"v$t"))), reviewer)
+    store.awaitCompactions()
     assert(store.hasBlockLayer)
     assert(store.toDF.count() == 5)
     // ts 5..9 → compaction + outdate(<=4): first bucket gone
     Lifecycle.putReviewed(store, entriesDF((5 until 10).map(t => ("k", t.toLong, s"v$t"))), reviewer)
+    store.awaitCompactions()
     val left = store.toDF.collect().map(_.getAs[Long]("ts")).sorted
     assert(left.sameElements(Array(5L, 6L, 7L, 8L, 9L)), left.mkString(","))
   }
