@@ -108,7 +108,17 @@ final case class StoreOptions(
     graveyardRetentionMs: Long = 10 * 60 * 1000L,
     /** Age (ms) after which a cross-process mutation lock is presumed
       * abandoned (holder crashed) and may be broken. */
-    lockStaleMs: Long = 10 * 60 * 1000L)
+    lockStaleMs: Long = 10 * 60 * 1000L,
+    /** Point-read LRU capacity — the reference's kv_cache
+      * (cache.rs CacheConfig.kv_cache_size, default 256). 0 disables.
+      * Safe under concurrent writers: the cache epoch is (pointer,
+      * max write-seq), and every mutation moves one of the two. */
+    kvCacheSize: Int = 256,
+    /** Manifest rows above which driver-side pruning is skipped (the
+      * collect would not be driver-bounded); reads then consult the
+      * block layer directly. At cluster scale a manifest this large
+      * would be broadcast-joined instead of collected. */
+    manifestPruneMaxEntries: Long = 100000L)
 
 object HelixStore {
   val EntryColumns: Seq[String] = Seq("key", "ts", "value")
@@ -236,9 +246,15 @@ final class HelixStore private (
       gen: Long, rows: String, blocks: Option[String], manifest: Option[String],
       seqhw: Long = -1L)
 
+  /** Driver-side manifest pruning state: either the collected index, or
+    * a too-big marker (pruning skipped, reads stay correct). */
+  private sealed trait ManifestState
+  private final case class ManifestLoaded(
+      m: Map[(Int, Long), (Array[Byte], Array[Byte])]) extends ManifestState
+  private case object ManifestTooBig extends ManifestState
+
   @volatile private var ptr: Pointer = initPointer()
-  @volatile private var manifestCache:
-      Option[Map[(Int, Long), (Array[Byte], Array[Byte])]] = None
+  @volatile private var manifestCache: Option[ManifestState] = None
   /** High-water mark of claimed write seqs; -1 = not yet initialized. */
   @volatile private var seqHw: Long = -1L
 
@@ -434,16 +450,20 @@ final class HelixStore private (
     * reference's sstable index block (src/file/sstable.rs
     * IndexBlockBuilder): point reads consult it driver-side and skip
     * block partitions that cannot contain the key. */
-  private def manifest: Map[(Int, Long), (Array[Byte], Array[Byte])] = {
+  private def manifest: ManifestState = {
     manifestCache.getOrElse {
       val p0 = ptr // snapshot: a compaction can commit while we load
-      val m = p0.manifest match {
-        case None => Map.empty[(Int, Long), (Array[Byte], Array[Byte])]
+      val m: ManifestState = p0.manifest match {
+        case None => ManifestLoaded(Map.empty)
         case Some(name) =>
-          spark.read.parquet(dirOf(name).toString).collect().map { r =>
+          val df = spark.read.parquet(dirOf(name).toString)
+          // size guard: an unbounded collect of a huge manifest would
+          // not be driver-bounded; give up pruning instead of crashing
+          if (df.count() > opts.manifestPruneMaxEntries) ManifestTooBig
+          else ManifestLoaded(df.collect().map { r =>
             (r.getAs[Number]("shard").intValue(), r.getAs[Number]("bucket").longValue()) ->
               ((r.getAs[Array[Byte]]("min_key"), r.getAs[Array[Byte]]("max_key")))
-          }.toMap
+          }.toMap)
       }
       // only cache if the pointer didn't move during the load: a stale
       // manifest cached over a newer commit would prove FALSE absence
@@ -458,11 +478,14 @@ final class HelixStore private (
   private def blockMayContain(shard: Long, bucket: Long, key: Array[Byte]): Boolean = {
     if (!hasBlocks) return false
     if (ptr.manifest.isEmpty) return true // no manifest: can't prune
-    manifest.get((shard.toInt, bucket)) match {
-      case None => false // manifest is complete: partition absent = no data
-      case Some((lo, hi)) =>
-        java.util.Arrays.compareUnsigned(key, lo) >= 0 &&
-          java.util.Arrays.compareUnsigned(key, hi) <= 0
+    manifest match {
+      case ManifestTooBig => true // pruning disabled, never wrong
+      case ManifestLoaded(m) => m.get((shard.toInt, bucket)) match {
+        case None => false // manifest is complete: partition absent = no data
+        case Some((lo, hi)) =>
+          java.util.Arrays.compareUnsigned(key, lo) >= 0 &&
+            java.util.Arrays.compareUnsigned(key, hi) <= 0
+      }
     }
   }
 
@@ -628,7 +651,45 @@ final class HelixStore private (
     getInShard(shard.toLong, key, ts, decompress)
   }
 
+  // ---- KV point-read cache (reference cache.rs kv_cache analogue) -----
+  // An exact-timestamp get costs a full Spark job; repeated point reads
+  // are the reference's kv_cache sweet spot. Invalidation epoch =
+  // (committed pointer, max minted write-seq): every mutation moves one
+  // of the two — put/directPut mint a seq file, compact/blockCompact/
+  // outdate commit the pointer — including mutations by OTHER instances,
+  // so a hit can never serve a superseded value. Both epoch components
+  // are driver-side metadata reads (`_current` is re-read by
+  // refreshPointer already; `_seqs` is one dir listing).
+
+  private final case class KvKey(shard: Long, key: Seq[Byte], ts: Long,
+      decompress: Boolean)
+  private val kvCache =
+    new java.util.LinkedHashMap[KvKey, Option[Array[Byte]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[KvKey, Option[Array[Byte]]]): Boolean =
+        size() > opts.kvCacheSize
+    }
+  private var kvEpoch: (Pointer, Long) = null
+
   private def getInShard(shard: Long, key: Array[Byte], ts: Long,
+      decompress: Boolean): Option[Array[Byte]] = {
+    if (opts.kvCacheSize <= 0) return getInShardUncached(shard, key, ts, decompress)
+    val epoch = (ptr, scanSeqFiles())
+    val k = KvKey(shard, key.toSeq, ts, decompress)
+    kvCache.synchronized {
+      if (kvEpoch != epoch) { kvCache.clear(); kvEpoch = epoch }
+      val hit = kvCache.get(k)
+      if (hit != null) return hit
+    }
+    val v = getInShardUncached(shard, key, ts, decompress)
+    kvCache.synchronized {
+      // drop the result if the store moved while the job ran
+      if (kvEpoch == epoch) kvCache.put(k, v): Unit
+    }
+    v
+  }
+
+  private def getInShardUncached(shard: Long, key: Array[Byte], ts: Long,
       decompress: Boolean): Option[Array[Byte]] = {
     // Spark SQL `div` truncates toward zero; use the same semantics here
     // (floorDiv would floor, routing negative logical timestamps to a
@@ -838,6 +899,10 @@ final class HelixStore private (
   def outdate(ts: Long): Unit = compactionMutex.synchronized { withMutex {
     refreshPointer()
     if (!hasData) return
+    // bump the committed pointer's gen (a pure counter move — allocGen
+    // probes for free dirs anyway) so other instances' read caches see
+    // the retention drop in their (pointer, seq) epoch
+    commit(ptr.copy(gen = ptr.gen + 1))
     val cutoff = ts / opts.bucketSize // truncating, matching put()
     val dataRoots = Seq(dirOf(ptr.rows)).filter(_ => hasRows) ++
       ptr.blocks.map(dirOf).filter(_ => hasBlocks)

@@ -245,6 +245,43 @@ class HelixStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { store.directGet(-1, "k".getBytes, 0L) }
   }
 
+  test("kv point-read cache serves repeat gets jobless; any mutation invalidates (cache.rs)") {
+    val store = HelixStore.open(spark, tmpDir("hs-kvcache"),
+      StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF(Seq(("ck", 1L, "v1"))))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    // the listener bus delivers asynchronously; poll until quiescent
+    def settled(): Int = {
+      var prev = -1; var cur = jobs.get(); var spins = 0
+      while (cur != prev && spins < 60) { Thread.sleep(50); prev = cur; cur = jobs.get(); spins += 1 }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // populate: one positive and one negative entry (both cacheable)
+      assert(store.get("ck".getBytes, 1L).map(new String(_)).contains("v1"))
+      assert(store.get("ck".getBytes, 99L).isEmpty)
+      val afterMisses = settled()
+      // repeats are pure cache hits: not a single Spark job may start
+      assert(store.get("ck".getBytes, 1L).map(new String(_)).contains("v1"))
+      assert(store.get("ck".getBytes, 99L).isEmpty)
+      val afterHits = settled()
+      assert(afterHits == afterMisses,
+        s"repeat gets must be jobless cache hits ($afterMisses -> $afterHits)")
+      // a put moves the (pointer, seq) epoch: the superseded value must go
+      store.put(entriesDF(Seq(("ck", 1L, "v2"))))
+      assert(store.get("ck".getBytes, 1L).map(new String(_)).contains("v2"))
+      // outdate moves the pointer: retention-dropped values must go
+      store.outdate(100L)
+      assert(store.get("ck".getBytes, 1L).isEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("puts proceed during a background compaction; none are lost (compact_sched analogue)") {
     val store = HelixStore.open(spark, tmpDir("hs-async"),
       StoreOptions(numShards = 2, bucketSize = 10))
