@@ -105,6 +105,17 @@ object OracleSqlGen {
   /** LSH-blocked near-dup pairs: the identical banded hyperplane sign
     * codes (same integer planes, same left-to-right dot order) generate
     * candidates; exact cosine verifies. Mirrors Dedup.embeddingCosine. */
+  val annBatchTopk: String =
+    s"""WITH $eCte,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (SELECT q.qid, e2.vec_id, ${cos("e2.v", "q.qv")} AS c
+       |  FROM e e2, q WHERE e2.vec_id >= 10)
+       |SELECT qid, rnk, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3""".stripMargin
+
   val dedupEmbedding: String = {
     val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
       val code = (0 until Dedup.EmbRows).map { k =>
@@ -189,6 +200,18 @@ object OracleSqlGen {
        |        FROM toks WHERE len(t) >= 2))
        |SELECT bigram, count(*) AS cnt FROM big
        |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  val textTopTerm: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY 1)
+       |SELECT doc_id, w AS top_term, tf, df FROM (
+       |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.w) AS rn
+       |  FROM tf JOIN df ON tf.w = df.w)
+       |WHERE rn = 1""".stripMargin
 
   val textLangid: String = {
     val scores = TextOps.StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>

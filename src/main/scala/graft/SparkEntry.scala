@@ -30,6 +30,8 @@ object SparkEntry {
     "q_percentiles" -> (Analytics.qPercentiles _),
     "ts_gap_fill" -> (TimeSeriesOps.gapFill _),
     "ts_rate" -> (TimeSeriesOps.rate _),
+    "ts_ema" -> (TimeSeriesOps.ema _),
+    "ts_sliding" -> (TimeSeriesOps.slidingCounts _),
     // Analytics (#10-15)
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk_revenue" -> (Analytics.q3TopkRevenue _),
@@ -62,6 +64,7 @@ object SparkEntry {
     "ann_lsh_bucket" -> (Similarity.lshBucket _),
     "knn_label_centroid" -> (Similarity.knnLabelCentroid _),
     "ann_ivf_topk" -> (Similarity.annIvfTopk _),
+    "ann_batch_topk" -> (Similarity.annBatchTopk _),
     // Text analysis (#24-27)
     "text_langid" -> (TextOps.langId _),
     "text_quality" -> (TextOps.quality _),
@@ -69,6 +72,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_rolling_hash" -> (TextOps.rollingHash _),
     "text_bigrams" -> (TextOps.bigrams _),
+    "text_top_term" -> (TextOps.topTerm _),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "text_scrub_digits" -> (TextOps.scrubDigits _),
     // Multimodal plumbing (#28-29)
@@ -254,6 +258,20 @@ object SparkEntry {
         |  FROM events)
         |WHERE dt_us IS NOT NULL AND dt_us > 0
         |GROUP BY 1, 2""".stripMargin,
+    "ts_ema" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  list_reduce(
+        |    list_prepend(0.0::DOUBLE, list(value ORDER BY epoch_us(ts), value)),
+        |    (acc, v) -> 0.25 * v + 0.75 * acc) AS ema
+        |FROM events GROUP BY 1""".stripMargin,
+    "ts_sliding" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+        |wins AS (SELECT event_type,
+        |    900000000 * unnest(generate_series(
+        |      (t - 3600000000) // 900000000 + 1, t // 900000000)) AS win_us
+        |  FROM ev)
+        |SELECT win_us, event_type, count(*) AS cnt
+        |FROM wins GROUP BY 1, 2""".stripMargin,
     "q_retention" ->
       """WITH daily AS (
         |  SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
@@ -338,12 +356,14 @@ object SparkEntry {
     "ann_lsh_bucket" -> OracleSqlGen.annLshBucket,
     "knn_label_centroid" -> OracleSqlGen.knnLabelCentroid,
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopk,
+    "ann_batch_topk" -> OracleSqlGen.annBatchTopk,
     "text_langid" -> OracleSqlGen.textLangid,
     "text_quality" -> OracleSqlGen.textQuality,
     "text_tokens" -> OracleSqlGen.textTokens,
     "text_fingerprint" -> OracleSqlGen.textFingerprint,
     "text_rolling_hash" -> OracleSqlGen.textRollingHash,
     "text_bigrams" -> OracleSqlGen.textBigrams,
+    "text_top_term" -> OracleSqlGen.textTopTerm,
     "sample_stratified" ->
       """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
         |FROM documents

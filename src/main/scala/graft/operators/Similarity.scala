@@ -117,6 +117,27 @@ object Similarity {
       .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
 
+  /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a
+    * query set (vec_id < 10) against the corpus (the rest) — the real
+    * production shape (embedding dedup / retrieval runs thousands of
+    * queries, not one). Queries broadcast; the per-query rank window
+    * partitions on qid, so parallelism scales with the query count and
+    * no window ever sees more than one query's candidates. */
+  def annBatchTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"))
+  }
+
   /** #23 — IVF coarse step: per-label centroid, then nearest-centroid
     * assignment by cosine (rounded to 6 dp before the argmax so the
     * cross-row float sums in the centroid can't flip an engine-boundary

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -129,6 +130,27 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
+
+  /** #59 — TF-IDF-style keyword extraction: each doc's most
+    * discriminative term = argmax tf/df (term frequency over document
+    * frequency), ties by term. tf and df are exact integers and tf/df
+    * is ONE IEEE division, so the ordering is bit-identical in DuckDB.
+    * Two shuffles (tf groupBy rides into the df join); the rank window
+    * partitions per doc, bounded by a doc's distinct-term count. */
+  def topTerm(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), explode(col("t")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val rank = Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("w"))
+    tf.join(df, "w")
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_term"), col("tf"), col("df"))
+  }
 
   /** #37 — ORDER-SENSITIVE rolling-hash fingerprint (Rabin-Karp): fold
     * H = (H*257 + h(tok)) mod P over the token sequence, h = 32-bit md5

@@ -220,6 +220,33 @@ object TimeSeriesOps {
         (sum(col("dv")).cast("double") / (sum(col("dt_us")) / lit(1000000L))).as("rate_per_s"))
   }
 
+  /** #56 — exponential moving average per key: the order-sensitive fold
+    * EMA' = 0.25*v + 0.75*EMA from 0, over values ordered by (ts, value)
+    * — the classic smoothing a TSDB serves alongside raw reads. One
+    * key-shuffle; the sequential dependency is inherent to EMA, so keys
+    * are the parallelism unit (billions of keys at scale). 0.25/0.75 are
+    * exact binary fractions and both engines fold the identical ordered
+    * list left-to-right, so the doubles match bit-for-bit. */
+  def ema(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("tus"), col("value")))).as("seq"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(col("seq"), lit(0.0),
+          (acc, x) => lit(0.25) * x.getField("value") + lit(0.75) * acc).as("ema"))
+
+  /** #57 — sliding-window event counts (1 h window, 15 min slide): every
+    * event lands in 4 overlapping windows; Spark's window() generator
+    * expands them map-side, then one (window, type) shuffle aggregates —
+    * the batch twin of the streaming sliding-window aggregation. */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .groupBy(unix_micros(col("w.start")).as("win_us"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** #9 — batched multi-key point get (one shuffle for the whole batch;
     * reference does N sharded gets, src/db.rs:171-196). */
   def multiGet(s: SparkSession, dir: String): DataFrame = {
