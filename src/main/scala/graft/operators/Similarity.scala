@@ -105,7 +105,11 @@ object Similarity {
     * nprobe/ncells of the data. */
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val (assigned, centroids) = assignments(s, dir)
-    val q = assigned.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // query vector straight from the source table: pulling it out of
+    // `assigned` would run the whole nearest-centroid pass a second time
+    // just to read back one unchanged vector
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(toDoubleVec(col("embedding")).as("qv"))
     val probeCells = centroids.crossJoin(broadcast(q))
       .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
       .orderBy(col("rcos").desc, col("clabel")).limit(2)
