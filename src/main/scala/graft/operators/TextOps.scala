@@ -142,8 +142,9 @@ object TextOps {
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), explode(col("t")).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val df = tok.select("doc_id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, term) already), so the
+    // explode + its shuffle run once, not twice
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val rank = Window.partitionBy("doc_id")
       .orderBy((col("tf").cast("double") / col("df")).desc, col("w"))
     tf.join(df, "w")

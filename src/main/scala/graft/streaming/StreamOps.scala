@@ -40,6 +40,24 @@ object StreamOps {
     tumblingCounts(
       s.readStream.schema(schema).format("parquet").load(eventsDir))
 
+  /** Shared logic: 1 h window / 15 min slide sliding counts per
+    * event_type — the streaming twin of the batch `ts_sliding` operator
+    * (#57); each event contributes to 4 overlapping windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("cnt"))
+
+  /** Streaming sliding-window counts over a file source (spec-paired
+    * with TimeSeriesOps.slidingCounts, the oracled batch twin). */
+  def slidingStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    slidingCounts(
+      s.readStream.schema(schema).format("parquet").load(eventsDir))
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

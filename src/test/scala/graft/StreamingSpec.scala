@@ -30,6 +30,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sliding-window counts equal the oracled batch ts_sliding") {
+    val staged = tmpDir("stream-sliding")
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.slidingStreaming(spark, staged, schema)
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("sliding_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.TimeSeriesOps.slidingCounts(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup with watermark matches batch distinct") {
     val staged = tmpDir("stream-dedup")
     // duplicate the stream on purpose
