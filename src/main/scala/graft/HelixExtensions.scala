@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.DotProductD
+import graft.functions.{BandCodes, DotProductD, MinHashSig}
 
 /**
  * SparkSessionExtensions entry point: registers graft's native functions
@@ -12,14 +12,48 @@ import graft.functions.DotProductD
  * `spark.sql.extensions=graft.HelixExtensions`.
  */
 class HelixExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** A constant-foldable integer argument (SQL literal). */
+  private def intArg(fn: String, e: Expression, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2,
           s"graft_dot expects exactly 2 arguments, got ${children.length}")
         DotProductD(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_minhash_sig expects (hashes, numHashes, p), got ${children.length} args")
+        MinHashSig(children(0),
+          intArg("graft_minhash_sig", children(1), 2),
+          children(2) match {
+            case Literal(v: Long, _) => v
+            case Literal(v: Int, _) => v.toLong
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash_sig argument 3 must be an integer literal, got $other")
+          })
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_band_codes"),
+      new ExpressionInfo(classOf[BandCodes].getName, "graft_band_codes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_band_codes expects (vec, nBands, nRows), got ${children.length} args")
+        BandCodes(children(0),
+          intArg("graft_band_codes", children(1), 2),
+          intArg("graft_band_codes", children(2), 3))
       }))
   }
 }

@@ -79,6 +79,7 @@ object SparkEntry {
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_decode_stub" -> (Multimodal.decodeFeatures _),
+    "mm_chunk" -> (Multimodal.chunkLayout _),
     // Streaming batch twin (#30)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
   )
@@ -380,6 +381,15 @@ object SparkEntry {
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
     "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,
+    "mm_chunk" -> {
+      val cb = graft.operators.Multimodal.ChunkBytes
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+         |c AS (SELECT doc_id, n_bytes,
+         |    unnest(generate_series(0, (n_bytes - 1) // $cb)) AS chunk_idx
+         |  FROM b WHERE n_bytes > 0)
+         |SELECT doc_id, n_bytes, chunk_idx,
+         |  least($cb, n_bytes - chunk_idx * $cb) AS chunk_len FROM c""".stripMargin
+    },
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
   )
 }

@@ -77,6 +77,27 @@ object Multimodal {
       .toDF()
   }
 
+  /** Chunk size for [[chunkLayout]] — small because the synthetic
+    * payloads are; a real pipeline uses MiB-scale chunks. */
+  val ChunkBytes = 64
+
+  /** #60 — chunk layout for binary payloads: how a store/transfer layer
+    * splits each blob into fixed-size pieces (last one ragged). Pure
+    * integer arithmetic over octet_length — the blob itself never
+    * enters the explode (ids and lengths only), so the op is metadata-
+    * weight at any scale. Byte-exact reassembly of the actual chunks is
+    * spec-verified Spark-side (DuckDB cannot slice blobs). */
+  def chunkLayout(s: SparkSession, dir: String): DataFrame =
+    withPayload(s, dir)
+      .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        explode(when(col("n_bytes") > 0,
+          sequence(lit(0L), expr(s"(n_bytes - 1) div $ChunkBytes")))
+          .otherwise(array().cast("array<long>"))).as("chunk_idx"))
+      .select(col("doc_id"), col("n_bytes"), col("chunk_idx"),
+        least(lit(ChunkBytes.toLong),
+          col("n_bytes") - col("chunk_idx") * ChunkBytes).as("chunk_len"))
+
   /** #29 — frame sampling plumbing: a "video" with n_chars/200 + 1
     * frames, sampled at stride 3; explodes ids only, never payloads. */
   def frameSample(s: SparkSession, dir: String): DataFrame =

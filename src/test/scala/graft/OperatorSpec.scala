@@ -74,6 +74,46 @@ class OperatorSpec extends SparkTestBase {
     assert(v == 11.0)
   }
 
+  test("graft_minhash_sig and graft_band_codes are callable from SQL") {
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(array(5L, 9L), 4, 4294967311L) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4 && sig.forall(_ >= 0L))
+    val codes = spark.sql(
+      s"SELECT graft_band_codes(array(${(1 to 64).map(_ + ".0D").mkString(", ")}), 4, 4) AS c")
+      .head().getSeq[Int](0)
+    assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 16))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_band_codes(array(1.0D), 1 + 3, 4)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("mm_chunk layout reassembles byte-exactly to the payload") {
+    import org.apache.spark.sql.functions._
+    val cb = Multimodal.ChunkBytes
+    // slice actual payload chunks per the layout, stitch them back, and
+    // compare content hashes — the byte-level contract DuckDB can't check
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val rebuilt = Multimodal.chunkLayout(spark, Sf)
+      .join(docs, "doc_id")
+      .withColumn("chunk",
+        expr(s"substring(payload, cast(chunk_idx * $cb + 1 as int), $cb)"))
+      .groupBy("doc_id")
+      // pure-binary stitch: a string cast would mangle multi-byte UTF-8
+      // split across a chunk boundary
+      .agg(md5(aggregate(
+        sort_array(collect_list(struct(col("chunk_idx"), col("chunk"))))
+          .getField("chunk"),
+        lit(Array.emptyByteArray),
+        (acc, c) => concat(acc, c))).as("rebuilt_md5"))
+    val direct = docs.select(col("doc_id"), md5(col("payload")).as("payload_md5"))
+    val mismatches = rebuilt.join(direct, "doc_id")
+      .filter(col("rebuilt_md5") =!= col("payload_md5")).count()
+    assert(mismatches == 0, "chunks must reassemble to the original payload")
+  }
+
   test("codec roundtrip preserves every point") {
     val n = graft.operators.TimeSeriesOps.codecRoundtrip(spark, Sf).count()
     assert(n == graft.core.Tables.events(spark, Sf).count())
