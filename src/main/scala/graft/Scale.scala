@@ -22,6 +22,14 @@ object Scale {
     val docs = graft.core.Tables.documents(spark, base)
     (0 until 4).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 100000L)))
       .reduce(_.unionAll(_)).write.mode("overwrite").parquet("/tmp/scale/documents.parquet")
+    // embeddings x4 (8k vectors) — vec_id 0 stays unique so the ANN
+    // query set is unchanged while the corpus quadruples
+    val emb = graft.core.Tables.embeddings(spark, base)
+    (0 until 4).map(i => emb
+        .withColumn("vec_id", when(lit(i) === 0, col("vec_id"))
+          .otherwise(col("vec_id") + lit(i * 100000L)))
+        .filter(lit(i) === 0 || col("vec_id") >= 100000L))
+      .reduce(_.unionAll(_)).write.mode("overwrite").parquet("/tmp/scale/embeddings.parquet")
     spark.range(1).count()
     def time(n: String)(f: => Any): Unit = {
       spark.catalog.clearCache()
@@ -38,6 +46,9 @@ object Scale {
       time("ts_asof_join")(TimeSeriesOps.asofJoin(spark, dir).count())
       time("dedup_minhash_lsh")(Dedup.minhashLsh(spark, dir).count())
       time("text_langid")(TextOps.langId(spark, dir).count())
+      time("q_percentiles")(Analytics.qPercentiles(spark, dir).count())
+      time("dedup_embedding")(Dedup.embeddingCosine(spark, dir).count())
+      time("ann_batch_topk")(Similarity.annBatchTopk(spark, dir).count())
     }
     spark.stop()
   }
