@@ -39,6 +39,12 @@ object EntryIO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.select(col("key"), col("ts"), col("value")).write.mode("append").parquet(path)
 
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.schema(EntrySchema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.select(col("key"), col("ts"), col("value")).write.mode("append").orc(path)
+
   def readCsv(s: SparkSession, path: String): DataFrame =
     fromText(s.read.schema(TextSchema).option("header", "true").csv(path))
 

@@ -430,7 +430,7 @@ class HelixStoreSpec extends SparkTestBase {
     assert(viaStore == viaTable)
   }
 
-  test("EntryIO roundtrips entries through parquet, csv, and json") {
+  test("EntryIO roundtrips entries through parquet, orc, csv, and json") {
     import graft.sources.EntryIO
     val df = entriesDF(Seq(("a", 1L, "x"), ("b", 2L, "y")))
     def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
@@ -439,6 +439,8 @@ class HelixStoreSpec extends SparkTestBase {
     val expected = Set(("a", 1L, "x"), ("b", 2L, "y"))
     val pq = tmpDir("eio-pq"); EntryIO.writeParquet(df, s"$pq/d")
     assert(asSet(EntryIO.readParquet(spark, s"$pq/d")) == expected)
+    val oc = tmpDir("eio-orc"); EntryIO.writeOrc(df, s"$oc/d")
+    assert(asSet(EntryIO.readOrc(spark, s"$oc/d")) == expected)
     val cv = tmpDir("eio-csv"); EntryIO.writeCsv(df, s"$cv/d")
     assert(asSet(EntryIO.readCsv(spark, s"$cv/d")) == expected)
     val js = tmpDir("eio-json"); EntryIO.writeJson(df, s"$js/d")
