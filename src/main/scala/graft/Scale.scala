@@ -45,6 +45,7 @@ object Scale {
       time("q_sessionize")(Analytics.qSessionize(spark, dir).count())
       time("ts_asof_join")(TimeSeriesOps.asofJoin(spark, dir).count())
       time("dedup_minhash_lsh")(Dedup.minhashLsh(spark, dir).count())
+      time("dedup_ngram_jaccard")(Dedup.ngramJaccard(spark, dir).count())
       time("text_langid")(TextOps.langId(spark, dir).count())
       time("q_percentiles")(Analytics.qPercentiles(spark, dir).count())
       time("dedup_embedding")(Dedup.embeddingCosine(spark, dir).count())

@@ -79,22 +79,45 @@ object Dedup {
         (col("rn") === 1).cast("int").as("keep"))
   }
 
-  /** #17 — n-gram Jaccard dedup (exact): one explode-join on shared
-    * shingles computes per-pair intersection counts directly (the
-    * aggregation rides the join shuffle — measured faster than
-    * candidate-pairs + array_intersect, whose per-pair set scan repeats
-    * work when candidates are plentiful), then the integer jaccard
-    * test over per-doc set sizes. */
+  /** #17 — n-gram Jaccard dedup, EXACT via prefix filtering (the
+    * PPJoin family, Chaudhuri et al. / Xiao et al.): a pair with
+    * jaccard >= t MUST share a shingle within each side's "prefix" —
+    * its n - ceil(t*n) + 1 globally-RAREST shingles — so candidates
+    * come from a join on prefix shingles only. A shingle shared by
+    * thousands of docs is (by its own frequency) never in a prefix,
+    * which kills the hot-shingle fanout the naive self-join suffers at
+    * scale, with ZERO recall loss: candidates are then verified by an
+    * exact set intersection over the full shingle sets. Same output,
+    * same oracle, as the naive formulation. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleTable(s, dir).cache()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_id1"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_id2"), col("s"))
-    val inter = a.join(b, "s").filter(col("doc_id1") < col("doc_id2"))
-      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "doc_id1").withColumnRenamed("n", "n1"), "doc_id1")
-      .join(sz.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("n", "n2"), "doc_id2")
+    // global rarity order: (document frequency, shingle) ascending
+    val rarity = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // per doc: full sorted-by-rarity shingle list + prefix length
+    //   prefixLen = n - ceil(t*n) + 1, ceil(8n/10) = (8n + 9) div 10
+    val docs = sh.join(rarity, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("df"), col("s")))).as("byRarity"))
+      .withColumn("prefixLen",
+        expr(s"n - ((n * $ThreshNum + $ThreshDen - 1) div $ThreshDen) + 1"))
+      .withColumn("set", col("byRarity.s"))
+      .select(col("doc_id"), col("n"), col("set"),
+        slice(col("set"), lit(1), col("prefixLen").cast("int")).as("prefix"))
+    val pre = docs.select(col("doc_id"), explode(col("prefix")).as("s"))
+    val cand = pre.select(col("doc_id").as("doc_id1"), col("s"))
+      .join(pre.select(col("doc_id").as("doc_id2"), col("s")), "s")
+      .filter(col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2")
+      .distinct()
+    // exact verification over the full sets — candidate count is
+    // bounded by prefix-shingle rarity, so the set scan stays cheap
+    cand
+      .join(docs.select(col("doc_id").as("doc_id1"),
+        col("set").as("s1"), col("n").as("n1")), "doc_id1")
+      .join(docs.select(col("doc_id").as("doc_id2"),
+        col("set").as("s2"), col("n").as("n2")), "doc_id2")
+      .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
       .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
       .select("doc_id1", "doc_id2")
   }
