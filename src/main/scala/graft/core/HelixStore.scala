@@ -743,9 +743,24 @@ final class HelixStore private (
 
   private def toDFWithPartitions: DataFrame = {
     refreshPointer()
-    val w = Window.partitionBy("key", "ts")
-      .orderBy(col("seq").desc, col("subseq").desc)
-    rawEntries().withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // Post-compaction fast path: with the rick empty, the block layer is
+    // the only source and blockCompact already resolved LWW per
+    // (key, ts) — same key → same shard, same ts → same bucket, so
+    // uniqueness is global. Skipping the rank window removes a full
+    // shuffle from every read of a compacted store (the common state —
+    // at 100 TB the read-amplification win is the whole point of
+    // compacting).
+    if (!hasRows && hasBlocks) rawEntries()
+    else {
+      // LWW scoped per shard (like the reference, whose shards are
+      // independent trees): for routed writes key determines shard so
+      // this equals a global (key, ts) rank, and for shard-addressed
+      // directPut data each shard keeps its own winner — exactly what
+      // the compacted fast path above yields, so both paths agree.
+      val w = Window.partitionBy("shard", "key", "ts")
+        .orderBy(col("seq").desc, col("subseq").desc)
+      rawEntries().withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
   }
 
   /** Latest value per key at or before `asOf` (TimeIterator newest-wins). */
@@ -799,7 +814,8 @@ final class HelixStore private (
       val snapshot = listParquetFiles(dirOf(cur.rows))
       val raw = spark.read.option("basePath", dirOf(cur.rows).toString)
         .parquet(snapshot.map(_.toString): _*)
-      val w = Window.partitionBy("key", "ts")
+      // per-shard LWW, matching toDFWithPartitions and blockCompact
+      val w = Window.partitionBy("shard", "key", "ts")
         .orderBy(col("seq").desc, col("subseq").desc)
       raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .drop("rn")

@@ -328,6 +328,21 @@ class HelixStoreSpec extends SparkTestBase {
     store.close()
   }
 
+  test("a fully-compacted store reads without the LWW rank shuffle") {
+    val store = HelixStore.open(spark, tmpDir("hs-fastread"),
+      StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF(Seq(("fa", 1L, "v1"), ("fa", 1L, "v1b"), ("fb", 2L, "v2"))))
+    val before = store.toDF.queryExecution.executedPlan.toString
+    assert(before.contains("Window"), "rick data needs the LWW rank window")
+    store.blockCompact()
+    val after = store.toDF.queryExecution.executedPlan.toString
+    assert(!after.contains("Window"),
+      "block-only reads must skip the LWW window (blocks are pre-resolved)")
+    // semantics unchanged: LWW winner survives, count is deduped
+    assert(store.get("fa".getBytes, 1L).map(new String(_)).contains("v1b"))
+    assert(store.toDF.count() == 2)
+  }
+
   test("two instances interleave puts and compactions without losing writes") {
     val dir = tmpDir("hs-twoinst")
     val a = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
