@@ -42,6 +42,12 @@ object StoreBench {
       val k = f"key${(i * 37) % numKeys}%08d".getBytes
       time(store.get(k, (i * 13) % numTs))._2
     }
+    // repeat the same point reads: served by the kv cache (cache.rs
+    // kv_cache analogue) without a Spark job
+    val cachedGets = (0 until 50).map { i =>
+      val k = f"key${(i * 37) % numKeys}%08d".getBytes
+      time(store.get(k, (i * 13) % numTs))._2
+    }
     val (nScan, tScan) = time(
       store.scan((0L, numTs.toLong), ("key".getBytes, "kez".getBytes)).count())
     val (_, tCompact) = time(store.blockCompact())
@@ -52,7 +58,8 @@ object StoreBench {
 
     val rows = numKeys.toLong * numTs
     println(f"""{"rows":$rows,"put_s":$tPut%.2f,"put_rows_per_s":${rows / tPut}%.0f,""" +
-      f""""get_avg_ms":${gets.sum / gets.size * 1000}%.0f,"scan_s":$tScan%.2f,""" +
+      f""""get_avg_ms":${gets.sum / gets.size * 1000}%.0f,""" +
+      f""""get_cached_avg_us":${cachedGets.sum / cachedGets.size * 1e6}%.0f,"scan_s":$tScan%.2f,""" +
       f""""scan_rows_per_s":${rows / tScan}%.0f,"block_compact_s":$tCompact%.2f,""" +
       f""""scan_after_compact_s":$tScan2%.2f}""")
     spark.stop()

@@ -965,7 +965,16 @@ final class HelixStore private (
       compactExecStarted = true
       compactExec.execute { () =>
         compactPending.set(false) // before running: see coalescing note
-        try blockCompact()
+        try {
+          // job-group properties are inheritable thread-locals: without
+          // this reset, a worker created from inside a streaming
+          // foreachBatch inherits the QUERY's job group and the
+          // streaming stop() cancels the background compaction mid-swap
+          spark.sparkContext.setJobGroup(
+            s"helixstore-compact-${root.getFileName}",
+            "background blockCompact", interruptOnCancel = false)
+          blockCompact()
+        }
         catch { case t: Throwable => compactError = Some(t) }
       }
     }

@@ -420,6 +420,30 @@ class HelixStoreSpec extends SparkTestBase {
     assert(left.sameElements(Array(5L, 6L, 7L, 8L, 9L)), left.mkString(","))
   }
 
+  test("streamingPutReviewed runs the lifecycle per micro-batch with async compaction") {
+    import graft.core.{Lifecycle, SimpleTimestampReviewer}
+    val srcDir = tmpDir("hs-srev-src")
+    // two files → (at least) two micro-batches; ts 0..9 crosses the
+    // rick_range=5 boundary so the reviewer fires compaction mid-stream
+    entriesDF((0 until 5).map(t => ("sk", t.toLong, s"v$t")))
+      .write.mode("overwrite").parquet(srcDir)
+    entriesDF((5 until 10).map(t => ("sk", t.toLong, s"v$t")))
+      .write.mode("append").parquet(srcDir)
+    val store = HelixStore.open(spark, tmpDir("hs-srev"),
+      StoreOptions(numShards = 2, bucketSize = 5))
+    val reviewer = new SimpleTimestampReviewer(5, 100)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = Lifecycle.streamingPutReviewed(store, stream, tmpDir("hs-srev-ckpt"), reviewer)
+    try q.processAllAvailable() finally q.stop()
+    store.awaitCompactions()
+    assert(store.hasBlockLayer, "reviewer must have fired a compaction")
+    assert(store.toDF.count() == 10)
+    for (t <- 0 until 10)
+      assert(store.get("sk".getBytes, t.toLong).map(new String(_)).contains(s"v$t"))
+    store.close()
+  }
+
   test("end-to-end: the events table ingested as a store reconciles with table queries") {
     import org.apache.spark.sql.functions._
     val ev = graft.core.Tables.events(spark, Sf)
