@@ -269,6 +269,44 @@ object Analytics {
     * revenue lost to returns. The returnflag filter is pushed to the
     * lineitem scan; top-k collapses to TakeOrderedAndProject (no global
     * sort materialization). */
+  /** #61 — TPC-H Q12-style priority line counts (reshaped to the
+    * synthetic schema, which has no shipmode/receipt dates): lineitems
+    * shipped in 1996 joined to their order's priority, conditional
+    * integer counts per linestatus. One fact-fact join on orderkey with
+    * the date filter pushed to the scan — exact everywhere. */
+  def q12Shipmode(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** #62 — TPC-H Q14-style promo revenue share: decimal-exact numerator
+    * and denominator, ONE double division at the end (bit-identical in
+    * both engines). Part is a broadcast dim. */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val part = Tables.part(s, dir).select("p_partkey", "p_type")
+    val rev = dec("l_extendedprice") *
+      (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        (sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 100.0 /
+          sum(rev).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n_rows"))
+  }
+
   def q10Returns(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
