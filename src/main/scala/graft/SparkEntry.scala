@@ -75,6 +75,7 @@ object SparkEntry {
     "text_rolling_hash" -> (TextOps.rollingHash _),
     "text_bigrams" -> (TextOps.bigrams _),
     "text_top_term" -> (TextOps.topTerm _),
+    "pipeline_curate" -> (TextOps.curate _),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "text_scrub_digits" -> (TextOps.scrubDigits _),
     // Multimodal plumbing (#28-29)
@@ -88,6 +89,13 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
     * sorts columns by name before hashing). */
+  /** Shared by dedup_survivor and the pipeline_curate composition. */
+  private val SurvivorSql: String =
+    """SELECT doc_id, md5(text) AS text_md5,
+      |  CAST(row_number() OVER (PARTITION BY md5(text)
+      |    ORDER BY n_chars DESC, doc_id) = 1 AS INTEGER) AS keep
+      |FROM documents""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_put_shard" ->
       """SELECT user_id % 8 AS shard_id,
@@ -368,11 +376,14 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "dedup_exact" -> OracleSqlGen.dedupExact,
-    "dedup_survivor" ->
-      """SELECT doc_id, md5(text) AS text_md5,
-        |  CAST(row_number() OVER (PARTITION BY md5(text)
-        |    ORDER BY n_chars DESC, doc_id) = 1 AS INTEGER) AS keep
-        |FROM documents""".stripMargin,
+    "dedup_survivor" -> SurvivorSql,
+    "pipeline_curate" ->
+      s"""SELECT l.doc_id,
+         |  CAST(s.keep = 1 AND l.pred_lang = 'en' AND q.n_tokens >= 10
+         |    AND q.stop_ratio >= 0.1 AS INTEGER) AS kept
+         |FROM (${OracleSqlGen.textLangid}) l
+         |JOIN (${OracleSqlGen.textQuality}) q ON l.doc_id = q.doc_id
+         |JOIN ($SurvivorSql) s ON l.doc_id = s.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> OracleSqlGen.dedupNgramJaccard,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,

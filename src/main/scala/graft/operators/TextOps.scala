@@ -153,6 +153,22 @@ object TextOps {
       .select(col("doc_id"), col("w").as("top_term"), col("tf"), col("df"))
   }
 
+  /** #63 — END-TO-END CURATION: the flagship training-data filter that
+    * composes the pipeline — a doc is kept iff it survives exact dedup
+    * (longest-copy survivor), language-IDs as English, and clears
+    * length/stopword quality floors. Three doc-keyed single-shuffle
+    * frames joined on doc_id (co-partitioned after the first shuffle);
+    * the whole decision is one pass over the corpus at any scale. */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val lang = langId(s, dir)
+    val q = quality(s, dir).select(col("doc_id"), col("n_tokens"), col("stop_ratio"))
+    val surv = Dedup.survivor(s, dir).select(col("doc_id"), col("keep"))
+    lang.join(q, "doc_id").join(surv, "doc_id")
+      .select(col("doc_id"),
+        (col("keep") === 1 && col("pred_lang") === "en" &&
+          col("n_tokens") >= 10 && col("stop_ratio") >= 0.1).cast("int").as("kept"))
+  }
+
   /** #37 — ORDER-SENSITIVE rolling-hash fingerprint (Rabin-Karp): fold
     * H = (H*257 + h(tok)) mod P over the token sequence, h = 32-bit md5
     * prefix. Pure integer fold — parity with the oracle is exact, and
