@@ -166,22 +166,29 @@ final class HelixStore private (
   private var lockHolds = 0
 
   private def acquireMutex(): Unit = {
-    lockState.synchronized {
-      if (lockHolds > 0) { lockHolds += 1; return }
-    }
     while (true) {
+      // re-checked EVERY iteration: if another thread of this instance
+      // won the file while we spun, we must join its hold count — not
+      // keep spinning until release (and never stale-break our own
+      // instance's live lock)
+      lockState.synchronized {
+        if (lockHolds > 0) { lockHolds += 1; return }
+      }
       try {
         Files.write(mutexFile, instanceId.getBytes,
           java.nio.file.StandardOpenOption.CREATE_NEW)
-        lockState.synchronized { lockHolds = 1 }
+        lockState.synchronized { lockHolds += 1 }
         return
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // stale-break: holder crashed without releasing
           try {
+            val ownedByUs =
+              try new String(Files.readAllBytes(mutexFile)) == instanceId
+              catch { case _: java.io.IOException => false }
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(mutexFile).toMillis
-            if (age > opts.lockStaleMs) Files.deleteIfExists(mutexFile)
+            if (!ownedByUs && age > opts.lockStaleMs) Files.deleteIfExists(mutexFile)
             else Thread.sleep(5)
           } catch { case _: java.nio.file.NoSuchFileException => () }
       }
@@ -807,11 +814,15 @@ final class HelixStore private (
     * generation inside the brief put-excluded commit window. */
   def compact(): Unit = compactionMutex.synchronized { withMutex {
     refreshPointer()
-    if (hasRows) {
+    val snapshot0 =
+      if (hasRows) listParquetFiles(dirOf(ptr.rows)) else Seq.empty[Path]
+    // bucket dirs can exist with zero part files (e.g. post-outdate);
+    // a zero-path read would fail schema inference — nothing to do
+    if (snapshot0.nonEmpty) {
       val cur = ptr
       val g = allocGen(cur)
       val newRows = s"r-$g"
-      val snapshot = listParquetFiles(dirOf(cur.rows))
+      val snapshot = snapshot0
       val raw = spark.read.option("basePath", dirOf(cur.rows).toString)
         .parquet(snapshot.map(_.toString): _*)
       // per-shard LWW, matching toDFWithPartitions and blockCompact
