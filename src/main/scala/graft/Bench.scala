@@ -42,7 +42,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
+      val safe = v.replace("\\", "\\\\").replace("\"", "'")
+        .replaceAll("[\r\n\t]", " ") // the driver parses ONE json line
+      "\"" + k + "\":\"" + safe + "\"" }
       .mkString(""","errors":{""", ",", "}")
     val errField = if (errors.nonEmpty) errJson else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
