@@ -48,6 +48,8 @@ object SparkEntry {
     "q10_returns" -> (Analytics.q10Returns _),
     "q12_shipmode" -> (Analytics.q12Shipmode _),
     "q14_promo" -> (Analytics.q14Promo _),
+    "q8_market_share" -> (Analytics.q8MarketShare _),
+    "ts_above_p95" -> (Analytics.tsAboveP95 _),
     "q_retention" -> (Analytics.qRetention _),
     "ts_heavy_hitters" -> (Analytics.heavyHitters _),
     // sketch op: intentionally NO oracle (HLL internals are engine-
@@ -89,6 +91,23 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
     * sorts columns by name before hashing). */
+  /** Shared by q_percentiles and the ts_above_p95 composition. */
+  private val PercentilesSql: String =
+    """SELECT event_type, n AS n_rows,
+      |  lo50 + ((n-1)*0.5::DOUBLE - floor((n-1)*0.5::DOUBLE)) * (coalesce(hi50, lo50) - lo50) AS p50,
+      |  lo95 + ((n-1)*0.95::DOUBLE - floor((n-1)*0.95::DOUBLE)) * (coalesce(hi95, lo95) - lo95) AS p95
+      |FROM (
+      |  SELECT event_type, n,
+      |    max(CASE WHEN rn = CAST(floor((n-1)*0.5::DOUBLE) AS BIGINT)+1 THEN value END) AS lo50,
+      |    max(CASE WHEN rn = CAST(floor((n-1)*0.5::DOUBLE) AS BIGINT)+2 THEN value END) AS hi50,
+      |    max(CASE WHEN rn = CAST(floor((n-1)*0.95::DOUBLE) AS BIGINT)+1 THEN value END) AS lo95,
+      |    max(CASE WHEN rn = CAST(floor((n-1)*0.95::DOUBLE) AS BIGINT)+2 THEN value END) AS hi95
+      |  FROM (SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM events)
+      |  GROUP BY event_type, n)""".stripMargin
+
   /** Shared by dedup_survivor and the pipeline_curate composition. */
   private val SurvivorSql: String =
     """SELECT doc_id, md5(text) AS text_md5,
@@ -166,21 +185,12 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |      RANGE BETWEEN 300000000 PRECEDING AND 1 PRECEDING) AS n_recent
         |  FROM events) WHERE event_type = 'purchase'""".stripMargin,
-    "q_percentiles" ->
-      """SELECT event_type, n AS n_rows,
-        |  lo50 + ((n-1)*0.5::DOUBLE - floor((n-1)*0.5::DOUBLE)) * (coalesce(hi50, lo50) - lo50) AS p50,
-        |  lo95 + ((n-1)*0.95::DOUBLE - floor((n-1)*0.95::DOUBLE)) * (coalesce(hi95, lo95) - lo95) AS p95
-        |FROM (
-        |  SELECT event_type, n,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5::DOUBLE) AS BIGINT)+1 THEN value END) AS lo50,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5::DOUBLE) AS BIGINT)+2 THEN value END) AS hi50,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95::DOUBLE) AS BIGINT)+1 THEN value END) AS lo95,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95::DOUBLE) AS BIGINT)+2 THEN value END) AS hi95
-        |  FROM (SELECT event_type, value,
-        |      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-        |      count(*) OVER (PARTITION BY event_type) AS n
-        |    FROM events)
-        |  GROUP BY event_type, n)""".stripMargin,
+    "q_percentiles" -> PercentilesSql,
+    "ts_above_p95" ->
+      s"""SELECT e.event_type, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+         |FROM events e JOIN ($PercentilesSql) p ON e.event_type = p.event_type
+         |GROUP BY 1""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -348,6 +358,21 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n_name = 'NATION_7'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS mkt_share,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
     "q14_promo" ->
       """SELECT

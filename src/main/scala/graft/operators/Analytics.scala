@@ -269,6 +269,44 @@ object Analytics {
     * revenue lost to returns. The returnflag filter is pushed to the
     * lineitem scan; top-k collapses to TakeOrderedAndProject (no global
     * sort materialization). */
+  /** #64 — TPC-H Q8-style market share: one nation's suppliers' slice
+    * of total revenue per order year. Supplier and nation broadcast;
+    * numerator and denominator are decimal-exact sums sharing one fact
+    * shuffle; the share is a single float division per year. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = dec("l_extendedprice") *
+      (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      rev.as("rev"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .groupBy("o_year")
+      .agg(
+        (sum(when(col("n_name") === "NATION_7", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(col("rev")).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** #65 — per-type anomaly flags: events whose value exceeds their
+    * event_type's exact p95 (composes the two-phase percentile rank
+    * machinery of [[qPercentiles]]); the tiny percentile frame
+    * broadcasts back onto the fact scan, so flagging costs one
+    * map-side comparison per row. */
+  def tsAboveP95(s: SparkSession, dir: String): DataFrame = {
+    val p = qPercentiles(s, dir).select(col("event_type"), col("p95"))
+    Tables.events(s, dir)
+      .join(broadcast(p), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_above"))
+  }
+
   /** #61 — TPC-H Q12-style priority line counts (reshaped to the
     * synthetic schema, which has no shipmode/receipt dates): lineitems
     * shipped in 1996 joined to their order's priority, conditional

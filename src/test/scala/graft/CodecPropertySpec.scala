@@ -1,62 +1,56 @@
 package graft
 
-import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.TsCodec
-import graft.operators.Dedup
+import graft.core.NoopCodec
+import graft.functions.PlaneWeights
 
-/** Property-based coverage of the codec and hashing kernels — the pieces
-  * where an off-by-one corrupts data silently rather than failing.
-  * (ScalaCheck generators driven directly with fixed seeds; the
-  * scalatest-plus bridge artifact isn't on the offline classpath.) */
-class CodecPropertySpec extends SparkTestBase {
+/** Pure-JVM property checks for the codec and LSH building blocks (no
+  * SparkSession — these invariants must hold for every input, not just
+  * the fixtures the integration specs use). Inputs are generated from a
+  * FIXED seed so failures reproduce exactly. */
+class CodecPropertySpec extends AnyFunSuite {
 
-  private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
-
-  test("xor encode/decode is an exact identity for any doubles") {
-    val gen = Gen.listOf(Gen.chooseNum(Double.MinValue, Double.MaxValue))
-    for (vs0 <- samples(gen, 50)) {
-      val vs = vs0.toArray
-      val rt = TsCodec.xorDecode(TsCodec.xorEncode(vs))
-      assert(rt.length == vs.length &&
-        rt.zip(vs).forall { case (a, b) =>
-          java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b)
-        })
+  private def randomBatches(seed: Long, rounds: Int): Seq[Array[Array[Byte]]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until rounds).map { _ =>
+      Array.fill(rnd.nextInt(16)) {
+        val v = new Array[Byte](rnd.nextInt(64))
+        rnd.nextBytes(v)
+        v
+      }
     }
   }
 
-  test("full codec roundtrips arbitrary point sets exactly") {
-    implicit val s = spark
-    import s.implicits._
-    val ptGen = for {
-      key <- Gen.chooseNum(0L, 5L)
-      ts <- Gen.chooseNum(-100000L, 100000L)
-      v <- Gen.chooseNum(-1e9, 1e9)
-    } yield TsCodec.TsPoint(key, ts, v)
-    for (pts0 <- samples(Gen.listOfN(60, ptGen), 5)) {
-      // codec keys points by (key, ts): dedupe like a store would
-      val pts = pts0.groupBy(p => (p.key, p.ts_us)).values.map(_.head).toSeq
-      val ds = spark.createDataset(pts)
-      val rt = TsCodec.decompress(TsCodec.compress(ds, 1000L)).collect()
-      assert(rt.map(p => (p.key, p.ts_us, p.value)).toSet ==
-        pts.map(p => (p.key, p.ts_us, p.value)).toSet)
+  test("NoopCodec roundtrips any value batch byte-exactly (500 random batches)") {
+    for (batch <- randomBatches(seed = 42L, rounds = 500)) {
+      val out = NoopCodec.decode(NoopCodec.encode(batch))
+      assert(out.length == batch.length)
+      assert(out.zip(batch).forall { case (a, b) => a.sameElements(b) })
     }
   }
 
-  test("minhash permutations stay within [0, P) and respect containment") {
-    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 32) - 1))
-    for (hs <- samples(gen, 30)) {
-      val sigs = (0 until Dedup.NumHashes).map { i =>
-        hs.map(h => (Dedup.mhA(i) * h + Dedup.mhB(i)) % Dedup.MinhashP).min
-      }
-      assert(sigs.forall(v => v >= 0 && v < Dedup.MinhashP))
-      // adding an element can only lower (or keep) each min
-      val sigsSuper = (0 until Dedup.NumHashes).map { i =>
-        (hs :+ 12345L).map(h => (Dedup.mhA(i) * h + Dedup.mhB(i)) % Dedup.MinhashP).min
-      }
-      assert(sigs.zip(sigsSuper).forall { case (a, b) => b <= a })
+  test("XorCodec roundtrips any value batch byte-exactly (500 random batches)") {
+    for (batch <- randomBatches(seed = 7L, rounds = 500)) {
+      val out = XorCodec.decode(XorCodec.encode(batch))
+      assert(out.length == batch.length)
+      assert(out.zip(batch).forall { case (a, b) => a.sameElements(b) })
+    }
+  }
+
+  test("PlaneWeights yields distinct hyperplanes at every scale used") {
+    val planes = PlaneWeights.table(96, 64).map(_.toSeq)
+    assert(planes.distinct.length == planes.length,
+      "weight family must not collapse (the linear (p*73+j*131)%7 form did)")
+    assert(planes.flatten.forall(w => w >= -3 && w <= 3))
+  }
+
+  test("prefix length formula keeps at least one shingle and never exceeds n") {
+    import graft.operators.Dedup.{ThreshDen, ThreshNum}
+    for (n <- (1L to 1000L) ++ Seq(12345L, 999999L, 100000000L)) {
+      val prefixLen = n - ((n * ThreshNum + ThreshDen - 1) / ThreshDen) + 1
+      assert(prefixLen >= 1 && prefixLen <= n,
+        s"prefix length $prefixLen out of [1, $n]")
     }
   }
 }
