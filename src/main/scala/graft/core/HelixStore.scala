@@ -141,6 +141,10 @@ final class HelixStore private (
     val spark: SparkSession, val path: String, val opts: StoreOptions) {
   import HelixStore._
 
+  require(opts.numShards > 0, s"numShards must be positive: ${opts.numShards}")
+  require(opts.bucketSize > 0, s"bucketSize must be positive: ${opts.bucketSize}")
+  require(opts.codecs.nonEmpty, "at least one codec must be registered")
+
   private val root: Path = Paths.get(path)
   private val seqsDir: Path = root.resolve("_seqs")
   private val pointerFile: Path = root.resolve("_current")
@@ -625,6 +629,14 @@ final class HelixStore private (
 
   /** All live entries (latest write wins per (key, ts)). */
   def toDF: DataFrame = toDFWithPartitions.select(EntryColumns.map(col): _*)
+
+  /** Register the store as a temp view so plain `spark.sql` can query
+    * it. The view is a SNAPSHOT: it pins the generation set and file
+    * listing at registration (Spark caches the file index inside the
+    * plan), so re-register after writes/compactions to see them —
+    * the same REFRESH discipline as an external parquet table. */
+  def createOrReplaceTempView(name: String): Unit =
+    toDF.createOrReplaceTempView(name)
 
   /** Exact-timestamp point get (reference: src/db.rs:54). Prunes to one
     * shard + one bucket partition before touching any row group. */

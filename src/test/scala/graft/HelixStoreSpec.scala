@@ -469,6 +469,24 @@ class HelixStoreSpec extends SparkTestBase {
     assert(viaStore == viaTable)
   }
 
+  test("temp view serves SQL over the store; re-register refreshes the snapshot") {
+    val store = HelixStore.open(spark, tmpDir("hs-view"),
+      StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF(Seq(("va", 1L, "x"), ("vb", 2L, "y"))))
+    store.createOrReplaceTempView("hs_view")
+    assert(spark.sql("SELECT count(*) FROM hs_view").head().getLong(0) == 2)
+    // snapshot semantics: re-register after writes (REFRESH discipline)
+    store.put(entriesDF(Seq(("vc", 3L, "z"))))
+    store.createOrReplaceTempView("hs_view")
+    assert(spark.sql("SELECT count(*) FROM hs_view").head().getLong(0) == 3)
+    assert(spark.sql(
+      "SELECT cast(value AS STRING) FROM hs_view WHERE ts = 3").head().getString(0) == "z")
+    // invalid options fail fast
+    intercept[IllegalArgumentException] {
+      HelixStore.open(spark, tmpDir("hs-bad"), StoreOptions(numShards = 0))
+    }
+  }
+
   test("EntryIO roundtrips entries through parquet, orc, csv, and json") {
     import graft.sources.EntryIO
     val df = entriesDF(Seq(("a", 1L, "x"), ("b", 2L, "y")))
