@@ -252,10 +252,14 @@ final class HelixStore private (
     * number ever allocated (new dirs get gen+1 so names never clash
     * with orphans from a crashed swap). `seqhw` is the write-seq
     * high-water mark as of the commit (-1 = not recorded), so seq
-    * recovery never under-reads even if `_seqs` files are lost. */
+    * recovery never under-reads even if `_seqs` files are lost. `minb`
+    * is the retention cutoff: buckets below it are LOGICALLY deleted
+    * (filtered out of every read) — outdate commits the cutoff instead
+    * of deleting files under in-flight readers; physical reclaim
+    * happens at the next compaction and via vacuum. */
   private final case class Pointer(
       gen: Long, rows: String, blocks: Option[String], manifest: Option[String],
-      seqhw: Long = -1L)
+      seqhw: Long = -1L, minb: Long = Long.MinValue)
 
   /** Driver-side manifest pruning state: either the collected index, or
     * a too-big marker (pruning skipped, reads stay correct). */
@@ -348,14 +352,16 @@ final class HelixStore private (
       .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
     Pointer(kv("gen").toLong, kv("rows"),
       kv.get("blocks").filter(_.nonEmpty), kv.get("manifest").filter(_.nonEmpty),
-      kv.get("seqhw").map(_.toLong).getOrElse(-1L))
+      kv.get("seqhw").map(_.toLong).getOrElse(-1L),
+      kv.get("minb").map(_.toLong).getOrElse(Long.MinValue))
   }
 
   /** Atomic commit: write a temp file, then rename over `_current`. */
   private def writePointer(p: Pointer): Unit = {
     val body = (Seq(s"gen=${p.gen}", s"rows=${p.rows}") ++
       p.blocks.map(b => s"blocks=$b") ++ p.manifest.map(m => s"manifest=$m") ++
-      (if (p.seqhw >= 0L) Seq(s"seqhw=${p.seqhw}") else Nil))
+      (if (p.seqhw >= 0L) Seq(s"seqhw=${p.seqhw}") else Nil) ++
+      (if (p.minb != Long.MinValue) Seq(s"minb=${p.minb}") else Nil))
       .mkString("", "\n", "\n")
     val tmp = root.resolve("_current.tmp")
     Files.write(tmp, body.getBytes)
@@ -568,7 +574,12 @@ final class HelixStore private (
             }
           }.toDF(cols: _*))
       } else None
-    (rows ++ blocks).reduceOption(_.unionByName(_)).getOrElse(emptyEntriesWithMeta)
+    val all = (rows ++ blocks).reduceOption(_.unionByName(_))
+      .getOrElse(emptyEntriesWithMeta)
+    // retention is LOGICAL: buckets below the committed cutoff are
+    // invisible even while their files await vacuum (bucket is a
+    // partition column, so this prunes rather than scans)
+    if (ptr.minb == Long.MinValue) all else all.filter(col("bucket") >= ptr.minb)
   }
 
   /** Shard routing expression: custom ShardingKeyFn when registered. */
@@ -835,8 +846,12 @@ final class HelixStore private (
       val g = allocGen(cur)
       val newRows = s"r-$g"
       val snapshot = snapshot0
-      val raw = spark.read.option("basePath", dirOf(cur.rows).toString)
+      val raw0 = spark.read.option("basePath", dirOf(cur.rows).toString)
         .parquet(snapshot.map(_.toString): _*)
+      // physical reclaim of logically-outdated buckets happens here —
+      // the LSM discipline: retention marks, compaction drops
+      val raw = if (cur.minb == Long.MinValue) raw0
+        else raw0.filter(col("bucket") >= cur.minb)
       // per-shard LWW, matching toDFWithPartitions and blockCompact
       val w = Window.partitionBy("shard", "key", "ts")
         .orderBy(col("seq").desc, col("subseq").desc)
@@ -910,53 +925,71 @@ final class HelixStore private (
     blocks.repartition(col("shard"), col("bucket"))
       .write.mode("overwrite").partitionBy("shard", "bucket")
       .parquet(dirOf(newBlocks).toString)
-    // manifest derives from the freshly-written (still uncommitted) blocks
-    spark.read.parquet(dirOf(newBlocks).toString)
-      .groupBy("shard", "bucket")
-      .agg(min("key").as("min_key"), max("key").as("max_key"),
-        count(lit(1)).as("n_blocks"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(dirOf(newManifest).toString)
+    // a fully-outdated store compacts to ZERO blocks (logical retention
+    // filtered everything): commit an empty store rather than reading a
+    // fileless dir for the manifest
+    val wroteBlocks = listParquetFiles(dirOf(newBlocks)).nonEmpty
+    if (wroteBlocks) {
+      // manifest derives from the freshly-written (still uncommitted) blocks
+      spark.read.parquet(dirOf(newBlocks).toString)
+        .groupBy("shard", "bucket")
+        .agg(min("key").as("min_key"), max("key").as("max_key"),
+          count(lit(1)).as("n_blocks"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dirOf(newManifest).toString)
+    }
     // allocGen already claimed r-<g> as the fresh rick layer; entries
     // put during the build move into it inside the commit window
     withPutsExcluded {
       moveLeftovers(dirOf(cur.rows), rickSnapshot.toSet, dirOf(newRows))
-      commit(Pointer(g, newRows, Some(newBlocks), Some(newManifest)))
+      commit(Pointer(g, newRows,
+        if (wroteBlocks) Some(newBlocks) else None,
+        if (wroteBlocks) Some(newManifest) else None,
+        minb = cur.minb))
     }
     // deferred deletion of the absorbed generations: in-flight readers
     // keep resolving against them until vacuum's retention expires
     bury(Seq(cur.rows) ++ cur.blocks ++ cur.manifest)
+    if (!wroteBlocks) deleteRecursively(dirOf(newBlocks)) // fileless, uncommitted
     }
   }}
 
-  /** Drop all buckets strictly older than `ts` — pure partition-metadata
-    * deletion, no data rewrite (reference Outdate, src/level.rs:337).
-    * Idempotent: a crash mid-deletion is healed by re-running. Takes the
-    * compaction mutex: deleting bucket dirs out from under a running
-    * compaction would break its file-snapshot read (retention boundaries
-    * are orders of magnitude rarer than puts, so this wait is cheap). */
+  /** Drop all buckets strictly older than `ts` (reference Outdate,
+    * src/level.rs:337) — LOGICALLY: one pointer commit raises the
+    * retention cutoff (`minb`), making the buckets invisible to every
+    * read immediately, while their files stay on disk for in-flight
+    * reader plans. Physical reclaim is deferred: the dropped bucket
+    * dirs are graveyarded for age-based vacuum, and the next compaction
+    * rewrites without them (the LSM mark-then-compact discipline). No
+    * data rewrite here — metadata only. Takes the compaction mutex so
+    * the cutoff can't move under a running compaction's snapshot. */
   def outdate(ts: Long): Unit = compactionMutex.synchronized { withMutex {
     refreshPointer()
     if (!hasData) return
-    // bump the committed pointer's gen (a pure counter move — allocGen
-    // probes for free dirs anyway) so other instances' read caches see
-    // the retention drop in their (pointer, seq) epoch
-    commit(ptr.copy(gen = ptr.gen + 1))
     val cutoff = ts / opts.bucketSize // truncating, matching put()
-    val dataRoots = Seq(dirOf(ptr.rows)).filter(_ => hasRows) ++
-      ptr.blocks.map(dirOf).filter(_ => hasBlocks)
-    dataRoots.foreach { r =>
+    // the commit (gen bump + cutoff) is the visibility point: other
+    // instances' reads and kv-cache epochs observe it on their next
+    // pointer refresh
+    commit(ptr.copy(gen = ptr.gen + 1,
+      minb = math.max(ptr.minb, cutoff)))
+    // graveyard the now-invisible bucket dirs (relative paths) so vacuum
+    // reclaims them once retention has drained in-flight readers
+    val dataRoots = Seq(ptr.rows).filter(_ => hasRows) ++
+      ptr.blocks.filter(_ => hasBlocks)
+    val dropped = dataRoots.flatMap { root0 =>
+      val r = dirOf(root0)
       listDir(r)
         .filter(_.getFileName.toString.startsWith("shard="))
-        .foreach { shardDir =>
+        .flatMap { shardDir =>
           listDir(shardDir)
             .filter { p =>
               val n = p.getFileName.toString
               n.startsWith("bucket=") && n.stripPrefix("bucket=").toLong < cutoff
             }
-            .foreach(deleteRecursively)
+            .map(p => s"$root0/${shardDir.getFileName}/${p.getFileName}")
         }
     }
+    if (dropped.nonEmpty) bury(dropped)
   }}
 
   // ---- background compaction scheduling -------------------------------

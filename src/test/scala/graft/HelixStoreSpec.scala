@@ -558,6 +558,36 @@ class HelixStoreSpec extends SparkTestBase {
     assert(s2.get("k".getBytes, 1L).map(new String(_)).contains("newest"))
   }
 
+  test("outdate is logical: in-flight readers survive; compaction + vacuum reclaim") {
+    val dir = tmpDir("hs-logout")
+    val store = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF(Seq(("oa", 5L, "old"), ("oa", 15L, "mid"), ("oa", 25L, "new"))))
+    val preOutdate = store.scan((0L, 30L), ("o".getBytes, "p".getBytes))
+    store.outdate(20L)
+    // a plan built BEFORE the cutoff still materializes (files intact)
+    assert(preOutdate.collect().length == 3,
+      "retention must not break a reader plan already in flight")
+    // new reads see the cutoff immediately
+    assert(store.toDF.collect().map(_.getAs[Long]("ts")).toSeq == Seq(25L))
+    // compaction physically reclaims: the rewritten generation holds
+    // only live buckets, and vacuum removes the graveyarded old dirs
+    store.compact()
+    store.vacuum(0L)
+    val bucketDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator()
+    val liveBuckets = scala.jdk.CollectionConverters.IteratorHasAsScala(bucketDirs)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSet
+    assert(liveBuckets == Set("bucket=2"),
+      s"only the surviving bucket dir remains after compact+vacuum: $liveBuckets")
+    assert(store.toDF.count() == 1)
+    // fully-outdated store block-compacts to a clean empty state
+    store.outdate(1000L)
+    store.blockCompact()
+    assert(store.toDF.count() == 0)
+    store.put(entriesDF(Seq(("ob", 2000L, "fresh"))))
+    assert(store.get("ob".getBytes, 2000L).map(new String(_)).contains("fresh"))
+  }
+
   test("outdate drops old buckets without touching recent ones") {
     val store = HelixStore.open(spark, tmpDir("hs-out"), StoreOptions(numShards = 2, bucketSize = 10))
     store.put(entriesDF(Seq(("a", 5L, "old"), ("a", 15L, "mid"), ("a", 25L, "new"))))
