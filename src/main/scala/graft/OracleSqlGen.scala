@@ -79,19 +79,38 @@ object OracleSqlGen {
        |  CAST(a = min(r) AS INTEGER) AS keep
        |FROM reach GROUP BY a""".stripMargin
 
-  val dedupSimhash: String = {
+  /** SimHash fingerprint CTEs shared by dedup_simhash (distance to doc
+    * 0) and dedup_simhash_pairs (byte-blocked pair mining). */
+  private val simhashCtes: String = {
     val bitSums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
     val simExpr = (0 until 32)
       .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
        |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
        |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
-       |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)
+       |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  val dedupSimhash: String =
+    s"""WITH $simhashCtes
        |SELECT s.doc_id, s.simhash,
        |  CAST(bit_count(xor(s.simhash, r.simhash)) AS BIGINT) AS ham0
        |FROM sim s, (SELECT simhash FROM sim WHERE doc_id = 0) r""".stripMargin
+
+  val dedupSimhashPairs: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS byte FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $simhashCtes,
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
+       |    x.simhash AS s1, y.simhash AS s2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |SELECT doc_id1, doc_id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS ham
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= ${Dedup.SimhashMaxHam}""".stripMargin
   }
 
   /** dot(x,y) with the exact same fold order as the Spark zip_with+aggregate. */

@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Dedup.clusterDups(s, d)),
     // Similarity search (#21-23)
@@ -412,6 +413,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSqlGen.dedupNgramJaccard,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,
+    "dedup_simhash_pairs" -> OracleSqlGen.dedupSimhashPairs,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding,
     "dedup_cluster" -> OracleSqlGen.dedupCluster,
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,

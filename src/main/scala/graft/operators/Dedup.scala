@@ -178,10 +178,8 @@ object Dedup {
       .select("doc_id1", "doc_id2")
   }
 
-  /** #19 — 32-bit SimHash fingerprint from per-token md5 bits, plus
-    * hamming distance to doc 0 (bit_count(xor)). Pair search at scale
-    * would block on simhash bytes; the fingerprint itself is the op. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, simhash) fingerprint frame shared by #19 and #66. */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
@@ -190,12 +188,47 @@ object Dedup {
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 32).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    val withSim = agg.select(col("doc_id"), sim.as("simhash"))
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** #19 — 32-bit SimHash fingerprint from per-token md5 bits, plus
+    * hamming distance to doc 0 (bit_count(xor)); #66 mines pairs. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val withSim = simhashFrame(s, dir)
     val ref = withSim.filter(col("doc_id") === 0)
       .select(col("simhash").as("sim0"))
     withSim.crossJoin(broadcast(ref))
       .select(col("doc_id"), col("simhash"),
         bit_count(col("simhash").bitwiseXOR(col("sim0"))).cast("long").as("ham0"))
+  }
+
+  /** Hamming radius for simhash pair mining: <= 3 differing bits. */
+  val SimhashMaxHam = 3
+
+  /** #66 — SimHash near-dup pair mining, EXACT via byte blocking: a
+    * pair within hamming radius 3 differs in at most 3 of 4 bytes, so
+    * (pigeonhole) at least one byte position matches exactly —
+    * candidates come from a join on (byte position, byte value), never
+    * all pairs, with zero recall loss; bit_count verifies. The byte
+    * buckets are the fingerprint's own bytes, so blocking cost is one
+    * 4-way explode of (doc_id, byte) pairs. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sim = simhashFrame(s, dir)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(0xFF)): _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("band"), col("col").as("byte"))
+    val x = bands.select(col("band"), col("byte"),
+      col("doc_id").as("doc_id1"), col("simhash").as("s1"))
+    val y = bands.select(col("band"), col("byte"),
+      col("doc_id").as("doc_id2"), col("simhash").as("s2"))
+    x.join(y, Seq("band", "byte"))
+      .filter(col("doc_id1") < col("doc_id2"))
+      .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("ham") <= SimhashMaxHam)
+      .select("doc_id1", "doc_id2", "ham")
+      .distinct()
   }
 
   /** #45 — duplicate-cluster resolution: connected components over the
