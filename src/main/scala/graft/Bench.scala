@@ -38,7 +38,14 @@ object Bench {
     val r1 = once()
     val r2 = once()
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver tails only the last 2000 chars of output and parses the
+    // JSON line out of that window; full-precision doubles pushed the line
+    // past 2000 chars (rounds 1-4 all recorded parsed:null). 10 ms
+    // per-query resolution keeps the whole line inside the tail with
+    // headroom for more queries.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.map { case (k, v) =>
@@ -47,7 +54,7 @@ object Bench {
       "\"" + k + "\":\"" + safe + "\"" }
       .mkString(""","errors":{""", ",", "}")
     val errField = if (errors.nonEmpty) errJson else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
