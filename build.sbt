@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tails stdout and parses the LAST line as JSON:
+// - StdoutOutput inherits the forked JVM's stdout/stderr directly, so
+//   bench output is not re-logged with "[info] "/"[error] " prefixes;
+// - showSuccess := false drops the "[success] Total time ..." epilogue
+//   that otherwise trails (and clobbers) the JSON line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

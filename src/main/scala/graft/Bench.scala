@@ -37,24 +37,40 @@ object Bench {
     }
     val r1 = once()
     val r2 = once()
-    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+    // Round BEFORE summing so total always equals the sum of the printed
+    // per-query values exactly (a downstream consistency check comparing
+    // them must never see a last-digit mismatch).
+    def round2(v: Double): Double = math.rint(v * 100.0) / 100.0
+    val results = r1.map { case (k, v) => k -> round2(math.min(v, r2(k))) }
     // The driver tails only the last 2000 chars of output and parses the
     // JSON line out of that window; full-precision doubles pushed the line
     // past 2000 chars (rounds 1-4 all recorded parsed:null). 10 ms
     // per-query resolution keeps the whole line inside the tail with
     // headroom for more queries.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val errJson = errors.map { case (k, v) =>
+    // Full error text goes to stderr (printed when each failure happens);
+    // the JSON line carries only a tightly-budgeted digest so several
+    // failing queries can't push the line back out of the tail window.
+    val errEntries = errors.toSeq.map { case (k, v) =>
       val safe = v.replace("\\", "\\\\").replace("\"", "'")
-        .replaceAll("[\r\n\t]", " ") // the driver parses ONE json line
-      "\"" + k + "\":\"" + safe + "\"" }
-      .mkString(""","errors":{""", ",", "}")
-    val errField = if (errors.nonEmpty) errJson else ""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+        .replaceAll("[\r\n\t]", " ").take(80)
+      "\"" + k + "\":\"" + safe + "\""
+    }
+    // Keep whole entries only (a raw char cap would cut mid-string and
+    // invalidate the JSON); first 5 digests + a total count cover triage.
+    val errField =
+      if (errEntries.isEmpty) ""
+      else errEntries.take(5).mkString(""","n_errors":""" + errEntries.size +
+        ""","errors":{""", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+    // Print AFTER spark.stop() with logging quieted, so no shutdown log
+    // line can land after the JSON — the driver parses the LAST line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
   }
 }
