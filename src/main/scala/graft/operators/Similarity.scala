@@ -78,43 +78,65 @@ object Similarity {
     e.select(col("vec_id"), bucket.as("bucket"))
   }
 
-  /** Per-label centroids + per-vector nearest-centroid assignment
-    * (shared by #23 and the IVF search #36). */
-  private def assignments(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+  /** Per-label centroid table: (clabel, cv, cn) where cn = ||cv|| is
+    * precomputed once so assignment folds don't recompute K norms per
+    * vector. Per-dim sums are 64 map-side-combinable aggregates — no
+    * posexplode, so the shuffle carries 64 partials per (label,
+    * partition) instead of 64x the row count. */
+  private[operators] def centroidsOf(e: DataFrame): DataFrame = {
     val dimSums = (0 until 64).map(j => sum(element_at(col("v"), j + 1)).as(s"s$j"))
-    val centroids = e.groupBy(col("label").as("clabel"))
+    e.groupBy(col("label").as("clabel"))
       .agg(count(lit(1)).as("cnt"), dimSums: _*)
       .select(col("clabel"),
         array((0 until 64).map(j => col(s"s$j") / col("cnt")): _*).as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("rcos").desc, col("clabel"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("rcos", round(cosine(col("v"), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("clabel").as("assigned_label"))
-    (assigned, centroids)
+      .withColumn("cn", l2norm(col("cv")))
   }
 
-  /** #36 — IVF top-k search: probe the 2 cells whose centroids are
-    * nearest the query, then exact top-10 cosine within those cells
-    * only — the inverted-file ANN search path. At scale the cell
-    * assignment is a stored partition column, so a probe touches
-    * nprobe/ncells of the data. */
+  /** Nearest-centroid assignment WITHOUT row expansion: the K-row
+    * centroid table is collapsed into ONE broadcast row holding a
+    * clabel-sorted array, and each vector picks its argmax by a
+    * left-to-right fold over that array — a pure map-side projection
+    * (no xK corpus expansion, no per-vector window, zero extra
+    * shuffles). Tie semantics match the window formulation it
+    * replaces: highest round(cos, 6) wins, ties to the lowest clabel
+    * (the array is clabel-ascending and the fold replaces only on
+    * strictly-greater). */
+  private[operators] def assignByFold(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents
+      .agg(sort_array(collect_list(struct(col("clabel"), col("cv"), col("cn")))).as("cents"))
+    // identical scalar tree to round(cosine(v, cv), 6): the denominator
+    // factors are the same sqrt values, just computed once per row (vn)
+    // and once per centroid (cn) instead of once per (row, centroid)
+    def rcosOf(c: Column): Column =
+      round(dot(col("v"), c.getField("cv")) / (col("vn") * c.getField("cn")), 6)
+    def pick(c: Column): Column =
+      struct(rcosOf(c).as("rcos"), c.getField("clabel").as("clabel"))
+    vecs.crossJoin(broadcast(centArr))
+      .withColumn("vn", l2norm(col("v")))
+      .withColumn("best", aggregate(
+        slice(col("cents"), lit(2), size(col("cents")) - 1),
+        pick(element_at(col("cents"), 1)),
+        (acc, c) => when(rcosOf(c) > acc.getField("rcos"), pick(c)).otherwise(acc)))
+      .withColumn("assigned_label", col("best.clabel"))
+      .drop("cents", "vn", "best")
+  }
+
+  /** #36 — IVF top-k search, probe path only: the cell assignment is a
+    * STORED parquet layout with the cell as its partition column (built
+    * once offline per source dataset — [[IvfIndex]]), so the registered
+    * query reads the tiny centroid table, picks the 2 nearest cells,
+    * and scans just those cells' partitions (broadcast join on the
+    * partition column → dynamic partition pruning). At 100 TB a probe
+    * touches nprobe/ncells of the corpus and nothing else. */
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val (assigned, centroids) = assignments(s, dir)
-    // query vector straight from the source table: pulling it out of
-    // `assigned` would run the whole nearest-centroid pass a second time
-    // just to read back one unchanged vector
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
     val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(toDoubleVec(col("embedding")).as("qv"))
-    val probeCells = centroids.crossJoin(broadcast(q))
+    val probeCells = s.read.parquet(centPath).crossJoin(broadcast(q))
       .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
       .orderBy(col("rcos").desc, col("clabel")).limit(2)
       .select(col("clabel").as("assigned_label"))
-    rankedTopK(assigned
+    rankedTopK(s.read.parquet(assignedPath)
       .join(broadcast(probeCells), "assigned_label")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
@@ -145,24 +167,12 @@ object Similarity {
   /** #23 — IVF coarse step: per-label centroid, then nearest-centroid
     * assignment by cosine (rounded to 6 dp before the argmax so the
     * cross-row float sums in the centroid can't flip an engine-boundary
-    * comparison). */
+    * comparison). Assignment is the fold-argmax projection — one
+    * centroid shuffle, then a single map-side pass over the corpus. */
   def knnLabelCentroid(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
-    // per-dim sums as 64 map-side-combinable aggregates — no posexplode,
-    // so the shuffle carries 64 partials per (label, partition) instead
-    // of 64x the row count
-    val dimSums = (0 until 64).map(j => sum(element_at(col("v"), j + 1)).as(s"s$j"))
-    val centroids = e.groupBy(col("label").as("clabel"))
-      .agg(count(lit(1)).as("cnt"), dimSums: _*)
-      .select(col("clabel"),
-        array((0 until 64).map(j => col(s"s$j") / col("cnt")): _*).as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("rcos").desc, col("clabel"))
-    e.crossJoin(broadcast(centroids))
-      .withColumn("rcos", round(cosine(col("v"), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("clabel").as("assigned_label"))
+    assignByFold(e, centroidsOf(e))
+      .select(col("vec_id"), col("label"), col("assigned_label"))
   }
 }

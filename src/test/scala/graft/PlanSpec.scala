@@ -49,6 +49,23 @@ class PlanSpec extends SparkTestBase {
       "candidate generation must never be an all-pairs product")
   }
 
+  test("ann_ivf_topk probes a stored index with partition pruning, no query-time build") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("graft-stage"), "must read the staged IVF index, not rebuild it")
+    assert(p.contains("dynamicpruningexpression"),
+      "probe must partition-prune the assignment scan to the probed cells")
+    assert(!p.contains("windowspecdefinition"),
+      "no per-vector argmax window may survive in the probe path")
+    assert(!p.contains("HashAggregate"),
+      "the centroid aggregation must not run at query time — probe only")
+  }
+
+  test("knn_label_centroid assigns by broadcast fold, not a per-vector window") {
+    val p = plan("knn_label_centroid")
+    assert(!p.contains("windowspecdefinition"),
+      "argmax must be a map-side fold over the broadcast centroid array")
+  }
+
   test("q_percentiles windows only within histogram buckets, never a whole group") {
     val p = plan("q_percentiles")
     val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
