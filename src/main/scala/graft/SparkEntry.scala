@@ -280,12 +280,22 @@ object SparkEntry {
         |  FROM events)
         |WHERE dt_us IS NOT NULL AND dt_us > 0
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors the bounded-state composition: per (key, day) affine
+    // partials (a, b), then an ordered a*acc+b chain — identical
+    // operation order on both engines, so the doubles are bit-equal
     "ts_ema" ->
-      """SELECT user_id, count(*) AS n_events,
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+        |    list_reduce(list_prepend(1.0::DOUBLE, list(value ORDER BY epoch_us(ts), value)),
+        |      (acc, v) -> 0.75 * acc) AS a,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(value ORDER BY epoch_us(ts), value)),
+        |      (acc, v) -> 0.25 * v + 0.75 * acc) AS b
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
         |  list_reduce(
-        |    list_prepend(0.0::DOUBLE, list(value ORDER BY epoch_us(ts), value)),
-        |    (acc, v) -> 0.25 * v + 0.75 * acc) AS ema
-        |FROM events GROUP BY 1""".stripMargin,
+        |    list_prepend([0.0::DOUBLE, 0.0::DOUBLE], list([a, b] ORDER BY day)),
+        |    (acc, x) -> [x[1] * acc[1] + x[2], 0.0::DOUBLE])[1] AS ema
+        |FROM b GROUP BY 1""".stripMargin,
     "ts_sliding" ->
       """WITH ev AS (SELECT epoch_us(ts) AS t, event_type FROM events),
         |wins AS (SELECT event_type,

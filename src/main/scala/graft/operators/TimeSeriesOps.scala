@@ -222,20 +222,35 @@ object TimeSeriesOps {
 
   /** #56 — exponential moving average per key: the order-sensitive fold
     * EMA' = 0.25*v + 0.75*EMA from 0, over values ordered by (ts, value)
-    * — the classic smoothing a TSDB serves alongside raw reads. One
-    * key-shuffle; the sequential dependency is inherent to EMA, so keys
-    * are the parallelism unit (billions of keys at scale). 0.25/0.75 are
-    * exact binary fractions and both engines fold the identical ordered
-    * list left-to-right, so the doubles match bit-for-bit. */
-  def ema(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    * — the classic smoothing a TSDB serves alongside raw reads.
+    *
+    * Bounded-state formulation: the fold over one day-bucket's values is
+    * AFFINE in its carry-in — f(x) = a*x + b with a = fold(1, acc ->
+    * 0.75*acc) and b = fold(0, (acc,v) -> 0.25*v + 0.75*acc) — so the
+    * first aggregate folds each (key, day) bucket independently and the
+    * second composes the ordered per-bucket (a, b) pairs. No row ever
+    * holds more than ONE DAY of one key's history (vs. the key's whole
+    * history before), so a years-hot key can no longer OOM a task; the
+    * per-key chain row is 3 doubles per day. The oracle composes the
+    * identical (a, b) chain, so the doubles match bit-for-bit. */
+  def ema(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.events(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
+      .withColumn("day", expr("tus div 86400000000"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"),
         sort_array(collect_list(struct(col("tus"), col("value")))).as("seq"))
-      .select(col("user_id"), col("n_events"),
+      .select(col("user_id"), col("day"), col("n"),
+        aggregate(col("seq"), lit(1.0), (acc, _) => lit(0.75) * acc).as("a"),
         aggregate(col("seq"), lit(0.0),
-          (acc, x) => lit(0.25) * x.getField("value") + lit(0.75) * acc).as("ema"))
+          (acc, x) => lit(0.25) * x.getField("value") + lit(0.75) * acc).as("b"))
+    parts.groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        sort_array(collect_list(struct(col("day"), col("a"), col("b")))).as("chain"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(col("chain"), lit(0.0),
+          (acc, c) => c.getField("a") * acc + c.getField("b")).as("ema"))
+  }
 
   /** #57 — sliding-window event counts (1 h window, 15 min slide): every
     * event lands in 4 overlapping windows; Spark's window() generator

@@ -66,6 +66,12 @@ class PlanSpec extends SparkTestBase {
       "argmax must be a map-side fold over the broadcast centroid array")
   }
 
+  test("ts_ema folds per (key, day) bucket first, never a key's whole history") {
+    val p = plan("ts_ema")
+    assert("Keys \\[2\\]: \\[user_id#\\d+L?, day#".r.findFirstIn(p).isDefined,
+      s"first aggregate must group on (user_id, day) so no row holds a full key history")
+  }
+
   test("q_percentiles windows only within histogram buckets, never a whole group") {
     val p = plan("q_percentiles")
     val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
