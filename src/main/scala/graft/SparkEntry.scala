@@ -25,6 +25,7 @@ object SparkEntry {
     "ts_delta_encode" -> (TimeSeriesOps.deltaEncode _),
     "ts_multiget" -> (TimeSeriesOps.multiGet _),
     "ts_codec_roundtrip" -> (TimeSeriesOps.codecRoundtrip _),
+    "ts_codec_dispatch" -> (TimeSeriesOps.codecDispatch _),
     "ts_asof_join" -> (TimeSeriesOps.asofJoin _),
     "ts_range_join" -> (TimeSeriesOps.rangeJoin _),
     "q_percentiles" -> (Analytics.qPercentiles _),
@@ -172,6 +173,9 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
         |  FROM events WHERE user_id IN (7, 42, 99, 123)) WHERE rn = 1""".stripMargin,
     "ts_codec_roundtrip" ->
+      "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
+    // identity: per-key codec dispatch changes storage bytes, not data
+    "ts_codec_dispatch" ->
       "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
     "ts_asof_join" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, prior_view_us FROM (

@@ -83,4 +83,66 @@ object TsCodec {
       }
     }
   }
+
+  /** Block whose value payload went through a NAMED registry codec; the
+    * codec name rides in the block so reads dispatch the inverse without
+    * consulting the routing function (the reference stores the same
+    * association — fn_registry.rs register_dispatch_fn routes writes,
+    * blocks decode by their recorded codec). */
+  final case class TsBlockD(key: Long, bucket: Long, t0: Long,
+      deltas: Array[Long], codec: String, payload: Array[Byte])
+
+  private def doubleBytes(v: Double): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .putLong(java.lang.Double.doubleToRawLongBits(v)).array()
+
+  /** Per-key UDCF dispatch at the block level (reference
+    * register_dispatch_fn, fn_registry.rs:88): each (key, bucket) run's
+    * values are packed through the [[graft.core.BlockCodec]] that
+    * `dispatch` names for the key. Same single (key, bucket) shuffle as
+    * [[compress]]; the codec map and routing fn ship to executors, so
+    * both must be Serializable. */
+  def compressDispatch(points: Dataset[TsPoint], bucketUs: Long,
+      codecs: Map[String, graft.core.BlockCodec], dispatch: Long => String)
+      (implicit s: SparkSession): Dataset[TsBlockD] = {
+    import s.implicits._
+    points
+      .groupByKey(p => (p.key, Math.floorDiv(p.ts_us, bucketUs)))
+      .mapGroups { (kb: (Long, Long), it: Iterator[TsPoint]) =>
+        val (key, bucket) = kb
+        val pts = it.toArray.sortBy(p => (p.ts_us, p.value))
+        val t0 = pts.head.ts_us
+        val deltas = new Array[Long](pts.length)
+        var prev = t0
+        var i = 0
+        while (i < pts.length) {
+          deltas(i) = pts(i).ts_us - prev; prev = pts(i).ts_us; i += 1
+        }
+        val name = dispatch(key)
+        val codec = codecs.getOrElse(name, throw new IllegalArgumentException(
+          s"dispatch named unregistered codec '$name' for key $key"))
+        TsBlockD(key, bucket, t0, deltas, name,
+          codec.encode(pts.map(p => doubleBytes(p.value))))
+      }
+  }
+
+  /** Inverse of [[compressDispatch]]: every block decodes through the
+    * codec RECORDED IN THE BLOCK, not a re-evaluation of the routing
+    * function — so re-routing keys later can never corrupt old blocks. */
+  def decompressDispatch(blocks: Dataset[TsBlockD],
+      codecs: Map[String, graft.core.BlockCodec])
+      (implicit s: SparkSession): Dataset[TsPoint] = {
+    import s.implicits._
+    blocks.flatMap { b =>
+      val codec = codecs.getOrElse(b.codec, throw new IllegalArgumentException(
+        s"block encoded with unregistered codec '${b.codec}'"))
+      val vals = codec.decode(b.payload).map(bs =>
+        java.lang.Double.longBitsToDouble(java.nio.ByteBuffer.wrap(bs).getLong))
+      var t = b.t0
+      b.deltas.iterator.zip(vals.iterator).map { case (d, v) =>
+        t += d
+        TsPoint(b.key, t, v)
+      }
+    }
+  }
 }

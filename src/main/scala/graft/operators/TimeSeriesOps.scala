@@ -155,6 +155,31 @@ object TimeSeriesOps {
       .select(col("key").as("user_id"), col("ts_us"), col("value"))
   }
 
+  /** #67 — per-key UDCF codec dispatch, end-to-end: even keys' blocks
+    * pack through the Gorilla float codec, odd keys through noop — the
+    * reference's register_dispatch_fn routing (fn_registry.rs:88) run
+    * at query level over the REAL BlockCodec registry — then every
+    * block decodes via its recorded codec name and the points come
+    * back out. The oracle is the identity (same as #32): dispatching
+    * must change the storage bytes, never the data. */
+  def codecDispatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{BlockCodec, GorillaCodec, NoopCodec}
+    import graft.functions.TsCodec
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val registry: Map[String, BlockCodec] =
+      Map(NoopCodec.name -> NoopCodec, GorillaCodec.name -> GorillaCodec)
+    val route: Long => String =
+      k => if (k % 2 == 0) GorillaCodec.name else NoopCodec.name
+    val pts = Tables.events(s, dir)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[TsCodec.TsPoint]
+    TsCodec.decompressDispatch(
+      TsCodec.compressDispatch(pts, 86400L * 1000000L, registry, route), registry)
+      .select(col("key").as("user_id"), col("ts_us"), col("value"))
+  }
+
   /** #33 — as-of join: each purchase event picks up the same user's
     * latest STRICTLY-prior view event. Expressed as a running
     * conditional max over a row frame — one shuffle on the key, no join

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.NoopCodec
+import graft.core.{GorillaCodec, NoopCodec}
 import graft.functions.PlaneWeights
 
 /** Pure-JVM property checks for the codec and LSH building blocks (no
@@ -36,6 +36,60 @@ class CodecPropertySpec extends AnyFunSuite {
       assert(out.length == batch.length)
       assert(out.zip(batch).forall { case (a, b) => a.sameElements(b) })
     }
+  }
+
+  private def doubleBytes(v: Double): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .putLong(java.lang.Double.doubleToRawLongBits(v)).array()
+
+  test("GorillaCodec roundtrips random-walk doubles bit-exactly (500 walks)") {
+    val rnd = new scala.util.Random(11L)
+    for (_ <- 0 until 500) {
+      var v = rnd.nextDouble() * 100.0
+      val walk = Array.fill(rnd.nextInt(200)) {
+        v += (rnd.nextDouble() - 0.5); v
+      }
+      val batch = walk.map(doubleBytes)
+      val out = GorillaCodec.decode(GorillaCodec.encode(batch))
+      assert(out.length == batch.length)
+      assert(out.zip(batch).forall { case (a, b) => a.sameElements(b) },
+        "XOR bit-packing must be lossless on every walk")
+    }
+  }
+
+  test("GorillaCodec roundtrips adversarial 8-byte batches (raw long bits)") {
+    val rnd = new scala.util.Random(13L)
+    val special = Array(0L, -1L, Long.MinValue, Long.MaxValue, 1L,
+      java.lang.Double.doubleToRawLongBits(Double.NaN),
+      java.lang.Double.doubleToRawLongBits(Double.PositiveInfinity))
+    for (_ <- 0 until 200) {
+      val batch = Array.fill(rnd.nextInt(64)) {
+        val bits = if (rnd.nextBoolean()) special(rnd.nextInt(special.length))
+                   else rnd.nextLong()
+        java.nio.ByteBuffer.allocate(8).putLong(bits).array()
+      }
+      val out = GorillaCodec.decode(GorillaCodec.encode(batch))
+      assert(out.length == batch.length)
+      assert(out.zip(batch).forall { case (a, b) => a.sameElements(b) })
+    }
+  }
+
+  test("GorillaCodec falls back losslessly when values are not 8 bytes") {
+    for (batch <- randomBatches(seed = 17L, rounds = 200)) {
+      val out = GorillaCodec.decode(GorillaCodec.encode(batch))
+      assert(out.length == batch.length)
+      assert(out.zip(batch).forall { case (a, b) => a.sameElements(b) })
+    }
+  }
+
+  test("GorillaCodec actually compresses a slowly-drifting series") {
+    // quantized drift: the XOR of consecutive values has few meaningful
+    // bits, the shape Gorilla's windowed packing exists for
+    val walk = (0 until 1000).map(i => 100.0 + (i % 7) * 0.25).toArray
+    val batch = walk.map(doubleBytes)
+    val packed = GorillaCodec.encode(batch).length
+    assert(packed < batch.length * 8 / 2,
+      s"expected <2x raw ($packed vs ${batch.length * 8})")
   }
 
   test("PlaneWeights yields distinct hyperplanes at every scale used") {

@@ -227,6 +227,47 @@ class HelixStoreSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("no-such-codec")))
   }
 
+  test("Gorilla codec compresses float-valued keys through store dispatch") {
+    val dir = tmpDir("hs-gorilla")
+    val store = HelixStore.open(spark, dir, StoreOptions(
+      numShards = 2, bucketSize = 100,
+      codecs = Map(
+        graft.core.NoopCodec.name -> graft.core.NoopCodec,
+        graft.core.GorillaCodec.name -> graft.core.GorillaCodec),
+      // metric keys carry 8-byte IEEE754 doubles → gorilla; rest noop
+      codecDispatch = Some((k: Array[Byte]) =>
+        if (k.length >= 2 && k(0) == 'm' && k(1) == ':') graft.core.GorillaCodec.name
+        else graft.core.NoopCodec.name)))
+    def bits(v: Double): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8)
+        .putLong(java.lang.Double.doubleToRawLongBits(v)).array()
+    val series = (0L until 50L).map(i => ("m:cpu", i, bits(100.0 + i * 0.25)))
+    import spark.implicits._
+    val df = series.toDF("k", "ts", "v")
+      .select(org.apache.spark.sql.functions.encode($"k", "UTF-8").as("key"),
+        $"ts", $"v".as("value"))
+    store.put(df)
+    store.put(entriesDF(Seq(("plain", 1L, "open"))))
+    store.blockCompact()
+    // bit-exact roundtrip through the gorilla-dispatched block layer
+    for ((_, ts, v) <- series) {
+      val got = store.get("m:cpu".getBytes, ts)
+      assert(got.exists(_.sameElements(v)), s"ts=$ts must roundtrip bit-exactly")
+    }
+    assert(store.get("plain".getBytes, 1L).map(new String(_)).contains("open"))
+    // the stored payload really is the packed gorilla stream: far
+    // smaller than the 50 x (8+4)-byte noop layout
+    val blockDir = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("b-")).get
+    val blocks = spark.read.parquet(blockDir.toString).collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("key")), r.getAs[String]("codec"),
+        r.getAs[Array[Byte]]("payload")))
+    val (_, codec, payload) = blocks.find(_._1 == "m:cpu").get
+    assert(codec == graft.core.GorillaCodec.name)
+    assert(payload.length < 50 * 8 / 2,
+      s"gorilla payload must pack below half raw size, got ${payload.length}")
+  }
+
   test("direct_put / direct_get bypass routing to an explicit shard (db.rs:49,57)") {
     val store = HelixStore.open(spark, tmpDir("hs-direct"),
       StoreOptions(numShards = 4, bucketSize = 10))
