@@ -118,7 +118,20 @@ final case class StoreOptions(
       * collect would not be driver-bounded); reads then consult the
       * block layer directly. At cluster scale a manifest this large
       * would be broadcast-joined instead of collected. */
-    manifestPruneMaxEntries: Long = 100000L)
+    manifestPruneMaxEntries: Long = 100000L,
+    /** Ingest fan-out: writer tasks (≈ parquet files) each put spreads
+      * one (shard, bucket) partition across — the tuning surface the
+      * reference exposes as write-batch sizing (src/option.rs
+      * Options.write_batch, src/level.rs:594 WriteBatchConfig). 1
+      * (default) clusters every touched partition into a single file
+      * per put: fewest files, write parallelism = #touched partitions.
+      * n > 1 salts the pre-write shuffle so a hot partition's rows
+      * spread over up to n writer tasks (wider ingest, more files).
+      * 0 skips the pre-write shuffle entirely: every input task writes
+      * its own file into each partition it holds — lowest ingest
+      * latency, most files (the small-files trade the reference makes
+      * with batch_size = 0). */
+    putWritersPerPartition: Int = 1)
 
 object HelixStore {
   val EntryColumns: Seq[String] = Seq("key", "ts", "value")
@@ -144,6 +157,8 @@ final class HelixStore private (
   require(opts.numShards > 0, s"numShards must be positive: ${opts.numShards}")
   require(opts.bucketSize > 0, s"bucketSize must be positive: ${opts.bucketSize}")
   require(opts.codecs.nonEmpty, "at least one codec must be registered")
+  require(opts.putWritersPerPartition >= 0,
+    s"putWritersPerPartition must be >= 0: ${opts.putWritersPerPartition}")
 
   private val root: Path = Paths.get(path)
   private val seqsDir: Path = root.resolve("_seqs")
@@ -411,6 +426,14 @@ final class HelixStore private (
   private def dirOf(name: String): Path = root.resolve(name)
   private def rowsPath: String = dirOf(ptr.rows).toString
   private[graft] def hasRickRows: Boolean = { refreshPointer(); hasRows }
+  /** Parquet files currently in one rick (shard, bucket) partition —
+    * the observable effect of [[StoreOptions.putWritersPerPartition]]. */
+  private[graft] def rickFileCount(shard: Int, bucket: Long): Int = {
+    refreshPointer()
+    val dir = dirOf(ptr.rows).resolve(s"shard=$shard").resolve(s"bucket=$bucket")
+    if (!Files.exists(dir)) 0
+    else listDir(dir).count(_.getFileName.toString.endsWith(".parquet"))
+  }
   private[graft] def hasBlockLayer: Boolean = { refreshPointer(); hasBlocks }
   private[graft] def hasManifestLayer: Boolean = { refreshPointer(); ptr.manifest.isDefined }
 
@@ -593,23 +616,21 @@ final class HelixStore private (
     * BINARY). Routing = shard/bucket partition columns; one shuffle-free
     * partitioned write. Synchronized with compactions so a batch can't
     * land in a rows generation that is being swapped out. */
-  def put(entries: DataFrame, coalescePartitions: Boolean = true): Unit =
-    putWithShard(entries, shardExpr(col("key")), coalescePartitions)
+  def put(entries: DataFrame): Unit =
+    putWithShard(entries, shardExpr(col("key")))
 
   /** Shard-addressed write bypassing the sharding function — the
     * reference's `direct_put` (src/db.rs:49): every entry in the batch
     * lands in `shard`, whatever its key hashes to. Reads must then use
     * [[directGet]] with the same shard. */
-  def directPut(shard: Int, entries: DataFrame,
-      coalescePartitions: Boolean = true): Unit = {
+  def directPut(shard: Int, entries: DataFrame): Unit = {
     require(shard >= 0 && shard < opts.numShards,
       s"shard $shard outside [0, ${opts.numShards})")
-    putWithShard(entries, lit(shard).cast("int"), coalescePartitions)
+    putWithShard(entries, lit(shard).cast("int"))
   }
 
   private def putWithShard(entries: DataFrame,
-      shardCol: org.apache.spark.sql.Column,
-      coalescePartitions: Boolean): Unit = withMutex {
+      shardCol: org.apache.spark.sql.Column): Unit = withMutex {
     // mutex: excludes other PROCESSES' compaction swaps (reentrant under
     // this instance's own background compaction); putGate: excludes only
     // the brief commit window, during which the target rick generation
@@ -629,9 +650,18 @@ final class HelixStore private (
       // Cluster rows by target partition before the write: without this,
       // EVERY input task emits a file into every (shard, bucket) it
       // happens to hold — the classic small-files explosion at scale.
-      val arranged =
-        if (coalescePartitions) routed.repartition(col("shard"), col("bucket"))
-        else routed
+      // putWritersPerPartition > 1 salts the clustering so a hot
+      // partition's rows spread over up to that many writer tasks.
+      val arranged = opts.putWritersPerPartition match {
+        case 0 => routed
+        case 1 => routed.repartition(col("shard"), col("bucket"))
+        // Explicit partition count: the user sized the fan-out, so AQE
+        // must not coalesce it away. Files per (shard, bucket) stay <= n
+        // whatever the total count — salt has only n values per partition.
+        case n => routed.repartition(opts.numShards * n,
+          col("shard"), col("bucket"),
+          pmod(xxhash64(col("subseq")), lit(n.toLong)))
+      }
       arranged.write.mode("append")
         .partitionBy("shard", "bucket")
         .parquet(rowsPath)

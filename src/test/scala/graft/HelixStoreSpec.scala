@@ -629,6 +629,38 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.get("ob".getBytes, 2000L).map(new String(_)).contains("fresh"))
   }
 
+  test("putWritersPerPartition sizes the files one put writes (WriteBatchConfig analogue)") {
+    // 100 rows, 8 input tasks, all routed to the single (shard=0, bucket=0)
+    val rows = entriesDF((0 until 100).map(k => (s"wk$k", 1L, s"v$k"))).repartition(8)
+    def opts(n: Int) = StoreOptions(numShards = 1, bucketSize = 1000,
+      putWritersPerPartition = n)
+
+    val one = HelixStore.open(spark, tmpDir("hs-writers1"), opts(1))
+    one.put(rows)
+    assert(one.rickFileCount(0, 0L) == 1,
+      "writers=1 must coalesce each touched partition into one file per put")
+
+    val four = HelixStore.open(spark, tmpDir("hs-writers4"), opts(4))
+    four.put(rows)
+    val c4 = four.rickFileCount(0, 0L)
+    assert(c4 > 1 && c4 <= 4, s"writers=4 must fan out to 2..4 files, got $c4")
+
+    val zero = HelixStore.open(spark, tmpDir("hs-writers0"), opts(0))
+    zero.put(rows)
+    assert(zero.rickFileCount(0, 0L) == 8,
+      "writers=0 skips the pre-write shuffle: one file per input task")
+
+    // write fan-out is physical only — read semantics are identical
+    Seq(one, four, zero).foreach { s =>
+      assert(s.toDF.count() == 100)
+      assert(s.get("wk7".getBytes, 1L).map(new String(_)).contains("v7"))
+      s.close()
+    }
+    intercept[IllegalArgumentException] {
+      HelixStore.open(spark, tmpDir("hs-writersneg"), opts(-1))
+    }
+  }
+
   test("outdate drops old buckets without touching recent ones") {
     val store = HelixStore.open(spark, tmpDir("hs-out"), StoreOptions(numShards = 2, bucketSize = 10))
     store.put(entriesDF(Seq(("a", 5L, "old"), ("a", 15L, "mid"), ("a", 25L, "new"))))
