@@ -50,6 +50,15 @@ object SparkEntry {
     "q12_shipmode" -> (Analytics.q12Shipmode _),
     "q14_promo" -> (Analytics.q14Promo _),
     "q8_market_share" -> (Analytics.q8MarketShare _),
+    "q9_profit" -> (Analytics.q9Profit _),
+    "q13_custdist" -> (Analytics.q13Custdist _),
+    "q15_top_supplier" -> (Analytics.q15TopSupplier _),
+    "q17_small_qty" -> (Analytics.q17SmallQty _),
+    "q18_large_orders" -> (Analytics.q18LargeOrders _),
+    "q19_disjunctive" -> (Analytics.q19Disjunctive _),
+    "q22_opportunity" -> (Analytics.q22Opportunity _),
+    "ts_zscore" -> (TimeSeriesOps.zscore _),
+    "ts_interp_linear" -> (TimeSeriesOps.interpLinear _),
     "ts_above_p95" -> (Analytics.tsAboveP95 _),
     "q_retention" -> (Analytics.qRetention _),
     "ts_heavy_hitters" -> (Analytics.heavyHitters _),
@@ -87,8 +96,9 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_decode_stub" -> (Multimodal.decodeFeatures _),
     "mm_chunk" -> (Multimodal.chunkLayout _),
-    // Streaming batch twin (#30)
+    // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
+    "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
@@ -410,6 +420,132 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) -
+        |    CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(4,0)))
+        |    AS DOUBLE) AS profit,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN (SELECT o_custkey FROM orders
+        |    WHERE o_orderpriority <> '5-LOW') o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    // threshold arithmetic ordered exactly as the Spark side:
+    // 0.2 * (double(sum) / n)
+    "q17_small_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE sum_qty > 250.0""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_opportunity" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
+    // stats from exact decimal sums; z arithmetic ordered identically
+    "ts_zscore" ->
+      """WITH st AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) / count(*) AS msq
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value,
+        |  (e.value - st.mean) / sqrt(st.msq - st.mean * st.mean) AS z_score
+        |FROM events e JOIN st USING (user_id)
+        |WHERE st.n >= 2 AND st.msq - st.mean * st.mean > 0
+        |  AND abs((e.value - st.mean) / sqrt(st.msq - st.mean * st.mean)) > 2.5""".stripMargin,
+    "ts_interp_linear" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM (
+        |    SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1)),
+        |j AS (
+        |  SELECT s.user_id, s.hour, h.avg_v,
+        |    last_value(h.avg_v IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN h.avg_v IS NOT NULL THEN s.hour END IGNORE NULLS)
+        |      OVER (PARTITION BY s.user_id ORDER BY s.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+        |    first_value(h.avg_v IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN h.avg_v IS NOT NULL THEN s.hour END IGNORE NULLS)
+        |      OVER (PARTITION BY s.user_id ORDER BY s.hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+        |  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour)
+        |SELECT user_id, hour * 3600000000 AS hour_us,
+        |  CASE WHEN avg_v IS NOT NULL THEN avg_v
+        |    ELSE prev_v + (next_v - prev_v) *
+        |      (CAST(hour - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE))
+        |  END AS interp_v,
+        |  CAST(avg_v IS NULL AS INTEGER) AS is_gap
+        |FROM j""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_unique FROM (
+        |  SELECT DISTINCT event_id, event_type FROM (
+        |    SELECT event_id, event_type FROM events
+        |    UNION ALL SELECT event_id, event_type FROM events))
+        |GROUP BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -402,4 +402,149 @@ object Analytics {
       .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
       .agg(count(lit(1)).as("cnt"),
         sum(dec("value")).cast("double").as("sum_value"))
+
+  /** #68 — TPC-H Q9-style profit by supplier nation × ship year
+    * (reshaped: the synthetic schema has no partsupp, so supply cost is
+    * p_retailprice × quantity). Part filter prunes the fact scan via
+    * the broadcast hash; both dims broadcast — the fact table is
+    * touched once and never shuffled before the final small agg. */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val li = Tables.lineitem(s, dir)
+    val amount = dec("l_extendedprice") *
+      (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")) -
+      dec("p_retailprice") * col("l_quantity").cast("decimal(4,0)")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** #69 — TPC-H Q13-style customer order-count distribution. Orders
+    * pre-aggregate to one row per customer BEFORE touching the customer
+    * table (map-side combine collapses the fact shuffle), then a left
+    * join preserves zero-order customers and a second tiny agg builds
+    * the histogram. No per-order rows ever reach the join. */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** #70 — TPC-H Q15-style top supplier: quarterly revenue per
+    * supplier, then every supplier tying the maximum (the scalar
+    * subquery shape). The per-supplier frame is small after the agg, so
+    * the max broadcasts back as a single-row crossJoin; tie equality is
+    * on doubles both engines derive from the same exact decimal sum. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .cast("double").as("total_revenue"))
+    val top = rev.agg(max("total_revenue").as("mx"))
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** #71 — TPC-H Q17-style small-quantity revenue: lineitems of one
+    * brand whose quantity is below 20% of their part's average. The
+    * correlated per-part average becomes a broadcast frame keyed by
+    * partkey (bounded by #parts of the brand, not by fact volume); the
+    * threshold arithmetic — exact decimal sum, one double division,
+    * one multiply — is ordered identically in the oracle so the
+    * comparison is bit-deterministic. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val li = Tables.lineitem(s, dir)
+    val branded = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    val avgQty = branded.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((lit(0.2) * (sum(dec("l_quantity")).cast("double") /
+        count(lit(1)))).as("qty_thr"))
+    branded.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg((sum(dec("l_extendedprice")).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** #72 — TPC-H Q18-style large orders: orders whose total quantity
+    * exceeds 250, with their customer. The HAVING pre-filter runs on
+    * the per-order agg (map-side combinable), so only the few large
+    * orders join back to orders/customer — never the raw lineitems. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** #73 — TPC-H Q19-style disjunctive-predicate revenue: an
+    * OR-of-ANDs over (brand, size, quantity). Brand/size conjuncts live
+    * on the broadcast part dim; the residual OR evaluates post-join in
+    * one codegen stage — the plan shape that proves disjunctions don't
+    * force a fact shuffle or repeated scans. */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(s, dir)
+    val qty = col("l_quantity")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        qty.between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        qty.between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        qty.between(20, 30))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .filter(cond)
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** #74 — TPC-H Q22-style sales opportunity: customers with
+    * above-average positive balance and no recent orders, per segment.
+    * The global average is a 1-row broadcast; the anti-join streams the
+    * (pre-projected, pre-deduplicated) recent-customer keys against the
+    * customer scan — a left_anti that AQE turns into a broadcast when
+    * the recent-buyer set is small. */
+  def q22Opportunity(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec("c_acctbal")).cast("double") / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec("c_acctbal")).cast("double").as("total_bal"))
+  }
 }

@@ -20,6 +20,7 @@ import graft.core.Tables
  * graft.core.HelixStore) they become partition-pruned scans.
  */
 object TimeSeriesOps {
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val NumShards = 8
 
   /** #1 — sharded put layout: which (shard, day-bucket) each entry routes
@@ -286,6 +287,65 @@ object TimeSeriesOps {
       .select(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .groupBy(unix_micros(col("w.start")).as("win_us"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** #75 — per-key z-score anomalies: events more than 2.5 standard
+    * deviations from their key's mean. Stats come from ONE map-side-
+    * combinable agg (count + exact decimal Σv and Σv², so the mean/
+    * variance doubles are order-independent and bit-equal in the
+    * oracle); the tiny per-key frame broadcasts back onto the fact
+    * scan, so flagging is a single codegen comparison per row — two
+    * fact passes total, no window over unbounded key history. */
+  def zscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      (sum(dec("value")).cast("double") / count(lit(1))).as("mean"),
+      (sum(dec("value") * dec("value")).cast("double") / count(lit(1))).as("msq"))
+    val z = (col("value") - col("mean")) /
+      sqrt(col("msq") - col("mean") * col("mean"))
+    ev.join(broadcast(stats), "user_id")
+      .filter(col("n") >= 2 && col("msq") - col("mean") * col("mean") > 0 &&
+        abs(z) > 2.5)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), z.as("z_score"))
+  }
+
+  /** #76 — linear interpolation over the hourly grid: like [[gapFill]]
+    * but gap hours get a value interpolated between the neighboring
+    * observed hourly averages instead of a carry-forward. Neighbors come
+    * from two IGNORE NULLS window passes over the spine (running last
+    * observed before / first observed after) — per-key sequential state
+    * bounded by the spine row, never the key's history. The hourly
+    * average divides an exact decimal sum, and the interpolation
+    * arithmetic matches the oracle's operation order exactly. */
+  def interpLinear(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").as("hour"))
+      .agg((sum(dec("value")).cast("double") / count(lit(1))).as("avg_v"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val wPrev = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // "first observed at-or-after" as a RUNNING frame over descending
+    // hours: a [current, unbounded following] frame would rescan the
+    // partition tail per row (quadratic in spine length).
+    val wNext = Window.partitionBy("user_id").orderBy(col("hour").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val obsHour = when(col("avg_v").isNotNull, col("hour"))
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("prev_v", last(col("avg_v"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_h", last(obsHour, ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", last(col("avg_v"), ignoreNulls = true).over(wNext))
+      .withColumn("next_h", last(obsHour, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), (col("hour") * 3600000000L).as("hour_us"),
+        when(col("avg_v").isNotNull, col("avg_v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+            ((col("hour") - col("prev_h")).cast("double") /
+              (col("next_h") - col("prev_h")).cast("double"))).as("interp_v"),
+        col("avg_v").isNull.cast("int").as("is_gap"))
+  }
 
   /** #9 — batched multi-key point get (one shuffle for the whole batch;
     * reference does N sharded gets, src/db.rs:171-196). */

@@ -58,6 +58,33 @@ object StreamOps {
     slidingCounts(
       s.readStream.schema(schema).format("parquet").load(eventsDir))
 
+  /** Shared logic for #77: drop duplicate event_ids (at-least-once
+    * delivery repair — the canonical streaming-ingest dedup), then count
+    * survivors per event_type. In streaming the state store keys on
+    * event_id bounded by the watermark; in batch the same call plans as
+    * a plain aggregate-of-distinct. */
+  def dedupCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+
+  /** #77 batch twin: the input is doubled (union of the table with
+    * itself — a deterministic stand-in for redelivery) so the dedup
+    * provably does work; counts must equal the single-copy counts. */
+  def dedupBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    dedupCounts(ev.unionAll(ev))
+  }
+
+  /** Streaming version over a file source (spec-paired with the batch
+    * twin; the spec stages a redelivered directory). */
+  def dedupStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    dedupCounts(
+      s.readStream.schema(schema).format("parquet").load(eventsDir))
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

@@ -48,23 +48,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
-  test("streaming dedup with watermark matches batch distinct") {
+  test("streaming dedup with watermark matches the oracled batch stream_dedup") {
     val staged = tmpDir("stream-dedup")
-    // duplicate the stream on purpose
+    // duplicate the stream on purpose (at-least-once redelivery)
     val ev = Tables.events(spark, Sf)
     ev.unionAll(ev).write.mode("overwrite").parquet(staged)
     val schema = spark.read.parquet(staged).schema
-    val q = spark.readStream.schema(schema).parquet(staged)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-      .groupBy().count()
+    val q = StreamOps.dedupStreaming(spark, staged, schema)
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000L)
-    val streamed = spark.table("dedup_out").head().getLong(0)
-    assert(streamed == ev.count(), "streaming dedup must drop the duplicated half")
+    val streamed = spark.table("dedup_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = StreamOps.dedupBatch(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    // the dedup provably dropped the duplicated half
+    assert(streamed.map(_._2).sum == ev.count(),
+      "per-type unique counts must equal the single-copy event count")
   }
 
   test("stateful mapGroupsWithState sessionization matches batch sessionize") {
