@@ -32,6 +32,16 @@ object OracleSqlGen {
 
   val dedupNgramJaccard: String = s"WITH $ngramCtes\n$ngramSelect"
 
+  /** Asymmetric containment: ordered pairs with |Sa∩Sb| >= 0.9·|Sa|
+    * (the oracle verifies all co-shingled pairs; the Spark side reaches
+    * the same set through prefix-filtered candidates). */
+  val dedupContainment: String =
+    s"""WITH $ngramCtes,
+       |i AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT i.doc_id1, i.doc_id2 FROM i JOIN sz s1 ON i.doc_id1 = s1.doc_id
+       |WHERE i.c * ${Dedup.ContainDen} >= ${Dedup.ContainNum} * s1.n""".stripMargin
+
   /** MinHash+LSH candidate-pair machinery as embeddable CTE fragments,
     * shared by dedup_minhash_lsh and dedup_cluster (whose pair source
     * IS the minhash pipeline — band buckets, never the shingle join). */

@@ -57,6 +57,7 @@ object SparkEntry {
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
     "q19_disjunctive" -> (Analytics.q19Disjunctive _),
     "q22_opportunity" -> (Analytics.q22Opportunity _),
+    "q_pivot_daily" -> (Analytics.qPivotDaily _),
     "ts_zscore" -> (TimeSeriesOps.zscore _),
     "ts_interp_linear" -> (TimeSeriesOps.interpLinear _),
     "ts_above_p95" -> (Analytics.tsAboveP95 _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Dedup.clusterDups(s, d)),
+    "dedup_containment" -> (Dedup.containment _),
     // Similarity search (#21-23)
     "ann_topk_brute" -> (Similarity.annTopkBrute _),
     "ann_lsh_bucket" -> (Similarity.lshBucket _),
@@ -497,6 +499,14 @@ object SparkEntry {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
     // stats from exact decimal sums; z arithmetic ordered identically
     "ts_zscore" ->
       """WITH st AS (
@@ -561,6 +571,7 @@ object SparkEntry {
          |JOIN (${OracleSqlGen.textQuality}) q ON l.doc_id = q.doc_id
          |JOIN ($SurvivorSql) s ON l.doc_id = s.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> OracleSqlGen.dedupNgramJaccard,
+    "dedup_containment" -> OracleSqlGen.dedupContainment,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,
     "dedup_simhash_pairs" -> OracleSqlGen.dedupSimhashPairs,

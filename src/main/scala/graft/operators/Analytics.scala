@@ -527,6 +527,22 @@ object Analytics {
         count(lit(1)).as("n_rows"))
   }
 
+  /** #79 — daily event matrix: counts pivoted to one column per event
+    * type. With the value list given explicitly, pivot plans as plain
+    * conditional aggregates — map-side combinable, ONE shuffle on day,
+    * no second pass to discover the pivot domain. */
+  def qPivotDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("day_us"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+
   /** #74 — TPC-H Q22-style sales opportunity: customers with
     * above-average positive balance and no recent orders, per segment.
     * The global average is a 1-row broadcast; the anti-join streams the

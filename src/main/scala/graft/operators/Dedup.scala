@@ -29,6 +29,9 @@ object Dedup {
   /** Jaccard threshold 0.8 as a ratio (numerator, denominator). */
   val ThreshNum = 8
   val ThreshDen = 10
+  /** Containment threshold 0.9 as a ratio (numerator, denominator). */
+  val ContainNum = 9
+  val ContainDen = 10
 
   /** Canonical token array column. */
   def tokens(c: Column): Column =
@@ -119,6 +122,42 @@ object Dedup {
         col("set").as("s2"), col("n").as("n2")), "doc_id2")
       .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
       .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
+      .select("doc_id1", "doc_id2")
+  }
+
+  /** #78 — asymmetric containment dedup: ORDERED pairs (a, b) with
+    * |Sa ∩ Sb| >= 0.9·|Sa| — "a is 90% inside b". Catches
+    * boilerplate-wrapped and quote-inclusion duplicates whose symmetric
+    * jaccard dives below threshold because b is much larger than a.
+    * EXACT via the containment form of prefix filtering: at most
+    * n_a − ⌈0.9·n_a⌉ of a's shingles fall outside the intersection, so
+    * a's rarest n_a − ⌈0.9·n_a⌉ + 1 shingles (its prefix) must hit Sb —
+    * candidates come from joining a's PREFIX against b's full set, and
+    * b-side hot shingles can pair only with the few docs rare-prefixed
+    * on them. Verification is an exact intersection on candidates only. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir).cache()
+    val rarity = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val docs = sh.join(rarity, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("df"), col("s")))).as("byRarity"))
+      .withColumn("prefixLen",
+        expr(s"n - ((n * $ContainNum + $ContainDen - 1) div $ContainDen) + 1"))
+      .withColumn("set", col("byRarity.s"))
+      .select(col("doc_id"), col("n"), col("set"),
+        slice(col("set"), lit(1), col("prefixLen").cast("int")).as("prefix"))
+    val pre = docs.select(col("doc_id").as("doc_id1"), explode(col("prefix")).as("s"))
+    val full = docs.select(col("doc_id").as("doc_id2"), explode(col("set")).as("s"))
+    val cand = pre.join(full, "s")
+      .filter(col("doc_id1") =!= col("doc_id2"))
+      .select("doc_id1", "doc_id2").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_id1"),
+        col("set").as("s1"), col("n").as("n1")), "doc_id1")
+      .join(docs.select(col("doc_id").as("doc_id2"), col("set").as("s2")), "doc_id2")
+      .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
+      .filter(col("c") * ContainDen >= lit(ContainNum) * col("n1"))
       .select("doc_id1", "doc_id2")
   }
 

@@ -79,4 +79,62 @@ class PlanSpec extends SparkTestBase {
     assert(windowSpecs.forall(_.contains("bucket")),
       s"every window must be keyed by bucket, got: ${windowSpecs.mkString("\n")}")
   }
+
+  test("ts_interp_linear uses only running window frames (no quadratic tail rescan)") {
+    val p = plan("ts_interp_linear")
+    assert(!p.contains("unboundedfollowing"),
+      "a [current, unbounded following] frame rescans the partition tail per row; " +
+        "'next observation' must run as a descending running frame")
+    assert(p.contains("unboundedpreceding"), "expected running fill frames")
+  }
+
+  test("ts_zscore derives stats in one agg and flags via broadcast, no key window") {
+    val p = plan("ts_zscore")
+    assert(!p.contains("windowspecdefinition"),
+      "per-key stats must not window over the key's event history")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-key stats frame must broadcast back onto the fact scan")
+  }
+
+  test("q9_profit broadcasts all three dims and shuffles only the final rollup") {
+    val p = plan("q9_profit")
+    // count nodes via their "(id) Node" detail headers — tree lines would
+    // double-count
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size == 3,
+      "part/supplier/nation broadcast")
+    assert(!p.contains("SortMergeJoin"), "the fact table must never shuffle for a dim join")
+  }
+
+  test("q13_custdist pre-aggregates orders before the customer join") {
+    val p = plan("q13_custdist")
+    // the per-customer count must sit BELOW the join: an aggregate keyed
+    // on o_custkey proves order rows collapse before touching customer
+    assert("Keys \\[1\\]: \\[o_custkey#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"orders must pre-aggregate to one row per customer before the join")
+  }
+
+  test("dedup_containment candidates come from prefix shingles, never all pairs") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment candidate generation must be a shingle equi-join")
+  }
+
+  test("q_pivot_daily pivots as two-level aggregation, no domain-discovery pass") {
+    val p = plan("q_pivot_daily")
+    // explicit pivot values plan as (day, event_type) partial+final agg
+    // that collapses the facts, then a tiny (day) pivot agg — two
+    // aggregate pairs, two exchanges, and NO extra job to collect the
+    // pivot column's distinct values
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size == 4,
+      "expected the two-level pivot aggregation")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      "facts must shuffle once; the pivot step reshuffles only day-level rows")
+  }
+
+  test("q18_large_orders filters on the partial-aggregated quantity before joining back") {
+    val p = plan("q18_large_orders")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-order quantity must combine map-side")
+    assert(p.contains("BroadcastHashJoin"), "customer joins the few survivors broadcast")
+  }
 }
