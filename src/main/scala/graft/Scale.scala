@@ -50,6 +50,10 @@ object Scale {
       time("q_percentiles")(Analytics.qPercentiles(spark, dir).count())
       time("dedup_embedding")(Dedup.embeddingCosine(spark, dir).count())
       time("ann_batch_topk")(Similarity.annBatchTopk(spark, dir).count())
+      time("ts_zscore")(TimeSeriesOps.zscore(spark, dir).count())
+      time("ts_interp_linear")(TimeSeriesOps.interpLinear(spark, dir).count())
+      time("dedup_containment")(Dedup.containment(spark, dir).count())
+      time("q_pivot_daily")(Analytics.qPivotDaily(spark, dir).count())
     }
     spark.stop()
   }

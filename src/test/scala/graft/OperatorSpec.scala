@@ -175,4 +175,58 @@ class OperatorSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(TextOps.StopWords.keySet + "und"))
   }
+
+  test("containment equals the all-pairs baseline exactly (prefix filter loses nothing)") {
+    import spark.implicits._
+    // brute-force ordered containment over the (tiny) spec corpus
+    val sets = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("set"))
+      .filter(size(col("set")) > 0)
+    val a = sets.select(col("doc_id").as("doc_id1"),
+      col("set").as("s1"), size(col("set")).as("n1"))
+    val b = sets.select(col("doc_id").as("doc_id2"), col("set").as("s2"))
+    val brute = a.crossJoin(b).filter(col("doc_id1") =!= col("doc_id2"))
+      .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
+      .filter(col("c") * Dedup.ContainDen >= lit(Dedup.ContainNum) * col("n1"))
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect().toSet
+    val filtered = Dedup.containment(spark, Sf).as[(Long, Long)].collect().toSet
+    assert(filtered == brute,
+      s"prefix filtering must be lossless: ${brute.size} brute vs ${filtered.size}")
+    assert(brute.nonEmpty, "spec corpus must contain at least one containment pair")
+  }
+
+  test("zscore output only flags beyond the 2.5-sigma threshold") {
+    val rows = TimeSeriesOps.zscore(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("z_score")) > 2.5))
+  }
+
+  test("interpolated gap values lie between their neighboring observations") {
+    val hourlyAvg = graft.core.Tables.events(spark, Sf)
+      .groupBy(col("user_id"),
+        (expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000") * 3600000000L)
+          .as("hour_us"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("v"))
+    val out = TimeSeriesOps.interpLinear(spark, Sf)
+    // non-gap rows reproduce the hourly average exactly
+    val mismatch = out.filter(col("is_gap") === 0)
+      .join(hourlyAvg, Seq("user_id", "hour_us"))
+      .filter(col("interp_v") =!= col("v")).count()
+    assert(mismatch == 0)
+    // every gap value is bounded by SOME pair of that key's observations
+    val bounds = hourlyAvg.groupBy("user_id")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+    val outOfRange = out.filter(col("is_gap") === 1)
+      .join(bounds, "user_id")
+      .filter(col("interp_v") < col("lo") || col("interp_v") > col("hi"))
+      .count()
+    assert(outOfRange == 0, "linear interpolation cannot overshoot the observed range")
+  }
+
+  test("pivot matrix row sums reconcile with the raw event count") {
+    val rows = Analytics.qPivotDaily(spark, Sf).collect()
+    val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total == graft.core.Tables.events(spark, Sf).count())
+  }
 }
