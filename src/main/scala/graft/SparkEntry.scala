@@ -32,6 +32,7 @@ object SparkEntry {
     "ts_gap_fill" -> (TimeSeriesOps.gapFill _),
     "ts_rate" -> (TimeSeriesOps.rate _),
     "ts_ema" -> (TimeSeriesOps.ema _),
+    "ts_holt" -> (TimeSeriesOps.holt _),
     "ts_sliding" -> (TimeSeriesOps.slidingCounts _),
     // Analytics (#10-15)
     "q1_pricing" -> (Analytics.q1Pricing _),
@@ -312,6 +313,28 @@ object SparkEntry {
         |    list_prepend([0.0::DOUBLE, 0.0::DOUBLE], list([a, b] ORDER BY day)),
         |    (acc, x) -> [x[1] * acc[1] + x[2], 0.0::DOUBLE])[1] AS ema
         |FROM b GROUP BY 1""".stripMargin,
+    // same bounded-state shape as ts_ema, lifted to the 2-D (level,
+    // trend) state: per-bucket 6-double affine fold, per-key chain
+    "ts_holt" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+        |    list_reduce(
+        |      list_prepend([1.0::DOUBLE, 0.0, 0.0, 1.0, 0.0, 0.0],
+        |        list([value, 0.0, 0.0, 0.0, 0.0, 0.0] ORDER BY epoch_us(ts), value)),
+        |      (acc, x) -> [0.8 * acc[1] + 0.8 * acc[3],
+        |                   0.8 * acc[2] + 0.8 * acc[4],
+        |                   -0.02 * acc[1] + 0.98 * acc[3],
+        |                   -0.02 * acc[2] + 0.98 * acc[4],
+        |                   0.8 * acc[5] + 0.8 * acc[6] + 0.2 * x[1],
+        |                   -0.02 * acc[5] + 0.98 * acc[6] + 0.02 * x[1]]) AS f
+        |  FROM events GROUP BY 1, 2),
+        |chains AS (
+        |  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |    list_reduce(list_prepend([0.0::DOUBLE, 0.0], list(f ORDER BY day)),
+        |      (acc, x) -> [x[1] * acc[1] + x[2] * acc[2] + x[5],
+        |                   x[3] * acc[1] + x[4] * acc[2] + x[6]]) AS st
+        |  FROM m GROUP BY 1)
+        |SELECT user_id, n_events, st[1] AS level, st[2] AS trend FROM chains""".stripMargin,
     "ts_sliding" ->
       """WITH ev AS (SELECT epoch_us(ts) AS t, event_type FROM events),
         |wins AS (SELECT event_type,

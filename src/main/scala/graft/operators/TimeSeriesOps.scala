@@ -278,6 +278,62 @@ object TimeSeriesOps {
           (acc, c) => c.getField("a") * acc + c.getField("b")).as("ema"))
   }
 
+  /** #80 — Holt linear-trend smoothing per key (level + trend, α=0.2,
+    * β=0.1): the 2-D generalization of [[ema]]'s bounded-state trick.
+    * The per-value update is affine in the (level, trend) state —
+    * x' = M·x + d(v) with constant M — so a whole day-bucket composes
+    * to ONE affine map (P, q) = (M^k, Σ M^(k-i)·d(v_i)), folded with a
+    * 6-double accumulator over that bucket's values; the per-key chain
+    * then composes the ordered (P, q) pairs. No row ever holds more
+    * than one day of one key's history, whatever the total length. The
+    * oracle folds the identical literals in the identical order, so the
+    * doubles match bit-for-bit. */
+  def holt(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("day", expr("tus div 86400000000"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("tus"), col("value")))).as("seq"))
+      .select(col("user_id"), col("day"), col("n"),
+        aggregate(col("seq"),
+          struct(lit(1.0).as("p11"), lit(0.0).as("p12"), lit(0.0).as("p21"),
+            lit(1.0).as("p22"), lit(0.0).as("q1"), lit(0.0).as("q2")),
+          (acc, x) => {
+            val v = x.getField("value")
+            // M = [[0.8, 0.8], [-0.02, 0.98]], d(v) = [0.2v, 0.02v]
+            struct(
+              (lit(0.8) * acc.getField("p11") +
+                lit(0.8) * acc.getField("p21")).as("p11"),
+              (lit(0.8) * acc.getField("p12") +
+                lit(0.8) * acc.getField("p22")).as("p12"),
+              (lit(-0.02) * acc.getField("p11") +
+                lit(0.98) * acc.getField("p21")).as("p21"),
+              (lit(-0.02) * acc.getField("p12") +
+                lit(0.98) * acc.getField("p22")).as("p22"),
+              (lit(0.8) * acc.getField("q1") + lit(0.8) * acc.getField("q2") +
+                lit(0.2) * v).as("q1"),
+              (lit(-0.02) * acc.getField("q1") + lit(0.98) * acc.getField("q2") +
+                lit(0.02) * v).as("q2"))
+          }).as("f"))
+    parts.groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        sort_array(collect_list(struct(col("day"), col("f")))).as("chain"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(col("chain"),
+          struct(lit(0.0).as("l"), lit(0.0).as("t")),
+          (acc, c) => {
+            val f = c.getField("f")
+            struct(
+              (f.getField("p11") * acc.getField("l") +
+                f.getField("p12") * acc.getField("t") + f.getField("q1")).as("l"),
+              (f.getField("p21") * acc.getField("l") +
+                f.getField("p22") * acc.getField("t") + f.getField("q2")).as("t"))
+          }).as("st"))
+      .select(col("user_id"), col("n_events"),
+        col("st.l").as("level"), col("st.t").as("trend"))
+  }
+
   /** #57 — sliding-window event counts (1 h window, 15 min slide): every
     * event lands in 4 overlapping windows; Spark's window() generator
     * expands them map-side, then one (window, type) shuffle aggregates —

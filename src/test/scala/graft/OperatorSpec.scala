@@ -224,6 +224,31 @@ class OperatorSpec extends SparkTestBase {
     assert(outOfRange == 0, "linear interpolation cannot overshoot the observed range")
   }
 
+  test("holt's affine composition matches a direct sequential fold") {
+    // independent ground truth: the textbook per-value recurrence run
+    // sequentially on the driver (different float op order than the
+    // composed form, hence the ulp tolerance)
+    val byUser = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).sorted }
+    val direct = byUser.map { case (u, seq) =>
+      var l = 0.0; var t = 0.0
+      seq.foreach { case (_, v) =>
+        val l2 = 0.2 * v + 0.8 * (l + t)
+        t = 0.1 * (l2 - l) + 0.9 * t
+        l = l2
+      }
+      u -> ((l, t))
+    }
+    TimeSeriesOps.holt(spark, Sf).collect().foreach { r =>
+      val (l, t) = direct(r.getAs[Long]("user_id"))
+      assert(math.abs(r.getAs[Double]("level") - l) <= 1e-9 * math.max(1.0, math.abs(l)))
+      assert(math.abs(r.getAs[Double]("trend") - t) <= 1e-9 * math.max(1.0, math.abs(t)))
+    }
+  }
+
   test("pivot matrix row sums reconcile with the raw event count") {
     val rows = Analytics.qPivotDaily(spark, Sf).collect()
     val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum

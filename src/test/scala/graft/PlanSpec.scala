@@ -72,6 +72,12 @@ class PlanSpec extends SparkTestBase {
       s"first aggregate must group on (user_id, day) so no row holds a full key history")
   }
 
+  test("ts_holt folds per (key, day) bucket first, never a key's whole history") {
+    val p = plan("ts_holt")
+    assert("Keys \\[2\\]: \\[user_id#\\d+L?, day#".r.findFirstIn(p).isDefined,
+      "first aggregate must group on (user_id, day) — the bounded-state contract")
+  }
+
   test("q_percentiles windows only within histogram buckets, never a whole group") {
     val p = plan("q_percentiles")
     val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
