@@ -107,6 +107,8 @@ object Dedup {
       .withColumn("set", col("byRarity.s"))
       .select(col("doc_id"), col("n"), col("set"),
         slice(col("set"), lit(1), col("prefixLen").cast("int")).as("prefix"))
+      // consumed three times (prefix explode + both verify joins)
+      .cache()
     val pre = docs.select(col("doc_id"), explode(col("prefix")).as("s"))
     val cand = pre.select(col("doc_id").as("doc_id1"), col("s"))
       .join(pre.select(col("doc_id").as("doc_id2"), col("s")), "s")
@@ -138,6 +140,9 @@ object Dedup {
   def containment(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleTable(s, dir).cache()
     val rarity = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // cached: consumed FOUR times below (prefix explode, full explode,
+    // two verify joins) — uncached, the rarity shuffle + per-doc array
+    // sort would rerun for each consumer
     val docs = sh.join(rarity, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"),
@@ -147,6 +152,7 @@ object Dedup {
       .withColumn("set", col("byRarity.s"))
       .select(col("doc_id"), col("n"), col("set"),
         slice(col("set"), lit(1), col("prefixLen").cast("int")).as("prefix"))
+      .cache()
     val pre = docs.select(col("doc_id").as("doc_id1"), explode(col("prefix")).as("s"))
     val full = docs.select(col("doc_id").as("doc_id2"), explode(col("set")).as("s"))
     val cand = pre.join(full, "s")
