@@ -67,6 +67,8 @@ object SparkEntry {
     // sketch op: intentionally NO oracle (HLL internals are engine-
     // specific); accuracy vs exact is asserted in OperatorSpec
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
+    // sketch op: likewise rows-only; accuracy asserted in OperatorSpec
+    "q_approx_quantiles" -> (Analytics.qApproxQuantiles _),
     // Dedup (#16-20)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_survivor" -> (Dedup.survivor _),

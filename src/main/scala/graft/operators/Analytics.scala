@@ -205,6 +205,21 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("cnt"))
 
+  /** #81 — mergeable quantile sketch (Greenwald-Khanna via
+    * approx_percentile): p50/p95 per event_type in ONE map-side-
+    * combinable pass — the sketch complement of the exact two-phase
+    * [[qPercentiles]] (two passes). No DuckDB oracle (sketch internals
+    * are engine-specific); accuracy vs the exact ranks is
+    * spec-asserted. At 100 TB this is the single-pass affordable
+    * quantile, and sketches merge across partitions/days for free. */
+  def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_percentile(col("value"), lit(0.5), lit(2500)).as("ap50"),
+        approx_percentile(col("value"), lit(0.95), lit(2500)).as("ap95"),
+        count(lit(1)).as("cnt"))
+
   /** #48 — TPC-H Q4-style priority count via LEFT SEMI join: orders with
     * at least one line shipped after the order date. The semi join never
     * duplicates the probe side, so no post-join dedup; only

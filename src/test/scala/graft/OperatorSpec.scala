@@ -138,6 +138,19 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("approx quantiles land within the exact interquantile neighborhood") {
+    val exact = Analytics.qPercentiles(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    Analytics.qApproxQuantiles(spark, Sf).collect().foreach { r =>
+      val (p50, p95) = exact(r.getString(0))
+      val span = math.max(1e-9, p95 - p50)
+      assert(math.abs(r.getAs[Double]("ap50") - p50) <= 0.1 * span,
+        s"${r.getString(0)}: ap50 ${r.getAs[Double]("ap50")} vs exact $p50")
+      assert(math.abs(r.getAs[Double]("ap95") - p95) <= 0.1 * span,
+        s"${r.getString(0)}: ap95 ${r.getAs[Double]("ap95")} vs exact $p95")
+    }
+  }
+
   test("eventsRange pushdown matches the unpushed filter exactly") {
     import graft.core.Tables
     val lo = Tables.dayUs("2024-01-05")
