@@ -33,6 +33,7 @@ object SparkEntry {
     "ts_rate" -> (TimeSeriesOps.rate _),
     "ts_ema" -> (TimeSeriesOps.ema _),
     "ts_holt" -> (TimeSeriesOps.holt _),
+    "ts_resets" -> (TimeSeriesOps.resets _),
     "ts_sliding" -> (TimeSeriesOps.slidingCounts _),
     // Analytics (#10-15)
     "q1_pricing" -> (Analytics.q1Pricing _),
@@ -315,6 +316,15 @@ object SparkEntry {
         |    list_prepend([0.0::DOUBLE, 0.0::DOUBLE], list([a, b] ORDER BY day)),
         |    (acc, x) -> [x[1] * acc[1] + x[2], 0.0::DOUBLE])[1] AS ema
         |FROM b GROUP BY 1""".stripMargin,
+    "ts_resets" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*) AS n_deltas,
+        |  CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+        |FROM (SELECT user_id, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |WHERE prev IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // same bounded-state shape as ts_ema, lifted to the 2-D (level,
     // trend) state: per-bucket 6-double affine fold, per-key chain
     "ts_holt" ->

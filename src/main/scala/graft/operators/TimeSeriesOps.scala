@@ -278,6 +278,21 @@ object TimeSeriesOps {
           (acc, c) => c.getField("a") * acc + c.getField("b")).as("ema"))
   }
 
+  /** #82 — counter-reset detection (PromQL resets()): how often each
+    * key's cumulative counter went backwards, per day — the signal a
+    * rate() consumer needs to trust its deltas. One lag window on the
+    * key shuffle, rolled up per (key, day); integer counts only, so the
+    * oracle is trivially exact. */
+  def resets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, dir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("user_id"), unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("n_deltas"),
+        sum(when(col("value") < col("prev"), 1L).otherwise(0L)).as("n_resets"))
+  }
+
   /** #80 — Holt linear-trend smoothing per key (level + trend, α=0.2,
     * β=0.1): the 2-D generalization of [[ema]]'s bounded-state trick.
     * The per-value update is affine in the (level, trend) state —
