@@ -114,10 +114,11 @@ final case class StoreOptions(
       * Safe under concurrent writers: the cache epoch is (pointer,
       * max write-seq), and every mutation moves one of the two. */
     kvCacheSize: Int = 256,
-    /** Manifest rows above which driver-side pruning is skipped (the
-      * collect would not be driver-bounded); reads then consult the
-      * block layer directly. At cluster scale a manifest this large
-      * would be broadcast-joined instead of collected. */
+    /** Manifest rows above which the driver-side collected prune map is
+      * abandoned (the collect would not be driver-bounded); point reads
+      * then prune through a filtered one-row probe of the manifest
+      * parquet instead — proof of absence survives at any manifest
+      * size, at the cost of one tiny scan per get. */
     manifestPruneMaxEntries: Long = 100000L,
     /** Ingest fan-out: writer tasks (≈ parquet files) each put spreads
       * one (shard, bucket) partition across — the tuning surface the
@@ -519,7 +520,21 @@ final class HelixStore private (
     if (!hasBlocks) return false
     if (ptr.manifest.isEmpty) return true // no manifest: can't prune
     manifest match {
-      case ManifestTooBig => true // pruning disabled, never wrong
+      // Too big to collect: probe the ONE (shard, bucket) manifest row
+      // through a filtered scan instead — parquet stats prune the read,
+      // the result is a single row, and proof of absence survives at
+      // any manifest size (the cluster-scale path; the collected map
+      // below is the cheap small-store path).
+      case ManifestTooBig =>
+        spark.read.parquet(dirOf(ptr.manifest.get).toString)
+          .filter(col("shard") === shard && col("bucket") === bucket)
+          .select("min_key", "max_key")
+          .take(1).headOption match {
+          case None => false // manifest is complete: partition absent = no data
+          case Some(r) =>
+            java.util.Arrays.compareUnsigned(key, r.getAs[Array[Byte]]("min_key")) >= 0 &&
+              java.util.Arrays.compareUnsigned(key, r.getAs[Array[Byte]]("max_key")) <= 0
+        }
       case ManifestLoaded(m) => m.get((shard.toInt, bucket)) match {
         case None => false // manifest is complete: partition absent = no data
         case Some((lo, hi)) =>

@@ -186,6 +186,24 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.get("aaa".getBytes, 3L).map(new String(_)).contains("fresh"))
   }
 
+  test("oversize manifest still prunes point reads via the filtered one-row probe") {
+    val dir = tmpDir("hs-manifest-big")
+    // threshold 0 forces every manifest onto the too-big-to-collect path
+    val store = HelixStore.open(spark, dir,
+      StoreOptions(numShards = 2, bucketSize = 10, manifestPruneMaxEntries = 0))
+    store.put(entriesDF(Seq(("mmm", 1L, "v1"), ("nnn", 2L, "v2"))))
+    store.blockCompact()
+    assert(store.hasManifestLayer)
+    // same contract as the collected map: hits read, absences prune
+    assert(store.get("mmm".getBytes, 1L).map(new String(_)).contains("v1"))
+    assert(store.get("nnn".getBytes, 2L).map(new String(_)).contains("v2"))
+    assert(store.get("aaa".getBytes, 1L).isEmpty)
+    assert(store.get("zzz".getBytes, 1L).isEmpty)
+    assert(store.get("mmm".getBytes, 999L).isEmpty)
+    store.put(entriesDF(Seq(("aaa", 3L, "fresh"))))
+    assert(store.get("aaa".getBytes, 3L).map(new String(_)).contains("fresh"))
+  }
+
   test("UDCF registry dispatches codecs per key prefix (fn_registry.rs:75-99)") {
     val dir = tmpDir("hs-udcf")
     val store = HelixStore.open(spark, dir, StoreOptions(
