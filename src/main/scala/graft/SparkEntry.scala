@@ -105,6 +105,7 @@ object SparkEntry {
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
+    "stream_interval_join" -> (graft.streaming.StreamOps.intervalJoinBatch _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
@@ -585,6 +586,13 @@ object SparkEntry {
         |  END AS interp_v,
         |  CAST(avg_v IS NULL AS INTEGER) AS is_gap
         |FROM j""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  epoch_us(v.ts) AS v_ts_us
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND v.ts >= p.ts - INTERVAL 4 HOUR AND v.ts < p.ts""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n_unique FROM (
         |  SELECT DISTINCT event_id, event_type FROM (

@@ -85,6 +85,44 @@ object StreamOps {
     dedupCounts(
       s.readStream.schema(schema).format("parquet").load(eventsDir))
 
+  /** Shared logic for #83: stream-stream interval join — views joined
+    * to same-user purchases within the preceding 4 hours. The JOIN
+    * formulation (vs. the RANGE-window one of ts_range_join) is what
+    * Structured Streaming requires for two unbounded sources: with
+    * watermarks on both sides the time-bound equi-join keeps bounded
+    * state (each side retained only for watermark + bound) and emits as
+    * the watermark passes. In batch the same call plans as a
+    * co-partitioned equi-join with the interval as residual — no pair
+    * blowup beyond the bound. */
+  def intervalJoinPairs(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "4 hours")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "4 hours")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    p.join(v,
+        col("v_user") === col("user_id") &&
+          col("v_ts") >= col("ts") - expr("INTERVAL 4 HOURS") &&
+          col("v_ts") < col("ts"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
+  /** #83 batch twin (oracled): same call over the static events table. */
+  def intervalJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    intervalJoinPairs(ev, ev)
+  }
+
+  /** Streaming version over two file sources (spec-paired): both sides
+    * watermarked, join bound closed on event time, append output. */
+  def intervalJoinStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    def src = s.readStream.schema(schema).format("parquet").load(eventsDir)
+    intervalJoinPairs(src, src)
+  }
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

@@ -70,6 +70,24 @@ class StreamingSpec extends SparkTestBase {
       "per-type unique counts must equal the single-copy event count")
   }
 
+  test("stream-stream interval join matches the oracled batch twin") {
+    val staged = tmpDir("stream-ij")
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.intervalJoinStreaming(spark, staged, schema)
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = StreamOps.intervalJoinBatch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful mapGroupsWithState sessionization matches batch sessionize") {
     val staged = tmpDir("stream-sess")
     Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
