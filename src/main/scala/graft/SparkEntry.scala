@@ -44,6 +44,7 @@ object SparkEntry {
     "q_json_props" -> (Analytics.qJsonProps _),
     "q6_selective" -> (Analytics.q6Selective _),
     "q_rollup" -> (Analytics.qRollup _),
+    "q_cube" -> (Analytics.qCube _),
     "q_funnel" -> (Analytics.qFunnel _),
     "q4_order_priority" -> (Analytics.q4OrderPriority _),
     "q_anti_dormant" -> (Analytics.qAntiDormant _),
@@ -604,6 +605,11 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "dedup_exact" -> OracleSqlGen.dedupExact,
     "dedup_survivor" -> SurvivorSql,
     "pipeline_curate" ->

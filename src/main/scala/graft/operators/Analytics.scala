@@ -542,6 +542,17 @@ object Analytics {
         count(lit(1)).as("n_rows"))
   }
 
+  /** #84 — CUBE grouping sets: all 2^2 rollup combinations of
+    * (returnflag, linestatus) in ONE pass — Spark expands the grouping
+    * sets map-side, so the fact table is read and shuffled once for
+    * all four aggregation levels (the complement of q_rollup's
+    * hierarchy). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
   /** #79 — daily event matrix: counts pivoted to one column per event
     * type. With the value list given explicitly, pivot plans as plain
     * conditional aggregates — map-side combinable, ONE shuffle on day,
