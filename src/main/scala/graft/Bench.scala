@@ -53,8 +53,10 @@ object Bench {
     // the JSON line carries only a tightly-budgeted digest so several
     // failing queries can't push the line back out of the tail window.
     val errEntries = errors.toSeq.map { case (k, v) =>
-      val safe = v.replace("\\", "\\\\").replace("\"", "'")
-        .replaceAll("[\r\n\t]", " ").take(80)
+      // truncate BEFORE escaping: a cut after escaping could split a
+      // doubled backslash and leave a dangling escape in the JSON
+      val safe = v.take(80).replace("\\", "\\\\").replace("\"", "'")
+        .replaceAll("[\r\n\t]", " ")
       "\"" + k + "\":\"" + safe + "\""
     }
     // Keep whole entries only (a raw char cap would cut mid-string and

@@ -128,6 +128,13 @@ object OracleSqlGen {
     s"list_reduce(list_transform(generate_series(1, 64), i -> $x[i] * $y[i]), (p, q) -> p + q)"
   private def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** round(cos, 6) with the zero-norm sentinel the Spark fold uses: a
+    * 0/0 cosine is NaN, which DuckDB orders greatest but a strict >
+    * fold never selects — both engines pin it below the cosine range. */
+  private def rcosSafe(a: String, b: String): String =
+    s"CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0 THEN -2 " +
+      s"ELSE round(${cos(a, b)}, 6) END"
   private val eCte =
     "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
@@ -191,7 +198,7 @@ object OracleSqlGen {
        |SELECT vec_id, label, assigned_label FROM (
        |  SELECT e.vec_id, e.label, cv.clabel AS assigned_label,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY round(${cos("e.v", "cv.cv")}, 6) DESC, cv.clabel) AS rn
+       |      ORDER BY ${rcosSafe("e.v", "cv.cv")} DESC, cv.clabel) AS rn
        |  FROM e, cv) WHERE rn = 1""".stripMargin
 
   val annIvfTopk: String =
@@ -203,7 +210,7 @@ object OracleSqlGen {
        |assigned AS (SELECT vec_id, v, clabel AS assigned_label FROM (
        |  SELECT e.vec_id, e.v, cvt.clabel,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY round(${cos("e.v", "cvt.cv")}, 6) DESC, cvt.clabel) AS rn
+       |      ORDER BY ${rcosSafe("e.v", "cvt.cv")} DESC, cvt.clabel) AS rn
        |  FROM e, cvt) WHERE rn = 1),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |probe AS (SELECT clabel AS assigned_label FROM cvt, q

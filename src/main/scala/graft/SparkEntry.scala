@@ -323,7 +323,7 @@ object SparkEntry {
         |  count(*) AS n_deltas,
         |  CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
         |FROM (SELECT user_id, ts, value,
-        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev
         |  FROM events)
         |WHERE prev IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,

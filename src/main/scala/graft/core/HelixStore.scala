@@ -673,9 +673,12 @@ final class HelixStore private (
         // Explicit partition count: the user sized the fan-out, so AQE
         // must not coalesce it away. Files per (shard, bucket) stay <= n
         // whatever the total count — salt has only n values per partition.
+        // The salt hashes DETERMINISTIC columns: a retry-recomputed salt
+        // (e.g. from monotonically_increasing_id) would reroute rows
+        // between attempts and lose/duplicate them mid-shuffle.
         case n => routed.repartition(opts.numShards * n,
           col("shard"), col("bucket"),
-          pmod(xxhash64(col("subseq")), lit(n.toLong)))
+          pmod(xxhash64(col("key"), col("ts")), lit(n.toLong)))
       }
       arranged.write.mode("append")
         .partitionBy("shard", "bucket")

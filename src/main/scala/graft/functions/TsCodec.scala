@@ -53,6 +53,22 @@ object TsCodec {
     out
   }
 
+  /** Shared per-(key, bucket) run layout: (ts, value)-sorted points,
+    * base timestamp, delta chain. BOTH compression paths build runs
+    * through this one function so tie ordering and delta semantics
+    * cannot drift between the plain and dispatched codecs. */
+  private def buildRun(it: Iterator[TsPoint]): (Array[TsPoint], Long, Array[Long]) = {
+    val pts = it.toArray.sortBy(p => (p.ts_us, p.value))
+    val t0 = pts.head.ts_us
+    val deltas = new Array[Long](pts.length)
+    var prev = t0
+    var i = 0
+    while (i < pts.length) {
+      deltas(i) = pts(i).ts_us - prev; prev = pts(i).ts_us; i += 1
+    }
+    (pts, t0, deltas)
+  }
+
   def compress(points: Dataset[TsPoint], bucketUs: Long)
       (implicit s: SparkSession): Dataset[TsBlock] = {
     import s.implicits._
@@ -60,14 +76,7 @@ object TsCodec {
       .groupByKey(p => (p.key, Math.floorDiv(p.ts_us, bucketUs)))
       .mapGroups { (kb: (Long, Long), it: Iterator[TsPoint]) =>
         val (key, bucket) = kb
-        val pts = it.toArray.sortBy(p => (p.ts_us, p.value))
-        val t0 = pts.head.ts_us
-        val deltas = new Array[Long](pts.length)
-        var prev = t0
-        var i = 0
-        while (i < pts.length) {
-          deltas(i) = pts(i).ts_us - prev; prev = pts(i).ts_us; i += 1
-        }
+        val (pts, t0, deltas) = buildRun(it)
         TsBlock(key, bucket, t0, deltas, xorEncode(pts.map(_.value)))
       }
   }
@@ -110,14 +119,7 @@ object TsCodec {
       .groupByKey(p => (p.key, Math.floorDiv(p.ts_us, bucketUs)))
       .mapGroups { (kb: (Long, Long), it: Iterator[TsPoint]) =>
         val (key, bucket) = kb
-        val pts = it.toArray.sortBy(p => (p.ts_us, p.value))
-        val t0 = pts.head.ts_us
-        val deltas = new Array[Long](pts.length)
-        var prev = t0
-        var i = 0
-        while (i < pts.length) {
-          deltas(i) = pts(i).ts_us - prev; prev = pts(i).ts_us; i += 1
-        }
+        val (pts, t0, deltas) = buildRun(it)
         val name = dispatch(key)
         val codec = codecs.getOrElse(name, throw new IllegalArgumentException(
           s"dispatch named unregistered codec '$name' for key $key"))

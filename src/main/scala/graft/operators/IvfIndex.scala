@@ -27,7 +27,11 @@ import graft.core.Tables
  */
 object IvfIndex {
 
-  private val stageRoot = "/root/repo/target/graft-stage"
+  /** Overridable (-Dgraft.stage.dir=...) and derived from the working
+    * directory by default, so the index stages inside whatever checkout
+    * or container runs the suite. */
+  private val stageRoot = sys.props.getOrElse("graft.stage.dir",
+    Paths.get(sys.props("user.dir"), "target", "graft-stage").toString)
 
   /** Fingerprint of the embeddings source files: any rewrite of the
     * source changes it, forcing a rebuild under a fresh path. */

@@ -106,9 +106,15 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("clabel"), col("cv"), col("cn")))).as("cents"))
     // identical scalar tree to round(cosine(v, cv), 6): the denominator
     // factors are the same sqrt values, just computed once per row (vn)
-    // and once per centroid (cn) instead of once per (row, centroid)
+    // and once per centroid (cn) instead of once per (row, centroid).
+    // Zero-norm guard: a 0/0 cosine is NaN, and NaN orders GREATEST in
+    // the oracle's ORDER BY but never wins the strict > fold — pin both
+    // engines to a sentinel BELOW the cosine range instead (oracle
+    // carries the same CASE).
     def rcosOf(c: Column): Column =
-      round(dot(col("v"), c.getField("cv")) / (col("vn") * c.getField("cn")), 6)
+      when(col("vn") * c.getField("cn") === 0.0, lit(-2.0))
+        .otherwise(round(dot(col("v"), c.getField("cv")) /
+          (col("vn") * c.getField("cn")), 6))
     def pick(c: Column): Column =
       struct(rcosOf(c).as("rcos"), c.getField("clabel").as("clabel"))
     vecs.crossJoin(broadcast(centArr))

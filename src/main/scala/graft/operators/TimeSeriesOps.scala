@@ -284,7 +284,9 @@ object TimeSeriesOps {
     * key shuffle, rolled up per (key, day); integer counts only, so the
     * oracle is trivially exact. */
   def resets(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts")
+    // (ts, value) ordering: a bare ts order would make the lag pair —
+    // and so the reset count — nondeterministic on same-timestamp rows
+    val w = Window.partitionBy("user_id").orderBy("ts", "value")
     Tables.events(s, dir)
       .withColumn("prev", lag(col("value"), 1).over(w))
       .filter(col("prev").isNotNull)
@@ -374,7 +376,10 @@ object TimeSeriesOps {
       (sum(dec("value") * dec("value")).cast("double") / count(lit(1))).as("msq"))
     val z = (col("value") - col("mean")) /
       sqrt(col("msq") - col("mean") * col("mean"))
-    ev.join(broadcast(stats), "user_id")
+    // no broadcast hint: the stats frame is one row PER KEY — unbounded
+    // at scale. AQE broadcasts it while it is small and falls back to a
+    // shuffle join once the key domain outgrows the threshold.
+    ev.join(stats, "user_id")
       .filter(col("n") >= 2 && col("msq") - col("mean") * col("mean") > 0 &&
         abs(z) > 2.5)
       .select(col("event_id"), col("user_id"),

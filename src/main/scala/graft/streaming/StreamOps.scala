@@ -60,13 +60,16 @@ object StreamOps {
 
   /** Shared logic for #77: drop duplicate event_ids (at-least-once
     * delivery repair — the canonical streaming-ingest dedup), then count
-    * survivors per event_type. In streaming the state store keys on
-    * event_id bounded by the watermark; in batch the same call plans as
-    * a plain aggregate-of-distinct. */
+    * survivors per event_type. The event-time column is PART of the
+    * dedup key: that is what lets the state store evict keys older than
+    * the watermark — keyed on event_id alone, state would grow with
+    * every id ever seen. Redeliveries carry the original event time, so
+    * (event_id, ts) dedups them exactly. In batch the same call plans
+    * as a plain aggregate-of-distinct. */
   def dedupCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "ts")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique"))
 
