@@ -1,0 +1,95 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.core.{HelixStore, StoreOptions}
+
+/** Model-based randomized store test: a seeded random sequence of
+  * put / compact / blockCompact / outdate / reopen operations runs
+  * against the store AND an in-memory last-write-wins model; after
+  * every mutation the full visible state must match. This is the
+  * reference's scan scaffold (src/db.rs) generalized to arbitrary
+  * interleavings — compaction and retention must be invisible to
+  * readers except through the outdate cutoff. */
+class StoreModelSpec extends SparkTestBase {
+
+  private val entrySchema = StructType(Seq(
+    StructField("key", BinaryType), StructField("ts", LongType),
+    StructField("value", BinaryType)))
+
+  private def entriesDF(rows: Seq[(String, Long, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (k, t, v) => Row(k.getBytes, t, v.getBytes) }, 2),
+      entrySchema)
+
+  private def runScenario(seed: Int, bucketSize: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = tmpDir(s"hs-model-$seed")
+    val opts = StoreOptions(numShards = 2, bucketSize = bucketSize)
+    var store = HelixStore.open(spark, dir, opts)
+    // model: (key, ts) -> value, plus the outdate bucket cutoff.
+    // outdate on a store with no data yet is a no-op (db.rs outdate
+    // drops EXISTING levels; it is not a watermark on future writes),
+    // so the model only honors cutoffs once something was written.
+    val model = mutable.Map[(String, Long), String]()
+    var minBucket = Long.MinValue
+    var everPut = false
+    val keys = (0 until 6).map(i => s"k$i")
+
+    def visible: Set[(String, Long, String)] =
+      model.iterator
+        .filter { case ((_, ts), _) => ts / bucketSize >= minBucket }
+        .map { case ((k, ts), v) => (k, ts, v) }.toSet
+
+    def storeState: Set[(String, Long, String)] =
+      store.toDF.collect().map { r =>
+        (new String(r.getAs[Array[Byte]]("key")), r.getAs[Long]("ts"),
+          new String(r.getAs[Array[Byte]]("value")))
+      }.toSet
+
+    for (step <- 0 until 12) {
+      rnd.nextInt(10) match {
+        case n if n <= 4 => // put a small batch (dup (key,ts) overwrites)
+          val batch = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            (keys(rnd.nextInt(keys.length)), rnd.nextInt(100).toLong,
+              s"v$step-${rnd.nextInt(1000)}")
+          }
+          // de-dup within the batch driver-side: the model has no
+          // within-batch order, the store resolves it by subseq
+          val lastPer = batch.groupBy(e => (e._1, e._2)).map(_._2.last).toSeq
+          store.put(entriesDF(lastPer))
+          lastPer.foreach { case (k, t, v) => model((k, t)) = v }
+          everPut = true
+        case 5 | 6 => store.compact()
+        case 7 => store.blockCompact()
+        case 8 =>
+          val cut = rnd.nextInt(100).toLong
+          store.outdate(cut)
+          if (everPut) minBucket = math.max(minBucket, cut / bucketSize)
+        case 9 => // reopen: a fresh instance must see identical state
+          store.close()
+          store = HelixStore.open(spark, dir, opts)
+      }
+      assert(storeState == visible,
+        s"seed=$seed step=$step: store diverged from model " +
+          s"(${storeState.size} vs ${visible.size} entries)")
+    }
+    store.close()
+  }
+
+  test("random op sequences keep the store equal to the LWW model (seed 101)") {
+    runScenario(101, bucketSize = 10)
+  }
+
+  test("random op sequences keep the store equal to the LWW model (seed 202)") {
+    runScenario(202, bucketSize = 25)
+  }
+
+  test("random op sequences keep the store equal to the LWW model (seed 303, tiny buckets)") {
+    runScenario(303, bucketSize = 3)
+  }
+}
