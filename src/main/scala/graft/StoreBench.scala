@@ -55,11 +55,19 @@ object StoreBench {
       store.scan((0L, numTs.toLong), ("key".getBytes, "kez".getBytes)).count())
     require(nScan == numKeys.toLong * numTs && nScan2 == nScan,
       s"scan count mismatch: $nScan / $nScan2")
+    // point reads against the BLOCK layer (distinct keys → kv cache
+    // misses): measures that the (shard, bucket) prune reaches the
+    // scan below the block-decompress flatMap
+    val blockGets = (50 until 100).map { i =>
+      val k = f"key${(i * 37) % numKeys}%08d".getBytes
+      time(store.get(k, (i * 13) % numTs))._2
+    }
 
     val rows = numKeys.toLong * numTs
     println(f"""{"rows":$rows,"put_s":$tPut%.2f,"put_rows_per_s":${rows / tPut}%.0f,""" +
       f""""get_avg_ms":${gets.sum / gets.size * 1000}%.0f,""" +
-      f""""get_cached_avg_us":${cachedGets.sum / cachedGets.size * 1e6}%.0f,"scan_s":$tScan%.2f,""" +
+      f""""get_cached_avg_us":${cachedGets.sum / cachedGets.size * 1e6}%.0f,""" +
+      f""""get_block_avg_ms":${blockGets.sum / blockGets.size * 1000}%.0f,"scan_s":$tScan%.2f,""" +
       f""""scan_rows_per_s":${rows / tScan}%.0f,"block_compact_s":$tCompact%.2f,""" +
       f""""scan_after_compact_s":$tScan2%.2f}""")
     spark.stop()

@@ -185,6 +185,29 @@ final class HelixStore private (
   private val lockState = new Object
   private var lockHolds = 0
 
+  /** Touches the held lock file periodically so a LIVE long mutation is
+    * never presumed stale: without the heartbeat, any compaction longer
+    * than lockStaleMs would have its lock broken mid-flight by a
+    * waiting process and two mutators would interleave — the exact race
+    * the lock exists to prevent. */
+  private val lockHeartbeat =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lock-heartbeat"); t.setDaemon(true); t
+    })
+  locally {
+    val period = math.max(250L, opts.lockStaleMs / 3)
+    lockHeartbeat.scheduleWithFixedDelay(() => lockState.synchronized {
+      if (lockHolds > 0) {
+        try {
+          if (new String(Files.readAllBytes(mutexFile)) == instanceId)
+            Files.setLastModifiedTime(mutexFile,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis()))
+        } catch { case _: java.io.IOException => () }
+      }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+  }
+
   private def acquireMutex(): Unit = {
     while (true) {
       // re-checked EVERY iteration: if another thread of this instance
@@ -208,7 +231,19 @@ final class HelixStore private (
               catch { case _: java.io.IOException => false }
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(mutexFile).toMillis
-            if (!ownedByUs && age > opts.lockStaleMs) Files.deleteIfExists(mutexFile)
+            if (!ownedByUs && age > opts.lockStaleMs) {
+              // ATOMIC break: rename the stale file to a tombstone only
+              // one waiter can win. A bare delete races — two waiters
+              // could both pass the age check, the first re-acquire,
+              // and the second's delete would then remove the FRESH
+              // lock, letting two mutators run concurrently.
+              val tomb = root.resolve(s"_mutex.stale.$instanceId")
+              try {
+                Files.move(mutexFile, tomb,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                Files.deleteIfExists(tomb): Unit
+              } catch { case _: java.io.IOException => () } // lost the break race
+            }
             else Thread.sleep(5)
           } catch { case _: java.nio.file.NoSuchFileException => () }
       }
@@ -218,12 +253,19 @@ final class HelixStore private (
   private def releaseMutex(): Unit = lockState.synchronized {
     lockHolds -= 1
     if (lockHolds == 0) {
-      // only delete a lock we still own (a stale-break may have handed
-      // the file to another process while we overstayed)
-      try {
-        if (new String(Files.readAllBytes(mutexFile)) == instanceId)
-          Files.deleteIfExists(mutexFile)
-      } catch { case _: java.io.IOException => () }
+      // Only keep the file on positive proof another process now owns
+      // it (a stale-break while we overstayed — the heartbeat makes
+      // that near-impossible). A FAILED ownership read must still
+      // delete: leaking our own lock would wedge this instance behind
+      // the full staleness window with no escape (the stale-break
+      // guard never fires on a file holding our own id).
+      val stillOurs =
+        try new String(Files.readAllBytes(mutexFile)) == instanceId
+        catch { case _: java.io.IOException => true }
+      if (stillOurs) {
+        try Files.deleteIfExists(mutexFile): Unit
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -394,6 +436,20 @@ final class HelixStore private (
     writePointer(stamped)
     ptr = stamped
     manifestCache = None
+    // Prune the ledger below the stamp (recovery takes max over ledger,
+    // stamp, and rick scan, so these files are redundant): unpruned, a
+    // long-lived store lists one `_seqs` file per put EVER on every
+    // cached point read's epoch check. The top file (== the stamp when
+    // it is the max) survives so concurrent minters still see it.
+    if (stamped.seqhw > 0L && Files.exists(seqsDir)) {
+      listDir(seqsDir)
+        .filter(f => scala.util.Try(f.getFileName.toString.toLong)
+          .toOption.exists(_ < stamped.seqhw))
+        .foreach { f =>
+          try Files.deleteIfExists(f): Unit
+          catch { case _: java.io.IOException => () }
+        }
+    }
   }
 
   /** Re-read the committed pointer if another instance on the same path
@@ -458,19 +514,22 @@ final class HelixStore private (
     if (seqHw < 0L) {
       // recovery takes the MAX over every surviving record of the high
       // water: the `_seqs` ledger, the pointer-stamped mark from the
-      // last commit, and — only when neither exists but data does (a
-      // pre-seqhw store with a wiped ledger) — a max(seq) scan of the
-      // data itself. Partial ledger loss (files above N gone, 1..N
-      // intact) can no longer mint a seq below a live entry's.
+      // last commit, and the rick layer's own max(seq). The rick scan
+      // is what survives PARTIAL ledger loss (top files gone, lower
+      // ones intact, no commit since): those seqs live only in rick
+      // rows, and reminting one would let an old batch beat a newer
+      // write at LWW. Blocks never need scanning — every commit stamps
+      // seqhw at or above everything it absorbed. Cost: one max() over
+      // the rick parquet, once per instance, at its first mint.
       val fromFiles = scanSeqFiles()
       val fromPtr = math.max(ptr.seqhw, 0L)
-      seqHw =
-        if (fromFiles > 0L || ptr.seqhw >= 0L || !hasData)
-          math.max(fromFiles, fromPtr)
-        else { // corrupt/missing _seqs with live data: recover from data
-          val r = rawEntries().agg(max("seq")).head()
+      val fromRick =
+        if (!hasRows) 0L
+        else {
+          val r = spark.read.parquet(rowsPath).agg(max("seq")).head()
           if (r.isNullAt(0)) 0L else r.getLong(0)
         }
+      seqHw = math.max(math.max(fromFiles, fromPtr), fromRick)
     }
     var hw = seqHw
     while (true) {
@@ -497,11 +556,16 @@ final class HelixStore private (
       val m: ManifestState = p0.manifest match {
         case None => ManifestLoaded(Map.empty)
         case Some(name) =>
-          val df = spark.read.parquet(dirOf(name).toString)
           // size guard: an unbounded collect of a huge manifest would
-          // not be driver-bounded; give up pruning instead of crashing
-          if (df.count() > opts.manifestPruneMaxEntries) ManifestTooBig
-          else ManifestLoaded(df.collect().map { r =>
+          // not be driver-bounded; give up the collected map instead of
+          // crashing. ONE scan: collect limit+1 rows and check the
+          // overflow row, rather than a count() pass followed by a
+          // collect() pass.
+          val lim = math.min(opts.manifestPruneMaxEntries, Int.MaxValue - 2L).toInt
+          val rows = spark.read.parquet(dirOf(name).toString)
+            .limit(lim + 1).collect()
+          if (rows.length > lim) ManifestTooBig
+          else ManifestLoaded(rows.map { r =>
             (r.getAs[Number]("shard").intValue(), r.getAs[Number]("bucket").longValue()) ->
               ((r.getAs[Array[Byte]]("min_key"), r.getAs[Array[Byte]]("max_key")))
           }.toMap)
@@ -577,18 +641,27 @@ final class HelixStore private (
     * `decompress` flag mirrors the reference ReadOption: when false the
     * block layer is skipped (reference: src/option.rs:131). */
   private def rawEntries(decompress: Boolean = true,
-      rowFilesSnapshot: Option[Seq[Path]] = None): DataFrame = {
+      rowFilesSnapshot: Option[Seq[Path]] = None,
+      partitionPrune: Option[(Long, Long)] = None): DataFrame = {
     val cols = Seq("key", "ts", "value", "seq", "subseq", "shard", "bucket")
+    // (shard, bucket) pruning must land ON THE PARQUET SCANS, before
+    // the block-decompress flatMap: Catalyst cannot push a predicate
+    // through a typed flatMap, so filtering afterwards would decode
+    // EVERY block in the store for one point read.
+    def prune(df: DataFrame): DataFrame = partitionPrune match {
+      case Some((s, b)) => df.filter(col("shard") === s && col("bucket") === b)
+      case None => df
+    }
     val rows = rowFilesSnapshot match {
       // explicit file snapshot (compaction): read exactly these files so
       // concurrently-appended entries are excluded (they move to the new
       // generation at commit instead)
       case Some(files) =>
         if (files.isEmpty) None
-        else Some(spark.read.option("basePath", rowsPath)
-          .parquet(files.map(_.toString): _*).select(cols.map(col): _*))
+        else Some(prune(spark.read.option("basePath", rowsPath)
+          .parquet(files.map(_.toString): _*)).select(cols.map(col): _*))
       case None =>
-        if (hasRows) Some(spark.read.parquet(rowsPath).select(cols.map(col): _*))
+        if (hasRows) Some(prune(spark.read.parquet(rowsPath)).select(cols.map(col): _*))
         else None
     }
     val blocks =
@@ -599,7 +672,8 @@ final class HelixStore private (
         val codecsByName = opts.codecs
         // block entries are already LWW winners; their in-block position
         // serves as the subseq tiebreak
-        Some(spark.read.parquet(dirOf(ptr.blocks.get).toString).as[HelixStore.BinBlock]
+        Some(prune(spark.read.parquet(dirOf(ptr.blocks.get).toString))
+          .as[HelixStore.BinBlock]
           .flatMap { b =>
             val codec = codecsByName.getOrElse(b.codec, throw new IllegalArgumentException(
               s"block encoded with unregistered codec '${b.codec}' " +
@@ -775,8 +849,9 @@ final class HelixStore private (
     val bucket = ts / opts.bucketSize
     // manifest-proven absence in the block layer → read only rick rows
     val useBlocks = decompress && blockMayContain(shard, bucket, key)
-    val rows = rawEntries(useBlocks)
-      .filter(col("shard") === shard && col("bucket") === bucket)
+    // (shard, bucket) prune INSIDE rawEntries so it reaches the parquet
+    // scans below the block-decompress flatMap
+    val rows = rawEntries(useBlocks, partitionPrune = Some((shard, bucket)))
       .filter(col("key") === lit(key) && col("ts") === ts)
       .orderBy(col("seq").desc, col("subseq").desc)
       .select("value")
@@ -835,7 +910,12 @@ final class HelixStore private (
       // this equals a global (key, ts) rank, and for shard-addressed
       // directPut data each shard keeps its own winner — exactly what
       // the compacted fast path above yields, so both paths agree.
-      val w = Window.partitionBy("shard", "key", "ts")
+      // `bucket` is redundant in the keys (a pure function of ts) but
+      // REQUIRED for pruning: scan()'s bucket-range filter can only
+      // push below the window when bucket is a partition column, and
+      // without it a time-range scan would shuffle the entire store
+      // for the rank before cutting the range.
+      val w = Window.partitionBy("shard", "bucket", "key", "ts")
         .orderBy(col("seq").desc, col("subseq").desc)
       rawEntries().withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     }
@@ -1092,8 +1172,14 @@ final class HelixStore private (
   }
 
   def close(): Unit = {
-    awaitCompactions()
-    if (compactExecStarted) compactExec.shutdown()
+    // shutdown in finally: awaitCompactions rethrows a background
+    // compaction failure, and that must not leak the executor thread
+    // (or the lock heartbeat) in a long-lived driver
+    try awaitCompactions()
+    finally {
+      if (compactExecStarted) compactExec.shutdown()
+      lockHeartbeat.shutdown()
+    }
   }
 
   private def deleteRecursively(p: Path): Unit = {

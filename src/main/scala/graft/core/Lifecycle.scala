@@ -29,6 +29,13 @@ trait TimestampReviewer {
  */
 final class SimpleTimestampReviewer(rickRange: Long, outdateRange: Long)
   extends TimestampReviewer {
+  require(rickRange > 0, s"rickRange must be positive: $rickRange")
+  // outdateRange below rickRange would make the first observe age out
+  // data far NEWER than the requested retention window (the catch-up
+  // step rounds to whole rick-ranges) — reject it at construction
+  // rather than silently dropping fresh data
+  require(outdateRange >= rickRange,
+    s"outdateRange ($outdateRange) must be >= rickRange ($rickRange)")
   private var compactedUpTo = 0L // next compaction window starts here
   private var outdatedUpTo = 0L  // next retention window starts here
 
