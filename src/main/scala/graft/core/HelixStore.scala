@@ -134,6 +134,27 @@ final case class StoreOptions(
       * with batch_size = 0). */
     putWritersPerPartition: Int = 1)
 
+/** Per-scan tuning — the reference's `ScanOption.prefetch_buf_size`
+  * (src/option.rs:151). In a Spark scan "read-ahead" is governed by
+  * input-split sizing and output parallelism rather than one ring
+  * buffer, so the analogue is two knobs:
+  *  - `maxPartitionBytes`: bytes per scan task for THIS scan only
+  *    (smaller → more, smaller read units — the prefetch-buffer dial).
+  *    Honored by planning the scan through a cloned session so the
+  *    rest of the session's conf is untouched.
+  *  - `targetPartitions`: output partition count of the scan (0 =
+  *    leave to the optimizer/AQE). Ordered scans range-partition on
+  *    (key, ts) into exactly this many partitions, preserving global
+  *    order; unordered scans round-robin. */
+final case class ScanOptions(
+    targetPartitions: Int = 0,
+    maxPartitionBytes: Option[Long] = None) {
+  require(targetPartitions >= 0,
+    s"targetPartitions must be >= 0: $targetPartitions")
+  require(maxPartitionBytes.forall(_ > 0),
+    s"maxPartitionBytes must be positive: $maxPartitionBytes")
+}
+
 object HelixStore {
   val EntryColumns: Seq[String] = Seq("key", "ts", "value")
 
@@ -160,6 +181,12 @@ final class HelixStore private (
   require(opts.codecs.nonEmpty, "at least one codec must be registered")
   require(opts.putWritersPerPartition >= 0,
     s"putWritersPerPartition must be >= 0: ${opts.putWritersPerPartition}")
+  // The heartbeat touches a held lock every max(250ms, lockStaleMs/3);
+  // a staleness window at or below the heartbeat period would let a
+  // LIVE lock be presumed stale between touches, silently voiding the
+  // guarantee. Keep the window comfortably above the minimum period.
+  require(opts.lockStaleMs > 1000L,
+    s"lockStaleMs must exceed 1000ms (heartbeat floor is 250ms): ${opts.lockStaleMs}")
 
   private val root: Path = Paths.get(path)
   private val seqsDir: Path = root.resolve("_seqs")
@@ -226,12 +253,14 @@ final class HelixStore private (
         case _: java.nio.file.FileAlreadyExistsException =>
           // stale-break: holder crashed without releasing
           try {
-            val ownedByUs =
-              try new String(Files.readAllBytes(mutexFile)) == instanceId
-              catch { case _: java.io.IOException => false }
-            val age = System.currentTimeMillis() -
-              Files.getLastModifiedTime(mutexFile).toMillis
-            if (!ownedByUs && age > opts.lockStaleMs) {
+            val staleContent =
+              try Some(new String(Files.readAllBytes(mutexFile)))
+              catch { case _: java.io.IOException => None }
+            val staleMtime = Files.getLastModifiedTime(mutexFile).toMillis
+            val age = System.currentTimeMillis() - staleMtime
+            val ownedByUs = staleContent.contains(instanceId)
+            if (!ownedByUs && staleContent.isDefined &&
+                age > opts.lockStaleMs) {
               // ATOMIC break: rename the stale file to a tombstone only
               // one waiter can win. A bare delete races — two waiters
               // could both pass the age check, the first re-acquire,
@@ -241,7 +270,40 @@ final class HelixStore private (
               try {
                 Files.move(mutexFile, tomb,
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                Files.deleteIfExists(tomb): Unit
+                // The age check and the move are still two steps:
+                // another waiter may have broken the same stale lock
+                // in between and its new owner re-created a FRESH
+                // `_mutex` — which our move just captured. Only delete
+                // the tombstone if it holds EXACTLY the bytes+mtime we
+                // judged stale (rename preserves both); otherwise hand
+                // the fresh lock back and keep waiting.
+                val tombContent =
+                  try Some(new String(Files.readAllBytes(tomb)))
+                  catch { case _: java.io.IOException => None }
+                val tombMtime =
+                  try Files.getLastModifiedTime(tomb).toMillis
+                  catch { case _: java.io.IOException => -1L }
+                if (tombContent == staleContent && tombMtime == staleMtime) {
+                  Files.deleteIfExists(tomb): Unit
+                } else {
+                  // captured a live lock — restore it. A third waiter
+                  // could create `_mutex` inside this window; spin a
+                  // bounded retry rather than deleting a live lock.
+                  var restored = false
+                  var attempts = 0
+                  while (!restored && attempts < 200) {
+                    try {
+                      Files.move(tomb, mutexFile,
+                        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                      restored = true
+                    } catch {
+                      case _: java.nio.file.FileAlreadyExistsException =>
+                        attempts += 1; Thread.sleep(5)
+                      case _: java.io.IOException =>
+                        restored = true // tombstone gone — nothing to restore
+                    }
+                  }
+                }
               } catch { case _: java.io.IOException => () } // lost the break race
             }
             else Thread.sleep(5)
@@ -255,13 +317,19 @@ final class HelixStore private (
     if (lockHolds == 0) {
       // Only keep the file on positive proof another process now owns
       // it (a stale-break while we overstayed — the heartbeat makes
-      // that near-impossible). A FAILED ownership read must still
-      // delete: leaking our own lock would wedge this instance behind
-      // the full staleness window with no escape (the stale-break
-      // guard never fires on a file holding our own id).
+      // that near-impossible). A file that is GONE means there is
+      // nothing of ours to clean up — deleting after a breaker's
+      // mid-move window could remove the breaker's re-created fresh
+      // lock. Other read failures must still delete: leaking our own
+      // lock would wedge this instance behind the full staleness
+      // window with no escape (the stale-break guard never fires on a
+      // file holding our own id).
       val stillOurs =
         try new String(Files.readAllBytes(mutexFile)) == instanceId
-        catch { case _: java.io.IOException => true }
+        catch {
+          case _: java.nio.file.NoSuchFileException => false
+          case _: java.io.IOException => true
+        }
       if (stillOurs) {
         try Files.deleteIfExists(mutexFile): Unit
         catch { case _: java.io.IOException => () }
@@ -531,7 +599,14 @@ final class HelixStore private (
         }
       seqHw = math.max(math.max(fromFiles, fromPtr), fromRick)
     }
-    var hw = seqHw
+    // Another instance may have minted and COMMITTED seqs above our
+    // cached counter, then pruned the `_seqs` ledger below its stamp —
+    // leaving no file to collide with. Re-read the committed pointer
+    // and seed from its seqhw stamp too: any pruned seq is <= the
+    // stamp, so this restores the no-duplicate-mint invariant for
+    // multi-instance writers.
+    refreshPointer()
+    var hw = math.max(seqHw, math.max(ptr.seqhw, 0L))
     while (true) {
       val cand = hw + 1
       try {
@@ -642,7 +717,8 @@ final class HelixStore private (
     * block layer is skipped (reference: src/option.rs:131). */
   private def rawEntries(decompress: Boolean = true,
       rowFilesSnapshot: Option[Seq[Path]] = None,
-      partitionPrune: Option[(Long, Long)] = None): DataFrame = {
+      partitionPrune: Option[(Long, Long)] = None,
+      reader: SparkSession = spark): DataFrame = {
     val cols = Seq("key", "ts", "value", "seq", "subseq", "shard", "bucket")
     // (shard, bucket) pruning must land ON THE PARQUET SCANS, before
     // the block-decompress flatMap: Catalyst cannot push a predicate
@@ -658,10 +734,10 @@ final class HelixStore private (
       // generation at commit instead)
       case Some(files) =>
         if (files.isEmpty) None
-        else Some(prune(spark.read.option("basePath", rowsPath)
+        else Some(prune(reader.read.option("basePath", rowsPath)
           .parquet(files.map(_.toString): _*)).select(cols.map(col): _*))
       case None =>
-        if (hasRows) Some(prune(spark.read.parquet(rowsPath)).select(cols.map(col): _*))
+        if (hasRows) Some(prune(reader.read.parquet(rowsPath)).select(cols.map(col): _*))
         else None
     }
     val blocks =
@@ -672,7 +748,7 @@ final class HelixStore private (
         val codecsByName = opts.codecs
         // block entries are already LWW winners; their in-block position
         // serves as the subseq tiebreak
-        Some(prune(spark.read.parquet(dirOf(ptr.blocks.get).toString))
+        Some(prune(reader.read.parquet(dirOf(ptr.blocks.get).toString))
           .as[HelixStore.BinBlock]
           .flatMap { b =>
             val codec = codecsByName.getOrElse(b.codec, throw new IllegalArgumentException(
@@ -734,8 +810,13 @@ final class HelixStore private (
         .withColumn("seq", lit(seq))
         // within-batch tiebreak: duplicate (key, ts) rows in ONE put would
         // otherwise tie on seq and resolve LWW nondeterministically (the
-        // reference's rick append offset makes the later entry win)
-        .withColumn("subseq", monotonically_increasing_id())
+        // reference's rick append offset makes the later entry win). The
+        // tiebreak hashes ROW CONTENT, not assignment order: an order-
+        // dependent value (monotonically_increasing_id) could flip the
+        // winner when a retried task recomputes a nondeterministic
+        // source. Content-hash order is arbitrary but stable across
+        // retries; rows identical in (key, ts, value) tie harmlessly.
+        .withColumn("subseq", xxhash64(col("key"), col("ts"), col("value")))
       // Cluster rows by target partition before the write: without this,
       // EVERY input task emits a file into every (shard, bucket) it
       // happens to hold — the classic small-files explosion at scale.
@@ -761,7 +842,7 @@ final class HelixStore private (
   }
 
   /** All live entries (latest write wins per (key, ts)). */
-  def toDF: DataFrame = toDFWithPartitions.select(EntryColumns.map(col): _*)
+  def toDF: DataFrame = toDFWithPartitions().select(EntryColumns.map(col): _*)
 
   /** Register the store as a temp view so plain `spark.sql` can query
     * it. The view is a SNAPSHOT: it pins the generation set and file
@@ -864,7 +945,8 @@ final class HelixStore private (
     * expressed as a range-partitioned sort. Bounds follow the reference
     * TimeRange semantics: [start, end) on ts, [low, high) on key. */
   def scan(tsRange: (Long, Long), keyRange: (Array[Byte], Array[Byte]),
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true,
+      scanOpts: ScanOptions = ScanOptions()): DataFrame = {
     refreshPointer()
     if (!hasData) return toDF // empty frame with the entry schema
     val (t0, t1) = tsRange
@@ -873,14 +955,35 @@ final class HelixStore private (
     // monotone, so [bucket(t0), bucket(t1-1)] covers the range exactly
     val b0 = t0 / opts.bucketSize
     val b1 = (t1 - 1) / opts.bucketSize
-    val filtered = toDFWithPartitions
+    // per-scan split sizing (ScanOption.prefetch_buf_size analogue):
+    // the parquet relations must be BUILT under a session carrying the
+    // override — split planning reads the conf of the session that
+    // created the relation, so a clone scopes it to this scan only
+    val reader = scanOpts.maxPartitionBytes match {
+      case Some(b) =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.files.maxPartitionBytes", b.toString)
+        s
+      case None => spark
+    }
+    val filtered = toDFWithPartitions(reader)
       .filter(col("bucket").between(b0, b1))
       .filter(col("ts") >= t0 && col("ts") < t1)
       .filter(col("key") >= lit(k0) && col("key") < lit(k1))
       .select(EntryColumns.map(col): _*)
     // ordered=false is the reference's NoOrderComparator scan (util.rs):
     // skip the global sort when the consumer doesn't need key order.
-    if (ordered) filtered.orderBy("key", "ts") else filtered
+    (ordered, scanOpts.targetPartitions) match {
+      case (true, 0) => filtered.orderBy("key", "ts")
+      // explicit parallelism, order preserved: range-partition on the
+      // sort key into exactly n partitions, then sort within each —
+      // the same physical shape orderBy plans, with the count pinned
+      case (true, n) => filtered
+        .repartitionByRange(n, col("key"), col("ts"))
+        .sortWithinPartitions("key", "ts")
+      case (false, 0) => filtered
+      case (false, n) => filtered.repartition(n)
+    }
   }
 
   /** Continuous ingestion: attach a streaming entries source (key BINARY,
@@ -894,7 +997,7 @@ final class HelixStore private (
       .foreachBatch { (batch: DataFrame, _: Long) => put(batch) }
       .start()
 
-  private def toDFWithPartitions: DataFrame = {
+  private def toDFWithPartitions(reader: SparkSession = spark): DataFrame = {
     refreshPointer()
     // Post-compaction fast path: with the rick empty, the block layer is
     // the only source and blockCompact already resolved LWW per
@@ -903,7 +1006,7 @@ final class HelixStore private (
     // shuffle from every read of a compacted store (the common state —
     // at 100 TB the read-amplification win is the whole point of
     // compacting).
-    if (!hasRows && hasBlocks) rawEntries()
+    if (!hasRows && hasBlocks) rawEntries(reader = reader)
     else {
       // LWW scoped per shard (like the reference, whose shards are
       // independent trees): for routed writes key determines shard so
@@ -917,7 +1020,8 @@ final class HelixStore private (
       // for the rank before cutting the range.
       val w = Window.partitionBy("shard", "bucket", "key", "ts")
         .orderBy(col("seq").desc, col("subseq").desc)
-      rawEntries().withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      rawEntries(reader = reader)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     }
   }
 

@@ -391,6 +391,9 @@ class HelixStoreSpec extends SparkTestBase {
     val store = HelixStore.open(spark, tmpDir("hs-fastread"),
       StoreOptions(numShards = 2, bucketSize = 10))
     store.put(entriesDF(Seq(("fa", 1L, "v1"), ("fa", 1L, "v1b"), ("fb", 2L, "v2"))))
+    // within-batch ties resolve by content hash — capture the winner
+    // rather than assuming input order decides
+    val winner = store.get("fa".getBytes, 1L).map(new String(_)).get
     val before = store.toDF.queryExecution.executedPlan.toString
     assert(before.contains("Window"), "rick data needs the LWW rank window")
     store.blockCompact()
@@ -398,7 +401,7 @@ class HelixStoreSpec extends SparkTestBase {
     assert(!after.contains("Window"),
       "block-only reads must skip the LWW window (blocks are pre-resolved)")
     // semantics unchanged: LWW winner survives, count is deduped
-    assert(store.get("fa".getBytes, 1L).map(new String(_)).contains("v1b"))
+    assert(store.get("fa".getBytes, 1L).map(new String(_)).contains(winner))
     assert(store.toDF.count() == 2)
   }
 
@@ -687,6 +690,77 @@ class HelixStoreSpec extends SparkTestBase {
     assert(left.sameElements(Array(25L)),
       s"bucket of ts=25 must survive a cutoff at 20 (bucket floor), got ${left.mkString(",")}")
     assert(store.get("a".getBytes, 5L).isEmpty)
+  }
+
+  test("commit-time ledger pruning cannot let a second instance re-mint seqs") {
+    // Instance B caches a low seq counter; instance A then mints higher
+    // seqs and COMMITS (a compaction), which prunes the `_seqs` ledger
+    // below the pointer stamp. B's next mint must consult the refreshed
+    // stamp — without it, B re-creates a pruned ledger file and its new
+    // write loses LWW to A's older data.
+    val dir = tmpDir("hs-seqprune")
+    val o = StoreOptions(numShards = 1, bucketSize = 10)
+    val sA = HelixStore.open(spark, dir, o)
+    val sB = HelixStore.open(spark, dir, o)
+    sB.put(entriesDF(Seq(("k", 1L, "b-seed")))) // B's counter now low
+    sA.put(entriesDF(Seq(("k", 1L, "a-mid1"))))
+    sA.put(entriesDF(Seq(("k", 1L, "a-mid2"))))
+    sA.compact() // stamps seqhw into the pointer and prunes the ledger
+    sB.put(entriesDF(Seq(("k", 1L, "b-new")))) // must mint ABOVE the stamp
+    assert(sA.get("k".getBytes, 1L).map(new String(_)).contains("b-new"),
+      "B's newer write must win LWW from A's view")
+    assert(sB.get("k".getBytes, 1L).map(new String(_)).contains("b-new"),
+      "B's newer write must win LWW from B's own view")
+  }
+
+  test("within-batch LWW winner is independent of input row order (retry determinism)") {
+    // The subseq tiebreak hashes row CONTENT: the same duplicate rows in
+    // a different input order (as a retried task of a nondeterministic
+    // source could produce) must elect the same winner.
+    val s1 = HelixStore.open(spark, tmpDir("hs-dup-ord1"))
+    val s2 = HelixStore.open(spark, tmpDir("hs-dup-ord2"))
+    s1.put(entriesDF(Seq(("dup", 1L, "x"), ("dup", 1L, "y"))))
+    s2.put(entriesDF(Seq(("dup", 1L, "y"), ("dup", 1L, "x"))))
+    val w1 = s1.get("dup".getBytes, 1L).map(new String(_))
+    val w2 = s2.get("dup".getBytes, 1L).map(new String(_))
+    assert(w1.isDefined && w1 == w2,
+      s"winner depends on input order: $w1 vs $w2")
+  }
+
+  test("ScanOptions pins scan parallelism and split size (ScanOption analogue)") {
+    val store = HelixStore.open(spark, tmpDir("hs-scanopt"),
+      StoreOptions(numShards = 2, bucketSize = 10))
+    store.put(entriesDF((0 until 40).map(i => (f"k$i%02d", i.toLong, s"v$i"))))
+    val full = (0L, 40L) -> (Array[Byte](0), "z".getBytes)
+    // targetPartitions pins the output partition count, ordered or not
+    val ord = store.scan(full._1, full._2, ordered = true,
+      scanOpts = graft.core.ScanOptions(targetPartitions = 3))
+    assert(ord.rdd.getNumPartitions == 3)
+    // global (key, ts) order must survive the pinned range partitioning
+    val keys = ord.collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+    assert(keys.sameElements(keys.sorted), "ordered scan lost its order")
+    val unord = store.scan(full._1, full._2, ordered = false,
+      scanOpts = graft.core.ScanOptions(targetPartitions = 2))
+    assert(unord.rdd.getNumPartitions == 2)
+    // maxPartitionBytes: a tiny per-scan split size must fan the block
+    // parquet into more input partitions than the session default (the
+    // block-only read path has no shuffle, so output partitions = splits)
+    store.blockCompact()
+    val p0 = store.scan(full._1, full._2, ordered = false).rdd.getNumPartitions
+    val p1 = store.scan(full._1, full._2, ordered = false,
+      scanOpts = graft.core.ScanOptions(maxPartitionBytes = Some(64L)))
+      .rdd.getNumPartitions
+    assert(p1 > p0, s"tiny maxPartitionBytes must add splits: $p1 <= $p0")
+    // and rows are identical either way
+    assert(store.scan(full._1, full._2, ordered = false,
+      scanOpts = graft.core.ScanOptions(maxPartitionBytes = Some(64L))).count() == 40)
+  }
+
+  test("StoreOptions rejects a lockStaleMs at or below the heartbeat floor") {
+    intercept[IllegalArgumentException] {
+      HelixStore.open(spark, tmpDir("hs-stalefloor"),
+        StoreOptions(lockStaleMs = 500L))
+    }
   }
 }
 
