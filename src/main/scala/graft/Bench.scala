@@ -42,6 +42,19 @@ object Bench {
     // them must never see a last-digit mismatch).
     def round2(v: Double): Double = math.rint(v * 100.0) / 100.0
     val results = r1.map { case (k, v) => k -> round2(math.min(v, r2(k))) }
+    val line = jsonLine(results, errors.toSeq, sfDir)
+    // Print AFTER spark.stop() with logging quieted, so no shutdown log
+    // line can land after the JSON — the driver parses the LAST line.
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
+    println(line)
+  }
+
+  /** The one-line JSON the driver parses from the tail of stdout.
+    * Factored out of main so the tail-window elision logic is unit-
+    * testable (the driver reads only the LAST 2000 chars). */
+  private[graft] def jsonLine(results: Map[String, Double],
+      errors: Seq[(String, String)], sfDir: String): String = {
     // The driver tails only the last 2000 chars of output and parses the
     // JSON line out of that window; full-precision doubles pushed the line
     // past 2000 chars (rounds 1-4 all recorded parsed:null). 10 ms
@@ -52,7 +65,7 @@ object Bench {
     // Full error text goes to stderr (printed when each failure happens);
     // the JSON line carries only a tightly-budgeted digest so several
     // failing queries can't push the line back out of the tail window.
-    val errEntries = errors.toSeq.map { case (k, v) =>
+    val errEntries = errors.map { case (k, v) =>
       // truncate BEFORE escaping: a cut after escaping could split a
       // doubled backslash and leave a dangling escape in the JSON
       val safe = v.take(80).replace("\\", "\\\\").replace("\"", "'")
@@ -82,10 +95,6 @@ object Bench {
       keep -= 1
       line = lineFor(bySlowest.take(keep), bySlowest.length - keep)
     }
-    // Print AFTER spark.stop() with logging quieted, so no shutdown log
-    // line can land after the JSON — the driver parses the LAST line.
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
-    println(line)
+    line
   }
 }

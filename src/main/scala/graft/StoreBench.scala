@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 import graft.core.{HelixStore, StoreOptions}
 
@@ -64,12 +65,60 @@ object StoreBench {
     }
 
     val rows = numKeys.toLong * numTs
+
+    // Codec cost/benefit on a float workload — the reference's
+    // benchmarks/src/load.rs measures fill/read WITH compression in the
+    // loop. Same fill twice: once noop-dispatched, once with every key
+    // through the Gorilla XOR codec; smooth per-key series so the codec
+    // has something to compress. Reports compact/scan/point-get times
+    // and the on-disk block bytes for both.
+    import spark.implicits._
+    val floatEntries = spark.range(rows).map { id =>
+      val key = s"key${"%08d".format(id % numKeys)}".getBytes
+      val ts = id / numKeys
+      val v = java.nio.ByteBuffer.allocate(8).putLong(
+        java.lang.Double.doubleToRawLongBits(100.0 + (ts % 100) * 0.25)).array()
+      (key, ts, v)
+    }.toDF("key", "ts", "value")
+
+    def codecWorkload(tag: String, gorilla: Boolean): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"storebench-$tag").toString
+      val st = HelixStore.open(spark, d, StoreOptions(
+        numShards = 8, bucketSize = numTs / 10 + 1,
+        codecs = Map(
+          graft.core.NoopCodec.name -> graft.core.NoopCodec,
+          graft.core.GorillaCodec.name -> graft.core.GorillaCodec),
+        codecDispatch =
+          if (gorilla) Some((_: Array[Byte]) => graft.core.GorillaCodec.name)
+          else None))
+      val (_, tFill) = time(st.put(floatEntries))
+      val (_, tComp) = time(st.blockCompact())
+      val (n, tSc) = time(
+        st.scan((0L, numTs.toLong), ("key".getBytes, "kez".getBytes)).count())
+      require(n == rows, s"$tag scan count mismatch: $n")
+      val g = (0 until 25).map { i =>
+        val k = f"key${(i * 41) % numKeys}%08d".getBytes
+        time(st.get(k, (i * 17) % numTs))._2
+      }
+      val blockBytes = new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("b-"))
+        .flatMap(f => java.nio.file.Files.walk(f.toPath).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)))
+        .map(java.nio.file.Files.size).sum
+      f""""$tag":{"fill_s":$tFill%.2f,"block_compact_s":$tComp%.2f,""" +
+        f""""scan_s":$tSc%.2f,"get_block_avg_ms":${g.sum / g.size * 1000}%.0f,""" +
+        f""""block_bytes":$blockBytes}"""
+    }
+    val noopFloat = codecWorkload("noop_float", gorilla = false)
+    val gorillaFloat = codecWorkload("gorilla_float", gorilla = true)
+
     println(f"""{"rows":$rows,"put_s":$tPut%.2f,"put_rows_per_s":${rows / tPut}%.0f,""" +
       f""""get_avg_ms":${gets.sum / gets.size * 1000}%.0f,""" +
       f""""get_cached_avg_us":${cachedGets.sum / cachedGets.size * 1e6}%.0f,""" +
       f""""get_block_avg_ms":${blockGets.sum / blockGets.size * 1000}%.0f,"scan_s":$tScan%.2f,""" +
       f""""scan_rows_per_s":${rows / tScan}%.0f,"block_compact_s":$tCompact%.2f,""" +
-      f""""scan_after_compact_s":$tScan2%.2f}""")
+      f""""scan_after_compact_s":$tScan2%.2f,""" +
+      noopFloat + "," + gorillaFloat + "}")
     spark.stop()
   }
 }

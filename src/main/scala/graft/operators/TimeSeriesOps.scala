@@ -423,6 +423,25 @@ object TimeSeriesOps {
         col("avg_v").isNull.cast("int").as("is_gap"))
   }
 
+  /** #90 — top movers: per key, the value change from its FIRST to its
+    * LAST observation, top-10 by absolute move. First/last are single
+    * struct-ordered aggregates — min/max over (ts, event_id, value)
+    * tuples, so one map-side-combinable shuffle replaces the two
+    * per-key rank windows a naive formulation pays, and the
+    * (ts, event_id) tiebreak is total (event_id unique) so the oracle
+    * picks identical endpoints. Top-10 is TakeOrderedAndProject with a
+    * full deterministic sort key, never a global sort. */
+  def topMovers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("l"))
+      .select(col("user_id"), col("f.value").as("first_v"),
+        col("l.value").as("last_v"),
+        (col("l.value") - col("f.value")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("user_id"))
+      .limit(10)
+
   /** #9 — batched multi-key point get (one shuffle for the whole batch;
     * reference does N sharded gets, src/db.rs:171-196). */
   def multiGet(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The driver parses ONE JSON line from the last 2000 chars of Bench's
+  * stdout. These tests pin the elision logic that keeps the line inside
+  * that window as the query suite grows: fastest entries drop first,
+  * the JSON stays valid, and the total still covers every query. */
+class BenchLineSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  test("150-query map: fastest elided, valid JSON, fits the 1950-char tail budget") {
+    val results = (1 to 150).map(i => f"q_synthetic_query_$i%03d" -> i * 0.07).toMap
+    val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1")
+    assert(!line.contains("\n"), "must be a single line")
+    assert(line.length <= 1950, s"line must fit the driver tail window: ${line.length}")
+    val node = mapper.readTree(line) // throws on invalid JSON
+    assert(node.get("metric").asText == "total")
+    val qs = node.get("queries")
+    assert(qs.size() < 150, "an oversize map must elide entries")
+    assert(node.get("queries_omitted").asInt == 150 - qs.size(),
+      "omission count must say exactly how many were dropped")
+    assert(qs.has("q_synthetic_query_150"), "the slowest query must survive")
+    assert(!qs.has("q_synthetic_query_001"), "the fastest query drops first")
+    // the headline total covers ALL queries, kept or elided
+    assert(math.abs(node.get("value").asDouble - results.values.sum) < 0.01)
+  }
+
+  test("error digests are capped at 5 + a count, escaped, and fit the budget") {
+    val errs = (1 to 9).map(i =>
+      s"q$i" -> ("boom \"quoted\" \\ back\tslash\nnewline " * 10))
+    val line = Bench.jsonLine(Map("q1" -> 1.0), errs, "sf")
+    val node = mapper.readTree(line)
+    assert(node.get("n_errors").asInt == 9)
+    assert(node.get("errors").size() == 5, "only the first 5 digests ride the line")
+    assert(line.length <= 1950)
+  }
+
+  test("a small map passes through complete with no omission marker") {
+    val line = Bench.jsonLine(Map("a" -> 0.5, "b" -> 1.25), Nil, "sf")
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size() == 2)
+    assert(node.get("queries_omitted") == null)
+    assert(math.abs(node.get("value").asDouble - 1.75) < 1e-9)
+  }
+}

@@ -143,4 +143,29 @@ class PlanSpec extends SparkTestBase {
       "per-order quantity must combine map-side")
     assert(p.contains("BroadcastHashJoin"), "customer joins the few survivors broadcast")
   }
+
+  test("q17_small_qty forces broadcast only on the brand dim; the threshold join is AQE's") {
+    // avgQty grows with the brand's part count (a dimension, not a
+    // constant) — a forced broadcast there would OOM the driver when the
+    // dimension scales; AQE picks broadcast when it actually fits.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val analyzed = SparkEntry.queries("q17_small_qty")(spark, Sf)
+      .queryExecution.analyzed
+    // the part-dim hint appears once per reference to `branded`; what
+    // must NOT exist is a hint over the per-part AGGREGATE (avgQty)
+    val hintedAggs = analyzed.collect {
+      case h: ResolvedHint if h.child.collectFirst { case a: Aggregate => a }.isDefined => h
+    }
+    assert(hintedAggs.isEmpty,
+      s"the per-part threshold aggregate must not be force-broadcast: $hintedAggs")
+    assert(analyzed.collectFirst { case h: ResolvedHint => h }.isDefined,
+      "the brand-filtered part dim should still be hint-broadcast")
+  }
+
+  test("q_percentiles caches its shared frames instead of rescanning the fact") {
+    val p = plan("q_percentiles")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "stats and bucketed are multi-consumer: they must read from cache, " +
+        "not recompute the fact scan per consumer")
+  }
 }
