@@ -290,6 +290,53 @@ object OracleSqlGen {
        |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
        |FROM toks""".stripMargin
 
+  /** #87 — trigram repetition ratio; short docs (< 3 tokens) have zero
+    * trigrams and ratio 0.0 by definition. */
+  val textRepetition: String =
+    s"""WITH $toksCte,
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |  FROM toks WHERE len(t) >= 3),
+       |tri AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM tri GROUP BY doc_id)
+       |SELECT doc_id, n_trigrams, n_distinct,
+       |  CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams AS rep_ratio FROM agg
+       |UNION ALL
+       |SELECT doc_id, CAST(0 AS BIGINT) AS n_trigrams,
+       |  CAST(0 AS BIGINT) AS n_distinct, CAST(0.0 AS DOUBLE) AS rep_ratio
+       |FROM toks WHERE len(t) < 3""".stripMargin
+
+  /** #85 — sequence packing: prefix sum of token counts in doc_id
+    * order, cut into fixed token-budget bins (same constants as
+    * TextOps.docPackBins). SUM OVER returns HUGEINT → cast. */
+  val docPackBins: String = {
+    val b = TextOps.PackBudget
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+       |pre AS (SELECT doc_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+       |  FROM tok)
+       |SELECT doc_id, n_tokens, cum0 // $b AS bin_id, cum0 % $b AS bin_offset
+       |FROM pre""".stripMargin
+  }
+
+  /** #86 — PII scrub: email mask then long-digit-run mask, counts via
+    * regexp_extract_all (same non-overlapping match semantics as
+    * Spark's regexp_count). Shares TextOps.EmailRe so the pattern
+    * can't drift. */
+  val textScrubPii: String = {
+    val re = TextOps.EmailRe
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(text, '$re', '<EMAIL>', 'g'), '[0-9]{7,}')) AS BIGINT)
+       |    AS n_ids,
+       |  md5(regexp_replace(regexp_replace(text, '$re', '<EMAIL>', 'g'),
+       |    '[0-9]{7,}', '<ID>', 'g')) AS clean_md5
+       |FROM documents""".stripMargin
+  }
+
   // Byte-based on BOTH sides: DuckDB hex(text) is the hex of the UTF-8
   // bytes, so first-byte arithmetic matches Spark's binary payload even
   // for non-ASCII content (strlen is already byte length in DuckDB).

@@ -71,6 +71,8 @@ object SparkEntry {
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
     // sketch op: likewise rows-only; accuracy asserted in OperatorSpec
     "q_approx_quantiles" -> (Analytics.qApproxQuantiles _),
+    "q_histogram" -> (Analytics.qHistogram _),
+    "ts_top_movers" -> (TimeSeriesOps.topMovers _),
     // Dedup (#16-20)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_survivor" -> (Dedup.survivor _),
@@ -81,6 +83,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Dedup.clusterDups(s, d)),
     "dedup_containment" -> (Dedup.containment _),
+    "dedup_prefix" -> (Dedup.prefixDups _),
     // Similarity search (#21-23)
     "ann_topk_brute" -> (Similarity.annTopkBrute _),
     "ann_lsh_bucket" -> (Similarity.lshBucket _),
@@ -98,6 +101,9 @@ object SparkEntry {
     "pipeline_curate" -> (TextOps.curate _),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "text_scrub_digits" -> (TextOps.scrubDigits _),
+    "text_scrub_pii" -> (TextOps.scrubPii _),
+    "text_repetition" -> (TextOps.repetition _),
+    "doc_pack_bins" -> (TextOps.docPackBins _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -209,6 +215,26 @@ object SparkEntry {
         |      RANGE BETWEEN 300000000 PRECEDING AND 1 PRECEDING) AS n_recent
         |  FROM events) WHERE event_type = 'purchase'""".stripMargin,
     "q_percentiles" -> PercentilesSql,
+    "q_histogram" ->
+      """WITH st AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CASE WHEN st.mx = st.mn THEN 0
+        |    ELSE least(19, CAST(floor((e.value - st.mn) / (st.mx - st.mn) * 20)
+        |      AS INTEGER)) END AS bucket,
+        |  count(*) AS cnt
+        |FROM events e JOIN st USING(event_type)
+        |GROUP BY 1, 2""".stripMargin,
+    "ts_top_movers" ->
+      """WITH r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT f.user_id, f.value AS first_v, l.value AS last_v,
+        |  l.value - f.value AS delta
+        |FROM (SELECT user_id, value FROM r WHERE ra = 1) f
+        |JOIN (SELECT user_id, value FROM r WHERE rd = 1) l USING(user_id)
+        |ORDER BY abs(delta) DESC, user_id LIMIT 10""".stripMargin,
     "ts_above_p95" ->
       s"""SELECT e.event_type, count(*) AS n_total,
          |  CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
@@ -611,6 +637,10 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "dedup_exact" -> OracleSqlGen.dedupExact,
+    "dedup_prefix" ->
+      """SELECT md5(substr(text, 1, 64)) AS prefix_md5,
+        |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "dedup_survivor" -> SurvivorSql,
     "pipeline_curate" ->
       s"""SELECT l.doc_id,
@@ -651,6 +681,9 @@ object SparkEntry {
         |  CAST(text <> regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g') AS INTEGER)
         |    AS was_scrubbed
         |FROM documents""".stripMargin,
+    "text_scrub_pii" -> OracleSqlGen.textScrubPii,
+    "text_repetition" -> OracleSqlGen.textRepetition,
+    "doc_pack_bins" -> OracleSqlGen.docPackBins,
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
     "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,

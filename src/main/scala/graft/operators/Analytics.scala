@@ -167,6 +167,25 @@ object Analytics {
         interp(0.95, col("lo95"), col("hi95")).as("p95"))
   }
 
+  /** #89 — equal-width value histogram per event type (20 buckets over
+    * the group's [min, max]): the profiling pass before outlier capping
+    * or feature binning. Two aggregations — tiny per-group stats
+    * broadcast back, then one map-side-combinable count to ≤ 20
+    * rows/group; the bucket arithmetic is ordered identically in the
+    * oracle so double floors agree bit-for-bit. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val HB = 20
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val st = ev.groupBy("event_type").agg(min("value").as("mn"), max("value").as("mx"))
+    ev.join(broadcast(st), "event_type")
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(HB - 1),
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * HB).cast("int"))))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** #39 — TPC-H Q6-style selective revenue: every predicate reaches the
     * scan (date range, discount band, quantity cap), so at 100 TB this
     * reads only matching row groups and aggregates map-side to one row. */

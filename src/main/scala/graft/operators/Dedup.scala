@@ -67,6 +67,16 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
 
+  /** #88 — prefix dedup: group docs whose first 64 characters match —
+    * catches shared boilerplate headers/templates that full-content
+    * hashing misses (the bodies differ). Same one-shuffle hash-group
+    * shape as [[exact]]; only groups with an actual collision emit. */
+  def prefixDups(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(substring(col("text"), 1, 64)).as("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+      .filter(col("n_docs") >= 2)
+
   /** #54 — survivorship for exact-dup groups: every doc keeps its group
     * id (the text md5) and a keep flag — the survivor is the longest doc
     * in the group, ties to the lowest doc_id. One window over the same

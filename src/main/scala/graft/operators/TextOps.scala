@@ -169,6 +169,75 @@ object TextOps {
           col("n_tokens") >= 10 && col("stop_ratio") >= 0.1).cast("int").as("kept"))
   }
 
+  /** #86 — PII scrubbing: mask email addresses then long digit runs
+    * (id/phone-shaped), report per-doc counts and the cleaned content
+    * hash — the redaction pass before corpus release, one codegen'd
+    * projection, zero shuffles before the write. The email pattern is
+    * deliberately RE2-compatible so the oracle's regex engine agrees. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  def scrubPii(s: SparkSession, dir: String): DataFrame = {
+    val noEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val clean = regexp_replace(noEmail, "[0-9]{7,}", "<ID>")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit("[0-9]{7,}")).cast("long").as("n_ids"),
+      md5(clean).as("clean_md5"))
+  }
+
+  /** #87 — repetition ratio: share of a doc's word trigrams that are
+    * repeats (1 − distinct/total) — the standard template/spam quality
+    * signal (high ratio = boilerplate or looping generations). Pure
+    * per-doc array arithmetic, map-side only. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("tri",
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        size(col("tri")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tri"))).cast("long").as("n_distinct"),
+        when(size(col("tri")) > 0,
+          (size(col("tri")) - size(array_distinct(col("tri")))).cast("double") /
+            size(col("tri")))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+
+  /** #85 — sequence packing (concat-and-chunk): lay the corpus out in
+    * doc_id order, run a token-count prefix sum, and cut fixed
+    * [[PackBudget]]-token training bins; each doc reports its bin and
+    * offset. The prefix sum is TWO-LEVEL so no window ever spans the
+    * corpus: per-chunk subtotals (bounded groups of [[PackChunk]] docs)
+    * roll up through a chunk-level cumulative — one row per chunk, the
+    * only partitionless window, 1/1024th of the corpus — whose carry
+    * joins back for the within-chunk running sum. The bounded-state
+    * technique of ts_ema applied to a global prefix sum. */
+  val PackBudget = 2048L
+  val PackChunk = 1024L
+  def docPackBins(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("chunk", expr(s"doc_id div $PackChunk"))
+    val chunkTot = d.groupBy("chunk").agg(sum("n_tokens").as("ctot"))
+    val wC = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunkTot
+      .withColumn("carry", coalesce(sum("ctot").over(wC), lit(0L)))
+      .select("chunk", "carry")
+    val wIn = Window.partitionBy("chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // no broadcast hint: carry grows with corpus size / PackChunk —
+    // AQE broadcasts while it fits, co-partitioned join past that
+    d.join(carry, "chunk")
+      .withColumn("before",
+        col("carry") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"before div $PackBudget").as("bin_id"),
+        (col("before") % PackBudget).as("bin_offset"))
+  }
+
   /** #37 — ORDER-SENSITIVE rolling-hash fingerprint (Rabin-Karp): fold
     * H = (H*257 + h(tok)) mod P over the token sequence, h = 32-bit md5
     * prefix. Pure integer fold — parity with the oracle is exact, and

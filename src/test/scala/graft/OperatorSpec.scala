@@ -267,4 +267,53 @@ class OperatorSpec extends SparkTestBase {
     val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
     assert(total == graft.core.Tables.events(spark, Sf).count())
   }
+
+  test("doc_pack_bins is a contiguous packing: offsets bounded, bins ordered, totals add up") {
+    val rows = TextOps.docPackBins(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, bin, off) =>
+      assert(off >= 0 && off < TextOps.PackBudget)
+      assert(bin >= 0 && n >= 0)
+    }
+    // the packing is exactly the running sum: each doc starts where the
+    // previous one ended (mod the bin budget)
+    var cum = 0L
+    rows.foreach { case (_, n, bin, off) =>
+      assert(bin == cum / TextOps.PackBudget && off == cum % TextOps.PackBudget)
+      cum += n
+    }
+  }
+
+  test("repetition ratio is in [0,1] and zero for short docs") {
+    TextOps.repetition(spark, Sf).collect().foreach { r =>
+      val (nt, nd, ratio) = (r.getAs[Long]("n_trigrams"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("rep_ratio"))
+      assert(nd <= nt)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      if (nt == 0) assert(ratio == 0.0)
+    }
+  }
+
+  test("histogram buckets cover every row and stay inside [0, 20)") {
+    val rows = Analytics.qHistogram(spark, Sf).collect()
+    assert(rows.forall { r =>
+      val b = r.getAs[Int]("bucket"); b >= 0 && b < 20
+    })
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total == graft.core.Tables.events(spark, Sf).count())
+  }
+
+  test("top movers deltas equal last minus first and arrive sorted by |delta|") {
+    val rows = TimeSeriesOps.topMovers(spark, Sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("delta") -
+        (r.getAs[Double]("last_v") - r.getAs[Double]("first_v"))) < 1e-12)
+    }
+    val mags = rows.map(r => math.abs(r.getAs[Double]("delta")))
+    assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
+  }
 }

@@ -162,6 +162,16 @@ class PlanSpec extends SparkTestBase {
       "the brand-filtered part dim should still be hint-broadcast")
   }
 
+  test("doc_pack_bins prefix sum is two-level: corpus-wide window only at chunk grain") {
+    val p = plan("doc_pack_bins")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.size == 2, s"expected chunk-cumulative + within-chunk windows:\n${specs.mkString("\n")}")
+    // the per-doc window must be partitioned by chunk (bounded groups);
+    // only the one-row-per-chunk cumulative may run partitionless
+    assert(specs.count(s => s.contains("chunk") && s.contains("doc_id")) == 1,
+      "the doc-grain running sum must be chunk-partitioned")
+  }
+
   test("q_percentiles caches its shared frames instead of rescanning the fact") {
     val p = plan("q_percentiles")
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
