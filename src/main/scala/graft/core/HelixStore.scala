@@ -132,7 +132,19 @@ final case class StoreOptions(
       * its own file into each partition it holds — lowest ingest
       * latency, most files (the small-files trade the reference makes
       * with batch_size = 0). */
-    putWritersPerPartition: Int = 1)
+    putWritersPerPartition: Int = 1,
+    /** Background-compaction requests that may sit QUEUED beyond the
+      * running one — the reference's Options.task_buffer_size
+      * (option.rs:119). Requests past the buffer coalesce into the
+      * already-queued pass (which will see their data anyway); 1
+      * (default) keeps at most one in-flight + one pending. */
+    taskBufferSize: Int = 1,
+    /** When set, a daemon timer calls scheduleBlockCompact() every
+      * interval while un-blocked rick rows exist — the reference's
+      * periodic compaction prompt (option.rs:124
+      * compact_prompt_interval). None (default) = compactions run only
+      * when the lifecycle or the caller asks. */
+    compactPromptIntervalMs: Option[Long] = None)
 
 /** Per-scan tuning — the reference's `ScanOption.prefetch_buf_size`
   * (src/option.rs:151). In a Spark scan "read-ahead" is governed by
@@ -187,6 +199,10 @@ final class HelixStore private (
   // guarantee. Keep the window comfortably above the minimum period.
   require(opts.lockStaleMs > 1000L,
     s"lockStaleMs must exceed 1000ms (heartbeat floor is 250ms): ${opts.lockStaleMs}")
+  require(opts.taskBufferSize >= 1,
+    s"taskBufferSize must be >= 1: ${opts.taskBufferSize}")
+  require(opts.compactPromptIntervalMs.forall(_ > 0),
+    s"compactPromptIntervalMs must be positive: ${opts.compactPromptIntervalMs}")
 
   private val root: Path = Paths.get(path)
   private val seqsDir: Path = root.resolve("_seqs")
@@ -233,6 +249,17 @@ final class HelixStore private (
         } catch { case _: java.io.IOException => () }
       }
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+    // periodic compaction prompt (reference compact_prompt_interval,
+    // option.rs:124): while un-blocked rick rows exist, nudge the
+    // deduped background scheduler. Rides the heartbeat executor — the
+    // check is one pointer read + dir test, and the actual compaction
+    // runs on compactExec, never here.
+    opts.compactPromptIntervalMs.foreach { iv =>
+      lockHeartbeat.scheduleWithFixedDelay(() => {
+        try { if (hasRickRows) scheduleBlockCompact() }
+        catch { case _: Throwable => () } // a failed probe must not kill the timer
+      }, iv, iv, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+    }
   }
 
   private def acquireMutex(): Unit = {
@@ -1236,7 +1263,9 @@ final class HelixStore private (
   /** Total blockCompact invocations (test observability). */
   private[graft] val compactionsRun = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var compactError: Option[Throwable] = None
-  private val compactPending = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // queued-but-not-started runs, bounded by opts.taskBufferSize (the
+  // reference's task_buffer_size) — excess requests coalesce
+  private val compactQueued = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var compactExecStarted = false
   private lazy val compactExec = java.util.concurrent.Executors.newSingleThreadExecutor(
     (r: Runnable) => {
@@ -1245,14 +1274,25 @@ final class HelixStore private (
       t
     })
 
-  /** Queue a block compaction off the write path. Deduped: while one is
-    * pending, further requests coalesce into it. Failures surface on the
-    * next [[awaitCompactions]] (and are never silently dropped). */
-  def scheduleBlockCompact(): Unit =
-    if (compactPending.compareAndSet(false, true)) {
+  /** Queue a block compaction off the write path. Deduped: while the
+    * queue holds opts.taskBufferSize pending runs, further requests
+    * coalesce into them. Failures surface on the next
+    * [[awaitCompactions]] (and are never silently dropped). */
+  def scheduleBlockCompact(): Unit = {
+    val claimed = {
+      var ok = false
+      var done = false
+      while (!done) {
+        val q = compactQueued.get()
+        if (q >= opts.taskBufferSize) { done = true }
+        else if (compactQueued.compareAndSet(q, q + 1)) { ok = true; done = true }
+      }
+      ok
+    }
+    if (claimed) {
       compactExecStarted = true
       compactExec.execute { () =>
-        compactPending.set(false) // before running: see coalescing note
+        compactQueued.decrementAndGet() // before running: see coalescing note
         try {
           // job-group properties are inheritable thread-locals: without
           // this reset, a worker created from inside a streaming
@@ -1266,6 +1306,7 @@ final class HelixStore private (
         catch { case t: Throwable => compactError = Some(t) }
       }
     }
+  }
 
   /** Barrier: wait for every scheduled compaction to finish; rethrows
     * the first background failure. */

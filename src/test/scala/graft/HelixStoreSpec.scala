@@ -762,6 +762,48 @@ class HelixStoreSpec extends SparkTestBase {
         StoreOptions(lockStaleMs = 500L))
     }
   }
+
+  test("compact prompt interval compacts the rick automatically (compact_prompt_interval)") {
+    val store = HelixStore.open(spark, tmpDir("hs-prompt"),
+      StoreOptions(numShards = 2, bucketSize = 10,
+        compactPromptIntervalMs = Some(300L)))
+    store.put(entriesDF(Seq(("k", 1L, "v1"), ("j", 2L, "v2"))))
+    // the daemon prompt must push the rick into the block layer without
+    // any explicit compaction call
+    val deadline = System.currentTimeMillis() + 30000
+    while (!store.hasBlockLayer && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    store.awaitCompactions()
+    assert(store.hasBlockLayer, "prompt timer never compacted")
+    assert(store.get("k".getBytes, 1L).map(new String(_)).contains("v1"))
+    assert(store.toDF.count() == 2)
+    store.close()
+  }
+
+  test("StoreOptions rejects a non-positive task buffer / prompt interval") {
+    intercept[IllegalArgumentException] {
+      HelixStore.open(spark, tmpDir("hs-tbuf"), StoreOptions(taskBufferSize = 0))
+    }
+    intercept[IllegalArgumentException] {
+      HelixStore.open(spark, tmpDir("hs-iv"),
+        StoreOptions(compactPromptIntervalMs = Some(0L)))
+    }
+  }
+
+  test("taskBufferSize bounds queued background compactions; excess coalesces") {
+    val store = HelixStore.open(spark, tmpDir("hs-tbuf2"),
+      StoreOptions(numShards = 2, bucketSize = 10, taskBufferSize = 2))
+    store.put(entriesDF((0 until 10).map(k => (s"b$k", k.toLong, s"v$k"))))
+    val before = store.compactionsRun.get()
+    (0 until 20).foreach(_ => store.scheduleBlockCompact())
+    store.awaitCompactions()
+    val ran = store.compactionsRun.get() - before
+    // at most: one started immediately + 2 buffered per drain cycle —
+    // far fewer than the 20 requests, and never zero
+    assert(ran >= 1 && ran <= 6, s"20 rapid requests with buffer=2 ran $ran times")
+    assert(store.toDF.count() == 10)
+    store.close()
+  }
 }
 
 /** Test codec: XOR every payload byte with 0x5A — visibly scrambles
