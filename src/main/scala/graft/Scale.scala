@@ -54,6 +54,10 @@ object Scale {
       time("ts_interp_linear")(TimeSeriesOps.interpLinear(spark, dir).count())
       time("dedup_containment")(Dedup.containment(spark, dir).count())
       time("q_pivot_daily")(Analytics.qPivotDaily(spark, dir).count())
+      time("doc_pack_bins")(TextOps.docPackBins(spark, dir).count())
+      time("text_repetition")(TextOps.repetition(spark, dir).count())
+      time("q_histogram")(Analytics.qHistogram(spark, dir).count())
+      time("ts_top_movers")(TimeSeriesOps.topMovers(spark, dir).count())
     }
     spark.stop()
   }

@@ -109,6 +109,7 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_decode_stub" -> (Multimodal.decodeFeatures _),
     "mm_chunk" -> (Multimodal.chunkLayout _),
+    "mm_dedup" -> (Multimodal.payloadDedup _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
@@ -696,6 +697,11 @@ object SparkEntry {
          |SELECT doc_id, n_bytes, chunk_idx,
          |  least($cb, n_bytes - chunk_idx * $cb) AS chunk_len FROM c""".stripMargin
     },
+    "mm_dedup" ->
+      """SELECT md5(text) AS payload_md5, count(*) AS n_blobs,
+        |  min(doc_id) AS keep_doc_id,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
   )
 }

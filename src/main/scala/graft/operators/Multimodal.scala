@@ -98,6 +98,17 @@ object Multimodal {
         least(lit(ChunkBytes.toLong),
           col("n_bytes") - col("chunk_idx") * ChunkBytes).as("chunk_len"))
 
+  /** #91 — exact multimodal dedup: group identical payloads by content
+    * hash BEFORE any decode — the highest-leverage step of a real media
+    * pipeline, since decode cost then scales with unique blobs rather
+    * than rows. Payload bytes never shuffle: the md5 runs map-side and
+    * only the 32-hex-char hash moves. */
+  def payloadDedup(s: SparkSession, dir: String): DataFrame =
+    withPayload(s, dir)
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(count(lit(1)).as("n_blobs"), min("doc_id").as("keep_doc_id"),
+        sum(octet_length(col("payload"))).cast("long").as("total_bytes"))
+
   /** #29 — frame sampling plumbing: a "video" with n_chars/200 + 1
     * frames, sampled at stride 3; explodes ids only, never payloads. */
   def frameSample(s: SparkSession, dir: String): DataFrame =
