@@ -58,6 +58,7 @@ object SparkEntry {
     "q15_top_supplier" -> (Analytics.q15TopSupplier _),
     "q17_small_qty" -> (Analytics.q17SmallQty _),
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
+    "q21_late_supplier" -> (Analytics.q21LateSupplier _),
     "q19_disjunctive" -> (Analytics.q19Disjunctive _),
     "q22_opportunity" -> (Analytics.q22Opportunity _),
     "q_pivot_daily" -> (Analytics.qPivotDaily _),
@@ -540,6 +541,23 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE sum_qty > 250.0""".stripMargin,
+    "q21_late_supplier" ->
+      """WITH f AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CAST(epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 7776000000000
+        |      AS INTEGER) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |po AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+        |  FROM f GROUP BY 1),
+        |q AS (SELECT l_orderkey FROM po WHERE n_supp > 1 AND n_late_supp = 1),
+        |ls AS (SELECT DISTINCT f.l_orderkey, f.l_suppkey
+        |  FROM f JOIN q USING(l_orderkey) WHERE late = 1)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS n_orders
+        |FROM ls JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, s_suppkey LIMIT 10""".stripMargin,
     "q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)

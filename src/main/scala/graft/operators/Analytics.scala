@@ -531,6 +531,42 @@ object Analytics {
         count(lit(1)).as("n_rows"))
   }
 
+  /** #92 — TPC-H Q21-style sole late supplier (adapted: the testdata
+    * lineitem has no commit/receipt dates, so "late" is shipping more
+    * than 90 days after the order date): suppliers who were the ONLY
+    * late supplier on a multi-supplier order, ranked by offence count.
+    * The classic Q21 quadruple self-join collapses to ONE fact-fact
+    * join plus per-order WINDOW counts: the EXISTS (another supplier)
+    * and NOT EXISTS (another late supplier) become distinct-supplier
+    * collect_sets over the orderkey partition, so lineitem is scanned
+    * and shuffled exactly once (a groupBy + join-back would re-scan —
+    * the two subtrees' pushed filters differ, defeating exchange
+    * reuse). Per-order state is bounded by lines-per-order, a data
+    * constant. Late-ness is integer µs arithmetic so the oracle agrees
+    * exactly. */
+  def q21LateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (unix_micros(col("l_shipdate").cast("timestamp")) >
+          unix_micros(col("o_orderdate").cast("timestamp")) + lit(7776000000000L))
+          .cast("int").as("late"))
+    val w = Window.partitionBy("l_orderkey")
+    flagged
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("late") === 1, col("l_suppkey"))).over(w)))
+      .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select("l_orderkey", "l_suppkey").distinct()
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
   /** #72 — TPC-H Q18-style large orders: orders whose total quantity
     * exceeds 250, with their customer. The HAVING pre-filter runs on
     * the per-order agg (map-side combinable), so only the few large

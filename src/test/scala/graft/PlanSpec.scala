@@ -162,6 +162,18 @@ class PlanSpec extends SparkTestBase {
       "the brand-filtered part dim should still be hint-broadcast")
   }
 
+  test("q21_late_supplier joins facts once and broadcasts only the supplier dim") {
+    val p = plan("q21_late_supplier")
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    // lineitem and orders are each scanned exactly once — the
+    // EXISTS/NOT-EXISTS self-joins of textbook Q21 must not reappear
+    // formatted mode lists one Location line per scan node
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(liScans == 1, s"lineitem must be scanned once, got $liScans")
+  }
+
   test("doc_pack_bins prefix sum is two-level: corpus-wide window only at chunk grain") {
     val p = plan("doc_pack_bins")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
