@@ -102,9 +102,14 @@ object StoreBench {
       }
       val blockBytes = new java.io.File(d).listFiles()
         .filter(_.getName.startsWith("b-"))
-        .flatMap(f => java.nio.file.Files.walk(f.toPath).iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_)))
-        .map(java.nio.file.Files.size).sum
+        .map { f =>
+          val walk = java.nio.file.Files.walk(f.toPath)
+          try walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+          finally walk.close()
+        }.sum
+      st.close()
       f""""$tag":{"fill_s":$tFill%.2f,"block_compact_s":$tComp%.2f,""" +
         f""""scan_s":$tSc%.2f,"get_block_avg_ms":${g.sum / g.size * 1000}%.0f,""" +
         f""""block_bytes":$blockBytes}"""
@@ -119,6 +124,7 @@ object StoreBench {
       f""""scan_rows_per_s":${rows / tScan}%.0f,"block_compact_s":$tCompact%.2f,""" +
       f""""scan_after_compact_s":$tScan2%.2f,""" +
       noopFloat + "," + gorillaFloat + "}")
+    store.close()
     spark.stop()
   }
 }

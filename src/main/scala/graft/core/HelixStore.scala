@@ -249,17 +249,24 @@ final class HelixStore private (
         } catch { case _: java.io.IOException => () }
       }
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
-    // periodic compaction prompt (reference compact_prompt_interval,
-    // option.rs:124): while un-blocked rick rows exist, nudge the
-    // deduped background scheduler. Rides the heartbeat executor — the
-    // check is one pointer read + dir test, and the actual compaction
-    // runs on compactExec, never here.
-    opts.compactPromptIntervalMs.foreach { iv =>
-      lockHeartbeat.scheduleWithFixedDelay(() => {
-        try { if (hasRickRows) scheduleBlockCompact() }
-        catch { case _: Throwable => () } // a failed probe must not kill the timer
-      }, iv, iv, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
-    }
+  }
+
+  // periodic compaction prompt (reference compact_prompt_interval,
+  // option.rs:124): while un-blocked rick rows exist, nudge the deduped
+  // background scheduler. DEDICATED daemon timer — the probe does a
+  // pointer read + rick dir listing, which on a slow filesystem could
+  // outlast the heartbeat period; sharing the heartbeat thread would
+  // delay lock touches and let a waiter presume a LIVE lock stale. The
+  // compaction itself runs on compactExec, never here.
+  private val compactPrompt = opts.compactPromptIntervalMs.map { iv =>
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-compact-prompt"); t.setDaemon(true); t
+    })
+    ex.scheduleWithFixedDelay(() => {
+      try { if (hasRickRows) scheduleBlockCompact() }
+      catch { case _: Throwable => () } // a failed probe must not kill the timer
+    }, iv, iv, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+    ex
   }
 
   private def acquireMutex(): Unit = {
@@ -330,6 +337,16 @@ final class HelixStore private (
                         restored = true // tombstone gone — nothing to restore
                     }
                   }
+                  // Giving up silently would leave the captured owner
+                  // believing it holds a lock that no longer exists on
+                  // disk while another waiter acquired — the exact
+                  // two-mutators outcome. FAIL LOUDLY: this waiter's
+                  // mutation aborts, and the stranded tombstone keeps
+                  // the evidence for operator forensics.
+                  if (!restored)
+                    throw new IllegalStateException(
+                      s"lock break captured a live lock and could not restore it " +
+                        s"(tombstone: $tomb); aborting rather than risking two mutators")
                 }
               } catch { case _: java.io.IOException => () } // lost the break race
             }
@@ -807,7 +824,16 @@ final class HelixStore private (
   /** Append a batch of entries (columns: key BINARY, ts LONG, value
     * BINARY). Routing = shard/bucket partition columns; one shuffle-free
     * partitioned write. Synchronized with compactions so a batch can't
-    * land in a rows generation that is being swapped out. */
+    * land in a rows generation that is being swapped out.
+    *
+    * Within-batch (key, ts) ties: a DataFrame carries no defined row
+    * order (partition assignment, AQE, and task retries all reorder),
+    * so the reference's "later entry in the batch wins" is not
+    * expressible here. The contract instead is DETERMINISTIC-ARBITRARY:
+    * the row with the greatest xxhash64(key, ts, value) wins, the same
+    * winner on every run and every retry. Callers that need a specific
+    * winner must resolve ties before put() (one row per (key, ts)) or
+    * split them across puts, whose seq order is total. */
   def put(entries: DataFrame): Unit =
     putWithShard(entries, shardExpr(col("key")))
 
@@ -989,6 +1015,14 @@ final class HelixStore private (
     val reader = scanOpts.maxPartitionBytes match {
       case Some(b) =>
         val s = spark.newSession()
+        // newSession starts from the CONTEXT conf only — copy the
+        // parent's runtime conf first (shuffle partitions, timezone,
+        // AQE toggles set via spark.conf.set after startup), so the
+        // clone differs from every other read in exactly one knob.
+        // Static/immutable entries refuse the set; skip them.
+        spark.conf.getAll.foreach { case (k, v) =>
+          try s.conf.set(k, v) catch { case _: Exception => () }
+        }
         s.conf.set("spark.sql.files.maxPartitionBytes", b.toString)
         s
       case None => spark
@@ -1324,6 +1358,7 @@ final class HelixStore private (
     finally {
       if (compactExecStarted) compactExec.shutdown()
       lockHeartbeat.shutdown()
+      compactPrompt.foreach(_.shutdown())
     }
   }
 

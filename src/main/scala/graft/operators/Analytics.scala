@@ -127,6 +127,10 @@ object Analytics {
       // persist of this 3-column projection costs about what one extra
       // columnar re-scan would, and saves the second full fact pass.
       // At cluster scale the executor-local cache shards with the data.
+      // Cache LIFETIME is the caller's: the Verify/Bench harnesses
+      // clearCache() between queries; a long-lived session should do
+      // the same (or unpersist via spark.catalog) once the percentile
+      // consumers have run.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = bucketed.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
     val wB = Window.partitionBy("event_type").orderBy("bucket")

@@ -351,13 +351,22 @@ object Dedup {
         throw new IllegalStateException(
           s"clusterDups failed to converge after $MaxIters star-contraction rounds")
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // converged iff the edges form depth-1 stars: no parent (v side)
-      // is itself a child (u side). EXACT check, one semi-join over the
-      // tiny checkpointed edge set — the paper shows min-rooted stars
-      // are exactly the fixpoint of the alternation.
-      converged = next.select("v")
+      // converged iff the edges form DISJOINT depth-1 stars: no parent
+      // (v side) is itself a child (u side), AND no child has two
+      // parents. Depth-1 alone is NOT sufficient — a chain like
+      // 3–4–6, 2–5–7–4 contracts to {(4,3),(4,2),(5,2),(6,3),(7,2)}
+      // whose parents {2,3} are disjoint from children {4,5,6,7} yet
+      // node 4 still bridges two would-be clusters; one more round is
+      // required. Disjoint min-rooted stars ARE the fixpoint (edges
+      // always point child > parent, so a star's root is its
+      // component minimum), and both probes fold into one emptiness
+      // check over the tiny checkpointed edge set.
+      val chained = next.select("v")
         .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
-        .isEmpty
+        .select(lit(1).as("bad"))
+      val multiParent = next.groupBy("u").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(lit(1).as("bad"))
+      converged = chained.unionAll(multiParent).isEmpty
       edges = next
       iter += 1
     }

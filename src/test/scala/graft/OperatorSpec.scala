@@ -268,6 +268,24 @@ class OperatorSpec extends SparkTestBase {
     assert(total == graft.core.Tables.events(spark, Sf).count())
   }
 
+  test("clusterDups resolves chain components to the global min (star fixpoint, not depth-1)") {
+    // Regression: a chain-shaped component where one large+small star
+    // round yields a depth-1 but MULTI-PARENT state (node 4 below ends
+    // bridging clusters 2 and 3). A convergence check accepting that
+    // state returns a split cluster and a duplicated doc row.
+    import spark.implicits._
+    val chain = Seq((4L, 3L), (6L, 4L), (7L, 6L), (7L, 5L), (5L, 2L))
+      .toDF("doc_id1", "doc_id2")
+    val out = Dedup.clusterDups(spark, Sf, (_, _) => chain).collect()
+    val labels = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out.length == labels.size, "no doc may appear twice")
+    assert(labels.keySet == Set(2L, 3L, 4L, 5L, 6L, 7L))
+    assert(labels.values.toSet == Set(2L),
+      s"every chained doc must resolve to the component min 2, got $labels")
+    assert(out.count(_.getAs[Int]("keep") == 1) == 1, "exactly one survivor")
+  }
+
   test("doc_pack_bins is a contiguous packing: offsets bounded, bins ordered, totals add up") {
     val rows = TextOps.docPackBins(spark, Sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
