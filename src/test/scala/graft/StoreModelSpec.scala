@@ -81,6 +81,51 @@ class StoreModelSpec extends SparkTestBase {
     store.close()
   }
 
+  /** Two live instances on one path, mutating in random alternation —
+    * the multi-writer scenario the seq ledger, pointer stamps, and
+    * cross-process lock exist for. Both instances must agree with the
+    * one model at every step: a duplicated seq (e.g. re-minting after
+    * another instance's commit pruned the ledger) or a stale pointer
+    * read shows up as an LWW inversion here. */
+  private def runTwoInstanceScenario(seed: Int, bucketSize: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = tmpDir(s"hs-model2-$seed")
+    val opts = StoreOptions(numShards = 2, bucketSize = bucketSize)
+    val a = HelixStore.open(spark, dir, opts)
+    val b = HelixStore.open(spark, dir, opts)
+    val model = mutable.Map[(String, Long), String]()
+    val keys = (0 until 5).map(i => s"m$i")
+
+    def stateOf(st: HelixStore): Set[(String, Long, String)] =
+      st.toDF.collect().map { r =>
+        (new String(r.getAs[Array[Byte]]("key")), r.getAs[Long]("ts"),
+          new String(r.getAs[Array[Byte]]("value")))
+      }.toSet
+
+    for (step <- 0 until 12) {
+      val actor = if (rnd.nextBoolean()) a else b
+      rnd.nextInt(8) match {
+        case n if n <= 4 => // put through a random instance
+          val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            (keys(rnd.nextInt(keys.length)), rnd.nextInt(60).toLong,
+              s"v$step-${rnd.nextInt(1000)}")
+          }
+          val lastPer = batch.groupBy(e => (e._1, e._2)).map(_._2.last).toSeq
+          actor.put(entriesDF(lastPer))
+          lastPer.foreach { case (k, t, v) => model((k, t)) = v }
+        case 5 => actor.compact()
+        case 6 | 7 => actor.blockCompact()
+      }
+      val expected = model.iterator
+        .map { case ((k, ts), v) => (k, ts, v) }.toSet
+      assert(stateOf(a) == expected,
+        s"seed=$seed step=$step: instance A diverged from model")
+      assert(stateOf(b) == expected,
+        s"seed=$seed step=$step: instance B diverged from model")
+    }
+    a.close(); b.close()
+  }
+
   test("random op sequences keep the store equal to the LWW model (seed 101)") {
     runScenario(101, bucketSize = 10)
   }
@@ -91,5 +136,13 @@ class StoreModelSpec extends SparkTestBase {
 
   test("random op sequences keep the store equal to the LWW model (seed 303, tiny buckets)") {
     runScenario(303, bucketSize = 3)
+  }
+
+  test("two instances in random alternation agree with one LWW model (seed 404)") {
+    runTwoInstanceScenario(404, bucketSize = 10)
+  }
+
+  test("two instances in random alternation agree with one LWW model (seed 505, tiny buckets)") {
+    runTwoInstanceScenario(505, bucketSize = 4)
   }
 }
