@@ -171,6 +171,14 @@ object OracleSqlGen {
        |WHERE ${cos("a.v", "b.v")} >= 0.45""".stripMargin
   }
 
+  /** #93 — radius search: same fold-order cosine, raw threshold
+    * compare (bit-identical doubles make it safe, as dedup_embedding's
+    * verify step already relies on). */
+  val annRange: String =
+    s"""WITH $eCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id FROM e, q
+       |WHERE e.vec_id <> 0 AND ${cos("e.v", "q.qv")} >= ${Similarity.RangeTau}""".stripMargin
+
   val annTopkBrute: String =
     s"""WITH $eCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
        |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk

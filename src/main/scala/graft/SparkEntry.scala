@@ -73,6 +73,7 @@ object SparkEntry {
     // sketch op: likewise rows-only; accuracy asserted in OperatorSpec
     "q_approx_quantiles" -> (Analytics.qApproxQuantiles _),
     "q_histogram" -> (Analytics.qHistogram _),
+    "q_corr" -> (Analytics.qCorr _),
     "ts_top_movers" -> (TimeSeriesOps.topMovers _),
     // Dedup (#16-20)
     "dedup_exact" -> (Dedup.exact _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "knn_label_centroid" -> (Similarity.knnLabelCentroid _),
     "ann_ivf_topk" -> (Similarity.annIvfTopk _),
     "ann_batch_topk" -> (Similarity.annBatchTopk _),
+    "ann_range" -> (Similarity.annRange _),
     // Text analysis (#24-27)
     "text_langid" -> (TextOps.langId _),
     "text_quality" -> (TextOps.quality _),
@@ -227,6 +229,17 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM events e JOIN st USING(event_type)
         |GROUP BY 1, 2""".stripMargin,
+    "q_corr" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+        |    (sqrt(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE)) *
+        |     sqrt(CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DOUBLE))) AS corr_xy
+        |FROM daily""".stripMargin,
     "ts_top_movers" ->
       """WITH r AS (SELECT user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
@@ -680,6 +693,7 @@ object SparkEntry {
     "knn_label_centroid" -> OracleSqlGen.knnLabelCentroid,
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopk,
     "ann_batch_topk" -> OracleSqlGen.annBatchTopk,
+    "ann_range" -> OracleSqlGen.annRange,
     "text_langid" -> OracleSqlGen.textLangid,
     "text_quality" -> OracleSqlGen.textQuality,
     "text_tokens" -> OracleSqlGen.textTokens,

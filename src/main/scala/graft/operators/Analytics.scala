@@ -190,6 +190,30 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** #94 — Pearson correlation between the daily view and purchase
+    * volumes — do purchases track views day to day? Computed from the
+    * five INTEGER sums (n, Σx, Σy, Σxy, Σx², Σy²) so everything up to
+    * the final expression is exact, and that expression (one subtract,
+    * two IEEE sqrts, one divide — all correctly-rounded ops) is ordered
+    * identically in the oracle: the double is bit-deterministic, unlike
+    * calling each engine's own corr() (their accumulation orders
+    * differ). Two map-side-combinable aggs; the day frame is one row
+    * per day, so the final global agg is driver-bounded at any scale. */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val n = count(lit(1))
+    daily.agg(
+      n.as("n_days"),
+      ((n * sum(col("x") * col("y")) - sum("x") * sum("y")).cast("double") /
+        (sqrt((n * sum(col("x") * col("x")) - sum("x") * sum("x")).cast("double")) *
+          sqrt((n * sum(col("y") * col("y")) - sum("y") * sum("y")).cast("double"))))
+        .as("corr_xy"))
+  }
+
   /** #39 — TPC-H Q6-style selective revenue: every predicate reaches the
     * scan (date range, discount band, quantity cap), so at 100 TB this
     * reads only matching row groups and aggregates map-side to one row. */

@@ -43,6 +43,25 @@ object Similarity {
       .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
 
+  /** #93 — radius (range) similarity search: every vector within
+    * cosine >= [[RangeTau]] of the query — the "all near enough" API
+    * beside top-k. One map-side pass: query broadcast, exact cosine
+    * filtered at the scan, NO shuffle at all; at 100 TB this is a
+    * straight scan returning only matches, and when τ is high the
+    * LSH-banded candidate pruning (dedup_embedding's path) drops the
+    * scan too. Same left-to-right dot fold as the oracle, so the
+    * threshold comparison is bit-deterministic. */
+  val RangeTau = 0.3
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(cosine(col("v"), col("qv")) >= RangeTau)
+      .select("vec_id")
+  }
+
   /** Top-k by (cos desc, vec_id) with a 1-based `rnk` column, computed
     * WITHOUT an unpartitioned window (which would single-partition the
     * full input and trip Spark's scale warning): the take itself

@@ -324,6 +324,31 @@ class OperatorSpec extends SparkTestBase {
     assert(total == graft.core.Tables.events(spark, Sf).count())
   }
 
+  test("daily view/purchase correlation is a valid coefficient") {
+    val r = Analytics.qCorr(spark, Sf).head()
+    assert(r.getAs[Long]("n_days") > 1)
+    val c = r.getAs[Double]("corr_xy")
+    assert(!c.isNaN && c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+  }
+
+  test("ann_range returns exactly the vectors whose exact cosine clears the threshold") {
+    val got = Similarity.annRange(spark, Sf).collect().map(_.getLong(0)).toSet
+    // recompute independently via the brute-force scorer
+    val e = graft.core.Tables.embeddings(spark, Sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        Similarity.toDoubleVec(org.apache.spark.sql.functions.col("embedding")).as("v"))
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("v").as("qv"))
+    val want = e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .withColumn("c", Similarity.cosine(
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("qv")))
+      .filter(org.apache.spark.sql.functions.col("c") >= Similarity.RangeTau)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got == want)
+  }
+
   test("top movers deltas equal last minus first and arrive sorted by |delta|") {
     val rows = TimeSeriesOps.topMovers(spark, Sf).collect()
     assert(rows.length == 10)
