@@ -232,8 +232,8 @@ object SparkEntry {
     "q_corr" ->
       """WITH daily AS (
         |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
-        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS y
         |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1)
         |SELECT CAST(count(*) AS BIGINT) AS n_days,
         |  CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /

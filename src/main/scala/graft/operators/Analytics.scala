@@ -192,25 +192,31 @@ object Analytics {
 
   /** #94 — Pearson correlation between the daily view and purchase
     * volumes — do purchases track views day to day? Computed from the
-    * five INTEGER sums (n, Σx, Σy, Σxy, Σx², Σy²) so everything up to
-    * the final expression is exact, and that expression (one subtract,
-    * two IEEE sqrts, one divide — all correctly-rounded ops) is ordered
-    * identically in the oracle: the double is bit-deterministic, unlike
-    * calling each engine's own corr() (their accumulation orders
-    * differ). Two map-side-combinable aggs; the day frame is one row
-    * per day, so the final global agg is driver-bounded at any scale. */
+    * five sums (n, Σx, Σy, Σxy, Σx², Σy²) carried as DECIMAL(38,0) so
+    * everything up to the final expression is exact — Long products
+    * would wrap silently at ~3e9 events/day, while the oracle's
+    * HUGEINT stays exact (the decimal bound, ~1e38 on the largest
+    * product, is past any physical corpus). The final expression (one
+    * subtract, two IEEE sqrts, one divide — all correctly-rounded ops)
+    * is ordered identically in the oracle, so the double is
+    * bit-deterministic, unlike each engine's own corr() (their
+    * accumulation orders differ). Two map-side-combinable aggs; the
+    * day frame is one row per day, so the final global agg is
+    * driver-bounded at any scale. */
   def qCorr(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .filter(col("event_type").isin("view", "purchase"))
       .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
-      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-    val n = count(lit(1))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("decimal(19,0)").as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("decimal(19,0)").as("y"))
+    val n = count(lit(1)).cast("decimal(10,0)")
     daily.agg(
-      n.as("n_days"),
-      ((n * sum(col("x") * col("y")) - sum("x") * sum("y")).cast("double") /
-        (sqrt((n * sum(col("x") * col("x")) - sum("x") * sum("x")).cast("double")) *
-          sqrt((n * sum(col("y") * col("y")) - sum("y") * sum("y")).cast("double"))))
+      count(lit(1)).as("n_days"),
+      ((n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))).cast("double") /
+        (sqrt((n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))).cast("double")) *
+          sqrt((n * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))).cast("double"))))
         .as("corr_xy"))
   }
 

@@ -327,25 +327,28 @@ class OperatorSpec extends SparkTestBase {
   test("daily view/purchase correlation is a valid coefficient") {
     val r = Analytics.qCorr(spark, Sf).head()
     assert(r.getAs[Long]("n_days") > 1)
+    assert(!r.isNullAt(r.fieldIndex("corr_xy")),
+      "zero-variance input would yield SQL NULL (and unbox to 0.0 unseen)")
     val c = r.getAs[Double]("corr_xy")
     assert(!c.isNaN && c >= -1.0 && c <= 1.0, s"corr out of range: $c")
   }
 
   test("ann_range returns exactly the vectors whose exact cosine clears the threshold") {
     val got = Similarity.annRange(spark, Sf).collect().map(_.getLong(0)).toSet
-    // recompute independently via the brute-force scorer
-    val e = graft.core.Tables.embeddings(spark, Sf)
-      .select(org.apache.spark.sql.functions.col("vec_id"),
-        Similarity.toDoubleVec(org.apache.spark.sql.functions.col("embedding")).as("v"))
-    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
-      .select(org.apache.spark.sql.functions.col("v").as("qv"))
-    val want = e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
-      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
-      .withColumn("c", Similarity.cosine(
-        org.apache.spark.sql.functions.col("v"),
-        org.apache.spark.sql.functions.col("qv")))
-      .filter(org.apache.spark.sql.functions.col("c") >= Similarity.RangeTau)
-      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // INDEPENDENT check: plain driver-side Scala folds over the raw
+    // embeddings — shares no Spark expression with the operator, so a
+    // wrong fold order or inverted comparison in the scorer can't
+    // cancel out
+    val vecs = graft.core.Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val qv = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val want = vecs.collect { case (id, v) if id != 0L &&
+      dot(v, qv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(qv, qv))) >=
+        Similarity.RangeTau => id }.toSet
     assert(got == want)
   }
 

@@ -26,6 +26,29 @@ class StoreModelSpec extends SparkTestBase {
         rows.map { case (k, t, v) => Row(k.getBytes, t, v.getBytes) }, 2),
       entrySchema)
 
+  /** Full visible store state as (key, ts, value) triples. */
+  private def stateOf(st: HelixStore): Set[(String, Long, String)] =
+    st.toDF.collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("key")), r.getAs[Long]("ts"),
+        new String(r.getAs[Array[Byte]]("value")))
+    }.toSet
+
+  /** Put a random batch through `st` and mirror it into `model`,
+    * de-duped driver-side: the model has no within-batch order, the
+    * store resolves (key, ts) ties by subseq — ONE place defines the
+    * convention for every scenario. */
+  private def putRandomBatch(st: HelixStore, rnd: scala.util.Random,
+      keys: IndexedSeq[String], tsRange: Int, step: Int,
+      model: mutable.Map[(String, Long), String]): Unit = {
+    val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+      (keys(rnd.nextInt(keys.length)), rnd.nextInt(tsRange).toLong,
+        s"v$step-${rnd.nextInt(1000)}")
+    }
+    val lastPer = batch.groupBy(e => (e._1, e._2)).map(_._2.last).toSeq
+    st.put(entriesDF(lastPer))
+    lastPer.foreach { case (k, t, v) => model((k, t)) = v }
+  }
+
   private def runScenario(seed: Int, bucketSize: Long): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = tmpDir(s"hs-model-$seed")
@@ -45,24 +68,12 @@ class StoreModelSpec extends SparkTestBase {
         .filter { case ((_, ts), _) => ts / bucketSize >= minBucket }
         .map { case ((k, ts), v) => (k, ts, v) }.toSet
 
-    def storeState: Set[(String, Long, String)] =
-      store.toDF.collect().map { r =>
-        (new String(r.getAs[Array[Byte]]("key")), r.getAs[Long]("ts"),
-          new String(r.getAs[Array[Byte]]("value")))
-      }.toSet
+    def storeState: Set[(String, Long, String)] = stateOf(store)
 
     for (step <- 0 until 12) {
       rnd.nextInt(10) match {
         case n if n <= 4 => // put a small batch (dup (key,ts) overwrites)
-          val batch = (0 until 1 + rnd.nextInt(4)).map { _ =>
-            (keys(rnd.nextInt(keys.length)), rnd.nextInt(100).toLong,
-              s"v$step-${rnd.nextInt(1000)}")
-          }
-          // de-dup within the batch driver-side: the model has no
-          // within-batch order, the store resolves it by subseq
-          val lastPer = batch.groupBy(e => (e._1, e._2)).map(_._2.last).toSeq
-          store.put(entriesDF(lastPer))
-          lastPer.foreach { case (k, t, v) => model((k, t)) = v }
+          putRandomBatch(store, rnd, keys, tsRange = 100, step, model)
           everPut = true
         case 5 | 6 => store.compact()
         case 7 => store.blockCompact()
@@ -96,23 +107,11 @@ class StoreModelSpec extends SparkTestBase {
     val model = mutable.Map[(String, Long), String]()
     val keys = (0 until 5).map(i => s"m$i")
 
-    def stateOf(st: HelixStore): Set[(String, Long, String)] =
-      st.toDF.collect().map { r =>
-        (new String(r.getAs[Array[Byte]]("key")), r.getAs[Long]("ts"),
-          new String(r.getAs[Array[Byte]]("value")))
-      }.toSet
-
     for (step <- 0 until 12) {
       val actor = if (rnd.nextBoolean()) a else b
       rnd.nextInt(8) match {
         case n if n <= 4 => // put through a random instance
-          val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
-            (keys(rnd.nextInt(keys.length)), rnd.nextInt(60).toLong,
-              s"v$step-${rnd.nextInt(1000)}")
-          }
-          val lastPer = batch.groupBy(e => (e._1, e._2)).map(_._2.last).toSeq
-          actor.put(entriesDF(lastPer))
-          lastPer.foreach { case (k, t, v) => model((k, t)) = v }
+          putRandomBatch(actor, rnd, keys, tsRange = 60, step, model)
         case 5 => actor.compact()
         case 6 | 7 => actor.blockCompact()
       }
