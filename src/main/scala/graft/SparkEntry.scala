@@ -75,6 +75,7 @@ object SparkEntry {
     "q_histogram" -> (Analytics.qHistogram _),
     "q_corr" -> (Analytics.qCorr _),
     "ts_top_movers" -> (TimeSeriesOps.topMovers _),
+    "ts_seasonal" -> (TimeSeriesOps.seasonalProfile _),
     // Dedup (#16-20)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_survivor" -> (Dedup.survivor _),
@@ -240,6 +241,10 @@ object SparkEntry {
         |    (sqrt(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE)) *
         |     sqrt(CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DOUBLE))) AS corr_xy
         |FROM daily""".stripMargin,
+    "ts_seasonal" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "ts_top_movers" ->
       """WITH r AS (SELECT user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,

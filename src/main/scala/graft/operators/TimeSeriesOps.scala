@@ -423,6 +423,18 @@ object TimeSeriesOps {
         col("avg_v").isNull.cast("int").as("is_gap"))
   }
 
+  /** #95 — seasonal profile: average value by (event_type,
+    * hour-of-day) — the diurnal-pattern query every TSDB dashboard
+    * serves. Decimal-exact sums with ONE double division at the end
+    * (mirrored order in the oracle), a single map-side-combinable agg
+    * to ≤ 24 rows per type. */
+  def seasonalProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_value"))
+
   /** #90 — top movers: per key, the value change from its FIRST to its
     * LAST observation, top-10 by absolute move. First/last are single
     * struct-ordered aggregates — min/max over (ts, event_id, value)
