@@ -170,6 +170,22 @@ final case class ScanOptions(
 object HelixStore {
   val EntryColumns: Seq[String] = Seq("key", "ts", "value")
 
+  /** Unsigned-lexicographic byte-array ordering — exactly Spark SQL's
+    * BinaryType comparison, so driver/executor Scala code (mapGroups
+    * LWW) picks the same winner as the Catalyst orderBy sites. */
+  private[core] object BytesOrdering extends Ordering[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
   /** Compressed block: one key's run within one (shard, bucket), ts
     * delta-encoded from t0, per-entry seq preserved for LWW, values
     * packed into one `payload` blob by the named UDCF `codec` — the
@@ -293,8 +309,26 @@ final class HelixStore private (
             val staleMtime = Files.getLastModifiedTime(mutexFile).toMillis
             val age = System.currentTimeMillis() - staleMtime
             val ownedByUs = staleContent.contains(instanceId)
-            if (!ownedByUs && staleContent.isDefined &&
-                age > opts.lockStaleMs) {
+            // Staleness must survive a CONFIRMING re-read one heartbeat
+            // period later before anyone breaks the lock: a live holder
+            // touches mtime every period, so same-bytes+same-mtime after
+            // the delay means the holder is really gone (or frozen past
+            // its entire staleness budget). This shrinks the misjudge
+            // window from "one delayed touch" to "holder stalled for
+            // lockStaleMs + a full period". The re-read→move gap below
+            // is the documented RESIDUAL race; the tombstone
+            // bytes+mtime check and the restore loop handle a fresh
+            // lock captured inside it.
+            val confirmedStale = !ownedByUs && staleContent.isDefined &&
+              age > opts.lockStaleMs && {
+                Thread.sleep(math.max(250L, opts.lockStaleMs / 3))
+                val again =
+                  try Some((new String(Files.readAllBytes(mutexFile)),
+                    Files.getLastModifiedTime(mutexFile).toMillis))
+                  catch { case _: java.io.IOException => None }
+                again == staleContent.map(c => (c, staleMtime))
+              }
+            if (confirmedStale) {
               // ATOMIC break: rename the stale file to a tombstone only
               // one waiter can win. A bare delete races — two waiters
               // could both pass the age check, the first re-acquire,
@@ -325,6 +359,7 @@ final class HelixStore private (
                   // bounded retry rather than deleting a live lock.
                   var restored = false
                   var attempts = 0
+                  var overlapFlagged = false
                   while (!restored && attempts < 200) {
                     try {
                       Files.move(tomb, mutexFile,
@@ -332,6 +367,18 @@ final class HelixStore private (
                       restored = true
                     } catch {
                       case _: java.nio.file.FileAlreadyExistsException =>
+                        // a THIRD waiter acquired while the live lock sat
+                        // captured in our tombstone — the captured owner
+                        // and that waiter may have overlapped. Flag it
+                        // for operator forensics; the restore still
+                        // proceeds once the third waiter releases.
+                        if (!overlapFlagged) {
+                          overlapFlagged = true
+                          System.err.println(
+                            s"[helixstore] WARNING: lock break captured a live lock " +
+                              s"and a third waiter acquired during the capture window " +
+                              s"($mutexFile); mutator overlap possible in that window")
+                        }
                         attempts += 1; Thread.sleep(5)
                       case _: java.io.IOException =>
                         restored = true // tombstone gone — nothing to restore
@@ -830,10 +877,12 @@ final class HelixStore private (
     * order (partition assignment, AQE, and task retries all reorder),
     * so the reference's "later entry in the batch wins" is not
     * expressible here. The contract instead is DETERMINISTIC-ARBITRARY:
-    * the row with the greatest xxhash64(key, ts, value) wins, the same
-    * winner on every run and every retry. Callers that need a specific
-    * winner must resolve ties before put() (one row per (key, ts)) or
-    * split them across puts, whose seq order is total. */
+    * the row with the greatest (xxhash64(key, ts, value), value-bytes)
+    * wins, the same winner on every run and every retry — residual
+    * xxhash64 collisions between DISTINCT values break on the value
+    * bytes themselves, so the contract is collision-proof. Callers that
+    * need a specific winner must resolve ties before put() (one row per
+    * (key, ts)) or split them across puts, whose seq order is total. */
   def put(entries: DataFrame): Unit =
     putWithShard(entries, shardExpr(col("key")))
 
@@ -987,7 +1036,7 @@ final class HelixStore private (
     // scans below the block-decompress flatMap
     val rows = rawEntries(useBlocks, partitionPrune = Some((shard, bucket)))
       .filter(col("key") === lit(key) && col("ts") === ts)
-      .orderBy(col("seq").desc, col("subseq").desc)
+      .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
       .select("value")
       .take(1)
     rows.headOption.map(_.getAs[Array[Byte]](0))
@@ -1080,7 +1129,7 @@ final class HelixStore private (
       // without it a time-range scan would shuffle the entire store
       // for the rank before cutting the range.
       val w = Window.partitionBy("shard", "bucket", "key", "ts")
-        .orderBy(col("seq").desc, col("subseq").desc)
+        .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
       rawEntries(reader = reader)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     }
@@ -1147,7 +1196,7 @@ final class HelixStore private (
         else raw0.filter(col("bucket") >= cur.minb)
       // per-shard LWW, matching toDFWithPartitions and blockCompact
       val w = Window.partitionBy("shard", "key", "ts")
-        .orderBy(col("seq").desc, col("subseq").desc)
+        .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
       raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .drop("rn")
         .repartition(col("shard"), col("bucket"))
@@ -1196,9 +1245,14 @@ final class HelixStore private (
       .as[(Array[Byte], Long, Array[Byte], Long, Long, Int, Long)]
       .groupByKey(r => (r._1.toSeq, r._6, r._7))
       .mapGroups { (k: (Seq[Byte], Int, Long), it: Iterator[(Array[Byte], Long, Array[Byte], Long, Long, Int, Long)]) =>
-        // LWW inside the block: max (seq, subseq) entry per ts
+        // LWW inside the block: max (seq, subseq, value-bytes) entry per
+        // ts — the value tiebreak uses the SAME unsigned-lexicographic
+        // order as Spark's BinaryType, so this path picks the identical
+        // winner as the window/orderBy LWW sites
         val byTs = it.toArray.groupBy(_._2).valuesIterator
-          .map(_.maxBy(r => (r._4, r._5))).toArray.sortBy(_._2)
+          .map(_.maxBy(r => (r._4, r._5, r._3))(
+            Ordering.Tuple3(Ordering.Long, Ordering.Long, HelixStore.BytesOrdering)))
+          .toArray.sortBy(_._2)
         val t0 = byTs.head._2
         val deltas = new Array[Long](byTs.length)
         var prev = t0
@@ -1351,14 +1405,28 @@ final class HelixStore private (
   }
 
   def close(): Unit = {
+    // The compact prompt stops FIRST, and close() waits out an
+    // in-flight probe: a prompt firing between awaitCompactions() and
+    // compactExec.shutdown() would enqueue a compaction that still
+    // runs during shutdown — after the heartbeat stops, so it would
+    // hold _mutex with no touches and, past lockStaleMs, another
+    // instance could stale-break it mid-swap (the exact two-mutators
+    // hazard the heartbeat exists to prevent).
+    compactPrompt.foreach { ex =>
+      ex.shutdown()
+      try ex.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    }
     // shutdown in finally: awaitCompactions rethrows a background
     // compaction failure, and that must not leak the executor thread
     // (or the lock heartbeat) in a long-lived driver
     try awaitCompactions()
     finally {
       if (compactExecStarted) compactExec.shutdown()
+      // heartbeat stops LAST: every compaction the prompt could have
+      // queued has drained above, and the heartbeat must keep touching
+      // the lock for as long as any of them could hold it
       lockHeartbeat.shutdown()
-      compactPrompt.foreach(_.shutdown())
     }
   }
 
