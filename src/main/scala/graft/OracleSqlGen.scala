@@ -45,7 +45,9 @@ object OracleSqlGen {
   /** MinHash+LSH candidate-pair machinery as embeddable CTE fragments,
     * shared by dedup_minhash_lsh and dedup_cluster (whose pair source
     * IS the minhash pipeline — band buckets, never the shingle join). */
-  private val minhashCtes: String = {
+  /** Tokens → shingle hashes → signatures → band keys (everything up to
+    * candidate generation, which each consumer defines itself). */
+  private val minhashSigCtes: String = {
     val minExprs = (0 until Dedup.NumHashes)
       .map(i => s"min((${Dedup.mhA(i)} * h + ${Dedup.mhB(i)}) % ${Dedup.MinhashP}) AS mh$i")
       .mkString(", ")
@@ -57,10 +59,30 @@ object OracleSqlGen {
        |shh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
        |szh AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
        |mh AS (SELECT doc_id, $minExprs FROM shh GROUP BY doc_id),
-       |bands AS ($bandSelects),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  private val minhashCtes: String =
+    s"""$minhashSigCtes,
        |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
-  }
+
+  /** Incremental dedup: the full-corpus recompute restricted to
+    * new-batch × existing-corpus pairs — what the Spark side reaches via
+    * the staged signature store, proving staging loses nothing. */
+  val dedupIncremental: String =
+    s"""WITH $minhashSigCtes,
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id % ${Dedup.IncrMod} = ${Dedup.IncrRem}
+       |    AND y.doc_id % ${Dedup.IncrMod} <> ${Dedup.IncrRem})
+       |SELECT i.doc_id1 AS new_doc_id, i.doc_id2 AS old_doc_id FROM (
+       |  SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
+       |  JOIN shh a ON a.doc_id = c1.doc_id1
+       |  JOIN shh b ON b.doc_id = c1.doc_id2 AND b.h = a.h
+       |  GROUP BY 1, 2) i
+       |JOIN szh s1 ON i.doc_id1 = s1.doc_id JOIN szh s2 ON i.doc_id2 = s2.doc_id
+       |WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)""".stripMargin
 
   private val minhashSelect: String =
     s"""SELECT i.doc_id1, i.doc_id2 FROM (

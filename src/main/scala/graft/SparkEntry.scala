@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_cluster" -> ((s: SparkSession, d: String) => Dedup.clusterDups(s, d)),
     "dedup_containment" -> (Dedup.containment _),
     "dedup_prefix" -> (Dedup.prefixDups _),
+    "dedup_incremental" -> (Dedup.incremental _),
     // Similarity search (#21-23)
     "ann_topk_brute" -> (Similarity.annTopkBrute _),
     "ann_lsh_bucket" -> (Similarity.lshBucket _),
@@ -693,6 +694,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSqlGen.dedupSimhashPairs,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding,
     "dedup_cluster" -> OracleSqlGen.dedupCluster,
+    "dedup_incremental" -> OracleSqlGen.dedupIncremental,
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,
     "ann_lsh_bucket" -> OracleSqlGen.annLshBucket,
     "knn_label_centroid" -> OracleSqlGen.knnLabelCentroid,

@@ -55,11 +55,14 @@ object Dedup {
     * paths materialize the token column first). */
   def shingles(c: Column): Column = shinglesOf(tokens(c))
 
-  /** (doc_id, shingle) exploded-distinct frame. */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("t", tokens(col("text")))
+  /** (doc_id, shingle) exploded-distinct frame; `docFilter` restricts
+    * the source docs (pushed into the parquet scan). */
+  private def shingleTable(s: SparkSession, dir: String,
+      docFilter: Option[Column] = None): DataFrame = {
+    val base = docFilter.foldLeft(Tables.documents(s, dir))(_.filter(_))
+    base.withColumn("t", tokens(col("text")))
       .select(col("doc_id"), explode(shinglesOf(col("t"))).as("s"))
+  }
 
   /** #16 — exact dedup: group identical texts by md5, keep the lowest id. */
   def exact(s: SparkSession, dir: String): DataFrame =
@@ -103,6 +106,13 @@ object Dedup {
     * exact set intersection over the full shingle sets. Same output,
     * same oracle, as the naive formulation. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // CACHE LIFETIME (here and in containment): the shingle and per-doc
+    // frames are consumed by several subtrees of the one returned plan;
+    // the caches are released by the harnesses' per-query clearCache()
+    // (Verify/Bench both call it), and a long-lived user session should
+    // clearCache (or unpersist) after materializing the result —
+    // otherwise repeated dedup calls accumulate MEMORY_AND_DISK blocks
+    // until LRU pressure evicts them.
     val sh = shingleTable(s, dir).cache()
     // global rarity order: (document frequency, shingle) ascending
     val rarity = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -148,6 +158,7 @@ object Dedup {
     * b-side hot shingles can pair only with the few docs rare-prefixed
     * on them. Verification is an exact intersection on candidates only. */
   def containment(s: SparkSession, dir: String): DataFrame = {
+    // cache lifetime: see ngramJaccard — harness clearCache releases
     val sh = shingleTable(s, dir).cache()
     val rarity = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // cached: consumed FOUR times below (prefix explode, full explode,
@@ -184,26 +195,23 @@ object Dedup {
   def mhA(i: Int): Long = 2L * i + 1
   def mhB(i: Int): Long = 97L + 31L * i
 
-  /** #18 — MinHash + LSH: 16 integer min-hashes, 4 bands of 4; docs
-    * sharing a band key become candidates; exact jaccard verifies only
-    * the candidates (this is the 100 TB-safe path: candidate fanout is
-    * bounded by band-bucket size, never all-pairs). */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // One shuffle total: shingles hash to 32-bit longs map-side, one
-    // groupBy collects each doc's distinct hash-set; signatures, band
-    // keys, and the final jaccard verification are all computed over
-    // those small arrays (map-side / broadcast), so strings never leave
-    // the first projection and no per-shingle join exists at all.
-    // (Jaccard is over distinct hashes; the oracle uses the identical
-    // hash, so collisions — ~1e-5/pair — are mirrored exactly.)
-    val hset = shingleTable(s, dir)
+  /** The per-doc minhash hash-set frame (doc_id, hs: array<long>, n):
+    * shingles hash to 32-bit longs map-side, ONE groupBy collects each
+    * doc's distinct hash-set — strings never leave the first projection
+    * and no per-shingle join exists at all. This is the corpus
+    * "signature store" [[DedupIndex]] persists. */
+  private[operators] def minhashHset(s: SparkSession, dir: String,
+      docFilter: Option[Column] = None): DataFrame =
+    shingleTable(s, dir, docFilter)
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
       .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
       .withColumn("n", size(col("hs")))
-      .cache()
-    // native single-pass signature (permutation family must stay in
-    // sync with mhA/mhB/MinhashP and the generated oracle SQL)
+
+  /** (doc_id, band, bkey) LSH band keys of a minhash hash-set frame —
+    * the native single-pass signature (permutation family must stay in
+    * sync with mhA/mhB/MinhashP and the generated oracle SQL). */
+  private[operators] def bandsOf(hset: DataFrame): DataFrame = {
     val sigArr = graft.functions.VectorFunctions
       .minhashSig(col("hs"), NumHashes, MinhashP)
     val mhCols = (0 until NumHashes).map(i =>
@@ -214,23 +222,80 @@ object Dedup {
       val cols = (bnd * 4 until bnd * 4 + 4).map(i => col(s"mh$i"))
       struct(lit(bnd).as("band"), concat_ws("|", cols: _*).as("bkey"))
     }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandArr).as("bs"))
+    sig.select(col("doc_id"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  /** Exact-jaccard verification of candidate pairs against hash-set
+    * frames (left/right may differ — incremental dedup verifies new
+    * docs against the staged corpus store). No broadcast hint: AQE
+    * broadcasts the set table while it fits and falls back to a
+    * shuffled hash join at billion-doc scale. */
+  private[operators] def verifyJaccard(cand: DataFrame, hsetL: DataFrame,
+      hsetR: DataFrame, lc: String, rc: String): DataFrame =
+    cand
+      .join(hsetL.select(col("doc_id").as(lc),
+        col("hs").as("h1"), col("n").as("n1")), lc)
+      .join(hsetR.select(col("doc_id").as(rc),
+        col("hs").as("h2"), col("n").as("n2")), rc)
+      .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
+      .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
+      .select(lc, rc)
+
+  /** #18 — MinHash + LSH: 16 integer min-hashes, 4 bands of 4; docs
+    * sharing a band key become candidates; exact jaccard verifies only
+    * the candidates (this is the 100 TB-safe path: candidate fanout is
+    * bounded by band-bucket size, never all-pairs).
+    * (Jaccard is over distinct hashes; the oracle uses the identical
+    * hash, so collisions — ~1e-5/pair — are mirrored exactly.)
+    * CACHE LIFETIME: `hset` is consumed by the band explode and both
+    * verify joins; the cache is released by the harnesses' per-query
+    * `clearCache()` (Verify/Bench) — a long-lived user session should
+    * clearCache (or unpersist) after materializing the result. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val hset = minhashHset(s, dir).cache()
+    val bands = bandsOf(hset)
     val cand = bands.alias("x")
       .join(bands.alias("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
       .distinct()
-    // no broadcast hint: AQE broadcasts the set table while it fits and
-    // falls back to a shuffled hash join at billion-doc scale
-    cand
-      .join(hset.select(col("doc_id").as("doc_id1"),
-        col("hs").as("h1"), col("n").as("n1")), "doc_id1")
-      .join(hset.select(col("doc_id").as("doc_id2"),
-        col("hs").as("h2"), col("n").as("n2")), "doc_id2")
-      .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
-      .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
-      .select("doc_id1", "doc_id2")
+    verifyJaccard(cand, hset, hset, "doc_id1", "doc_id2")
+  }
+
+  /** "New batch" slice for incremental dedup: doc_id ≡ IncrRem (mod
+    * IncrMod) — a deterministic synthetic stand-in for "today's
+    * documents" (~10% of the corpus) that both engines can reproduce. */
+  val IncrMod = 10
+  val IncrRem = 3
+
+  /** #96 — INCREMENTAL dedup: match only the NEW batch's documents
+    * against the EXISTING corpus via the staged signature store
+    * ([[DedupIndex]]) — the shape a production training-data pipeline
+    * runs daily. The old side never re-shingles: its band keys and
+    * hash-sets come from the staged parquet (reading signatures ≪
+    * recomputing them from text), so per-day cost scales with the new
+    * batch plus a columnar signature scan, not with corpus text size.
+    * New docs' signatures are computed inline (they are not in the
+    * store yet). Output: (new_doc_id, old_doc_id) with exact jaccard
+    * >= 0.8 — by construction identical to what a full-corpus
+    * recompute yields restricted to new×old pairs, which is exactly
+    * the oracle. */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val st = DedupIndex.ensure(s, dir)
+    val isNew = col("doc_id") % IncrMod === IncrRem
+    val oldBands = s.read.parquet(st.bands).filter(!isNew)
+    val oldHset = s.read.parquet(st.hset).filter(!isNew)
+    // cached: consumed by the band explode and the verify join; released
+    // by the harness clearCache() (see minhashLsh lifetime note)
+    val newHset = minhashHset(s, dir, Some(isNew)).cache()
+    val cand = bandsOf(newHset)
+      .select(col("doc_id").as("new_doc_id"), col("band"), col("bkey"))
+      .join(oldBands.select(col("doc_id").as("old_doc_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("new_doc_id", "old_doc_id")
+      .distinct()
+    verifyJaccard(cand, newHset, oldHset, "new_doc_id", "old_doc_id")
   }
 
   /** The (doc_id, simhash) fingerprint frame shared by #19 and #66. */
@@ -316,20 +381,28 @@ object Dedup {
     relinked.unionAll(self).distinct()
   }
 
+  /** Staged dup-pair source: the [[minhashLsh]] output persisted once
+    * per corpus fingerprint by [[DedupIndex]] (the IvfIndex pattern —
+    * pair mining is index BUILD, cluster resolution is the query). */
+  def stagedPairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(DedupIndex.ensure(s, dir).pairs)
+
   /** #45 — duplicate-cluster resolution: connected components over the
     * dup pairs via alternating large-star/small-star contractions
     * (Kiveris et al. 2014) — converges in O(log n) rounds regardless of
     * component DIAMETER (min-label propagation needs O(diameter)), and
     * every intermediate join is over an edge set that never exceeds the
-    * input pair count. The default pair source is [[minhashLsh]] —
-    * band-bucketed candidates, never the skew-prone shingle self-join —
-    * so the whole chain survives 100 TB. The fixpoint (every doc linked
+    * input pair count. The default pair source is [[stagedPairs]] — the
+    * SAME minhash band-bucketed pair set (never the skew-prone shingle
+    * self-join), staged to parquet once per corpus fingerprint, so the
+    * registered query pays the contraction, not the pair mining, on
+    * every run after the first. The fixpoint (every doc linked
     * to its component's minimum id) is iteration-order independent, so
     * the DuckDB recursive-CTE oracle lands on the identical assignment.
     * Output: every clustered doc with its canonical (minimum) id,
     * keep = 1 on the survivor. */
   def clusterDups(s: SparkSession, dir: String,
-      pairSource: (SparkSession, String) => DataFrame = minhashLsh): DataFrame = {
+      pairSource: (SparkSession, String) => DataFrame = stagedPairs): DataFrame = {
     val pairs = pairSource(s, dir)
     // canonical directed edge list (larger -> smaller), deduped;
     // localCheckpoint materializes it so the pair pipeline runs ONCE —

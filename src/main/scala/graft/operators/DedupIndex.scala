@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Offline dedup SIGNATURE STORE, staged to parquet once per corpus
+ * fingerprint — the artifact every production training-data pipeline
+ * keeps between runs so dedup work is never repeated:
+ *
+ *   hset/   (doc_id, hs: array<long>, n)  per-doc minhash hash-sets
+ *   bands/  (doc_id, band, bkey)          LSH band keys
+ *   pairs/  (doc_id1, doc_id2)            jaccard-verified dup pairs
+ *
+ * Consumers: `dedup_cluster` reads `pairs` (cluster resolution is the
+ * query; pair mining is index build — the same split as IvfIndex's
+ * build vs probe), and `dedup_incremental` joins a new batch's band
+ * keys against `bands`/`hset` so the existing corpus is never
+ * re-shingled. Staleness safety and build atomicity come from
+ * [[Staging]] (fingerprint of the documents.parquet file metadata).
+ */
+object DedupIndex {
+
+  final case class StagedPaths(hset: String, bands: String, pairs: String)
+
+  /** Ensure the signature store exists for `dir`; builds at most once
+    * per source fingerprint. */
+  def ensure(s: SparkSession, dir: String): StagedPaths = {
+    val base = Staging.ensure("dedup", Staging.fingerprint(dir, "documents.parquet")) { tmp =>
+      // One corpus pass: the cached hash-set frame feeds the hset dump,
+      // the band projection, and both sides of the pair verification.
+      val hset = Dedup.minhashHset(s, dir).cache()
+      try {
+        hset.write.parquet(tmp.resolve("hset").toString)
+        Dedup.bandsOf(hset).write.parquet(tmp.resolve("bands").toString)
+        // candidate self-join reads the just-written band table so the
+        // signature computation doesn't run once per join side
+        val sb = s.read.parquet(tmp.resolve("bands").toString)
+        val cand = sb.alias("x")
+          .join(sb.alias("y"), Seq("band", "bkey"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
+          .distinct()
+        Dedup.verifyJaccard(cand, hset, hset, "doc_id1", "doc_id2")
+          .write.parquet(tmp.resolve("pairs").toString)
+      } finally hset.unpersist(): Unit
+    }
+    StagedPaths(base.resolve("hset").toString,
+      base.resolve("bands").toString, base.resolve("pairs").toString)
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}

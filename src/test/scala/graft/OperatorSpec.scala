@@ -352,6 +352,21 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("incremental dedup equals the full recompute restricted to new×old pairs") {
+    import spark.implicits._
+    val incr = Dedup.incremental(spark, Sf).as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLsh(spark, Sf).as[(Long, Long)].collect().toSet
+    // minhashLsh pairs are canonical (id1 < id2); orient both ways and
+    // keep new-batch × existing — staging must lose NOTHING vs a full
+    // recompute, the incremental correctness contract
+    val restricted = full.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, o) =>
+        n % Dedup.IncrMod == Dedup.IncrRem && o % Dedup.IncrMod != Dedup.IncrRem }
+    assert(incr == restricted,
+      s"incremental ${incr.size} pairs vs full-restricted ${restricted.size}")
+    assert(incr.nonEmpty, "spec corpus must contain at least one new×old dup pair")
+  }
+
   test("top movers deltas equal last minus first and arrive sorted by |delta|") {
     val rows = TimeSeriesOps.topMovers(spark, Sf).collect()
     assert(rows.length == 10)

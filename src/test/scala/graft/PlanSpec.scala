@@ -190,4 +190,24 @@ class PlanSpec extends SparkTestBase {
       "stats and bucketed are multi-consumer: they must read from cache, " +
         "not recompute the fact scan per consumer")
   }
+
+  test("dedup_cluster's pair source is the staged table, never a corpus re-mine") {
+    // the registered query's contraction loop erases lineage at each
+    // localCheckpoint, so assert on the pair source plan directly: it
+    // must read the staged parquet and never touch the documents table
+    val p = graft.operators.Dedup.stagedPairs(spark, Sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("graft-stage"), "pairs must come from the staged store")
+    assert(!p.contains("documents"), "pair read must not rescan the corpus")
+  }
+
+  test("dedup_incremental scans the corpus once (new batch) + the staged signature store") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("graft-stage"), "old side must read the staged store")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans == 1, s"only the new batch may scan the corpus, got $docScans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the band join, never all pairs")
+  }
 }
