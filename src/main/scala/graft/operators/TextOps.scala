@@ -209,12 +209,15 @@ object TextOps {
   /** #85 — sequence packing (concat-and-chunk): lay the corpus out in
     * doc_id order, run a token-count prefix sum, and cut fixed
     * [[PackBudget]]-token training bins; each doc reports its bin and
-    * offset. The prefix sum is TWO-LEVEL so no window ever spans the
-    * corpus: per-chunk subtotals (bounded groups of [[PackChunk]] docs)
-    * roll up through a chunk-level cumulative — one row per chunk, the
-    * only partitionless window, 1/1024th of the corpus — whose carry
-    * joins back for the within-chunk running sum. The bounded-state
-    * technique of ts_ema applied to a global prefix sum. */
+    * offset. The prefix sum is THREE-LEVEL so no window ever spans more
+    * than 1/2^20th of the corpus: per-chunk subtotals (bounded groups
+    * of [[PackChunk]] docs) roll up through superchunk subtotals
+    * ([[PackChunk]] chunks each) to a superchunk-level cumulative — one
+    * row per 2^20 docs, the only partitionless window, so even a
+    * trillion-doc corpus funnels ~1M rows through it — and the carries
+    * join back down for the within-superchunk and within-chunk running
+    * sums. The bounded-state technique of ts_ema applied to a global
+    * prefix sum. */
   val PackBudget = 2048L
   val PackChunk = 1024L
   def docPackBins(s: SparkSession, dir: String): DataFrame = {
@@ -222,9 +225,17 @@ object TextOps {
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("chunk", expr(s"doc_id div $PackChunk"))
     val chunkTot = d.groupBy("chunk").agg(sum("n_tokens").as("ctot"))
-    val wC = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
-    val carry = chunkTot
-      .withColumn("carry", coalesce(sum("ctot").over(wC), lit(0L)))
+      .withColumn("sup", expr(s"chunk div $PackChunk"))
+    val supTot = chunkTot.groupBy("sup").agg(sum("ctot").as("stot"))
+    val wS = Window.orderBy("sup").rowsBetween(Window.unboundedPreceding, -1)
+    val supCarry = supTot
+      .withColumn("scarry", coalesce(sum("stot").over(wS), lit(0L)))
+      .select("sup", "scarry")
+    val wC = Window.partitionBy("sup").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunkTot.join(supCarry, "sup")
+      .withColumn("carry",
+        col("scarry") + coalesce(sum("ctot").over(wC), lit(0L)))
       .select("chunk", "carry")
     val wIn = Window.partitionBy("chunk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

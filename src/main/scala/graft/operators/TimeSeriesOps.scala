@@ -388,39 +388,40 @@ object TimeSeriesOps {
 
   /** #76 — linear interpolation over the hourly grid: like [[gapFill]]
     * but gap hours get a value interpolated between the neighboring
-    * observed hourly averages instead of a carry-forward. Neighbors come
-    * from two IGNORE NULLS window passes over the spine (running last
-    * observed before / first observed after) — per-key sequential state
-    * bounded by the spine row, never the key's history. The hourly
-    * average divides an exact decimal sum, and the interpolation
-    * arithmetic matches the oracle's operation order exactly. */
+    * observed hourly averages instead of a carry-forward. Every spine
+    * hour lies either ON an observed point or strictly BETWEEN two
+    * consecutive ones (the spine ends at observed extremes), so instead
+    * of materializing the spine and running fill windows over it, each
+    * observed point looks ONE row ahead (a single lead window over the
+    * observed frame — ~gap-ratio× fewer rows than the spine) and emits
+    * itself plus its trailing gap hours from one sequence explode. No
+    * spine join, no IGNORE NULLS scans, one sort of the observed frame.
+    * The hourly average divides an exact decimal sum, and the
+    * interpolation arithmetic matches the oracle's operation order
+    * exactly. */
   def interpLinear(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
       .groupBy(col("user_id"),
         expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").as("hour"))
       .agg((sum(dec("value")).cast("double") / count(lit(1))).as("avg_v"))
-    val spine = hourly.groupBy("user_id")
-      .agg(min("hour").as("h0"), max("hour").as("h1"))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
-    val wPrev = Window.partitionBy("user_id").orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // "first observed at-or-after" as a RUNNING frame over descending
-    // hours: a [current, unbounded following] frame would rescan the
-    // partition tail per row (quadratic in spine length).
-    val wNext = Window.partitionBy("user_id").orderBy(col("hour").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val obsHour = when(col("avg_v").isNotNull, col("hour"))
-    spine.join(hourly, Seq("user_id", "hour"), "left")
-      .withColumn("prev_v", last(col("avg_v"), ignoreNulls = true).over(wPrev))
-      .withColumn("prev_h", last(obsHour, ignoreNulls = true).over(wPrev))
-      .withColumn("next_v", last(col("avg_v"), ignoreNulls = true).over(wNext))
-      .withColumn("next_h", last(obsHour, ignoreNulls = true).over(wNext))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+    // one struct-valued lead: the next observation's (hour, value)
+    val nxt = lead(struct(col("hour").as("h"), col("avg_v").as("v")), 1).over(w)
+    hourly
+      .withColumn("next", nxt)
+      // each observed row covers [hour, next.h) of the spine: itself +
+      // the gap hours up to (exclusive) the next observation; the last
+      // observation per key covers just itself
+      .select(col("user_id"), col("hour").as("ph"), col("avg_v").as("pv"),
+        col("next"),
+        explode(sequence(col("hour"),
+          coalesce(col("next.h") - 1, col("hour")))).as("hour"))
       .select(col("user_id"), (col("hour") * 3600000000L).as("hour_us"),
-        when(col("avg_v").isNotNull, col("avg_v"))
-          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
-            ((col("hour") - col("prev_h")).cast("double") /
-              (col("next_h") - col("prev_h")).cast("double"))).as("interp_v"),
-        col("avg_v").isNull.cast("int").as("is_gap"))
+        when(col("hour") === col("ph"), col("pv"))
+          .otherwise(col("pv") + (col("next.v") - col("pv")) *
+            ((col("hour") - col("ph")).cast("double") /
+              (col("next.h") - col("ph")).cast("double"))).as("interp_v"),
+        (col("hour") =!= col("ph")).cast("int").as("is_gap"))
   }
 
   /** #95 — seasonal profile: average value by (event_type,

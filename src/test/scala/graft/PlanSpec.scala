@@ -86,12 +86,18 @@ class PlanSpec extends SparkTestBase {
       s"every window must be keyed by bucket, got: ${windowSpecs.mkString("\n")}")
   }
 
-  test("ts_interp_linear uses only running window frames (no quadratic tail rescan)") {
+  test("ts_interp_linear windows the observed frame once, never fills a spine") {
     val p = plan("ts_interp_linear")
     assert(!p.contains("unboundedfollowing"),
-      "a [current, unbounded following] frame rescans the partition tail per row; " +
-        "'next observation' must run as a descending running frame")
-    assert(p.contains("unboundedpreceding"), "expected running fill frames")
+      "a [current, unbounded following] frame rescans the partition tail per row")
+    // neighbor-pair formulation: ONE lead window over the observed
+    // hourly frame + a sequence explode — no spine join, no IGNORE
+    // NULLS running fills over gap rows
+    val specs = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(specs == 1, s"expected the single lead window, got $specs")
+    assert(p.contains("Generate"), "gap hours must come from the sequence explode")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no spine join may remain")
   }
 
   test("ts_zscore derives stats in one agg and flags via broadcast, no key window") {
@@ -174,14 +180,18 @@ class PlanSpec extends SparkTestBase {
     assert(liScans == 1, s"lineitem must be scanned once, got $liScans")
   }
 
-  test("doc_pack_bins prefix sum is two-level: corpus-wide window only at chunk grain") {
+  test("doc_pack_bins prefix sum is three-level: partitionless window only at superchunk grain") {
     val p = plan("doc_pack_bins")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.size == 2, s"expected chunk-cumulative + within-chunk windows:\n${specs.mkString("\n")}")
-    // the per-doc window must be partitioned by chunk (bounded groups);
-    // only the one-row-per-chunk cumulative may run partitionless
+    assert(specs.size == 3,
+      s"expected sup-cumulative + chunk-in-sup + doc-in-chunk windows:\n${specs.mkString("\n")}")
+    // the per-doc window must be partitioned by chunk (bounded groups)
     assert(specs.count(s => s.contains("chunk") && s.contains("doc_id")) == 1,
       "the doc-grain running sum must be chunk-partitioned")
+    // the chunk-grain window must be partitioned by superchunk — only
+    // the one-row-per-2^20-docs superchunk cumulative runs partitionless
+    assert(specs.count(s => s.contains("sup") && s.contains("chunk")) == 1,
+      "the chunk-grain running sum must be superchunk-partitioned")
   }
 
   test("q_percentiles caches its shared frames instead of rescanning the fact") {
