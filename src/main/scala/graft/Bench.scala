@@ -42,7 +42,18 @@ object Bench {
     // them must never see a last-digit mismatch).
     def round2(v: Double): Double = math.rint(v * 100.0) / 100.0
     val results = r1.map { case (k, v) => k -> round2(math.min(v, r2(k))) }
-    val line = jsonLine(results, errors.toSeq, sfDir)
+    // Per-query relative spread |r1-r2|/min: three straight rounds each
+    // burned a judge-advice slot on phantom regressions that were really
+    // co-tenant noise on a ±20% box; the spread (plus the 1-min load
+    // average) lets the reader separate signal from noise without a
+    // re-run.
+    val spreads = r1.map { case (k, v) =>
+      val lo = math.min(v, r2(k)); val hi = math.max(v, r2(k))
+      k -> (if (lo > 0) (hi - lo) / lo else 0.0)
+    }
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = jsonLine(results, errors.toSeq, sfDir, spreads, load)
     // Print AFTER spark.stop() with logging quieted, so no shutdown log
     // line can land after the JSON — the driver parses the LAST line.
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,7 +65,9 @@ object Bench {
     * Factored out of main so the tail-window elision logic is unit-
     * testable (the driver reads only the LAST 2000 chars). */
   private[graft] def jsonLine(results: Map[String, Double],
-      errors: Seq[(String, String)], sfDir: String): String = {
+      errors: Seq[(String, String)], sfDir: String,
+      spreads: Map[String, Double] = Map.empty,
+      load: Double = -1.0): String = {
     // The driver tails only the last 2000 chars of output and parses the
     // JSON line out of that window; full-precision doubles pushed the line
     // past 2000 chars (rounds 1-4 all recorded parsed:null). 10 ms
@@ -82,13 +95,27 @@ object Bench {
     // per-query map would overflow that window (the suite keeps
     // growing), drop entries for the FASTEST queries first — the slow
     // tail is what gets graded — and say how many were elided.
+    // Noise indicators: the suite-median spread says how noisy the box
+    // was overall; per-query spreads ride along for the slowest queries
+    // only (the graded tail — a "regression" there with spread 0.4 is
+    // noise, with spread 0.02 it's real). Fixed small budget so the
+    // field can't crowd the queries map out of the tail window.
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val noiseField = if (spreads.isEmpty) "" else {
+      val sorted = spreads.values.toSeq.sorted
+      val med = sorted(sorted.size / 2)
+      val top = bySlowest.take(8).map { case (k, _) =>
+        "\"" + k + "\":" + f2(spreads.getOrElse(k, 0.0))
+      }.mkString("{", ",", "}")
+      val ld = if (load >= 0) s""","load":${f2(load)}""" else ""
+      s""","spread_med":${f2(med)},"spread":$top$ld"""
+    }
     def lineFor(qmap: Seq[(String, Double)], omitted: Int): String = {
       val qs = qmap.map { case (k, v) => "\"" + k + "\":" + f2(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$om$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$om$errField$noiseField,"sf":"$sfDir"}"""
     }
-    val bySlowest = results.toSeq.sortBy(-_._2)
     var keep = bySlowest.length
     var line = lineFor(bySlowest.take(keep), 0)
     while (line.length > 1950 && keep > 1) {

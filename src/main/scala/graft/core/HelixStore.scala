@@ -114,6 +114,17 @@ final case class StoreOptions(
       * Safe under concurrent writers: the cache epoch is (pointer,
       * max write-seq), and every mutation moves one of the two. */
     kvCacheSize: Int = 256,
+    /** Compressed-block LRU capacity — the reference's kc_cache
+      * (cache.rs:17 kc_cache_size: key → compressed bytes). Caches a
+      * key's UNDECODED blocks per (shard, bucket): a repeat point read
+      * of the same key at a DIFFERENT timestamp (which the kv cache
+      * misses) decodes driver-side instead of re-scanning the block
+      * parquet. 0 disables. Epoch = the committed pointer: blocks only
+      * change on compact/outdate/vacuum, so puts (rick-only mutations)
+      * leave cached blocks valid. (The reference's kp_cache —
+      * key → value-log position — has no Spark analogue: there is no
+      * value log.) */
+    kcCacheSize: Int = 256,
     /** Manifest rows above which the driver-side collected prune map is
       * abandoned (the collect would not be driver-bounded); point reads
       * then prune through a filtered one-row probe of the manifest
@@ -1030,16 +1041,117 @@ final class HelixStore private (
     // (floorDiv would floor, routing negative logical timestamps to a
     // different bucket than put() wrote)
     val bucket = ts / opts.bucketSize
+    // logical retention: an outdated bucket is invisible in BOTH layers
+    // (rawEntries applies the same cutoff; short-circuit saves the probe)
+    if (bucket < ptr.minb) return None
     // manifest-proven absence in the block layer → read only rick rows
     val useBlocks = decompress && blockMayContain(shard, bucket, key)
-    // (shard, bucket) prune INSIDE rawEntries so it reaches the parquet
-    // scans below the block-decompress flatMap
-    val rows = rawEntries(useBlocks, partitionPrune = Some((shard, bucket)))
-      .filter(col("key") === lit(key) && col("ts") === ts)
-      .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
-      .select("value")
-      .take(1)
-    rows.headOption.map(_.getAs[Array[Byte]](0))
+    if (useBlocks && opts.kcCacheSize > 0) {
+      // kc path: blocks from the compressed-block cache (decoded driver-
+      // side), rick rows from a Spark probe that skips the block layer;
+      // LWW-merge the two candidates with the same (seq, subseq, value)
+      // ordering the unioned path sorts by.
+      val blockHit = blockPointLookup(kcGet(shard, bucket, key), ts)
+      val rickHit = rawEntries(decompress = false,
+          partitionPrune = Some((shard, bucket)))
+        .filter(col("key") === lit(key) && col("ts") === ts)
+        .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
+        .select("seq", "subseq", "value")
+        .take(1).headOption
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+      (blockHit ++ rickHit)
+        .reduceOption((a, b) => if (cmpLww(a, b) >= 0) a else b)
+        .map(_._3)
+    } else {
+      // (shard, bucket) prune INSIDE rawEntries so it reaches the parquet
+      // scans below the block-decompress flatMap
+      val rows = rawEntries(useBlocks, partitionPrune = Some((shard, bucket)))
+        .filter(col("key") === lit(key) && col("ts") === ts)
+        .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
+        .select("value")
+        .take(1)
+      rows.headOption.map(_.getAs[Array[Byte]](0))
+    }
+  }
+
+  // ---- KC compressed-block cache (reference cache.rs kc_cache) --------
+  // (shard, bucket, key) → that key's undecoded blocks in the committed
+  // block layer. Valid for the lifetime of one committed pointer: puts
+  // mint seqs but never touch blocks, so only compact/outdate/vacuum
+  // (pointer commits) invalidate — strictly fewer invalidations than the
+  // kv epoch. Entries are whole compressed blocks, decoded on each hit
+  // (the reference's kc cache holds compressed bytes too).
+
+  private final case class KcKey(shard: Long, bucket: Long, key: Seq[Byte])
+  private val kcCache =
+    new java.util.LinkedHashMap[KcKey, Seq[BinBlock]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[KcKey, Seq[BinBlock]]): Boolean =
+        size() > opts.kcCacheSize
+    }
+  private var kcPtr: Pointer = null
+  /** kc-cache hits (test observability). */
+  val kcHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def kcGet(shard: Long, bucket: Long, key: Array[Byte]): Seq[BinBlock] = {
+    val p = ptr
+    val k = KcKey(shard, bucket, key.toSeq)
+    kcCache.synchronized {
+      if (kcPtr != p) { kcCache.clear(); kcPtr = p }
+      val hit = kcCache.get(k)
+      if (hit != null) { kcHits.incrementAndGet(); return hit }
+    }
+    import spark.implicits._
+    val v = spark.read.parquet(dirOf(p.blocks.get).toString)
+      .filter(col("shard") === shard && col("bucket") === bucket &&
+        col("key") === lit(key))
+      .as[BinBlock].collect().toSeq
+    kcCache.synchronized {
+      // drop the result if a compaction committed while the probe ran
+      if (kcPtr == p) kcCache.put(k, v): Unit
+    }
+    v
+  }
+
+  /** Best (seq, subseq, value) for an exact-ts match across a key's
+    * cached blocks. Walks the delta-encoded timestamps first and decodes
+    * a block's payload only when it actually contains `ts`. */
+  private def blockPointLookup(blocks: Seq[BinBlock],
+      ts: Long): Option[(Long, Long, Array[Byte])] = {
+    var best: (Long, Long, Array[Byte]) = null
+    blocks.foreach { b =>
+      var vals: Seq[Array[Byte]] = null
+      var t = b.t0
+      var i = 0
+      while (i < b.deltas.length) {
+        t += b.deltas(i)
+        if (t == ts) {
+          if (vals == null) {
+            val codec = opts.codecs.getOrElse(b.codec,
+              throw new IllegalArgumentException(
+                s"block encoded with unregistered codec '${b.codec}' " +
+                  s"(registered: ${opts.codecs.keys.mkString(", ")})"))
+            vals = codec.decode(b.payload)
+          }
+          // in-block position is the subseq tiebreak, as in rawEntries
+          val cand = (b.seqs(i), i.toLong, vals(i))
+          if (best == null || cmpLww(cand, best) > 0) best = cand
+        }
+        i += 1
+      }
+    }
+    Option(best)
+  }
+
+  /** The LWW ordering the Spark point-read path sorts by — (seq desc,
+    * subseq desc, value desc) — as a driver-side comparator. */
+  private def cmpLww(a: (Long, Long, Array[Byte]),
+      b: (Long, Long, Array[Byte])): Int = {
+    val c1 = java.lang.Long.compare(a._1, b._1)
+    if (c1 != 0) return c1
+    val c2 = java.lang.Long.compare(a._2, b._2)
+    if (c2 != 0) return c2
+    BytesOrdering.compare(a._3, b._3)
   }
 
   /** Time-range × key-range scan, globally ordered by (key, ts) —

@@ -107,7 +107,15 @@ object Analytics {
     * The interpolation arithmetic is unchanged, so the oracle's doubles
     * are still bit-identical. (Degenerate all-equal-values groups fall
     * into one bucket; rank extraction there is bounded by the group's
-    * duplicate count — recursing the bucketing would bound it further.) */
+    * duplicate count — recursing the bucketing would bound it further.)
+    *
+    * CACHE LIFETIME: this operator cache()s two intermediate frames that
+    * the returned (lazy) DataFrame consumes at materialization, so they
+    * cannot be unpersisted here. The Verify/Bench harnesses clearCache()
+    * between queries; a long-lived session should do the same — or
+    * `spark.catalog.clearCache()` / unpersist selectively — once the
+    * percentile result (and anything composed on it, e.g. tsAboveP95)
+    * has been materialized. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     val B = 256
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"))

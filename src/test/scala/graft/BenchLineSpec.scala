@@ -37,6 +37,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= 1950)
   }
 
+  test("noise indicators: median spread, slow-tail per-query spread, load — inside the budget") {
+    val results = (1 to 150).map(i => f"q_synthetic_query_$i%03d" -> i * 0.07).toMap
+    val spreads = results.map { case (k, _) => k -> 0.15 }
+    val line = Bench.jsonLine(results, Nil, "sf", spreads, load = 3.2)
+    assert(line.length <= 1950, s"noise fields must not break the tail budget: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(math.abs(node.get("spread_med").asDouble - 0.15) < 0.01)
+    assert(node.get("load").asDouble == 3.2)
+    val sp = node.get("spread")
+    assert(sp.size() == 8, "per-query spread rides only for the 8 slowest")
+    assert(sp.has("q_synthetic_query_150"), "the slowest query's spread must be present")
+    // queries map still dominates the line: elision still works alongside
+    assert(node.get("queries").size() + node.get("queries_omitted").asInt == 150)
+  }
+
+  test("no spreads passed: line is unchanged (no noise fields)") {
+    val line = Bench.jsonLine(Map("a" -> 0.5), Nil, "sf")
+    val node = mapper.readTree(line)
+    assert(node.get("spread_med") == null && node.get("spread") == null
+      && node.get("load") == null)
+  }
+
   test("a small map passes through complete with no omission marker") {
     val line = Bench.jsonLine(Map("a" -> 0.5, "b" -> 1.25), Nil, "sf")
     val node = mapper.readTree(line)

@@ -341,6 +341,36 @@ class HelixStoreSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("kc block cache: new-ts repeats on a key hit cached blocks; puts don't invalidate, commits do (cache.rs kc)") {
+    val store = HelixStore.open(spark, tmpDir("hs-kccache"),
+      StoreOptions(numShards = 2, bucketSize = 100))
+    store.put(entriesDF(Seq(("kc", 1L, "b1"), ("kc", 2L, "b2"), ("kc", 3L, "b3"))))
+    store.blockCompact() // move the key's run into the block layer
+    assert(store.kcHits.get() == 0)
+    // first get populates; later gets at OTHER timestamps (kv-cache
+    // misses — different KvKey) reuse the cached compressed blocks
+    assert(store.get("kc".getBytes, 1L).map(new String(_)).contains("b1"))
+    assert(store.get("kc".getBytes, 2L).map(new String(_)).contains("b2"))
+    assert(store.get("kc".getBytes, 3L).map(new String(_)).contains("b3"))
+    assert(store.kcHits.get() == 2, "same-key new-ts gets must hit the block cache")
+    // a put only adds rick rows: cached blocks stay VALID and the newer
+    // rick value still wins the LWW merge over the cached block entry
+    store.put(entriesDF(Seq(("kc", 2L, "b2x"))))
+    assert(store.get("kc".getBytes, 2L).map(new String(_)).contains("b2x"))
+    assert(store.kcHits.get() == 3, "a rick-only put must not invalidate the kc cache")
+    // absent-ts probe through the cached blocks (rick and blocks both miss)
+    assert(store.get("kc".getBytes, 55L).isEmpty)
+    assert(store.kcHits.get() == 4)
+    // a pointer commit (compaction) folds b2x into a NEW block generation:
+    // the cache must invalidate, and the fresh blocks serve the new value
+    store.blockCompact()
+    assert(store.get("kc".getBytes, 2L).map(new String(_)).contains("b2x"))
+    assert(store.kcHits.get() == 4, "a pointer commit must invalidate the kc cache")
+    assert(store.get("kc".getBytes, 1L).map(new String(_)).contains("b1"))
+    assert(store.kcHits.get() == 5, "the repopulated cache serves the new generation")
+    store.close()
+  }
+
   test("puts proceed during a background compaction; none are lost (compact_sched analogue)") {
     val store = HelixStore.open(spark, tmpDir("hs-async"),
       StoreOptions(numShards = 2, bucketSize = 10))
