@@ -251,6 +251,35 @@ object OracleSqlGen {
        |  WHERE a.vec_id <> 0)
        |ORDER BY rnk LIMIT 10""".stripMargin
 
+  /** #97 — decontamination: distinct-3-gram overlap of train docs
+    * against the eval slice (doc_id ≡ 0 mod EvalMod). Shares the
+    * shingle CTEs with the dedup family. */
+  val textDecontaminate: String =
+    s"""WITH $ngramCtes,
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % ${TextOps.EvalMod} = 0),
+       |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % ${TextOps.EvalMod} <> 0)
+       |SELECT tr.doc_id, count(*) AS n_hits
+       |FROM tr JOIN ev USING (s) GROUP BY 1""".stripMargin
+
+  /** #98 — one Lloyd iteration: seeds = vec_id < KmK, assignment by the
+    * same rounded-cosine/lowest-seed ordering as knn_label_centroid,
+    * update = per-dim mean (float-sourced double sums are exact, so
+    * group order cannot flip a bit). */
+  val embKmeansStep: String =
+    s"""WITH $eCte,
+       |cvt AS (SELECT vec_id AS clabel, v AS cv FROM e WHERE vec_id < ${Similarity.KmK}),
+       |assigned AS (SELECT vec_id, v, clabel FROM (
+       |  SELECT e.vec_id, e.v, cvt.clabel,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${rcosSafe("e.v", "cvt.cv")} DESC, cvt.clabel) AS rn
+       |  FROM e, cvt) WHERE rn = 1),
+       |byd AS (SELECT clabel AS cid, j AS dim, sum(x) AS sx, count(*) AS cnt FROM (
+       |    SELECT clabel, unnest(generate_series(1, 64)) AS j, unnest(v) AS x
+       |    FROM assigned)
+       |  GROUP BY 1, 2)
+       |SELECT cid, CAST(cnt AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim,
+       |  sx / cnt AS m FROM byd""".stripMargin
+
   val textRollingHash: String =
     s"""WITH $toksCte
        |SELECT doc_id,

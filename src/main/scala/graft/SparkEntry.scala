@@ -95,6 +95,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (Similarity.annIvfTopk _),
     "ann_batch_topk" -> (Similarity.annBatchTopk _),
     "ann_range" -> (Similarity.annRange _),
+    "emb_kmeans_step" -> (Similarity.kmeansStep _),
     // Text analysis (#24-27)
     "text_langid" -> (TextOps.langId _),
     "text_quality" -> (TextOps.quality _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "text_scrub_pii" -> (TextOps.scrubPii _),
     "text_repetition" -> (TextOps.repetition _),
     "doc_pack_bins" -> (TextOps.docPackBins _),
+    "text_decontaminate" -> (TextOps.decontaminate _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -701,6 +703,7 @@ object SparkEntry {
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopk,
     "ann_batch_topk" -> OracleSqlGen.annBatchTopk,
     "ann_range" -> OracleSqlGen.annRange,
+    "emb_kmeans_step" -> OracleSqlGen.embKmeansStep,
     "text_langid" -> OracleSqlGen.textLangid,
     "text_quality" -> OracleSqlGen.textQuality,
     "text_tokens" -> OracleSqlGen.textTokens,
@@ -724,6 +727,7 @@ object SparkEntry {
     "text_scrub_pii" -> OracleSqlGen.textScrubPii,
     "text_repetition" -> OracleSqlGen.textRepetition,
     "doc_pack_bins" -> OracleSqlGen.docPackBins,
+    "text_decontaminate" -> OracleSqlGen.textDecontaminate,
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
     "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,

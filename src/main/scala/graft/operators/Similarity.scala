@@ -189,6 +189,40 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id"))
   }
 
+  /** Seed-centroid count for the Lloyd-iteration operator. */
+  val KmK = 8
+
+  /** #98 — one exact Lloyd iteration (spherical k-means step), the
+    * clustering primitive under IVF index builds and embedding-space
+    * data maps: the K seed centroids are the vectors with vec_id <
+    * [[KmK]] (K rows — broadcast), every vector is assigned to its
+    * nearest seed by rounded cosine via the same zero-shuffle fold-argmax
+    * projection knnLabelCentroid uses, and the update step computes each
+    * cluster's per-dim mean with 64 map-side-combinable sums (ONE
+    * shuffle of 64 partials per cluster per partition — never a
+    * posexplode of the corpus). Determinism: the inputs are float32
+    * promoted to double (24-bit mantissas), so group sums stay EXACT —
+    * no rounding until ~2^28 same-magnitude addends — making the means
+    * order-independent and bit-identical in the DuckDB oracle; the
+    * assignment argmax rounds to 6 dp with ties to the lowest seed id,
+    * exactly as the oracle's row_number ordering. Output: one row per
+    * (cluster, dim) with the new mean + member count. */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val seeds = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("clabel"), col("v").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val dimSums = (0 until 64).map(j => sum(element_at(col("v"), j + 1)).as(s"s$j"))
+    assignByFold(e, seeds)
+      .groupBy(col("assigned_label").as("cid"))
+      .agg(count(lit(1)).as("n_members"), dimSums: _*)
+      .select(col("cid"), col("n_members"),
+        posexplode(array((0 until 64).map(j => col(s"s$j") / col("n_members")): _*)))
+      .select(col("cid"), col("n_members"),
+        (col("pos") + 1).cast("long").as("dim"), col("col").as("m"))
+  }
+
   /** #23 — IVF coarse step: per-label centroid, then nearest-centroid
     * assignment by cosine (rounded to 6 dp before the argmax so the
     * cross-row float sums in the centroid can't flip an engine-boundary

@@ -249,6 +249,35 @@ object TextOps {
         (col("before") % PackBudget).as("bin_offset"))
   }
 
+  /** Eval-set slice for decontamination: doc_id ≡ 0 (mod [[EvalMod]]) —
+    * a deterministic synthetic stand-in for a benchmark/eval corpus
+    * (~3% of docs) both engines reproduce. */
+  val EvalMod = 37
+
+  /** #97 — benchmark DECONTAMINATION: flag training documents that share
+    * any word n-gram with the eval set (the GPT-3-appendix overlap
+    * check; 13-grams there, the corpus-wide 3-gram shingles here so the
+    * synthetic short docs produce signal). The scale shape is the whole
+    * point: the eval side is SMALL at any corpus size (benchmarks are
+    * thousands of docs, not billions), so its distinct n-grams
+    * BROADCAST and the training corpus is scanned ONCE with a map-side
+    * hash probe — the only shuffle is the per-doc hit count over
+    * surviving (matched) rows, a vanishing fraction of the corpus.
+    * Output: contaminated docs with their distinct-overlapping-n-gram
+    * count (the drop/keep decision input). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("t", tokens(col("text")))
+    val isEval = col("doc_id") % EvalMod === 0
+    val evalG = docs.filter(isEval)
+      .select(explode(Dedup.shinglesOf(col("t"))).as("s")).distinct()
+    val trainG = docs.filter(!isEval)
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("t"))).as("s"))
+    // per-doc shingles are already distinct (shinglesOf), so the count
+    // after the semi-match is "distinct n-grams of this doc seen in eval"
+    trainG.join(broadcast(evalG), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** #37 — ORDER-SENSITIVE rolling-hash fingerprint (Rabin-Karp): fold
     * H = (H*257 + h(tok)) mod P over the token sequence, h = 32-bit md5
     * prefix. Pure integer fold — parity with the oracle is exact, and

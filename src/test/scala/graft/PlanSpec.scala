@@ -100,6 +100,26 @@ class PlanSpec extends SparkTestBase {
       "no spine join may remain")
   }
 
+  test("text_decontaminate broadcasts the eval n-grams; the corpus never shuffles pre-match") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "the eval n-gram set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the training corpus must probe the eval set map-side, not co-shuffle with it")
+  }
+
+  test("emb_kmeans_step assigns map-side (fold argmax) and aggregates without corpus expansion") {
+    val p = plan("emb_kmeans_step")
+    assert(!p.contains("windowspecdefinition"),
+      "assignment must be the fold-argmax projection, not a per-vector rank window")
+    assert(!p.contains("SortMergeJoin"), "the K seeds must broadcast")
+    // the 64 per-dim sums aggregate the corpus directly; the only
+    // Generate (posexplode) runs AFTER aggregation on K rows
+    val genLine = p.linesIterator.indexWhere(_.contains("Generate"))
+    val aggLine = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(genLine >= 0 && aggLine >= 0 && genLine < aggLine,
+      "the per-dim explode must sit above the aggregate (K rows), never below it (corpus rows)")
+  }
+
   test("ts_zscore derives stats in one agg and flags via broadcast, no key window") {
     val p = plan("ts_zscore")
     assert(!p.contains("windowspecdefinition"),
