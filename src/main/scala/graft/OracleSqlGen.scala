@@ -280,6 +280,21 @@ object OracleSqlGen {
        |SELECT cid, CAST(cnt AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim,
        |  sx / cnt AS m FROM byd""".stripMargin
 
+  /** #100 — mixture weights: equal token-budget split across sources;
+    * the division chain is written in the identical order as the Spark
+    * expression so the doubles agree bit-for-bit. */
+  val docMixWeights: String = {
+    val rate = s"least(1.0, (${TextOps.MixBudget}.0 / n_sources) / src_tokens)"
+    s"""WITH $toksCte,
+       |per AS (SELECT d.source, count(*) AS n_docs,
+       |    CAST(sum(len(t)) AS BIGINT) AS src_tokens
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id GROUP BY 1),
+       |k AS (SELECT count(*) AS n_sources FROM per)
+       |SELECT source, n_docs, src_tokens, $rate AS rate,
+       |  $rate * src_tokens AS exp_tokens
+       |FROM per, k""".stripMargin
+  }
+
   val textRollingHash: String =
     s"""WITH $toksCte
        |SELECT doc_id,

@@ -34,6 +34,7 @@ object SparkEntry {
     "ts_ema" -> (TimeSeriesOps.ema _),
     "ts_holt" -> (TimeSeriesOps.holt _),
     "ts_resets" -> (TimeSeriesOps.resets _),
+    "ts_changepoint" -> (TimeSeriesOps.changepoint _),
     "ts_sliding" -> (TimeSeriesOps.slidingCounts _),
     // Analytics (#10-15)
     "q1_pricing" -> (Analytics.q1Pricing _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "doc_pack_bins" -> (TextOps.docPackBins _),
     "text_decontaminate" -> (TextOps.decontaminate _),
+    "doc_mix_weights" -> (TextOps.mixWeights _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -367,6 +369,25 @@ object SparkEntry {
         |    list_prepend([0.0::DOUBLE, 0.0::DOUBLE], list([a, b] ORDER BY day)),
         |    (acc, x) -> [x[1] * acc[1] + x[2], 0.0::DOUBLE])[1] AS ema
         |FROM b GROUP BY 1""".stripMargin,
+    // denominators cleared: both engines argmax an EXACT integer score
+    // (HUGEINT here, DECIMAL(38,0) in Spark); one double division at
+    // the end, written in the same order
+    "ts_changepoint" ->
+      """WITH sc AS (SELECT user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS t,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |sc2 AS (SELECT user_id, epoch_us(ts) AS tus, t, n,
+        |    abs(sum(v100) OVER (PARTITION BY user_id ORDER BY t
+        |        ROWS UNBOUNDED PRECEDING) * n
+        |      - t * sum(v100) OVER (PARTITION BY user_id)) AS score
+        |  FROM sc)
+        |SELECT user_id, tus AS cp_us,
+        |  CAST(score AS DOUBLE) / (100.0 * n) AS dev
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY score DESC, t) AS rn FROM sc2)
+        |WHERE rn = 1""".stripMargin,
     "ts_resets" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
         |  count(*) AS n_deltas,
@@ -728,6 +749,7 @@ object SparkEntry {
     "text_repetition" -> OracleSqlGen.textRepetition,
     "doc_pack_bins" -> OracleSqlGen.docPackBins,
     "text_decontaminate" -> OracleSqlGen.textDecontaminate,
+    "doc_mix_weights" -> OracleSqlGen.docMixWeights,
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
     "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,

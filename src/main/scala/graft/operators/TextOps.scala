@@ -278,6 +278,31 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Global token budget for the mixture-weights operator. */
+  val MixBudget = 200000L
+
+  /** #100 — data-MIXTURE weights: given a global token budget split
+    * equally across sources (domains), compute each source's sampling
+    * rate and expected token yield — the "data mixing" step that sits
+    * between curation and packing in a training pipeline (sources are
+    * upsampled/downsampled to a target composition). One combinable
+    * aggregation over the corpus (per-source doc/token totals), a
+    * 1-row source-count frame broadcast back, and pure scalar
+    * arithmetic — every division is a single double op mirrored
+    * verbatim in the oracle, over exact integer sums. */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+    val k = per.agg(count(lit(1)).as("n_sources"))
+    val rate = least(lit(1.0),
+      (lit(MixBudget.toDouble) / col("n_sources")) / col("src_tokens"))
+    per.crossJoin(broadcast(k))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        rate.as("rate"), (rate * col("src_tokens")).as("exp_tokens"))
+  }
+
   /** #37 — ORDER-SENSITIVE rolling-hash fingerprint (Rabin-Karp): fold
     * H = (H*257 + h(tok)) mod P over the token sequence, h = 32-bit md5
     * prefix. Pure integer fold — parity with the oracle is exact, and

@@ -424,6 +424,38 @@ object TimeSeriesOps {
         (col("hour") =!= col("ph")).cast("int").as("is_gap"))
   }
 
+  /** #99 — CUSUM changepoint per key: the time t* maximizing the
+    * centered cumulative-sum deviation |S_t| = |cum_t − t·mean| — the
+    * classic single-changepoint location statistic. Engine-exact by
+    * CLEARING DENOMINATORS: the argmax of |cum_t − t·(total/n)| equals
+    * the argmax of |n·cum_t − t·total| over integers, so both engines
+    * compare exact scaled-integer scores (values ×100 into DECIMAL(38,0)
+    * here, HUGEINT in the oracle) and divide back to a double only ONCE
+    * for the reported deviation. Ordering (ts, value) pins duplicate
+    * timestamps; ties on the score break to the earliest t. One key
+    * shuffle: the running sum, row number, and whole-partition totals
+    * all share the (user_id) partitioning. */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("user_id")
+    val v100 = (dec("value") * 100).cast("decimal(38,0)")
+    val scored = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"), v100.as("v100"))
+      .withColumn("cum", sum("v100").over(wRun))
+      .withColumn("t", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "value")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum("v100").over(wAll))
+      .withColumn("score",
+        abs(col("cum") * col("n") - col("t").cast("decimal(38,0)") * col("total")))
+    scored.groupBy("user_id")
+      .agg(max(struct(col("score"), (-col("t")).as("negt"),
+        unix_micros(col("ts")).as("tus"), col("n").as("nn"))).as("best"))
+      .select(col("user_id"), col("best.tus").as("cp_us"),
+        (col("best.score").cast("double") / (lit(100.0) * col("best.nn"))).as("dev"))
+  }
+
   /** #95 — seasonal profile: average value by (event_type,
     * hour-of-day) — the diurnal-pattern query every TSDB dashboard
     * serves. Decimal-exact sums with ONE double division at the end

@@ -120,6 +120,21 @@ class PlanSpec extends SparkTestBase {
       "the per-dim explode must sit above the aggregate (K rows), never below it (corpus rows)")
   }
 
+  test("ts_changepoint shares one key shuffle across all windows; no join anywhere") {
+    val p = plan("ts_changepoint")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"every window must partition by the key:\n${specs.mkString("\n")}")
+    assert(!p.contains("Join"), "the totals must come from windows, not a join-back")
+  }
+
+  test("doc_mix_weights aggregates map-side; the 1-row source count broadcasts back") {
+    val p = plan("doc_mix_weights")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final corpus aggregation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the 1-row count frame must broadcast, never co-shuffle")
+  }
+
   test("ts_zscore derives stats in one agg and flags via broadcast, no key window") {
     val p = plan("ts_zscore")
     assert(!p.contains("windowspecdefinition"),
