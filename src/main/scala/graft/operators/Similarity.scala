@@ -201,9 +201,13 @@ object Similarity {
     * cluster's per-dim mean with 64 map-side-combinable sums (ONE
     * shuffle of 64 partials per cluster per partition — never a
     * posexplode of the corpus). Determinism: the inputs are float32
-    * promoted to double (24-bit mantissas), so group sums stay EXACT —
-    * no rounding until ~2^28 same-magnitude addends — making the means
-    * order-independent and bit-identical in the DuckDB oracle; the
+    * promoted to double (24-bit mantissas), so group sums stay EXACT
+    * whenever n·2^(Δe+24) ≤ 2^53 (Δe = the components' exponent
+    * spread; measured ≈19 on the test embeddings → guaranteed for
+    * clusters up to ~10^3 members, the gate scale) — making the means
+    * order-independent and bit-identical in the DuckDB oracle
+    * (knn_label_centroid has relied on the same property across every
+    * driver run); the
     * assignment argmax rounds to 6 dp with ties to the lowest seed id,
     * exactly as the oracle's row_number ordering. Output: one row per
     * (cluster, dim) with the new mean + member count. */
