@@ -295,6 +295,46 @@ object OracleSqlGen {
        |FROM per, k""".stripMargin
   }
 
+  /** #101 — PQ/ADC top-10: same subspace layout, the same rounded
+    * squared-diff folds for the encode argmin (row_number ORDER BY d, k
+    * ↔ the Spark strict-< fold), unrounded folds for the LUT, and the
+    * 8 ADC terms summed in the same parenthesized order. The 0.0
+    * prepend mirrors Spark's aggregate() init exactly. */
+  val annPqTopk: String = {
+    import graft.operators.PqIndex.{Subs, SubDim, K}
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, $SubDim),
+         |    i -> ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i])
+         |       * ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i]))),
+         |  (p, q) -> p + q)""".stripMargin
+    val pivots = (0 until Subs)
+      .map(su => s"max(CASE WHEN c.sub = $su THEN l.d END) AS d$su").mkString(", ")
+    val total = (0 until Subs).map(su => s"d$su").reduce((a, b) => s"($a + $b)")
+    s"""WITH $eCte,
+       |cb AS (SELECT vec_id AS k, v FROM e WHERE vec_id < $K),
+       |subs AS (SELECT unnest(generate_series(0, ${Subs - 1})) AS sub),
+       |enc AS (SELECT e.vec_id, s.sub, cb.k, round(${fold("e.v", "cb.v")}, 6) AS d
+       |  FROM e, subs s, cb),
+       |codes AS (SELECT vec_id, sub, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, k) AS rn
+       |    FROM enc) WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |lut AS (SELECT s.sub, cb.k AS code, ${fold("qv", "cb.v")} AS d
+       |  FROM cb, subs s, q),
+       |adc AS (SELECT c.vec_id, $pivots
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> 0 GROUP BY 1),
+       |short AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY $total, vec_id) AS rn
+       |    FROM adc) WHERE rn <= ${graft.operators.PqIndex.Shortlist}),
+       |rr AS (SELECT e.vec_id,
+       |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+       |      i -> (e.v[i] - qv[i]) * (e.v[i] - qv[i]))), (p, q) -> p + q) AS d
+       |  FROM e JOIN short USING (vec_id), q)
+       |SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS rnk
+       |FROM rr ORDER BY rnk LIMIT 10""".stripMargin
+  }
+
   val textRollingHash: String =
     s"""WITH $toksCte
        |SELECT doc_id,

@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_batch_topk" -> (Similarity.annBatchTopk _),
     "ann_range" -> (Similarity.annRange _),
     "emb_kmeans_step" -> (Similarity.kmeansStep _),
+    "ann_pq_topk" -> (PqIndex.annPqTopk _),
     // Text analysis (#24-27)
     "text_langid" -> (TextOps.langId _),
     "text_quality" -> (TextOps.quality _),
@@ -725,6 +726,7 @@ object SparkEntry {
     "ann_batch_topk" -> OracleSqlGen.annBatchTopk,
     "ann_range" -> OracleSqlGen.annRange,
     "emb_kmeans_step" -> OracleSqlGen.embKmeansStep,
+    "ann_pq_topk" -> OracleSqlGen.annPqTopk,
     "text_langid" -> OracleSqlGen.textLangid,
     "text_quality" -> OracleSqlGen.textQuality,
     "text_tokens" -> OracleSqlGen.textTokens,

@@ -50,6 +50,29 @@ class OperatorSpec extends SparkTestBase {
         s"recall ${blocked.size}/${exact.size} below 0.5 — band layout degraded")
   }
 
+  test("pq probe: high recall vs exact L2 top-10; codes 64x smaller than vectors") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("d", aggregate(
+        zip_with(col("v"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy("d", "vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = PqIndex.annPqTopk(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val hit = exact.intersect(pq).size
+    assert(hit >= 8, s"PQ recall $hit/10 vs exact L2 — quantizer or shortlist degraded")
+    // every vector carries Subs codes in [0, K)
+    val codes = spark.read.parquet(PqIndex.ensure(spark, Sf).codes)
+    assert(codes.count() == e.count())
+    val bad = (0 until PqIndex.Subs).map(su =>
+      codes.filter(col(s"code$su") < 0 || col(s"code$su") >= PqIndex.K).count()).sum
+    assert(bad == 0, "every code must index a sub-centroid")
+  }
+
   test("ann topk: 10 distinct neighbours ranked 1..10, none the query itself") {
     val rows = Similarity.annTopkBrute(spark, Sf).collect()
     assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 10))

@@ -120,6 +120,15 @@ class PlanSpec extends SparkTestBase {
       "the per-dim explode must sit above the aggregate (K rows), never below it (corpus rows)")
   }
 
+  test("ann_pq_topk probes staged codes map-side; raw vectors fetched only for the shortlist") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("graft-stage"), "must read the staged code table, not re-encode")
+    assert(p.contains("TakeOrderedAndProject"), "both ranking stages must be top-k, not global sorts")
+    assert(!p.contains("SortMergeJoin"),
+      "the shortlist and the LUT row must broadcast — the corpus never co-shuffles")
+    assert(!p.contains("windowspecdefinition"), "no rank window may survive")
+  }
+
   test("ts_changepoint shares one key shuffle across all windows; no join anywhere") {
     val p = plan("ts_changepoint")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
