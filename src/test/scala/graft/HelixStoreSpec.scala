@@ -448,6 +448,29 @@ class HelixStoreSpec extends SparkTestBase {
     assert(a.get("ib".getBytes, 2L).map(new String(_)).contains("vb"))
   }
 
+  test("kc cache across instances: another instance's compaction invalidates cached blocks") {
+    val dir = tmpDir("hs-kctwoinst")
+    val a = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 100))
+    val b = HelixStore.open(spark, dir, StoreOptions(numShards = 2, bucketSize = 100))
+    a.put(entriesDF(Seq(("kx", 1L, "old1"), ("kx", 2L, "old2"))))
+    a.blockCompact()
+    // a populates its kc cache from the current block generation
+    assert(a.get("kx".getBytes, 1L).map(new String(_)).contains("old1"))
+    assert(a.get("kx".getBytes, 2L).map(new String(_)).contains("old2"))
+    assert(a.kcHits.get() == 1)
+    // b supersedes ts=2 and COMMITS a new block generation
+    b.put(entriesDF(Seq(("kx", 2L, "new2"))))
+    b.blockCompact()
+    // a's next get re-reads the pointer, drops the stale cached blocks,
+    // and serves b's value — a cache hit here would be a stale read
+    assert(a.get("kx".getBytes, 2L).map(new String(_)).contains("new2"),
+      "instance a must never serve a block superseded by b's compaction")
+    assert(a.kcHits.get() == 1, "the stale generation's blocks must not hit")
+    assert(a.get("kx".getBytes, 1L).map(new String(_)).contains("old1"))
+    assert(a.kcHits.get() == 2, "the repopulated cache serves the new generation")
+    a.close(); b.close()
+  }
+
   test("custom ShardingKeyFn routes puts and gets consistently (fn_registry analogue)") {
     import org.apache.spark.sql.functions.{length => sqlLength, pmod}
     val store = HelixStore.open(spark, tmpDir("hs-shardfn"),
