@@ -481,6 +481,34 @@ object OracleSqlGen {
       |    i -> ('0x' || substr(hex(text), 2*i-1, 2))::BIGINT)), 0) AS BIGINT) AS checksum16
       |FROM documents""".stripMargin
 
+  /** #102 — payload phash pairs: the identical byte-4-gram SimHash
+    * (hex windows, md5-prefix bits) and byte-block pair mining. DuckDB
+    * hex(text) is the hex of the UTF-8 bytes, matching Spark's binary
+    * payload hex. */
+  val mmPhashPairs: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val simExpr = (0 until 32)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, phash, $b AS band, (phash >> ${8 * b}) & 255 AS byte FROM ph")
+      .mkString("\n  UNION ALL ")
+    s"""WITH win AS (SELECT doc_id,
+       |    substr(hex(text), 2 * i - 1, 16) AS w
+       |  FROM (SELECT doc_id, text, unnest(generate_series(1, strlen(text) - 7, 4)) AS i
+       |        FROM documents WHERE strlen(text) >= 8)),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM win),
+       |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       |ph AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS phash FROM bits),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
+       |    x.phash AS p1, y.phash AS p2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |SELECT doc_id1, doc_id2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS ham
+       |FROM cand WHERE bit_count(xor(p1, p2)) <= ${graft.operators.Multimodal.PhashMaxHam}""".stripMargin
+  }
+
   val streamTumbling: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
       |  count(*) AS cnt,

@@ -120,6 +120,7 @@ object SparkEntry {
     "mm_decode_stub" -> (Multimodal.decodeFeatures _),
     "mm_chunk" -> (Multimodal.chunkLayout _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
+    "mm_phash" -> (Multimodal.phashPairs _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
@@ -769,6 +770,7 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+    "mm_phash" -> OracleSqlGen.mmPhashPairs,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
   )
 }

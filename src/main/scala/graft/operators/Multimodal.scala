@@ -109,6 +109,62 @@ object Multimodal {
       .agg(count(lit(1)).as("n_blobs"), min("doc_id").as("keep_doc_id"),
         sum(octet_length(col("payload"))).cast("long").as("total_bytes"))
 
+  /** Hamming radius for phash pair mining. */
+  val PhashMaxHam = 3
+
+  /** The per-document 32-bit window SimHash feeding [[phashPairs]];
+    * exposed so the spec can brute-force verify the banded mining
+    * against these fingerprints directly. */
+  def phashes(s: SparkSession, dir: String): DataFrame = {
+    val hx = withPayload(s, dir)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).cast("long").as("nb"))
+    val win = hx.filter(col("nb") >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1L), col("nb") - 7, lit(4L)),
+          i => col("hx").substr((i * 2 - 1).cast("int"), lit(16)))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val agg = win.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("phash"))
+  }
+
+  /** #102 — perceptual-style near-dup pairs over binary payloads,
+    * WITHOUT decode: a 32-bit SimHash over the payload's overlapping
+    * byte 4-grams stands in for a real DCT perceptual hash (which
+    * needs the stubbed decoder) — byte-window signatures survive
+    * shifts/insertions that break whole-payload hashing, which is
+    * exactly what [[payloadDedup]] cannot catch. Pair mining is the
+    * byte-block pigeonhole of dedup_simhash_pairs (hamming ≤ 3 ⇒ one
+    * of 4 bytes matches exactly): candidates from a bounded (byte pos,
+    * value) join, bit_count verify, never all pairs. Payload bytes
+    * never shuffle — windows are hashed map-side and only (doc_id,
+    * 32-bit fingerprint) moves. Windows are 8 bytes at stride 4 (the
+    * md5-per-window cost dial: a real pipeline tunes window/stride to
+    * the medium); payloads shorter than 8 bytes have no windows and
+    * drop out (both engines). */
+  def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ph = phashes(s, dir)
+    val bands = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), 8 * b).bitwiseAND(0xFF)): _*)))
+      .select(col("doc_id"), col("phash"),
+        col("pos").as("band"), col("col").as("byte"))
+    val x = bands.select(col("band"), col("byte"),
+      col("doc_id").as("doc_id1"), col("phash").as("p1"))
+    val y = bands.select(col("band"), col("byte"),
+      col("doc_id").as("doc_id2"), col("phash").as("p2"))
+    x.join(y, Seq("band", "byte"))
+      .filter(col("doc_id1") < col("doc_id2"))
+      .withColumn("ham", bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long"))
+      .filter(col("ham") <= PhashMaxHam)
+      .select("doc_id1", "doc_id2", "ham")
+      .distinct()
+  }
+
   /** #29 — frame sampling plumbing: a "video" with n_chars/200 + 1
     * frames, sampled at stride 3; explodes ids only, never payloads. */
   def frameSample(s: SparkSession, dir: String): DataFrame =

@@ -50,6 +50,22 @@ class OperatorSpec extends SparkTestBase {
         s"recall ${blocked.size}/${exact.size} below 0.5 — band layout degraded")
   }
 
+  test("phash pairs: banded mining exactly matches brute force over fingerprints") {
+    val ph = Multimodal.phashes(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (id1, p1) <- ph; (id2, p2) <- ph if id1 < id2
+      ham = java.lang.Long.bitCount(p1 ^ p2)
+      if ham <= Multimodal.PhashMaxHam
+    } yield ((id1, id2), ham.toLong)).toMap
+    val got = Multimodal.phashPairs(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == brute,
+      s"banded mining diverged from brute force: missing=${(brute.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- brute.keySet).take(5)}")
+    assert(brute.nonEmpty, "corpus has no hamming<=3 pairs — spec would be vacuous")
+  }
+
   test("pq probe: high recall vs exact L2 top-10; codes 64x smaller than vectors") {
     import org.apache.spark.sql.functions._
     val e = graft.core.Tables.embeddings(spark, Sf)
