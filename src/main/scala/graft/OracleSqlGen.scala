@@ -16,19 +16,26 @@ object OracleSqlGen {
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** 52-bit-hashed shingle set, mirroring Dedup.shingleHash exactly —
+    * the jaccard/containment oracles compare over hashes because the
+    * Spark side's staged rset never carries strings (see Dedup). */
+  private val shgCte =
+    """shg AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 13))::BIGINT AS g FROM sh),
+      |szg AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id)""".stripMargin
+
   private def jaccardSelect(candJoin: String) =
     s"""SELECT i.doc_id1, i.doc_id2 FROM ($candJoin) i
-       |JOIN sz s1 ON i.doc_id1 = s1.doc_id JOIN sz s2 ON i.doc_id2 = s2.doc_id
+       |JOIN szg s1 ON i.doc_id1 = s1.doc_id JOIN szg s2 ON i.doc_id2 = s2.doc_id
        |WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)""".stripMargin
 
   val dedupExact: String =
     """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
       |FROM documents GROUP BY 1""".stripMargin
 
-  private val ngramCtes = s"$toksCte, $shCte"
+  private val ngramCtes = s"$toksCte, $shCte, $shgCte"
   private val ngramSelect = jaccardSelect(
     """SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS c
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin)
+      |  FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2""".stripMargin)
 
   val dedupNgramJaccard: String = s"WITH $ngramCtes\n$ngramSelect"
 
@@ -38,8 +45,8 @@ object OracleSqlGen {
   val dedupContainment: String =
     s"""WITH $ngramCtes,
        |i AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
-       |SELECT i.doc_id1, i.doc_id2 FROM i JOIN sz s1 ON i.doc_id1 = s1.doc_id
+       |  FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT i.doc_id1, i.doc_id2 FROM i JOIN szg s1 ON i.doc_id1 = s1.doc_id
        |WHERE i.c * ${Dedup.ContainDen} >= ${Dedup.ContainNum} * s1.n""".stripMargin
 
   /** MinHash+LSH candidate-pair machinery as embeddable CTE fragments,

@@ -64,6 +64,39 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesOf(col("t"))).as("s"))
   }
 
+  /** 52-bit md5-prefix hash of a shingle (13 hex chars — positive in a
+    * signed i64, and the DuckDB oracle computes the identical value via
+    * ('0x' || substr(md5(s), 1, 13))::BIGINT). Staging hashes shingles
+    * ONCE so no string ever enters a shuffle or a staged artifact: the
+    * candidate joins and the exact-intersection verify all run over
+    * longs. Jaccard/containment are then over DISTINCT HASHED shingles —
+    * a collision (~|S|²/2^53 expected corpus-wide, ≪1 at any tested SF)
+    * is mirrored exactly by the oracle, the same documented deviation
+    * the minhash verify already carries. */
+  private[graft] def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** Index-build producer for [[DedupIndex]] rset/: per doc, the
+    * distinct HASHED shingle set sorted by GLOBAL rarity — (document
+    * frequency, hash) ascending — plus its size. Prefix filtering's
+    * correctness needs only a corpus-wide total order that favors rare
+    * shingles; that order is threshold-independent, so one staged sort
+    * serves both the jaccard and the containment joins, each slicing
+    * its own prefix length at probe time. The post-hash distinct
+    * mirrors the oracle's DISTINCT(doc_id, hash) so a within-doc
+    * collision (were one ever to occur) collapses identically. */
+  private[operators] def raritySortedSets(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir)
+      .select(col("doc_id"), shingleHash(col("s")).as("g"))
+      .distinct()
+    val rarity = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    sh.join(rarity, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("byRarity"))
+      .select(col("doc_id"), col("n"), col("byRarity.g").as("set"))
+  }
+
   /** #16 — exact dedup: group identical texts by md5, keep the lowest id. */
   def exact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -103,32 +136,24 @@ object Dedup {
     * thousands of docs is (by its own frequency) never in a prefix,
     * which kills the hot-shingle fanout the naive self-join suffers at
     * scale, with ZERO recall loss: candidates are then verified by an
-    * exact set intersection over the full shingle sets. Same output,
-    * same oracle, as the naive formulation. */
+    * exact set intersection over the full shingle sets. Jaccard is over
+    * distinct 52-bit [[shingleHash]]ed shingles; the oracle hashes
+    * identically, so the two engines agree bit-for-bit. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // CACHE LIFETIME (here and in containment): the shingle and per-doc
-    // frames are consumed by several subtrees of the one returned plan;
-    // the caches are released by the harnesses' per-query clearCache()
-    // (Verify/Bench both call it), and a long-lived user session should
-    // clearCache (or unpersist) after materializing the result —
-    // otherwise repeated dedup calls accumulate MEMORY_AND_DISK blocks
-    // until LRU pressure evicts them.
-    val sh = shingleTable(s, dir).cache()
-    // global rarity order: (document frequency, shingle) ascending
-    val rarity = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    // per doc: full sorted-by-rarity shingle list + prefix length
+    // The rarity-sorted HASHED shingle sets come from the STAGED
+    // signature store ([[DedupIndex]] rset/): the shingle explode, the
+    // hashing, the global document-frequency shuffle, and the per-doc
+    // rarity sort are index build, paid once per corpus — the query
+    // pays only the threshold-specific prefix slice, the candidate
+    // join, and the exact verification, all over longs (no string ever
+    // shuffles). Each consumer re-reads the (column-pruned) staged
+    // parquet, so no cached frame outlives the query.
     //   prefixLen = n - ceil(t*n) + 1, ceil(8n/10) = (8n + 9) div 10
-    val docs = sh.join(rarity, "s")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n"),
-        sort_array(collect_list(struct(col("df"), col("s")))).as("byRarity"))
+    val docs = s.read.parquet(DedupIndex.ensure(s, dir).rset)
       .withColumn("prefixLen",
         expr(s"n - ((n * $ThreshNum + $ThreshDen - 1) div $ThreshDen) + 1"))
-      .withColumn("set", col("byRarity.s"))
       .select(col("doc_id"), col("n"), col("set"),
         slice(col("set"), lit(1), col("prefixLen").cast("int")).as("prefix"))
-      // consumed three times (prefix explode + both verify joins)
-      .cache()
     val pre = docs.select(col("doc_id"), explode(col("prefix")).as("s"))
     val cand = pre.select(col("doc_id").as("doc_id1"), col("s"))
       .join(pre.select(col("doc_id").as("doc_id2"), col("s")), "s")
@@ -156,24 +181,15 @@ object Dedup {
     * a's rarest n_a − ⌈0.9·n_a⌉ + 1 shingles (its prefix) must hit Sb —
     * candidates come from joining a's PREFIX against b's full set, and
     * b-side hot shingles can pair only with the few docs rare-prefixed
-    * on them. Verification is an exact intersection on candidates only. */
+    * on them. Verification is an exact intersection on candidates only
+    * (over [[shingleHash]]ed shingles, mirrored by the oracle). */
   def containment(s: SparkSession, dir: String): DataFrame = {
-    // cache lifetime: see ngramJaccard — harness clearCache releases
-    val sh = shingleTable(s, dir).cache()
-    val rarity = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    // cached: consumed FOUR times below (prefix explode, full explode,
-    // two verify joins) — uncached, the rarity shuffle + per-doc array
-    // sort would rerun for each consumer
-    val docs = sh.join(rarity, "s")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n"),
-        sort_array(collect_list(struct(col("df"), col("s")))).as("byRarity"))
+    // staged rset, per-query prefix slice: see ngramJaccard
+    val docs = s.read.parquet(DedupIndex.ensure(s, dir).rset)
       .withColumn("prefixLen",
         expr(s"n - ((n * $ContainNum + $ContainDen - 1) div $ContainDen) + 1"))
-      .withColumn("set", col("byRarity.s"))
       .select(col("doc_id"), col("n"), col("set"),
         slice(col("set"), lit(1), col("prefixLen").cast("int")).as("prefix"))
-      .cache()
     val pre = docs.select(col("doc_id").as("doc_id1"), explode(col("prefix")).as("s"))
     val full = docs.select(col("doc_id").as("doc_id2"), explode(col("set")).as("s"))
     val cand = pre.join(full, "s")

@@ -11,22 +11,35 @@ import org.apache.spark.sql.functions._
  *   hset/   (doc_id, hs: array<long>, n)  per-doc minhash hash-sets
  *   bands/  (doc_id, band, bkey)          LSH band keys
  *   pairs/  (doc_id1, doc_id2)            jaccard-verified dup pairs
+ *   rset/   (doc_id, n, set: array<long>)   52-bit-hashed shingle sets
+ *           sorted by GLOBAL RARITY (document frequency asc, hash asc)
+ *           — the prefix-filter ordering both exact similarity joins
+ *           need, with no string in the artifact or any later shuffle
  *
  * Consumers: `dedup_cluster` reads `pairs` (cluster resolution is the
  * query; pair mining is index build — the same split as IvfIndex's
- * build vs probe), and `dedup_incremental` joins a new batch's band
+ * build vs probe), `dedup_incremental` joins a new batch's band
  * keys against `bands`/`hset` so the existing corpus is never
- * re-shingled. Staleness safety and build atomicity come from
- * [[Staging]] (fingerprint of the documents.parquet file metadata).
+ * re-shingled, and `dedup_ngram_jaccard`/`dedup_containment` slice
+ * their threshold-specific prefixes off `rset` (the rarity sort is
+ * threshold-independent, so one artifact serves every exact join).
+ * Staleness safety and build atomicity come from [[Staging]]
+ * (fingerprint of the documents.parquet file metadata).
  */
 object DedupIndex {
 
-  final case class StagedPaths(hset: String, bands: String, pairs: String)
+  /** Bumped whenever the staged layout changes: a dir staged by older
+    * code must not be served to code expecting new artifacts. */
+  private val LayoutVersion = "v3"
+
+  final case class StagedPaths(hset: String, bands: String, pairs: String,
+      rset: String)
 
   /** Ensure the signature store exists for `dir`; builds at most once
     * per source fingerprint. */
   def ensure(s: SparkSession, dir: String): StagedPaths = {
-    val base = Staging.ensure("dedup", Staging.fingerprint(dir, "documents.parquet")) { tmp =>
+    val fp = s"${Staging.fingerprint(dir, "documents.parquet")}-$LayoutVersion"
+    val base = Staging.ensure("dedup", fp) { tmp =>
       // One corpus pass: the cached hash-set frame feeds the hset dump,
       // the band projection, and both sides of the pair verification.
       val hset = Dedup.minhashHset(s, dir).cache()
@@ -44,9 +57,11 @@ object DedupIndex {
         Dedup.verifyJaccard(cand, hset, hset, "doc_id1", "doc_id2")
           .write.parquet(tmp.resolve("pairs").toString)
       } finally hset.unpersist(): Unit
+      Dedup.raritySortedSets(s, dir).write.parquet(tmp.resolve("rset").toString)
     }
     StagedPaths(base.resolve("hset").toString,
-      base.resolve("bands").toString, base.resolve("pairs").toString)
+      base.resolve("bands").toString, base.resolve("pairs").toString,
+      base.resolve("rset").toString)
   }
 
   /** Test hook: see [[Staging.clear]]. */

@@ -230,9 +230,11 @@ class OperatorSpec extends SparkTestBase {
 
   test("containment equals the all-pairs baseline exactly (prefix filter loses nothing)") {
     import spark.implicits._
-    // brute-force ordered containment over the (tiny) spec corpus
+    // brute-force ordered containment over the (tiny) spec corpus —
+    // shingles hashed exactly as the operator's staged rset hashes them
     val sets = graft.core.Tables.documents(spark, Sf)
-      .select(col("doc_id"), Dedup.shingles(col("text")).as("set"))
+      .select(col("doc_id"), array_distinct(transform(
+        Dedup.shingles(col("text")), Dedup.shingleHash(_))).as("set"))
       .filter(size(col("set")) > 0)
     val a = sets.select(col("doc_id").as("doc_id1"),
       col("set").as("s1"), size(col("set")).as("n1"))

@@ -173,6 +173,18 @@ class PlanSpec extends SparkTestBase {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "containment candidate generation must be a shingle equi-join")
+    assert(p.contains("graft-stage"),
+      "must probe the staged rarity-sorted sets, not re-shingle the corpus")
+  }
+
+  test("dedup_ngram_jaccard probes the staged rset; no corpus re-shingle") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("graft-stage"),
+      "must probe the staged rarity-sorted sets, not re-shingle the corpus")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "the documents table must not appear in the probe plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be a prefix-shingle equi-join")
   }
 
   test("q_pivot_daily pivots as two-level aggregation, no domain-discovery pass") {
