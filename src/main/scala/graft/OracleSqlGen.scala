@@ -49,6 +49,27 @@ object OracleSqlGen {
        |SELECT i.doc_id1, i.doc_id2 FROM i JOIN szg s1 ON i.doc_id1 = s1.doc_id
        |WHERE i.c * ${Dedup.ContainDen} >= ${Dedup.ContainNum} * s1.n""".stripMargin
 
+  /** Substring-level dup mining: WinK-token rolling-window hashes
+    * (identical Rabin-Karp fold to text_rolling_hash), mod-p sampled,
+    * df-capped, paired on >= WinMinShared shared fingerprints — every
+    * constant and the fold itself come from Dedup/TextOps so the two
+    * engines cannot drift. (DuckDB list slices are 1-based and
+    * end-inclusive: h[i:i+K-1] is exactly K elements.) */
+  val dedupSubstring: String =
+    s"""WITH $toksCte,
+       |hs AS (SELECT doc_id, list_transform(t, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS h
+       |  FROM toks WHERE len(t) >= ${Dedup.WinK}),
+       |win AS (SELECT doc_id, unnest(generate_series(1, len(h) - ${Dedup.WinK - 1})) AS i, h FROM hs),
+       |fps AS (SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(0, h[i:i+${Dedup.WinK - 1}]),
+       |      (acc, x) -> (acc * ${TextOps.RollB} + x) % ${TextOps.RollP}) AS fp
+       |  FROM win),
+       |sel AS (SELECT doc_id, fp FROM fps WHERE fp % ${Dedup.WinSelMod} = 0),
+       |keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= ${Dedup.WinDfCap})
+       |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_shared
+       |FROM sel a JOIN keep k ON a.fp = k.fp JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinMinShared}""".stripMargin
+
   /** MinHash+LSH candidate-pair machinery as embeddable CTE fragments,
     * shared by dedup_minhash_lsh and dedup_cluster (whose pair source
     * IS the minhash pipeline — band buckets, never the shingle join). */

@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_containment" -> (Dedup.containment _),
     "dedup_prefix" -> (Dedup.prefixDups _),
     "dedup_incremental" -> (Dedup.incremental _),
+    "dedup_substring" -> (Dedup.substringPairs _),
     // Similarity search (#21-23)
     "ann_topk_brute" -> (Similarity.annTopkBrute _),
     "ann_lsh_bucket" -> (Similarity.lshBucket _),
@@ -720,6 +721,7 @@ object SparkEntry {
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding,
     "dedup_cluster" -> OracleSqlGen.dedupCluster,
     "dedup_incremental" -> OracleSqlGen.dedupIncremental,
+    "dedup_substring" -> OracleSqlGen.dedupSubstring,
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,
     "ann_lsh_bucket" -> OracleSqlGen.annLshBucket,
     "knn_label_centroid" -> OracleSqlGen.knnLabelCentroid,

@@ -204,6 +204,65 @@ object Dedup {
       .select("doc_id1", "doc_id2")
   }
 
+  /** #103 dedup_substring constants: window length in tokens, mod-p
+    * sampling rate (≈1/4 of windows become fingerprints; an expected
+    * shared run of WinK + 2·WinSelMod tokens yields ≥2 sampled
+    * fingerprints), boilerplate document-frequency cap, and the
+    * minimum shared-fingerprint count for a pair to emit. */
+  val WinK = 8
+  val WinSelMod = 4L
+  val WinDfCap = 64
+  val WinMinShared = 2
+
+  /** Index-build producer for [[DedupIndex]] fps/: mod-p-sampled
+    * rolling-window fingerprints — the LBFS/MOSS content-defined
+    * fingerprint family (Manber '94; Schleimer et al. SIGMOD'03), the
+    * signal public training-data pipelines use for EXACT SUBSTRING
+    * duplication (shared spans, not whole-document similarity). Every
+    * WinK-token window hashes with the same Rabin-Karp fold as
+    * text_rolling_hash (TextOps.RollB/RollP over 32-bit md5 token
+    * prefixes); only windows whose hash ≡ 0 (mod WinSelMod) are kept,
+    * so the artifact stores ~1/WinSelMod of the windows yet any
+    * sufficiently long shared span still lands ≥1 sampled fingerprint
+    * on both sides. O(n·WinK) map-side work, one distinct shuffle. */
+  private[operators] def substringFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= WinK)
+    d.select(col("doc_id"),
+        transform(col("t"),
+          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("h"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("h")) - (WinK - 1)),
+          i => aggregate(slice(col("h"), i, lit(WinK)), lit(0L),
+            (acc, x) => (acc * TextOps.RollB + x) % TextOps.RollP))).as("fp"))
+      .filter(col("fp") % WinSelMod === 0)
+      .distinct()
+  }
+
+  /** #103 — substring-level dup pair mining: docs sharing >= WinMinShared
+    * sampled window fingerprints (i.e. exact WinK-token runs), the
+    * duplication class jaccard/minhash miss when a long copied span
+    * hides inside two otherwise-different documents. Probes the staged
+    * fingerprint table ([[DedupIndex]] fps/); fingerprints seen in more
+    * than WinDfCap docs are dropped BEFORE pairing (boilerplate guard —
+    * at corpus scale a viral snippet would otherwise fan out df²
+    * pairs; the cap is mirrored by the oracle so the engines agree).
+    * One hash partitioning on fp serves both the df count and the
+    * self-join; the pair aggregation is the only other shuffle. */
+  def substringPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = s.read.parquet(DedupIndex.ensure(s, dir).fps)
+    val sel = fps.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= WinDfCap)
+      .select("doc_id", "fp")
+    sel.select(col("doc_id").as("doc_id1"), col("fp"))
+      .join(sel.select(col("doc_id").as("doc_id2"), col("fp")), "fp")
+      .filter(col("doc_id1") < col("doc_id2"))
+      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinMinShared)
+  }
+
   /** MinHash permutation family h_i(x) = (a_i*x + b_i) mod P over the
     * 32-bit md5 prefix of a shingle — one md5 per shingle, 16 integer
     * perms (P prime > 2^32; a_i odd and small so a_i*x stays in i64). */

@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
  *           sorted by GLOBAL RARITY (document frequency asc, hash asc)
  *           — the prefix-filter ordering both exact similarity joins
  *           need, with no string in the artifact or any later shuffle
+ *   fps/    (doc_id, fp)                    mod-p-sampled rolling-window
+ *           fingerprints (LBFS/MOSS family) for substring-level dup
+ *           mining — `dedup_substring` probes these
  *
  * Consumers: `dedup_cluster` reads `pairs` (cluster resolution is the
  * query; pair mining is index build — the same split as IvfIndex's
@@ -30,10 +33,10 @@ object DedupIndex {
 
   /** Bumped whenever the staged layout changes: a dir staged by older
     * code must not be served to code expecting new artifacts. */
-  private val LayoutVersion = "v3"
+  private val LayoutVersion = "v4"
 
   final case class StagedPaths(hset: String, bands: String, pairs: String,
-      rset: String)
+      rset: String, fps: String)
 
   /** Ensure the signature store exists for `dir`; builds at most once
     * per source fingerprint. */
@@ -58,10 +61,11 @@ object DedupIndex {
           .write.parquet(tmp.resolve("pairs").toString)
       } finally hset.unpersist(): Unit
       Dedup.raritySortedSets(s, dir).write.parquet(tmp.resolve("rset").toString)
+      Dedup.substringFingerprints(s, dir).write.parquet(tmp.resolve("fps").toString)
     }
     StagedPaths(base.resolve("hset").toString,
       base.resolve("bands").toString, base.resolve("pairs").toString,
-      base.resolve("rset").toString)
+      base.resolve("rset").toString, base.resolve("fps").toString)
   }
 
   /** Test hook: see [[Staging.clear]]. */

@@ -228,6 +228,25 @@ class OperatorSpec extends SparkTestBase {
     assert(langs.subsetOf(TextOps.StopWords.keySet + "und"))
   }
 
+  test("substring pairs: every mined pair shares a real 8-token run") {
+    // soundness check against the TEXT, not the fingerprints: a shared
+    // sampled fingerprint must come from an identical WinK-token window
+    // (md5 collisions aside), so re-derive each doc's window set from
+    // raw tokens and assert a non-empty intersection per mined pair
+    val pairs = Dedup.substringPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "spec corpus must contain substring-dup pairs")
+    val toks = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def wins(id: Long): Set[Seq[String]] =
+      toks(id).sliding(Dedup.WinK).filter(_.size == Dedup.WinK).map(_.toSeq).toSet
+    pairs.foreach { case (a, b) =>
+      assert(wins(a).intersect(wins(b)).nonEmpty,
+        s"pair ($a,$b) mined without an actual shared ${Dedup.WinK}-token run")
+    }
+  }
+
   test("containment equals the all-pairs baseline exactly (prefix filter loses nothing)") {
     import spark.implicits._
     // brute-force ordered containment over the (tiny) spec corpus —

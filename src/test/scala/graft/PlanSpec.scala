@@ -187,6 +187,16 @@ class PlanSpec extends SparkTestBase {
       "candidate generation must be a prefix-shingle equi-join")
   }
 
+  test("dedup_substring probes the staged fingerprints; no corpus re-tokenize") {
+    val p = plan("dedup_substring")
+    assert(p.contains("graft-stage"),
+      "must probe the staged fps table, not re-window the corpus")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "the documents table must not appear in the probe plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairing must be a fingerprint equi-join, never all pairs")
+  }
+
   test("q_pivot_daily pivots as two-level aggregation, no domain-discovery pass") {
     val p = plan("q_pivot_daily")
     // explicit pivot values plan as (day, event_type) partial+final agg
