@@ -248,14 +248,16 @@ object Dedup {
     * than WinDfCap docs are dropped BEFORE pairing (boilerplate guard —
     * at corpus scale a viral snippet would otherwise fan out df²
     * pairs; the cap is mirrored by the oracle so the engines agree).
-    * One hash partitioning on fp serves both the df count and the
-    * self-join; the pair aggregation is the only other shuffle. */
+    * The guard is a map-side-combinable count whose OVER-CAP survivors
+    * form a tiny list anti-joined back (AQE broadcasts it) — NOT a
+    * per-fp window, which would funnel every row of a hot fingerprint
+    * through one task, the exact failure the cap guards against. After
+    * the cap, self-join fanout is bounded by WinDfCap² per fp. */
   def substringPairs(s: SparkSession, dir: String): DataFrame = {
     val fps = s.read.parquet(DedupIndex.ensure(s, dir).fps)
-    val sel = fps.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("df") <= WinDfCap)
-      .select("doc_id", "fp")
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinDfCap).select("fp")
+    val sel = fps.join(hot, Seq("fp"), "left_anti")
     sel.select(col("doc_id").as("doc_id1"), col("fp"))
       .join(sel.select(col("doc_id").as("doc_id2"), col("fp")), "fp")
       .filter(col("doc_id1") < col("doc_id2"))

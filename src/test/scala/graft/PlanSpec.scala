@@ -195,6 +195,10 @@ class PlanSpec extends SparkTestBase {
       "the documents table must not appear in the probe plan")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pairing must be a fingerprint equi-join, never all pairs")
+    // the df cap must be an aggregated hot-list anti-join, never a
+    // per-fp window (a hot fingerprint would funnel through one task)
+    assert(!p.contains("Window"),
+      "boilerplate guard must not be a per-fp window")
   }
 
   test("q_pivot_daily pivots as two-level aggregation, no domain-discovery pass") {
