@@ -139,6 +139,25 @@ object OracleSqlGen {
        |  CAST(a = min(r) AS INTEGER) AS keep
        |FROM reach GROUP BY a""".stripMargin
 
+  /** Cluster-level survivorship: the dedup_cluster recursive CTE plus
+    * a per-cluster (n_chars DESC, doc_id) row_number — keep the
+    * longest doc of each dup cluster, ties to the lowest id. */
+  val dedupClusterSurvivor: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS ($minhashSelect),
+       |edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+       |  UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+       |reach(a, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b),
+       |clus AS (SELECT a AS doc_id, min(r) AS cluster_id FROM reach GROUP BY a),
+       |ranked AS (SELECT c.doc_id, c.cluster_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |  FROM clus c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_id, CAST(rn = 1 AS INTEGER) AS keep FROM ranked""".stripMargin
+
   /** SimHash fingerprint CTEs shared by dedup_simhash (distance to doc
     * 0) and dedup_simhash_pairs (byte-blocked pair mining). */
   private val simhashCtes: String = {

@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Dedup.clusterDups(s, d)),
+    "dedup_cluster_survivor" -> (Dedup.clusterSurvivor _),
     "dedup_containment" -> (Dedup.containment _),
     "dedup_prefix" -> (Dedup.prefixDups _),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -720,6 +721,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSqlGen.dedupSimhashPairs,
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding,
     "dedup_cluster" -> OracleSqlGen.dedupCluster,
+    "dedup_cluster_survivor" -> OracleSqlGen.dedupClusterSurvivor,
     "dedup_incremental" -> OracleSqlGen.dedupIncremental,
     "dedup_substring" -> OracleSqlGen.dedupSubstring,
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,

@@ -527,6 +527,29 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
   }
 
+  /** #104 — CLUSTER-LEVEL survivorship: [[clusterDups]] picks each
+    * cluster's minimum doc_id as its canonical label, but a real
+    * pipeline keeps the BEST document of a dup cluster, not the
+    * lowest-numbered one — here the longest (n_chars), ties to the
+    * lowest doc_id (the same rule [[survivor]] applies to exact-dup
+    * groups, lifted from md5 groups to connected components). One
+    * doc_id equi-join tags clustered docs with their length (the
+    * cluster frame is a vanishing fraction of the corpus, so AQE
+    * broadcasts it against documents), then one window per cluster —
+    * partition sizes are bounded by dup-cluster size, never corpus
+    * size. cluster_id stays the min-id label so the two cluster views
+    * agree on cluster identity. */
+  def clusterSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val clusters = clusterDups(s, dir).select("doc_id", "cluster_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters
+      .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("rn") === 1).cast("int").as("keep"))
+  }
+
   /** Hyperplane-band layout for embedding LSH blocking: EmbBands bands
     * of EmbRows sign bits each, over the shared deterministic integer
     * hyperplanes (Similarity.planeWeight). Banding trades the single

@@ -228,6 +228,23 @@ class OperatorSpec extends SparkTestBase {
     assert(langs.subsetOf(TextOps.StopWords.keySet + "und"))
   }
 
+  test("cluster survivor: exactly one keeper per cluster, the longest doc") {
+    val rows = Dedup.clusterSurvivor(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "spec corpus must contain dup clusters")
+    val nChars = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._3 == 1)
+      assert(keepers.length == 1, s"cluster $cid must keep exactly one doc")
+      // the keeper is the best (longest, ties lowest id) of the cluster
+      val best = members.map(_._1).minBy(id => (-nChars(id), id))
+      assert(keepers.head._1 == best,
+        s"cluster $cid kept ${keepers.head._1}, expected $best")
+    }
+  }
+
   test("substring pairs: every mined pair shares a real 8-token run") {
     // soundness check against the TEXT, not the fingerprints: a shared
     // sampled fingerprint must come from an identical WinK-token window
