@@ -201,6 +201,18 @@ class PlanSpec extends SparkTestBase {
       "boilerplate guard must not be a per-fp window")
   }
 
+  test("dedup_cluster_survivor joins clusters by key and windows per cluster") {
+    val p = plan("dedup_cluster_survivor")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cluster tagging must be a doc_id equi-join")
+    // the survivorship window must partition by cluster_id — an
+    // unpartitioned window would funnel every clustered doc into one task
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty, "expected the per-cluster row_number window")
+    assert(windowSpecs.forall(_.contains("cluster_id")),
+      s"every window must be keyed by cluster_id, got: ${windowSpecs.mkString("\n")}")
+  }
+
   test("q_pivot_daily pivots as two-level aggregation, no domain-discovery pass") {
     val p = plan("q_pivot_daily")
     // explicit pivot values plan as (day, event_type) partial+final agg
