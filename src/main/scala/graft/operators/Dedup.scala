@@ -325,13 +325,17 @@ object Dedup {
     * bounded by band-bucket size, never all-pairs).
     * (Jaccard is over distinct hashes; the oracle uses the identical
     * hash, so collisions — ~1e-5/pair — are mirrored exactly.)
-    * CACHE LIFETIME: `hset` is consumed by the band explode and both
-    * verify joins; the cache is released by the harnesses' per-query
-    * `clearCache()` (Verify/Bench) — a long-lived user session should
-    * clearCache (or unpersist) after materializing the result. */
+    * Both the band keys and the verify hash-sets come from the STAGED
+    * signature store ([[DedupIndex]] bands/ + hset/) — the shingle
+    * explode and minhashing are index build, paid once per corpus
+    * fingerprint, and the query is [[incremental]]'s probe shape with
+    * old = new: a columnar signature scan, the band self-join, and the
+    * exact verify over candidates. No cached frame: each consumer
+    * re-reads the column-pruned staged parquet. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val hset = minhashHset(s, dir).cache()
-    val bands = bandsOf(hset)
+    val st = DedupIndex.ensure(s, dir)
+    val bands = s.read.parquet(st.bands)
+    val hset = s.read.parquet(st.hset)
     val cand = bands.alias("x")
       .join(bands.alias("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -140,14 +140,16 @@ object Multimodal {
     * exactly what [[payloadDedup]] cannot catch. Pair mining is the
     * byte-block pigeonhole of dedup_simhash_pairs (hamming ≤ 3 ⇒ one
     * of 4 bytes matches exactly): candidates from a bounded (byte pos,
-    * value) join, bit_count verify, never all pairs. Payload bytes
-    * never shuffle — windows are hashed map-side and only (doc_id,
-    * 32-bit fingerprint) moves. Windows are 8 bytes at stride 4 (the
-    * md5-per-window cost dial: a real pipeline tunes window/stride to
-    * the medium); payloads shorter than 8 bytes have no windows and
-    * drop out (both engines). */
+    * value) join, bit_count verify, never all pairs. The fingerprints
+    * come from the STAGED [[PhashIndex]] — the O(corpus bytes) window
+    * hashing is index build, paid once per corpus fingerprint (the
+    * dedup_substring pattern), so the query never touches `payload`:
+    * it probes an 8-byte-per-doc parquet. Windows are 8 bytes at
+    * stride 4 (the md5-per-window cost dial: a real pipeline tunes
+    * window/stride to the medium); payloads shorter than 8 bytes have
+    * no windows and drop out (both engines). */
   def phashPairs(s: SparkSession, dir: String): DataFrame = {
-    val ph = phashes(s, dir)
+    val ph = s.read.parquet(PhashIndex.ensure(s, dir))
     val bands = ph.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("phash"), 8 * b).bitwiseAND(0xFF)): _*)))
@@ -173,4 +175,28 @@ object Multimodal {
       .select(col("doc_id"),
         explode(filter(sequence(lit(0L), col("n_frames") - 1),
           i => i % 3 === 0)).as("frame_no"))
+}
+
+/**
+ * Offline payload-fingerprint store for [[Multimodal.phashPairs]],
+ * staged to parquet once per corpus fingerprint: `ph/` holds
+ * (doc_id, phash) — the byte-window SimHash of every payload. The
+ * hashing is O(corpus bytes) (hex-expand + md5 per 4-byte-stride
+ * window), which is exactly the work that must never repeat per query
+ * at 100 TB: an artifact that only changes when the corpus does.
+ * Staleness safety and build atomicity come from [[Staging]] (same
+ * documents.parquet fingerprint as DedupIndex).
+ */
+object PhashIndex {
+  /** Ensure the fingerprint table exists for `dir`; builds at most
+    * once per source fingerprint. Returns the ph/ path. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val base = Staging.ensure("phash", Staging.fingerprint(dir, "documents.parquet")) { tmp =>
+      Multimodal.phashes(s, dir).write.parquet(tmp.resolve("ph").toString)
+    }
+    base.resolve("ph").toString
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
 }

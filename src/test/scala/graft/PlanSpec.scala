@@ -293,6 +293,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("documents"), "pair read must not rescan the corpus")
   }
 
+  test("dedup_minhash_lsh probes the staged signature store; no corpus re-shingle") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("graft-stage"),
+      "band keys and hash-sets must come from the staged store")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "the documents table must not appear in the probe plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the band self-join, never all pairs")
+    assert(!p.contains("InMemoryRelation"),
+      "no operator-owned cache: each consumer re-reads the staged parquet")
+  }
+
+  test("mm_phash probes the staged fingerprints; payload bytes never enter the plan") {
+    val p = plan("mm_phash")
+    assert(p.contains("graft-stage"),
+      "fingerprints must come from the staged phash store, not per-run hashing")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "the documents table (payload source) must not appear in the probe plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair mining must be the byte-block equi-join, never all pairs")
+  }
+
   test("dedup_incremental scans the corpus once (new batch) + the staged signature store") {
     val p = plan("dedup_incremental")
     assert(p.contains("graft-stage"), "old side must read the staged store")
