@@ -382,6 +382,15 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("doc_pack_bins two-level and three-level paths agree bit-for-bit") {
+    val two = TextOps.docPackBinsTwoLevel(spark, Sf).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val three = TextOps.docPackBinsThreeLevel(spark, Sf).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(two.nonEmpty && two.sameElements(three),
+      "the size gate must never change the packing")
+  }
+
   test("repetition ratio is in [0,1] and zero for short docs") {
     TextOps.repetition(spark, Sf).collect().foreach { r =>
       val (nt, nd, ratio) = (r.getAs[Long]("n_trigrams"),

@@ -262,8 +262,20 @@ class PlanSpec extends SparkTestBase {
     assert(liScans == 1, s"lineitem must be scanned once, got $liScans")
   }
 
-  test("doc_pack_bins prefix sum is three-level: partitionless window only at superchunk grain") {
+  test("doc_pack_bins below the gate runs two-level: one bounded partitionless window") {
+    // at test scale the size gate picks the two-level path — the
+    // partitionless cumulative sees ≤ PackMaxFlatChunks chunk rows
     val p = plan("doc_pack_bins")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.size == 2,
+      s"expected chunk-cumulative + doc-in-chunk windows:\n${specs.mkString("\n")}")
+    assert(specs.count(s => s.contains("chunk") && s.contains("doc_id")) == 1,
+      "the doc-grain running sum must be chunk-partitioned")
+  }
+
+  test("doc_pack_bins past the gate is three-level: partitionless window only at superchunk grain") {
+    val p = graft.operators.TextOps.docPackBinsThreeLevel(spark, Sf)
+      .queryExecution.explainString(FormattedMode)
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(specs.size == 3,
       s"expected sup-cumulative + chunk-in-sup + doc-in-chunk windows:\n${specs.mkString("\n")}")
