@@ -310,8 +310,10 @@ object OracleSqlGen {
 
   /** #98 — one Lloyd iteration: seeds = vec_id < KmK, assignment by the
     * same rounded-cosine/lowest-seed ordering as knn_label_centroid,
-    * update = per-dim mean (float-sourced double sums are exact, so
-    * group order cannot flip a bit). */
+    * update = per-dim mean over [[Similarity.KmFixScale]] fixed-point
+    * integers (exact HUGEINT sums ↔ Spark's DECIMAL(38) sums — order-
+    * independent at any cluster size), divided in the same fixed
+    * (sum / S) / n order. */
   val embKmeansStep: String =
     s"""WITH $eCte,
        |cvt AS (SELECT vec_id AS clabel, v AS cv FROM e WHERE vec_id < ${Similarity.KmK}),
@@ -320,12 +322,14 @@ object OracleSqlGen {
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${rcosSafe("e.v", "cvt.cv")} DESC, cvt.clabel) AS rn
        |  FROM e, cvt) WHERE rn = 1),
-       |byd AS (SELECT clabel AS cid, j AS dim, sum(x) AS sx, count(*) AS cnt FROM (
+       |byd AS (SELECT clabel AS cid, j AS dim,
+       |    sum(CAST(floor(x * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS sx,
+       |    count(*) AS cnt FROM (
        |    SELECT clabel, unnest(generate_series(1, 64)) AS j, unnest(v) AS x
        |    FROM assigned)
        |  GROUP BY 1, 2)
        |SELECT cid, CAST(cnt AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim,
-       |  sx / cnt AS m FROM byd""".stripMargin
+       |  (CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0) / cnt AS m FROM byd""".stripMargin
 
   /** #100 — mixture weights: equal token-budget split across sources;
     * the division chain is written in the identical order as the Spark

@@ -192,6 +192,11 @@ object Similarity {
   /** Seed-centroid count for the Lloyd-iteration operator. */
   val KmK = 8
 
+  /** Fixed-point grid for the update-step sums: components quantize to
+    * 2^-40 (≈1e-12 — far below any embedding's meaningful precision)
+    * so the per-cluster accumulation is an EXACT integer sum. */
+  val KmFixScale = 1L << 40
+
   /** #98 — one exact Lloyd iteration (spherical k-means step), the
     * clustering primitive under IVF index builds and embedding-space
     * data maps: the K seed centroids are the vectors with vec_id <
@@ -200,14 +205,16 @@ object Similarity {
     * projection knnLabelCentroid uses, and the update step computes each
     * cluster's per-dim mean with 64 map-side-combinable sums (ONE
     * shuffle of 64 partials per cluster per partition — never a
-    * posexplode of the corpus). Determinism: the inputs are float32
-    * promoted to double (24-bit mantissas), so group sums stay EXACT
-    * whenever n·2^(Δe+24) ≤ 2^53 (Δe = the components' exponent
-    * spread; measured ≈19 on the test embeddings → guaranteed for
-    * clusters up to ~10^3 members, the gate scale) — making the means
-    * order-independent and bit-identical in the DuckDB oracle
-    * (knn_label_centroid has relied on the same property across every
-    * driver run); the
+    * posexplode of the corpus). Determinism at ANY cluster size: raw
+    * double sums are only order-independent while every partial stays
+    * exactly representable (a bound a big cluster at high SF can break,
+    * making the shuffle-order-dependent sum diverge from the oracle's
+    * sequential one), so each component is floored onto the
+    * [[KmFixScale]] fixed-point grid and summed as an exact DECIMAL(38)
+    * integer — the ts_changepoint cleared-denominator trick. floor(x·S)
+    * is one deterministic double op mirrored verbatim in the oracle,
+    * integer addition commutes, and the final m = (sum / S) / n divides
+    * in a fixed order — bit-identical engines with no scale gate. The
     * assignment argmax rounds to 6 dp with ties to the lowest seed id,
     * exactly as the oracle's row_number ordering. Output: one row per
     * (cluster, dim) with the new mean + member count. */
@@ -217,12 +224,15 @@ object Similarity {
     val seeds = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("clabel"), col("v").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    val dimSums = (0 until 64).map(j => sum(element_at(col("v"), j + 1)).as(s"s$j"))
+    val dimSums = (0 until 64).map(j =>
+      sum(floor(element_at(col("v"), j + 1) * KmFixScale)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"))
     assignByFold(e, seeds)
       .groupBy(col("assigned_label").as("cid"))
       .agg(count(lit(1)).as("n_members"), dimSums: _*)
       .select(col("cid"), col("n_members"),
-        posexplode(array((0 until 64).map(j => col(s"s$j") / col("n_members")): _*)))
+        posexplode(array((0 until 64).map(j =>
+          (col(s"s$j").cast("double") / KmFixScale.toDouble) / col("n_members")): _*)))
       .select(col("cid"), col("n_members"),
         (col("pos") + 1).cast("long").as("dim"), col("col").as("m"))
   }
