@@ -114,6 +114,13 @@ final case class StoreOptions(
       * Safe under concurrent writers: the cache epoch is (pointer,
       * max write-seq), and every mutation moves one of the two. */
     kvCacheSize: Int = 256,
+    /** Largest VALUE (bytes) the kv cache will hold — the reference's
+      * kv_cache_threshold (cache.rs:23, applied at cache.rs:104: an
+      * entry at or above the threshold is served but not cached).
+      * "Cache small and frequent is better" (cache.rs doc): without
+      * the cap, kvCacheSize pathological values could pin
+      * size × valueBytes of driver heap. */
+    kvCacheThresholdBytes: Long = 1L << 20,
     /** Compressed-block LRU capacity — the reference's kc_cache
       * (cache.rs:17 kc_cache_size: key → compressed bytes). Caches a
       * key's UNDECODED blocks per (shard, bucket): a repeat point read
@@ -125,6 +132,13 @@ final case class StoreOptions(
       * key → value-log position — has no Spark analogue: there is no
       * value log.) */
     kcCacheSize: Int = 256,
+    /** Largest ENTRY (total bytes of one key's blocks in one (shard,
+      * bucket)) the kc cache will hold — the reference's
+      * kc_cache_threshold (cache.rs:25): oversized entries are served
+      * but not cached, bounding worst-case driver heap at
+      * kcCacheSize × this, entry count alone bounds nothing when one
+      * key's blocks are huge. */
+    kcCacheThresholdBytes: Long = 8L << 20,
     /** Manifest rows above which the driver-side collected prune map is
       * abandoned (the collect would not be driver-bounded); point reads
       * then prune through a filtered one-row probe of the manifest
@@ -297,6 +311,16 @@ final class HelixStore private (
   }
 
   private def acquireMutex(): Unit = {
+    // Cross-iteration stale-confirmation state: (lock bytes, mtime,
+    // first-observed-at). Staleness is confirmed by TWO observations of
+    // the SAME bytes+mtime at least one heartbeat period apart — a live
+    // holder touches mtime every period. Carrying the first observation
+    // across loop iterations means each waiter pays the confirm delay
+    // AT MOST ONCE per distinct lock state: a waiter that just lost the
+    // break race to another process sees the winner's FRESH bytes,
+    // resets this, and goes back to fast 5 ms spins instead of
+    // serializing one full confirm-sleep per waiter per retry.
+    var staleObs: Option[(String, Long, Long)] = None
     while (true) {
       // re-checked EVERY iteration: if another thread of this instance
       // won the file while we spun, we must join its hold count — not
@@ -320,25 +344,34 @@ final class HelixStore private (
             val staleMtime = Files.getLastModifiedTime(mutexFile).toMillis
             val age = System.currentTimeMillis() - staleMtime
             val ownedByUs = staleContent.contains(instanceId)
-            // Staleness must survive a CONFIRMING re-read one heartbeat
-            // period later before anyone breaks the lock: a live holder
-            // touches mtime every period, so same-bytes+same-mtime after
-            // the delay means the holder is really gone (or frozen past
-            // its entire staleness budget). This shrinks the misjudge
-            // window from "one delayed touch" to "holder stalled for
-            // lockStaleMs + a full period". The re-read→move gap below
-            // is the documented RESIDUAL race; the tombstone
-            // bytes+mtime check and the restore loop handle a fresh
-            // lock captured inside it.
-            val confirmedStale = !ownedByUs && staleContent.isDefined &&
-              age > opts.lockStaleMs && {
-                Thread.sleep(math.max(250L, opts.lockStaleMs / 3))
-                val again =
-                  try Some((new String(Files.readAllBytes(mutexFile)),
-                    Files.getLastModifiedTime(mutexFile).toMillis))
-                  catch { case _: java.io.IOException => None }
-                again == staleContent.map(c => (c, staleMtime))
+            // Staleness must survive a CONFIRMING re-observation one
+            // heartbeat period later before anyone breaks the lock: a
+            // live holder touches mtime every period, so the same
+            // bytes+mtime seen across >= one period means the holder is
+            // really gone (or frozen past its entire staleness budget).
+            // This shrinks the misjudge window from "one delayed touch"
+            // to "holder stalled for lockStaleMs + a full period". The
+            // two observations are loop iterations against the cached
+            // staleObs, not an inline sleep, so the wait interleaves
+            // with the CREATE_NEW attempts above and resets the moment
+            // the lock changes hands. The observe→move gap below is the
+            // documented RESIDUAL race; the tombstone bytes+mtime check
+            // and the restore loop handle a fresh lock captured inside
+            // it.
+            val confirmDelay = math.max(250L, opts.lockStaleMs / 3)
+            val overAge = !ownedByUs && staleContent.isDefined &&
+              age > opts.lockStaleMs
+            val confirmedStale = overAge && {
+              val cur = (staleContent.get, staleMtime)
+              val now = System.currentTimeMillis()
+              staleObs match {
+                case Some((c, m, t0)) if (c, m) == cur =>
+                  now - t0 >= confirmDelay
+                case _ =>
+                  staleObs = Some((cur._1, cur._2, now)); false
               }
+            }
+            if (!overAge) staleObs = None
             if (confirmedStale) {
               // ATOMIC break: rename the stale file to a tombstone only
               // one waiter can win. A bare delete races — two waiters
@@ -408,7 +441,10 @@ final class HelixStore private (
                 }
               } catch { case _: java.io.IOException => () } // lost the break race
             }
-            else Thread.sleep(5)
+            // Awaiting a stale confirmation, poll gently (the lock can
+            // only change hands, which resets the observation); in live
+            // contention, spin fast to win the release promptly.
+            else Thread.sleep(if (overAge) math.min(confirmDelay, 250L) else 5)
           } catch { case _: java.nio.file.NoSuchFileException => () }
       }
     }
@@ -1029,8 +1065,12 @@ final class HelixStore private (
     }
     val v = getInShardUncached(shard, key, ts, decompress)
     kvCache.synchronized {
-      // drop the result if the store moved while the job ran
-      if (kvEpoch == epoch) kvCache.put(k, v): Unit
+      // drop the result if the store moved while the job ran; an
+      // oversized value is served but never cached (reference
+      // kv_cache_threshold, cache.rs:104)
+      if (kvEpoch == epoch &&
+          v.map(_.length.toLong).getOrElse(0L) < opts.kvCacheThresholdBytes)
+        kvCache.put(k, v): Unit
     }
     v
   }
@@ -1102,16 +1142,34 @@ final class HelixStore private (
       if (hit != null) { kcHits.incrementAndGet(); return hit }
     }
     import spark.implicits._
-    val v = spark.read.parquet(dirOf(p.blocks.get).toString)
-      .filter(col("shard") === shard && col("bucket") === bucket &&
-        col("key") === lit(key))
-      .as[BinBlock].collect().toSeq
+    // `p` was captured after the caller's blockMayContain check; a
+    // concurrent pointer commit to a generation WITHOUT a block layer
+    // can land in that window. No blocks in this snapshot = no block
+    // candidates — same graceful degradation as the uncached path
+    // (rawEntries re-checks hasBlocks), not an exception.
+    val v = p.blocks match {
+      case None => Seq.empty[BinBlock]
+      case Some(g) =>
+        spark.read.parquet(dirOf(g).toString)
+          .filter(col("shard") === shard && col("bucket") === bucket &&
+            col("key") === lit(key))
+          .as[BinBlock].collect().toSeq
+    }
     kcCache.synchronized {
-      // drop the result if a compaction committed while the probe ran
-      if (kcPtr == p) kcCache.put(k, v): Unit
+      // drop the result if a compaction committed while the probe ran;
+      // an oversized entry is served but never cached (reference
+      // kc_cache_threshold, cache.rs:25)
+      if (kcPtr == p && kcEntryBytes(v) < opts.kcCacheThresholdBytes)
+        kcCache.put(k, v): Unit
     }
     v
   }
+
+  /** Heap footprint of one kc entry: payloads + the two long arrays +
+    * the key bytes, per block. */
+  private def kcEntryBytes(v: Seq[BinBlock]): Long =
+    v.foldLeft(0L)((acc, b) => acc + b.payload.length + b.key.length +
+      8L * (b.deltas.length + b.seqs.length))
 
   /** Best (seq, subseq, value) for an exact-ts match across a key's
     * cached blocks. Walks the delta-encoded timestamps first and decodes
@@ -1517,17 +1575,40 @@ final class HelixStore private (
   }
 
   def close(): Unit = {
-    // The compact prompt stops FIRST, and close() waits out an
-    // in-flight probe: a prompt firing between awaitCompactions() and
-    // compactExec.shutdown() would enqueue a compaction that still
-    // runs during shutdown — after the heartbeat stops, so it would
-    // hold _mutex with no touches and, past lockStaleMs, another
-    // instance could stale-break it mid-swap (the exact two-mutators
-    // hazard the heartbeat exists to prevent).
+    // The compact prompt stops FIRST, and close() waits until the
+    // prompt has FULLY terminated before draining: a probe still
+    // in flight when awaitCompactions() runs could enqueue a compaction
+    // AFTER the drain, and that compaction would run during shutdown —
+    // after the heartbeat stops, so it would hold _mutex with no
+    // touches and, past lockStaleMs, another instance could
+    // stale-break it mid-swap (the exact two-mutators hazard the
+    // heartbeat exists to prevent). A probe is one cheap rick-rows
+    // existence check, so the loop normally exits on its first wait;
+    // it warns each minute if a probe is wedged on a slow filesystem
+    // rather than silently accepting that hazard. Residual window: a
+    // close() interrupted mid-wait gives up the guarantee (flagged
+    // loudly below) — the caller chose to abandon the wait.
     compactPrompt.foreach { ex =>
       ex.shutdown()
-      try ex.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS): Unit
-      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      var terminated = false
+      var interrupted = false
+      while (!terminated && !interrupted) {
+        try {
+          terminated = ex.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          if (!terminated)
+            System.err.println("[helixstore] WARNING: compact prompt still " +
+              s"stopping after 60s ($root); waiting so no compaction can " +
+              "outlive the lock heartbeat")
+        } catch {
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+            interrupted = true
+            if (!ex.isTerminated)
+              System.err.println("[helixstore] WARNING: close() interrupted " +
+                s"before the compact prompt stopped ($root); an in-flight " +
+                "probe may enqueue a compaction that outlives the heartbeat")
+        }
+      }
     }
     // shutdown in finally: awaitCompactions rethrows a background
     // compaction failure, and that must not leak the executor thread

@@ -371,6 +371,33 @@ class HelixStoreSpec extends SparkTestBase {
     store.close()
   }
 
+  test("cache byte thresholds: oversized entries are served but never cached (cache.rs kv/kc_cache_threshold)") {
+    // kv threshold 1 byte: every non-empty value is "oversized", so the
+    // kv cache never holds anything and each repeat same-ts get falls
+    // through to the kc layer (observable as one kc hit per repeat).
+    // kc threshold 64 bytes: the big key's blocks exceed it and must be
+    // served without ever populating the kc cache.
+    val store = HelixStore.open(spark, tmpDir("hs-cachethresh"),
+      StoreOptions(numShards = 2, bucketSize = 100,
+        kvCacheThresholdBytes = 1, kcCacheThresholdBytes = 64))
+    val big = "x" * 100
+    store.put(entriesDF(Seq(("big", 1L, big), ("big", 2L, big),
+      ("sm", 1L, "v"), ("sm", 2L, "w"))))
+    store.blockCompact()
+    assert(store.get("big".getBytes, 1L).map(new String(_)).contains(big))
+    assert(store.get("big".getBytes, 2L).map(new String(_)).contains(big))
+    assert(store.kcHits.get() == 0,
+      "an entry over kcCacheThresholdBytes must be served without being cached")
+    assert(store.get("sm".getBytes, 1L).map(new String(_)).contains("v"))
+    assert(store.get("sm".getBytes, 1L).map(new String(_)).contains("v"))
+    assert(store.kcHits.get() == 1,
+      "a value over kvCacheThresholdBytes must not enter the kv cache " +
+        "(the repeat same-ts get should fall through to a kc hit)")
+    assert(store.get("sm".getBytes, 2L).map(new String(_)).contains("w"))
+    assert(store.kcHits.get() == 2, "small entries still cache normally")
+    store.close()
+  }
+
   test("puts proceed during a background compaction; none are lost (compact_sched analogue)") {
     val store = HelixStore.open(spark, tmpDir("hs-async"),
       StoreOptions(numShards = 2, bucketSize = 10))
