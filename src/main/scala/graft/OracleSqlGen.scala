@@ -70,6 +70,36 @@ object OracleSqlGen {
        |FROM sel a JOIN keep k ON a.fp = k.fp JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinMinShared}""".stripMargin
 
+  /** #106 — dedup spans: identical positioned window fingerprints
+    * (1-based i ↔ the Spark side's staged pos), the same 2..WinDfCap
+    * shared-df filter, then classic gaps-and-islands — a window start
+    * within WinK of the previous start keeps the island open (their
+    * token coverages overlap or adjoin), and each island reports
+    * (min start, max start + WinK − min start). All constants come
+    * from Dedup so the engines cannot drift. */
+  val dedupSpans: String =
+    s"""WITH $toksCte,
+       |hs AS (SELECT doc_id, list_transform(t, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS h
+       |  FROM toks WHERE len(t) >= ${Dedup.WinK}),
+       |win AS (SELECT doc_id, unnest(generate_series(1, len(h) - ${Dedup.WinK - 1})) AS i, h FROM hs),
+       |fpos AS (SELECT doc_id, i,
+       |    list_reduce(list_prepend(0, h[i:i+${Dedup.WinK - 1}]),
+       |      (acc, x) -> (acc * ${TextOps.RollB} + x) % ${TextOps.RollP}) AS fp
+       |  FROM win),
+       |sel AS (SELECT doc_id, i, fp FROM fpos WHERE fp % ${Dedup.WinSelMod} = 0),
+       |shared AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sel)
+       |  GROUP BY fp HAVING count(*) BETWEEN 2 AND ${Dedup.WinDfCap}),
+       |pos AS (SELECT DISTINCT s.doc_id, s.i FROM sel s JOIN shared USING (fp)),
+       |brk AS (SELECT doc_id, i,
+       |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= ${Dedup.WinK}
+       |      THEN 0 ELSE 1 END AS b
+       |  FROM pos),
+       |grp AS (SELECT doc_id, i,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM brk)
+       |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       |  CAST(max(i) + ${Dedup.WinK} - min(i) AS BIGINT) AS span_len
+       |FROM grp GROUP BY doc_id, g""".stripMargin
+
   /** MinHash+LSH candidate-pair machinery as embeddable CTE fragments,
     * shared by dedup_minhash_lsh and dedup_cluster (whose pair source
     * IS the minhash pipeline — band buckets, never the shingle join). */
@@ -331,6 +361,20 @@ object OracleSqlGen {
        |SELECT cid, CAST(cnt AS BIGINT) AS n_members, CAST(dim AS BIGINT) AS dim,
        |  (CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0) / cnt AS m FROM byd""".stripMargin
 
+  /** #109 — per-label norm stats: the same left-to-right dot fold for
+    * each row's norm, min/max as exact double SELECTION, and the mean
+    * through the KmFixScale fixed-point floor (exact HUGEINT sums ↔
+    * Spark's DECIMAL(38) — order-independent at any group size),
+    * divided in the same fixed (sum / S) / n order. */
+  val embNormStats: String =
+    s"""WITH $eCte,
+       |n AS (SELECT label, sqrt(${dot("v", "v")}) AS nrm FROM e)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+       |  (CAST(sum(CAST(floor(nrm * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS DOUBLE)
+       |     / ${Similarity.KmFixScale}.0) / count(*) AS mean_norm
+       |FROM n GROUP BY label""".stripMargin
+
   /** #100 — mixture weights: equal token-budget split across sources;
     * the division chain is written in the identical order as the Spark
     * expression so the doubles agree bit-for-bit. */
@@ -374,6 +418,67 @@ object OracleSqlGen {
        |  FROM cb, subs s, q),
        |adc AS (SELECT c.vec_id, $pivots
        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> 0 GROUP BY 1),
+       |short AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY $total, vec_id) AS rn
+       |    FROM adc) WHERE rn <= ${graft.operators.PqIndex.Shortlist}),
+       |rr AS (SELECT e.vec_id,
+       |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+       |      i -> (e.v[i] - qv[i]) * (e.v[i] - qv[i]))), (p, q) -> p + q) AS d
+       |  FROM e JOIN short USING (vec_id), q)
+       |SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS rnk
+       |FROM rr ORDER BY rnk LIMIT 10""".stripMargin
+  }
+
+  /** #105 — IVF-PQ (IVFADC) top-10: the annIvfTopk coarse machinery
+    * (per-label centroids, rounded-cosine assignment and probe) feeding
+    * the annPqTopk machinery over RESIDUALS (v − cell centroid): encode
+    * argmin by rounded subspace distance (row_number ORDER BY d, k ↔
+    * the Spark strict-< fold), per-probed-cell LUT from the query
+    * residual, ADC terms summed in the same parenthesized order, exact
+    * re-rank of the shortlist. Cell pruning is the inner join against
+    * the NProbe-row probe CTE, exactly as the Spark broadcast join. */
+  val annIvfPqTopk: String = {
+    import graft.operators.PqIndex.{Subs, SubDim, K}
+    import graft.operators.IvfPqIndex.NProbe
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, $SubDim),
+         |    i -> ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i])
+         |       * ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i]))),
+         |  (p, q) -> p + q)""".stripMargin
+    val pivots = (0 until Subs)
+      .map(su => s"max(CASE WHEN c.sub = $su THEN l.d END) AS d$su").mkString(", ")
+    val total = (0 until Subs).map(su => s"d$su").reduce((a, b) => s"($a + $b)")
+    s"""WITH $eCte,
+       |byd AS (SELECT clabel, j, sum(x) / count(*) AS m FROM (
+       |    SELECT label AS clabel, unnest(generate_series(1, 64)) AS j, unnest(v) AS x FROM e)
+       |  GROUP BY 1, 2),
+       |cvt AS (SELECT clabel, list(m ORDER BY j) AS cv FROM byd GROUP BY clabel),
+       |assigned AS (SELECT vec_id, v, clabel FROM (
+       |  SELECT e.vec_id, e.v, cvt.clabel,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${rcosSafe("e.v", "cvt.cv")} DESC, cvt.clabel) AS rn
+       |  FROM e, cvt) WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.clabel,
+       |    list_transform(generate_series(1, 64), i -> a.v[i] - cvt.cv[i]) AS r
+       |  FROM assigned a JOIN cvt ON a.clabel = cvt.clabel),
+       |rcb AS (SELECT vec_id AS k, r FROM resid WHERE vec_id < $K),
+       |subs AS (SELECT unnest(generate_series(0, ${Subs - 1})) AS sub),
+       |enc AS (SELECT resid.vec_id, s.sub, rcb.k, round(${fold("resid.r", "rcb.r")}, 6) AS d
+       |  FROM resid, subs s, rcb),
+       |codes AS (SELECT enc.vec_id, enc.sub, enc.k AS code, resid.clabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, k) AS rn
+       |    FROM enc) enc JOIN resid ON enc.vec_id = resid.vec_id WHERE enc.rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT clabel, cv FROM cvt, q
+       |  ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel LIMIT $NProbe),
+       |qr AS (SELECT probe.clabel,
+       |    list_transform(generate_series(1, 64), i -> qv[i] - cv[i]) AS r
+       |  FROM probe, q),
+       |lut AS (SELECT qr.clabel, s.sub, rcb.k AS code, ${fold("qr.r", "rcb.r")} AS d
+       |  FROM qr, subs s, rcb),
+       |adc AS (SELECT c.vec_id, $pivots
+       |  FROM codes c JOIN lut l ON l.clabel = c.clabel AND l.sub = c.sub AND l.code = c.code
        |  WHERE c.vec_id <> 0 GROUP BY 1),
        |short AS (SELECT vec_id FROM (
        |    SELECT vec_id, row_number() OVER (ORDER BY $total, vec_id) AS rn
@@ -558,6 +663,35 @@ object OracleSqlGen {
        |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
        |SELECT doc_id1, doc_id2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS ham
        |FROM cand WHERE bit_count(xor(p1, p2)) <= ${graft.operators.Multimodal.PhashMaxHam}""".stripMargin
+  }
+
+  /** #110 — incremental payload near-dup: the mm_phash machinery with
+    * the pigeonhole join restricted to new×old (doc_id mod IncrMod —
+    * the dedup_incremental batch slice), which is exactly what the
+    * Spark side reaches by fingerprinting only the new batch and
+    * probing the staged store for the old side. */
+  val mmPhashIncremental: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val simExpr = (0 until 32)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, phash, $b AS band, (phash >> ${8 * b}) & 255 AS byte FROM ph")
+      .mkString("\n  UNION ALL ")
+    s"""WITH win AS (SELECT doc_id,
+       |    substr(hex(text), 2 * i - 1, 16) AS w
+       |  FROM (SELECT doc_id, text, unnest(generate_series(1, strlen(text) - 7, 4)) AS i
+       |        FROM documents WHERE strlen(text) >= 8)),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM win),
+       |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       |ph AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS phash FROM bits),
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS old_doc_id,
+       |  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS ham
+       |FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte
+       |WHERE x.doc_id % ${Dedup.IncrMod} = ${Dedup.IncrRem}
+       |  AND y.doc_id % ${Dedup.IncrMod} <> ${Dedup.IncrRem}
+       |  AND bit_count(xor(x.phash, y.phash)) <= ${graft.operators.Multimodal.PhashMaxHam}""".stripMargin
   }
 
   val streamTumbling: String =

@@ -77,6 +77,8 @@ object SparkEntry {
     "q_corr" -> (Analytics.qCorr _),
     "ts_top_movers" -> (TimeSeriesOps.topMovers _),
     "ts_seasonal" -> (TimeSeriesOps.seasonalProfile _),
+    "ts_autocorr" -> (TimeSeriesOps.autocorr _),
+    "ts_ohlc" -> (TimeSeriesOps.ohlc _),
     // Dedup (#16-20)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_survivor" -> (Dedup.survivor _),
@@ -91,6 +93,7 @@ object SparkEntry {
     "dedup_prefix" -> (Dedup.prefixDups _),
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_substring" -> (Dedup.substringPairs _),
+    "dedup_spans" -> (Dedup.substringSpans _),
     // Similarity search (#21-23)
     "ann_topk_brute" -> (Similarity.annTopkBrute _),
     "ann_lsh_bucket" -> (Similarity.lshBucket _),
@@ -99,7 +102,9 @@ object SparkEntry {
     "ann_batch_topk" -> (Similarity.annBatchTopk _),
     "ann_range" -> (Similarity.annRange _),
     "emb_kmeans_step" -> (Similarity.kmeansStep _),
+    "emb_norm_stats" -> (Similarity.normStats _),
     "ann_pq_topk" -> (PqIndex.annPqTopk _),
+    "ann_ivfpq_topk" -> (IvfPqIndex.annIvfPqTopk _),
     // Text analysis (#24-27)
     "text_langid" -> (TextOps.langId _),
     "text_quality" -> (TextOps.quality _),
@@ -123,6 +128,7 @@ object SparkEntry {
     "mm_chunk" -> (Multimodal.chunkLayout _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
     "mm_phash" -> (Multimodal.phashPairs _),
+    "mm_phash_incremental" -> (Multimodal.phashIncremental _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
@@ -254,6 +260,42 @@ object SparkEntry {
       """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // integer-cent sums (DECIMAL(18,2)·100 → HUGEINT) make every
+    // aggregate exact; the closed-form division chain mirrors the Spark
+    // expression verbatim (the q_corr discipline)
+    "ts_autocorr" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+        |    lead(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CASE WHEN count(*) * sum(x*x) - sum(x) * sum(x) = 0
+        |         OR count(*) * sum(y*y) - sum(y) * sum(y) = 0 THEN NULL
+        |    ELSE CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+        |      (sqrt(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE)) *
+        |       sqrt(CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DOUBLE)))
+        |  END AS acf1
+        |FROM p WHERE y IS NOT NULL GROUP BY user_id""".stripMargin,
+    // open/close via the same (ts, event_id) endpoint ordering the
+    // Spark struct-min/max compares by ((ts, event_id) is unique, so
+    // the value component never decides)
+    "ts_ohlc" ->
+      """WITH r AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events),
+        |agg AS (SELECT user_id, hour_us, count(*) AS n_events,
+        |    max(value) AS high, min(value) AS low FROM r GROUP BY 1, 2)
+        |SELECT a.user_id, a.hour_us, f.value AS open, a.high, a.low,
+        |  l.value AS close, a.n_events
+        |FROM agg a
+        |JOIN (SELECT user_id, hour_us, value FROM r WHERE ra = 1) f
+        |  USING (user_id, hour_us)
+        |JOIN (SELECT user_id, hour_us, value FROM r WHERE rd = 1) l
+        |  USING (user_id, hour_us)""".stripMargin,
     "ts_top_movers" ->
       """WITH r AS (SELECT user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
@@ -724,6 +766,7 @@ object SparkEntry {
     "dedup_cluster_survivor" -> OracleSqlGen.dedupClusterSurvivor,
     "dedup_incremental" -> OracleSqlGen.dedupIncremental,
     "dedup_substring" -> OracleSqlGen.dedupSubstring,
+    "dedup_spans" -> OracleSqlGen.dedupSpans,
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,
     "ann_lsh_bucket" -> OracleSqlGen.annLshBucket,
     "knn_label_centroid" -> OracleSqlGen.knnLabelCentroid,
@@ -731,7 +774,9 @@ object SparkEntry {
     "ann_batch_topk" -> OracleSqlGen.annBatchTopk,
     "ann_range" -> OracleSqlGen.annRange,
     "emb_kmeans_step" -> OracleSqlGen.embKmeansStep,
+    "emb_norm_stats" -> OracleSqlGen.embNormStats,
     "ann_pq_topk" -> OracleSqlGen.annPqTopk,
+    "ann_ivfpq_topk" -> OracleSqlGen.annIvfPqTopk,
     "text_langid" -> OracleSqlGen.textLangid,
     "text_quality" -> OracleSqlGen.textQuality,
     "text_tokens" -> OracleSqlGen.textTokens,
@@ -775,6 +820,7 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
     "mm_phash" -> OracleSqlGen.mmPhashPairs,
+    "mm_phash_incremental" -> OracleSqlGen.mmPhashIncremental,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
   )
 }

@@ -224,7 +224,11 @@ object Dedup {
     * prefixes); only windows whose hash ≡ 0 (mod WinSelMod) are kept,
     * so the artifact stores ~1/WinSelMod of the windows yet any
     * sufficiently long shared span still lands ≥1 sampled fingerprint
-    * on both sides. O(n·WinK) map-side work, one distinct shuffle. */
+    * on both sides. Emits (doc_id, pos, fp) with pos the 1-based token
+    * index of the window start — the position column is what lets
+    * [[substringSpans]] lift pair mining to span granularity; the
+    * pair probe collapses to DISTINCT (doc_id, fp) at stage time
+    * ([[DedupIndex]] fps/ vs fpos/). O(n·WinK) map-side work. */
   private[operators] def substringFingerprints(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .withColumn("t", tokens(col("text")))
@@ -233,11 +237,12 @@ object Dedup {
         transform(col("t"),
           w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("h"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("h")) - (WinK - 1)),
+        posexplode(transform(sequence(lit(1), size(col("h")) - (WinK - 1)),
           i => aggregate(slice(col("h"), i, lit(WinK)), lit(0L),
-            (acc, x) => (acc * TextOps.RollB + x) % TextOps.RollP))).as("fp"))
+            (acc, x) => (acc * TextOps.RollB + x) % TextOps.RollP))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("fp"))
       .filter(col("fp") % WinSelMod === 0)
-      .distinct()
   }
 
   /** #103 — substring-level dup pair mining: docs sharing >= WinMinShared
@@ -263,6 +268,44 @@ object Dedup {
       .filter(col("doc_id1") < col("doc_id2"))
       .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinMinShared)
+  }
+
+  /** #106 — dedup SPAN extraction: per-doc maximal token intervals in
+    * which every token lies inside a sampled [[WinK]]-token window
+    * shared verbatim with at least one other document — the "remove
+    * the duplicated span, keep the rest of the doc" granularity real
+    * pipelines apply after pair mining (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — public; their
+    * ExactSubstr removal). Probes the POSITIONED fingerprint artifact
+    * ([[DedupIndex]] fpos/): a fingerprint is "shared" when 2..WinDfCap
+    * distinct docs carry it (the same boilerplate df cap as
+    * [[substringPairs]], mirrored in the oracle); a doc's shared window
+    * starts merge into islands wherever the next start is within WinK
+    * of the previous (their WinK-token coverages overlap or exactly
+    * adjoin, so island coverage is contiguous). Output one row per
+    * island: (doc_id, span_start, span_len), 1-based tokens.
+    *
+    * Scale shape: one fp-keyed groupBy for the df filter (map-side
+    * combinable), the shared-fp semi-join, then ONE doc_id shuffle
+    * carrying only shared window POSITIONS (≤ n_tokens/WinSelMod longs
+    * per doc) for the lag + running-sum island windows — partitions
+    * bounded by per-doc window counts, never corpus-wide. */
+  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val fpos = s.read.parquet(DedupIndex.ensure(s, dir).fpos)
+    val docFps = fpos.select("doc_id", "fp").distinct()
+    val shared = docFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinDfCap)
+      .select("fp")
+    val pos = fpos.join(shared, "fp").select("doc_id", "pos").distinct()
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    pos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byPos) <= WinK, 0L).otherwise(1L))
+      .withColumn("isl", sum("brk").over(byPos))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(WinK.toLong) - min("pos")).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
   }
 
   /** MinHash permutation family h_i(x) = (a_i*x + b_i) mod P over the

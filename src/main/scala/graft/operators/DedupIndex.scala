@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
  *           sorted by GLOBAL RARITY (document frequency asc, hash asc)
  *           — the prefix-filter ordering both exact similarity joins
  *           need, with no string in the artifact or any later shuffle
- *   fps/    (doc_id, fp)                    mod-p-sampled rolling-window
- *           fingerprints (LBFS/MOSS family) for substring-level dup
- *           mining — `dedup_substring` probes these
+ *   fpos/   (doc_id, pos, fp)               mod-p-sampled rolling-window
+ *           fingerprints (LBFS/MOSS family) WITH their 1-based window
+ *           start positions — `dedup_spans` probes these
+ *   fps/    (doc_id, fp)                    the same fingerprints
+ *           collapsed to DISTINCT doc-level sets (derived from fpos/ in
+ *           one column-pruned pass) — `dedup_substring` probes these
  *
  * Consumers: `dedup_cluster` reads `pairs` (cluster resolution is the
  * query; pair mining is index build — the same split as IvfIndex's
@@ -33,10 +36,10 @@ object DedupIndex {
 
   /** Bumped whenever the staged layout changes: a dir staged by older
     * code must not be served to code expecting new artifacts. */
-  private val LayoutVersion = "v4"
+  private val LayoutVersion = "v5"
 
   final case class StagedPaths(hset: String, bands: String, pairs: String,
-      rset: String, fps: String)
+      rset: String, fps: String, fpos: String)
 
   /** Ensure the signature store exists for `dir`; builds at most once
     * per source fingerprint. */
@@ -61,11 +64,18 @@ object DedupIndex {
           .write.parquet(tmp.resolve("pairs").toString)
       } finally hset.unpersist(): Unit
       Dedup.raritySortedSets(s, dir).write.parquet(tmp.resolve("rset").toString)
-      Dedup.substringFingerprints(s, dir).write.parquet(tmp.resolve("fps").toString)
+      Dedup.substringFingerprints(s, dir).write.parquet(tmp.resolve("fpos").toString)
+      // fps/ is the doc-level distinct projection of fpos/ — derived
+      // from the just-written artifact (a column-pruned parquet scan),
+      // never a second corpus tokenization pass
+      s.read.parquet(tmp.resolve("fpos").toString)
+        .select("doc_id", "fp").distinct()
+        .write.parquet(tmp.resolve("fps").toString)
     }
     StagedPaths(base.resolve("hset").toString,
       base.resolve("bands").toString, base.resolve("pairs").toString,
-      base.resolve("rset").toString, base.resolve("fps").toString)
+      base.resolve("rset").toString, base.resolve("fps").toString,
+      base.resolve("fpos").toString)
   }
 
   /** Test hook: see [[Staging.clear]]. */

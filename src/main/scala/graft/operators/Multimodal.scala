@@ -115,8 +115,14 @@ object Multimodal {
   /** The per-document 32-bit window SimHash feeding [[phashPairs]];
     * exposed so the spec can brute-force verify the banded mining
     * against these fingerprints directly. */
-  def phashes(s: SparkSession, dir: String): DataFrame = {
-    val hx = withPayload(s, dir)
+  def phashes(s: SparkSession, dir: String): DataFrame =
+    phashesOf(withPayload(s, dir))
+
+  /** Window-SimHash computation over an arbitrary payload frame — split
+    * out so [[phashIncremental]] can fingerprint ONLY a new batch while
+    * the corpus side reads the staged store. */
+  private def phashesOf(src: DataFrame): DataFrame = {
+    val hx = src
       .select(col("doc_id"), hex(col("payload")).as("hx"),
         octet_length(col("payload")).cast("long").as("nb"))
     val win = hx.filter(col("nb") >= 8)
@@ -148,13 +154,18 @@ object Multimodal {
     * stride 4 (the md5-per-window cost dial: a real pipeline tunes
     * window/stride to the medium); payloads shorter than 8 bytes have
     * no windows and drop out (both engines). */
-  def phashPairs(s: SparkSession, dir: String): DataFrame = {
-    val ph = s.read.parquet(PhashIndex.ensure(s, dir))
-    val bands = ph.select(col("doc_id"), col("phash"),
+  /** (doc_id, phash, band, byte) pigeonhole blocking keys of a
+    * fingerprint frame — hamming ≤ 3 over 32 bits ⇒ at least one of
+    * the 4 bytes matches exactly. */
+  private def phashBands(ph: DataFrame): DataFrame =
+    ph.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("phash"), 8 * b).bitwiseAND(0xFF)): _*)))
       .select(col("doc_id"), col("phash"),
         col("pos").as("band"), col("col").as("byte"))
+
+  def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = phashBands(s.read.parquet(PhashIndex.ensure(s, dir)))
     val x = bands.select(col("band"), col("byte"),
       col("doc_id").as("doc_id1"), col("phash").as("p1"))
     val y = bands.select(col("band"), col("byte"),
@@ -164,6 +175,30 @@ object Multimodal {
       .withColumn("ham", bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long"))
       .filter(col("ham") <= PhashMaxHam)
       .select("doc_id1", "doc_id2", "ham")
+      .distinct()
+  }
+
+  /** #110 — INCREMENTAL payload near-dup: match only a NEW batch of
+    * blobs (doc_id ≡ IncrRem mod IncrMod — the same deterministic
+    * "today's documents" slice as dedup_incremental) against the
+    * existing corpus through the staged fingerprint store. Only the new
+    * payloads are window-hashed; the corpus side reads 8 bytes per doc
+    * from [[PhashIndex]] ph/ — the daily-ingest production shape for
+    * media dedup, where re-hashing the historical corpus (O(corpus
+    * bytes)) would dwarf the batch itself. Pairing is the same bounded
+    * byte-block pigeonhole, new×old only. */
+  def phashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.IncrMod === Dedup.IncrRem
+    val oldPh = s.read.parquet(PhashIndex.ensure(s, dir)).filter(!isNew)
+    val newPh = phashesOf(withPayload(s, dir).filter(isNew))
+    val x = phashBands(newPh).select(col("band"), col("byte"),
+      col("doc_id").as("new_doc_id"), col("phash").as("p1"))
+    val y = phashBands(oldPh).select(col("band"), col("byte"),
+      col("doc_id").as("old_doc_id"), col("phash").as("p2"))
+    x.join(y, Seq("band", "byte"))
+      .withColumn("ham", bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long"))
+      .filter(col("ham") <= PhashMaxHam)
+      .select("new_doc_id", "old_doc_id", "ham")
       .distinct()
   }
 

@@ -39,8 +39,9 @@ object PqIndex {
   val K = 16
 
   /** Squared L2 distance between dims [su*8+1, su*8+8] of `v` and the
-    * same dims of `c`: strict left-to-right fold of (a−b)·(a−b). */
-  private def subDist(v: Column, c: Column, su: Column): Column =
+    * same dims of `c`: strict left-to-right fold of (a−b)·(a−b).
+    * Shared with [[IvfPqIndex]] (residual encode + LUT). */
+  private[operators] def subDist(v: Column, c: Column, su: Column): Column =
     aggregate(sequence(lit(1), lit(SubDim)), lit(0.0), (acc, i) => {
       val a = element_at(v, (su * SubDim + i).cast("int"))
       val b = element_at(c, (su * SubDim + i).cast("int"))

@@ -237,6 +237,30 @@ object Similarity {
         (col("pos") + 1).cast("long").as("dim"), col("col").as("m"))
   }
 
+  /** #109 — embedding norm distribution per label: count, min/max L2
+    * norm, mean norm — the embedding-QA health check run before any
+    * ANN indexing (collapsed or exploding norms break cosine ranking
+    * and IVF cell balance). Per-row norms are the deterministic
+    * [[dot]] fold; min/max SELECT existing doubles (exact); the mean
+    * goes through the [[KmFixScale]] fixed-point floor so the
+    * cross-row sum is an exact DECIMAL(38) integer at any group size
+    * (the kmeansStep discipline — no shuffle-order dependence), with
+    * the final (sum / S) / n division in a fixed order mirrored by the
+    * oracle. ONE map-side-combinable aggregate on the label shuffle. */
+  def normStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("nrm").as("min_norm"), max("nrm").as("max_norm"),
+        sum(floor(col("nrm") * KmFixScale)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .select(col("label"), col("n_vecs"), col("min_norm"), col("max_norm"),
+        ((col("s").cast("double") / KmFixScale.toDouble) / col("n_vecs"))
+          .as("mean_norm"))
+  }
+
   /** #23 — IVF coarse step: per-label centroid, then nearest-centroid
     * assignment by cosine (rounded to 6 dp before the argmax so the
     * cross-row float sums in the centroid can't flip an engine-boundary

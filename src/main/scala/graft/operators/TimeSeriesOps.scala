@@ -487,6 +487,55 @@ object TimeSeriesOps {
       .orderBy(abs(col("delta")).desc, col("user_id"))
       .limit(10)
 
+  /** #107 — lag-1 autocorrelation per key: how much a series predicts
+    * its own next value — the persistence signal behind seasonality
+    * detection and forecast-model selection (Holt vs naive). Consecutive
+    * (value, next value) pairs come from ONE lead window on the
+    * (ts, event_id)-ordered key shuffle (event_id tiebreak: same-ts rows
+    * would otherwise pair nondeterministically — the ts_resets lesson);
+    * the Pearson formula then runs on SIX exact sums — values scale to
+    * integer cents through DECIMAL(18,2)·100 so every sum/product is
+    * integer-exact — with ONE closed-form double expression ordered
+    * identically in the oracle (the q_corr discipline). Zero-variance
+    * keys emit NULL through the same exact-integer CASE both engines
+    * evaluate. One shuffle, map-side-combinable sums, bounded state. */
+  def autocorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    val paired = Tables.events(s, dir)
+      .withColumn("x", cents)
+      .withColumn("y", lead(cents, 1).over(w))
+      .filter(col("y").isNotNull)
+    val n = count(lit(1)).cast("decimal(19,0)")
+    val vx = n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+    val vy = n * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
+    paired.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        when(vx === 0 || vy === 0, lit(null).cast("double"))
+          .otherwise((n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y")))
+            .cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("acf1"))
+  }
+
+  /** #108 — OHLC downsampling per (key, hour): open/high/low/close +
+    * count, the candlestick rollup every market/metrics TSDB serves.
+    * Open/close are struct-ordered min/max over (ts, event_id, value) —
+    * deterministic endpoint picks with NO rank window (the ts_top_movers
+    * technique), so the whole operator is one map-side-combinable
+    * aggregate on a single (key, hour) shuffle. */
+  def ohlc(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("l"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"))
+      .select(col("user_id"), col("hour_us"), col("f.value").as("open"),
+        col("high"), col("low"), col("l.value").as("close"), col("n_events"))
+
   /** #9 — batched multi-key point get (one shuffle for the whole batch;
     * reference does N sharded gets, src/db.rs:171-196). */
   def multiGet(s: SparkSession, dir: String): DataFrame = {

@@ -89,6 +89,105 @@ class OperatorSpec extends SparkTestBase {
     assert(bad == 0, "every code must index a sub-centroid")
   }
 
+  test("ivfpq probe: high recall vs exact L2 within the probed cells; codes carry valid sub-codes") {
+    import org.apache.spark.sql.functions._
+    // The coarse quantizer bounds GLOBAL recall by construction (nprobe
+    // of ncells cells are scanned — at 100 TB that IS the point); what
+    // the IVF-PQ machinery must not lose is accuracy WITHIN the probed
+    // cells: residual quantization + the ADC shortlist vs an exact L2
+    // scan of the same cells.
+    val e = graft.core.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val (centPath, assignedPath) = IvfIndex.ensure(spark, Sf)
+    val probeCells = spark.read.parquet(centPath).crossJoin(broadcast(q))
+      .withColumn("rcos", round(Similarity.cosine(col("cv"), col("qv")), 6))
+      .orderBy(col("rcos").desc, col("clabel")).limit(IvfPqIndex.NProbe)
+      .select(col("clabel").as("assigned_label"))
+    val exact = spark.read.parquet(assignedPath)
+      .join(broadcast(probeCells), "assigned_label")
+      .filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("d", aggregate(
+        zip_with(col("v"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy("d", "vec_id").limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = IvfPqIndex.annIvfPqTopk(spark, Sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val hit = exact.intersect(got).size
+    assert(hit >= 8,
+      s"IVF-PQ recall $hit/10 vs exact L2 in the probed cells — residual quantizer or shortlist degraded")
+    // every vector is coded once, with its cell and Subs codes in [0, K)
+    val codes = spark.read.parquet(IvfPqIndex.ensure(spark, Sf).codes)
+    assert(codes.count() == e.count())
+    val bad = (0 until PqIndex.Subs).map(su =>
+      codes.filter(col(s"code$su") < 0 || col(s"code$su") >= PqIndex.K).count()).sum
+    assert(bad == 0, "every code must index a residual sub-centroid")
+  }
+
+  test("ohlc: low <= open/close <= high, endpoints are real values of the bucket") {
+    val rows = TimeSeriesOps.ohlc(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h,
+        s"OHLC ordering violated: open=$o high=$h low=$l close=$c")
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    // single-event buckets must have open == close == high == low
+    rows.filter(_.getAs[Long]("n_events") == 1).foreach { r =>
+      assert(r.getAs[Double]("open") == r.getAs[Double]("close") &&
+        r.getAs[Double]("high") == r.getAs[Double]("low"))
+    }
+  }
+
+  test("autocorr: coefficients lie in [-1, 1]; pair counts match event counts minus one") {
+    val rows = TimeSeriesOps.autocorr(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("acf1"))) {
+        val a = r.getAs[Double]("acf1")
+        assert(a >= -1.0000001 && a <= 1.0000001, s"acf1 $a outside [-1,1]")
+      }
+    }
+    val byKey = graft.core.Tables.events(spark, Sf)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == byKey(r.getAs[Long]("user_id")) - 1,
+        "every consecutive pair of a key's series must be counted exactly once")
+    }
+  }
+
+  test("mm_phash_incremental equals the full pair mining restricted to new x old") {
+    val full = Multimodal.phashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def isNew(id: Long) = id % Dedup.IncrMod == Dedup.IncrRem
+    // phashPairs orders doc_id1 < doc_id2; restrict + reorient to (new, old)
+    val expected = full.flatMap { case (a, b, h) =>
+      if (isNew(a) && !isNew(b)) Some((a, b, h))
+      else if (isNew(b) && !isNew(a)) Some((b, a, h))
+      else None
+    }.toSet
+    val got = Multimodal.phashIncremental(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"incremental diverged from restricted full mining: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("emb_norm_stats: counts cover the corpus; min <= mean <= max per label") {
+    val rows = Similarity.normStats(spark, Sf).collect()
+    val total = graft.core.Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val (lo, m, hi) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("mean_norm"), r.getAs[Double]("max_norm"))
+      // the fixed-point floor can pull the mean below min by < 2^-40
+      assert(lo - 1e-9 <= m && m <= hi + 1e-9, s"norm stats ordering violated: $lo $m $hi")
+    }
+  }
+
   test("ann topk: 10 distinct neighbours ranked 1..10, none the query itself") {
     val rows = Similarity.annTopkBrute(spark, Sf).collect()
     assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 10))
@@ -261,6 +360,65 @@ class OperatorSpec extends SparkTestBase {
     pairs.foreach { case (a, b) =>
       assert(wins(a).intersect(wins(b)).nonEmpty,
         s"pair ($a,$b) mined without an actual shared ${Dedup.WinK}-token run")
+    }
+  }
+
+  test("dedup spans: match an independent recomputation; every covered window is a literal shared run") {
+    val spans = Dedup.substringSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans.nonEmpty, "spec corpus must contain dup spans")
+    // full driver-side recomputation from RAW TEXT (no shared code with
+    // the operator): sampled Rabin-Karp window fingerprints, the
+    // 2..WinDfCap shared-df filter, gaps-and-islands merge
+    val toks = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def tokHash(w: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    // doc -> (1-based window start -> fp), sampled windows only
+    val sampled: Map[Long, Map[Int, Long]] = toks.map { case (id, t) =>
+      id -> (1 to t.length - Dedup.WinK + 1).flatMap { i =>
+        val fp = t.slice(i - 1, i - 1 + Dedup.WinK)
+          .foldLeft(0L)((acc, w) => (acc * TextOps.RollB + tokHash(w)) % TextOps.RollP)
+        if (fp % Dedup.WinSelMod == 0) Some(i -> fp) else None
+      }.toMap
+    }
+    val df = sampled.toSeq.flatMap { case (id, m) => m.values.toSet.map((_: Long) -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).distinct.size }
+    val sharedFp = df.filter { case (_, n) => n >= 2 && n <= Dedup.WinDfCap }.keySet
+    val expected = sampled.toSeq.flatMap { case (id, m) =>
+      val ps = m.collect { case (i, fp) if sharedFp(fp) => i }.toSeq.sorted
+      // islands: next start within WinK of the previous keeps coverage contiguous
+      val islands = ps.foldLeft(List.empty[(Int, Int)]) {
+        case ((lo, hi) :: rest, p) if p - hi <= Dedup.WinK => (lo, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      islands.map { case (lo, hi) => (id, lo.toLong, (hi + Dedup.WinK - lo).toLong) }
+    }.toSet
+    assert(spans == expected,
+      s"spans diverged: missing=${(expected -- spans).take(5)} extra=${(spans -- expected).take(5)}")
+    // soundness against the TEXT: every token of every span lies inside
+    // a sampled window whose literal WinK-token run appears verbatim in
+    // at least one OTHER document (md5/rabin collisions aside, fp
+    // equality implies it — assert the literal form directly)
+    val winsByFp = sampled.toSeq.flatMap { case (id, m) =>
+      m.collect { case (i, fp) if sharedFp(fp) =>
+        (fp, id, toks(id).slice(i - 1, i - 1 + Dedup.WinK).toSeq) }
+    }.groupBy(_._1)
+    spans.foreach { case (id, start, len) =>
+      val covered = sampled(id).collect {
+        case (i, fp) if sharedFp(fp) && i >= start && i <= start + len - Dedup.WinK => (i, fp)
+      }
+      (start until start + len).foreach { p =>
+        assert(covered.exists { case (i, _) => p >= i && p <= i + Dedup.WinK - 1 },
+          s"token $p of span ($id,$start,$len) not covered by any shared window")
+      }
+      covered.foreach { case (i, fp) =>
+        val run = toks(id).slice(i.toInt - 1, i.toInt - 1 + Dedup.WinK).toSeq
+        assert(winsByFp(fp).exists { case (_, oid, w) => oid != id && w == run },
+          s"window at $i of doc $id has no literal match in another doc")
+      }
     }
   }
 

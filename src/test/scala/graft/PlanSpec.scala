@@ -129,6 +129,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("windowspecdefinition"), "no rank window may survive")
   }
 
+  test("dedup_spans probes the staged positioned fingerprints; island windows partition by doc") {
+    val p = plan("dedup_spans")
+    assert(p.contains("graft-stage"),
+      "must read the staged fpos artifact, never re-tokenize the corpus")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+      s"the lag/island windows must partition by doc_id:\n${specs.mkString("\n")}")
+  }
+
+  test("ann_ivfpq_topk scans only probed cells' codes; raw vectors fetched for the shortlist only") {
+    val p = plan("ann_ivfpq_topk")
+    assert(p.contains("graft-stage"), "must read the staged IVF-PQ code table, not re-encode")
+    assert(p.contains("TakeOrderedAndProject"), "both ranking stages must be top-k, not global sorts")
+    assert(!p.contains("SortMergeJoin"),
+      "the LUT rows and the shortlist must broadcast — the code table never co-shuffles")
+    assert(!p.contains("windowspecdefinition"), "no rank window may survive in the probe path")
+  }
+
   test("ts_changepoint shares one key shuffle across all windows; no join anywhere") {
     val p = plan("ts_changepoint")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
