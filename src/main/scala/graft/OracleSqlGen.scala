@@ -375,6 +375,25 @@ object OracleSqlGen {
        |     / ${Similarity.KmFixScale}.0) / count(*) AS mean_norm
        |FROM n GROUP BY label""".stripMargin
 
+  /** #112 — power-iteration matvec y = (VᵀV)x: the same shared-fold
+    * dot per row, each (s·v_j) contribution floored onto the KmFixScale
+    * grid (exact HUGEINT sums ↔ Spark's DECIMAL(38) — order-independent
+    * at any corpus size), divided back in the same fixed order. The
+    * unnest pair zips positionally, exactly like the kmeans oracle. */
+  val embPowerIter: String =
+    s"""WITH $eCte,
+       |x AS (SELECT v AS xv FROM e WHERE vec_id = 0),
+       |sc AS (SELECT e.vec_id, e.v, ${dot("e.v", "x.xv")} AS s FROM e, x),
+       |byd AS (SELECT j,
+       |    sum(CAST(floor((s * c) * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS sx,
+       |    count(*) AS n
+       |  FROM (SELECT s, unnest(generate_series(1, 64)) AS j, unnest(v) AS c FROM sc)
+       |  GROUP BY j)
+       |SELECT CAST(j AS BIGINT) AS dim,
+       |  CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0 AS y,
+       |  CAST(n AS BIGINT) AS n_vecs
+       |FROM byd""".stripMargin
+
   /** #100 — mixture weights: equal token-budget split across sources;
     * the division chain is written in the identical order as the Spark
     * expression so the doubles agree bit-for-bit. */

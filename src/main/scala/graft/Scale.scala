@@ -58,6 +58,12 @@ object Scale {
       time("text_repetition")(TextOps.repetition(spark, dir).count())
       time("q_histogram")(Analytics.qHistogram(spark, dir).count())
       time("ts_top_movers")(TimeSeriesOps.topMovers(spark, dir).count())
+      time("ts_autocorr")(TimeSeriesOps.autocorr(spark, dir).count())
+      time("ts_ohlc")(TimeSeriesOps.ohlc(spark, dir).count())
+      time("emb_norm_stats")(Similarity.normStats(spark, dir).count())
+      time("dedup_spans")(Dedup.substringSpans(spark, dir).count())
+      time("ann_ivfpq_topk")(IvfPqIndex.annIvfPqTopk(spark, dir).count())
+      time("mm_phash_incremental")(Multimodal.phashIncremental(spark, dir).count())
     }
     spark.stop()
   }

@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_range" -> (Similarity.annRange _),
     "emb_kmeans_step" -> (Similarity.kmeansStep _),
     "emb_norm_stats" -> (Similarity.normStats _),
+    "emb_power_iter" -> (Similarity.powerIter _),
     "ann_pq_topk" -> (PqIndex.annPqTopk _),
     "ann_ivfpq_topk" -> (IvfPqIndex.annIvfPqTopk _),
     // Text analysis (#24-27)
@@ -114,6 +115,7 @@ object SparkEntry {
     "text_bigrams" -> (TextOps.bigrams _),
     "text_top_term" -> (TextOps.topTerm _),
     "pipeline_curate" -> (TextOps.curate _),
+    "pipeline_funnel" -> (TextOps.funnel _),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "text_scrub_digits" -> (TextOps.scrubDigits _),
     "text_scrub_pii" -> (TextOps.scrubPii _),
@@ -756,6 +758,18 @@ object SparkEntry {
          |FROM (${OracleSqlGen.textLangid}) l
          |JOIN (${OracleSqlGen.textQuality}) q ON l.doc_id = q.doc_id
          |JOIN ($SurvivorSql) s ON l.doc_id = s.doc_id""".stripMargin,
+    "pipeline_funnel" ->
+      s"""SELECT count(*) AS n_total,
+         |  CAST(sum(CASE WHEN s.keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivor,
+         |  CAST(sum(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+         |  CAST(sum(CASE WHEN q.n_tokens >= 10 AND q.stop_ratio >= 0.1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN s.keep = 1 AND l.pred_lang = 'en'
+         |    AND q.n_tokens >= 10 AND q.stop_ratio >= 0.1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM (${OracleSqlGen.textLangid}) l
+         |JOIN (${OracleSqlGen.textQuality}) q ON l.doc_id = q.doc_id
+         |JOIN ($SurvivorSql) s ON l.doc_id = s.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> OracleSqlGen.dedupNgramJaccard,
     "dedup_containment" -> OracleSqlGen.dedupContainment,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,
@@ -775,6 +789,7 @@ object SparkEntry {
     "ann_range" -> OracleSqlGen.annRange,
     "emb_kmeans_step" -> OracleSqlGen.embKmeansStep,
     "emb_norm_stats" -> OracleSqlGen.embNormStats,
+    "emb_power_iter" -> OracleSqlGen.embPowerIter,
     "ann_pq_topk" -> OracleSqlGen.annPqTopk,
     "ann_ivfpq_topk" -> OracleSqlGen.annIvfPqTopk,
     "text_langid" -> OracleSqlGen.textLangid,

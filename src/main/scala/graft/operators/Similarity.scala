@@ -261,6 +261,34 @@ object Similarity {
           .as("mean_norm"))
   }
 
+  /** #112 — one POWER-ITERATION step toward the corpus's dominant
+    * principal direction: y = Σ_i (v_i·x)·v_i = (VᵀV)x for the seed
+    * x = vec 0's embedding — the matvec under PCA/whitening/de-biasing
+    * of embedding spaces (anisotropy correction), expressed as pure
+    * map-side work + 64 combinable sums. Per row, s = v·x is the
+    * deterministic shared-fold dot and each dim contribution (s·v_j)
+    * floors onto the [[KmFixScale]] grid, so the cross-row sums are
+    * exact DECIMAL(38)/HUGEINT integers — order-independent at any
+    * corpus size (the kmeansStep discipline; normalization is a scalar
+    * that doesn't change the direction, so the raw matvec is the
+    * oracle-stable output). ONE shuffle of 64 partials per partition. */
+  def powerIter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val x = e.filter(col("vec_id") === 0).select(col("v").as("xv"))
+    val dimSums = (0 until 64).map(j =>
+      sum(floor((col("s") * element_at(col("v"), j + 1)) * KmFixScale)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"))
+    e.crossJoin(broadcast(x))
+      .withColumn("s", dot(col("v"), col("xv")))
+      .agg(count(lit(1)).as("n_vecs"), dimSums: _*)
+      .select(col("n_vecs"),
+        posexplode(array((0 until 64).map(j =>
+          col(s"s$j").cast("double") / KmFixScale.toDouble): _*)))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("y"),
+        col("n_vecs"))
+  }
+
   /** #23 — IVF coarse step: per-label centroid, then nearest-centroid
     * assignment by cosine (rounded to 6 dp before the argmax so the
     * cross-row float sums in the centroid can't flip an engine-boundary

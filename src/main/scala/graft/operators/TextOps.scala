@@ -169,6 +169,27 @@ object TextOps {
           col("n_tokens") >= 10 && col("stop_ratio") >= 0.1).cast("int").as("kept"))
   }
 
+  /** #111 — curation FUNNEL report: how many docs clear each stage of
+    * the [[curate]] filter (dedup survivorship, language ID, quality
+    * floors) and the final keep count — the observability row every
+    * production pipeline logs per corpus build to catch a filter
+    * suddenly eating the dataset. Same three doc-keyed frames as
+    * curate, collapsed to ONE row of conditional counts (map-side
+    * combinable; the output is 5 integers at any corpus scale). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val lang = langId(s, dir)
+    val q = quality(s, dir).select(col("doc_id"), col("n_tokens"), col("stop_ratio"))
+    val surv = Dedup.survivor(s, dir).select(col("doc_id"), col("keep"))
+    val isQual = col("n_tokens") >= 10 && col("stop_ratio") >= 0.1
+    lang.join(q, "doc_id").join(surv, "doc_id")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep") === 1, 1L).otherwise(0L)).as("n_survivor"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_lang_en"),
+        sum(when(isQual, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("keep") === 1 && col("pred_lang") === "en" && isQual,
+          1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** #86 — PII scrubbing: mask email addresses then long digit runs
     * (id/phone-shaped), report per-doc counts and the cleaned content
     * hash — the redaction pass before corpus release, one codegen'd

@@ -188,6 +188,43 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_funnel counts agree with pipeline_curate and are stage-monotone") {
+    val r = TextOps.funnel(spark, Sf).head()
+    val total = r.getAs[Long]("n_total")
+    val kept = r.getAs[Long]("n_kept")
+    assert(total == graft.core.Tables.documents(spark, Sf).count())
+    assert(kept == TextOps.curate(spark, Sf).filter(col("kept") === 1).count(),
+      "the funnel's final stage must equal curate's keep count")
+    Seq("n_survivor", "n_lang_en", "n_quality").foreach { c =>
+      val n = r.getAs[Long](c)
+      assert(kept <= n && n <= total, s"$c=$n outside [kept=$kept, total=$total]")
+    }
+  }
+
+  test("emb_power_iter equals an exact driver-side recomputation of (V'V)x") {
+    val rows = graft.core.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val x = rows.find(_._1 == 0L).get._2
+    def dotf(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val S = Similarity.KmFixScale.toDouble
+    val sums = Array.fill(64)(0L)
+    rows.foreach { case (_, v) =>
+      val s = dotf(v, x)
+      (0 until 64).foreach(j => sums(j) += math.floor((s * v(j)) * S).toLong)
+    }
+    val expected = (1 to 64).map(j => j.toLong -> sums(j - 1).toDouble / S).toMap
+    val got = Similarity.powerIter(spark, Sf).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Double]("y")).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (d, y) =>
+      assert(got(d) == y, s"dim $d: got ${got(d)}, expected $y (must be bit-exact)")
+    }
+  }
+
   test("ann topk: 10 distinct neighbours ranked 1..10, none the query itself") {
     val rows = Similarity.annTopkBrute(spark, Sf).collect()
     assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 10))

@@ -147,6 +147,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("windowspecdefinition"), "no rank window may survive in the probe path")
   }
 
+  test("ts_autocorr pairs on the key shuffle and aggregates without a join") {
+    val p = plan("ts_autocorr")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"the lead window must partition by the key:\n${specs.mkString("\n")}")
+    assert(!p.contains("Join"), "the six sums must come from one aggregate, not a join-back")
+  }
+
+  test("emb_norm_stats is one combinable aggregate: no window, no join, partial+final") {
+    val p = plan("emb_norm_stats")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-label stats must aggregate map-side before the label exchange")
+  }
+
   test("ts_changepoint shares one key shuffle across all windows; no join anywhere") {
     val p = plan("ts_changepoint")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
