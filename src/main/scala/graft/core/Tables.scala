@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md). */
 object Tables {
@@ -26,6 +26,11 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // µs parquet written with isAdjustedToUTC=false reads as NTZ; all
+      // engine sessions run in UTC, so the cast is a pure re-tag (the
+      // stored µs value is unchanged and unix_micros agrees with DuckDB).
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
@@ -51,6 +56,14 @@ object Tables {
         val hi = hiUs.map(us => col("ts") < us * 1000L).getOrElse(lit(true))
         df.filter(lo && hi)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Bound literals fold to NTZ constants (UTC sessions), so the
+        // comparison still reaches the scan as a pushed INT64 filter.
+        def ntz(us: Long) = timestamp_micros(lit(us)).cast("timestamp_ntz")
+        val lo = loUs.map(us => col("ts") >= ntz(us)).getOrElse(lit(true))
+        val hi = hiUs.map(us => col("ts") < ntz(us)).getOrElse(lit(true))
+        df.filter(lo && hi)
+          .withColumn("ts", col("ts").cast("timestamp"))
       case _ =>
         val lo = loUs.map(us => col("ts") >= timestamp_micros(lit(us))).getOrElse(lit(true))
         val hi = hiUs.map(us => col("ts") < timestamp_micros(lit(us))).getOrElse(lit(true))
