@@ -24,6 +24,7 @@ object Bench {
         () => operators.DedupIndex.ensure(spark, sfDir),
         () => operators.IvfIndex.ensure(spark, sfDir),
         () => operators.PqIndex.ensure(spark, sfDir),
+        () => operators.IvfPqIndex.ensure(spark, sfDir),
         () => operators.PhashIndex.ensure(spark, sfDir)))
       try build() catch { case _: Throwable => () }
     // best-of-2 per query: the second run has warm codegen/JIT, so the

@@ -62,6 +62,10 @@ object SparkEntry {
     "q21_late_supplier" -> (Analytics.q21LateSupplier _),
     "q19_disjunctive" -> (Analytics.q19Disjunctive _),
     "q22_opportunity" -> (Analytics.q22Opportunity _),
+    "q2_min_cost_supp" -> (Analytics.q2MinCostSupp _),
+    "q11_important_parts" -> (Analytics.q11ImportantParts _),
+    "q16_supplier_count" -> (Analytics.q16SupplierCount _),
+    "q20_dominant_supp" -> (Analytics.q20DominantSupp _),
     "q_pivot_daily" -> (Analytics.qPivotDaily _),
     "ts_zscore" -> (TimeSeriesOps.zscore _),
     "ts_interp_linear" -> (TimeSeriesOps.interpLinear _),
@@ -671,6 +675,64 @@ object SparkEntry {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    // arg-min via row_number ordered exactly as the Spark struct-min:
+    // (integer min cents, suppkey) — deterministic ties
+    "q2_min_cost_supp" ->
+      """WITH es AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ps AS (
+        |  SELECT l_partkey, p_size, l_suppkey, s_name, n_name,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_pc
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN es ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT l_partkey AS p_partkey, p_size,
+        |  CAST(min_pc AS DOUBLE) / 100.0 AS min_price,
+        |  l_suppkey AS s_suppkey, s_name, n_name
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY min_pc, l_suppkey) AS rn FROM ps)
+        |WHERE rn = 1""".stripMargin,
+    // HAVING compares EXACT decimals (value*1000 > total) on both sides
+    "q11_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS val_dec
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_0')
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        |FROM pp WHERE val_dec * 1000 > (SELECT sum(val_dec) FROM pp)""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_size % 10 AS size_class,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
+    // dominance compares exact integer cents: qty*2 > part total
+    "q20_dominant_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(qty_c) AS total_c, count(*) AS n_supp
+        |  FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_parts_dominated FROM (
+        |  SELECT ps.l_suppkey, count(*) AS n_parts_dominated
+        |  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+        |  WHERE pt.n_supp > 1 AND ps.qty_c * 2 > pt.total_c
+        |  GROUP BY 1) d
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
     "q_pivot_daily" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

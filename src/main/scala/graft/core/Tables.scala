@@ -18,6 +18,14 @@ object Tables {
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     try { if (s.conf.getOption(k).forall(_ != "true")) s.conf.set(k, "true") }
     catch { case _: Throwable => () }
+    // The NTZ→TIMESTAMP re-tag below (and eventsRange's NTZ bound
+    // literals) is value-preserving ONLY under a UTC session; pin it
+    // here so an external caller with a non-UTC session can't get
+    // silently shifted timestamps. All in-repo entrypoints already set
+    // UTC, so for them this is a no-op.
+    val tz = "spark.sql.session.timeZone"
+    try { if (s.conf.getOption(tz).forall(_ != "UTC")) s.conf.set(tz, "UTC") }
+    catch { case _: Throwable => () }
   }
 
   def events(s: SparkSession, d: String): DataFrame = {

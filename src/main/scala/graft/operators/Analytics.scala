@@ -697,4 +697,124 @@ object Analytics {
       .agg(count(lit(1)).as("n_cust"),
         sum(dec("c_acctbal")).cast("double").as("total_bal"))
   }
+
+  /** Exact integer cents from a money double — the cross-engine-safe
+    * currency unit (DECIMAL(18,2) is exact; ×100 → BIGINT). */
+  private def cents(c: String): Column = (dec(c) * 100).cast("long")
+
+  /** #113 — TPC-H Q2-style min-cost supplier (adapted: no partsupp
+    * table, so "cost" is the cheapest OBSERVED line price): for each
+    * PROMO-type part sold by a European supplier, the supplier offering
+    * the minimum per-line price. The per-(part, supplier) min is a
+    * map-side-combinable integer-cents agg on the ONE fact shuffle
+    * (partkey); the per-part arg-min is a struct-ordered min on the
+    * same key — no rank window, no second shuffle (both aggs hash on
+    * l_partkey; ties break to the lowest suppkey inside the struct
+    * order). Dims broadcast; region/nation prune suppliers BEFORE the
+    * fact join so the fact rows of other regions never aggregate. */
+  def q2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey", "p_size")
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val perSupp = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), cents("l_extendedprice").as("pc"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "p_size", "l_suppkey", "s_name", "n_name")
+      .agg(min(col("pc")).as("min_pc"))
+    perSupp
+      .groupBy(col("l_partkey").as("p_partkey"), col("p_size"))
+      .agg(min(struct(col("min_pc"), col("l_suppkey"), col("s_name"),
+        col("n_name"))).as("best"))
+      .select(col("p_partkey"), col("p_size"),
+        (col("best.min_pc").cast("double") / 100.0).as("min_price"),
+        col("best.l_suppkey").as("s_suppkey"),
+        col("best.s_name").as("s_name"), col("best.n_name").as("n_name"))
+  }
+
+  /** #114 — TPC-H Q11-style important stock (adapted: "value" is
+    * discounted revenue instead of availqty·supplycost): parts whose
+    * revenue from NATION_0's suppliers exceeds 0.1% of that nation's
+    * total. Supplier keys of the nation broadcast to the fact scan
+    * (map-side semi filter); ONE fact shuffle on partkey; the total is
+    * the 1-row re-agg of the per-part frame broadcast back. The HAVING
+    * compare runs on EXACT decimals (part_value·1000 > total) so no
+    * float ordering can flip a borderline part. */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_0")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(s, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .as("val_dec"))
+    val total = perPart.agg(sum(col("val_dec")).as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("val_dec") * 1000 > col("total_dec"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("val_dec").cast("double").as("part_value"))
+  }
+
+  /** #115 — TPC-H Q16-style supplier-count-per-part-class (adapted:
+    * supplier↔part pairs come from OBSERVED lineitems instead of
+    * partsupp; "customer complaints" is a negative account balance):
+    * distinct supplier counts per (brand, size-class), excluding one
+    * brand and flagged suppliers. Part attrs broadcast to the fact
+    * scan; flagged suppliers are a broadcast anti-join BEFORE the
+    * distinct so excluded rows never shuffle; the distinct pair set
+    * reduces on (brand, class, suppkey) and the final count is a plain
+    * combinable agg — two narrow shuffles over an already-collapsed
+    * frame, never over raw facts. */
+  def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#13")
+      .select(col("p_partkey"), col("p_brand"),
+        (col("p_size") % 10).as("size_class"))
+    val flagged = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select("p_brand", "size_class", "l_suppkey").distinct()
+      .groupBy("p_brand", "size_class")
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  /** #116 — TPC-H Q20-style supply concentration (adapted: the
+    * availqty>half-of-shipped predicate becomes its observable twin):
+    * suppliers who shipped MORE THAN HALF of some PROMO part's 1995
+    * volume — the single-source-risk report. Per-(part, supplier)
+    * quantity sums are combinable on the one fact shuffle (partkey);
+    * the per-part total is the re-agg of that same frame (no second
+    * fact scan) joined back on partkey (AQE broadcasts it); dominance
+    * compares exact integer cents·2 > total so both engines agree on
+    * borderline halves. Output is per supplier with the count of parts
+    * they dominate. */
+  def q20DominantSupp(s: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val perPS = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(cents("l_quantity")).as("qty_c"))
+    val perPart = perPS.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("qty_c")).as("total_c"), count(lit(1)).as("n_supp"))
+    perPS.join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("n_supp") > 1 && col("qty_c") * 2 > col("total_c"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts_dominated"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_parts_dominated")
+  }
 }
