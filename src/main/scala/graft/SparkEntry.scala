@@ -127,6 +127,10 @@ object SparkEntry {
     "doc_pack_bins" -> (TextOps.docPackBins _),
     "text_decontaminate" -> (TextOps.decontaminate _),
     "doc_mix_weights" -> (TextOps.mixWeights _),
+    "text_gopher_rules" -> (TextOps.gopherRules _),
+    "doc_shard_assign" -> (TextOps.shardAssign _),
+    "emb_quantize_sq" -> (Similarity.quantizeSq _),
+    "ts_histogram_quantile" -> (TimeSeriesOps.histogramQuantile _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -879,6 +883,93 @@ object SparkEntry {
     "doc_pack_bins" -> OracleSqlGen.docPackBins,
     "text_decontaminate" -> OracleSqlGen.textDecontaminate,
     "doc_mix_weights" -> OracleSqlGen.docMixWeights,
+    // every ratio compares as an integer cross-product (no float divs)
+    "text_gopher_rules" ->
+      """WITH g AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+        |      AS BIGINT) AS n_tok_chars,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[#*>|=_~]', '', 'g')) AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(t,
+        |      x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop
+        |  FROM g)
+        |SELECT doc_id, n_words,
+        |  CAST(n_words >= 10 AND n_words <= 100000 AS INTEGER) AS ok_words,
+        |  CAST(n_tok_chars >= 3 * n_words AND n_tok_chars <= 10 * n_words
+        |    AS INTEGER) AS ok_mean_len,
+        |  CAST(n_sym * 100 < 10 * n_words AS INTEGER) AS ok_symbols,
+        |  CAST(n_stop >= 2 AS INTEGER) AS ok_stops,
+        |  CAST(n_words >= 10 AND n_words <= 100000
+        |    AND n_tok_chars >= 3 * n_words AND n_tok_chars <= 10 * n_words
+        |    AND n_sym * 100 < 10 * n_words AND n_stop >= 2 AS INTEGER) AS keep
+        |FROM m""".stripMargin,
+    "doc_shard_assign" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |      AS n_toks
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM d GROUP BY 1""".stripMargin,
+    // quantize/reconstruct/error chains parenthesized exactly as the
+    // Spark side; per-row error sums floor onto the 2^40 fixed-point
+    // grid so cross-row sums are exact integers
+    "emb_quantize_sq" ->
+      """WITH v AS (SELECT label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |mm AS (SELECT min(list_min(e)) AS lo, max(list_max(e)) AS hi FROM v),
+        |p AS (SELECT label,
+        |    list_transform(e, x -> x - (lo +
+        |      ((least(255.0, greatest(0.0, floor(((x - lo) * 255) / (hi - lo))))
+        |        + 0.5) * (hi - lo)) / 255)) AS errs
+        |  FROM v CROSS JOIN mm),
+        |r AS (SELECT label,
+        |    CAST(list_sum(list_transform(errs,
+        |      er -> CAST(floor((er * er) * 1099511627776) AS BIGINT))) AS HUGEINT)
+        |      AS sse_fix,
+        |    list_max(list_transform(errs, er -> abs(er))) AS max_abs
+        |  FROM p)
+        |SELECT label, count(*) AS n_vecs,
+        |  (CAST(sum(sse_fix) AS DOUBLE) / 1099511627776) / (count(*) * 64) AS mse,
+        |  max(max_abs) AS max_abs_err
+        |FROM r GROUP BY 1""".stripMargin,
+    // bucket selection compares integers (10*cum >= 9*total); the
+    // interpolation division chain mirrors the Spark when()-chain
+    // lowest-bucket-first
+    "ts_histogram_quantile" ->
+      """WITH a AS (SELECT event_type, count(*) AS total,
+        |  CAST(sum(CASE WHEN value <= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |  CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |  CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |  CAST(sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+        |  CAST(sum(CASE WHEN value <= 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS c6
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, total, c0, c1, c2, c3, c4, c5, c6,
+        |  CASE
+        |  WHEN c0 * 10 >= total * 9 AND c0 - 0 > 0 THEN
+        |    0.0 + (((total * 9) / 10.0 - CAST(0 AS DOUBLE)) / CAST(c0 - 0 AS DOUBLE)) * (5.0 - 0.0)
+        |  WHEN c1 * 10 >= total * 9 AND c1 - c0 > 0 THEN
+        |    5.0 + (((total * 9) / 10.0 - CAST(c0 AS DOUBLE)) / CAST(c1 - c0 AS DOUBLE)) * (10.0 - 5.0)
+        |  WHEN c2 * 10 >= total * 9 AND c2 - c1 > 0 THEN
+        |    10.0 + (((total * 9) / 10.0 - CAST(c1 AS DOUBLE)) / CAST(c2 - c1 AS DOUBLE)) * (25.0 - 10.0)
+        |  WHEN c3 * 10 >= total * 9 AND c3 - c2 > 0 THEN
+        |    25.0 + (((total * 9) / 10.0 - CAST(c2 AS DOUBLE)) / CAST(c3 - c2 AS DOUBLE)) * (50.0 - 25.0)
+        |  WHEN c4 * 10 >= total * 9 AND c4 - c3 > 0 THEN
+        |    50.0 + (((total * 9) / 10.0 - CAST(c3 AS DOUBLE)) / CAST(c4 - c3 AS DOUBLE)) * (100.0 - 50.0)
+        |  WHEN c5 * 10 >= total * 9 AND c5 - c4 > 0 THEN
+        |    100.0 + (((total * 9) / 10.0 - CAST(c4 AS DOUBLE)) / CAST(c5 - c4 AS DOUBLE)) * (250.0 - 100.0)
+        |  WHEN c6 * 10 >= total * 9 AND c6 - c5 > 0 THEN
+        |    250.0 + (((total * 9) / 10.0 - CAST(c5 AS DOUBLE)) / CAST(c6 - c5 AS DOUBLE)) * (500.0 - 250.0)
+        |  END AS p90
+        |FROM a""".stripMargin,
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
     "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,

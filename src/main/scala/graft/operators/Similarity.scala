@@ -300,4 +300,48 @@ object Similarity {
     assignByFold(e, centroidsOf(e))
       .select(col("vec_id"), col("label"), col("assigned_label"))
   }
+
+  /** int8 levels for scalar quantization. */
+  val SqLevels = 256
+
+  /** #119 — SCALAR QUANTIZATION (int8) quality report: quantize every
+    * dim onto a global 256-level grid between the corpus min/max
+    * component, reconstruct at bucket midpoints, and report per-label
+    * reconstruction error — the cheap 4× compression baseline every
+    * vector store offers next to PQ, and the go/no-go check before
+    * enabling it. Pass 1 collapses the corpus to ONE (lo, hi) row
+    * (min/max are selections — exact) broadcast back; pass 2 is pure
+    * map-side array math per row — quantize, midpoint-reconstruct,
+    * squared error — with NO explode: the per-row error sum folds
+    * inside the array, floors onto the [[KmFixScale]] grid, and
+    * cross-row sums are exact DECIMAL(38) integers (kmeansStep
+    * discipline). max|err| is a selection over doubles both engines
+    * compute identically (same parenthesization, mirrored verbatim).
+    * ONE combinable shuffle on the label key. */
+  def quantizeSq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), toDoubleVec(col("embedding")).as("v"))
+    val mm = e.agg(min(array_min(col("v"))).as("lo"), max(array_max(col("v"))).as("hi"))
+    // q = clamp(floor((x-lo)*255/(hi-lo))); r = lo + (q+0.5)*(hi-lo)/255
+    def qOf(x: Column) = least(lit(SqLevels - 1), greatest(lit(0.0),
+      floor(((x - col("lo")) * (SqLevels - 1)) / (col("hi") - col("lo")))))
+    def rOf(x: Column) =
+      col("lo") + ((qOf(x) + 0.5) * (col("hi") - col("lo"))) / (SqLevels - 1)
+    def errOf(x: Column) = x - rOf(x)
+    e.crossJoin(broadcast(mm))
+      .withColumn("sse_fix",
+        aggregate(col("v"), lit(0L),
+          (a, x) => a + floor((errOf(x) * errOf(x)) * KmFixScale).cast("long")))
+      .withColumn("max_abs",
+        array_max(transform(col("v"), x => abs(errOf(x)))))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sse_fix").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sse_s"),
+        max(col("max_abs")).as("max_abs_err"))
+      .select(col("label"), col("n_vecs"),
+        ((col("sse_s").cast("double") / KmFixScale.toDouble) /
+          (col("n_vecs") * 64)).as("mse"),
+        col("max_abs_err"))
+  }
 }

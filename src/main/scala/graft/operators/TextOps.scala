@@ -375,4 +375,75 @@ object TextOps {
             w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")),
           lit(0L),
           (acc, h) => (acc * RollB + h) % RollP).as("rhash"))
+
+  /** Gopher-rule thresholds (Rae et al. 2021 "Scaling Language Models:
+    * …Gopher", table A1 — public; floors adapted to the short synthetic
+    * docs). All compares are integer cross-multiplications so no
+    * float ratio can disagree across engines. */
+  val GopherMinWords = 10
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3   // 3 <= totalChars/nWords <= 10
+  val GopherMaxMeanLen = 10
+  val GopherMaxSymbolPct = 10 // symbols/words < 10%
+  val GopherMinStops = 2
+
+  /** #117 — Gopher-style quality rule filter: the standard pre-training
+    * repetition/format gate as per-rule boolean flags + the composed
+    * keep bit. One pure map-side projection over the corpus scan (zero
+    * shuffles, fully codegen'd): word bounds, mean-word-length band,
+    * symbol-to-word ratio, and minimum stopword evidence — every ratio
+    * is compared as an integer cross-product (n_chars vs k·n_words
+    * etc.), never a float division, so borderline docs can't flip
+    * between engines. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      // token chars only (whitespace excluded) so mean word length is
+      // over the words themselves
+      .withColumn("n_tok_chars",
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("n_sym",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[#*>|=_~]", ""))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"),
+          t => t.isin(StopWords("en").map(lit): _*))).cast("long"))
+    df.select(
+      col("doc_id"), col("n_words"),
+      (col("n_words") >= GopherMinWords &&
+        col("n_words") <= GopherMaxWords).cast("int").as("ok_words"),
+      (col("n_tok_chars") >= lit(GopherMinMeanLen) * col("n_words") &&
+        col("n_tok_chars") <= lit(GopherMaxMeanLen) * col("n_words"))
+        .cast("int").as("ok_mean_len"),
+      (col("n_sym") * 100 < lit(GopherMaxSymbolPct) * col("n_words"))
+        .cast("int").as("ok_symbols"),
+      (col("n_stop") >= GopherMinStops).cast("int").as("ok_stops"))
+      .withColumn("keep",
+        (col("ok_words") === 1 && col("ok_mean_len") === 1 &&
+          col("ok_symbols") === 1 && col("ok_stops") === 1).cast("int"))
+  }
+
+  /** Output-shard count for the corpus writer step. */
+  val NumShards = 16
+
+  /** #118 — deterministic output sharding (the writer step after
+    * packing): every doc hashes to one of [[NumShards]] shards by a
+    * stable md5 bucket of its id — re-derivable across runs and
+    * engines, unlike round-robin, and key-balanced unlike ranges — and
+    * the report is the per-shard balance sheet (doc/token/char counts)
+    * a 100 TB writer logs to detect skewed output files before they
+    * hit the object store. One map-side hash + ONE combinable shuffle
+    * on the 16 shard keys. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(NumShards)))
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
 }

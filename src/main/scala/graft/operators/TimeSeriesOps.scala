@@ -546,4 +546,49 @@ object TimeSeriesOps {
       .filter(col("rn") === 1)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
   }
+
+  /** Cumulative histogram bucket bounds (PromQL `le` labels) for
+    * #120; the last bound is the finite stand-in for +Inf (values cap
+    * at ~490 in the testdata). */
+  val HqBounds: Seq[Double] = Seq(5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 500.0)
+
+  /** #120 — PromQL-style `histogram_quantile(0.9, …)` over bucketed
+    * counters: per event type, cumulative `le`-bucket counts (the shape
+    * a scrape-time histogram metric actually stores) and the p90
+    * linearly interpolated inside the first bucket whose cumulative
+    * count reaches the 0.9 rank — Prometheus's estimator, which only
+    * ever sees bucket counts, not raw samples (that is the point: at
+    * 100 TB of metrics the raw stream is gone; the 7 counters per
+    * series survive). ONE map-side-combinable conditional-count agg on
+    * the type shuffle (7 integers per partition per type), then pure
+    * 1-row-per-type arithmetic. Bucket selection compares integers
+    * (10·cum ≥ 9·total); the interpolation division chain is mirrored
+    * verbatim in the oracle. */
+  def histogramQuantile(s: SparkSession, dir: String): DataFrame = {
+    val n = HqBounds.length
+    val cums = HqBounds.zipWithIndex.map { case (b, i) =>
+      sum((col("value") <= b).cast("long")).as(s"c$i")
+    }
+    val aggCols = count(lit(1)).as("total") +: cums
+    val agg = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(aggCols.head, aggCols.tail: _*)
+    // first bucket i with 10*cum_i >= 9*total; p90 = lo + ((0.9*total -
+    // cumPrev) / bucketCount) * (hi - lo), written lowest-bucket-first
+    // so the chained when() picks the same bucket as the oracle's
+    // row_number over (i ASC)
+    val pick = (0 until n).foldRight(lit(null).cast("double")) { (i, rest) =>
+      val cum = col(s"c$i")
+      val prev = if (i == 0) lit(0L) else col(s"c${i - 1}")
+      val lo = if (i == 0) lit(0.0) else lit(HqBounds(i - 1))
+      val hi = lit(HqBounds(i))
+      val cnt = cum - prev
+      when(cum * 10 >= col("total") * 9 && cnt > 0,
+        lo + ((col("total") * 9 / lit(10.0) - prev.cast("double")) /
+          cnt.cast("double")) * (hi - lo))
+        .otherwise(rest)
+    }
+    agg.select(col("event_type") +: col("total") +:
+      (0 until n).map(i => col(s"c$i")) :+ pick.as("p90"): _*)
+  }
 }

@@ -658,4 +658,68 @@ class OperatorSpec extends SparkTestBase {
     val mags = rows.map(r => math.abs(r.getAs[Double]("delta")))
     assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
   }
+
+  test("gopher rules: keep is exactly the conjunction and flags match a driver recompute") {
+    val rows = TextOps.gopherRules(spark, Sf).collect()
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val flags = Seq("ok_words", "ok_mean_len", "ok_symbols", "ok_stops")
+        .map(f => r.getAs[Int](f))
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getAs[Int]("keep") == (if (flags.forall(_ == 1)) 1 else 0))
+      val toks = docs(r.getAs[Long]("doc_id")).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_words") == toks.length)
+      val meanOk = toks.map(_.length.toLong).sum >= 3L * toks.length &&
+        toks.map(_.length.toLong).sum <= 10L * toks.length
+      assert(r.getAs[Int]("ok_mean_len") == (if (meanOk) 1 else 0))
+    }
+  }
+
+  test("shard assign covers every doc exactly once with bounded skew") {
+    val rows = TextOps.shardAssign(spark, Sf).collect()
+    val total = graft.core.Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total, "partition of the corpus")
+    assert(rows.forall(r => r.getAs[Long]("shard") >= 0 &&
+      r.getAs[Long]("shard") < TextOps.NumShards))
+    // md5 bucketing at 500 docs / 16 shards: no shard may be empty or
+    // hold > 4x the mean (skew alarm would fire at the writer)
+    val mean = total.toDouble / TextOps.NumShards
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") < 4 * mean))
+    assert(rows.length == TextOps.NumShards, "no empty shard at spec scale")
+  }
+
+  test("scalar quantization error is bounded by half a bucket width") {
+    val e = graft.core.Tables.embeddings(spark, Sf)
+      .selectExpr("explode(embedding) AS x").collect().map(_.getFloat(0).toDouble)
+    val (lo, hi) = (e.min, e.max)
+    val halfBucket = (hi - lo) / (Similarity.SqLevels - 1) / 2.0
+    val rows = Similarity.quantizeSq(spark, Sf).collect()
+    rows.foreach { r =>
+      val maxAbs = r.getAs[Double]("max_abs_err")
+      assert(maxAbs <= halfBucket * (1.0 + 1e-9),
+        s"max|err| $maxAbs must be <= half bucket $halfBucket")
+      val mse = r.getAs[Double]("mse")
+      assert(mse >= 0 && mse <= halfBucket * halfBucket)
+    }
+  }
+
+  test("histogram quantile: p90 sits in the first bucket reaching the 0.9 rank") {
+    val rows = TimeSeriesOps.histogramQuantile(spark, Sf).collect()
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total")
+      val cums = (0 until TimeSeriesOps.HqBounds.length)
+        .map(i => r.getAs[Long](s"c$i"))
+      assert(cums.last == total, "last bucket must be cumulative-total")
+      assert(cums.sameElements(cums.sorted), "buckets must be cumulative")
+      val p90 = r.getAs[Double]("p90")
+      val i = cums.indexWhere(c => 10 * c >= 9 * total)
+      val lo = if (i == 0) 0.0 else TimeSeriesOps.HqBounds(i - 1)
+      assert(p90 >= lo && p90 <= TimeSeriesOps.HqBounds(i),
+        s"p90 $p90 outside its bucket [$lo, ${TimeSeriesOps.HqBounds(i)}]")
+    }
+  }
 }

@@ -369,4 +369,38 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the band join, never all pairs")
   }
+
+  test("text_gopher_rules is a pure map-side projection — zero exchanges") {
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("Exchange"), "quality rules must not shuffle the corpus")
+    assert(!p.contains("Generate"), "no explode: ratios fold inside the token array")
+  }
+
+  test("q2_min_cost_supp broadcasts both dims and never rank-windows the fact") {
+    val p = plan("q2_min_cost_supp")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "part filter and region-pruned suppliers must broadcast")
+    assert(!p.contains("windowspecdefinition"),
+      "per-part arg-min must be the struct-ordered min agg, not a rank window")
+  }
+
+  test("q11_important_parts semi-joins the broadcast supplier keys before the agg") {
+    val p = plan("q11_important_parts")
+    assert(p.contains("LeftSemi"), "nation suppliers must filter as a semi join")
+    assert(p.contains("BroadcastHashJoin"), "the key set must broadcast")
+  }
+
+  test("emb_quantize_sq has no explode and combines partials map-side") {
+    val p = plan("emb_quantize_sq")
+    assert(!p.contains("Generate"),
+      "error sums must fold inside the array, not explode the corpus")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
+  }
+
+  test("ts_histogram_quantile is one combinable conditional-count pass") {
+    val p = plan("ts_histogram_quantile")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      "bucket counts need no window and no join")
+  }
 }
