@@ -409,6 +409,60 @@ object OracleSqlGen {
        |FROM per, k""".stripMargin
   }
 
+  /** #121 — temperature mixture weights: identical √-weight fixed-point
+    * floor, identical normalizer sum, division chains mirrored
+    * verbatim (sqrt is correctly rounded in IEEE754, so the doubles
+    * agree bit-for-bit). */
+  val docMixTemperature: String = {
+    val w = "CAST(w_fix AS DOUBLE)"
+    val rate = s"least(1.0, (${TextOps.MixBudget}.0 * ($w / CAST(zf AS DOUBLE))) / src_tokens)"
+    s"""WITH $toksCte,
+       |per AS (SELECT d.source, count(*) AS n_docs,
+       |    CAST(sum(len(t)) AS BIGINT) AS src_tokens
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id GROUP BY 1),
+       |wf AS (SELECT *, CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) *
+       |    ${TextOps.TempFixScale}) AS BIGINT) AS w_fix FROM per),
+       |z AS (SELECT CAST(sum(w_fix) AS HUGEINT) AS zf FROM wf)
+       |SELECT source, n_docs, src_tokens,
+       |  $w / ${TextOps.TempFixScale} AS weight,
+       |  $rate AS rate,
+       |  $rate * src_tokens AS exp_tokens
+       |FROM wf, z""".stripMargin
+  }
+
+  /** #123 — MMR re-rank: the greedy rounds unrolled as CTEs, each
+    * mirroring the Spark round exactly — same rounded cosines, same
+    * (0.7·simq) − (0.3·maxsel) parenthesization, same
+    * (score DESC, vec_id) argmax. */
+  val annMmrRerank: String = {
+    val n = Similarity.MmrPicks
+    val head =
+      s"""WITH $eCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, round(${cos("e.v", "q.qv")}, 6) AS simq, e.v
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY simq DESC, e.vec_id LIMIT ${Similarity.MmrShortlist}),
+         |pair AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |    round(${cos("x.v", "y.v")}, 6) AS sim
+         |  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+         |s1 AS (SELECT vec_id, simq, 1 AS rnk, simq AS score FROM cand
+         |  ORDER BY simq DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM s1)""".stripMargin
+    val rounds = (2 to n).map { r =>
+      s"""s$r AS (SELECT c.vec_id, c.simq, $r AS rnk,
+         |    round((0.7 * c.simq) - (0.3 * m.ms), 6) AS score
+         |  FROM cand c JOIN (SELECT a, max(sim) AS ms FROM pair
+         |    WHERE b IN (SELECT vec_id FROM sel${r - 1}) GROUP BY a) m
+         |    ON c.vec_id = m.a
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$r AS (SELECT vec_id FROM sel${r - 1} UNION SELECT vec_id FROM s$r)""".stripMargin
+    }
+    val unions = (1 to n)
+      .map(r => s"SELECT rnk, vec_id, simq, score FROM s$r")
+      .mkString("\n UNION ALL ")
+    (head +: rounds).mkString(",\n") + "\n" + unions
+  }
+
   /** #101 — PQ/ADC top-10: same subspace layout, the same rounded
     * squared-diff folds for the encode argmin (row_number ORDER BY d, k
     * ↔ the Spark strict-< fold), unrounded folds for the LUT, and the

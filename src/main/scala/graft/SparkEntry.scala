@@ -131,6 +131,9 @@ object SparkEntry {
     "doc_shard_assign" -> (TextOps.shardAssign _),
     "emb_quantize_sq" -> (Similarity.quantizeSq _),
     "ts_histogram_quantile" -> (TimeSeriesOps.histogramQuantile _),
+    "doc_mix_temperature" -> (TextOps.mixTemperature _),
+    "doc_split_holdout" -> (TextOps.splitHoldout _),
+    "ann_mmr_rerank" -> (Similarity.mmrRerank _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -883,6 +886,18 @@ object SparkEntry {
     "doc_pack_bins" -> OracleSqlGen.docPackBins,
     "text_decontaminate" -> OracleSqlGen.textDecontaminate,
     "doc_mix_weights" -> OracleSqlGen.docMixWeights,
+    "doc_mix_temperature" -> OracleSqlGen.docMixTemperature,
+    "ann_mmr_rerank" -> OracleSqlGen.annMmrRerank,
+    "doc_split_holdout" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 20 = 0 THEN 'val' ELSE 'train' END AS split,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |      AS n_toks
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
     // every ratio compares as an integer cross-product (no float divs)
     "text_gopher_rules" ->
       """WITH g AS (SELECT doc_id, text,

@@ -301,6 +301,65 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("assigned_label"))
   }
 
+  /** MMR settings: shortlist size, picks, and the relevance/diversity
+    * trade-off λ (Carbonell & Goldstein 1998, "The Use of MMR…" —
+    * public). */
+  val MmrShortlist = 10
+  val MmrPicks = 5
+
+  /** #123 — MMR diversity re-rank: from the top-[[MmrShortlist]]
+    * cosine shortlist, greedily pick [[MmrPicks]] results maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the standard
+    * redundancy-removal step between ANN retrieval and a RAG/labeling
+    * consumer (near-identical neighbors waste the result budget, the
+    * retrieval-side twin of dedup). The greedy loop runs UNROLLED over
+    * constant-size frames: the corpus is touched exactly once by the
+    * shortlist TakeOrdered; pairwise sims are a [[MmrShortlist]]²
+    * broadcast self-join; each round is a left-anti + max-penalty agg +
+    * TakeOrdered(1) on ≤10 rows — at 100 TB the whole MMR stage is
+    * constant work after the scan. Scores round to 6 dp (ties → lowest
+    * vec_id) before every argmax; the oracle mirrors the unrolled
+    * rounds verbatim, so selection is bit-deterministic.
+    *
+    * The shortlist caches: it is a ≤[[MmrShortlist]]-row frame
+    * consumed by 2 + [[MmrPicks]] subtrees of one plan (re-deriving it
+    * would TakeOrdered the corpus per subtree). Lifetime = this query's
+    * single action; the harness clearCache() between queries releases
+    * it (same contract as dedup_incremental's new-batch hset). */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("simq", round(cosine(col("v"), col("qv")), 6))
+      .orderBy(col("simq").desc, col("vec_id")).limit(MmrShortlist)
+      .select(col("vec_id"), col("simq"), col("v"))
+      .cache()
+    val pair = cand.select(col("vec_id").as("a"), col("v").as("va"))
+      .crossJoin(broadcast(cand.select(col("vec_id").as("b"), col("v").as("vb"))))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+    var selected = cand
+      .orderBy(col("simq").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("simq"), lit(1).as("rnk"),
+        col("simq").as("score"))
+    for (r <- 2 to MmrPicks) {
+      val selIds = selected.select(col("vec_id").as("sel_id"))
+      val pen = pair
+        .join(selIds, pair("b") === col("sel_id"), "left_semi")
+        .groupBy("a").agg(max("sim").as("maxsel"))
+      val next = cand
+        .join(selIds, cand("vec_id") === col("sel_id"), "left_anti")
+        .join(pen, cand("vec_id") === pen("a"))
+        .select(col("vec_id"), col("simq"), lit(r).as("rnk"),
+          round(lit(0.7) * col("simq") - lit(0.3) * col("maxsel"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+      selected = selected.union(next)
+    }
+    selected
+  }
+
   /** int8 levels for scalar quantization. */
   val SqLevels = 256
 

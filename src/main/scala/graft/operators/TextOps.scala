@@ -424,6 +424,62 @@ object TextOps {
           col("ok_symbols") === 1 && col("ok_stops") === 1).cast("int"))
   }
 
+  /** Fixed-point grid for cross-source weight sums (√tokens ≈ 2.5e3 at
+    * sf0.1 × 2^40 ≈ 2.7e15 — comfortably inside long). */
+  val TempFixScale = 1L << 40
+
+  /** #121 — TEMPERATURE-scaled mixture weights (T = 2, i.e. weights ∝
+    * tokens^(1/2)): the standard multilingual/multi-source upsampling
+    * rule (mBERT/XLM-R exponent-smoothed sampling — public) that lifts
+    * small sources relative to proportional sampling. Same plan shape
+    * as [[mixWeights]]: one combinable per-source agg, a 1-row
+    * normalizer broadcast back. α = 1/2 specifically because sqrt is
+    * correctly rounded in IEEE754 — bit-identical across engines where
+    * a libm pow(x, 0.7) need not be; the normalizer sums the √-weights
+    * on the [[TempFixScale]] fixed-point grid so the cross-source sum
+    * is an exact integer at any source count. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("src_tokens"))
+      .withColumn("w_fix",
+        floor(sqrt(col("src_tokens").cast("double")) * TempFixScale))
+    val z = per.agg(
+      sum(col("w_fix").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("zf"))
+    per.crossJoin(broadcast(z))
+      .withColumn("rate", least(lit(1.0),
+        (lit(MixBudget.toDouble) *
+          (col("w_fix").cast("double") / col("zf").cast("double"))) /
+          col("src_tokens")))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        (col("w_fix").cast("double") / TempFixScale.toDouble).as("weight"),
+        col("rate"), (col("rate") * col("src_tokens")).as("exp_tokens"))
+  }
+
+  /** Holdout modulus: doc-hash ≡ 0 (mod 20) → the 5% validation slice. */
+  val HoldoutMod = 20
+
+  /** #122 — leakage-safe TRAIN/VALIDATION split: assignment is a
+    * stable md5 bucket of the document id (salted so it is independent
+    * of [[shardAssign]]'s bucketing), so the same doc lands in the same
+    * split across runs, engines, and corpus versions — the property
+    * random splits lose and per-position splits (first N%) lose under
+    * re-ordering. Report: per (source, split) doc/token counts, the
+    * table a pipeline checks to confirm the validation slice tracks
+    * the corpus mix. One map-side hash + one combinable shuffle. */
+  def splitHoldout(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(pmod(conv(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(HoldoutMod)) === 0, "val").otherwise("train"))
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+
   /** Output-shard count for the corpus writer step. */
   val NumShards = 16
 

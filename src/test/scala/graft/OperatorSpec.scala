@@ -659,6 +659,63 @@ class OperatorSpec extends SparkTestBase {
     assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
   }
 
+  test("mmr rerank matches an independent driver-side greedy recompute") {
+    val embs = graft.core.Tables.embeddings(spark, Sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotLR(a, b) / (math.sqrt(dotLR(a, a)) * math.sqrt(dotLR(b, b)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qv = embs(0L)
+    val shortlist = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r6(cos(v, qv))) }
+      .sortBy { case (id, c) => (-c, id) }.take(Similarity.MmrShortlist)
+    var sel = Vector(shortlist.head._1)
+    while (sel.size < Similarity.MmrPicks) {
+      val next = shortlist.filterNot(c => sel.contains(c._1))
+        .map { case (id, simq) =>
+          val pen = sel.map(s => r6(cos(embs(id), embs(s)))).max
+          (id, r6(0.7 * simq - 0.3 * pen))
+        }.minBy { case (id, sc) => (-sc, id) }._1
+      sel = sel :+ next
+    }
+    val got = Similarity.mmrRerank(spark, Sf).collect()
+      .sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("vec_id")).toVector
+    assert(got == sel, s"operator picks $got vs driver greedy $sel")
+  }
+
+  test("temperature mixing upweights small sources vs proportional") {
+    val rows = TextOps.mixTemperature(spark, Sf).collect()
+      .sortBy(_.getAs[Long]("src_tokens"))
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0 && rate <= 1.0)
+      assert(math.abs(r.getAs[Double]("exp_tokens") -
+        rate * r.getAs[Long]("src_tokens")) < 1e-9)
+    }
+    // rate must be non-increasing in source size (∝ 1/√tokens until the
+    // min(1, ·) cap): the whole point of temperature over proportional
+    val uncapped = rows.map(_.getAs[Double]("rate")).filter(_ < 1.0)
+    assert(uncapped.sameElements(uncapped.sorted.reverse),
+      "uncapped rates must decrease with source size")
+  }
+
+  test("holdout split partitions every (source, doc) and holds ~5% out") {
+    val rows = TextOps.splitHoldout(spark, Sf).collect()
+    val total = graft.core.Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val valDocs = rows.filter(_.getAs[String]("split") == "val")
+      .map(_.getAs[Long]("n_docs")).sum
+    val frac = valDocs.toDouble / total
+    assert(frac > 0.005 && frac < 0.15, s"val fraction $frac far from 1/20")
+  }
+
   test("gopher rules: keep is exactly the conjunction and flags match a driver recompute") {
     val rows = TextOps.gopherRules(spark, Sf).collect()
     val docs = graft.core.Tables.documents(spark, Sf)

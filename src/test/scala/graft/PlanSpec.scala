@@ -397,6 +397,19 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
   }
 
+  test("ann_mmr_rerank touches the corpus once; greedy rounds run on the cached shortlist") {
+    val p = plan("ann_mmr_rerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the shortlist must be a top-k, not a global sort")
+    assert(p.contains("InMemoryRelation"),
+      "the constant-size shortlist must cache — re-deriving it would " +
+        "TakeOrdered the corpus once per greedy round")
+    val corpusScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("embeddings.parquet"))
+    assert(corpusScans <= 2,
+      s"corpus scans must stay O(1) (query + shortlist), got $corpusScans")
+  }
+
   test("ts_histogram_quantile is one combinable conditional-count pass") {
     val p = plan("ts_histogram_quantile")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
