@@ -28,7 +28,13 @@ object Plans {
       "ann_ivfpq_topk" -> "IVFADC probe: staged cell-partitioned code table; the NProbe-row LUT broadcast join IS the cell pruning; map-side 8-lookup ADC into TakeOrdered shortlist; raw vectors touched only for the shortlist re-rank.",
       "dedup_spans" -> "Span mining over the STAGED positioned fingerprints (DedupIndex fpos): fp-keyed df filter, shared-fp semi-join, then one doc-keyed sort feeding both the lag and the running-sum island windows - partitions bounded by per-doc window counts.",
       "ts_ohlc" -> "OHLC endpoints via struct-ordered min/max aggregates - one map-side-combinable HashAggregate pair on a single (key, hour) shuffle, no rank window.",
-      "mm_phash_incremental" -> "Incremental media near-dup: the new batch is window-hashed inline; the corpus side scans the staged 8-byte-per-doc fingerprint parquet; bounded (band, byte) pigeonhole join, payload bytes never shuffle.")
+      "mm_phash_incremental" -> "Incremental media near-dup: the new batch is window-hashed inline; the corpus side scans the staged 8-byte-per-doc fingerprint parquet; bounded (band, byte) pigeonhole join, payload bytes never shuffle.",
+      "q2_min_cost_supp" -> "Per-part arg-min supplier with NO rank window: two struct-ordered min aggregates hash on the same l_partkey key; part filter and region-pruned suppliers broadcast, so other regions' fact rows never aggregate.",
+      "q20_dominant_supp" -> "Nested aggregation without a second fact scan: per-(part,supplier) sums shuffle once on partkey; the per-part total re-aggregates that frame and AQE broadcasts it back for the dominance filter.",
+      "text_gopher_rules" -> "Quality gate as a ZERO-exchange codegen projection: all four rules and the keep bit evaluate inside one WholeStageCodegen span over the corpus scan; ratios compare as integer cross-products.",
+      "emb_quantize_sq" -> "Scalar-quantization report with no explode: the 1-row (lo,hi) broadcast feeds in-array quantize/reconstruct/error folds; per-row fixed-point error sums combine map-side on the label shuffle.",
+      "ann_mmr_rerank" -> "MMR after retrieval at O(1) post-scan cost: the corpus appears only under the shortlist TakeOrdered (cached, <=10 rows); pairwise sims and every greedy round are broadcast joins over that in-memory relation.",
+      "ts_histogram_quantile" -> "PromQL histogram_quantile from bucket counters: 7 conditional counts fold map-side into one HashAggregate pair on the type shuffle; selection + interpolation are per-row expressions over 5 rows.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

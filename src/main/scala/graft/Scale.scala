@@ -64,6 +64,12 @@ object Scale {
       time("dedup_spans")(Dedup.substringSpans(spark, dir).count())
       time("ann_ivfpq_topk")(IvfPqIndex.annIvfPqTopk(spark, dir).count())
       time("mm_phash_incremental")(Multimodal.phashIncremental(spark, dir).count())
+      time("text_gopher_rules")(TextOps.gopherRules(spark, dir).count())
+      time("doc_shard_assign")(TextOps.shardAssign(spark, dir).count())
+      time("doc_split_holdout")(TextOps.splitHoldout(spark, dir).count())
+      time("emb_quantize_sq")(Similarity.quantizeSq(spark, dir).count())
+      time("ann_mmr_rerank")(Similarity.mmrRerank(spark, dir).count())
+      time("ts_histogram_quantile")(TimeSeriesOps.histogramQuantile(spark, dir).count())
     }
     spark.stop()
   }

@@ -336,28 +336,54 @@ object Similarity {
       .orderBy(col("simq").desc, col("vec_id")).limit(MmrShortlist)
       .select(col("vec_id"), col("simq"), col("v"))
       .cache()
-    val pair = cand.select(col("vec_id").as("a"), col("v").as("va"))
+    // The greedy rounds run as EXPRESSIONS over two 1-row arrays (the
+    // ranked shortlist `cs` and the pairwise sims `ps`) rather than as
+    // per-round joins: a first cut unrolled them as DataFrame ops and
+    // spent 5+ s scheduling ~25 tiny 32-partition exchanges for ≤10-row
+    // frames — constant-size work belongs in one projection. `cs`/`ps`
+    // stay genuine input attributes (separate aggregated frames, not
+    // withColumns), so CollapseProject can't inline the 90-cosine pair
+    // tree into every greedy round.
+    val csRow = cand.agg(sort_array(collect_list(struct(
+      (-col("simq")).as("negs"), col("vec_id"), col("simq")))).as("cs"))
+    val psRow = cand.select(col("vec_id").as("a"), col("v").as("va"))
       .crossJoin(broadcast(cand.select(col("vec_id").as("b"), col("v").as("vb"))))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
-    var selected = cand
-      .orderBy(col("simq").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("simq"), lit(1).as("rnk"),
-        col("simq").as("score"))
-    for (r <- 2 to MmrPicks) {
-      val selIds = selected.select(col("vec_id").as("sel_id"))
-      val pen = pair
-        .join(selIds, pair("b") === col("sel_id"), "left_semi")
-        .groupBy("a").agg(max("sim").as("maxsel"))
-      val next = cand
-        .join(selIds, cand("vec_id") === col("sel_id"), "left_anti")
-        .join(pen, cand("vec_id") === pen("a"))
-        .select(col("vec_id"), col("simq"), lit(r).as("rnk"),
-          round(lit(0.7) * col("simq") - lit(0.3) * col("maxsel"), 6).as("score"))
-        .orderBy(col("score").desc, col("vec_id")).limit(1)
-      selected = selected.union(next)
+      .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("ps"))
+    def pick(c: Column) = struct(c.getField("vec_id").as("vec_id"),
+      c.getField("simq").as("simq"), c.getField("score").as("score"))
+    val first = {
+      val c0 = element_at(col("cs"), 1)
+      struct(c0.getField("vec_id").as("vec_id"),
+        c0.getField("simq").as("simq"), c0.getField("simq").as("score"))
     }
-    selected
+    // One chained projection per round: each round's expression
+    // references the PREVIOUS rounds as resolved attributes (sel1..),
+    // keeping every analysis step shallow — inlining all rounds into
+    // one select nests lambdas past the analyzer's resolution budget.
+    var df = csRow.crossJoin(broadcast(psRow)).select(
+      col("cs"), col("ps"), first.as("sel1"))
+    for (r <- 2 to MmrPicks) {
+      val prev = (1 until r).map(i => col(s"sel$i"))
+      val selIds = array(prev.map(_.getField("vec_id")): _*)
+      val scored = transform(
+        filter(col("cs"), c => !array_contains(selIds, c.getField("vec_id"))),
+        c => {
+          val pen = array_max(transform(
+            filter(col("ps"), p => p.getField("a") === c.getField("vec_id") &&
+              array_contains(selIds, p.getField("b"))),
+            p => p.getField("sim")))
+          val sc = round(lit(0.7) * c.getField("simq") - lit(0.3) * pen, 6)
+          struct((-sc).as("nscore"), c.getField("vec_id").as("vec_id"),
+            c.getField("simq").as("simq"), sc.as("score"))
+        })
+      df = df.select(col("cs") +: col("ps") +: prev :+
+        pick(array_min(scored)).as(s"sel$r"): _*)
+    }
+    df.select(posexplode(array((1 to MmrPicks).map(i => col(s"sel$i")): _*)))
+      .select(col("col.vec_id").as("vec_id"), col("col.simq").as("simq"),
+        (col("pos") + 1).cast("int").as("rnk"), col("col.score").as("score"))
   }
 
   /** int8 levels for scalar quantization. */
