@@ -409,6 +409,52 @@ object OracleSqlGen {
        |FROM per, k""".stripMargin
   }
 
+  /** #125 — minhash estimate vs exact: the same band-candidate pairs,
+    * the signature match count as 16 mirrored component equalities, the
+    * exact overlap as the shared-hash count, both divisions ordered
+    * identically. */
+  val dedupMinhashEst: String = {
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $minhashCtes,
+       |est AS (SELECT c.doc_id1, c.doc_id2, $matches AS est_num
+       |  FROM cand c JOIN mh a ON a.doc_id = c.doc_id1
+       |  JOIN mh b ON b.doc_id = c.doc_id2),
+       |ex AS (SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
+       |  JOIN shh a ON a.doc_id = c1.doc_id1
+       |  JOIN shh b ON b.doc_id = c1.doc_id2 AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT e.doc_id1, e.doc_id2, CAST(e.est_num AS BIGINT) AS est_num,
+       |  CAST(coalesce(x.c, 0) AS BIGINT) AS c,
+       |  CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+       |  e.est_num / 16.0 AS est_jaccard,
+       |  CAST(coalesce(x.c, 0) AS DOUBLE) / (s1.n + s2.n - coalesce(x.c, 0))
+       |    AS jaccard
+       |FROM est e LEFT JOIN ex x
+       |  ON e.doc_id1 = x.doc_id1 AND e.doc_id2 = x.doc_id2
+       |JOIN szh s1 ON e.doc_id1 = s1.doc_id
+       |JOIN szh s2 ON e.doc_id2 = s2.doc_id""".stripMargin
+  }
+
+  /** #126 — centroid shift: the kmeansStep oracle nested as a CTE, the
+    * seed components joined per (cluster, dim), and the squared-delta
+    * sum folded in ascending-dim order exactly as the Spark side's
+    * sorted-array fold. */
+  val embCentroidShift: String =
+    s"""WITH km AS ($embKmeansStep),
+       |$eCte,
+       |sv AS (SELECT vec_id AS cid, j AS dim, v[j] AS sv FROM (
+       |  SELECT vec_id, v, unnest(generate_series(1, 64)) AS j FROM e
+       |  WHERE vec_id < ${Similarity.KmK})),
+       |d AS (SELECT km.cid, km.n_members, km.dim,
+       |    (km.m - sv.sv) * (km.m - sv.sv) AS d2
+       |  FROM km JOIN sv ON km.cid = sv.cid AND km.dim = sv.dim)
+       |SELECT cid, max(n_members) AS n_members,
+       |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY dim)),
+       |    (a, x) -> a + x)) AS shift
+       |FROM d GROUP BY cid""".stripMargin
+
   /** #121 — temperature mixture weights: identical √-weight fixed-point
     * floor, identical normalizer sum, division chains mirrored
     * verbatim (sqrt is correctly rounded in IEEE754, so the doubles

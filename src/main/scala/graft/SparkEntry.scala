@@ -134,6 +134,9 @@ object SparkEntry {
     "doc_mix_temperature" -> (TextOps.mixTemperature _),
     "doc_split_holdout" -> (TextOps.splitHoldout _),
     "ann_mmr_rerank" -> (Similarity.mmrRerank _),
+    "ts_sla_burn" -> (TimeSeriesOps.slaBurn _),
+    "dedup_minhash_est" -> (Dedup.minhashEstimate _),
+    "emb_centroid_shift" -> (Similarity.centroidShift _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -888,6 +891,20 @@ object SparkEntry {
     "doc_mix_weights" -> OracleSqlGen.docMixWeights,
     "doc_mix_temperature" -> OracleSqlGen.docMixTemperature,
     "ann_mmr_rerank" -> OracleSqlGen.annMmrRerank,
+    "dedup_minhash_est" -> OracleSqlGen.dedupMinhashEst,
+    "emb_centroid_shift" -> OracleSqlGen.embCentroidShift,
+    // breach compares integers (err*100 > total); burn divides in the
+    // same (double(err) / total) / 0.01 order
+    "ts_sla_burn" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*) AS n_total,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_err,
+        |  (CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) / 0.01 AS burn,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100
+        |    > count(*) AS INTEGER) AS breach
+        |FROM events GROUP BY 1""".stripMargin,
     "doc_split_holdout" ->
       """WITH d AS (SELECT source,
         |    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),

@@ -387,6 +387,43 @@ object Dedup {
     verifyJaccard(cand, hset, hset, "doc_id1", "doc_id2")
   }
 
+  /** #125 — MINHASH ESTIMATE vs EXACT jaccard for every band-candidate
+    * pair: the sketch-accuracy report run before trusting an
+    * estimate-only dedup at scale (where the exact verify becomes the
+    * cost ceiling, the operator answers "how wrong would dropping it
+    * be"). Same staged probe as [[minhashLsh]] — bands for candidates,
+    * hset for both the 16-permutation signature (recomputed from the
+    * staged hash sets, a pure array fold — no text) and the exact
+    * intersection; NO threshold: all candidate pairs report
+    * (matching-components, exact-overlap) integers plus the two
+    * mirrored divisions. */
+  def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val st = DedupIndex.ensure(s, dir)
+    val bands = s.read.parquet(st.bands)
+    val hset = s.read.parquet(st.hset)
+    val cand = bands.alias("x")
+      .join(bands.alias("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
+      .distinct()
+    val sig = hset.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashSig(col("hs"), NumHashes, MinhashP)
+        .as("sig"), col("hs"), col("n"))
+    cand
+      .join(sig.select(col("doc_id").as("doc_id1"), col("sig").as("s1"),
+        col("hs").as("h1"), col("n").as("n1")), "doc_id1")
+      .join(sig.select(col("doc_id").as("doc_id2"), col("sig").as("s2"),
+        col("hs").as("h2"), col("n").as("n2")), "doc_id2")
+      .select(col("doc_id1"), col("doc_id2"),
+        size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b),
+          x => x)).cast("long").as("est_num"),
+        size(array_intersect(col("h1"), col("h2"))).cast("long").as("c"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
+      .withColumn("est_jaccard", col("est_num") / lit(16.0))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+  }
+
   /** "New batch" slice for incremental dedup: doc_id ≡ IncrRem (mod
     * IncrMod) — a deterministic synthetic stand-in for "today's
     * documents" (~10% of the corpus) that both engines can reproduce. */

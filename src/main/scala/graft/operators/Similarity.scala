@@ -386,6 +386,33 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"), col("col.score").as("score"))
   }
 
+  /** #126 — CENTROID SHIFT after one Lloyd iteration: per-cluster L2
+    * distance between the seed and the [[kmeansStep]] update — the
+    * convergence signal an iterative k-means/IVF build loops on
+    * (stop when max shift < ε). Composes the kmeansStep frame (64 rows
+    * per cluster) with the posexploded seeds (K·64 rows, broadcast);
+    * the per-cluster sum of squared per-dim deltas folds over the
+    * dim-ORDERED collected array (a fixed-order ≤64-element fold, so
+    * the cross-dim double sum can't reorder), sqrt at the end — all
+    * mirrored verbatim. Constant-size work after kmeansStep's one
+    * corpus pass. */
+  def centroidShift(s: SparkSession, dir: String): DataFrame = {
+    val km = kmeansStep(s, dir)
+    val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"),
+        posexplode(toDoubleVec(col("embedding"))))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("sv"))
+    km.join(broadcast(seeds), Seq("cid", "dim"))
+      .withColumn("d2", (col("m") - col("sv")) * (col("m") - col("sv")))
+      .groupBy("cid")
+      .agg(max("n_members").as("n_members"),
+        sort_array(collect_list(struct(col("dim"), col("d2")))).as("arr"))
+      .select(col("cid"), col("n_members"),
+        sqrt(aggregate(transform(col("arr"), x => x.getField("d2")),
+          lit(0.0), (a, x) => a + x)).as("shift"))
+  }
+
   /** int8 levels for scalar quantization. */
   val SqLevels = 256
 

@@ -591,4 +591,21 @@ object TimeSeriesOps {
     agg.select(col("event_type") +: col("total") +:
       (0 until n).map(i => col(s"c$i")) :+ pick.as("p90"): _*)
   }
+
+  /** #124 — SRE error-budget BURN RATE per day against a 99% SLO: the
+    * alerting arithmetic of Google's SRE workbook (multiwindow burn
+    * alerts — public) over the event stream. burn = err_ratio / (1 −
+    * SLO); breach (burn > 1 ⇔ budget consumed faster than allotted)
+    * compares INTEGERS (err·100 > total) so threshold days can't flip
+    * across engines; the reported burn double divides in one mirrored
+    * chain. ONE map-side-combinable conditional count on the day
+    * shuffle. */
+  def slaBurn(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("n_total"),
+        sum((col("event_type") === "error").cast("long")).as("n_err"))
+      .select(col("day_us"), col("n_total"), col("n_err"),
+        ((col("n_err").cast("double") / col("n_total")) / 0.01).as("burn"),
+        (col("n_err") * 100 > col("n_total")).cast("int").as("breach"))
 }

@@ -659,6 +659,59 @@ class OperatorSpec extends SparkTestBase {
     assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
   }
 
+  test("minhash estimate: bounds hold and identical sets estimate exactly") {
+    val rows = Dedup.minhashEstimate(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e, c, n1, n2) = (r.getAs[Long]("est_num"), r.getAs[Long]("c"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      assert(e >= 0 && e <= Dedup.NumHashes)
+      assert(c >= 0 && c <= math.min(n1, n2), "overlap bounded by set sizes")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      // identical hash sets force identical signatures — the estimator
+      // may never disagree on an exact duplicate
+      if (j == 1.0) assert(e == Dedup.NumHashes)
+    }
+    // every verified LSH dup pair must appear among the candidates
+    val lsh = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = rows.map(r =>
+      (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2"))).toSet
+    assert(lsh.subsetOf(cands))
+  }
+
+  test("centroid shift matches a driver recompute from the kmeans frame") {
+    val km = Similarity.kmeansStep(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("dim")) ->
+        r.getAs[Double]("m")).toMap
+    val seeds = graft.core.Tables.embeddings(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < Similarity.KmK)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val rows = Similarity.centroidShift(spark, Sf).collect()
+    assert(rows.length == seeds.size)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cid")
+      var s = 0.0
+      for (dim <- 1 to 64) {
+        val d = km((cid, dim.toLong)) - seeds(cid)(dim - 1)
+        s += d * d
+      }
+      assert(r.getAs[Double]("shift") == math.sqrt(s), s"cluster $cid")
+    }
+  }
+
+  test("sla burn: breach bit equals the integer threshold and burn the ratio") {
+    val rows = TimeSeriesOps.slaBurn(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, e) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_err"))
+      assert(r.getAs[Int]("breach") == (if (e * 100 > t) 1 else 0))
+      assert(r.getAs[Double]("burn") == (e.toDouble / t) / 0.01)
+    }
+  }
+
   test("mmr rerank matches an independent driver-side greedy recompute") {
     val embs = graft.core.Tables.embeddings(spark, Sf)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
