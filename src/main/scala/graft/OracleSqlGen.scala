@@ -308,9 +308,11 @@ object OracleSqlGen {
        |      ORDER BY ${rcosSafe("e.v", "cv.cv")} DESC, cv.clabel) AS rn
        |  FROM e, cv) WHERE rn = 1""".stripMargin
 
-  val annIvfTopk: String =
-    s"""WITH $eCte,
-       |byd AS (SELECT clabel, j, sum(x) / count(*) AS m FROM (
+  /** Per-label centroids + fold-argmax cell assignment — the IVF build
+    * replicated as CTEs, shared by the probe oracle and the balance
+    * report. */
+  private val ivfAssignedCtes: String =
+    s"""byd AS (SELECT clabel, j, sum(x) / count(*) AS m FROM (
        |    SELECT label AS clabel, unnest(generate_series(1, 64)) AS j, unnest(v) AS x FROM e)
        |  GROUP BY 1, 2),
        |cvt AS (SELECT clabel, list(m ORDER BY j) AS cv FROM byd GROUP BY clabel),
@@ -318,7 +320,24 @@ object OracleSqlGen {
        |  SELECT e.vec_id, e.v, cvt.clabel,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${rcosSafe("e.v", "cvt.cv")} DESC, cvt.clabel) AS rn
-       |  FROM e, cvt) WHERE rn = 1),
+       |  FROM e, cvt) WHERE rn = 1)""".stripMargin
+
+  /** #128 — IVF cell balance: same assignment fixpoint, per-cell
+    * counts, skew division mirrored. */
+  val embIvfBalance: String =
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
+       |per AS (SELECT CAST(assigned_label AS BIGINT) AS cell,
+       |    count(*) AS n_vecs FROM assigned GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total, count(*) AS ncells
+       |  FROM per)
+       |SELECT cell, n_vecs,
+       |  CAST(n_vecs AS DOUBLE) / (CAST(total AS DOUBLE) / ncells) AS skew
+       |FROM per, t""".stripMargin
+
+  val annIvfTopk: String =
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |probe AS (SELECT clabel AS assigned_label FROM cvt, q
        |  ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel LIMIT 2)
@@ -454,6 +473,16 @@ object OracleSqlGen {
        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY dim)),
        |    (a, x) -> a + x)) AS shift
        |FROM d GROUP BY cid""".stripMargin
+
+  /** #127 — band-bucket stats: the same 16-permutation band keys, two
+    * integer aggregations. */
+  val dedupBandStats: String =
+    s"""WITH $minhashSigCtes,
+       |b AS (SELECT band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+       |  CAST(max(sz) AS BIGINT) AS max_bucket,
+       |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pairs_bound
+       |FROM b GROUP BY band""".stripMargin
 
   /** #121 — temperature mixture weights: identical √-weight fixed-point
     * floor, identical normalizer sum, division chains mirrored

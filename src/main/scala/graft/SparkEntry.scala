@@ -137,6 +137,9 @@ object SparkEntry {
     "ts_sla_burn" -> (TimeSeriesOps.slaBurn _),
     "dedup_minhash_est" -> (Dedup.minhashEstimate _),
     "emb_centroid_shift" -> (Similarity.centroidShift _),
+    "dedup_band_stats" -> (Dedup.bandStats _),
+    "emb_ivf_balance" -> (Similarity.ivfBalance _),
+    "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -893,6 +896,35 @@ object SparkEntry {
     "ann_mmr_rerank" -> OracleSqlGen.annMmrRerank,
     "dedup_minhash_est" -> OracleSqlGen.dedupMinhashEst,
     "emb_centroid_shift" -> OracleSqlGen.embCentroidShift,
+    "dedup_band_stats" -> OracleSqlGen.dedupBandStats,
+    "emb_ivf_balance" -> OracleSqlGen.embIvfBalance,
+    // doubled-integer medians: odd n -> 2·middle, even -> lower+upper;
+    // the flag compares integers (2d > 3·mad2 <=> |v-med| > 3·MAD)
+    "ts_anomaly_mad" ->
+      """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY v100, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n FROM b),
+        |m AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v100 END) +
+        |      sum(CASE WHEN rn = (n + 2) // 2 THEN v100 END) AS BIGINT) AS m2
+        |  FROM r GROUP BY 1),
+        |d AS (SELECT b.*, m.m2, abs(2 * b.v100 - m.m2) AS dd
+        |  FROM b JOIN m USING (user_id)),
+        |r2 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY dd, event_id) AS rn2,
+        |    count(*) OVER (PARTITION BY user_id) AS n2 FROM d),
+        |mt AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN rn2 = (n2 + 1) // 2 THEN dd END) +
+        |      sum(CASE WHEN rn2 = (n2 + 2) // 2 THEN dd END) AS BIGINT) AS mad2
+        |  FROM r2 GROUP BY 1)
+        |SELECT event_id, d.user_id, ts_us, value,
+        |  CAST(dd AS DOUBLE) / 200.0 AS dev,
+        |  CAST(mad2 AS DOUBLE) / 400.0 AS mad
+        |FROM d JOIN mt ON d.user_id = mt.user_id
+        |WHERE mad2 > 0 AND 2 * dd > 3 * mad2""".stripMargin,
     // breach compares integers (err*100 > total); burn divides in the
     // same (double(err) / total) / 0.01 order
     "ts_sla_burn" ->

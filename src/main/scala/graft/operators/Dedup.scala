@@ -424,6 +424,27 @@ object Dedup {
         col("c").cast("double") / (col("n1") + col("n2") - col("c")))
   }
 
+  /** #127 — LSH BAND-BUCKET health report from the staged bands/: per
+    * band, the bucket count, the largest bucket, and the candidate-pair
+    * mass Σ sz·(sz−1)/2 — the fanout bound the band self-join actually
+    * pays. This is the diagnostic a 100 TB dedup run checks BEFORE
+    * launching the pair join: one hot bucket (a boilerplate-heavy
+    * shingle profile) turns the "bounded candidates" promise into a
+    * quadratic blowup, and this report is how it's caught. Two
+    * combinable integer aggs over the staged parquet — no text, no
+    * pairs materialized. */
+  def bandStats(s: SparkSession, dir: String): DataFrame = {
+    val st = DedupIndex.ensure(s, dir)
+    s.read.parquet(st.bands)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("pairs_bound"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("max_bucket"), col("pairs_bound"))
+  }
+
   /** "New batch" slice for incremental dedup: doc_id ≡ IncrRem (mod
     * IncrMod) — a deterministic synthetic stand-in for "today's
     * documents" (~10% of the corpus) that both engines can reproduce. */

@@ -413,6 +413,25 @@ object Similarity {
           lit(0.0), (a, x) => a + x)).as("shift"))
   }
 
+  /** #128 — IVF CELL-BALANCE report from the staged index: per cell,
+    * the vector count and its skew vs the uniform share — the health
+    * check before trusting nprobe-based ANN latency (one overfull cell
+    * makes every probe of it a scan; rebalancing/splitting is the
+    * remedy, this report is the trigger). One combinable count over
+    * the staged assignment parquet (reads ONLY the partition column —
+    * zero data bytes) + a 1-row totals broadcast. */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = IvfIndex.ensure(s, dir)
+    val per = s.read.parquet(assigned)
+      .groupBy(col("assigned_label").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum("n_vecs").as("total"), count(lit(1)).as("ncells"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs").cast("double") /
+          (col("total").cast("double") / col("ncells"))).as("skew"))
+  }
+
   /** int8 levels for scalar quantization. */
   val SqLevels = 256
 

@@ -600,6 +600,41 @@ object TimeSeriesOps {
     * across engines; the reported burn double divides in one mirrored
     * chain. ONE map-side-combinable conditional count on the day
     * shuffle. */
+  /** #129 — ROBUST anomaly detection per key: |v − median| > 3·MAD
+    * (median absolute deviation — the outlier rule that, unlike
+    * z-scores (ts_zscore), is not itself dragged by the outliers). All
+    * medians are EXACT and integer: values scale to cents, and each
+    * median is kept DOUBLED (odd n → 2·middle, even n → lower+upper —
+    * a conditional sum at the two middle ranks, no division), so
+    * deviations (d = |2v − m2|) and the flag (2·d > 3·mad2 ⇔
+    * |v−med| > 3·MAD) compare as integers end-to-end; the two
+    * reported doubles divide once each, mirrored. Both median passes
+    * and the joins key on user_id, so the ONE key shuffle is reused
+    * across every window/agg (bounded per-key state: rank windows
+    * only). */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"),
+      (dec("value") * 100).cast("long").as("v100"))
+    def doubledMedian(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy(col(c), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col(c))) +
+          sum(when(col("rn") === expr("(n + 2) div 2"), col(c)))).as(out))
+    }
+    val med = doubledMedian(base, "v100", "m2")
+    val withD = base.join(med, "user_id")
+      .withColumn("d", abs(lit(2) * col("v100") - col("m2")))
+    val mad = doubledMedian(withD, "d", "mad2")
+    withD.join(mad, "user_id")
+      .filter(col("mad2") > 0 && lit(2) * col("d") > lit(3) * col("mad2"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        (col("d").cast("double") / 200.0).as("dev"),
+        (col("mad2").cast("double") / 400.0).as("mad"))
+  }
+
   def slaBurn(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))

@@ -659,6 +659,53 @@ class OperatorSpec extends SparkTestBase {
     assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
   }
 
+  test("band stats: bucket sums cover every signed doc; pair bound dominates the max bucket") {
+    val rows = Dedup.bandStats(spark, Sf).collect()
+    assert(rows.length == Dedup.NumBands)
+    val perBandDocs = rows.map(r => r.getAs[Long]("band") -> {
+      (r.getAs[Long]("n_buckets"), r.getAs[Long]("max_bucket"),
+        r.getAs[Long]("pairs_bound"))
+    }).toMap
+    // every doc with a signature appears in every band exactly once →
+    // identical doc mass per band; the pair bound is at least C(max,2)
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("max_bucket")
+      assert(r.getAs[Long]("pairs_bound") >= mx * (mx - 1) / 2)
+      assert(r.getAs[Long]("n_buckets") > 0)
+    }
+    assert(perBandDocs.size == Dedup.NumBands)
+  }
+
+  test("ivf balance: cells partition the corpus and skew averages to 1") {
+    val rows = Similarity.ivfBalance(spark, Sf).collect()
+    val total = graft.core.Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    val meanSkew = rows.map(_.getAs[Double]("skew")).sum / rows.length
+    assert(math.abs(meanSkew - 1.0) < 1e-9, s"mean skew $meanSkew")
+  }
+
+  test("mad anomalies match a driver recompute of the doubled-integer medians") {
+    val ev = graft.core.Tables.events(spark, Sf)
+      .selectExpr("event_id", "user_id",
+        "cast(cast(value as decimal(18,2)) * 100 as long) AS v100")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def doubledMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val want = ev.groupBy(_._2).flatMap { case (uid, rows) =>
+      val m2 = doubledMedian(rows.map(_._3).toSeq)
+      val ds = rows.map { case (eid, _, v) => eid -> math.abs(2 * v - m2) }
+      val mad2 = doubledMedian(ds.map(_._2).toSeq)
+      if (mad2 > 0) ds.toSeq.filter { case (_, d) => 2 * d > 3 * mad2 }.map(_._1)
+      else Seq.empty[Long]
+    }.toSet
+    val got = TimeSeriesOps.anomalyMad(spark, Sf).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(got == want, s"got ${got.size} flags, driver recompute ${want.size}")
+    assert(got.nonEmpty, "spec data must contain at least one MAD outlier")
+  }
+
   test("minhash estimate: bounds hold and identical sets estimate exactly") {
     val rows = Dedup.minhashEstimate(spark, Sf).collect()
     assert(rows.nonEmpty)
