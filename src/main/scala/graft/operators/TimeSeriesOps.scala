@@ -608,10 +608,13 @@ object TimeSeriesOps {
     * a conditional sum at the two middle ranks, no division), so
     * deviations (d = |2v − m2|) and the flag (2·d > 3·mad2 ⇔
     * |v−med| > 3·MAD) compare as integers end-to-end; the two
-    * reported doubles divide once each, mirrored. Both median passes
-    * and the joins key on user_id, so the ONE key shuffle is reused
-    * across every window/agg (bounded per-key state: rank windows
-    * only). */
+    * reported doubles divide once each, mirrored. Cost shape: MAD is
+    * inherently two-pass (the deviation median needs the value median
+    * first), so the plan is two rank-window passes keyed on user_id
+    * plus joins of the tiny per-key median frames (AQE broadcasts
+    * them at test scale; at fleet scale they become co-keyed shuffle
+    * joins on the same user_id hashing). The fact scans stay
+    * column-pruned to 4 columns. */
   def anomalyMad(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("value"),
