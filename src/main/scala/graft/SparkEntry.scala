@@ -140,6 +140,7 @@ object SparkEntry {
     "dedup_band_stats" -> (Dedup.bandStats _),
     "emb_ivf_balance" -> (Similarity.ivfBalance _),
     "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
+    "ts_error_bursts" -> (TimeSeriesOps.errorBursts _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -898,6 +899,23 @@ object SparkEntry {
     "emb_centroid_shift" -> OracleSqlGen.embCentroidShift,
     "dedup_band_stats" -> OracleSqlGen.dedupBandStats,
     "emb_ivf_balance" -> OracleSqlGen.embIvfBalance,
+    // islands via the same lag + running-sum pair, all integers
+    "ts_error_bursts" ->
+      """WITH m AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM events),
+        |b AS (SELECT *,
+        |    CASE WHEN is_err = 1 AND coalesce(lag(is_err, 1) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id), 0) = 1
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM m),
+        |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM b)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) AS end_us, count(*) AS burst_len
+        |FROM i WHERE is_err = 1 GROUP BY user_id, island
+        |HAVING count(*) >= 3""".stripMargin,
     // doubled-integer medians: odd n -> 2·middle, even -> lower+upper;
     // the flag compares integers (2d > 3·mad2 <=> |v-med| > 3·MAD)
     "ts_anomaly_mad" ->

@@ -638,6 +638,39 @@ object TimeSeriesOps {
         (col("mad2").cast("double") / 400.0).as("mad"))
   }
 
+  /** Minimum run length for an error burst. */
+  val BurstMin = 3
+
+  /** #130 — ERROR-BURST detection per key: maximal runs of ≥
+    * [[BurstMin]] consecutive error events (consecutive in the key's
+    * own event order) — the incident-window extraction behind alert
+    * grouping, reported with start/end timestamps and length. Island
+    * detection via the lag + running-sum pair (the dedup_spans
+    * technique): one lag window marks run breaks, a running sum labels
+    * islands, and a final combinable agg per (key, island) emits the
+    * bursts — all three operators share the single user_id shuffle,
+    * and per-row state is one lag value (no key-history arrays).
+    * Integer-only: timestamps epoch-µs, lengths counts. */
+  def errorBursts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("event_type") === "error").cast("int").as("is_err"))
+      .withColumn("brk",
+        when(col("is_err") === 1 &&
+          coalesce(lag(col("is_err"), 1).over(w), lit(0)) === 1, 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("is_err") === 1)
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("burst_len"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
+      .filter(col("burst_len") >= BurstMin)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("burst_len"))
+  }
+
   def slaBurn(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))

@@ -659,6 +659,30 @@ class OperatorSpec extends SparkTestBase {
     assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
   }
 
+  test("error bursts match a driver scan for maximal consecutive error runs") {
+    val ev = graft.core.Tables.events(spark, Sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        "cast(event_type = 'error' as int) AS is_err")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val want = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val runs = scala.collection.mutable.Buffer[Seq[Long]]()
+      var cur = scala.collection.mutable.Buffer[Long]()
+      ordered.foreach { r =>
+        if (r._4 == 1) cur += r._3
+        else { if (cur.nonEmpty) runs += cur.toSeq; cur = scala.collection.mutable.Buffer() }
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs.filter(_.length >= TimeSeriesOps.BurstMin)
+        .map(r => (uid, r.head, r.last, r.length.toLong))
+    }.toSet
+    val got = TimeSeriesOps.errorBursts(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("burst_len"))).toSet
+    assert(got == want, s"got ${got.size} bursts, driver scan ${want.size}")
+    assert(got.nonEmpty, "spec data must contain at least one burst")
+  }
+
   test("band stats: bucket sums cover every signed doc; pair bound dominates the max bucket") {
     val rows = Dedup.bandStats(spark, Sf).collect()
     assert(rows.length == Dedup.NumBands)

@@ -410,6 +410,28 @@ class PlanSpec extends SparkTestBase {
       s"corpus scans must stay O(1) (query + shortlist), got $corpusScans")
   }
 
+  test("emb_ivf_balance reads zero data bytes — partition column only") {
+    val p = plan("emb_ivf_balance")
+    assert(p.contains("graft-stage"), "must read the staged assignment table")
+    assert(p.contains("ReadSchema: struct<>"),
+      "the count must come from the partition column alone — no data columns")
+  }
+
+  test("dedup_band_stats probes the staged bands, never the corpus text") {
+    val p = plan("dedup_band_stats")
+    assert(p.contains("graft-stage"), "must read the staged band keys")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "band health must not rescan the corpus")
+  }
+
+  test("ts_anomaly_mad scans stay column-pruned (no props/event payload)") {
+    val p = plan("ts_anomaly_mad")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props"), s"payload column must be pruned: $l")
+    }
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ts_histogram_quantile is one combinable conditional-count pass") {
     val p = plan("ts_histogram_quantile")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
