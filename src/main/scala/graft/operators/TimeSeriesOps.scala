@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -616,22 +616,27 @@ object TimeSeriesOps {
     * joins on the same user_id hashing). The fact scans stay
     * column-pruned to 4 columns. */
   def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    // Windows-only: both medians come from full-partition conditional
+    // sums at the two middle ranks, so the fact is scanned ONCE and
+    // shuffled ONCE — each median pass adds a Sort within the same
+    // user_id partitioning, never a join or a second exchange (a
+    // groupBy+join-back formulation re-evaluated the base 3-4×).
+    val byUser = Window.partitionBy("user_id")
+    def doubledMedianCol(c: Column, rn: Column): Column =
+      sum(when(rn === expr("(n + 1) div 2"), c)).over(byUser) +
+        sum(when(rn === expr("(n + 2) div 2"), c)).over(byUser)
+    val wv = byUser.orderBy(col("v100"), col("event_id"))
     val base = Tables.events(s, dir).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("value"),
       (dec("value") * 100).cast("long").as("v100"))
-    def doubledMedian(df: DataFrame, c: String, out: String): DataFrame = {
-      val w = Window.partitionBy("user_id").orderBy(col(c), col("event_id"))
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
-        .groupBy("user_id")
-        .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col(c))) +
-          sum(when(col("rn") === expr("(n + 2) div 2"), col(c)))).as(out))
-    }
-    val med = doubledMedian(base, "v100", "m2")
-    val withD = base.join(med, "user_id")
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("m2", doubledMedianCol(col("v100"), col("rn")))
       .withColumn("d", abs(lit(2) * col("v100") - col("m2")))
-    val mad = doubledMedian(withD, "d", "mad2")
-    withD.join(mad, "user_id")
+    val wd = byUser.orderBy(col("d"), col("event_id"))
+    base
+      .withColumn("rn2", row_number().over(wd))
+      .withColumn("mad2", doubledMedianCol(col("d"), col("rn2")))
       .filter(col("mad2") > 0 && lit(2) * col("d") > lit(3) * col("mad2"))
       .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
         (col("d").cast("double") / 200.0).as("dev"),

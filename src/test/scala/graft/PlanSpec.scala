@@ -424,12 +424,17 @@ class PlanSpec extends SparkTestBase {
       "band health must not rescan the corpus")
   }
 
-  test("ts_anomaly_mad scans stay column-pruned (no props/event payload)") {
+  test("ts_anomaly_mad is one scan, one exchange — medians via windows, not join-backs") {
     val p = plan("ts_anomaly_mad")
     p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
       assert(!l.contains("props"), s"payload column must be pruned: $l")
     }
-    assert(!p.contains("CartesianProduct"))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 1, s"the fact must be scanned once, got $scans")
+    assert("Exchange".r.findAllIn(p).size <= 2, "one user_id shuffle (+AQE read)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no join-back: both medians are full-partition window sums")
   }
 
   test("ts_histogram_quantile is one combinable conditional-count pass") {
