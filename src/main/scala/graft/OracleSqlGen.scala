@@ -680,6 +680,14 @@ object OracleSqlGen {
        |  FROM sc) WHERE rn = 1""".stripMargin
   }
 
+  /** #131 — langid confusion matrix: the langid oracle nested as a CTE,
+    * joined to the labeled column, one count. */
+  val textLangConfusion: String =
+    s"""WITH L AS ($textLangid)
+       |SELECT d.lang, l.pred_lang, count(*) AS n_docs
+       |FROM L l JOIN documents d ON l.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   val textQuality: String = {
     val en = TextOps.StopWords("en").map(w => s"'$w'").mkString(", ")
     s"""WITH $toksCte

@@ -141,6 +141,8 @@ object SparkEntry {
     "emb_ivf_balance" -> (Similarity.ivfBalance _),
     "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
     "ts_error_bursts" -> (TimeSeriesOps.errorBursts _),
+    "text_lang_confusion" -> (TextOps.langConfusion _),
+    "doc_len_percentiles" -> (TextOps.lenPercentiles _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -899,6 +901,24 @@ object SparkEntry {
     "emb_centroid_shift" -> OracleSqlGen.embCentroidShift,
     "dedup_band_stats" -> OracleSqlGen.dedupBandStats,
     "emb_ivf_balance" -> OracleSqlGen.embIvfBalance,
+    "text_lang_confusion" -> OracleSqlGen.textLangConfusion,
+    // doubled-integer p50 (no division until the report); p95 = exact
+    // order statistic at the first rank with 20*rn >= 19*n
+    "doc_len_percentiles" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |      AS n_toks
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n FROM t)
+        |SELECT source, max(n) AS n_docs,
+        |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN n_toks END) +
+        |    sum(CASE WHEN rn = (n + 2) // 2 THEN n_toks END) AS DOUBLE) / 2.0
+        |    AS p50_tokens,
+        |  CAST(min(CASE WHEN rn * 20 >= n * 19 THEN n_toks END) AS BIGINT)
+        |    AS p95_tokens
+        |FROM r GROUP BY 1""".stripMargin,
     // islands via the same lag + running-sum pair, all integers
     "ts_error_bursts" ->
       """WITH m AS (SELECT user_id, event_id, ts,

@@ -424,6 +424,47 @@ object TextOps {
           col("ok_symbols") === 1 && col("ok_stops") === 1).cast("int"))
   }
 
+  /** #131 — language-ID CONFUSION MATRIX: the heuristic classifier
+    * (#24) scored against the corpus's labeled `lang` column — the
+    * accuracy check run before trusting a language filter to gate a
+    * 100 TB corpus (a classifier that eats one language's documents
+    * shows up here as an off-diagonal mass, not in any aggregate
+    * rate). Composes langId's projection with ONE combinable count on
+    * the ≤|langs|² key space. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** #132 — per-source token-count percentiles (exact): p50 as the
+    * doubled-integer median (odd n → 2·middle, even → lower+upper, no
+    * division until the final report) and p95 as the exact
+    * order-statistic at rank ⌈0.95·n⌉ (selection, integer compare
+    * 20·rank ≥ 19·n) — the corpus length profile consulted when
+    * choosing packing bin sizes and truncation limits. One rank
+    * window + full-partition conditional sums on the source shuffle;
+    * no joins. */
+  def lenPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    val w = bySrc.orderBy(col("n_toks"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .withColumn("m2",
+        sum(when(col("rn") === expr("(n + 1) div 2"), col("n_toks"))).over(bySrc) +
+          sum(when(col("rn") === expr("(n + 2) div 2"), col("n_toks"))).over(bySrc))
+      // first rank whose 20·rn >= 19·n — exactly ⌈0.95·n⌉ in integers
+      .withColumn("p95v",
+        min(when(col("rn") * 20 >= col("n") * 19, col("n_toks"))).over(bySrc))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        (max(col("m2")).cast("double") / 2.0).as("p50_tokens"),
+        max(col("p95v")).as("p95_tokens"))
+  }
+
   /** Fixed-point grid for cross-source weight sums (√tokens ≈ 2.5e3 at
     * sf0.1 × 2^40 ≈ 2.7e15 — comfortably inside long). */
   val TempFixScale = 1L << 40

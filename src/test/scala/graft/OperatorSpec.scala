@@ -659,6 +659,36 @@ class OperatorSpec extends SparkTestBase {
     assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
   }
 
+  test("lang confusion matrix covers every doc and agrees with langId") {
+    val rows = TextOps.langConfusion(spark, Sf).collect()
+    val total = graft.core.Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val predTotals = rows.groupBy(_.getAs[String]("pred_lang"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val fromLangId = TextOps.langId(spark, Sf).collect()
+      .groupBy(_.getAs[String]("pred_lang"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(predTotals == fromLangId, "matrix marginals must equal langId counts")
+  }
+
+  test("length percentiles: p50/p95 match driver order statistics per source") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .selectExpr("source", "doc_id",
+        "size(filter(split(lower(text), '\\\\s+'), t -> t != '')) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong))
+    val rows = TextOps.lenPercentiles(spark, Sf).collect()
+    rows.foreach { r =>
+      val xs = docs.filter(_._1 == r.getAs[String]("source")).map(_._3).sorted
+      val n = xs.length
+      assert(r.getAs[Long]("n_docs") == n)
+      val p50 = (xs((n + 1) / 2 - 1) + xs((n + 2) / 2 - 1)) / 2.0
+      assert(r.getAs[Double]("p50_tokens") == p50)
+      val p95 = xs(((n * 19 + 19) / 20) - 1)
+      assert(r.getAs[Long]("p95_tokens") == p95,
+        s"source ${r.getString(0)}: p95 ${r.getAs[Long]("p95_tokens")} vs $p95")
+    }
+  }
+
   test("error bursts match a driver scan for maximal consecutive error runs") {
     val ev = graft.core.Tables.events(spark, Sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
