@@ -56,7 +56,15 @@ object TextOps {
 
   /** #24 — language ID: most stopword hits wins; ties break by language
     * code; zero hits → "und". */
-  def langId(s: SparkSession, dir: String): DataFrame = {
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langPredicted(s, dir).select(col("doc_id"), col("pred_lang"))
+
+  /** The langid projection with every document column still attached —
+    * one corpus scan feeds both #24's (doc_id, pred) shape and #131's
+    * confusion matrix (which needs the labeled `lang` alongside the
+    * prediction; re-joining the corpus for a column the scan already
+    * read would double the 100 TB pass). */
+  private def langPredicted(s: SparkSession, dir: String): DataFrame = {
     val df = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
     val scored = StopWords.toSeq.sortBy(_._1).foldLeft(df) {
       case (acc, (lang, words)) =>
@@ -68,8 +76,8 @@ object TextOps {
     // tiebreak deterministic); array_max over structs orders by fields.
     scored
       .withColumn("bestst", array_max(array(best: _*)))
-      .select(col("doc_id"),
-        when(col("bestst.sc") === 0, "und").otherwise(col("bestst.lang")).as("pred_lang"))
+      .withColumn("pred_lang",
+        when(col("bestst.sc") === 0, "und").otherwise(col("bestst.lang")))
   }
 
   /** #25 — quality scoring: length, punctuation ratio, stopword ratio,
@@ -432,8 +440,7 @@ object TextOps {
     * rate). Composes langId's projection with ONE combinable count on
     * the ≤|langs|² key space. */
   def langConfusion(s: SparkSession, dir: String): DataFrame =
-    langId(s, dir)
-      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+    langPredicted(s, dir)
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
 

@@ -437,6 +437,14 @@ class PlanSpec extends SparkTestBase {
       "no join-back: both medians are full-partition window sums")
   }
 
+  test("text_lang_confusion scores and labels in ONE corpus scan — no self-join") {
+    val p = plan("text_lang_confusion")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans == 1, s"prediction and label share the scan, got $docScans")
+    assert(!p.contains("Join"), "no doc_id re-join for a column the scan had")
+  }
+
   test("ts_histogram_quantile is one combinable conditional-count pass") {
     val p = plan("ts_histogram_quantile")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
