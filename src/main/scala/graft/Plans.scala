@@ -34,7 +34,9 @@ object Plans {
       "text_gopher_rules" -> "Quality gate as a ZERO-exchange codegen projection: all four rules and the keep bit evaluate inside one WholeStageCodegen span over the corpus scan; ratios compare as integer cross-products.",
       "emb_quantize_sq" -> "Scalar-quantization report with no explode: the 1-row (lo,hi) broadcast feeds in-array quantize/reconstruct/error folds; per-row fixed-point error sums combine map-side on the label shuffle.",
       "ann_mmr_rerank" -> "MMR after retrieval at O(1) post-scan cost: the corpus appears only under the shortlist TakeOrdered (cached, <=10 rows); pairwise sims and every greedy round are broadcast joins over that in-memory relation.",
-      "ts_histogram_quantile" -> "PromQL histogram_quantile from bucket counters: 7 conditional counts fold map-side into one HashAggregate pair on the type shuffle; selection + interpolation are per-row expressions over 5 rows.")
+      "ts_histogram_quantile" -> "PromQL histogram_quantile from bucket counters: 7 conditional counts fold map-side into one HashAggregate pair on the type shuffle; selection + interpolation are per-row expressions over 5 rows.",
+      "ts_anomaly_mad" -> "Two exact medians, ONE scan, ONE exchange: both doubled-integer medians are full-partition conditional window sums over the same user_id partitioning - each pass adds only a Sort, never a join-back or second shuffle.",
+      "emb_ivf_balance" -> "Zero data bytes: the cell counts come from the staged assignment table's PARTITION column alone (ReadSchema: struct<>); the skew division joins a 1-row broadcast total.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -70,6 +70,12 @@ object Scale {
       time("emb_quantize_sq")(Similarity.quantizeSq(spark, dir).count())
       time("ann_mmr_rerank")(Similarity.mmrRerank(spark, dir).count())
       time("ts_histogram_quantile")(TimeSeriesOps.histogramQuantile(spark, dir).count())
+      time("ts_anomaly_mad")(TimeSeriesOps.anomalyMad(spark, dir).count())
+      time("ts_error_bursts")(TimeSeriesOps.errorBursts(spark, dir).count())
+      time("text_lang_confusion")(TextOps.langConfusion(spark, dir).count())
+      time("doc_len_percentiles")(TextOps.lenPercentiles(spark, dir).count())
+      time("dedup_minhash_est")(Dedup.minhashEstimate(spark, dir).count())
+      time("emb_centroid_shift")(Similarity.centroidShift(spark, dir).count())
     }
     spark.stop()
   }
