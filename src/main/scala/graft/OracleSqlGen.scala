@@ -826,6 +826,20 @@ object OracleSqlGen {
     * the dedup_incremental batch slice), which is exactly what the
     * Spark side reaches by fingerprinting only the new batch and
     * probing the staged store for the old side. */
+  /** #133 — media dup clusters: the phash pair query nested as a CTE,
+    * then the same recursive min-reachable-id closure as dedupCluster. */
+  val mmPhashClusters: String =
+    s"""WITH RECURSIVE pairs AS ($mmPhashPairs),
+       |edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+       |  UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+       |reach(a, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b)
+       |SELECT a AS doc_id, min(r) AS cluster_id,
+       |  CAST(a = min(r) AS INTEGER) AS keep
+       |FROM reach GROUP BY a""".stripMargin
+
   val mmPhashIncremental: String = {
     val bitSums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")

@@ -143,6 +143,7 @@ object SparkEntry {
     "ts_error_bursts" -> (TimeSeriesOps.errorBursts _),
     "text_lang_confusion" -> (TextOps.langConfusion _),
     "doc_len_percentiles" -> (TextOps.lenPercentiles _),
+    "mm_phash_clusters" -> (Multimodal.phashClusters _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -902,6 +903,7 @@ object SparkEntry {
     "dedup_band_stats" -> OracleSqlGen.dedupBandStats,
     "emb_ivf_balance" -> OracleSqlGen.embIvfBalance,
     "text_lang_confusion" -> OracleSqlGen.textLangConfusion,
+    "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
     // doubled-integer p50 (no division until the report); p95 = exact
     // order statistic at the first rank with 20*rn >= 19*n
     "doc_len_percentiles" ->

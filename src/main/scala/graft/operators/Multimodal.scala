@@ -187,6 +187,17 @@ object Multimodal {
     * media dedup, where re-hashing the historical corpus (O(corpus
     * bytes)) would dwarf the batch itself. Pairing is the same bounded
     * byte-block pigeonhole, new×old only. */
+  /** #133 — MEDIA dup clusters: connected components over the
+    * [[phashPairs]] near-dup graph — the step that turns pairwise
+    * media matches into the keep-one-per-cluster decision (the
+    * dedup_cluster → dedup_cluster_survivor shape, lifted to the
+    * binary corpus). Reuses [[Dedup.clusterDups]]'s star contraction
+    * verbatim with the phash pair source: pair mining stays the
+    * bounded byte-block join over STAGED 8-byte fingerprints, and the
+    * contraction converges on the tiny edge set. */
+  def phashClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterDups(s, dir, (s2, d) => phashPairs(s2, d))
+
   def phashIncremental(s: SparkSession, dir: String): DataFrame = {
     val isNew = col("doc_id") % Dedup.IncrMod === Dedup.IncrRem
     val oldPh = s.read.parquet(PhashIndex.ensure(s, dir)).filter(!isNew)

@@ -659,6 +659,32 @@ class OperatorSpec extends SparkTestBase {
     assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
   }
 
+  test("phash clusters resolve the pair graph to component minima") {
+    import spark.implicits._
+    val pairs = Multimodal.phashPairs(spark, Sf)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect()
+    // driver-side union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Multimodal.phashClusters(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Int]("keep"))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (doc, (cid, keep)) =>
+      assert(cid == want(doc), s"doc $doc: cluster $cid vs union-find ${want(doc)}")
+      assert(keep == (if (doc == cid) 1 else 0))
+    }
+    assert(got.nonEmpty, "spec corpus must contain at least one media dup pair")
+  }
+
   test("lang confusion matrix covers every doc and agrees with langId") {
     val rows = TextOps.langConfusion(spark, Sf).collect()
     val total = graft.core.Tables.documents(spark, Sf).count()
