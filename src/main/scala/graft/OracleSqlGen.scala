@@ -578,6 +578,37 @@ object OracleSqlGen {
        |FROM rr ORDER BY rnk LIMIT 10""".stripMargin
   }
 
+  /** #134 — PQ distortion: the same encode CTEs (rounded argmin picks
+    * the code), the UNROUNDED squared-error fold at the chosen code
+    * floored onto the fixed-point grid, per-subspace exact sums +
+    * double-selection max, divisions mirrored. */
+  val embPqDistortion: String = {
+    import graft.operators.PqIndex.{Subs, SubDim, K}
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, $SubDim),
+         |    i -> ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i])
+         |       * ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i]))),
+         |  (p, q) -> p + q)""".stripMargin
+    s"""WITH $eCte,
+       |cb AS (SELECT vec_id AS k, v FROM e WHERE vec_id < $K),
+       |subs AS (SELECT unnest(generate_series(0, ${Subs - 1})) AS sub),
+       |enc AS (SELECT e.vec_id, s.sub, cb.k, round(${fold("e.v", "cb.v")}, 6) AS d,
+       |    ${fold("e.v", "cb.v")} AS du
+       |  FROM e, subs s, cb),
+       |codes AS (SELECT vec_id, sub, du FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, k) AS rn
+       |    FROM enc) WHERE rn = 1),
+       |f AS (SELECT sub, count(*) AS n,
+       |    CAST(sum(CAST(floor(du * ${graft.operators.Similarity.KmFixScale}) AS BIGINT)) AS HUGEINT)
+       |      AS sf,
+       |    max(du) AS mx
+       |  FROM codes GROUP BY 1)
+       |SELECT CAST(sub AS BIGINT) AS sub, n AS n_vecs,
+       |  (CAST(sf AS DOUBLE) / ${graft.operators.Similarity.KmFixScale}) / n AS mse,
+       |  mx AS max_sse
+       |FROM f""".stripMargin
+  }
+
   /** #105 — IVF-PQ (IVFADC) top-10: the annIvfTopk coarse machinery
     * (per-label centroids, rounded-cosine assignment and probe) feeding
     * the annPqTopk machinery over RESIDUALS (v − cell centroid): encode

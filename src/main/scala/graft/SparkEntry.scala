@@ -144,6 +144,7 @@ object SparkEntry {
     "text_lang_confusion" -> (TextOps.langConfusion _),
     "doc_len_percentiles" -> (TextOps.lenPercentiles _),
     "mm_phash_clusters" -> (Multimodal.phashClusters _),
+    "emb_pq_distortion" -> (Similarity.pqDistortion _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -904,6 +905,7 @@ object SparkEntry {
     "emb_ivf_balance" -> OracleSqlGen.embIvfBalance,
     "text_lang_confusion" -> OracleSqlGen.textLangConfusion,
     "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
+    "emb_pq_distortion" -> OracleSqlGen.embPqDistortion,
     // doubled-integer p50 (no division until the report); p95 = exact
     // order statistic at the first rank with 20*rn >= 19*n
     "doc_len_percentiles" ->

@@ -432,6 +432,45 @@ object Similarity {
           (col("total").cast("double") / col("ncells"))).as("skew"))
   }
 
+  /** #134 — PQ DISTORTION report from the staged index: per subspace,
+    * the mean and max squared reconstruction error of every vector
+    * against its assigned sub-centroid — the diagnostic that says
+    * whether the PQ codebook still fits the corpus (drifted data shows
+    * up as one subspace's distortion exploding, and the remedy is a
+    * codebook rebuild — this report is the trigger, the PQ twin of
+    * [[quantizeSq]]'s go/no-go). Codes and codebook come from the
+    * STAGED PqIndex (no re-encode); raw vectors join the code table
+    * co-keyed on vec_id; per-(vector, subspace) errors floor onto the
+    * [[KmFixScale]] grid so the 8 per-subspace sums are exact integers
+    * (order-independent at any corpus size); max is a double
+    * selection over identically-computed folds. ONE join + ONE 1-row
+    * aggregate. */
+  def pqDistortion(s: SparkSession, dir: String): DataFrame = {
+    import PqIndex.{Subs, K}
+    val st = PqIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val codes = s.read.parquet(st.codes)
+    val cbArr = s.read.parquet(st.codebook)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("cbs"))
+    def du(su: Int): Column = PqIndex.subDist(col("v"),
+      element_at(col("cbs"), (col(s"code$su") + 1).cast("int")).getField("v"),
+      lit(su))
+    val aggs = count(lit(1)).as("n") +:
+      ((0 until Subs).map(su => sum(floor(du(su) * KmFixScale)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"f$su")) ++
+       (0 until Subs).map(su => max(du(su)).as(s"mx$su")))
+    e.join(codes, "vec_id").crossJoin(broadcast(cbArr))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), posexplode(array((0 until Subs).map(su =>
+        struct(lit(su).cast("long").as("sub"),
+          ((col(s"f$su").cast("double") / KmFixScale.toDouble) / col("n"))
+            .as("mse"),
+          col(s"mx$su").as("max_sse"))): _*)))
+      .select(col("col.sub").as("sub"), col("n").as("n_vecs"),
+        col("col.mse").as("mse"), col("col.max_sse").as("max_sse"))
+  }
+
   /** int8 levels for scalar quantization. */
   val SqLevels = 256
 

@@ -659,6 +659,36 @@ class OperatorSpec extends SparkTestBase {
     assert(mags.sameElements(mags.sortBy(-_: Double)), "must be ranked by |delta|")
   }
 
+  test("pq distortion matches a driver recompute for subspace 0") {
+    val embs = graft.core.Tables.embeddings(spark, Sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val seeds = (0L until Similarity.KmK.toLong)
+    val cb = (0L until 16L).map(k => embs(k))
+    def subDist(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0
+      for (i <- 0 until 8) s += (v(i) - c(i)) * (v(i) - c(i))
+      s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var sumFix = BigInt(0); var n = 0L; var mx = 0.0
+    embs.values.foreach { v =>
+      val code = (0 until 16).minBy(k => (r6(subDist(v, cb(k))), k))
+      val du = subDist(v, cb(code))
+      sumFix += BigInt(math.floor(du * Similarity.KmFixScale).toLong)
+      mx = math.max(mx, du); n += 1
+    }
+    val wantMse = (sumFix.toDouble / Similarity.KmFixScale.toDouble) / n
+    val row = Similarity.pqDistortion(spark, Sf).collect()
+      .find(_.getAs[Long]("sub") == 0L).get
+    assert(row.getAs[Long]("n_vecs") == n)
+    assert(row.getAs[Double]("mse") == wantMse,
+      s"sub0 mse ${row.getAs[Double]("mse")} vs driver $wantMse")
+    assert(row.getAs[Double]("max_sse") == mx)
+    assert(seeds.forall(embs.contains))
+  }
+
   test("phash clusters resolve the pair graph to component minima") {
     import spark.implicits._
     val pairs = Multimodal.phashPairs(spark, Sf)
