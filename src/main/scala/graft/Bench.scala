@@ -25,7 +25,8 @@ object Bench {
         () => operators.IvfIndex.ensure(spark, sfDir),
         () => operators.PqIndex.ensure(spark, sfDir),
         () => operators.IvfPqIndex.ensure(spark, sfDir),
-        () => operators.PhashIndex.ensure(spark, sfDir)))
+        () => operators.PhashIndex.ensure(spark, sfDir),
+        () => operators.KnnIndex.ensure(spark, sfDir)))
       try build() catch { case _: Throwable => () }
     // best-of-2 per query: the second run has warm codegen/JIT, so the
     // min reflects steady-state operator cost rather than noise

@@ -251,8 +251,12 @@ object OracleSqlGen {
        |  FROM scored)
        |WHERE rnk <= 3""".stripMargin
 
-  val dedupEmbedding: String = {
-    val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
+  /** Banded hyperplane sign codes as a UNION ALL over `e` — the
+    * identical integer planes and left-to-right dot order as the native
+    * BandCodes expression; shared by the embedding-dedup, k-NN-graph,
+    * and NN-descent oracles. */
+  private val embBandSelects: String =
+    (0 until Dedup.EmbBands).map { bnd =>
       val code = (0 until Dedup.EmbRows).map { k =>
         val p = bnd * Dedup.EmbRows + k
         val terms = (0 until 64).map(j => s"v[${j + 1}] * (${Similarity.planeWeight(p, j)})")
@@ -261,6 +265,9 @@ object OracleSqlGen {
       }.mkString(" + ")
       s"SELECT vec_id, $bnd AS band, $code AS bkey FROM e"
     }.mkString("\n  UNION ALL ")
+
+  val dedupEmbedding: String = {
+    val bandSelects = embBandSelects
     s"""WITH $eCte,
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.vec_id AS vec_id1, y.vec_id AS vec_id2
@@ -269,6 +276,61 @@ object OracleSqlGen {
        |JOIN e a ON a.vec_id = c.vec_id1 JOIN e b ON b.vec_id = c.vec_id2
        |WHERE ${cos("a.v", "b.v")} >= 0.45""".stripMargin
   }
+
+  /** #135 — SemDeDup: seed assignment (the kmeansStep fixpoint), pairs
+    * mined within clusters only, keep = no smaller-id cluster-mate
+    * within τ. Same rounded cosine, same tie ordering. */
+  val embSemDedup: String =
+    s"""WITH $eCte,
+       |cvt AS (SELECT vec_id AS clabel, v AS cv FROM e WHERE vec_id < ${Similarity.KmK}),
+       |assigned AS (SELECT vec_id, v, clabel AS cluster FROM (
+       |  SELECT e.vec_id, e.v, cvt.clabel,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${rcosSafe("e.v", "cvt.cv")} DESC, cvt.clabel) AS rn
+       |  FROM e, cvt) WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id FROM assigned a
+       |  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE round(${cos("a.v", "b.v")}, 6) >= ${Dedup.SemTau})
+       |SELECT a.vec_id, a.cluster,
+       |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
+
+  /** Shared CTE tail for the k-NN graph: banded candidates (directed),
+    * exact rounded cosine, per-src top-k window. */
+  private val knnGraphCtes: String =
+    s"""bands AS ($embBandSelects),
+       |cand0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.vec_id <> y.vec_id),
+       |scored0 AS (SELECT c.src, c.dst, round(${cos("a.v", "b.v")}, 6) AS rcos
+       |  FROM cand0 c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst),
+       |knn AS (SELECT src, rnk, dst, rcos FROM (
+       |  SELECT src, dst, rcos, row_number() OVER (PARTITION BY src
+       |    ORDER BY rcos DESC, dst) AS rnk FROM scored0)
+       |  WHERE rnk <= ${Similarity.KnnK})""".stripMargin
+
+  /** #136 — approximate k-NN graph: banded candidates → exact rounded
+    * cosine → per-src top-k. */
+  val embKnnGraph: String =
+    s"""WITH $eCte,
+       |$knnGraphCtes
+       |SELECT src, rnk, dst, rcos FROM knn""".stripMargin
+
+  /** #137 — one NN-descent step over the k-NN graph: symmetrize,
+    * add 2-hop candidates through a shared mid node, re-score, re-rank. */
+  val embNnDescentStep: String =
+    s"""WITH $eCte,
+       |$knnGraphCtes,
+       |u AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+       |twohop AS (SELECT a.src, b.dst FROM u a JOIN u b ON a.dst = b.src
+       |  WHERE a.src <> b.dst),
+       |cand AS (SELECT src, dst FROM u UNION SELECT src, dst FROM twohop),
+       |scored AS (SELECT c.src, c.dst, round(${cos("a.v", "b.v")}, 6) AS rcos
+       |  FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst)
+       |SELECT src, rnk, dst, rcos FROM (
+       |  SELECT src, dst, rcos, row_number() OVER (PARTITION BY src
+       |    ORDER BY rcos DESC, dst) AS rnk FROM scored)
+       |WHERE rnk <= ${Similarity.KnnK}""".stripMargin
 
   /** #93 — radius search: same fold-order cosine, raw threshold
     * compare (bit-identical doubles make it safe, as dedup_embedding's

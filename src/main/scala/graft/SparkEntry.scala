@@ -145,6 +145,9 @@ object SparkEntry {
     "doc_len_percentiles" -> (TextOps.lenPercentiles _),
     "mm_phash_clusters" -> (Multimodal.phashClusters _),
     "emb_pq_distortion" -> (Similarity.pqDistortion _),
+    "emb_semdedup" -> (Dedup.semDedup _),
+    "emb_knn_graph" -> (Similarity.knnGraph _),
+    "emb_nn_descent_step" -> (Similarity.nnDescentStep _),
     // Multimodal plumbing (#28-29)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -906,6 +909,9 @@ object SparkEntry {
     "text_lang_confusion" -> OracleSqlGen.textLangConfusion,
     "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
     "emb_pq_distortion" -> OracleSqlGen.embPqDistortion,
+    "emb_semdedup" -> OracleSqlGen.embSemDedup,
+    "emb_knn_graph" -> OracleSqlGen.embKnnGraph,
+    "emb_nn_descent_step" -> OracleSqlGen.embNnDescentStep,
     // doubled-integer p50 (no division until the report); p95 = exact
     // order statistic at the first rank with 20*rn >= 19*n
     "doc_len_percentiles" ->

@@ -671,7 +671,7 @@ object Dedup {
     * method limit and de-codegen the whole stage). Per-plane dots
     * accumulate strictly left-to-right so the sign decision is
     * bit-identical in DuckDB. */
-  private def embeddingBands(e: DataFrame): DataFrame =
+  private[operators] def embeddingBands(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(graft.functions.VectorFunctions.bandCodes(col("v"), EmbBands, EmbRows)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"),
@@ -725,5 +725,51 @@ object Dedup {
       .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.45)
       .select("vec_id1", "vec_id2")
+  }
+
+  /** Cosine threshold for SemDeDup within-cluster near-dup removal. */
+  val SemTau = 0.4
+
+  /** #135 — SEMANTIC dedup (SemDeDup, Abbas et al. 2023 — public): the
+    * embedding-space dedup recipe production corpora actually run —
+    * k-means-cluster the embedding space, then mine near-dup pairs ONLY
+    * within each cluster (never across), and keep one representative
+    * per near-dup neighborhood. Clustering is the [[Similarity]] seed
+    * assignment (vec_id < KmK seed centroids, the kmeansStep/IVF
+    * coarse step — at 100 TB, K grows with n so cluster populations
+    * stay bounded and the within-cluster pair join is OVER CLUSTER
+    * KEYS, the SemDeDup point: all-pairs cost collapses to
+    * Σ_c |c|² ≪ n²). The pair join salts [[SemSalt]] ways because the
+    * cluster-key space is small (the embeddingCosine treatment); exact
+    * rounded cosine ≥ [[SemTau]] verifies candidates; survivorship =
+    * lowest vec_id in each in-cluster neighborhood wins (a vector is
+    * dropped iff a smaller-id cluster-mate sits within τ — the
+    * deterministic form of the paper's keep-one rule). Output: every
+    * vector with its cluster and keep bit. */
+  val SemSalt = 16
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val seeds = e.filter(col("vec_id") < Similarity.KmK)
+      .select(col("vec_id").as("clabel"), col("v").as("cv"))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+    val assigned = Similarity.assignByFold(e, seeds)
+      .select(col("vec_id"), col("v"), col("assigned_label").as("cluster"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val x = assigned.select(col("cluster"),
+      pmod(col("vec_id"), lit(SemSalt)).cast("int").as("salt"),
+      col("vec_id").as("vec_id1"), col("v").as("va"), col("nrm").as("na"))
+    val y = assigned.select(col("cluster"),
+      explode(sequence(lit(0), lit(SemSalt - 1))).as("salt"),
+      col("vec_id").as("vec_id2"), col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = x.join(y, Seq("cluster", "salt"))
+      .filter(col("vec_id1") < col("vec_id2"))
+      .filter(round(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6) >= SemTau)
+      .select(col("vec_id2").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("hit").isNull, 1).otherwise(0).as("keep"))
   }
 }

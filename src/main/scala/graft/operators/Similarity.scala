@@ -471,6 +471,110 @@ object Similarity {
         col("col.mse").as("mse"), col("col.max_sse").as("max_sse"))
   }
 
+  /** Neighbors per node in the approximate k-NN graph. */
+  val KnnK = 3
+
+  /** Banded candidate edges with exact rounded cosine, shared by
+    * [[knnGraph]] and the [[KnnIndex]] build: every DIRECTED pair
+    * (src, dst) sharing at least one LSH band code (the
+    * [[Dedup.embeddingBands]] layout — 4 bands × 4 sign bits over the
+    * deterministic integer hyperplanes), scored ONCE. The self-join is
+    * salted 16 ways because the band-key space is small. A pair
+    * matching in several bands is deduped by the FIRST-MATCH-BAND
+    * rule — both sides carry their 4-int code arrays, and the pair
+    * survives at band b only if no band before b also matched — an
+    * exact, zero-shuffle replacement for a distinct() over the scored
+    * candidate set (which would re-shuffle every candidate and score
+    * each duplicate band hit). */
+  private[operators] def bandedEdges(e: DataFrame): DataFrame = {
+    val withCodes = e.withColumn("codes",
+      graft.functions.VectorFunctions.bandCodes(col("v"), Dedup.EmbBands, Dedup.EmbRows))
+    val bands = withCodes
+      .select(col("vec_id"), col("v"), col("nrm"), col("codes"),
+        posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"),
+        col("v"), col("nrm"), col("codes"))
+    val S = 16
+    val x = bands.select(col("band"), col("bkey"),
+      pmod(col("vec_id"), lit(S)).cast("int").as("salt"),
+      col("vec_id").as("src"), col("v").as("va"), col("nrm").as("na"),
+      col("codes").as("ca"))
+    val y = bands.select(col("band"), col("bkey"),
+      explode(sequence(lit(0), lit(S - 1))).as("salt"),
+      col("vec_id").as("dst"), col("v").as("vb"), col("nrm").as("nb"),
+      col("codes").as("cb"))
+    x.join(y, Seq("band", "bkey", "salt"))
+      .filter(col("src") =!= col("dst"))
+      .filter(!array_contains(
+        zip_with(slice(col("ca"), lit(1), col("band")),
+          slice(col("cb"), lit(1), col("band")), (u, w) => u === w), lit(true)))
+      .select(col("src"), col("dst"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("rcos"))
+  }
+
+  /** Per-src top-[[KnnK]] by (rcos desc, dst) — partitions bounded by
+    * one node's candidate count, never the corpus. */
+  private def topkPerSrc(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("rcos").desc, col("dst"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select(col("src"), col("rnk"), col("dst"), col("rcos"))
+  }
+
+  /** #136 — approximate k-NN GRAPH construction (k = [[KnnK]]): the
+    * build primitive under NN-descent / HNSW / graph-ANN indexes and
+    * embedding-space data maps — for EVERY vector, its top-k cosine
+    * neighbors among LSH-band candidates. Candidate generation is the
+    * banded bucket self-join (bounded fanout, no all-pairs anywhere);
+    * ranking is a per-src window whose partitions are one node's
+    * candidates. At 100 TB this is exactly how a first-pass graph is
+    * bootstrapped before NN-descent refinement (#137): band width
+    * scales with log n to hold bucket sizes, and the graph's edge count
+    * is n·k by construction. Scores round to 6 dp (ties → lowest dst)
+    * so ranking is bit-deterministic across engines. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    topkPerSrc(bandedEdges(e))
+  }
+
+  /** #137 — one NN-DESCENT refinement step (Dong et al. WWW'11 —
+    * public): improve the k-NN graph by scoring each node against its
+    * neighbors' neighbors — the local-join observation that a
+    * neighbor's neighbor is likely a neighbor. Candidates = the
+    * SYMMETRIZED current graph (forward + reverse edges — reverse
+    * neighbors are NN-descent's key trick) plus all 2-hop pairs
+    * through a shared mid node; each candidate set is re-scored with
+    * the exact rounded cosine and the per-node top-k recomputed. The
+    * input graph comes from the STAGED [[KnnIndex]] (built once per
+    * corpus fingerprint — NN-descent is an iterative refinement LOOP,
+    * and re-mining the banded bootstrap graph on every iteration would
+    * re-pay the self-join the stage exists to amortize); every join is
+    * over the n·k edge frame, and the corpus is touched only to fetch
+    * endpoint vectors by key. The spec asserts the step's recall@k vs
+    * brute force is ≥ the input graph's. */
+  def nnDescentStep(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val g = s.read.parquet(KnnIndex.ensure(s, dir)).select("src", "dst")
+    val u = g.unionAll(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val twoHop = u.select(col("src"), col("dst").as("m"))
+      .join(u.select(col("src").as("m"), col("dst").as("dst2")), "m")
+      .filter(col("src") =!= col("dst2"))
+      .select(col("src"), col("dst2").as("dst"))
+    val cand = u.unionAll(twoHop).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("src"), col("v").as("va"), col("nrm").as("na")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("vb"), col("nrm").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("rcos"))
+    topkPerSrc(scored)
+  }
+
   /** int8 levels for scalar quantization. */
   val SqLevels = 256
 

@@ -989,4 +989,72 @@ class OperatorSpec extends SparkTestBase {
         s"p90 $p90 outside its bucket [$lo, ${TimeSeriesOps.HqBounds(i)}]")
     }
   }
+
+  /** Driver-side embedding corpus: (vec_id, v) with the same
+    * left-to-right double fold the engines use. */
+  private def vecsOf(): Array[(Long, Array[Double])] =
+    graft.core.Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+      .sortBy(_._1)
+  private def rcos6(a: Array[Double], b: Array[Double]): Double = {
+    def d(x: Array[Double], y: Array[Double]) =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+    BigDecimal(d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("semdedup: exact match with a driver recompute of assign + keep") {
+    val vs = vecsOf()
+    val seeds = vs.filter(_._1 < Similarity.KmK)
+    val assign = vs.map { case (id, v) =>
+      id -> seeds.map { case (sid, sv) => (rcos6(v, sv), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }._2
+    }.toMap
+    val expected = vs.map { case (id, v) =>
+      val dropped = vs.exists { case (oid, ov) =>
+        oid < id && assign(oid) == assign(id) && rcos6(ov, v) >= Dedup.SemTau }
+      (id, assign(id), if (dropped) 0 else 1)
+    }.toSet
+    val got = Dedup.semDedup(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Int]("keep"))).toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 == 0), "spec scale must exercise removals")
+  }
+
+  test("knn graph: valid ranks, exact edge scores, usable recall; nn-descent never loses recall") {
+    val vs = vecsOf()
+    val byId = vs.toMap
+    val n = vs.length
+    // exact top-3 ground truth per node (rcos desc, id asc)
+    val exact = vs.map { case (id, v) =>
+      id -> vs.filter(_._1 != id)
+        .map { case (oid, ov) => (rcos6(v, ov), oid) }
+        .sortBy { case (c, oid) => (-c, oid) }.take(Similarity.KnnK)
+        .map(_._2).toSet
+    }.toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.count(r => exact(r.getAs[Long]("src"))
+        .contains(r.getAs[Long]("dst"))).toDouble / (n * Similarity.KnnK)
+    val g = Similarity.knnGraph(spark, Sf).collect()
+    g.groupBy(_.getAs[Long]("src")).foreach { case (_, es) =>
+      val ranked = es.sortBy(_.getAs[Int]("rnk"))
+      assert(ranked.map(_.getAs[Int]("rnk")).toSeq == (1 to ranked.length))
+      // ranks must follow (rcos desc, dst asc)
+      val key = ranked.map(r => (-r.getAs[Double]("rcos"), r.getAs[Long]("dst")))
+      assert(key.sameElements(key.sorted))
+    }
+    g.foreach { r =>
+      assert(r.getAs[Double]("rcos") ==
+        rcos6(byId(r.getAs[Long]("src")), byId(r.getAs[Long]("dst"))))
+    }
+    val gRecall = recallOf(g)
+    assert(gRecall >= 0.35, s"knn-graph recall $gRecall below floor")
+    val refined = Similarity.nnDescentStep(spark, Sf).collect()
+    val rRecall = recallOf(refined)
+    // candidates ⊇ current neighbors ⇒ per-node top-k can only improve
+    assert(rRecall >= gRecall,
+      s"nn-descent recall $rRecall dropped below graph recall $gRecall")
+  }
 }
