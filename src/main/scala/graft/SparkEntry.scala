@@ -156,8 +156,10 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.payloadDedup _),
     "mm_phash" -> (Multimodal.phashPairs _),
     "mm_phash_incremental" -> (Multimodal.phashIncremental _),
+    "q_session_concurrency" -> (Analytics.sessionConcurrency _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
+    "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
     "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
     "stream_interval_join" -> (graft.streaming.StreamOps.intervalJoinBatch _),
   )
@@ -1102,5 +1104,47 @@ object SparkEntry {
     "mm_phash" -> OracleSqlGen.mmPhashPairs,
     "mm_phash_incremental" -> OracleSqlGen.mmPhashIncremental,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
+    // session_window contract: merge requires ts < prev session end
+    // (strict), so the island rule is diff >= gap; end = last + gap
+    "stream_session_window" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS prev_us
+        |  FROM events),
+        |m AS (SELECT user_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s FROM b),
+        |g AS (SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid FROM m)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  max(ts_us) + 1800000000 AS session_end_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // two-level sweep line: within-day running sum + midnight carry
+    // (ends before starts at equal ts via d ascending; peak may precede
+    // the first delta of a day, hence greatest(0, max_run))
+    "q_session_concurrency" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS prev_us
+        |  FROM events),
+        |m AS (SELECT user_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s FROM b),
+        |g AS (SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid FROM m),
+        |sess AS (SELECT min(ts_us) AS s_us, max(ts_us) + 1800000000 AS e_us
+        |  FROM g GROUP BY user_id, sid),
+        |deltas AS (SELECT s_us AS ts_us, 1 AS d FROM sess
+        |  UNION ALL SELECT e_us, -1 FROM sess),
+        |dd AS (SELECT ts_us, d,
+        |    (ts_us // 86400000000) * 86400000000 AS day_us FROM deltas),
+        |r AS (SELECT day_us, d,
+        |    sum(d) OVER (PARTITION BY day_us ORDER BY ts_us, d) AS run FROM dd),
+        |pd AS (SELECT day_us, max(run) AS max_run,
+        |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |    sum(d) AS net FROM r GROUP BY 1)
+        |SELECT day_us, n_starts,
+        |  CAST(COALESCE(sum(net) OVER (ORDER BY day_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + greatest(0, max_run) AS BIGINT) AS max_concurrent
+        |FROM pd""".stripMargin,
   )
 }

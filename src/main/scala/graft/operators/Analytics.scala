@@ -817,4 +817,45 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "n_parts_dominated")
   }
+
+  /** #139 — PEAK SESSION CONCURRENCY per day (the capacity-planning
+    * ask every interactive service runs: "how many sessions were open
+    * at once?"): sessions come from the NATIVE session_window operator
+    * ([[graft.streaming.StreamOps.sessionSpans]] — 30-min gap, end =
+    * last event + gap), then a SWEEP LINE counts overlap: +1 at each
+    * session start, −1 at each end, running sum, max. The classic
+    * formulation needs one GLOBAL time-ordered pass — a corpus-sized
+    * single partition at 100 TB — so the sweep is split by DAY: the
+    * within-day running sum partitions on day_us (bounded by one day's
+    * sessions), and the midnight carry-in is a prefix sum over the
+    * per-day NET deltas — a one-row-per-day frame (bounded by the
+    * calendar, ~thousands of rows at any corpus size), the
+    * doc_pack_bins two-level treatment. Ends sort before starts at the
+    * same microsecond (d ascending), and ties share their running-sum
+    * value in both engines (the shared RANGE default frame), so the
+    * max is deterministic. A day's true peak can precede its first
+    * delta (carry alone, e.g. a day that only closes sessions), hence
+    * max_concurrent = carry + greatest(0, max running sum). All
+    * integer arithmetic end-to-end. */
+  def sessionConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.streaming.StreamOps.sessionSpans(Tables.events(s, dir))
+    val deltas = sess.select(explode(array(
+        struct(col("session_start_us").as("ts_us"), lit(1).as("d")),
+        struct(col("session_end_us").as("ts_us"), lit(-1).as("d")))).as("e"))
+      .select(col("e.ts_us").as("ts_us"), col("e.d").as("d"))
+      .withColumn("day_us", expr("ts_us div 86400000000") * lit(86400000000L))
+    val wDay = Window.partitionBy("day_us").orderBy("ts_us", "d")
+    val perDay = deltas.withColumn("run", sum("d").over(wDay))
+      .groupBy("day_us")
+      .agg(max("run").as("max_run"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_starts"),
+        sum("d").cast("long").as("net"))
+    val wCarry = Window.orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry", coalesce(sum("net").over(wCarry), lit(0L)))
+      .select(col("day_us"), col("n_starts"),
+        (col("carry") + greatest(lit(0L), col("max_run"))).cast("long")
+          .as("max_concurrent"))
+  }
 }

@@ -126,6 +126,36 @@ object StreamOps {
     intervalJoinPairs(src, src)
   }
 
+  /** Shared logic for #138: NATIVE session windows (30-min gap) per
+    * user — one row per session with start, end (last event + gap, the
+    * session_window contract) and event count. This is the windowed-agg
+    * formulation of sessionization: in streaming, Spark merges
+    * overlapping [ts, ts+gap) intervals in the state store and the
+    * watermark closes sessions (bounded state); in batch the same call
+    * plans as an aggregate over the merged windows. Events exactly
+    * gap-apart start a NEW session (merge requires ts2 < end1 — strict),
+    * which the oracle mirrors with a >= gap island rule. */
+  def sessionSpans(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
+  /** #138 batch twin (oracled). */
+  def sessionWindowBatch(s: SparkSession, dir: String): DataFrame =
+    sessionSpans(Tables.events(s, dir))
+
+  /** Streaming version over a file source (spec-paired with the batch
+    * twin — identical logic on an unbounded source). */
+  def sessionWindowStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    sessionSpans(
+      s.readStream.schema(schema).format("parquet").load(eventsDir))
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

@@ -1004,6 +1004,32 @@ class OperatorSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("session concurrency: matches a driver-side single global sweep") {
+    val DayUs = 86400000000L
+    val sess = graft.streaming.StreamOps.sessionWindowBatch(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us")))
+    // ends before starts at equal ts (d ascending), one global pass —
+    // the formulation the day-split operator must be equivalent to
+    val deltas = sess.flatMap { case (s0, e0) => Seq((s0, 1), (e0, -1)) }
+      .sortBy { case (t, d) => (t, d) }
+    var open = 0L
+    val peak = scala.collection.mutable.LinkedHashMap[Long, Long]()
+    val starts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    deltas.foreach { case (t, d) =>
+      val day = (t / DayUs) * DayUs
+      if (!peak.contains(day)) peak(day) = open // carry before first delta
+      open += d
+      if (open > peak(day)) peak(day) = open
+      if (d == 1) starts(day) += 1
+    }
+    val expected = peak.map { case (day, p) => (day, starts(day), p) }.toSet
+    val got = Analytics.sessionConcurrency(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("day_us"), r.getAs[Long]("n_starts"),
+        r.getAs[Long]("max_concurrent"))).toSet
+    assert(got == expected)
+    assert(open == 0L, "every session must close")
+  }
+
   test("semdedup: exact match with a driver recompute of assign + keep") {
     val vs = vecsOf()
     val seeds = vs.filter(_._1 < Similarity.KmK)

@@ -48,6 +48,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session windows equal the oracled batch twin") {
+    val staged = tmpDir("stream-sess")
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.sessionWindowStreaming(spark, staged, schema)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = StreamOps.sessionWindowBatch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup with watermark matches the oracled batch stream_dedup") {
     val staged = tmpDir("stream-dedup")
     // duplicate the stream on purpose (at-least-once redelivery)
