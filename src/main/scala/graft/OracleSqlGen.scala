@@ -419,6 +419,59 @@ object OracleSqlGen {
        |SELECT tr.doc_id, count(*) AS n_hits
        |FROM tr JOIN ev USING (s) GROUP BY 1""".stripMargin
 
+  /** #140 — char-bigram LM fluency: add-1 model from pass-1 counts,
+    * per-entry probability through the LmFixScale floor (every step
+    * exact IEEE — casts, ONE division, floor), per-doc exact integer
+    * sums, mirrored (sum / S) / n division chain. */
+  val textCharLm: String =
+    s"""WITH nm AS (SELECT doc_id, lower(text) AS nm FROM documents
+       |  WHERE length(lower(text)) >= 2),
+       |bg AS (SELECT doc_id, substr(nm, CAST(i AS INTEGER), 2) AS bg FROM (
+       |  SELECT doc_id, nm, unnest(generate_series(1, length(nm) - 1)) AS i
+       |  FROM nm)),
+       |m AS (SELECT bg, count(*) AS cab FROM bg GROUP BY 1),
+       |fc AS (SELECT substr(bg, 1, 1) AS a, sum(cab) AS ca FROM m GROUP BY 1),
+       |vz AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vsz FROM m),
+       |model AS (SELECT m.bg,
+       |    CAST(floor((CAST(cab + 1 AS DOUBLE) / CAST(ca + vsz AS DOUBLE))
+       |      * ${TextOps.LmFixScale}) AS BIGINT) AS pfix
+       |  FROM m JOIN fc ON substr(m.bg, 1, 1) = fc.a, vz)
+       |SELECT b.doc_id, count(*) AS n_bigrams,
+       |  (CAST(sum(pfix) AS DOUBLE) / ${TextOps.LmFixScale}) / count(*) AS mean_p
+       |FROM bg b JOIN model USING (bg)
+       |GROUP BY b.doc_id""".stripMargin
+
+  /** #141 — DSIR importance weights: hashed word-bigram buckets, add-1
+    * target/raw ratio per bucket through the DsirFixScale floor (casts
+    * + three divisions — exact IEEE), per-doc HUGEINT sums ↔ Spark's
+    * DECIMAL(38), mirrored final division chain. */
+  val textDsir: String =
+    s"""WITH $toksCte,
+       |bgf AS (SELECT doc_id,
+       |    ('0x' || substr(md5(t[CAST(i AS INTEGER)] || ' ' ||
+       |      t[CAST(i AS INTEGER) + 1]), 1, 8))::BIGINT
+       |      % ${TextOps.DsirBuckets} AS h
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+       |    FROM toks WHERE len(t) >= 2)),
+       |c AS (SELECT h,
+       |    sum(CASE WHEN doc_id % ${TextOps.EvalMod} = 0 THEN 1 ELSE 0 END) AS t_h,
+       |    sum(CASE WHEN doc_id % ${TextOps.EvalMod} = 0 THEN 0 ELSE 1 END) AS r_h
+       |  FROM bgf GROUP BY 1),
+       |tot AS (SELECT sum(t_h) AS tt, sum(r_h) AS tr FROM c),
+       |model AS (SELECT h,
+       |    CAST(floor(((CAST(t_h + 1 AS DOUBLE) /
+       |        CAST(tt + ${TextOps.DsirBuckets} AS DOUBLE)) /
+       |      (CAST(r_h + 1 AS DOUBLE) /
+       |        CAST(tr + ${TextOps.DsirBuckets} AS DOUBLE)))
+       |      * ${TextOps.DsirFixScale}) AS HUGEINT) AS rfix
+       |  FROM c, tot)
+       |SELECT b.doc_id, count(*) AS n_feats,
+       |  (CAST(sum(rfix) AS DOUBLE) / ${TextOps.DsirFixScale}) / count(*)
+       |    AS dsir_score
+       |FROM bgf b JOIN model USING (h)
+       |WHERE b.doc_id % ${TextOps.EvalMod} <> 0
+       |GROUP BY b.doc_id""".stripMargin
+
   /** #98 — one Lloyd iteration: seeds = vec_id < KmK, assignment by the
     * same rounded-cosine/lowest-seed ordering as knn_label_centroid,
     * update = per-dim mean over [[Similarity.KmFixScale]] fixed-point

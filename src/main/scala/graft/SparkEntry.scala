@@ -157,6 +157,8 @@ object SparkEntry {
     "mm_phash" -> (Multimodal.phashPairs _),
     "mm_phash_incremental" -> (Multimodal.phashIncremental _),
     "q_session_concurrency" -> (Analytics.sessionConcurrency _),
+    "text_char_lm" -> (TextOps.charLm _),
+    "text_dsir" -> (TextOps.dsirWeights _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -912,6 +914,8 @@ object SparkEntry {
     "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
     "emb_pq_distortion" -> OracleSqlGen.embPqDistortion,
     "emb_semdedup" -> OracleSqlGen.embSemDedup,
+    "text_char_lm" -> OracleSqlGen.textCharLm,
+    "text_dsir" -> OracleSqlGen.textDsir,
     "emb_knn_graph" -> OracleSqlGen.embKnnGraph,
     "emb_nn_descent_step" -> OracleSqlGen.embNnDescentStep,
     // doubled-integer p50 (no division until the report); p95 = exact

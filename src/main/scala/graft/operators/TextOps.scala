@@ -550,4 +550,104 @@ object TextOps {
         sum(col("n_toks")).as("n_tokens"),
         sum(col("n_chars")).as("total_chars"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+
+  /** Fixed-point grid for char-LM probabilities: every P is in (0,1],
+    * so floor(P·2^40) is an exact long and per-doc sums stay far below
+    * 2^63 at any real document length. */
+  val LmFixScale = 1L << 40
+
+  /** #140 — CHAR-BIGRAM LANGUAGE-MODEL fluency score (the CCNet-style
+    * model-based quality filter, adapted to closed-form arithmetic):
+    * train an add-1-smoothed char-bigram model ON the corpus (pass 1 —
+    * counts only), then score every doc by its MEAN bigram conditional
+    * probability under that model (pass 2). Gibberish / boilerplate /
+    * wrong-charset docs score low; this is the model-based signal the
+    * heuristic text_quality rules can't give. The mean is ARITHMETIC,
+    * not the geometric mean a perplexity reports, by design: geometric
+    * needs ln(), which is NOT correctly rounded cross-engine (the same
+    * reason doc_mix_temperature chose √ over pow) — whereas every
+    * operation here (integer-to-double casts, one division per model
+    * entry, the [[LmFixScale]] floor) is exact IEEE arithmetic, so the
+    * score is bit-identical in the oracle. Model size is bounded by
+    * charset² at ANY corpus scale → broadcast; pass 1 is one
+    * combinable shuffle on bigram keys; pass 2 is map-side probe +
+    * one doc_id shuffle. P(b|a) = (c(ab)+1) / (c(a·)+V) with V =
+    * distinct second chars. */
+  def charLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("nm"))
+      .filter(length(col("nm")) >= 2)
+    val bg = docs.select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("nm")) - 1),
+        i => col("nm").substr(i, lit(2)))).as("bg"))
+    val m = bg.groupBy("bg").agg(count(lit(1)).as("cab"))
+    val fc = m.groupBy(substring(col("bg"), 1, 1).as("a")).agg(sum("cab").as("ca"))
+    val vz = m.agg(countDistinct(substring(col("bg"), 2, 1)).as("vsz"))
+    val model = m.withColumn("a", substring(col("bg"), 1, 1))
+      .join(fc, "a").crossJoin(broadcast(vz))
+      .select(col("bg"),
+        floor(((col("cab") + 1).cast("double") /
+          (col("ca") + col("vsz")).cast("double")) * LmFixScale)
+          .cast("long").as("pfix"))
+    bg.join(broadcast(model), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("pfix").as("sfix"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("sfix").cast("double") / LmFixScale) / col("n_bigrams"))
+          .as("mean_p"))
+  }
+
+  /** DSIR hashed-feature space and its fixed-point grid (ratios can
+    * reach corpus scale, so sums go through DECIMAL(38), not long). */
+  val DsirBuckets = 128
+  val DsirFixScale = 1L << 20
+
+  /** #141 — DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" —
+    * public): score every raw-corpus doc by how target-like its hashed
+    * n-gram features are, where the target is the eval slice (doc_id ≡
+    * 0 mod [[EvalMod]], the decontaminate slice standing in for a
+    * curated target corpus). Features = word bigrams hashed into
+    * [[DsirBuckets]] buckets (the paper's hashed n-gram reduction —
+    * the model is B integers per distribution at ANY corpus scale);
+    * per-feature importance ρ_h = ((t_h+1)/(T_t+B)) / ((r_h+1)/(T_r+B))
+    * (add-1-smoothed target over raw probability). The registered
+    * score is the MEAN of ρ over the doc's feature occurrences — the
+    * paper's log-sum form needs ln() (not correctly rounded
+    * cross-engine); the mean-ratio form keeps every step exact IEEE
+    * (integer casts + three divisions per bucket, [[DsirFixScale]]
+    * floor, DECIMAL(38) sums) so the oracle is bit-identical. Pass 1:
+    * one combinable shuffle onto ≤B keys + a 1-row totals frame;
+    * pass 2: map-side broadcast probe + one doc_id shuffle. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % EvalMod === 0
+    val bgf = Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .as("bgr"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("bgr")), 1, 8), 16, 10).cast("long"),
+          lit(DsirBuckets)).as("h"))
+    val counts = bgf.groupBy("h").agg(
+      sum(when(isEval, 1L).otherwise(0L)).as("t_h"),
+      sum(when(isEval, 0L).otherwise(1L)).as("r_h"))
+    val totals = counts.agg(sum("t_h").as("tt"), sum("r_h").as("tr"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("h"),
+        floor((((col("t_h") + 1).cast("double") /
+            (col("tt") + DsirBuckets).cast("double")) /
+          ((col("r_h") + 1).cast("double") /
+            (col("tr") + DsirBuckets).cast("double"))) * DsirFixScale)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rfix"))
+    bgf.filter(!isEval)
+      .join(broadcast(model), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("rfix").as("sfix"))
+      .select(col("doc_id"), col("n_feats"),
+        ((col("sfix").cast("double") / DsirFixScale) / col("n_feats"))
+          .as("dsir_score"))
+  }
 }

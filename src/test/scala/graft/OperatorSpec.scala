@@ -1004,6 +1004,36 @@ class OperatorSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("char-LM score: full coverage, probabilities in (0,1], exact bigram counts") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .selectExpr("doc_id", "length(lower(text)) AS n").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).filter(_._2 >= 2).toMap
+    val rows = TextOps.charLm(spark, Sf).collect()
+    assert(rows.length == docs.size, "one row per doc with >= 2 chars")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == docs(id) - 1)
+      val p = r.getAs[Double]("mean_p")
+      assert(p > 0.0 && p <= 1.0, s"doc $id mean_p $p outside (0,1]")
+    }
+  }
+
+  test("dsir weights: eval slice excluded, positive scores, exact feature counts") {
+    val nToks = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(Dedup.tokens(col("text"))).as("n")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rows = TextOps.dsirWeights(spark, Sf).collect()
+    val expectedDocs = nToks.filter { case (id, n) =>
+      id % TextOps.EvalMod != 0 && n >= 2 }
+    assert(rows.length == expectedDocs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % TextOps.EvalMod != 0, "eval docs must not be scored")
+      assert(r.getAs[Long]("n_feats") == nToks(id) - 1)
+      assert(r.getAs[Double]("dsir_score") > 0.0)
+    }
+  }
+
   test("session concurrency: matches a driver-side single global sweep") {
     val DayUs = 86400000000L
     val sess = graft.streaming.StreamOps.sessionWindowBatch(spark, Sf).collect()
