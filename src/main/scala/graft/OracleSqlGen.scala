@@ -397,6 +397,33 @@ object OracleSqlGen {
        |  CAST(n_vecs AS DOUBLE) / (CAST(total AS DOUBLE) / ncells) AS skew
        |FROM per, t""".stripMargin
 
+  /** #144 — IVF recall report: the annIvfTopk probe batched over the
+    * query set, intersected with exact brute-force top-10 per query;
+    * same rounded-centroid probe, same raw-cosine rank order. */
+  val embIvfRecall: String =
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e
+       |  WHERE vec_id < ${Similarity.IvfRecallQueries}),
+       |probe AS (SELECT qid, clabel AS assigned_label FROM (
+       |  SELECT q.qid, cvt.clabel, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel) AS rn
+       |  FROM cvt, q) WHERE rn <= 2),
+       |ivf10 AS (SELECT qid, vec_id FROM (
+       |  SELECT p.qid, a.vec_id, row_number() OVER (PARTITION BY p.qid
+       |    ORDER BY ${cos("a.v", "q.qv")} DESC, a.vec_id) AS rn
+       |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label
+       |  JOIN q ON q.qid = p.qid WHERE a.vec_id <> p.qid) WHERE rn <= 10),
+       |ex10 AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY ${cos("e.v", "q.qv")} DESC, e.vec_id) AS rn
+       |  FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+       |h AS (SELECT i.qid, count(*) AS h FROM ivf10 i
+       |  JOIN ex10 x ON i.qid = x.qid AND i.vec_id = x.vec_id GROUP BY 1)
+       |SELECT q.qid, CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h, 0) AS DOUBLE) / 10.0 AS recall
+       |FROM q LEFT JOIN h ON q.qid = h.qid""".stripMargin
+
   val annIvfTopk: String =
     s"""WITH $eCte,
        |$ivfAssignedCtes,

@@ -159,6 +159,9 @@ object SparkEntry {
     "q_session_concurrency" -> (Analytics.sessionConcurrency _),
     "text_char_lm" -> (TextOps.charLm _),
     "text_dsir" -> (TextOps.dsirWeights _),
+    "ts_rollup_cascade" -> (TimeSeriesOps.rollupCascade _),
+    "mm_byte_ioc" -> (Multimodal.byteIoc _),
+    "emb_ivf_recall" -> (Similarity.ivfRecall _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -916,6 +919,33 @@ object SparkEntry {
     "emb_semdedup" -> OracleSqlGen.embSemDedup,
     "text_char_lm" -> OracleSqlGen.textCharLm,
     "text_dsir" -> OracleSqlGen.textDsir,
+    "emb_ivf_recall" -> OracleSqlGen.embIvfRecall,
+    // the cascade's decimal sums are associative-exact, so each grain
+    // equals the direct-at-grain aggregate
+    "ts_rollup_cascade" ->
+      """SELECT 'hour' AS grain, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'day', epoch_us(date_trunc('day', ts)), event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM events GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'month', epoch_us(date_trunc('month', ts)), event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM events GROUP BY 2, 3""".stripMargin,
+    "mm_byte_ioc" ->
+      """WITH b AS (SELECT doc_id,
+        |    ('0x' || substr(hex(text), 2 * CAST(i AS INTEGER) - 1, 2))::BIGINT AS byte
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, strlen(text))) AS i
+        |    FROM documents WHERE strlen(text) >= 2)),
+        |c AS (SELECT doc_id, byte, count(*) AS cnt FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bytes,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(cnt * (cnt - 1)) AS DOUBLE) /
+        |    CAST(sum(cnt) * (sum(cnt) - 1) AS DOUBLE) AS ioc
+        |FROM c GROUP BY doc_id""".stripMargin,
     "emb_knn_graph" -> OracleSqlGen.embKnnGraph,
     "emb_nn_descent_step" -> OracleSqlGen.embNnDescentStep,
     // doubled-integer p50 (no division until the report); p95 = exact

@@ -213,6 +213,37 @@ object Multimodal {
       .distinct()
   }
 
+  /** #142 — BYTE-HISTOGRAM INDEX OF COINCIDENCE per payload: the
+    * decode-free corruption / encryption / truncation detector a media
+    * ingest runs before wasting decoder cycles — IoC = Σ c_b(c_b−1) /
+    * n(n−1), the probability two random byte positions hold the same
+    * value. Encrypted or well-compressed payloads sit at ≈ 1/256;
+    * structured media containers and text sit far higher; a sudden
+    * shift per source flags pipeline corruption. Chosen over Shannon
+    * entropy BECAUSE it is exact: IoC is a ratio of integers (one
+    * final IEEE division mirrored in the oracle), while entropy needs
+    * ln(), which is not correctly rounded cross-engine. Plan: bytes
+    * explode map-side into a (doc_id, byte) count — ≤256 keys per doc,
+    * map-side combine does the heavy lifting — then one doc_id re-agg;
+    * payload BYTES never shuffle (only hex-pair codes). */
+  def byteIoc(s: SparkSession, dir: String): DataFrame = {
+    val d = withPayload(s, dir)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .filter(col("nb") >= 2)
+    val bytes = d.select(col("doc_id"), explode(transform(
+        sequence(lit(1L), col("nb")),
+        i => conv(col("hx").substr((i * 2 - 1).cast("int"), lit(2)), 16, 10)
+          .cast("long"))).as("byte"))
+    bytes.groupBy("doc_id", "byte").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bytes"), count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * (col("cnt") - 1)).as("num"))
+      .select(col("doc_id"), col("n_bytes"), col("n_distinct"),
+        (col("num").cast("double") /
+          (col("n_bytes") * (col("n_bytes") - 1)).cast("double")).as("ioc"))
+  }
+
   /** #29 — frame sampling plumbing: a "video" with n_chars/200 + 1
     * frames, sampled at stride 3; explodes ids only, never payloads. */
   def frameSample(s: SparkSession, dir: String): DataFrame =

@@ -575,6 +575,55 @@ object Similarity {
     topkPerSrc(scored)
   }
 
+  /** Query-set size and probe width for the IVF recall report. */
+  val IvfRecallQueries = 8
+
+  /** #144 — IVF RECALL report: for a query set (vec_id <
+    * [[IvfRecallQueries]]), recall@10 of the staged 2-cell IVF probe
+    * against exact brute force — the index-quality gate run BEFORE
+    * trusting nprobe-based ANN in production (cell-balance says the
+    * probe is cheap; this says it is still CORRECT enough — together
+    * they are the go/no-go on the staged layout). The IVF side reads
+    * only the probed cells' partitions per query (the ann_ivf_topk
+    * path batched over qids); the exact side is one full scan — the
+    * unavoidable cost of ground truth, which is why production runs
+    * this report on a SAMPLED query set, exactly as registered. All
+    * rank windows partition per qid; both rankings share the exact
+    * cosine fold and (cos desc, vec_id) tie order, so the intersection
+    * count is bit-deterministic. */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < IvfRecallQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rcos").desc, col("clabel"))
+    val probe = s.read.parquet(centPath).crossJoin(broadcast(q))
+      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+      .select(col("qid"), col("clabel").as("assigned_label"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val ivf10 = s.read.parquet(assignedPath)
+      .join(broadcast(probe), "assigned_label")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(q), "qid")
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val exact10 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact10.join(ivf10, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+  }
+
   /** int8 levels for scalar quantization. */
   val SqLevels = 256
 

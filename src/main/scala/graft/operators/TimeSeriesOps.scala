@@ -684,4 +684,40 @@ object TimeSeriesOps {
       .select(col("day_us"), col("n_total"), col("n_err"),
         ((col("n_err").cast("double") / col("n_total")) / 0.01).as("burn"),
         (col("n_err") * 100 > col("n_total")).cast("int").as("breach"))
+
+  /** #143 — CASCADING ROLLUP hour → day → month (the materialized
+    * time-hierarchy every TSDB maintains — reference level.rs's
+    * time-bucket folds, lifted to a multi-grain cascade): each coarser
+    * grain aggregates the PREVIOUS grain's frame, never the raw corpus
+    * — the point of the cascade at 100 TB is that the day rollup reads
+    * hours×types rows (bounded by the calendar) instead of re-scanning
+    * the events table, which is exactly how incremental rollup
+    * maintenance runs in production. The hourly and daily frames are
+    * localCheckpointed: they ARE the materialized rollups (tiny —
+    * calendar-bounded), and each seeds two consumers (its own output
+    * slice + the next grain). Decimal sums are associative-exact, so
+    * every cascaded value equals the direct-at-grain aggregate the
+    * oracle computes. One corpus scan total. */
+  def rollupCascade(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(unix_micros(date_trunc("HOUR", col("ts"))).as("bucket_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .localCheckpoint()
+    val daily = hourly
+      .groupBy((expr("bucket_us div 86400000000") * lit(86400000000L))
+        .as("bucket_us"), col("event_type"))
+      .agg(sum("cnt").as("cnt"), sum("sv").as("sv"))
+      .localCheckpoint()
+    val monthly = daily
+      .groupBy(unix_micros(date_trunc("MONTH", timestamp_micros(col("bucket_us"))))
+        .as("bucket_us"), col("event_type"))
+      .agg(sum("cnt").as("cnt"), sum("sv").as("sv"))
+    hourly.withColumn("grain", lit("hour"))
+      .unionByName(daily.withColumn("grain", lit("day")))
+      .unionByName(monthly.withColumn("grain", lit("month")))
+      .select(col("grain"), col("bucket_us"), col("event_type"),
+        col("cnt"), col("sv").cast("double").as("sum_value"))
+  }
 }

@@ -1004,6 +1004,56 @@ class OperatorSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("rollup cascade: each grain partitions the corpus; day equals direct-at-grain agg") {
+    val rows = TimeSeriesOps.rollupCascade(spark, Sf).collect()
+    val total = graft.core.Tables.events(spark, Sf).count()
+    Seq("hour", "day", "month").foreach { g =>
+      val cnt = rows.filter(_.getAs[String]("grain") == g).map(_.getAs[Long]("cnt")).sum
+      assert(cnt == total, s"grain $g must partition all events")
+    }
+    val direct = graft.core.Tables.events(spark, Sf)
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("b"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val cascaded = rows.filter(_.getAs[String]("grain") == "day")
+      .map(r => (r.getAs[Long]("bucket_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))).toMap
+    assert(cascaded == direct, "cascaded day rollup must equal the direct aggregate")
+  }
+
+  test("byte IoC: exact match with a driver byte-histogram recompute") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      .filter(_._2.length >= 2)
+    val expected = docs.map { case (id, bytes) =>
+      val h = bytes.groupBy(b => b & 0xFF).map(_._2.length.toLong)
+      val n = bytes.length.toLong
+      val num = h.map(c => c * (c - 1)).sum
+      (id, n, h.size.toLong, num.toDouble / (n * (n - 1)).toDouble)
+    }.toSet
+    val got = Multimodal.byteIoc(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("ioc"))).toSet
+    assert(got == expected)
+    // text payloads must sit far above the 1/256 encrypted-blob floor
+    assert(expected.forall(_._4 > 1.0 / 256.0))
+  }
+
+  test("ivf recall report: full query coverage, recall = hits/10, usable floor") {
+    val rows = Similarity.ivfRecall(spark, Sf).collect()
+    assert(rows.length == Similarity.IvfRecallQueries)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 10)
+      assert(r.getAs[Double]("recall") == h.toDouble / 10.0)
+    }
+    val mean = rows.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      (10.0 * rows.length)
+    assert(mean >= 0.2, s"mean IVF recall $mean collapsed — index degraded")
+  }
+
   test("char-LM score: full coverage, probabilities in (0,1], exact bigram counts") {
     val docs = graft.core.Tables.documents(spark, Sf)
       .selectExpr("doc_id", "length(lower(text)) AS n").collect()
