@@ -222,20 +222,22 @@ object Multimodal {
     * shift per source flags pipeline corruption. Chosen over Shannon
     * entropy BECAUSE it is exact: IoC is a ratio of integers (one
     * final IEEE division mirrored in the oracle), while entropy needs
-    * ln(), which is not correctly rounded cross-engine. Plan: bytes
-    * explode map-side into a (doc_id, byte) count — ≤256 keys per doc,
-    * map-side combine does the heavy lifting — then one doc_id re-agg;
-    * payload BYTES never shuffle (only hex-pair codes). */
+    * ln(), which is not correctly rounded cross-engine. Plan: the hex
+    * string chunks into 2-char byte codes with ONE codegen'd regex
+    * split per payload (the \G chunking pattern — per-byte
+    * transform/aggregate lambdas are interpreted per ELEMENT and
+    * dominated two earlier formulations at ~3.3 s each), then
+    * explode → (doc_id, code) hash-agg (≤256 keys/doc, map-side
+    * combine) → one doc_id re-agg; every operator stays inside
+    * whole-stage codegen and payload bytes never shuffle (~1 s). */
   def byteIoc(s: SparkSession, dir: String): DataFrame = {
     val d = withPayload(s, dir)
       .select(col("doc_id"), hex(col("payload")).as("hx"),
         octet_length(col("payload")).cast("long").as("nb"))
       .filter(col("nb") >= 2)
-    val bytes = d.select(col("doc_id"), explode(transform(
-        sequence(lit(1L), col("nb")),
-        i => conv(col("hx").substr((i * 2 - 1).cast("int"), lit(2)), 16, 10)
-          .cast("long"))).as("byte"))
-    bytes.groupBy("doc_id", "byte").agg(count(lit(1)).as("cnt"))
+    d.select(col("doc_id"), explode(split(col("hx"), "(?<=\\G..)")).as("pr"))
+      .filter(length(col("pr")) === 2) // split keeps the trailing ""
+      .groupBy("doc_id", "pr").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bytes"), count(lit(1)).as("n_distinct"),
         sum(col("cnt") * (col("cnt") - 1)).as("num"))

@@ -503,11 +503,17 @@ object Similarity {
       explode(sequence(lit(0), lit(S - 1))).as("salt"),
       col("vec_id").as("dst"), col("v").as("vb"), col("nrm").as("nb"),
       col("codes").as("cb"))
+    // first-match-band dedup, unrolled per band so it stays inside
+    // whole-stage codegen (a slice/zip_with lambda here is interpreted
+    // once PER CANDIDATE PAIR and dominated the join's cost)
+    val noEarlierMatch = (0 until Dedup.EmbBands).map { b =>
+      (0 until b).map(j =>
+          element_at(col("ca"), j + 1) =!= element_at(col("cb"), j + 1))
+        .foldLeft(col("band") === b)(_ && _)
+    }.reduce(_ || _)
     x.join(y, Seq("band", "bkey", "salt"))
       .filter(col("src") =!= col("dst"))
-      .filter(!array_contains(
-        zip_with(slice(col("ca"), lit(1), col("band")),
-          slice(col("cb"), lit(1), col("band")), (u, w) => u === w), lit(true)))
+      .filter(noEarlierMatch)
       .select(col("src"), col("dst"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("rcos"))
   }
