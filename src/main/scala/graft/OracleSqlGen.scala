@@ -446,6 +446,75 @@ object OracleSqlGen {
        |SELECT tr.doc_id, count(*) AS n_hits
        |FROM tr JOIN ev USING (s) GROUP BY 1""".stripMargin
 
+  /** #147 — winnowing: same window-hash CTEs as dedup_substring, the
+    * (fp, rightmost-pos) argmin as an integer min over the packed
+    * code, full windows only, distinct selections. */
+  val dedupWinnow: String =
+    s"""WITH $toksCte,
+       |hs AS (SELECT doc_id, list_transform(t, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS h
+       |  FROM toks WHERE len(t) >= ${Dedup.WinK}),
+       |wh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    list_reduce(list_prepend(0, h[i:i+${Dedup.WinK - 1}]),
+       |      (acc, x) -> (acc * ${TextOps.RollB} + x) % ${TextOps.RollP}) AS fp
+       |  FROM (SELECT doc_id, unnest(generate_series(1, len(h) - ${Dedup.WinK - 1})) AS i, h
+       |        FROM hs)),
+       |coded AS (SELECT doc_id, pos,
+       |    fp * ${Dedup.WinnowPosPack} + (${Dedup.WinnowPosPack - 1} - pos) AS code
+       |  FROM wh),
+       |sel AS (SELECT doc_id,
+       |    min(code) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${Dedup.WinnowW - 1} PRECEDING AND CURRENT ROW) AS sel,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS wn
+       |  FROM coded)
+       |SELECT DISTINCT doc_id,
+       |  ${Dedup.WinnowPosPack - 1} - (sel % ${Dedup.WinnowPosPack}) AS pos,
+       |  sel // ${Dedup.WinnowPosPack} AS fp
+       |FROM sel WHERE wn >= ${Dedup.WinnowW}""".stripMargin
+
+  /** #146 — vocabulary growth: first-occurrence doc per type, 100-doc
+    * buckets, running total (the two-level Spark carry sums to the
+    * identical integers). */
+  val textHeapsVocab: String =
+    s"""WITH $toksCte,
+       |bg AS (SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' ||
+       |    t[CAST(i AS INTEGER) + 1] AS w
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+       |    FROM toks WHERE len(t) >= 2)),
+       |fw AS (SELECT w, min(doc_id) AS first_doc FROM bg GROUP BY w),
+       |pb AS (SELECT first_doc // ${TextOps.VocabBucket} AS bucket,
+       |    count(*) AS n_new FROM fw GROUP BY 1)
+       |SELECT bucket, n_new,
+       |  CAST(sum(n_new) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+       |FROM pb""".stripMargin
+
+  /** #145 — RFM segmentation: the same integer quintile formula
+    * (5·rank−1) // n + 1 per nation, ties to the lowest custkey. */
+  val qRfmSegments: String =
+    s"""WITH pc AS (SELECT o_custkey,
+       |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+       |    count(*) AS freq,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_c
+       |  FROM orders GROUP BY 1),
+       |j AS (SELECT pc.*, c.c_custkey, c.c_nationkey FROM pc
+       |  JOIN customer c ON pc.o_custkey = c.c_custkey),
+       |r AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+       |    count(*) OVER (PARTITION BY c_nationkey) AS cnt_n,
+       |    CAST(row_number() OVER (PARTITION BY c_nationkey
+       |      ORDER BY last_us, c_custkey) AS BIGINT) AS rn_r,
+       |    CAST(row_number() OVER (PARTITION BY c_nationkey
+       |      ORDER BY freq, c_custkey) AS BIGINT) AS rn_f,
+       |    CAST(row_number() OVER (PARTITION BY c_nationkey
+       |      ORDER BY spend_c, c_custkey) AS BIGINT) AS rn_m
+       |  FROM j)
+       |SELECT c_custkey, nation,
+       |  (rn_r * 5 - 1) // cnt_n + 1 AS r_score,
+       |  (rn_f * 5 - 1) // cnt_n + 1 AS f_score,
+       |  (rn_m * 5 - 1) // cnt_n + 1 AS m_score,
+       |  ((rn_r * 5 - 1) // cnt_n + 1) * 100 + ((rn_f * 5 - 1) // cnt_n + 1) * 10
+       |    + ((rn_m * 5 - 1) // cnt_n + 1) AS rfm
+       |FROM r""".stripMargin
+
   /** #140 — char-bigram LM fluency: add-1 model from pass-1 counts,
     * per-entry probability through the LmFixScale floor (every step
     * exact IEEE — casts, ONE division, floor), per-doc exact integer

@@ -162,6 +162,9 @@ object SparkEntry {
     "ts_rollup_cascade" -> (TimeSeriesOps.rollupCascade _),
     "mm_byte_ioc" -> (Multimodal.byteIoc _),
     "emb_ivf_recall" -> (Similarity.ivfRecall _),
+    "q_rfm_segments" -> (Analytics.qRfmSegments _),
+    "text_heaps_vocab" -> (TextOps.heapsVocab _),
+    "dedup_winnow" -> (Dedup.winnow _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -920,6 +923,9 @@ object SparkEntry {
     "text_char_lm" -> OracleSqlGen.textCharLm,
     "text_dsir" -> OracleSqlGen.textDsir,
     "emb_ivf_recall" -> OracleSqlGen.embIvfRecall,
+    "q_rfm_segments" -> OracleSqlGen.qRfmSegments,
+    "text_heaps_vocab" -> OracleSqlGen.textHeapsVocab,
+    "dedup_winnow" -> OracleSqlGen.dedupWinnow,
     // the cascade's decimal sums are associative-exact, so each grain
     // equals the direct-at-grain aggregate
     "ts_rollup_cascade" ->

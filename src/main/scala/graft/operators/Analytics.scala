@@ -818,6 +818,46 @@ object Analytics {
       .select("s_suppkey", "s_name", "n_parts_dominated")
   }
 
+  /** #145 — RFM CUSTOMER SEGMENTATION (recency / frequency / monetary
+    * — the classic marketing-analytics scoring an OLAP engine serves):
+    * per customer, last order time, order count, and integer-cents
+    * spend, each scored into an exact per-nation quintile 1..5 (5 =
+    * best). Quintiles are EXACT order statistics — score =
+    * (5·rank−1) div n + 1 with rank = row_number ordered by (metric,
+    * custkey) — so ties and engine boundaries cannot flip a score
+    * (ntile's remainder distribution is mirrored exactly by the same
+    * integer formula on both sides). The three rank windows share ONE
+    * nation shuffle (same partition key, three sort orders); partition
+    * sizes are customers-per-nation, the doc_len_percentiles precedent
+    * — the scale treatment for an unbounded segment key would be the
+    * two-phase percentile machinery. Output: per customer, the three
+    * scores and the composed RFM cell. */
+  def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(cents("o_totalprice")).as("spend_c"))
+    val j = perCust.join(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    val wN = Window.partitionBy("c_nationkey")
+    val scored = j
+      .withColumn("cnt_n", count(lit(1)).over(wN))
+      .withColumn("rn_r", row_number().over(Window.partitionBy("c_nationkey")
+        .orderBy(col("last_us"), col("c_custkey"))).cast("long"))
+      .withColumn("rn_f", row_number().over(Window.partitionBy("c_nationkey")
+        .orderBy(col("freq"), col("c_custkey"))).cast("long"))
+      .withColumn("rn_m", row_number().over(Window.partitionBy("c_nationkey")
+        .orderBy(col("spend_c"), col("c_custkey"))).cast("long"))
+    scored.select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+        expr("(rn_r * 5 - 1) div cnt_n + 1").as("r_score"),
+        expr("(rn_f * 5 - 1) div cnt_n + 1").as("f_score"),
+        expr("(rn_m * 5 - 1) div cnt_n + 1").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
   /** #139 — PEAK SESSION CONCURRENCY per day (the capacity-planning
     * ask every interactive service runs: "how many sessions were open
     * at once?"): sessions come from the NATIVE session_window operator

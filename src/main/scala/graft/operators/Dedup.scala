@@ -727,6 +727,53 @@ object Dedup {
       .select("vec_id1", "vec_id2")
   }
 
+  /** Winnowing window width (in consecutive k-gram hashes) and the
+    * position-packing base: (fp, pos) packs into fp·2^21 + (2^21−1−pos)
+    * so the windowed "min fp, RIGHTMOST position on ties" argmin is a
+    * plain integer min (fp < RollP ≈ 2^32 ⇒ the code < 2^53; docs are
+    * bounded at 2^21 window positions ≈ 2M tokens — a corpus chunks
+    * longer inputs upstream). */
+  val WinnowW = 4
+  val WinnowPosPack = 1L << 21
+
+  /** #147 — WINNOWING fingerprint selection (Schleimer et al. SIGMOD'03
+    * — the MOSS algorithm): from every [[WinnowW]]-window of
+    * consecutive [[WinK]]-token Rabin-Karp hashes, select the minimum
+    * (rightmost on ties), then dedup — the selection rule with the
+    * GUARANTEE mod-p sampling (dedup_substring) lacks: any shared run
+    * of ≥ WinK + WinnowW − 1 tokens is certain to surface a common
+    * fingerprint, with density ≈ 2/(WinnowW+1). The windowed argmin
+    * runs as an integer min over a ROWS frame on the per-doc position
+    * order — one doc_id shuffle, partitions bounded by per-doc window
+    * counts, and the (fp, rightmost-pos) preference rides the packed
+    * code so no struct comparison crosses an engine boundary. */
+  def winnow(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= WinK)
+      .select(col("doc_id"),
+        transform(col("t"),
+          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("h"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("h")) - (WinK - 1)),
+          i => aggregate(slice(col("h"), i, lit(WinK)), lit(0L),
+            (acc, x) => (acc * TextOps.RollB + x) % TextOps.RollP))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("fp"))
+    val wSel = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinnowW - 1), 0)
+    wh.withColumn("code",
+        col("fp") * WinnowPosPack + (lit(WinnowPosPack - 1) - col("pos")))
+      .withColumn("sel", min(col("code")).over(wSel))
+      .withColumn("wn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("wn") >= WinnowW) // full windows only
+      .select(col("doc_id"),
+        (lit(WinnowPosPack - 1) - pmod(col("sel"), lit(WinnowPosPack))).as("pos"),
+        expr(s"sel div $WinnowPosPack").as("fp"))
+      .distinct()
+  }
+
   /** Cosine threshold for SemDeDup within-cluster near-dup removal. */
   val SemTau = 0.4
 

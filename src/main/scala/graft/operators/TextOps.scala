@@ -551,6 +551,51 @@ object TextOps {
         sum(col("n_chars")).as("total_chars"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
 
+  /** Vocabulary-growth bucket width (docs per curve point) and the
+    * super-bucket width for the two-level cumulative sum. */
+  val VocabBucket = 10L
+  val VocabSuper = 1024L
+
+  /** #146 — HEAPS-LAW VOCABULARY GROWTH curve over word-BIGRAM types:
+    * per [[VocabBucket]]-doc bucket, the count of bigram types seen
+    * for the FIRST time and the cumulative vocabulary — the
+    * corpus-health curve (sublinear growth is normal text; a kink
+    * flags an ingest of gibberish, a new language, or mass
+    * duplication, and the curve sizes tokenizer vocabularies). Bigram
+    * types rather than unigrams because the combinatorial type space
+    * is what keeps growing on real corpora — unigram vocabularies
+    * saturate almost immediately (on this testdata: within the first
+    * bucket). First occurrences are min(doc_id) per type (per-doc
+    * distinct BEFORE the explode, one type-keyed shuffle where the min
+    * combiner absorbs hot types); the cumulative runs over the bucket
+    * frame with the doc_pack_bins TWO-LEVEL carry (per-super running
+    * sums partition on the super key; the partitionless window sees
+    * one row per [[VocabSuper]] buckets ≈ 10^4 docs), so no window
+    * ever spans the corpus. */
+  def heapsVocab(s: SparkSession, dir: String): DataFrame = {
+    val perBucket = Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1))))).as("w"))
+      .groupBy("w").agg(min("doc_id").as("first_doc"))
+      .groupBy(expr(s"first_doc div $VocabBucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("sup", expr(s"bucket div $VocabSuper"))
+    val supTot = perBucket.groupBy("sup").agg(sum("n_new").as("stot"))
+    val wS = Window.orderBy("sup").rowsBetween(Window.unboundedPreceding, -1)
+    val supCarry = supTot
+      .withColumn("scarry", coalesce(sum("stot").over(wS), lit(0L)))
+      .select("sup", "scarry")
+    val wB = Window.partitionBy("sup").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket.join(supCarry, "sup")
+      .withColumn("cum_vocab", col("scarry") + sum("n_new").over(wB))
+      .select(col("bucket"), col("n_new"), col("cum_vocab"))
+  }
+
   /** Fixed-point grid for char-LM probabilities: every P is in (0,1],
     * so floor(P·2^40) is an exact long and per-doc sums stay far below
     * 2^63 at any real document length. */

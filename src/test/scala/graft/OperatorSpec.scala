@@ -1004,6 +1004,87 @@ class OperatorSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("winnow: exact match with a driver-side winnowing recompute; density bounded") {
+    def hash32(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+      .filter(_._2.length >= Dedup.WinK)
+    var totalWindows = 0L
+    val expected = docs.flatMap { case (id, t) =>
+      val h = t.map(hash32)
+      val fps = (0 to h.length - Dedup.WinK).map { i =>
+        (0 until Dedup.WinK).foldLeft(0L)((acc, j) =>
+          (acc * TextOps.RollB + h(i + j)) % TextOps.RollP)
+      }
+      totalWindows += fps.length
+      (Dedup.WinnowW - 1 until fps.length).map { j =>
+        // min fp in the window, rightmost position on ties
+        val win = (j - Dedup.WinnowW + 1 to j).map(i => (fps(i), i))
+        val m = win.minBy { case (f, i) => (f, -i) }
+        (id, (m._2 + 1).toLong, m._1)
+      }.distinct
+    }.toSet
+    val got = Dedup.winnow(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("fp"))).toSet
+    assert(got == expected)
+    // winnowing selects at most one fp per window and at least 1/w of them
+    assert(got.size <= totalWindows &&
+      got.size.toLong * Dedup.WinnowW >= totalWindows - docs.length * Dedup.WinnowW)
+  }
+
+  test("heaps vocab: curve sums to the distinct bigram-type count, cumulative monotone") {
+    val rows = TextOps.heapsVocab(spark, Sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val totalTypes = graft.core.Tables.documents(spark, Sf)
+      .withColumn("t", Dedup.tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"))
+        .as("w"))
+      .agg(countDistinct("w")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == totalTypes)
+    assert(rows.last.getAs[Long]("cum_vocab") == totalTypes)
+    val cums = rows.map(_.getAs[Long]("cum_vocab"))
+    assert(cums.sameElements(cums.sorted), "cumulative vocabulary must be monotone")
+    assert(rows.length > 1, "spec scale must produce a real curve")
+  }
+
+  test("rfm segments: exact match with a driver quintile recompute") {
+    val orders = graft.core.Tables.orders(spark, Sf)
+      .groupBy("o_custkey")
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("sp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nat = graft.core.Tables.customer(spark, Sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val expected = orders.groupBy(o => nat(o._1)).flatMap { case (n, cs) =>
+      val cnt = cs.length.toLong
+      def ranks(key: ((Long, Long, Long, Long)) => Long) =
+        cs.sortBy(c => (key(c), c._1)).zipWithIndex
+          .map { case (c, i) => c._1 -> (((i + 1).toLong * 5 - 1) / cnt + 1) }.toMap
+      val r = ranks(c => c._2)
+      val f = ranks(c => c._3)
+      val m = ranks(c => c._4)
+      cs.map(c => (c._1, n, r(c._1), f(c._1), m(c._1),
+        r(c._1) * 100 + f(c._1) * 10 + m(c._1))).toSeq
+    }.toSet
+    val got = Analytics.qRfmSegments(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("nation"),
+        r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"), r.getAs[Long]("rfm"))).toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 == 5) && expected.exists(_._3 == 1))
+  }
+
   test("rollup cascade: each grain partitions the corpus; day equals direct-at-grain agg") {
     val rows = TimeSeriesOps.rollupCascade(spark, Sf).collect()
     val total = graft.core.Tables.events(spark, Sf).count()
