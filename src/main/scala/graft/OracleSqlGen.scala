@@ -397,6 +397,26 @@ object OracleSqlGen {
        |  CAST(n_vecs AS DOUBLE) / (CAST(total AS DOUBLE) / ncells) AS skew
        |FROM per, t""".stripMargin
 
+  /** #150 — hard-triplet mining: the struct-extrema picks expressed as
+    * rank-1 windows with the identical (rcos, id) tie orders. */
+  val embTripletMine: String =
+    s"""WITH $eCte,
+       |a AS (SELECT vec_id AS aid, label AS albl, v AS av FROM e
+       |  WHERE vec_id < ${Similarity.TripletAnchors}),
+       |sc AS (SELECT a.aid, a.albl, e.vec_id, e.label,
+       |    round(${cos("e.v", "a.av")}, 6) AS rcos
+       |  FROM e, a WHERE e.vec_id <> a.aid),
+       |pos AS (SELECT aid, vec_id AS pos_id, rcos AS pos_cos FROM (
+       |  SELECT aid, vec_id, rcos, row_number() OVER (PARTITION BY aid
+       |    ORDER BY rcos, vec_id) AS rn FROM sc WHERE label = albl)
+       |  WHERE rn = 1),
+       |neg AS (SELECT aid, vec_id AS neg_id, rcos AS neg_cos FROM (
+       |  SELECT aid, vec_id, rcos, row_number() OVER (PARTITION BY aid
+       |    ORDER BY rcos DESC, vec_id) AS rn FROM sc WHERE label <> albl)
+       |  WHERE rn = 1)
+       |SELECT p.aid, pos_id, pos_cos, neg_id, neg_cos
+       |FROM pos p JOIN neg n ON p.aid = n.aid""".stripMargin
+
   /** #144 — IVF recall report: the annIvfTopk probe batched over the
     * query set, intersected with exact brute-force top-10 per query;
     * same rounded-centroid probe, same raw-cosine rank order. */

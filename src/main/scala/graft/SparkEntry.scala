@@ -165,6 +165,9 @@ object SparkEntry {
     "q_rfm_segments" -> (Analytics.qRfmSegments _),
     "text_heaps_vocab" -> (TextOps.heapsVocab _),
     "dedup_winnow" -> (Dedup.winnow _),
+    "ts_dod_wow" -> (TimeSeriesOps.dodWow _),
+    "q_market_basket" -> (Analytics.qMarketBasket _),
+    "emb_triplet_mine" -> (Similarity.tripletMine _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -926,6 +929,28 @@ object SparkEntry {
     "q_rfm_segments" -> OracleSqlGen.qRfmSegments,
     "text_heaps_vocab" -> OracleSqlGen.textHeapsVocab,
     "dedup_winnow" -> OracleSqlGen.dedupWinnow,
+    "emb_triplet_mine" -> OracleSqlGen.embTripletMine,
+    // day-value lags: missing days must yield NULL deltas
+    "ts_dod_wow" ->
+      """WITH pd AS (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, a.day_us, a.cnt,
+        |  a.cnt - p.cnt AS dod, a.cnt - w.cnt AS wow
+        |FROM pd a
+        |LEFT JOIN pd p ON a.event_type = p.event_type
+        |  AND p.day_us = a.day_us - 86400000000
+        |LEFT JOIN pd w ON a.event_type = w.event_type
+        |  AND w.day_us = a.day_us - 604800000000""".stripMargin,
+    "q_market_basket" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS c_ab
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |supp AS (SELECT pk, count(*) AS c FROM op GROUP BY 1),
+        |n AS (SELECT count(DISTINCT ok) AS n FROM op)
+        |SELECT p1, p2, c_ab,
+        |  CAST(c_ab * n AS DOUBLE) / CAST(sa.c * sb.c AS DOUBLE) AS lift
+        |FROM pairs JOIN supp sa ON p1 = sa.pk JOIN supp sb ON p2 = sb.pk, n
+        |ORDER BY c_ab DESC, p1, p2 LIMIT 20""".stripMargin,
     // the cascade's decimal sums are associative-exact, so each grain
     // equals the direct-at-grain aggregate
     "ts_rollup_cascade" ->

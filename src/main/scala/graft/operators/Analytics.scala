@@ -818,6 +818,36 @@ object Analytics {
       .select("s_suppkey", "s_name", "n_parts_dominated")
   }
 
+  /** #149 — MARKET-BASKET pair mining (association rules): the top-20
+    * part pairs bought together in one order, with their co-occurrence
+    * count and LIFT — the a-priori candidate step of every
+    * recommender / assortment analysis. The pair join is keyed on
+    * o_orderkey, so fanout is bounded by lines-per-order squared (a
+    * handful), never corpus²; item supports re-aggregate the same
+    * distinct (order, part) frame. Lift = (c_ab·n) / (c_a·c_b) — all
+    * integers into ONE IEEE division mirrored by the oracle; top-k is
+    * TakeOrderedAndProject on (count desc, p1, p2). */
+  def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint() // one distinct pass seeds pairs + supports + n
+    val pairs = op.select(col("ok"), col("pk").as("p1"))
+      .join(op.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c_ab"))
+    val supp = op.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val nOrders = op.select("ok").distinct().count()
+    pairs
+      .join(supp.select(col("pk").as("p1"), col("c").as("c_a")), "p1")
+      .join(supp.select(col("pk").as("p2"), col("c").as("c_b")), "p2")
+      .select(col("p1"), col("p2"), col("c_ab"),
+        ((col("c_ab") * nOrders).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("c_ab").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   /** #145 — RFM CUSTOMER SEGMENTATION (recency / frequency / monetary
     * — the classic marketing-analytics scoring an OLAP engine serves):
     * per customer, last order time, order count, and integer-cents

@@ -581,6 +581,42 @@ object Similarity {
     topkPerSrc(scored)
   }
 
+  /** Anchor-set size for triplet mining. */
+  val TripletAnchors = 16
+
+  /** #150 — HARD-TRIPLET MINING for contrastive embedding training
+    * (the batch-hard strategy, Hermans et al. 2017 — public): for each
+    * anchor (vec_id < [[TripletAnchors]]), the HARDEST POSITIVE (same
+    * label, LOWEST cosine — the most-spread same-class example) and
+    * the HARDEST NEGATIVE (different label, HIGHEST cosine — the
+    * closest impostor), the pairs a triplet-loss fine-tune actually
+    * learns from. Anchors broadcast with their labels; ONE corpus pass
+    * scores every (anchor, vector) and two conditional struct-extrema
+    * aggregates pick the argmin/argmax — map-side combinable, zero
+    * windows (a per-anchor rank window would funnel the full corpus
+    * through [[TripletAnchors]] partitions). Rounded cosines + id tie
+    * order make both picks bit-deterministic; negated ids ride the
+    * max-struct so ties still break to the LOWEST vec_id. */
+  def tripletMine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+    val anchors = e.filter(col("vec_id") < TripletAnchors)
+      .select(col("vec_id").as("aid"), col("label").as("albl"), col("v").as("av"))
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("aid"))
+      .withColumn("rcos", round(cosine(col("v"), col("av")), 6))
+    scored.groupBy("aid")
+      .agg(
+        min(when(col("label") === col("albl"),
+          struct(col("rcos"), col("vec_id")))).as("pos"),
+        max(when(col("label") =!= col("albl"),
+          struct(col("rcos"), (-col("vec_id")).as("nid")))).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("aid"),
+        col("pos.vec_id").as("pos_id"), col("pos.rcos").as("pos_cos"),
+        (-col("neg.nid")).as("neg_id"), col("neg.rcos").as("neg_cos"))
+  }
+
   /** Query-set size and probe width for the IVF recall report. */
   val IvfRecallQueries = 8
 

@@ -685,6 +685,35 @@ object TimeSeriesOps {
         ((col("n_err").cast("double") / col("n_total")) / 0.01).as("burn"),
         (col("n_err") * 100 > col("n_total")).cast("int").as("breach"))
 
+  /** #148 — DAY-OVER-DAY / WEEK-OVER-WEEK deltas per event type (the
+    * dashboard comparison every metrics page serves): per (type, day)
+    * counts, then the delta vs the previous day and vs the same
+    * weekday last week. Lags are BY DAY VALUE, not by row — missing
+    * days must yield NULL deltas, not silently compare against an
+    * older day — so the comparisons are two self-LEFT-joins of the
+    * per-day frame against itself shifted by 1 and 7 days; the frame
+    * is calendar-bounded (days × types) at any corpus size, so the
+    * joins are trivial after the ONE corpus-scan aggregate. Pure
+    * integer arithmetic. */
+  def dodWow(s: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(s, dir)
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // calendar-bounded; seeds three join sides
+    val DayUs = 86400000000L
+    val prev = perDay.select(col("event_type"),
+      (col("day_us") + DayUs).as("day_us"), col("cnt").as("prev_cnt"))
+    val lastWeek = perDay.select(col("event_type"),
+      (col("day_us") + 7 * DayUs).as("day_us"), col("cnt").as("lw_cnt"))
+    perDay
+      .join(prev, Seq("event_type", "day_us"), "left")
+      .join(lastWeek, Seq("event_type", "day_us"), "left")
+      .select(col("event_type"), col("day_us"), col("cnt"),
+        (col("cnt") - col("prev_cnt")).as("dod"),
+        (col("cnt") - col("lw_cnt")).as("wow"))
+  }
+
   /** #143 — CASCADING ROLLUP hour → day → month (the materialized
     * time-hierarchy every TSDB maintains — reference level.rs's
     * time-bucket folds, lifted to a multi-grain cascade): each coarser

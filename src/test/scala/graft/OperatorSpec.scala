@@ -1004,6 +1004,68 @@ class OperatorSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("dod/wow deltas: exact match with a driver recompute over per-day counts") {
+    val DayUs = 86400000000L
+    val perDay = graft.core.Tables.events(spark, Sf)
+      .groupBy(unix_micros(date_trunc("DAY", col("ts"))).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val expected = perDay.map { case ((t, d), c) =>
+      (t, d, c, perDay.get((t, d - DayUs)).map(c - _),
+        perDay.get((t, d - 7 * DayUs)).map(c - _))
+    }.toSet
+    val got = TimeSeriesOps.dodWow(spark, Sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_us"),
+        r.getAs[Long]("cnt"),
+        Option(r.getAs[java.lang.Long]("dod")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("wow")).map(_.toLong))).toSet
+    assert(got == expected)
+    assert(expected.exists(_._4.isEmpty) && expected.exists(_._4.isDefined))
+  }
+
+  test("market basket: exact top-20 match with a driver pair recompute") {
+    val op = graft.core.Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val cAb = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        cAb((ps(i), ps(j))) += 1
+    }
+    val supp = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = byOrder.size.toLong
+    val expected = cAb.toSeq
+      .sortBy { case ((p1, p2), c) => (-c, p1, p2) }.take(20)
+      .map { case ((p1, p2), c) =>
+        (p1, p2, c, (c * n).toDouble / (supp(p1) * supp(p2)).toDouble) }.toSet
+    val got = Analytics.qMarketBasket(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
+        r.getAs[Long]("c_ab"), r.getAs[Double]("lift"))).toSet
+    assert(got == expected)
+  }
+
+  test("triplet mining: exact match with a driver recompute; labels consistent") {
+    val vs = graft.core.Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val expected = vs.filter(_._1 < Similarity.TripletAnchors).map { case (aid, albl, av) =>
+      val scored = vs.filter(_._1 != aid)
+        .map { case (id, lbl, v) => (id, lbl, rcos6(av, v)) }
+      val pos = scored.filter(_._2 == albl)
+        .minBy { case (id, _, c) => (c, id) }
+      val neg = scored.filter(_._2 != albl)
+        .minBy { case (id, _, c) => (-c, id) }
+      (aid, pos._1, pos._3, neg._1, neg._3)
+    }.toSet
+    val got = Similarity.tripletMine(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("aid"), r.getAs[Long]("pos_id"),
+        r.getAs[Double]("pos_cos"), r.getAs[Long]("neg_id"),
+        r.getAs[Double]("neg_cos"))).toSet
+    assert(got == expected)
+  }
+
   test("winnow: exact match with a driver-side winnowing recompute; density bounded") {
     def hash32(w: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
