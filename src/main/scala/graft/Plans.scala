@@ -36,7 +36,18 @@ object Plans {
       "ann_mmr_rerank" -> "MMR after retrieval at O(1) post-scan cost: the corpus appears only under the shortlist TakeOrdered (cached, <=10 rows); pairwise sims and every greedy round are broadcast joins over that in-memory relation.",
       "ts_histogram_quantile" -> "PromQL histogram_quantile from bucket counters: 7 conditional counts fold map-side into one HashAggregate pair on the type shuffle; selection + interpolation are per-row expressions over 5 rows.",
       "ts_anomaly_mad" -> "Two exact medians, ONE scan, ONE exchange: both doubled-integer medians are full-partition conditional window sums over the same user_id partitioning - each pass adds only a Sort, never a join-back or second shuffle.",
-      "emb_ivf_balance" -> "Zero data bytes: the cell counts come from the staged assignment table's PARTITION column alone (ReadSchema: struct<>); the skew division joins a 1-row broadcast total.")
+      "emb_ivf_balance" -> "Zero data bytes: the cell counts come from the staged assignment table's PARTITION column alone (ReadSchema: struct<>); the skew division joins a 1-row broadcast total.",
+      "emb_semdedup" -> "SemDeDup: broadcast seed assignment (fold-argmax projection, no window), salted within-cluster pair join — all-pairs cost collapses to cluster-bounded buckets; the keep bit is one left join against the tiny dropped set.",
+      "emb_knn_graph" -> "k-NN graph bootstrap: banded bucket self-join with the first-match-band dedup UNROLLED into the codegen'd join filter (no distinct over scored candidates, no per-pair lambda); per-src rank windows bounded by one node's candidates.",
+      "emb_nn_descent_step" -> "NN-descent over the STAGED KnnIndex graph: the n*k edge parquet seeds symmetrize + 2-hop joins; the corpus appears only as two key-equi joins fetching endpoint vectors — no band re-mining.",
+      "q_session_concurrency" -> "Interval-overlap sweep split by day: within-day running sums partition on day_us; the midnight carry is a prefix sum over the one-row-per-day net frame — no corpus-spanning window.",
+      "text_char_lm" -> "Char-LM in TWO bounded passes: the materialized (doc, bigram, count) profile feeds both the broadcast model build and the scoring probe; bigrams come from codegen'd \\G chunk splits, never a per-position lambda.",
+      "mm_byte_ioc" -> "Byte histogram without byte rows leaving codegen: one regex chunk split per payload, explode -> (doc, code) HashAggregate with map-side combine (<=256 keys/doc), one doc re-agg; the IoC is a single integer-ratio division.",
+      "ts_rollup_cascade" -> "Materialized rollup cascade: ONE corpus scan builds the hourly frame; day and month aggregate the previous grain's calendar-bounded checkpoint — the events table appears exactly once in the plan.",
+      "emb_ivf_recall" -> "Recall gate: the IVF side joins the staged cell-partitioned table on the probed cells; the exact side is the one unavoidable ground-truth scan over a SAMPLED query set; both rankings share per-qid windows.",
+      "q_market_basket" -> "Pair mining keyed on o_orderkey: fanout bounded by lines-per-order squared; the distinct (order, part) checkpoint seeds pairs, supports, and the order count without re-scanning lineitem.",
+      "emb_triplet_mine" -> "Batch-hard triplet mining: anchors broadcast, ONE corpus pass, two conditional struct-extrema HashAggregates (map-side combinable) — no per-anchor rank window funneling the corpus through 16 partitions.",
+      "dedup_winnow" -> "Winnowing selection: the (fp, rightmost-pos) argmin packs into one long so the window is an integer min over a 4-row frame; one doc_id shuffle shared by both windows, partitions bounded per doc.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

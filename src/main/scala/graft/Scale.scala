@@ -76,6 +76,18 @@ object Scale {
       time("doc_len_percentiles")(TextOps.lenPercentiles(spark, dir).count())
       time("dedup_minhash_est")(Dedup.minhashEstimate(spark, dir).count())
       time("emb_centroid_shift")(Similarity.centroidShift(spark, dir).count())
+      time("emb_semdedup")(Dedup.semDedup(spark, dir).count())
+      time("emb_knn_graph")(Similarity.knnGraph(spark, dir).count())
+      time("text_char_lm")(TextOps.charLm(spark, dir).count())
+      time("text_dsir")(TextOps.dsirWeights(spark, dir).count())
+      time("mm_byte_ioc")(Multimodal.byteIoc(spark, dir).count())
+      time("ts_rollup_cascade")(TimeSeriesOps.rollupCascade(spark, dir).count())
+      time("q_session_concurrency")(Analytics.sessionConcurrency(spark, dir).count())
+      time("dedup_winnow")(Dedup.winnow(spark, dir).count())
+      time("q_market_basket")(Analytics.qMarketBasket(spark, dir).count())
+      time("emb_triplet_mine")(Similarity.tripletMine(spark, dir).count())
+      time("ts_dod_wow")(TimeSeriesOps.dodWow(spark, dir).count())
+      time("text_heaps_vocab")(TextOps.heapsVocab(spark, dir).count())
     }
     spark.stop()
   }
