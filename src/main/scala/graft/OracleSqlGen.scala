@@ -1131,4 +1131,84 @@ object OracleSqlGen {
       |  count(*) AS cnt,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** #151 — cross-metric correlation: the hourly count frame completed
+    * over the spine (missing hours = 0), the lag shift as the same
+    * shifted-hour equi-join, and the ts_autocorr closed form over exact
+    * HUGEINT sums, division chain mirrored verbatim. */
+  val tsCrossCorr: String =
+    """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |    count(*) AS cnt FROM events GROUP BY 1, 2),
+      |sp AS (SELECT unnest(generate_series((SELECT min(hour_us) FROM h),
+      |    (SELECT max(hour_us) FROM h), 3600000000)) AS hour_us),
+      |t AS (SELECT DISTINCT event_type FROM h),
+      |f AS (SELECT t.event_type, sp.hour_us,
+      |    CAST(coalesce(hh.cnt, 0) AS HUGEINT) AS c
+      |  FROM sp CROSS JOIN t
+      |  LEFT JOIN h hh ON hh.event_type = t.event_type AND hh.hour_us = sp.hour_us),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, l.lg,
+      |    a.c AS x, b.c AS y
+      |  FROM f a CROSS JOIN (SELECT unnest([0, 1]) AS lg) l
+      |  JOIN f b ON b.hour_us = a.hour_us - l.lg * 3600000000
+      |  WHERE a.event_type < b.event_type)
+      |SELECT type_a, type_b, CAST(lg AS BIGINT) AS lag_h,
+      |  CAST(count(*) AS BIGINT) AS n_hours,
+      |  CASE WHEN count(*) * sum(x*x) - sum(x) * sum(x) = 0
+      |         OR count(*) * sum(y*y) - sum(y) * sum(y) = 0 THEN NULL
+      |    ELSE CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+      |      (sqrt(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE)) *
+      |       sqrt(CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DOUBLE)))
+      |  END AS xcorr
+      |FROM p GROUP BY 1, 2, 3""".stripMargin
+
+  /** #152 — BPE merge-count step: word counts over the shared token
+    * CTE, adjacent char pairs via generate_series + substr (both
+    * engines are 1-based character semantics), integer sums, the same
+    * (cnt DESC, pair) total order at the top-20 cut. */
+  val textBpeMerge: String =
+    s"""WITH $toksCte,
+       |w AS (SELECT unnest(t) AS w FROM toks),
+       |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+       |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+       |  FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM wc WHERE len(w) >= 2))
+       |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
+       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** #153 — centroid silhouette: per-label centroids through the same
+    * fixed-point HUGEINT sums as the kmeans oracle, both cosine factors
+    * precomputed once (vn, cn) so the multiply order matches the Spark
+    * fold, rc rounded to 6 dp before any arithmetic, own/nearest-other
+    * as order-independent MAX selections, and the per-label mean back
+    * through the fixed-point floor. */
+  val embSilhouette: String =
+    s"""WITH $eCte,
+       |byd AS (SELECT label AS clabel, j AS dim,
+       |    sum(CAST(floor(x * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS sx,
+       |    count(*) AS cnt FROM (
+       |    SELECT label, unnest(generate_series(1, 64)) AS j, unnest(v) AS x
+       |    FROM e)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT clabel,
+       |    list((CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0) / cnt
+       |      ORDER BY dim) AS cv
+       |  FROM byd GROUP BY clabel),
+       |centn AS (SELECT clabel, cv, sqrt(${dot("cv", "cv")}) AS cn FROM cent),
+       |r AS (SELECT e.vec_id, e.label, c.clabel,
+       |    CASE WHEN sqrt(${dot("e.v", "e.v")}) * c.cn = 0 THEN -2
+       |      ELSE round(${dot("e.v", "c.cv")} /
+       |        (sqrt(${dot("e.v", "e.v")}) * c.cn), 6) END AS rc
+       |  FROM e, centn c),
+       |ob AS (SELECT vec_id, label,
+       |    max(CASE WHEN clabel = label THEN rc END) AS own,
+       |    max(CASE WHEN clabel <> label THEN rc END) AS mx
+       |  FROM r GROUP BY 1, 2),
+       |sl AS (SELECT label,
+       |    CASE WHEN greatest(1.0 - own, 1.0 - mx) = 0 THEN 0.0
+       |      ELSE ((1.0 - mx) - (1.0 - own)) / greatest(1.0 - own, 1.0 - mx)
+       |    END AS sil FROM ob)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  (CAST(sum(CAST(floor(sil * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS DOUBLE)
+       |     / ${Similarity.KmFixScale}.0) / count(*) AS mean_sil
+       |FROM sl GROUP BY label""".stripMargin
 }

@@ -168,6 +168,9 @@ object SparkEntry {
     "ts_dod_wow" -> (TimeSeriesOps.dodWow _),
     "q_market_basket" -> (Analytics.qMarketBasket _),
     "emb_triplet_mine" -> (Similarity.tripletMine _),
+    "ts_cross_corr" -> (TimeSeriesOps.crossCorr _),
+    "text_bpe_merge" -> (TextOps.bpeMergeStep _),
+    "emb_silhouette" -> (Similarity.silhouette _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1168,6 +1171,9 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "mm_phash" -> OracleSqlGen.mmPhashPairs,
     "mm_phash_incremental" -> OracleSqlGen.mmPhashIncremental,
+    "ts_cross_corr" -> OracleSqlGen.tsCrossCorr,
+    "text_bpe_merge" -> OracleSqlGen.textBpeMerge,
+    "emb_silhouette" -> OracleSqlGen.embSilhouette,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
     // session_window contract: merge requires ts < prev session end
     // (strict), so the island rule is diff >= gap; end = last + gap

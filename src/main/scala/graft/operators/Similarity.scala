@@ -709,4 +709,58 @@ object Similarity {
           (col("n_vecs") * 64)).as("mse"),
         col("max_abs_err"))
   }
+
+  /** #153 — simplified (centroid) silhouette per label: the standard
+    * cluster-quality score s = (b − a) / max(a, b) with a = cosine
+    * distance to the OWN label centroid and b = distance to the nearest
+    * OTHER centroid (the medoid-free variant every large-scale pipeline
+    * uses — exact silhouette is O(n²)). Per-label centroids go through
+    * the [[KmFixScale]] fixed-point grid (exact DECIMAL(38) sums —
+    * order-independent at any group size, the kmeansStep discipline);
+    * the k-row centroid table collapses to ONE broadcast array row, so
+    * both distances come from a pure map-side fold over the corpus —
+    * zero row expansion, no per-vector window. Cosines round to 6 dp
+    * before entering any comparison or arithmetic (cross-engine
+    * stability); the per-label mean silhouette goes back through the
+    * fixed-point floor. Two shuffles total (centroid agg + final label
+    * agg), both map-side combinable. */
+  def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+    val dimSums = (0 until 64).map(j =>
+      sum(floor(element_at(col("v"), j + 1) * KmFixScale)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"))
+    val cents = e.groupBy(col("label").as("clabel"))
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
+      .select(col("clabel"),
+        array((0 until 64).map(j =>
+          (col(s"s$j").cast("double") / KmFixScale.toDouble) / col("cnt")): _*).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val centArr = cents
+      .agg(sort_array(collect_list(struct(col("clabel"), col("cv"), col("cn")))).as("cents"))
+    def rcosOf(c: Column): Column =
+      when(col("vn") * c.getField("cn") === 0.0, lit(-2.0))
+        .otherwise(round(dot(col("v"), c.getField("cv")) /
+          (col("vn") * c.getField("cn")), 6))
+    val scored = e.crossJoin(broadcast(centArr))
+      .withColumn("vn", l2norm(col("v")))
+      .withColumn("own", element_at(transform(
+        filter(col("cents"), c => c.getField("clabel") === col("label")),
+        c => rcosOf(c)), 1))
+      .withColumn("mx", array_max(transform(
+        filter(col("cents"), c => c.getField("clabel") =!= col("label")),
+        c => rcosOf(c))))
+      .withColumn("a", lit(1.0) - col("own"))
+      .withColumn("b", lit(1.0) - col("mx"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("sil") * KmFixScale)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ss"))
+      .select(col("label"), col("n_vecs"),
+        ((col("ss").cast("double") / KmFixScale.toDouble) / col("n_vecs"))
+          .as("mean_sil"))
+  }
 }

@@ -709,4 +709,28 @@ object TextOps {
         ((col("sfix").cast("double") / DsirFixScale) / col("n_feats"))
           .as("dsir_score"))
   }
+
+  /** #152 — one BPE merge-count iteration (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — the
+    * tokenizer-training primitive): corpus → word-frequency vocabulary,
+    * then adjacent symbol-pair counts weighted by word frequency, top-20
+    * merge candidates. The corpus-sized stage is ONE combinable
+    * word-count aggregate (explode rides the shuffle into map-side
+    * partials); the pair explosion runs over the DISTINCT vocabulary —
+    * orders of magnitude smaller than the corpus at any scale (Heaps'
+    * law), which is exactly why real BPE trainers count over the word
+    * dict, not the raw text. Counts are exact integers; the final
+    * top-k is TakeOrderedAndProject with total-order ties. */
+  def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    wc.select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
 }

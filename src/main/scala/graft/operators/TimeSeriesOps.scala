@@ -749,4 +749,53 @@ object TimeSeriesOps {
       .select(col("grain"), col("bucket_us"), col("event_type"),
         col("cnt"), col("sv").cast("double").as("sum_value"))
   }
+
+  private val HourUs = 3600L * 1000000L
+
+  /** #151 — cross-metric correlation search: Pearson between the hourly
+    * count series of every event-type pair at lags 0 and 1 hour — the
+    * "which metrics move together / lead each other" scan an observability
+    * TSDB runs across its whole metric space. ONE corpus scan folds to
+    * the per-(type, hour) count frame (map-side combinable); everything
+    * after operates on the tiny aggregated series (types × hours rows):
+    * the hour spine is generated from the aggregate's own min/max so
+    * missing hours count as 0 for every type (a raw inner join would
+    * silently misalign lagged series), the lag shift is an equi-join on
+    * the shifted hour key, and the correlation is the ts_autocorr
+    * closed form over exact integer (decimal) sums — bit-identical to
+    * the oracle with no float accumulation anywhere. At 100 TB the only
+    * corpus-sized stage is the first aggregate; the pair×lag work grows
+    * with (n_types² × hours), not data volume. */
+  def crossCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly
+      .agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("hour_us"))
+    val types = hourly.select("event_type").distinct()
+    val full = spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("cnt"), lit(0L)).cast("decimal(19,0)").as("c"))
+    val lags = Seq(0L, 1L).toDF("lag_h")
+    val a = full.select(col("event_type").as("type_a"), col("hour_us"), col("c").as("x"))
+      .crossJoin(broadcast(lags))
+      .withColumn("jh", col("hour_us") - col("lag_h") * HourUs)
+    val b = full.select(col("event_type").as("type_b"), col("hour_us").as("bh"), col("c").as("y"))
+    val paired = a.join(b, col("bh") === col("jh"))
+      .filter(col("type_a") < col("type_b"))
+    val n = count(lit(1)).cast("decimal(19,0)")
+    val vx = n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+    val vy = n * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
+    paired.groupBy("type_a", "type_b", "lag_h")
+      .agg(count(lit(1)).as("n_hours"),
+        when(vx === 0 || vy === 0, lit(null).cast("double"))
+          .otherwise((n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y")))
+            .cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("xcorr"))
+  }
 }

@@ -1306,4 +1306,91 @@ class OperatorSpec extends SparkTestBase {
     assert(rRecall >= gRecall,
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
+
+  test("bpe merge step: exact top-20 match with a driver vocab-pair recompute") {
+    val wc = graft.core.Tables.documents(spark, Sf).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .filter(_._1.length >= 2)
+    val expected = wc.toSeq
+      .flatMap { case (w, c) => (0 until w.length - 1).map(i => (w.substring(i, i + 2), c)) }
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = TextOps.bpeMergeStep(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("cross-corr: exact match with a driver spine-completed Pearson recompute") {
+    val HourUs = 3600000000L
+    val hourly = graft.core.Tables.events(spark, Sf)
+      .groupBy(col("event_type"), unix_micros(date_trunc("HOUR", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val hours = hourly.keys.map(_._2)
+    val spine = hourly.keys.map(_._2).min to hours.max by HourUs
+    val types = hourly.keys.map(_._1).toSeq.distinct.sorted
+    def series(t: String): Seq[BigInt] =
+      spine.map(h => BigInt(hourly.getOrElse((t, h), 0L)))
+    def pearson(xs: Seq[BigInt], ys: Seq[BigInt]): Option[Double] = {
+      val n = BigInt(xs.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      if (vx == 0 || vy == 0) None
+      else Some((n * sxy - sx * sy).toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))
+    }
+    val expected = (for {
+      a <- types; b <- types if a < b; lag <- Seq(0, 1)
+    } yield {
+      val xs = series(a).drop(lag)
+      val ys = series(b).dropRight(lag)
+      ((a, b, lag.toLong), (xs.length.toLong, pearson(xs, ys)))
+    }).toMap
+    val got = TimeSeriesOps.crossCorr(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got == expected)
+  }
+
+  test("silhouette: exact match with a driver fixed-point centroid recompute") {
+    val S = Similarity.KmFixScale.toDouble
+    val vs = graft.core.Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def d(x: Array[Double], y: Array[Double]) =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+    val cents = vs.groupBy(_._1).map { case (lbl, xs) =>
+      val cv = (0 until 64).map { j =>
+        val sx = xs.map(v => BigInt(math.floor(v._2(j) * S).toLong)).sum
+        (sx.toDouble / S) / xs.length
+      }.toArray
+      lbl -> (cv, math.sqrt(d(cv, cv)))
+    }
+    val sils = vs.map { case (lbl, v) =>
+      val vn = math.sqrt(d(v, v))
+      def rc(c: (Array[Double], Double)): Double =
+        if (vn * c._2 == 0.0) -2.0
+        else BigDecimal(d(v, c._1) / (vn * c._2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val own = rc(cents(lbl))
+      val mx = cents.collect { case (l, c) if l != lbl => rc(c) }.max
+      val (a, b) = (1.0 - own, 1.0 - mx)
+      (lbl, if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b))
+    }
+    val expected = sils.groupBy(_._1).map { case (lbl, xs) =>
+      val ss = xs.map(x => BigInt(math.floor(x._2 * S).toLong)).sum
+      lbl -> (xs.length.toLong, (ss.toDouble / S) / xs.length)
+    }
+    val got = Similarity.silhouette(spark, Sf).collect()
+      .map(r => (r.getAs[Int]("label"),
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_sil")))).toMap
+    assert(got == expected)
+    // clusters must be at least weakly coherent on average
+    assert(got.values.forall { case (_, m) => m >= -1.0 && m <= 1.0 })
+  }
 }
