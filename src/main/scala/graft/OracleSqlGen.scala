@@ -1175,6 +1175,72 @@ object OracleSqlGen {
        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** #155 — duplicate-n-gram fraction: document frequency over the
+    * same 52-bit hashed distinct shingles, integer counts, one
+    * mirrored division. */
+  val textDupNgramFrac: String =
+    s"""WITH $toksCte, $shCte, $shgCte,
+       |dfq AS (SELECT g, count(*) AS df FROM shg GROUP BY 1)
+       |SELECT s.doc_id, CAST(z.n AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / z.n
+       |    AS dup_frac
+       |FROM shg s JOIN dfq d ON d.g = s.g JOIN szg z ON z.doc_id = s.doc_id
+       |GROUP BY s.doc_id, z.n""".stripMargin
+
+  /** #154 — integer PageRank over the k-NN graph: the knn CTE rebuilt
+    * from scratch, then PrIters chained iterations of exact floor-div
+    * arithmetic (`//` ≡ Spark `div` for non-negative integers) — no
+    * float appears until the final display division. */
+  val embPagerankKnn: String = {
+    val S = Similarity.PrScale
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT g.dst AS vec_id,
+         |    sum((85 * p.r) // (100 * od.odeg)) AS ins
+         |  FROM g JOIN $prev p ON p.vec_id = g.src
+         |  JOIN od ON od.vec_id = g.src GROUP BY 1),
+         |d$i AS (SELECT coalesce(sum((85 * p.r) // 100), 0) AS dmass
+         |  FROM $prev p LEFT JOIN od ON od.vec_id = p.vec_id
+         |  WHERE od.odeg IS NULL),
+         |r$i AS (SELECT n.vec_id,
+         |    (${15L * S} // (100 * nn.n)) + (d$i.dmass // nn.n)
+         |      + coalesce(c$i.ins, 0) AS r
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN c$i ON c$i.vec_id = n.vec_id)""".stripMargin
+    }
+    s"""WITH $eCte,
+       |$knnGraphCtes,
+       |g AS (SELECT src, dst FROM knn),
+       |nodes AS (SELECT vec_id FROM e),
+       |od AS (SELECT src AS vec_id, count(*) AS odeg FROM g GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT n.vec_id, $S // nn.n AS r FROM nodes n CROSS JOIN nn),
+       |${(1 to Similarity.PrIters).map(iter).mkString(",\n")}
+       |SELECT vec_id, CAST(r AS BIGINT) AS pr_fix,
+       |  CAST(r AS DOUBLE) / $S.0 AS pr FROM r${Similarity.PrIters}""".stripMargin
+  }
+
+  /** #156 — per-dimension stats: the kmeans-style fixed-point HUGEINT
+    * sums for mean and E[x²], min/max as exact double selection, the
+    * variance chain q − m·m written with m expanded twice exactly as
+    * the Spark projection. */
+  val embDimStats: String =
+    s"""WITH $eCte,
+       |byd AS (SELECT j AS dim,
+       |    sum(CAST(floor(x * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS sx,
+       |    sum(CAST(floor((x * x) * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS qx,
+       |    min(x) AS mn, max(x) AS mx, count(*) AS n
+       |  FROM (SELECT unnest(generate_series(1, 64)) AS j, unnest(v) AS x FROM e)
+       |  GROUP BY 1)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vecs,
+       |  (CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0) / n AS mean,
+       |  ((CAST(qx AS DOUBLE) / ${Similarity.KmFixScale}.0) / n)
+       |    - ((CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0) / n)
+       |      * ((CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0) / n) AS variance,
+       |  mn AS min_x, mx AS max_x
+       |FROM byd""".stripMargin
+
   /** #153 — centroid silhouette: per-label centroids through the same
     * fixed-point HUGEINT sums as the kmeans oracle, both cosine factors
     * precomputed once (vn, cn) so the multiply order matches the Spark

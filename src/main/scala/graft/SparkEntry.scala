@@ -171,6 +171,9 @@ object SparkEntry {
     "ts_cross_corr" -> (TimeSeriesOps.crossCorr _),
     "text_bpe_merge" -> (TextOps.bpeMergeStep _),
     "emb_silhouette" -> (Similarity.silhouette _),
+    "emb_pagerank_knn" -> (Similarity.pagerankKnn _),
+    "text_dup_ngram_frac" -> (TextOps.dupNgramFrac _),
+    "emb_dim_stats" -> (Similarity.dimStats _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1174,6 +1177,9 @@ object SparkEntry {
     "ts_cross_corr" -> OracleSqlGen.tsCrossCorr,
     "text_bpe_merge" -> OracleSqlGen.textBpeMerge,
     "emb_silhouette" -> OracleSqlGen.embSilhouette,
+    "emb_pagerank_knn" -> OracleSqlGen.embPagerankKnn,
+    "text_dup_ngram_frac" -> OracleSqlGen.textDupNgramFrac,
+    "emb_dim_stats" -> OracleSqlGen.embDimStats,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
     // session_window contract: merge requires ts < prev session end
     // (strict), so the island rule is diff >= gap; end = last + gap

@@ -139,6 +139,10 @@ object Dedup {
     * exact set intersection over the full shingle sets. Jaccard is over
     * distinct 52-bit [[shingleHash]]ed shingles; the oracle hashes
     * identically, so the two engines agree bit-for-bit. */
+  /** Staged rset/ path accessor for cross-file consumers (TextOps #155). */
+  def tokensIndexRset(s: SparkSession, dir: String): String =
+    DedupIndex.ensure(s, dir).rset
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     // The rarity-sorted HASHED shingle sets come from the STAGED
     // signature store ([[DedupIndex]] rset/): the shingle explode, the

@@ -710,6 +710,84 @@ object Similarity {
         col("max_abs_err"))
   }
 
+  /** PageRank fixed-point scale (10^12 — rank mass stays ≤ PrScale in
+    * total, so every integer sum is long-safe at ANY corpus size) and
+    * iteration count for #154. */
+  val PrScale = 1000000000000L
+  val PrIters = 3
+
+  /** #154 — PageRank centrality over the STAGED k-NN graph (#136):
+    * which vectors sit in the dense core of embedding space vs its
+    * periphery — the data-map / coreset-selection signal (hub examples
+    * are redundant, low-rank periphery is where coverage sampling looks
+    * first). Standard distributed PageRank (d = 0.85, dangling mass
+    * redistributed uniformly), [[PrIters]] synchronous iterations, but
+    * ALL-INTEGER: ranks live on the [[PrScale]] fixed-point grid and
+    * every contribution is a floor division (`div`), so each iteration
+    * is exact integer arithmetic — bit-identical across engines and
+    * shuffle orders with no float sum anywhere. Total rank mass is ≤
+    * PrScale by construction, so no sum can overflow a long regardless
+    * of node count. Per iteration: one edge-keyed join + one dst
+    * aggregate (both over the n·k edge frame, never vectors) — the
+    * textbook Pregel shape; the corpus is touched only for the node
+    * list. */
+  def pagerankKnn(s: SparkSession, dir: String): DataFrame = {
+    val edges = s.read.parquet(KnnIndex.ensure(s, dir)).select("src", "dst")
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+    val outdeg = edges.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("odeg"))
+    val nF = nodes.agg(count(lit(1)).as("nn"))
+    var ranks = nodes.crossJoin(broadcast(nF))
+      .selectExpr("vec_id", s"CAST($PrScale AS BIGINT) div nn AS r")
+    for (_ <- 1 to PrIters) {
+      val rd = ranks.join(outdeg, Seq("vec_id"), "left")
+      val ins = edges
+        .join(rd.select(col("vec_id").as("src"), col("r"), col("odeg")), "src")
+        .selectExpr("dst AS vec_id", "(85 * r) div (100 * odeg) AS c")
+        .groupBy("vec_id").agg(sum("c").as("ins"))
+      val dang = rd.filter(col("odeg").isNull)
+        .agg(coalesce(sum(expr("(85 * r) div 100")), lit(0L)).as("dmass"))
+      ranks = nodes.crossJoin(broadcast(nF)).crossJoin(broadcast(dang))
+        .join(ins, Seq("vec_id"), "left")
+        .selectExpr("vec_id",
+          s"CAST(${15L * PrScale} AS BIGINT) div (100 * nn) + dmass div nn" +
+            " + coalesce(ins, CAST(0 AS BIGINT)) AS r")
+    }
+    ranks.select(col("vec_id"), col("r").as("pr_fix"),
+      (col("r").cast("double") / PrScale).as("pr"))
+  }
+
+  /** #156 — per-dimension distribution stats (mean / variance / min /
+    * max for each of the 64 coordinates): the whitening & feature-scale
+    * health check run before PCA, SQ quantization, or any distance work
+    * (one dead or exploding dimension silently dominates L2/cosine).
+    * ONE global map-side-combinable aggregate with 64×2 fixed-point
+    * sums + 64 min/max pairs — the corpus NEVER posexplodes through a
+    * shuffle; the 1×256 result row unpivots driver-free to 64 rows.
+    * Mean and E[x²] go through the [[KmFixScale]] grid (exact
+    * DECIMAL(38) sums), variance = q − m·m in one mirrored chain. */
+  def dimStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(toDoubleVec(col("embedding")).as("v"))
+    def x(j: Int) = element_at(col("v"), j + 1)
+    val aggs = (0 until 64).flatMap { j =>
+      Seq(
+        sum(floor(x(j) * KmFixScale)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"),
+        sum(floor((x(j) * x(j)) * KmFixScale)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"q$j"),
+        min(x(j)).as(s"mn$j"), max(x(j)).as(s"mx$j"))
+    }
+    val row = e.agg(count(lit(1)).as("n"), aggs: _*)
+    def mOf(j: Int) = (col(s"s$j").cast("double") / KmFixScale.toDouble) / col("n")
+    def qOf(j: Int) = (col(s"q$j").cast("double") / KmFixScale.toDouble) / col("n")
+    row.select(col("n"), posexplode(array((0 until 64).map(j =>
+        struct(mOf(j).as("mean"), (qOf(j) - mOf(j) * mOf(j)).as("variance"),
+          col(s"mn$j").as("min_x"), col(s"mx$j").as("max_x"))): _*)))
+      .select((col("pos") + 1).cast("long").as("dim"), col("n").as("n_vecs"),
+        col("col.mean").as("mean"), col("col.variance").as("variance"),
+        col("col.min_x").as("min_x"), col("col.max_x").as("max_x"))
+  }
+
   /** #153 — simplified (centroid) silhouette per label: the standard
     * cluster-quality score s = (b − a) / max(a, b) with a = cosine
     * distance to the OWN label centroid and b = distance to the nearest

@@ -721,6 +721,28 @@ object TextOps {
     * law), which is exactly why real BPE trainers count over the word
     * dict, not the raw text. Counts are exact integers; the final
     * top-k is TakeOrderedAndProject with total-order ties. */
+  /** #155 — per-doc duplicate-n-gram fraction: what share of a doc's
+    * distinct 3-gram shingles also appear in at least one OTHER doc —
+    * the per-document "how much of me is boilerplate" memorization-risk
+    * score (doc-level twin of the pair miners: a doc can be 40%
+    * duplicated against the whole corpus without any single pair
+    * clearing a jaccard threshold). Probes the STAGED hashed shingle
+    * sets (DedupIndex rset/ — no tokenization, no string anywhere):
+    * explode → one document-frequency shuffle over the hash key → one
+    * doc_id-keyed count back. All-integer counts; the fraction is one
+    * mirrored division. */
+  def dupNgramFrac(s: SparkSession, dir: String): DataFrame = {
+    val sets = s.read.parquet(Dedup.tokensIndexRset(s, dir))
+      .select(col("doc_id"), col("n"), explode(col("set")).as("h"))
+    val df = sets.groupBy("h").agg(count(lit(1)).as("df"))
+    sets.join(df, "h")
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
+  }
+
   def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
     val wc = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))

@@ -1307,6 +1307,62 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("pagerank over knn graph: exact integer recompute; mass conserved") {
+    val S = Similarity.PrScale
+    val edges = spark.read.parquet(operators.KnnIndex.ensure(spark, Sf))
+      .select("src", "dst").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val nodes = graft.core.Tables.embeddings(spark, Sf).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val n = nodes.length
+    val odeg = edges.groupBy(_._1).map { case (s0, xs) => (s0, xs.length.toLong) }
+    var r = nodes.map(v => v -> S / n).toMap
+    for (_ <- 1 to Similarity.PrIters) {
+      val ins = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => (85L * r(src)) / (100L * odeg(src)) }.sum
+      }
+      val dmass = nodes.filterNot(odeg.contains)
+        .map(v => (85L * r(v)) / 100L).sum
+      r = nodes.map(v =>
+        v -> ((15L * S) / (100L * n) + dmass / n + ins.getOrElse(v, 0L))).toMap
+    }
+    val got = Similarity.pagerankKnn(spark, Sf).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("pr_fix"))).toMap
+    assert(got == r)
+    // floor divisions only lose mass, never create it
+    assert(got.values.sum <= S && got.values.forall(_ > 0))
+  }
+
+  test("dup-ngram fraction: exact recompute from the staged shingle sets") {
+    val sets = spark.read.parquet(operators.Dedup.tokensIndexRset(spark, Sf))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[scala.collection.Seq[Long]]("set").toSet)).toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (h, xs) => (h, xs.size) }
+    val expected = sets.map { case (d, hs) =>
+      val dup = hs.count(h => df(h) >= 2).toLong
+      d -> (hs.size.toLong, dup, dup.toDouble / hs.size)
+    }
+    val got = TextOps.dupNgramFrac(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_dup"), r.getAs[Double]("dup_frac")))).toMap
+    assert(got == expected)
+  }
+
+  test("dim stats: exact fixed-point recompute per dimension") {
+    val S = Similarity.KmFixScale.toDouble
+    val vs = vecsOf().map(_._2)
+    val got = Similarity.dimStats(spark, Sf).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Double]("mean"), r.getAs[Double]("variance"),
+          r.getAs[Double]("min_x"), r.getAs[Double]("max_x")))).toMap
+    (0 until 64).foreach { j =>
+      val xs = vs.map(_(j))
+      val m = (xs.map(x => BigInt(math.floor(x * S).toLong)).sum.toDouble / S) / xs.length
+      val q = (xs.map(x => BigInt(math.floor((x * x) * S).toLong)).sum.toDouble / S) / xs.length
+      assert(got(j + 1L) == ((m, q - m * m, xs.min, xs.max)))
+    }
+  }
+
   test("bpe merge step: exact top-20 match with a driver vocab-pair recompute") {
     val wc = graft.core.Tables.documents(spark, Sf).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
