@@ -1175,6 +1175,58 @@ object OracleSqlGen {
        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** #157 — last-touch attribution: the latest prior touch per purchase
+    * picked by the same (tus, event_id) total order as the Spark
+    * struct-max (row_number DESC ≡ argmax), 7-day cutoff applied after
+    * the pick exactly as the operator does, decimal-exact revenue. */
+  val qAttribution: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+      |    value FROM events),
+      |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+      |cand AS (SELECT p.event_id AS pid, t.event_type AS ttype, t.tus AS ttus,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY t.tus DESC, t.event_id DESC) AS rn
+      |  FROM p JOIN ev t ON t.user_id = p.user_id
+      |  WHERE t.event_type IN ('click', 'view')
+      |    AND (t.tus < p.tus OR (t.tus = p.tus AND t.event_id < p.event_id))),
+      |best AS (SELECT pid, ttype, ttus FROM cand WHERE rn = 1),
+      |att AS (SELECT p.tus, p.value,
+      |    CASE WHEN b.ttus IS NOT NULL AND b.ttus >= p.tus - 604800000000
+      |      THEN b.ttype ELSE 'none' END AS attr_type
+      |  FROM p LEFT JOIN best b ON b.pid = p.event_id)
+      |SELECT attr_type, (tus // 86400000000) * 86400000000 AS day_us,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS credited_value
+      |FROM att GROUP BY 1, 2""".stripMargin
+
+  /** #158 — Holt walk-forward backtest: the ts_holt fold extended with
+    * a third state component accumulating |(l + t) − day mean| BEFORE
+    * each day's affine update — the same sequential list_reduce, so
+    * plain double accumulation is bit-identical to the Spark fold. */
+  val tsHoltBacktest: String =
+    """WITH m AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_v,
+      |    list_reduce(
+      |      list_prepend([1.0::DOUBLE, 0.0, 0.0, 1.0, 0.0, 0.0],
+      |        list([value, 0.0, 0.0, 0.0, 0.0, 0.0] ORDER BY epoch_us(ts), value)),
+      |      (acc, x) -> [0.8 * acc[1] + 0.8 * acc[3],
+      |                   0.8 * acc[2] + 0.8 * acc[4],
+      |                   -0.02 * acc[1] + 0.98 * acc[3],
+      |                   -0.02 * acc[2] + 0.98 * acc[4],
+      |                   0.8 * acc[5] + 0.8 * acc[6] + 0.2 * x[1],
+      |                   -0.02 * acc[5] + 0.98 * acc[6] + 0.02 * x[1]]) AS f
+      |  FROM events GROUP BY 1, 2),
+      |chains AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |    list_reduce(list_prepend([0.0::DOUBLE, 0.0, 0.0],
+      |        list(list_append(f, mean_v) ORDER BY day)),
+      |      (acc, x) -> [x[1] * acc[1] + x[2] * acc[2] + x[5],
+      |                   x[3] * acc[1] + x[4] * acc[2] + x[6],
+      |                   acc[3] + abs((acc[1] + acc[2]) - x[7])]) AS st
+      |  FROM m GROUP BY 1)
+      |SELECT user_id, n_days, st[3] / n_days AS mae FROM chains""".stripMargin
+
   /** #155 — duplicate-n-gram fraction: document frequency over the
     * same 52-bit hashed distinct shingles, integer counts, one
     * mirrored division. */

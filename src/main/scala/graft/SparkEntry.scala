@@ -174,6 +174,8 @@ object SparkEntry {
     "emb_pagerank_knn" -> (Similarity.pagerankKnn _),
     "text_dup_ngram_frac" -> (TextOps.dupNgramFrac _),
     "emb_dim_stats" -> (Similarity.dimStats _),
+    "q_attribution" -> (Analytics.qAttribution _),
+    "ts_holt_backtest" -> (TimeSeriesOps.holtBacktest _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1180,6 +1182,8 @@ object SparkEntry {
     "emb_pagerank_knn" -> OracleSqlGen.embPagerankKnn,
     "text_dup_ngram_frac" -> OracleSqlGen.textDupNgramFrac,
     "emb_dim_stats" -> OracleSqlGen.embDimStats,
+    "q_attribution" -> OracleSqlGen.qAttribution,
+    "ts_holt_backtest" -> OracleSqlGen.tsHoltBacktest,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
     // session_window contract: merge requires ts < prev session end
     // (strict), so the island rule is diff >= gap; end = last + gap

@@ -928,4 +928,40 @@ object Analytics {
         (col("carry") + greatest(lit(0L), col("max_run"))).cast("long")
           .as("max_concurrent"))
   }
+
+  /** Attribution lookback window: 7 days in epoch-µs. */
+  val AttrWindowUs: Long = 7L * 86400000000L
+
+  /** #157 — LAST-TOUCH attribution: every purchase credits the most
+    * recent click/view by the same user within a 7-day lookback (the
+    * marketing-attribution join every event warehouse serves), rolled
+    * up to (attributed channel, purchase day) with purchase counts and
+    * credited revenue. NO join at all: the running conditional
+    * struct-max over the (ts, event_id)-ordered user shuffle carries
+    * each purchase's latest prior touch (the ts_asof_join technique —
+    * at 100 TB this is one shuffle where a purchases×touches interval
+    * join would blow up on active users); the 7-day cutoff filters the
+    * carried value AFTER the pick, which is equivalent (the latest
+    * touch overall being stale implies no in-window touch exists).
+    * Purchases with no eligible touch land in the 'none' channel, so
+    * the rollup partitions all purchases. Revenue sums are
+    * DECIMAL(18,2)-exact. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type") === "click" || col("event_type") === "view"
+    Tables.events(s, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("lt",
+        max(when(isTouch, struct(col("tus"), col("event_id"), col("event_type"))))
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attr_type",
+        when(col("lt").isNotNull && col("lt.tus") >= col("tus") - AttrWindowUs,
+          col("lt.event_type")).otherwise(lit("none")))
+      .groupBy(col("attr_type"),
+        (expr("tus div 86400000000") * lit(86400000000L)).as("day_us"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec("value")).cast("double").as("credited_value"))
+  }
 }

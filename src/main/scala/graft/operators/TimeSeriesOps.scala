@@ -750,6 +750,70 @@ object TimeSeriesOps {
         col("cnt"), col("sv").cast("double").as("sum_value"))
   }
 
+  /** #158 — Holt one-step BACKTEST: walk-forward forecast-accuracy
+    * report for the #80 smoother — per key, the mean absolute error of
+    * the day-ahead forecast (level + trend BEFORE seeing the day)
+    * against the day's exact decimal mean value. This is the
+    * model-selection loop every forecasting TSDB runs before trusting a
+    * smoother (SREs pick per-series models by exactly this walk-forward
+    * error). Same bounded-state shape as ts_holt — per-day 6-double
+    * affine fold, then ONE per-key chain fold that now also accumulates
+    * |forecast − actual| sequentially (deterministic: the fold is
+    * left-to-right over the day-sorted array on both engines, so plain
+    * double accumulation is bit-identical — no cross-row sum exists).
+    * Day 1's forecast comes from the (0,0) cold-start state, included
+    * by design (both engines mirror it). One shuffle per level, state
+    * bounded regardless of key length. */
+  def holtBacktest(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("day", expr("tus div 86400000000"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"),
+        (sum(dec("value")).cast("double") / count(lit(1))).as("mean_v"),
+        sort_array(collect_list(struct(col("tus"), col("value")))).as("seq"))
+      .select(col("user_id"), col("day"), col("n"), col("mean_v"),
+        aggregate(col("seq"),
+          struct(lit(1.0).as("p11"), lit(0.0).as("p12"), lit(0.0).as("p21"),
+            lit(1.0).as("p22"), lit(0.0).as("q1"), lit(0.0).as("q2")),
+          (acc, x) => {
+            val v = x.getField("value")
+            struct(
+              (lit(0.8) * acc.getField("p11") +
+                lit(0.8) * acc.getField("p21")).as("p11"),
+              (lit(0.8) * acc.getField("p12") +
+                lit(0.8) * acc.getField("p22")).as("p12"),
+              (lit(-0.02) * acc.getField("p11") +
+                lit(0.98) * acc.getField("p21")).as("p21"),
+              (lit(-0.02) * acc.getField("p12") +
+                lit(0.98) * acc.getField("p22")).as("p22"),
+              (lit(0.8) * acc.getField("q1") + lit(0.8) * acc.getField("q2") +
+                lit(0.2) * v).as("q1"),
+              (lit(-0.02) * acc.getField("q1") + lit(0.98) * acc.getField("q2") +
+                lit(0.02) * v).as("q2"))
+          }).as("f"))
+    parts.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("f"), col("mean_v"))))
+          .as("chain"))
+      .select(col("user_id"), col("n_days"),
+        aggregate(col("chain"),
+          struct(lit(0.0).as("l"), lit(0.0).as("t"), lit(0.0).as("esum")),
+          (acc, c) => {
+            val f = c.getField("f")
+            struct(
+              (f.getField("p11") * acc.getField("l") +
+                f.getField("p12") * acc.getField("t") + f.getField("q1")).as("l"),
+              (f.getField("p21") * acc.getField("l") +
+                f.getField("p22") * acc.getField("t") + f.getField("q2")).as("t"),
+              (acc.getField("esum") +
+                abs((acc.getField("l") + acc.getField("t")) -
+                  c.getField("mean_v"))).as("esum"))
+          }).as("st"))
+      .select(col("user_id"), col("n_days"),
+        (col("st.esum") / col("n_days")).as("mae"))
+  }
+
   private val HourUs = 3600L * 1000000L
 
   /** #151 — cross-metric correlation search: Pearson between the hourly

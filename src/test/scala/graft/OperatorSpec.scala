@@ -1307,6 +1307,70 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("attribution: exact match with a driver last-touch recompute") {
+    val ev = graft.core.Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("value").cast("decimal(18,2)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDecimal(4)))
+    val byUser = ev.groupBy(_._2)
+    val purchases = ev.filter(_._3 == "purchase")
+    val attributed = purchases.map { case (pid, uid, _, ptus, v) =>
+      val prior = byUser(uid).filter(t =>
+        (t._3 == "click" || t._3 == "view") &&
+          (t._4 < ptus || (t._4 == ptus && t._1 < pid)))
+      val at = if (prior.isEmpty) "none"
+      else {
+        val best = prior.maxBy(t => (t._4, t._1))
+        if (best._4 >= ptus - Analytics.AttrWindowUs) best._3 else "none"
+      }
+      ((at, ptus / 86400000000L * 86400000000L), v)
+    }
+    val expected = attributed.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong,
+        xs.map(x => BigDecimal(x._2)).sum.toDouble))
+    }
+    val got = Analytics.qAttribution(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    assert(got.keys.map(_._1).toSet.subsetOf(Set("click", "view", "none")))
+  }
+
+  test("holt backtest: exact match with a driver walk-forward recompute") {
+    val ev = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("value"), col("value").cast("decimal(18,2)").as("vd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        BigDecimal(r.getDecimal(3))))
+    val expected = ev.groupBy(_._1).map { case (uid, rows) =>
+      val days = rows.groupBy(_._2 / 86400000000L).toSeq.sortBy(_._1)
+      var (l, t, esum) = (0.0, 0.0, 0.0)
+      days.foreach { case (_, dr) =>
+        val meanV = dr.map(_._4).sum.toDouble / dr.length
+        var f = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        dr.sortBy(x => (x._2, x._3)).foreach { x =>
+          val v = x._3
+          f = Array(
+            0.8 * f(0) + 0.8 * f(2), 0.8 * f(1) + 0.8 * f(3),
+            -0.02 * f(0) + 0.98 * f(2), -0.02 * f(1) + 0.98 * f(3),
+            0.8 * f(4) + 0.8 * f(5) + 0.2 * v,
+            -0.02 * f(4) + 0.98 * f(5) + 0.02 * v)
+        }
+        val err = math.abs((l + t) - meanV)
+        val nl = f(0) * l + f(1) * t + f(4)
+        val nt = f(2) * l + f(3) * t + f(5)
+        l = nl; t = nt; esum = esum + err
+      }
+      uid -> ((days.length.toLong, esum / days.length))
+    }
+    val got = TimeSeriesOps.holtBacktest(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
   test("pagerank over knn graph: exact integer recompute; mass conserved") {
     val S = Similarity.PrScale
     val edges = spark.read.parquet(operators.KnnIndex.ensure(spark, Sf))
