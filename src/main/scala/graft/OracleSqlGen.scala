@@ -809,6 +809,84 @@ object OracleSqlGen {
        |FROM rr ORDER BY rnk LIMIT 10""".stripMargin
   }
 
+  /** #159 — PQ recall: the annPqTopk pipeline generalized to a query
+    * SET — per-query LUT, per-query ADC shortlist window, exact L2
+    * re-rank, intersected with per-query brute-force L2 top-10. */
+  val annPqRecall: String = {
+    import graft.operators.PqIndex.{Subs, SubDim, K, Shortlist}
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, $SubDim),
+         |    i -> ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i])
+         |       * ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i]))),
+         |  (p, q) -> p + q)""".stripMargin
+    def fold64(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (p, q) -> p + q)""".stripMargin
+    val pivots = (0 until Subs)
+      .map(su => s"max(CASE WHEN c.sub = $su THEN l.d END) AS d$su").mkString(", ")
+    val total = (0 until Subs).map(su => s"d$su").reduce((a, b) => s"($a + $b)")
+    s"""WITH $eCte,
+       |cb AS (SELECT vec_id AS k, v FROM e WHERE vec_id < $K),
+       |subs AS (SELECT unnest(generate_series(0, ${Subs - 1})) AS sub),
+       |enc AS (SELECT e.vec_id, s.sub, cb.k, round(${fold("e.v", "cb.v")}, 6) AS d
+       |  FROM e, subs s, cb),
+       |codes AS (SELECT vec_id, sub, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, k) AS rn
+       |    FROM enc) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv
+       |  FROM e WHERE vec_id < ${Similarity.PqRecallQueries}),
+       |lut AS (SELECT q.qid, s.sub, cb.k AS code, ${fold("q.qv", "cb.v")} AS d
+       |  FROM cb, subs s, q),
+       |adc AS (SELECT l.qid, c.vec_id, $pivots
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+       |short AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY $total, vec_id) AS rn
+       |    FROM adc) WHERE rn <= $Shortlist),
+       |rr AS (SELECT sh.qid, e.vec_id, ${fold64("e.v", "q.qv")} AS d
+       |  FROM e JOIN short sh USING (vec_id) JOIN q ON q.qid = sh.qid),
+       |pq10 AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+       |    FROM rr) WHERE rn <= 10),
+       |ex AS (SELECT q.qid, e.vec_id, ${fold64("e.v", "q.qv")} AS d
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |exact10 AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+       |    FROM ex) WHERE rn <= 10),
+       |hits AS (SELECT e1.qid, count(*) AS h FROM exact10 e1
+       |  JOIN pq10 p1 ON p1.qid = e1.qid AND p1.vec_id = e1.vec_id GROUP BY 1)
+       |SELECT q.qid, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall
+       |FROM q LEFT JOIN hits h ON h.qid = q.qid""".stripMargin
+  }
+
+  /** #160 — farthest-first seeding: each round's min-distance frame
+    * over the previous chosen set, argmax via the same (md DESC,
+    * vec_id) total order as the Spark negated-id struct-max. */
+  val embKcenterInit: String = {
+    def l2r(a: String, b: String) =
+      s"""round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (p, q) -> p + q), 6)""".stripMargin
+    val rounds = (1 until Similarity.KcK).map { r =>
+      s"""m$r AS (SELECT e.vec_id, min(${l2r("e.v", "c.cv")}) AS md
+         |  FROM e, c${r - 1} c GROUP BY e.vec_id),
+         |n$r AS (SELECT vec_id, md FROM m$r ORDER BY md DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT cid, cv, rnd, sel_d FROM c${r - 1}
+         |  UNION ALL SELECT e.vec_id, e.v, $r, n.md
+         |  FROM e JOIN n$r n USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $eCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, 0 AS rnd,
+       |    CAST(NULL AS DOUBLE) AS sel_d
+       |  FROM e WHERE vec_id = 0),
+       |$rounds
+       |SELECT CAST(rnd AS BIGINT) AS rnd, CAST(cid AS BIGINT) AS cid, sel_d
+       |FROM c${Similarity.KcK - 1}""".stripMargin
+  }
+
   /** #134 — PQ distortion: the same encode CTEs (rounded argmin picks
     * the code), the UNROUNDED squared-error fold at the chosen code
     * floored onto the fixed-point grid, per-subspace exact sums +

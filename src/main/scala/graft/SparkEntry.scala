@@ -176,6 +176,8 @@ object SparkEntry {
     "emb_dim_stats" -> (Similarity.dimStats _),
     "q_attribution" -> (Analytics.qAttribution _),
     "ts_holt_backtest" -> (TimeSeriesOps.holtBacktest _),
+    "ann_pq_recall" -> (Similarity.pqRecall _),
+    "emb_kcenter_init" -> (Similarity.kcenterInit _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1184,6 +1186,8 @@ object SparkEntry {
     "emb_dim_stats" -> OracleSqlGen.embDimStats,
     "q_attribution" -> OracleSqlGen.qAttribution,
     "ts_holt_backtest" -> OracleSqlGen.tsHoltBacktest,
+    "ann_pq_recall" -> OracleSqlGen.annPqRecall,
+    "emb_kcenter_init" -> OracleSqlGen.embKcenterInit,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
     // session_window contract: merge requires ts < prev session end
     // (strict), so the island rule is diff >= gap; end = last + gap

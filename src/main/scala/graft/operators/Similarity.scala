@@ -666,6 +666,110 @@ object Similarity {
         (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
   }
 
+  /** Query-set size for the PQ recall report. */
+  val PqRecallQueries = 8
+
+  /** #159 — PQ RECALL report: recall@10 of the staged ADC-shortlist +
+    * exact-re-rank probe (#101's two-stage shape) against exact
+    * brute-force L2 top-10, over a sampled query set — the third leg of
+    * the ANN health matrix (emb_ivf_balance: probes are cheap;
+    * emb_ivf_recall: the IVF layout is correct; this: the PQ
+    * compression is still accurate — the go/no-go before trusting a
+    * code-only scan at 100 TB). The PQ side is the production probe
+    * shape batched: one broadcast (query × 8×16) LUT frame, map-side
+    * ADC over the staged CODE table only, per-query shortlist window,
+    * and raw vectors fetched just for shortlist rows; the exact side's
+    * full scan is the cost of ground truth — hence the SAMPLED query
+    * set. Shared fold orders and (d, vec_id) tie ranking make the
+    * intersection bit-deterministic. */
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val st = PqIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < PqRecallQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cbArr = s.read.parquet(st.codebook)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("cbs"))
+    val lut = q.crossJoin(broadcast(cbArr))
+      .select(col("qid") +: (0 until PqIndex.Subs).map(su =>
+        transform(sequence(lit(0), lit(PqIndex.K - 1)), k =>
+          PqIndex.subDist(col("qv"),
+            element_at(col("cbs"), (k + 1).cast("int")).getField("v"), lit(su)))
+          .as(s"l$su")): _*)
+    val adcExpr = (0 until PqIndex.Subs)
+      .map(su => element_at(col(s"l$su"), (col(s"code$su") + 1).cast("int")))
+      .reduce(_ + _)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    val short = s.read.parquet(st.codes)
+      .crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcExpr)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= PqIndex.Shortlist)
+      .select(col("qid"), col("vec_id"))
+    def l2sq = aggregate(
+      zip_with(col("v"), col("qv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d"), col("vec_id"))
+    val pq10 = e.join(short, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("d", l2sq)
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val exact10 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d", l2sq)
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact10.join(pq10, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+  }
+
+  /** Seed count for farthest-first k-center initialization. */
+  val KcK = 4
+
+  /** #160 — FARTHEST-FIRST k-center seeding (Gonzalez 1985 — the
+    * deterministic kmeans++ cousin; the 2-approximation every scalable
+    * clustering/IVF build uses to place initial centroids so no region
+    * of embedding space is unseeded): start from vec_id 0, then
+    * [[KcK]]−1 greedy rounds each picking the vector FARTHEST from the
+    * chosen set (max over corpus of min rounded-L2 to the ≤K chosen —
+    * the min folds inside a broadcast array, the argmax is one
+    * combinable struct-max aggregate with negated-id ties, zero
+    * windows). Each round is one corpus pass against a ≤K-row
+    * broadcast — K passes total, the algorithm's inherent shape (each
+    * pick depends on the last); at 100 TB rounds run on a coreset
+    * sample, same plan. Output: (round, seed id, selection distance —
+    * the coverage-gain curve whose flattening says K is enough). */
+  def kcenterInit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    def l2r(a: Column, b: Column) = round(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+    var chosen = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        lit(0L).as("rnd"), lit(null).cast("double").as("sel_d"))
+    for (r <- 1 until KcK) {
+      val centArr = chosen
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+      val pick = e.crossJoin(broadcast(centArr))
+        .withColumn("md",
+          array_min(transform(col("cs"), c => l2r(col("v"), c.getField("cv")))))
+        .agg(max(struct(col("md").as("md"), (-col("vec_id")).as("nid"))).as("b"))
+        .select((-col("b.nid")).as("vec_id"), col("b.md").as("sel_d"))
+      chosen = chosen.unionByName(e.join(pick, "vec_id")
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          lit(r.toLong).as("rnd"), col("sel_d")))
+    }
+    chosen.select(col("rnd"), col("cid"), col("sel_d"))
+  }
+
   /** int8 levels for scalar quantization. */
   val SqLevels = 256
 

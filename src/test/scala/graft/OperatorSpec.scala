@@ -1307,6 +1307,39 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("kcenter init: exact match with a driver greedy recompute; gains non-increasing") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vs = vecsOf().toMap
+    def l2r(a: Array[Double], b: Array[Double]) =
+      r6(a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i))))
+    var chosen = Vector((0L, Option.empty[Double]))
+    while (chosen.length < Similarity.KcK) {
+      val pick = vs.keys.toSeq.sorted
+        .map(id => (id, chosen.map(c => l2r(vs(id), vs(c._1))).min))
+        .maxBy { case (id, md) => (md, -id) }
+      chosen = chosen :+ ((pick._1, Some(pick._2)))
+    }
+    val got = Similarity.kcenterInit(spark, Sf).collect()
+      .sortBy(_.getAs[Long]("rnd"))
+      .map(r => (r.getAs[Long]("cid"),
+        if (r.isNullAt(2)) None else Some(r.getAs[Double]("sel_d")))).toVector
+    assert(got == chosen)
+    // greedy selection distances can only shrink round over round
+    val ds = got.flatMap(_._2)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("pq recall report: full query coverage, recall = hits/10, usable floor") {
+    val rows = Similarity.pqRecall(spark, Sf).collect()
+    assert(rows.length == Similarity.PqRecallQueries)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall") == r.getAs[Long]("n_hits") / 10.0)
+    }
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.6, s"pq recall $mean below floor")
+  }
+
   test("attribution: exact match with a driver last-touch recompute") {
     val ev = graft.core.Tables.events(spark, Sf)
       .select(col("event_id"), col("user_id"), col("event_type"),
