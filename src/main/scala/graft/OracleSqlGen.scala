@@ -1253,6 +1253,50 @@ object OracleSqlGen {
        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** #161 — linear trend fit: the same five exact integer (HUGEINT)
+    * sums, x re-based to each key's first day, slope/intercept division
+    * chains mirrored, zero-variance keys NULL. */
+  val tsTrendFit: String =
+    """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS y FROM events GROUP BY 1, 2),
+      |xy AS (SELECT user_id,
+      |    CAST(day - min(day) OVER (PARTITION BY user_id) AS HUGEINT) AS x,
+      |    CAST(y AS HUGEINT) AS y FROM daily)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |  CASE WHEN count(*) * sum(x*x) - sum(x) * sum(x) = 0 THEN NULL
+      |    ELSE CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+      |      CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE) END AS slope,
+      |  CASE WHEN count(*) * sum(x*x) - sum(x) * sum(x) = 0 THEN NULL
+      |    ELSE CAST(sum(y) * sum(x*x) - sum(x) * sum(x*y) AS DOUBLE) /
+      |      CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE) END AS intercept
+      |FROM xy GROUP BY user_id""".stripMargin
+
+  /** #162 — growth accounting: the same lag/lead classification over
+    * distinct (user, week), churn emitted at week+1 and clipped to the
+    * observed max week, all-integer conditional counts. */
+  val qGrowthAccounting: String =
+    """WITH weekly AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 604800000000 AS wk FROM events),
+      |fl AS (SELECT user_id, wk,
+      |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+      |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+      |  FROM weekly),
+      |st AS (SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+      |    WHEN prev = wk - 1 THEN 'retained' ELSE 'resurrected' END AS status
+      |  FROM fl
+      |  UNION ALL
+      |  SELECT wk + 1, 'churned' FROM fl WHERE nxt IS NULL OR nxt > wk + 1),
+      |mx AS (SELECT max(wk) AS m FROM weekly)
+      |SELECT wk * 604800000000 AS wk_us,
+      |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained,
+      |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrected,
+      |  CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_churned
+      |FROM st, mx WHERE wk <= m GROUP BY 1""".stripMargin
+
   /** #157 — last-touch attribution: the latest prior touch per purchase
     * picked by the same (tus, event_id) total order as the Spark
     * struct-max (row_number DESC ≡ argmax), 7-day cutoff applied after

@@ -178,6 +178,8 @@ object SparkEntry {
     "ts_holt_backtest" -> (TimeSeriesOps.holtBacktest _),
     "ann_pq_recall" -> (Similarity.pqRecall _),
     "emb_kcenter_init" -> (Similarity.kcenterInit _),
+    "ts_trend_fit" -> (TimeSeriesOps.trendFit _),
+    "q_growth_accounting" -> (Analytics.qGrowthAccounting _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1188,6 +1190,8 @@ object SparkEntry {
     "ts_holt_backtest" -> OracleSqlGen.tsHoltBacktest,
     "ann_pq_recall" -> OracleSqlGen.annPqRecall,
     "emb_kcenter_init" -> OracleSqlGen.embKcenterInit,
+    "ts_trend_fit" -> OracleSqlGen.tsTrendFit,
+    "q_growth_accounting" -> OracleSqlGen.qGrowthAccounting,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
     // session_window contract: merge requires ts < prev session end
     // (strict), so the island rule is diff >= gap; end = last + gap

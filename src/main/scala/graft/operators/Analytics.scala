@@ -929,6 +929,42 @@ object Analytics {
           .as("max_concurrent"))
   }
 
+  /** #162 — GROWTH ACCOUNTING (the new / retained / resurrected /
+    * churned weekly user ledger every product-analytics warehouse
+    * serves — the decomposition satisfying active(w) = new + retained
+    * + resurrected and active(w−1) = retained + churned(w)): ONE
+    * distinct pass to (user, week), one user-keyed window supplying
+    * both lag and lead (same shuffle, per-row state = two longs), and
+    * a conditional-count rollup. Churn events are emitted at week+1 by
+    * the lead gap and clipped to the observed range by a broadcast
+    * 1-row max-week frame. All-integer; week ids are epoch-µs /
+    * 7-day buckets. */
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val WkUs = 604800000000L
+    val weekly = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $WkUs").as("wk"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    val fl = weekly
+      .withColumn("prev", lag("wk", 1).over(w))
+      .withColumn("nxt", lead("wk", 1).over(w))
+    val statuses = fl.select(col("wk"),
+      when(col("prev").isNull, "new")
+        .when(col("prev") === col("wk") - 1, "retained")
+        .otherwise("resurrected").as("status"))
+    val churn = fl.filter(col("nxt").isNull || col("nxt") > col("wk") + 1)
+      .select((col("wk") + 1).as("wk"), lit("churned").as("status"))
+    val maxWk = weekly.agg(max("wk").as("mx"))
+    statuses.unionByName(churn)
+      .crossJoin(broadcast(maxWk)).filter(col("wk") <= col("mx"))
+      .groupBy((col("wk") * WkUs).as("wk_us"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("status") === "churned", 1L).otherwise(0L)).as("n_churned"))
+  }
+
   /** Attribution lookback window: 7 days in epoch-µs. */
   val AttrWindowUs: Long = 7L * 86400000000L
 

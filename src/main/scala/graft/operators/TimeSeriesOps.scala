@@ -814,6 +814,40 @@ object TimeSeriesOps {
         (col("st.esum") / col("n_days")).as("mae"))
   }
 
+  /** #161 — per-key LINEAR TREND fit over daily event counts: ordinary
+    * least squares slope/intercept in CLOSED FORM from five integer
+    * sums (x = day index from the key's own first day, y = daily count
+    * — both exact integers, so Σx, Σy, Σxy, Σx², n are
+    * order-independent DECIMAL sums and the slope/intercept divisions
+    * are single mirrored chains). This is the capacity-planning /
+    * trend-alerting primitive ("is this series growing and how fast")
+    * a TSDB serves across its whole key space: ONE corpus scan to the
+    * per-(key, day) count frame, ONE key shuffle for the regression
+    * sums — both map-side combinable; single-day keys yield NULL slope
+    * through the same zero-variance guard as ts_autocorr. */
+  def trendFit(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val perKey = daily
+      .withColumn("d0", min("day").over(
+        Window.partitionBy("user_id")))
+      .select(col("user_id"),
+        (col("day") - col("d0")).cast("decimal(19,0)").as("x"),
+        col("y").cast("decimal(19,0)").as("y"))
+    val n = count(lit(1)).cast("decimal(19,0)")
+    val den = n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+    val num = n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))
+    perKey.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double")).as("slope"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise((sum(col("y")) * sum(col("x") * col("x")) -
+            sum(col("x")) * sum(col("x") * col("y"))).cast("double") /
+            den.cast("double")).as("intercept"))
+  }
+
   private val HourUs = 3600L * 1000000L
 
   /** #151 — cross-metric correlation search: Pearson between the hourly

@@ -1307,6 +1307,54 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("trend fit: exact match with a driver closed-form OLS recompute") {
+    val daily = graft.core.Tables.events(spark, Sf)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (uid, rows) =>
+      val d0 = rows.map(_._2).min
+      val xs = rows.map(r => BigInt(r._2 - d0))
+      val ys = rows.map(r => BigInt(r._3))
+      val n = BigInt(rows.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val den = n * sxx - sx * sx
+      val sl = if (den == 0) None
+        else Some((n * sxy - sx * sy).toDouble / den.toDouble)
+      val ic = if (den == 0) None
+        else Some((sy * sxx - sx * sxy).toDouble / den.toDouble)
+      uid -> ((rows.length.toLong, sl, ic))
+    }
+    val got = TimeSeriesOps.trendFit(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got == expected)
+  }
+
+  test("growth accounting: ledger identities hold week over week") {
+    val rows = Analytics.qGrowthAccounting(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).sortBy(_._1)
+    val active = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (wk, xs) => wk -> xs.map(_._1).toSet }
+    rows.foreach { case (wkUs, (nNew, nRet, nRes, nChu)) =>
+      val wk = wkUs / 604800000000L
+      val cur = active.getOrElse(wk, Set.empty)
+      val prev = active.getOrElse(wk - 1, Set.empty)
+      // active = new + retained + resurrected; prev-active = retained + churned
+      assert(nNew + nRet + nRes == cur.size)
+      assert(nRet == (cur & prev).size)
+      assert(nChu == (prev -- cur).size)
+    }
+    assert(rows.map(_._1).toSet ==
+      active.keys.map(_ * 604800000000L).toSet)
+  }
+
   test("kcenter init: exact match with a driver greedy recompute; gains non-increasing") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
