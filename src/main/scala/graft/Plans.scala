@@ -47,7 +47,19 @@ object Plans {
       "emb_ivf_recall" -> "Recall gate: the IVF side joins the staged cell-partitioned table on the probed cells; the exact side is the one unavoidable ground-truth scan over a SAMPLED query set; both rankings share per-qid windows.",
       "q_market_basket" -> "Pair mining keyed on o_orderkey: fanout bounded by lines-per-order squared; the distinct (order, part) checkpoint seeds pairs, supports, and the order count without re-scanning lineitem.",
       "emb_triplet_mine" -> "Batch-hard triplet mining: anchors broadcast, ONE corpus pass, two conditional struct-extrema HashAggregates (map-side combinable) — no per-anchor rank window funneling the corpus through 16 partitions.",
-      "dedup_winnow" -> "Winnowing selection: the (fp, rightmost-pos) argmin packs into one long so the window is an integer min over a 4-row frame; one doc_id shuffle shared by both windows, partitions bounded per doc.")
+      "dedup_winnow" -> "Winnowing selection: the (fp, rightmost-pos) argmin packs into one long so the window is an integer min over a 4-row frame; one doc_id shuffle shared by both windows, partitions bounded per doc.",
+      "ts_cross_corr" -> "Cross-metric correlation: ONE corpus-sized aggregate to (type, hour) counts; spine completion, lag shift, and the pair Pearson all run over the tiny aggregated frame - pair*lag work grows with n_types^2*hours, not data volume.",
+      "emb_silhouette" -> "Centroid silhouette: fixed-point centroid aggregate collapses to ONE broadcast array row; own + nearest-other distances are a pure map-side fold over the corpus - zero row expansion, no per-vector window.",
+      "emb_pagerank_knn" -> "Integer PageRank: per iteration one src-keyed join + one dst HashAggregate over the staged n*k edge parquet; ranks stay a node-sized frame; the embeddings table appears only as the node-id scan.",
+      "text_dup_ngram_frac" -> "Duplicate-ngram fraction: explodes the STAGED hashed shingle sets (rset) - no tokenization, text column never read; one df shuffle on the hash key, one doc_id count back.",
+      "emb_dim_stats" -> "Per-dim stats: one global HashAggregate with 128 fixed-point sums + 64 min/max pairs, all map-side combinable; the corpus never posexplodes through a shuffle - the 1x256 row unpivots after aggregation.",
+      "q_attribution" -> "Last-touch attribution with NO join: running conditional struct-max over the (ts, event_id)-ordered user shuffle carries each purchase's latest prior touch; one window + one rollup aggregate.",
+      "ts_holt_backtest" -> "Walk-forward backtest: same bounded-state shape as ts_holt - per-day affine fold inside the array, per-key chain fold now also accumulating |forecast - actual| sequentially; two keyed shuffles, no window.",
+      "ann_pq_recall" -> "PQ recall: the production probe batched - broadcast query*8x16 LUT, map-side ADC over the staged CODE table only, per-query shortlist window; raw vectors fetched just for shortlist rows; the exact side is the sampled ground-truth scan.",
+      "emb_kcenter_init" -> "Farthest-first seeding: each round is one corpus pass against a <=K-row broadcast array (min-dist folds in the array, argmax as a combinable struct-max) - K passes total, zero windows, no all-pairs join.",
+      "ts_trend_fit" -> "Trend fit: corpus folds to (key, day) counts map-side; the regression is five integer sums on ONE key shuffle; slope/intercept are per-group closed-form projections.",
+      "q_growth_accounting" -> "Growth ledger: one distinct pass to (user, week); a single user-keyed window feeds both lag and lead; churn rows union in before one conditional-count rollup clipped by a broadcast max-week row.",
+      "text_bpe_merge" -> "BPE merge counting: the corpus-sized stage is one combinable word-count aggregate; the pair explode runs over the DISTINCT vocabulary (Heaps-law small); top-20 via TakeOrderedAndProject.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -941,9 +941,12 @@ object Analytics {
     * 7-day buckets. */
   def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
     val WkUs = 604800000000L
+    // localCheckpoint: the window classification and the max-week bound
+    // both consume this distinct frame — one corpus scan, not two
     val weekly = Tables.events(s, dir)
       .select(col("user_id"), expr(s"unix_micros(ts) div $WkUs").as("wk"))
       .distinct()
+      .localCheckpoint()
     val w = Window.partitionBy("user_id").orderBy("wk")
     val fl = weekly
       .withColumn("prev", lag("wk", 1).over(w))

@@ -866,10 +866,14 @@ object TimeSeriesOps {
     * with (n_types² × hours), not data volume. */
   def crossCorr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: spine bounds, the type list, and the completed
+    // frame all derive from this tiny aggregate — materializing it once
+    // keeps the corpus scan at exactly ONE (vs three lazy re-derivations)
     val hourly = Tables.events(s, dir)
       .groupBy(col("event_type"),
         unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val spine = hourly
       .agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("hour_us"))

@@ -451,4 +451,51 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
       "bucket counts need no window and no join")
   }
+
+  test("q_attribution carries the last touch in a window — no join anywhere") {
+    val p = plan("q_attribution")
+    assert(p.contains("windowspecdefinition"), "running struct-max window")
+    assert(!p.contains("Join"),
+      "attribution must not become a purchases x touches join")
+    val evScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(evScans == 1, s"one corpus scan, got $evScans")
+  }
+
+  test("ts_cross_corr scans the corpus once; pair work runs on the checkpointed aggregate") {
+    val p = plan("ts_cross_corr")
+    assert(!p.contains("events.parquet"),
+      "all consumers must read the materialized hourly aggregate, not re-scan events")
+  }
+
+  test("text_dup_ngram_frac probes the staged rset; the text column never enters the plan") {
+    val p = plan("text_dup_ngram_frac")
+    assert(p.contains("graft-stage"), "shingle sets must come from the staged store")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "no tokenization pass: the corpus parquet must not appear")
+  }
+
+  test("emb_pagerank_knn iterates over the staged edge parquet, never re-mines the graph") {
+    val p = plan("emb_pagerank_knn")
+    assert(p.contains("graft-stage"), "edges must come from the staged knn graph")
+    assert(!p.contains("graft_band_codes"),
+      "no banded self-join: the graph build must not run per query")
+  }
+
+  test("emb_dim_stats aggregates without exploding the corpus") {
+    val p = plan("emb_dim_stats")
+    // the only Generate is the 1-row unpivot ABOVE the aggregate (its
+    // line prints before the HashAggregates in the top-down tree); a
+    // Generate below the agg would mean the corpus posexploded
+    assert(p.indexOf("Generate") < p.indexOf("HashAggregate"),
+      "per-dim sums must fold as 256 agg expressions, not a corpus posexplode")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
+  }
+
+  test("emb_silhouette scores by broadcast fold — no window, no shuffle join") {
+    val p = plan("emb_silhouette")
+    assert(!p.contains("windowspecdefinition"), "no per-vector window")
+    assert(!p.contains("SortMergeJoin"),
+      "the centroid table must reach rows as a broadcast array, never a shuffle join")
+  }
 }
