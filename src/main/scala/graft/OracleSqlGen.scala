@@ -1253,6 +1253,59 @@ object OracleSqlGen {
        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** #163 — keyword search: the same 3 conditional term counts per
+    * doc, df as tf>0 counts, the score chain ((s0+s1)+s2) with each
+    * term's N/df division mirrored, (score DESC, doc_id) at the cut. */
+  val textSearchTfidf: String = {
+    val terms = graft.operators.TextOps.SearchTerms
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN w = '$t' THEN 1 ELSE 0 END) AS tf$i" }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val score = terms.indices.map(i =>
+      s"tf$i * (CAST(n AS DOUBLE) / df$i)").reduce((a, b) => s"($a + $b)")
+    val tfCols = terms.indices.map(i => s"CAST(tf$i AS BIGINT) AS tf$i").mkString(", ")
+    s"""WITH $toksCte,
+       |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |tf AS (SELECT doc_id, $tfs FROM w WHERE w IN ($inList) GROUP BY doc_id),
+       |st AS (SELECT $dfs FROM tf),
+       |nn AS (SELECT count(*) AS n FROM documents)
+       |SELECT doc_id, $tfCols, $score AS score
+       |FROM tf, st, nn ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** #164 — multiwindow burn rate: spine-completed 5-minute buckets,
+    * trailing ROWS-12 window sums, integer cross-product thresholds,
+    * burn divisions mirrored. */
+  val tsSlaMultiwindow: String =
+    """WITH bucket AS (SELECT epoch_us(ts) // 300000000 AS b, count(*) AS total,
+      |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+      |  FROM events GROUP BY 1),
+      |sp AS (SELECT unnest(generate_series((SELECT min(b) FROM bucket),
+      |    (SELECT max(b) FROM bucket))) AS b),
+      |f AS (SELECT sp.b, coalesce(k.total, 0) AS total, coalesce(k.err, 0) AS err
+      |  FROM sp LEFT JOIN bucket k ON k.b = sp.b),
+      |r AS (SELECT b, total, err,
+      |    sum(err) OVER (ORDER BY b ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+      |      AS err1h,
+      |    sum(total) OVER (ORDER BY b ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+      |      AS tot1h
+      |  FROM f)
+      |SELECT b * 300000000 AS bucket_us, CAST(err AS BIGINT) AS err,
+      |  CAST(total AS BIGINT) AS total, CAST(err1h AS BIGINT) AS err1h,
+      |  CAST(tot1h AS BIGINT) AS tot1h,
+      |  (CAST(err AS DOUBLE) * 100) / total AS burn_5m,
+      |  (CAST(err1h AS DOUBLE) * 100) / tot1h AS burn_1h
+      |FROM r WHERE total > 0 AND tot1h > 0
+      |  AND err * 1000 > total * 144 AND err1h * 1000 > tot1h * 144""".stripMargin
+
+  /** #165 — JSONL roundtrip identity oracle: the raw table IS the
+    * expected output; any serialize/parse mangling breaks the hash. */
+  val sourceJsonlRoundtrip: String =
+    """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+      |FROM documents""".stripMargin
+
   /** #161 — linear trend fit: the same five exact integer (HUGEINT)
     * sums, x re-based to each key's first day, slope/intercept division
     * chains mirrored, zero-variance keys NULL. */

@@ -59,7 +59,10 @@ object Plans {
       "emb_kcenter_init" -> "Farthest-first seeding: each round is one corpus pass against a <=K-row broadcast array (min-dist folds in the array, argmax as a combinable struct-max) - K passes total, zero windows, no all-pairs join.",
       "ts_trend_fit" -> "Trend fit: corpus folds to (key, day) counts map-side; the regression is five integer sums on ONE key shuffle; slope/intercept are per-group closed-form projections.",
       "q_growth_accounting" -> "Growth ledger: one distinct pass to (user, week); a single user-keyed window feeds both lag and lead; churn rows union in before one conditional-count rollup clipped by a broadcast max-week row.",
-      "text_bpe_merge" -> "BPE merge counting: the corpus-sized stage is one combinable word-count aggregate; the pair explode runs over the DISTINCT vocabulary (Heaps-law small); top-20 via TakeOrderedAndProject.")
+      "text_bpe_merge" -> "BPE merge counting: the corpus-sized stage is one combinable word-count aggregate; the pair explode runs over the DISTINCT vocabulary (Heaps-law small); top-20 via TakeOrderedAndProject.",
+      "text_search_tfidf" -> "Keyword search: the explode filters to the 3 query terms map-side (posting-list cost model); one combinable conditional-count aggregate per doc; df/N broadcast back as one row; top-10 via TakeOrderedAndProject.",
+      "ts_sla_multiwindow" -> "Multiwindow burn alert: one combinable aggregate to the calendar-bounded 5-min bucket frame (checkpointed); spine completion + trailing ROWS-12 window run over that tiny frame, never the corpus.",
+      "source_jsonl_roundtrip" -> "JSONL ingest roundtrip: to_json -> from_json as per-row codegen expressions; zero exchanges, zero joins - the plan is scan + project only.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -180,6 +180,9 @@ object SparkEntry {
     "emb_kcenter_init" -> (Similarity.kcenterInit _),
     "ts_trend_fit" -> (TimeSeriesOps.trendFit _),
     "q_growth_accounting" -> (Analytics.qGrowthAccounting _),
+    "text_search_tfidf" -> (TextOps.searchTfidf _),
+    "ts_sla_multiwindow" -> (TimeSeriesOps.slaMultiwindow _),
+    "source_jsonl_roundtrip" -> (graft.sources.DocJsonl.roundtrip _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1192,6 +1195,9 @@ object SparkEntry {
     "emb_kcenter_init" -> OracleSqlGen.embKcenterInit,
     "ts_trend_fit" -> OracleSqlGen.tsTrendFit,
     "q_growth_accounting" -> OracleSqlGen.qGrowthAccounting,
+    "text_search_tfidf" -> OracleSqlGen.textSearchTfidf,
+    "ts_sla_multiwindow" -> OracleSqlGen.tsSlaMultiwindow,
+    "source_jsonl_roundtrip" -> OracleSqlGen.sourceJsonlRoundtrip,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
     // session_window contract: merge requires ts < prev session end
     // (strict), so the island rule is diff >= gap; end = last + gap

@@ -743,6 +743,45 @@ object TextOps {
         (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
   }
 
+  /** Query terms for the keyword-search operator (fixed, like every
+    * other parameterized query in the suite). */
+  val SearchTerms: Seq[String] = Seq("join", "vector", "filter")
+
+  /** #163 — KEYWORD SEARCH with idf weighting: top-10 documents for a
+    * fixed 3-term query, scored Σ_t tf_t · (N / df_t) — the inverted-
+    * index retrieval primitive (BM25's k1→∞, b=0 degenerate kept
+    * log-free on purpose: ln() is not correctly rounded cross-engine,
+    * N/df is one exact IEEE division). The corpus-sized stage is ONE
+    * combinable aggregate of 3 conditional term counts per doc (the
+    * explode filters to query terms map-side — shuffle carries ≤3
+    * counters per doc, the posting-list cost model); df and N derive
+    * from that frame and broadcast back as one row; the final top-10 is
+    * TakeOrderedAndProject on (score desc, doc_id). */
+  def searchTfidf(s: SparkSession, dir: String): DataFrame = {
+    val terms = SearchTerms
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isin(terms.map(lit): _*))
+      .groupBy("doc_id")
+      .agg(tfAggs.head, tfAggs.tail: _*)
+      .localCheckpoint() // seeds both the df row and the scoring pass
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(dfAggs.head, dfAggs.tail: _*)
+    val nTotal = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+    val score = terms.indices.map(i =>
+        col(s"tf$i") * (col("nn").cast("double") / col(s"df$i")))
+      .reduce(_ + _)
+    tf.crossJoin(broadcast(stats)).crossJoin(broadcast(nTotal))
+      .select(col("doc_id") +:
+        terms.indices.map(i => col(s"tf$i")) :+ score.as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
     val wc = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))

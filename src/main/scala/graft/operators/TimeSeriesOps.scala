@@ -814,6 +814,45 @@ object TimeSeriesOps {
         (col("st.esum") / col("n_days")).as("mae"))
   }
 
+  /** #164 — MULTIWINDOW BURN-RATE paging alert (the SRE-workbook rule:
+    * page when BOTH the short and the long window burn the error
+    * budget faster than 14.4× — long window for significance, short so
+    * the alert resets once the incident ends): service error ratio
+    * (type = 'error' over all events) per 5-minute bucket, trailing
+    * 1-hour window as 12 bucket rows. The corpus folds to the
+    * calendar-bounded bucket frame in ONE combinable aggregate
+    * (checkpointed — rows grow with wall time, not data volume);
+    * missing buckets complete to zero via the aggregate's own spine so
+    * ROWS-12 frames always mean one real hour; both threshold compares
+    * are integer cross-products (1000·err > 144·total ⟺ burn > 14.4),
+    * burn values divide in mirrored chains. The partitionless window is
+    * bounded by the calendar (q_session_concurrency precedent). */
+  def slaMultiwindow(s: SparkSession, dir: String): DataFrame = {
+    val B = 300000000L // 5 minutes in epoch-µs
+    val bucket = Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $B").as("b"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      .localCheckpoint()
+    val spine = bucket
+      .agg(min("b").as("lo"), max("b").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("b"))
+    val full = spine.join(bucket, Seq("b"), "left")
+      .select(col("b"), coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("err"), lit(0L)).as("err"))
+    val w12 = Window.orderBy("b").rowsBetween(-11, 0)
+    full
+      .withColumn("err1h", sum("err").over(w12))
+      .withColumn("tot1h", sum("total").over(w12))
+      .filter(col("total") > 0 && col("tot1h") > 0 &&
+        col("err") * 1000 > col("total") * 144 &&
+        col("err1h") * 1000 > col("tot1h") * 144)
+      .select((col("b") * B).as("bucket_us"), col("err"), col("total"),
+        col("err1h"), col("tot1h"),
+        ((col("err").cast("double") * 100) / col("total")).as("burn_5m"),
+        ((col("err1h").cast("double") * 100) / col("tot1h")).as("burn_1h"))
+  }
+
   /** #161 — per-key LINEAR TREND fit over daily event counts: ordinary
     * least squares slope/intercept in CLOSED FORM from five integer
     * sums (x = day index from the key's own first day, y = daily count

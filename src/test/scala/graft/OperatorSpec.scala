@@ -1307,6 +1307,72 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("search tfidf: exact top-10 match with a driver posting-list recompute") {
+    val terms = TextOps.SearchTerms
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val tf = docs.map { case (id, ws) =>
+      (id, terms.map(t => ws.count(_ == t).toLong))
+    }.filter(_._2.sum > 0)
+    val dfs = terms.indices.map(i => tf.count(_._2(i) > 0).toLong)
+    val n = docs.length
+    val expected = tf.map { case (id, tfs) =>
+      val score = terms.indices
+        .map(i => tfs(i) * (n.toDouble / dfs(i)))
+        .reduce(_ + _)
+      (id, tfs, score)
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(10)
+      .map { case (id, tfs, sc) => (id, tfs.toList, sc) }.toList
+    val got = TextOps.searchTfidf(spark, Sf).collect()
+      .map(r => (r.getLong(0),
+        terms.indices.map(i => r.getLong(1 + i)).toList,
+        r.getAs[Double]("score"))).toList
+    assert(got == expected)
+  }
+
+  test("sla multiwindow: exact match with a driver trailing-window recompute") {
+    val B = 300000000L
+    val buckets = graft.core.Tables.events(spark, Sf)
+      .select(expr(s"unix_micros(ts) div $B").as("b"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (b, xs) =>
+        b -> ((xs.length.toLong, xs.count(_._2 == "error").toLong))
+      }
+    val spine = (buckets.keys.min to buckets.keys.max).toArray
+    val tot = spine.map(b => buckets.get(b).map(_._1).getOrElse(0L))
+    val err = spine.map(b => buckets.get(b).map(_._2).getOrElse(0L))
+    val expected = spine.indices.flatMap { i =>
+      val lo = math.max(0, i - 11)
+      val t1 = tot.slice(lo, i + 1).sum
+      val e1 = err.slice(lo, i + 1).sum
+      if (tot(i) > 0 && t1 > 0 &&
+          err(i) * 1000 > tot(i) * 144 && e1 * 1000 > t1 * 144)
+        Some((spine(i) * B,
+          (err(i), tot(i), e1, t1,
+            (err(i).toDouble * 100) / tot(i), (e1.toDouble * 100) / t1)))
+      else None
+    }.toMap
+    val got = TimeSeriesOps.slaMultiwindow(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "spec scale must trigger at least one page")
+  }
+
+  test("jsonl roundtrip: parsed fields identical to the raw table") {
+    val raw = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), md5(col("text")), col("lang"), col("source"),
+        col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val rt = graft.sources.DocJsonl.roundtrip(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(rt == raw)
+  }
+
   test("trend fit: exact match with a driver closed-form OLS recompute") {
     val daily = graft.core.Tables.events(spark, Sf)
       .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
