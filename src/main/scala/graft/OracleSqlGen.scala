@@ -1253,6 +1253,101 @@ object OracleSqlGen {
        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** #166 — lifecycle tiering: the SimpleTimestampReviewer state
+    * machine as a list_reduce over rebased days (struct acc with
+    * interval lists), classification via the same prefix-count
+    * interval lookup. */
+  val tsLifecycleTiers: String = {
+    val r = graft.operators.TimeSeriesOps.TierRickDays
+    val o = graft.operators.TimeSeriesOps.TierOutdateDays
+    // Flat BIGINT[] accumulator [lc, lo, ob(-1 = none), s1, e1, s2, e2, …]:
+    // DuckDB 1.0's list_reduce mis-threads STRUCT accumulators (each
+    // field folds against the final value of the others), while flat
+    // list accs fold correctly — so the state machine packs into one
+    // list and the lambda is a single top-level CASE over the four
+    // (compact? × outdate?) combinations.
+    val comp = s"x[1] - acc[1] + 1 >= $r"
+    val outd = s"x[1] - acc[2] + 1 >= $o"
+    s"""WITH days AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS cnt
+       |  FROM events GROUP BY 1),
+       |d0t AS (SELECT min(d) AS d0 FROM days),
+       |arr AS (SELECT d0, list(d - d0 ORDER BY d) AS ds FROM days, d0t GROUP BY d0),
+       |stt AS (SELECT d0, list_reduce(
+       |    list_prepend(CAST([0, 0, -1] AS BIGINT[]),
+       |      list_transform(ds, d -> CAST([d] AS BIGINT[]))),
+       |    (acc, x) -> CASE
+       |      WHEN ($comp) AND ($outd) THEN list_concat(
+       |        [x[1] + 1, acc[2] + $r, acc[2] + ${r - 1}],
+       |        list_concat(acc[4:], [acc[1], x[1]]))
+       |      WHEN $comp THEN list_concat(
+       |        [x[1] + 1, acc[2], acc[3]],
+       |        list_concat(acc[4:], [acc[1], x[1]]))
+       |      WHEN $outd THEN list_concat(
+       |        [acc[1], acc[2] + $r, acc[2] + ${r - 1}], acc[4:])
+       |      ELSE acc END) AS f
+       |  FROM arr),
+       |ivs AS (SELECT d0, f[3] AS ob,
+       |    list_transform(generate_series(1, (len(f) - 3) // 2),
+       |      i -> f[CAST(2 + 2*i AS INT)]) AS cs,
+       |    list_transform(generate_series(1, (len(f) - 3) // 2),
+       |      i -> f[CAST(3 + 2*i AS INT)]) AS ce
+       |  FROM stt),
+       |cls AS (SELECT days.d, days.cnt, days.d - ivs.d0 AS dr, ivs.ob,
+       |    ivs.cs, ivs.ce FROM days, ivs),
+       |lv AS (SELECT d, cnt, dr, ob,
+       |    CASE WHEN nst >= 1 AND dr <= ce[CAST(nst AS INT)] THEN nst END AS lvl
+       |  FROM (SELECT *, len(list_filter(cs, s1 -> s1 <= dr)) AS nst FROM cls))
+       |SELECT d * 86400000000 AS day_us, CAST(cnt AS BIGINT) AS cnt,
+       |  CASE WHEN ob >= 0 AND dr <= ob THEN 'outdated'
+       |       WHEN lvl IS NOT NULL THEN 'level' ELSE 'rick' END AS tier,
+       |  CAST(lvl AS BIGINT) AS level_id
+       |FROM lv""".stripMargin
+  }
+
+  /** #167 — kNN classifier accuracy: majority vote over the rebuilt
+    * knn CTE with the same (count DESC, label) tie order, integer
+    * counts, one mirrored division. */
+  val embKnnAccuracy: String =
+    s"""WITH $eCte,
+       |$knnGraphCtes,
+       |votes AS (SELECT k.src, e2.label AS nlabel, count(*) AS c
+       |  FROM knn k JOIN e e2 ON e2.vec_id = k.dst GROUP BY 1, 2),
+       |pred AS (SELECT src, nlabel AS pred FROM (
+       |    SELECT src, nlabel,
+       |      row_number() OVER (PARTITION BY src ORDER BY c DESC, nlabel) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS accuracy
+       |FROM pred p JOIN e ON e.vec_id = p.src GROUP BY e.label""".stripMargin
+
+  /** #168 — scene cuts: the same hex-substring byte frames, exact
+    * integer sums and floor-div means, one lag window, identical
+    * threshold compare. */
+  val mmSceneCuts: String = {
+    val fb = graft.operators.Multimodal.FrameBytes
+    val th = graft.operators.Multimodal.CutThresh
+    s"""WITH fr AS (
+       |  SELECT doc_id, i,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(0, ${fb - 1}),
+       |        j -> ('0x' || substr(hx, CAST(${2 * fb} * i + 2 * j + 1 AS INT), 2))::BIGINT)),
+       |      (a, b) -> a + b) AS sm
+       |  FROM (SELECT doc_id, hex(text) AS hx,
+       |      unnest(generate_series(0, strlen(text) // $fb - 1)) AS i
+       |    FROM documents WHERE strlen(text) >= $fb)),
+       |m AS (SELECT doc_id, i AS frame_no, sm // $fb AS m FROM fr),
+       |lg AS (SELECT doc_id, m,
+       |    lag(m) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev FROM m)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN abs(m - prev) >= $th THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cuts,
+       |  CAST(max(abs(m - prev)) AS BIGINT) AS max_delta
+       |FROM lg GROUP BY doc_id""".stripMargin
+  }
+
   /** #163 — keyword search: the same 3 conditional term counts per
     * doc, df as tf>0 counts, the score chain ((s0+s1)+s2) with each
     * term's N/df division mirrored, (score DESC, doc_id) at the cut. */

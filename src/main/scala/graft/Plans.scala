@@ -62,7 +62,10 @@ object Plans {
       "text_bpe_merge" -> "BPE merge counting: the corpus-sized stage is one combinable word-count aggregate; the pair explode runs over the DISTINCT vocabulary (Heaps-law small); top-20 via TakeOrderedAndProject.",
       "text_search_tfidf" -> "Keyword search: the explode filters to the 3 query terms map-side (posting-list cost model); one combinable conditional-count aggregate per doc; df/N broadcast back as one row; top-10 via TakeOrderedAndProject.",
       "ts_sla_multiwindow" -> "Multiwindow burn alert: one combinable aggregate to the calendar-bounded 5-min bucket frame (checkpointed); spine completion + trailing ROWS-12 window run over that tiny frame, never the corpus.",
-      "source_jsonl_roundtrip" -> "JSONL ingest roundtrip: to_json -> from_json as per-row codegen expressions; zero exchanges, zero joins - the plan is scan + project only.")
+      "source_jsonl_roundtrip" -> "JSONL ingest roundtrip: to_json -> from_json as per-row codegen expressions; zero exchanges, zero joins - the plan is scan + project only.",
+      "ts_lifecycle_tiers" -> "Reviewer replay: the state machine folds over ONE sorted calendar-bounded day array (1-row frame); classification joins the broadcast final state against the per-day counts - the corpus appears once, in the day aggregate.",
+      "emb_knn_accuracy" -> "kNN eval over the STAGED edge parquet: label join + (src,label) count + combinable struct-max argmax; no window, no band re-mining, corpus touched only for the 2-column label projection.",
+      "mm_scene_cuts" -> "Shot boundaries decode-free: per-frame byte sums fold inside the array expression; only (doc, frame_no, mean) rows shuffle into the lag window - payload bytes stay in the scan stage.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -183,6 +183,9 @@ object SparkEntry {
     "text_search_tfidf" -> (TextOps.searchTfidf _),
     "ts_sla_multiwindow" -> (TimeSeriesOps.slaMultiwindow _),
     "source_jsonl_roundtrip" -> (graft.sources.DocJsonl.roundtrip _),
+    "ts_lifecycle_tiers" -> (TimeSeriesOps.lifecycleTiers _),
+    "emb_knn_accuracy" -> (Similarity.knnAccuracy _),
+    "mm_scene_cuts" -> (Multimodal.sceneCuts _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1198,6 +1201,9 @@ object SparkEntry {
     "text_search_tfidf" -> OracleSqlGen.textSearchTfidf,
     "ts_sla_multiwindow" -> OracleSqlGen.tsSlaMultiwindow,
     "source_jsonl_roundtrip" -> OracleSqlGen.sourceJsonlRoundtrip,
+    "ts_lifecycle_tiers" -> OracleSqlGen.tsLifecycleTiers,
+    "emb_knn_accuracy" -> OracleSqlGen.embKnnAccuracy,
+    "mm_scene_cuts" -> OracleSqlGen.mmSceneCuts,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
     // session_window contract: merge requires ts < prev session end
     // (strict), so the island rule is diff >= gap; end = last + gap

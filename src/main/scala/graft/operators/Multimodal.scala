@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -230,6 +231,48 @@ object Multimodal {
     * explode → (doc_id, code) hash-agg (≤256 keys/doc, map-side
     * combine) → one doc_id re-agg; every operator stays inside
     * whole-stage codegen and payload bytes never shuffle (~1 s). */
+  /** Frame width (bytes) and intensity-delta threshold for #168. */
+  val FrameBytes = 32
+  val CutThresh = 5L
+
+  /** #168 — SCENE-CUT detection over opaque payloads: consecutive
+    * fixed-width byte frames compared by mean intensity (the classic
+    * shot-boundary heuristic — |mean(frame i) − mean(frame i−1)| ≥
+    * threshold flags a cut), decode-free like every mm_* op: frames
+    * are hex-substring windows, the per-frame byte sum folds inside
+    * the array (exact integers, mean via floor div), and the
+    * frame-to-frame delta is ONE lag window on the doc shuffle with
+    * partitions bounded by a doc's frame count. Per-doc rollup:
+    * frames, cuts, max delta. Payload bytes never shuffle — only
+    * (doc, frame_no, mean) rows do. */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val hexW = 2 * FrameBytes
+    // byte values via ONE regex pair-split + posexplode + codegen'd conv
+    // (the byteIoc shape — no interpreted lambda touches the hot path);
+    // the per-frame sum is the groupBy's map-side combine, 32:1 before
+    // any shuffle. Tail bytes past the last full frame are dropped by
+    // the pos filter.
+    val frames = Tables.documents(s, dir)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      .withColumn("nfb", expr(s"(length(hx) div $hexW) * $FrameBytes"))
+      .select(col("doc_id"), col("nfb"),
+        posexplode(expr("regexp_extract_all(hx, '(..)', 1)")))
+      .filter(col("pos") < col("nfb"))
+      .groupBy(col("doc_id"), expr(s"pos div $FrameBytes").as("frame_no"))
+      .agg(sum(conv(col("col"), 16, 10).cast("long")).as("sm"))
+      .select(col("doc_id"), col("frame_no"),
+        expr(s"sm div $FrameBytes").as("m"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_no")
+    frames
+      .withColumn("prev", lag("m", 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNotNull, abs(col("m") - col("prev"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") >= CutThresh, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("delta")).as("max_delta"))
+  }
+
   def byteIoc(s: SparkSession, dir: String): DataFrame = {
     val d = withPayload(s, dir)
       .select(col("doc_id"), hex(col("payload")).as("hx"),

@@ -730,6 +730,32 @@ object Similarity {
         (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
   }
 
+  /** #167 — k-NN CLASSIFIER ACCURACY from the staged graph: each
+    * vector's label predicted by majority vote over its staged top-k
+    * neighbors (ties → lowest label via the negated-id struct-max),
+    * scored against the true label, reported per class — the
+    * embedding-quality eval (label coherence in neighbor space) that
+    * complements knn_label_centroid's centroid view and the silhouette.
+    * Pure edge-frame work: one join to fetch neighbor labels, one
+    * (src, label) count, one combinable argmax, one accuracy rollup —
+    * the corpus appears only as the (vec_id, label) projection. */
+  def knnAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val g = s.read.parquet(KnnIndex.ensure(s, dir)).select("src", "dst")
+    val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val votes = g
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("nlabel")), "dst")
+      .groupBy("src", "nlabel").agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("src")
+      .agg(max(struct(col("c").as("c"), (-col("nlabel")).as("nl"))).as("b"))
+      .select(col("src"), (-col("b.nl")).as("pred"))
+    pred.join(lbl.select(col("vec_id").as("src"), col("label")), "src")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_vecs")).as("accuracy"))
+  }
+
   /** Seed count for farthest-first k-center initialization. */
   val KcK = 4
 

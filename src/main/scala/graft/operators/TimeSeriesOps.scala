@@ -814,6 +814,68 @@ object TimeSeriesOps {
         (col("st.esum") / col("n_days")).as("mae"))
   }
 
+  /** Reviewer config for #166, in day units (outdate an integer
+    * multiple of rick, as reference level.rs:543 documents). */
+  val TierRickDays = 7L
+  val TierOutdateDays = 21L
+
+  /** #166 — LIFECYCLE TIERING simulation: replay the reference's
+    * SimpleTimestampReviewer state machine (level.rs:571-592 — compact
+    * when ts − last_compacted + 1 ≥ rick_range, advancing
+    * last_compacted to ts+1; outdate emitting last_outdated +
+    * rick_range − 1 and stepping last_outdated by rick_range) over the
+    * workload's own observed write days, then classify every day
+    * bucket: still in the RICK (row log), frozen into a numbered
+    * SSTable LEVEL, or OUTDATED — "what would the store's lifecycle do
+    * to this workload". Days rebase to the corpus's first day (the
+    * reference counts logical time from 0). The sequential state
+    * machine folds over ONE sorted array of distinct days
+    * (calendar-bounded, never corpus-sized); classification is a
+    * broadcast of the final (intervals, outdate bound) row against the
+    * per-day frame — interval membership via a prefix count into the
+    * sorted starts, integer-only end-to-end. */
+  def lifecycleTiers(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val arr = days.agg(min(col("d")).as("d0"),
+      sort_array(collect_list(col("d"))).as("ds"))
+    val state = arr.select(col("d0"), aggregate(
+      transform(col("ds"), d => d - col("d0")),
+      struct(lit(0L).as("lc"), lit(0L).as("lo"),
+        lit(null).cast("long").as("ob"),
+        array().cast("array<long>").as("cs"),
+        array().cast("array<long>").as("ce")),
+      (acc, d) => {
+        val comp = d - acc.getField("lc") + 1 >= TierRickDays
+        val outd = d - acc.getField("lo") + 1 >= TierOutdateDays
+        struct(
+          when(comp, d + 1).otherwise(acc.getField("lc")).as("lc"),
+          when(outd, acc.getField("lo") + TierRickDays)
+            .otherwise(acc.getField("lo")).as("lo"),
+          when(outd, acc.getField("lo") + TierRickDays - 1)
+            .otherwise(acc.getField("ob")).as("ob"),
+          when(comp, concat(acc.getField("cs"), array(acc.getField("lc"))))
+            .otherwise(acc.getField("cs")).as("cs"),
+          when(comp, concat(acc.getField("ce"), array(d)))
+            .otherwise(acc.getField("ce")).as("ce"))
+      }).as("st"))
+    days.crossJoin(broadcast(state))
+      .withColumn("dr", col("d") - col("d0"))
+      .withColumn("nst", size(filter(col("st.cs"), s1 => s1 <= col("dr"))))
+      .withColumn("ceAt",
+        when(col("nst") >= 1, element_at(col("st.ce"), col("nst"))))
+      .withColumn("lvl",
+        when(col("nst") >= 1 && col("dr") <= col("ceAt"),
+          col("nst").cast("long")))
+      .select((col("d") * 86400000000L).as("day_us"), col("cnt"),
+        when(col("st.ob").isNotNull && col("dr") <= col("st.ob"), "outdated")
+          .when(col("lvl").isNotNull, "level")
+          .otherwise("rick").as("tier"),
+        col("lvl").as("level_id"))
+  }
+
   /** #164 — MULTIWINDOW BURN-RATE paging alert (the SRE-workbook rule:
     * page when BOTH the short and the long window burn the error
     * budget faster than 14.4× — long window for significance, short so

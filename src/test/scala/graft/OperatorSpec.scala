@@ -1307,6 +1307,83 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("lifecycle tiers: exact match with a driver reviewer state machine") {
+    val (rick, out) = (TimeSeriesOps.TierRickDays, TimeSeriesOps.TierOutdateDays)
+    val days = graft.core.Tables.events(spark, Sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val d0 = days.map(_._1).min
+    var (lc, lo) = (0L, 0L)
+    var ob = Option.empty[Long]
+    var ivs = Vector.empty[(Long, Long)]
+    days.map(_._1 - d0).foreach { d =>
+      if (d - lc + 1 >= rick) { ivs :+= ((lc, d)); lc = d + 1 }
+      if (d - lo + 1 >= out) { ob = Some(lo + rick - 1); lo += rick }
+    }
+    val expected = days.map { case (d, cnt) =>
+      val dr = d - d0
+      val lvl = ivs.zipWithIndex.collectFirst {
+        case ((s0, e0), i) if s0 <= dr && dr <= e0 => (i + 1).toLong
+      }
+      val tier = if (ob.exists(dr <= _)) "outdated"
+        else if (lvl.isDefined) "level" else "rick"
+      (d * 86400000000L) -> ((cnt, tier, lvl))
+    }.toMap
+    val got = TimeSeriesOps.lifecycleTiers(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._2).toSet.contains("level"),
+      "spec scale must exercise compaction")
+  }
+
+  test("knn accuracy: exact match with a driver majority-vote recompute") {
+    val edges = spark.read.parquet(operators.KnnIndex.ensure(spark, Sf))
+      .select("src", "dst").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val labels = graft.core.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val preds = edges.groupBy(_._1).map { case (src, es) =>
+      val votes = es.map(e => labels(e._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size) }
+      src -> votes.maxBy { case (l, c) => (c, -l) }._1
+    }
+    val expected = preds.groupBy { case (src, _) => labels(src) }
+      .map { case (lbl, xs) =>
+        val correct = xs.count { case (src, p) => p == labels(src) }.toLong
+        lbl -> ((xs.size.toLong, correct, correct.toDouble / xs.size))
+      }
+    val got = Similarity.knnAccuracy(spark, Sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("scene cuts: exact match with a driver byte-frame recompute") {
+    val fb = operators.Multimodal.FrameBytes
+    val th = operators.Multimodal.CutThresh
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val expected = docs.flatMap { case (id, b) =>
+      val n = b.length / fb
+      if (n == 0) None else {
+        val means = (0 until n)
+          .map(i => b.slice(i * fb, (i + 1) * fb).map(_ & 0xff).map(_.toLong).sum / fb)
+        val deltas = (1 until n).map(i => math.abs(means(i) - means(i - 1)))
+        Some(id -> ((n.toLong, deltas.count(_ >= th).toLong,
+          if (deltas.isEmpty) None else Some(deltas.max))))
+      }
+    }.toMap
+    val got = operators.Multimodal.sceneCuts(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "spec scale must surface cuts")
+  }
+
   test("search tfidf: exact top-10 match with a driver posting-list recompute") {
     val terms = TextOps.SearchTerms
     val docs = graft.core.Tables.documents(spark, Sf)
