@@ -100,6 +100,29 @@ object OracleSqlGen {
        |  CAST(max(i) + ${Dedup.WinK} - min(i) AS BIGINT) AS span_len
        |FROM grp GROUP BY doc_id, g""".stripMargin
 
+  /** #169 — span removal: the dedupSpans query nested as a CTE, spans
+    * packed as parallel start/len lists (no struct lists — see the
+    * lifecycle-tiers accumulator note), removal as the same indexed
+    * list filter (DuckDB lambda i is 1-based ↔ Spark's 0-based i+1),
+    * cleaned text re-hashed. */
+  val dedupSpanRemoval: String =
+    s"""WITH spx AS ($dedupSpans),
+       |spl AS (SELECT doc_id, list(span_start ORDER BY span_start) AS ss,
+       |    list(span_len ORDER BY span_start) AS ll FROM spx GROUP BY 1),
+       |$toksCte,
+       |kept AS (SELECT t2.doc_id, t2.t,
+       |    CASE WHEN spl.ss IS NULL THEN t2.t
+       |      ELSE list_filter(t2.t, (x, i) -> len(list_filter(
+       |        generate_series(1, len(spl.ss)),
+       |        k -> i >= spl.ss[CAST(k AS INT)]
+       |          AND i < spl.ss[CAST(k AS INT)] + spl.ll[CAST(k AS INT)])) = 0)
+       |    END AS kt
+       |  FROM toks t2 LEFT JOIN spl ON spl.doc_id = t2.doc_id)
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(t) - len(kt) AS BIGINT) AS n_removed,
+       |  md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
+       |FROM kept""".stripMargin
+
   /** MinHash+LSH candidate-pair machinery as embeddable CTE fragments,
     * shared by dedup_minhash_lsh and dedup_cluster (whose pair source
     * IS the minhash pipeline — band buckets, never the shingle join). */

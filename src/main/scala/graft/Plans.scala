@@ -65,7 +65,8 @@ object Plans {
       "source_jsonl_roundtrip" -> "JSONL ingest roundtrip: to_json -> from_json as per-row codegen expressions; zero exchanges, zero joins - the plan is scan + project only.",
       "ts_lifecycle_tiers" -> "Reviewer replay: the state machine folds over ONE sorted calendar-bounded day array (1-row frame); classification joins the broadcast final state against the per-day counts - the corpus appears once, in the day aggregate.",
       "emb_knn_accuracy" -> "kNN eval over the STAGED edge parquet: label join + (src,label) count + combinable struct-max argmax; no window, no band re-mining, corpus touched only for the 2-column label projection.",
-      "mm_scene_cuts" -> "Shot boundaries decode-free: per-frame byte sums fold inside the array expression; only (doc, frame_no, mean) rows shuffle into the lag window - payload bytes stay in the scan stage.")
+      "mm_scene_cuts" -> "Shot boundaries decode-free: one regex pair-split + codegen conv per byte; the per-frame sum IS the groupBy's map-side combine (32:1 before the shuffle); payload bytes stay in the scan stage.",
+      "dedup_span_removal" -> "Span excision: spans collapse to one per-doc array off the staged-probe miner; removal is an in-array indexed filter (tokens x spans of ONE doc); the only corpus-shaped stages are the doc-keyed join and the token projection.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

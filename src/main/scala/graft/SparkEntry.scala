@@ -183,6 +183,7 @@ object SparkEntry {
     "text_search_tfidf" -> (TextOps.searchTfidf _),
     "ts_sla_multiwindow" -> (TimeSeriesOps.slaMultiwindow _),
     "source_jsonl_roundtrip" -> (graft.sources.DocJsonl.roundtrip _),
+    "dedup_span_removal" -> (Dedup.spanRemoval _),
     "ts_lifecycle_tiers" -> (TimeSeriesOps.lifecycleTiers _),
     "emb_knn_accuracy" -> (Similarity.knnAccuracy _),
     "mm_scene_cuts" -> (Multimodal.sceneCuts _),
@@ -1201,6 +1202,7 @@ object SparkEntry {
     "text_search_tfidf" -> OracleSqlGen.textSearchTfidf,
     "ts_sla_multiwindow" -> OracleSqlGen.tsSlaMultiwindow,
     "source_jsonl_roundtrip" -> OracleSqlGen.sourceJsonlRoundtrip,
+    "dedup_span_removal" -> OracleSqlGen.dedupSpanRemoval,
     "ts_lifecycle_tiers" -> OracleSqlGen.tsLifecycleTiers,
     "emb_knn_accuracy" -> OracleSqlGen.embKnnAccuracy,
     "mm_scene_cuts" -> OracleSqlGen.mmSceneCuts,

@@ -837,12 +837,15 @@ object Analytics {
       .filter(col("p1") < col("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("c_ab"))
     val supp = op.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val nOrders = op.select("ok").distinct().count()
+    // order count rides as a broadcast 1-row frame — no driver-side
+    // action in the query path
+    val nOrders = op.select("ok").distinct().agg(count(lit(1)).as("n_ord"))
     pairs
       .join(supp.select(col("pk").as("p1"), col("c").as("c_a")), "p1")
       .join(supp.select(col("pk").as("p2"), col("c").as("c_b")), "p2")
+      .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("c_ab"),
-        ((col("c_ab") * nOrders).cast("double") /
+        ((col("c_ab") * col("n_ord")).cast("double") /
           (col("c_a") * col("c_b")).cast("double")).as("lift"))
       .orderBy(col("c_ab").desc, col("p1"), col("p2"))
       .limit(20)

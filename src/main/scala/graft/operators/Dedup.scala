@@ -312,6 +312,34 @@ object Dedup {
       .select("doc_id", "span_start", "span_len")
   }
 
+  /** #169 — duplicated-SPAN REMOVAL (the second half of Lee et al.
+    * 2022's ExactSubstr pipeline — #106 finds the duplicated regions,
+    * this EXCISES them): every token whose 1-based position falls
+    * inside any of the doc's mined spans is dropped, and the cleaned
+    * doc is emitted as (token counts + content hash). Spans collapse
+    * to one per-doc array (one doc-keyed shuffle off the staged-probe
+    * span miner); removal is a pure in-array indexed filter — per-row
+    * cost bounded by tokens × spans of ONE doc, nothing corpus-shaped
+    * beyond the doc-keyed join. The cleaned-text md5 crossing the
+    * oracle makes the whole reconstruction bit-checked. */
+  def spanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val spans = substringSpans(s, dir)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("sp"))
+    graft.core.Tables.documents(s, dir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kt", when(col("sp").isNull, col("t"))
+        .otherwise(filter(col("t"), (_, i) =>
+          size(filter(col("sp"), q =>
+            (i + 1) >= q.getField("span_start") &&
+              (i + 1) < q.getField("span_start") + q.getField("span_len"))) === 0)))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kt"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kt"))).as("clean_md5"))
+  }
+
   /** MinHash permutation family h_i(x) = (a_i*x + b_i) mod P over the
     * 32-bit md5 prefix of a shingle — one md5 per shingle, 16 integer
     * perms (P prime > 2^32; a_i odd and small so a_i*x stays in i64). */

@@ -1307,6 +1307,33 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("span removal: exact match with a driver excision recompute") {
+    val spans = Dedup.substringSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(x => (x._2, x._3)) }
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s0: String) =
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, toks) =>
+      val sp = spans.getOrElse(id, Array.empty[(Long, Long)])
+      val kept = toks.zipWithIndex.collect {
+        case (w, i) if !sp.exists { case (s0, l) =>
+          i + 1 >= s0 && i + 1 < s0 + l } => w
+      }
+      id -> ((toks.length.toLong, (toks.length - kept.length).toLong,
+        md5hex(kept.mkString(" "))))
+    }.toMap
+    val got = Dedup.spanRemoval(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "spec scale must excise something")
+  }
+
   test("lifecycle tiers: exact match with a driver reviewer state machine") {
     val (rick, out) = (TimeSeriesOps.TierRickDays, TimeSeriesOps.TierOutdateDays)
     val days = graft.core.Tables.events(spark, Sf)
