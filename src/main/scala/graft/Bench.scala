@@ -26,7 +26,8 @@ object Bench {
         () => operators.PqIndex.ensure(spark, sfDir),
         () => operators.IvfPqIndex.ensure(spark, sfDir),
         () => operators.PhashIndex.ensure(spark, sfDir),
-        () => operators.KnnIndex.ensure(spark, sfDir)))
+        () => operators.KnnIndex.ensure(spark, sfDir),
+        () => operators.HelixScan.ensure(spark, sfDir)))
       try build() catch { case _: Throwable => () }
     // best-of-2 per query: the second run has warm codegen/JIT, so the
     // min reflects steady-state operator cost rather than noise

@@ -100,6 +100,37 @@ object OracleSqlGen {
        |  CAST(max(i) + ${Dedup.WinK} - min(i) AS BIGINT) AS span_len
        |FROM grp GROUP BY doc_id, g""".stripMargin
 
+  /** #171 — ABC analysis: the same 10^-4 integer revenue quanta,
+    * HUGEINT cumulative window with the identical (rq DESC, part)
+    * order, integer threshold cross-products, mirrored divisions. */
+  val qAbcAnalysis: String =
+    """WITH rev AS (SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 10000
+      |      AS HUGEINT) AS rq
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(rq) AS t FROM rev),
+      |c AS (SELECT l_partkey, rq,
+      |    sum(rq) OVER (ORDER BY rq DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+      |      AS cum
+      |  FROM rev)
+      |SELECT CASE WHEN cum * 5 <= t.t * 4 THEN 'A'
+      |    WHEN cum * 20 <= t.t * 19 THEN 'B' ELSE 'C' END AS cls,
+      |  CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(rq) AS DOUBLE) / 10000.0 AS revenue,
+      |  CAST(sum(rq) AS DOUBLE) / CAST(max(t.t) AS DOUBLE) AS share
+      |FROM c, t GROUP BY 1""".stripMargin
+
+  /** #170 — store-served scan: the equivalent predicate on the raw
+    * parquet; any drop/mangle in the store's routing, compaction,
+    * codec or scan pipeline diverges the hash. */
+  val helixScanRange: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |FROM events
+      |WHERE user_id BETWEEN 10 AND 50
+      |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'""".stripMargin
+
   /** #169 — span removal: the dedupSpans query nested as a CTE, spans
     * packed as parallel start/len lists (no struct lists — see the
     * lifecycle-tiers accumulator note), removal as the same indexed

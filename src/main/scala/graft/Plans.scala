@@ -66,7 +66,9 @@ object Plans {
       "ts_lifecycle_tiers" -> "Reviewer replay: the state machine folds over ONE sorted calendar-bounded day array (1-row frame); classification joins the broadcast final state against the per-day counts - the corpus appears once, in the day aggregate.",
       "emb_knn_accuracy" -> "kNN eval over the STAGED edge parquet: label join + (src,label) count + combinable struct-max argmax; no window, no band re-mining, corpus touched only for the 2-column label projection.",
       "mm_scene_cuts" -> "Shot boundaries decode-free: one regex pair-split + codegen conv per byte; the per-frame sum IS the groupBy's map-side combine (32:1 before the shuffle); payload bytes stay in the scan stage.",
-      "dedup_span_removal" -> "Span excision: spans collapse to one per-doc array off the staged-probe miner; removal is an in-array indexed filter (tokens x spans of ONE doc); the only corpus-shaped stages are the doc-keyed join and the token projection.")
+      "dedup_span_removal" -> "Span excision: spans collapse to one per-doc array off the staged-probe miner; removal is an in-array indexed filter (tokens x spans of ONE doc); the only corpus-shaped stages are the doc-keyed join and the token projection.",
+      "helix_scan_range" -> "Store-served scan: the staged HelixStore's bucket partition filter + pushed (key, ts) predicates reach the block parquet; compacted fast path = no LWW rank window anywhere in the plan.",
+      "q_abc_analysis" -> "Pareto cut: one fact shuffle to the checkpointed per-part revenue; the cumulative window and total ride the part-dimension frame; every class compare is an integer cross-product.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

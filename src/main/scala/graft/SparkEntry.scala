@@ -184,6 +184,8 @@ object SparkEntry {
     "ts_sla_multiwindow" -> (TimeSeriesOps.slaMultiwindow _),
     "source_jsonl_roundtrip" -> (graft.sources.DocJsonl.roundtrip _),
     "dedup_span_removal" -> (Dedup.spanRemoval _),
+    "helix_scan_range" -> (HelixScan.scanRange _),
+    "q_abc_analysis" -> (Analytics.qAbcAnalysis _),
     "ts_lifecycle_tiers" -> (TimeSeriesOps.lifecycleTiers _),
     "emb_knn_accuracy" -> (Similarity.knnAccuracy _),
     "mm_scene_cuts" -> (Multimodal.sceneCuts _),
@@ -1203,6 +1205,8 @@ object SparkEntry {
     "ts_sla_multiwindow" -> OracleSqlGen.tsSlaMultiwindow,
     "source_jsonl_roundtrip" -> OracleSqlGen.sourceJsonlRoundtrip,
     "dedup_span_removal" -> OracleSqlGen.dedupSpanRemoval,
+    "helix_scan_range" -> OracleSqlGen.helixScanRange,
+    "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "ts_lifecycle_tiers" -> OracleSqlGen.tsLifecycleTiers,
     "emb_knn_accuracy" -> OracleSqlGen.embKnnAccuracy,
     "mm_scene_cuts" -> OracleSqlGen.mmSceneCuts,

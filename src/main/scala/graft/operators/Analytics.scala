@@ -932,6 +932,39 @@ object Analytics {
           .as("max_concurrent"))
   }
 
+  /** #171 — ABC (Pareto) ANALYSIS of parts by revenue — the 80/95
+    * inventory-classification cut every ops/merchandising warehouse
+    * serves: parts ranked by exact decimal revenue, class A while the
+    * running share ≤ 80%, B ≤ 95%, else C. Revenue quantizes to exact
+    * 10^-4 integer units (the product scale of price × (1−disc)), so
+    * the cumulative window and both share thresholds compare as pure
+    * integers — no float can flip a class at any scale. One fact
+    * shuffle to per-part revenue (checkpointed — it seeds the window
+    * and the total); the ordered cumulative window spans the PART
+    * dimension (bounded by catalogue size, never fact volume). */
+  def qAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        * 10000)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rq"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("rq").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum("rq").as("t"))
+    rev.withColumn("cum", sum("rq").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("t") * 4, "A")
+          .when(col("cum") * 20 <= col("t") * 19, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        (sum("rq").cast("double") / 10000.0).as("revenue"),
+        (sum("rq").cast("double") / max("t").cast("double")).as("share"))
+  }
+
   /** #162 — GROWTH ACCOUNTING (the new / retained / resurrected /
     * churned weekly user ledger every product-analytics warehouse
     * serves — the decomposition satisfying active(w) = new + retained

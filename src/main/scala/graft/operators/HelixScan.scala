@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{HelixStore, StoreOptions, Tables}
+
+/**
+ * The library's own storage engine serving an analytical scan — the
+ * end-to-end integration the reference IS (db.rs open → put → scan):
+ * the events table is loaded into a [[HelixStore]] ONCE per corpus
+ * fingerprint (staged: put → blockCompact, so reads hit the compacted
+ * block layer's no-LWW fast path), and the registered query runs the
+ * store's `scan(tsRange, keyRange)` — shard/bucket partition pruning,
+ * block decode, (key, ts) ordering — then decodes the entries back to
+ * typed columns. The DuckDB oracle runs the equivalent predicate
+ * directly on the raw parquet: if any byte of the store's routing,
+ * compaction, codec or scan pipeline dropped or mangled an entry, the
+ * hashes diverge.
+ */
+object HelixScan {
+  private def opts = StoreOptions(numShards = 8, bucketSize = 86400000000L)
+
+  /** Events → entry batch: key = zero-padded "user-event" (unique, so
+    * LWW can never collapse two source rows), ts = epoch-µs, value =
+    * exact integer cents as ASCII bytes. */
+  private[operators] def entriesOf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      concat(lpad(col("user_id").cast("string"), 6, "0"), lit("-"),
+        lpad(col("event_id").cast("string"), 10, "0")).cast("binary").as("key"),
+      unix_micros(col("ts")).as("ts"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long")
+        .cast("string").cast("binary").as("value"))
+
+  /** Build the staged store (put + compact) at most once per corpus. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val base = Staging.ensure("helixq",
+      Staging.fingerprint(dir, "events.parquet")) { tmp =>
+      val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
+      try { st.put(entriesOf(s, dir)); st.blockCompact() } finally st.close()
+    }
+    base.resolve("store").toString
+  }
+
+  /** #170 — time × key rectangle scan SERVED BY THE STORE (same bounds
+    * as ts_scan_range: users 10–50, 2024-01-05 ≤ ts < 2024-01-12). */
+  def scanRange(s: SparkSession, dir: String): DataFrame = {
+    val st = HelixStore.open(s, ensure(s, dir), opts)
+    val lo = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      .toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-01-12T00:00:00Z")
+      .toEpochMilli * 1000L
+    st.scan((lo, hi), ("000010-".getBytes, "000050~".getBytes))
+      .withColumn("k", col("key").cast("string"))
+      .select(
+        substring(col("k"), 1, 6).cast("long").as("user_id"),
+        substring(col("k"), 8, 10).cast("long").as("event_id"),
+        col("ts").as("ts_us"),
+        col("value").cast("string").cast("long").as("cents"))
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}

@@ -1307,6 +1307,49 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("helix store scan: rectangle round-trips the raw events exactly") {
+    val lo = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-01-12T00:00:00Z").toEpochMilli * 1000L
+    val expected = graft.core.Tables.events(spark, Sf)
+      .filter(col("user_id").between(10, 50) &&
+        unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = operators.HelixScan.scanRange(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("abc analysis: exact match with a driver Pareto recompute") {
+    val rev = graft.core.Tables.lineitem(spark, Sf)
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        * 10000).cast("decimal(38,0)").as("rq"))
+      .collect().map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger)))
+    val total = rev.map(_._2).sum
+    var cum = BigInt(0)
+    val classed = rev.sortBy { case (pk, rq) => (-rq, pk) }.map { case (pk, rq) =>
+      cum += rq
+      val cls = if (cum * 5 <= total * 4) "A"
+        else if (cum * 20 <= total * 19) "B" else "C"
+      (cls, rq)
+    }
+    val expected = classed.groupBy(_._1).map { case (cls, xs) =>
+      val s0 = xs.map(_._2).sum
+      cls -> ((xs.length.toLong, s0.toDouble / 10000.0,
+        s0.toDouble / total.toDouble))
+    }
+    val got = Analytics.qAbcAnalysis(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got == expected)
+    assert(got.keySet == Set("A", "B", "C"))
+  }
+
   test("span removal: exact match with a driver excision recompute") {
     val spans = Dedup.substringSpans(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
