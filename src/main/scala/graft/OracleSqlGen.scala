@@ -100,6 +100,19 @@ object OracleSqlGen {
        |  CAST(max(i) + ${Dedup.WinK} - min(i) AS BIGINT) AS span_len
        |FROM grp GROUP BY doc_id, g""".stripMargin
 
+  /** #173 — per-source dup rate: the survivor rule's window shared
+    * with dedup_survivor, integer counts, one mirrored division. */
+  val textDupRateBySource: String =
+    """WITH r AS (SELECT source,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS dup_rate
+      |FROM r GROUP BY source""".stripMargin
+
   /** #171 — ABC analysis: the same 10^-4 integer revenue quanta,
     * HUGEINT cumulative window with the identical (rq DESC, part)
     * order, integer threshold cross-products, mirrored divisions. */
@@ -1306,6 +1319,31 @@ object OracleSqlGen {
        |        FROM wc WHERE len(w) >= 2))
        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** #172 — PQ code balance: the annPqTopk encode CTEs re-grouped by
+    * (sub, code), the uniform-baseline division mirrored. */
+  val embPqCodeBalance: String = {
+    import graft.operators.PqIndex.{Subs, SubDim, K}
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, $SubDim),
+         |    i -> ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i])
+         |       * ($a[s.sub * $SubDim + i] - $b[s.sub * $SubDim + i]))),
+         |  (p, q) -> p + q)""".stripMargin
+    s"""WITH $eCte,
+       |cb AS (SELECT vec_id AS k, v FROM e WHERE vec_id < $K),
+       |subs AS (SELECT unnest(generate_series(0, ${Subs - 1})) AS sub),
+       |enc AS (SELECT e.vec_id, s.sub, cb.k, round(${fold("e.v", "cb.v")}, 6) AS d
+       |  FROM e, subs s, cb),
+       |codes AS (SELECT vec_id, sub, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, k) AS rn
+       |    FROM enc) WHERE rn = 1),
+       |per AS (SELECT sub, code, count(*) AS n FROM codes GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM e)
+       |SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       |  CAST(per.n AS BIGINT) AS n_vecs,
+       |  CAST(per.n AS DOUBLE) / (CAST(nn.n AS DOUBLE) / $K) AS skew
+       |FROM per, nn""".stripMargin
+  }
 
   /** #166 — lifecycle tiering: the SimpleTimestampReviewer state
     * machine as a list_reduce over rebased days (struct acc with

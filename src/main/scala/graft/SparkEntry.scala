@@ -186,6 +186,8 @@ object SparkEntry {
     "dedup_span_removal" -> (Dedup.spanRemoval _),
     "helix_scan_range" -> (HelixScan.scanRange _),
     "q_abc_analysis" -> (Analytics.qAbcAnalysis _),
+    "emb_pq_code_balance" -> (Similarity.pqCodeBalance _),
+    "text_dup_rate_by_source" -> (TextOps.dupRateBySource _),
     "ts_lifecycle_tiers" -> (TimeSeriesOps.lifecycleTiers _),
     "emb_knn_accuracy" -> (Similarity.knnAccuracy _),
     "mm_scene_cuts" -> (Multimodal.sceneCuts _),
@@ -1207,6 +1209,8 @@ object SparkEntry {
     "dedup_span_removal" -> OracleSqlGen.dedupSpanRemoval,
     "helix_scan_range" -> OracleSqlGen.helixScanRange,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
+    "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
+    "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,
     "ts_lifecycle_tiers" -> OracleSqlGen.tsLifecycleTiers,
     "emb_knn_accuracy" -> OracleSqlGen.embKnnAccuracy,
     "mm_scene_cuts" -> OracleSqlGen.mmSceneCuts,

@@ -432,6 +432,30 @@ object Similarity {
           (col("total").cast("double") / col("ncells"))).as("skew"))
   }
 
+  /** #172 — PQ CODE-USAGE balance from the staged index: per
+    * (subspace, code) assignment counts + skew vs the uniform n/K —
+    * the codebook-health twin of emb_ivf_balance (a dead or
+    * over-subscribed code means that subspace's centroids no longer
+    * tile the data and ADC distances lose resolution there; the remedy
+    * is a rebuild, and this report is the trigger alongside
+    * emb_pq_distortion's error view). Reads ONLY the staged code
+    * table: one unpivot of the 8 code columns into a combinable
+    * (sub, code) count — ≤ 8·K result rows at any corpus size. */
+  def pqCodeBalance(s: SparkSession, dir: String): DataFrame = {
+    val st = PqIndex.ensure(s, dir)
+    val per = s.read.parquet(st.codes)
+      .select(posexplode(array(
+        (0 until PqIndex.Subs).map(su => col(s"code$su")): _*)))
+      .select(col("pos").cast("long").as("sub"),
+        col("col").cast("long").as("code"))
+      .groupBy("sub", "code").agg(count(lit(1)).as("n_vecs"))
+    val tot = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("sub"), col("code"), col("n_vecs"),
+        (col("n_vecs").cast("double") /
+          (col("n").cast("double") / PqIndex.K)).as("skew"))
+  }
+
   /** #134 — PQ DISTORTION report from the staged index: per subspace,
     * the mean and max squared reconstruction error of every vector
     * against its assigned sub-centroid — the diagnostic that says

@@ -743,6 +743,24 @@ object TextOps {
         (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
   }
 
+  /** #173 — per-source DUPLICATION RATE: how much of each source is
+    * exact-duplicate content (non-survivors under the #54 longest-copy
+    * rule) — the data-quality dashboard row that decides which feeds
+    * get renegotiated or down-weighted before the expensive near-dup
+    * passes even run. One content-hash window shares the md5 shuffle,
+    * one source rollup; integer counts, one mirrored division. */
+  def dupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("h").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"))
+  }
+
   /** Query terms for the keyword-search operator (fixed, like every
     * other parameterized query in the suite). */
   val SearchTerms: Seq[String] = Seq("join", "vector", "filter")

@@ -1307,6 +1307,37 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("pq code balance: counts partition the corpus per subspace; skew consistent") {
+    val n = graft.core.Tables.embeddings(spark, Sf).count()
+    val rows = Similarity.pqCodeBalance(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    (0 until operators.PqIndex.Subs).foreach { su =>
+      assert(rows.filter(_._1 == su).map(_._3).sum == n,
+        s"subspace $su counts must partition the corpus")
+    }
+    rows.foreach { case (_, code, nv, skew) =>
+      assert(code >= 0 && code < operators.PqIndex.K)
+      assert(skew == nv.toDouble / (n.toDouble / operators.PqIndex.K))
+    }
+  }
+
+  test("dup rate by source: exact match with a driver survivor recompute") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val dupIds = docs.groupBy(_._2).values.flatMap { g =>
+      g.sortBy(d => (-d._4, d._1)).drop(1).map(_._1)
+    }.toSet
+    val expected = docs.groupBy(_._3).map { case (src, xs) =>
+      val d = xs.count(x => dupIds(x._1)).toLong
+      src -> ((xs.length.toLong, d, d.toDouble / xs.length))
+    }
+    val got = TextOps.dupRateBySource(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
+
   test("helix store scan: rectangle round-trips the raw events exactly") {
     val lo = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli * 1000L
     val hi = java.time.Instant.parse("2024-01-12T00:00:00Z").toEpochMilli * 1000L
