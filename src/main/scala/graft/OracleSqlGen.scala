@@ -1345,6 +1345,63 @@ object OracleSqlGen {
        |FROM per, nn""".stripMargin
   }
 
+  /** #174 — exact embedding dedup: the same fixed-point component
+    * fingerprint (BIGINT string forms are identical cross-engine). */
+  val embDupExact: String =
+    s"""WITH $eCte
+       |SELECT md5(array_to_string(list_transform(v,
+       |    x -> CAST(CAST(floor(x * ${Similarity.KmFixScale}.0) AS BIGINT) AS VARCHAR)),
+       |  ',')) AS sig,
+       |  CAST(count(*) AS BIGINT) AS n_vecs, min(vec_id) AS keep_vec_id
+       |FROM e GROUP BY 1""".stripMargin
+
+  /** #175 — vocabulary overlap: distinct (source, word), word-keyed
+    * pair counts, mirrored jaccard division. */
+  val textVocabOverlap: String =
+    s"""WITH $toksCte,
+       |sv AS (SELECT DISTINCT d.source, w FROM toks
+       |  JOIN documents d ON d.doc_id = toks.doc_id, unnest(t) AS u(w)),
+       |sz AS (SELECT source, count(*) AS n FROM sv GROUP BY 1),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+       |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, CAST(c AS BIGINT) AS c,
+       |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+       |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |FROM p JOIN sz sa ON sa.source = p.source_a
+       |JOIN sz sb ON sb.source = p.source_b""".stripMargin
+
+  /** #176 — purchase-gap median: the doubled-integer order-statistic
+    * selection at the two middle ranks, integer µs gaps, one final
+    * /2.0 mirrored. */
+  val qPurchaseGapMedian: String =
+    """WITH g AS (SELECT user_id, ts_us, event_id,
+      |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS g
+      |  FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+      |        WHERE event_type = 'purchase')),
+      |r AS (SELECT user_id, g,
+      |    count(*) OVER (PARTITION BY user_id) AS n,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY g, ts_us) AS rn
+      |  FROM g WHERE g IS NOT NULL)
+      |SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
+      |  CAST(sum(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN g * 2
+      |    WHEN n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1) THEN g
+      |    ELSE 0 END) AS BIGINT) AS med2_us,
+      |  CAST(sum(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN g * 2
+      |    WHEN n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1) THEN g
+      |    ELSE 0 END) AS DOUBLE) / 2.0 AS med_us
+      |FROM r GROUP BY user_id""".stripMargin
+
+  /** #177 — weekday profile: pure integer (day + 3) mod 7 weekday,
+    * decimal-exact mean chain mirrored. */
+  val tsWeekdayProfile: String =
+    """SELECT event_type,
+      |  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+      |  CAST(hour(ts) AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   /** #166 — lifecycle tiering: the SimpleTimestampReviewer state
     * machine as a list_reduce over rebased days (struct acc with
     * interval lists), classification via the same prefix-count

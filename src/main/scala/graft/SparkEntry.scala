@@ -188,6 +188,10 @@ object SparkEntry {
     "q_abc_analysis" -> (Analytics.qAbcAnalysis _),
     "emb_pq_code_balance" -> (Similarity.pqCodeBalance _),
     "text_dup_rate_by_source" -> (TextOps.dupRateBySource _),
+    "emb_dup_exact" -> (Similarity.dupExact _),
+    "text_vocab_overlap" -> (TextOps.vocabOverlap _),
+    "q_purchase_gap_median" -> (Analytics.qPurchaseGapMedian _),
+    "ts_weekday_profile" -> (TimeSeriesOps.weekdayProfile _),
     "ts_lifecycle_tiers" -> (TimeSeriesOps.lifecycleTiers _),
     "emb_knn_accuracy" -> (Similarity.knnAccuracy _),
     "mm_scene_cuts" -> (Multimodal.sceneCuts _),
@@ -1211,6 +1215,10 @@ object SparkEntry {
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,
+    "emb_dup_exact" -> OracleSqlGen.embDupExact,
+    "text_vocab_overlap" -> OracleSqlGen.textVocabOverlap,
+    "q_purchase_gap_median" -> OracleSqlGen.qPurchaseGapMedian,
+    "ts_weekday_profile" -> OracleSqlGen.tsWeekdayProfile,
     "ts_lifecycle_tiers" -> OracleSqlGen.tsLifecycleTiers,
     "emb_knn_accuracy" -> OracleSqlGen.embKnnAccuracy,
     "mm_scene_cuts" -> OracleSqlGen.mmSceneCuts,

@@ -932,6 +932,36 @@ object Analytics {
           .as("max_concurrent"))
   }
 
+  /** #176 — median PURCHASE-GAP per user: the exact doubled-integer
+    * median (odd n → 2·middle, even → lower+upper — no division, the
+    * ts_anomaly_mad discipline) of the µs gaps between a user's
+    * consecutive purchases — the repeat-cycle stat behind replenishment
+    * and churn-risk models, exact where approx quantiles would drift.
+    * One user shuffle carries the purchase filter, the lag, the
+    * partition count and the rank window; the conditional sum at the
+    * two middle ranks makes the median a plain integer. */
+  def qPurchaseGapMedian(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gaps = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("g", col("ts_us") - lag("ts_us", 1).over(byTs))
+      .filter(col("g").isNotNull)
+    val wN = Window.partitionBy("user_id")
+    val byG = Window.partitionBy("user_id").orderBy("g", "ts_us")
+    gaps
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(byG))
+      .groupBy("user_id")
+      .agg(max("n").as("n_gaps"),
+        sum(when(expr("n % 2 = 1 AND rn = (n + 1) div 2"), col("g") * 2)
+          .when(expr("n % 2 = 0 AND (rn = n div 2 OR rn = n div 2 + 1)"),
+            col("g"))
+          .otherwise(0L)).as("med2_us"))
+      .select(col("user_id"), col("n_gaps"), col("med2_us"),
+        (col("med2_us").cast("double") / 2.0).as("med_us"))
+  }
+
   /** #171 — ABC (Pareto) ANALYSIS of parts by revenue — the 80/95
     * inventory-classification cut every ops/merchandising warehouse
     * serves: parts ranked by exact decimal revenue, class A while the

@@ -432,6 +432,23 @@ object Similarity {
           (col("total").cast("double") / col("ncells"))).as("skew"))
   }
 
+  /** #174 — EXACT embedding dedup: vectors collapse by a canonical
+    * fingerprint (md5 over the KmFixScale-floored components — the
+    * same grid every exact sum uses, so the hash is well-defined
+    * cross-engine), keep = lowest vec_id — the cheap exact level run
+    * before any LSH/SemDeDup pass (re-ingested corpora carry literal
+    * copies; no reason to spend banded joins on them). ONE combinable
+    * hash shuffle, the dedup_exact shape on the vector table. */
+  def dupExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    e.withColumn("sig", md5(concat_ws(",",
+        transform(col("v"), x =>
+          floor(x * KmFixScale).cast("long").cast("string")))))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("keep_vec_id"))
+  }
+
   /** #172 — PQ CODE-USAGE balance from the staged index: per
     * (subspace, code) assignment counts + skew vs the uniform n/K —
     * the codebook-health twin of emb_ivf_balance (a dead or

@@ -743,6 +743,33 @@ object TextOps {
         (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
   }
 
+  /** #175 — SOURCE VOCABULARY OVERLAP: pairwise Jaccard between the
+    * distinct word vocabularies of every source pair — the corpus-
+    * comparison matrix consulted when designing mixtures (two feeds
+    * with 0.9 vocabulary overlap are near-redundant; a 0.1 pair adds
+    * coverage). The corpus-sized stage is ONE distinct to (source,
+    * word) — vocabulary-bounded by Heaps' law from there on; the
+    * word-keyed self-join fans out at most n_sources² per word, and
+    * sizes broadcast back. Integer intersections, one mirrored
+    * division per pair. */
+  def vocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .distinct()
+      .localCheckpoint() // seeds sizes + both sides of the pair join
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sv.select(col("source").as("source_a"), col("w"))
+      .join(sv.select(col("source").as("source_b"), col("w")), "w")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("c"), col("na"), col("nb"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+  }
+
   /** #173 — per-source DUPLICATION RATE: how much of each source is
     * exact-duplicate content (non-survivors under the #54 longest-copy
     * rule) — the data-quality dashboard row that decides which feeds

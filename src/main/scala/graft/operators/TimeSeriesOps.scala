@@ -814,6 +814,22 @@ object TimeSeriesOps {
         (col("st.esum") / col("n_days")).as("mae"))
   }
 
+  /** #177 — WEEKLY seasonal profile: event counts + decimal-exact mean
+    * value by (type, weekday, hour) — the weekly-rhythm companion to
+    * the diurnal #95 (capacity planning and anomaly baselines need
+    * both; a Monday-morning spike is invisible in an hour-only
+    * profile). Weekday derives from pure integer epoch arithmetic
+    * ((day + 3) mod 7, Monday = 0) so no engine calendar/locale
+    * convention can disagree. ONE combinable aggregate to ≤
+    * 7·24·n_types rows. */
+  def weekdayProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 3) % 7").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec("value")).cast("double") / count(lit(1))).as("avg_value"))
+
   /** Reviewer config for #166, in day units (outdate an integer
     * multiple of rick, as reference level.rs:543 documents). */
   val TierRickDays = 7L

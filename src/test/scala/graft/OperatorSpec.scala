@@ -1307,6 +1307,81 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("emb exact dedup: exact match with a driver fingerprint recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s0: String) =
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val S = Similarity.KmFixScale.toDouble
+    val expected = vecsOf().map { case (id, v) =>
+      (md5hex(v.map(x => math.floor(x * S).toLong.toString).mkString(",")), id)
+    }.groupBy(_._1).map { case (sig, xs) =>
+      sig -> ((xs.length.toLong, xs.map(_._2).min))
+    }
+    val got = Similarity.dupExact(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("vocab overlap: exact match with a driver set recompute") {
+    val pairs: Set[(String, String)] = graft.core.Tables.documents(spark, Sf)
+      .select("source", "text").collect()
+      .flatMap { r =>
+        val src = r.getString(0)
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(w => (src, w)).toSeq
+      }.toSet
+    val sv = pairs.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2) }
+    val srcs = sv.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val c = (sv(a) & sv(b)).size.toLong
+      ((a, b), (c, sv(a).size.toLong, sv(b).size.toLong,
+        c.toDouble / (sv(a).size + sv(b).size - c)))
+    }).toMap
+    val got = TextOps.vocabOverlap(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == expected)
+  }
+
+  test("purchase gap median: exact doubled-integer match with a driver recompute") {
+    val p = graft.core.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = p.groupBy(_._1).flatMap { case (uid, xs) =>
+      val ts = xs.map(_._2).sorted
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }.sorted
+      if (gaps.isEmpty) None else {
+        val n = gaps.length
+        val med2 = if (n % 2 == 1) 2 * gaps(n / 2)
+          else gaps(n / 2 - 1) + gaps(n / 2)
+        Some(uid -> ((n.toLong, med2, med2.toDouble / 2.0)))
+      }
+    }
+    val got = Analytics.qPurchaseGapMedian(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("weekday profile: exact match with a driver calendar recompute") {
+    val ev = graft.core.Tables.events(spark, Sf)
+      .select(col("event_type"), unix_micros(col("ts")),
+        col("value").cast("decimal(18,2)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    val expected = ev.groupBy { case (t, us, _) =>
+      (t, (us / 86400000000L + 3) % 7, (us / 3600000000L) % 24)
+    }.map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._3).sum.toDouble / xs.length))
+    }
+    val got = TimeSeriesOps.weekdayProfile(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+  }
+
   test("pq code balance: counts partition the corpus per subspace; skew consistent") {
     val n = graft.core.Tables.embeddings(spark, Sf).count()
     val rows = Similarity.pqCodeBalance(spark, Sf).collect()
