@@ -1712,15 +1712,35 @@ object OracleSqlGen {
        |  mn AS min_x, mx AS max_x
        |FROM byd""".stripMargin
 
+  /** #179 — gap/liveness report: one lag window, integer thresholds,
+    * broadcast global max horizon. */
+  val tsGapStats: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+       |g AS (SELECT user_id, ts_us,
+       |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS g
+       |  FROM ev),
+       |agg AS (SELECT user_id, count(*) AS n_events, max(g) AS max_gap_us,
+       |    sum(CASE WHEN g > ${graft.operators.TimeSeriesOps.GapThreshUs}
+       |      THEN 1 ELSE 0 END) AS n_long_gaps,
+       |    max(ts_us) AS last_ts_us FROM g GROUP BY 1),
+       |m AS (SELECT max(ts_us) AS gmax FROM ev)
+       |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, max_gap_us,
+       |  CAST(n_long_gaps AS BIGINT) AS n_long_gaps, last_ts_us,
+       |  last_ts_us < gmax - ${graft.operators.TimeSeriesOps.StaleHorizonUs}
+       |    AS stale
+       |FROM agg, m""".stripMargin
+
   /** #153 — centroid silhouette: per-label centroids through the same
     * fixed-point HUGEINT sums as the kmeans oracle, both cosine factors
     * precomputed once (vn, cn) so the multiply order matches the Spark
     * fold, rc rounded to 6 dp before any arithmetic, own/nearest-other
     * as order-independent MAX selections, and the per-label mean back
     * through the fixed-point floor. */
-  val embSilhouette: String =
-    s"""WITH $eCte,
-       |byd AS (SELECT label AS clabel, j AS dim,
+  /** Per-label fixed-point centroid CTEs (shared by the silhouette and
+    * the separation matrix). */
+  private val labelCentCtes: String =
+    s"""byd AS (SELECT label AS clabel, j AS dim,
        |    sum(CAST(floor(x * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS sx,
        |    count(*) AS cnt FROM (
        |    SELECT label, unnest(generate_series(1, 64)) AS j, unnest(v) AS x
@@ -1730,7 +1750,21 @@ object OracleSqlGen {
        |    list((CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0) / cnt
        |      ORDER BY dim) AS cv
        |  FROM byd GROUP BY clabel),
-       |centn AS (SELECT clabel, cv, sqrt(${dot("cv", "cv")}) AS cn FROM cent),
+       |centn AS (SELECT clabel, cv, sqrt(${dot("cv", "cv")}) AS cn FROM cent)""".stripMargin
+
+  /** #178 — centroid separation: the shared centroid CTEs, pairwise
+    * rounded cosine with precomputed norms (na · nb order mirrored). */
+  val embCentroidSeparation: String =
+    s"""WITH $eCte,
+       |$labelCentCtes
+       |SELECT a.clabel AS label_a, b.clabel AS label_b,
+       |  CASE WHEN a.cn * b.cn = 0 THEN -2
+       |    ELSE round(${dot("a.cv", "b.cv")} / (a.cn * b.cn), 6) END AS rcos
+       |FROM centn a, centn b WHERE a.clabel < b.clabel""".stripMargin
+
+  val embSilhouette: String =
+    s"""WITH $eCte,
+       |$labelCentCtes,
        |r AS (SELECT e.vec_id, e.label, c.clabel,
        |    CASE WHEN sqrt(${dot("e.v", "e.v")}) * c.cn = 0 THEN -2
        |      ELSE round(${dot("e.v", "c.cv")} /

@@ -189,6 +189,8 @@ object SparkEntry {
     "emb_pq_code_balance" -> (Similarity.pqCodeBalance _),
     "text_dup_rate_by_source" -> (TextOps.dupRateBySource _),
     "emb_dup_exact" -> (Similarity.dupExact _),
+    "emb_centroid_separation" -> (Similarity.centroidSeparation _),
+    "ts_gap_stats" -> (TimeSeriesOps.gapStats _),
     "text_vocab_overlap" -> (TextOps.vocabOverlap _),
     "q_purchase_gap_median" -> (Analytics.qPurchaseGapMedian _),
     "ts_weekday_profile" -> (TimeSeriesOps.weekdayProfile _),
@@ -1216,6 +1218,8 @@ object SparkEntry {
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,
     "emb_dup_exact" -> OracleSqlGen.embDupExact,
+    "emb_centroid_separation" -> OracleSqlGen.embCentroidSeparation,
+    "ts_gap_stats" -> OracleSqlGen.tsGapStats,
     "text_vocab_overlap" -> OracleSqlGen.textVocabOverlap,
     "q_purchase_gap_median" -> OracleSqlGen.qPurchaseGapMedian,
     "ts_weekday_profile" -> OracleSqlGen.tsWeekdayProfile,

@@ -973,18 +973,45 @@ object Similarity {
     * stability); the per-label mean silhouette goes back through the
     * fixed-point floor. Two shuffles total (centroid agg + final label
     * agg), both map-side combinable. */
-  def silhouette(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+  /** Exact per-label centroids through the [[KmFixScale]] grid —
+    * shared by the silhouette and the separation matrix. */
+  private def labelCentroids(e: DataFrame): DataFrame = {
     val dimSums = (0 until 64).map(j =>
       sum(floor(element_at(col("v"), j + 1) * KmFixScale)
         .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"))
-    val cents = e.groupBy(col("label").as("clabel"))
+    e.groupBy(col("label").as("clabel"))
       .agg(count(lit(1)).as("cnt"), dimSums: _*)
       .select(col("clabel"),
         array((0 until 64).map(j =>
           (col(s"s$j").cast("double") / KmFixScale.toDouble) / col("cnt")): _*).as("cv"))
       .withColumn("cn", l2norm(col("cv")))
+  }
+
+  /** #178 — CENTROID SEPARATION matrix: rounded cosine between every
+    * pair of label centroids — the cluster-geometry report read beside
+    * emb_silhouette (silhouette says how tight each cluster is; this
+    * says WHICH pairs crowd each other — the confusable classes, and
+    * the merge candidates in taxonomy cleanup). Exact fixed-point
+    * centroids; the pair stage is k² rows of pure projection. */
+  def centroidSeparation(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), toDoubleVec(col("embedding")).as("v"))
+    val cents = labelCentroids(e)
+    val a = cents.select(col("clabel").as("label_a"), col("cv").as("ca"),
+      col("cn").as("na"))
+    val b = cents.select(col("clabel").as("label_b"), col("cv").as("cb"),
+      col("cn").as("nb"))
+    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        when(col("na") * col("nb") === 0.0, lit(-2.0))
+          .otherwise(round(dot(col("ca"), col("cb")) /
+            (col("na") * col("nb")), 6)).as("rcos"))
+  }
+
+  def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+    val cents = labelCentroids(e)
     val centArr = cents
       .agg(sort_array(collect_list(struct(col("clabel"), col("cv"), col("cn")))).as("cents"))
     def rcosOf(c: Column): Column =

@@ -814,6 +814,35 @@ object TimeSeriesOps {
         (col("st.esum") / col("n_days")).as("mae"))
   }
 
+  /** Gap threshold (1 h) and staleness horizon (1 day) for #179. */
+  val GapThreshUs = 3600000000L
+  val StaleHorizonUs = 86400000000L
+
+  /** #179 — per-series LIVENESS / GAP report: for every key, event
+    * count, largest inter-event gap, count of gaps over 1 h, last seen
+    * timestamp, and a stale flag (no event within 1 day of the
+    * corpus's newest point) — the PromQL `absent()` class of check,
+    * run across the whole key space to find silently-dead series
+    * before dashboards do. ONE (ts, event_id)-ordered key shuffle
+    * carries the lag and the rollup; the global horizon is a broadcast
+    * 1-row max; all-integer comparisons. */
+  def gapStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val gmax = ev.agg(max("ts_us").as("gmax"))
+    ev.withColumn("g", col("ts_us") - lag("ts_us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("g").as("max_gap_us"),
+        sum(when(col("g") > GapThreshUs, 1L).otherwise(0L)).as("n_long_gaps"),
+        max("ts_us").as("last_ts_us"))
+      .crossJoin(broadcast(gmax))
+      .select(col("user_id"), col("n_events"), col("max_gap_us"),
+        col("n_long_gaps"), col("last_ts_us"),
+        (col("last_ts_us") < col("gmax") - StaleHorizonUs).as("stale"))
+  }
+
   /** #177 — WEEKLY seasonal profile: event counts + decimal-exact mean
     * value by (type, weekday, hour) — the weekly-rhythm companion to
     * the diurnal #95 (capacity planning and anomaly baselines need

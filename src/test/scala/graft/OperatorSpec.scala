@@ -1307,6 +1307,53 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("centroid separation: exact match with a driver fixed-point recompute") {
+    val S = Similarity.KmFixScale.toDouble
+    val vs = graft.core.Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def d(x: Array[Double], y: Array[Double]) =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+    val cents = vs.groupBy(_._1).map { case (lbl, xs) =>
+      val cv = (0 until 64).map { j =>
+        val sx = xs.map(v => BigInt(math.floor(v._2(j) * S).toLong)).sum
+        (sx.toDouble / S) / xs.length
+      }.toArray
+      lbl -> (cv, math.sqrt(d(cv, cv)))
+    }
+    val labels = cents.keys.toSeq.sorted
+    val expected = (for { a <- labels; b <- labels if a < b } yield {
+      val (ca, na) = cents(a); val (cb, nb) = cents(b)
+      val rc = if (na * nb == 0.0) -2.0
+        else BigDecimal(d(ca, cb) / (na * nb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b) -> rc
+    }).toMap
+    val got = Similarity.centroidSeparation(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == expected)
+  }
+
+  test("gap stats: exact match with a driver liveness recompute") {
+    val ev = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gmax = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (uid, xs) =>
+      val ts = xs.map(x => (x._2, x._3)).sorted.map(_._1)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      uid -> ((xs.length.toLong,
+        if (gaps.isEmpty) None else Some(gaps.max),
+        gaps.count(_ > TimeSeriesOps.GapThreshUs).toLong,
+        ts.max, ts.max < gmax - TimeSeriesOps.StaleHorizonUs))
+    }
+    val got = TimeSeriesOps.gapStats(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == expected)
+  }
+
   test("emb exact dedup: exact match with a driver fingerprint recompute") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s0: String) =
