@@ -1271,6 +1271,19 @@ object OracleSqlGen {
        |  AND bit_count(xor(x.phash, y.phash)) <= ${graft.operators.Multimodal.PhashMaxHam}""".stripMargin
   }
 
+  /** #181 — phash precision: the pair-mining query nested as a CTE,
+    * exact truth via one md5 join, mirrored division. */
+  val mmPhashPrecision: String =
+    s"""WITH pp AS ($mmPhashPairs),
+       |h AS (SELECT doc_id, md5(text) AS h FROM documents)
+       |SELECT pp.ham, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |    AS precision
+       |FROM pp JOIN h a ON a.doc_id = pp.doc_id1
+       |JOIN h b ON b.doc_id = pp.doc_id2
+       |GROUP BY pp.ham""".stripMargin
+
   val streamTumbling: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
       |  count(*) AS cnt,
@@ -1711,6 +1724,23 @@ object OracleSqlGen {
        |      * ((CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0) / n) AS variance,
        |  mn AS min_x, mx AS max_x
        |FROM byd""".stripMargin
+
+  /** #180 — part growth movers: integer month index year·12+month,
+    * the same 10^-4 revenue quanta, one mirrored ratio division,
+    * (growth DESC, part, month) at the cut. */
+  val qPartGrowth: String =
+    """WITH rev AS (SELECT l_partkey,
+      |    year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 10000
+      |      AS HUGEINT) AS rq
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT c.l_partkey, CAST(c.mi AS BIGINT) AS mi,
+      |  CAST(c.rq AS DOUBLE) / 10000.0 AS revenue,
+      |  CAST(p.rq AS DOUBLE) / 10000.0 AS revenue_prev,
+      |  CAST(c.rq - p.rq AS DOUBLE) / CAST(p.rq AS DOUBLE) AS growth
+      |FROM rev c JOIN rev p ON p.l_partkey = c.l_partkey AND p.mi = c.mi - 1
+      |ORDER BY growth DESC, c.l_partkey, c.mi LIMIT 10""".stripMargin
 
   /** #179 — gap/liveness report: one lag window, integer thresholds,
     * broadcast global max horizon. */

@@ -191,6 +191,8 @@ object SparkEntry {
     "emb_dup_exact" -> (Similarity.dupExact _),
     "emb_centroid_separation" -> (Similarity.centroidSeparation _),
     "ts_gap_stats" -> (TimeSeriesOps.gapStats _),
+    "q_part_growth" -> (Analytics.qPartGrowth _),
+    "mm_phash_precision" -> (Multimodal.phashPrecision _),
     "text_vocab_overlap" -> (TextOps.vocabOverlap _),
     "q_purchase_gap_median" -> (Analytics.qPurchaseGapMedian _),
     "ts_weekday_profile" -> (TimeSeriesOps.weekdayProfile _),
@@ -1220,6 +1222,8 @@ object SparkEntry {
     "emb_dup_exact" -> OracleSqlGen.embDupExact,
     "emb_centroid_separation" -> OracleSqlGen.embCentroidSeparation,
     "ts_gap_stats" -> OracleSqlGen.tsGapStats,
+    "q_part_growth" -> OracleSqlGen.qPartGrowth,
+    "mm_phash_precision" -> OracleSqlGen.mmPhashPrecision,
     "text_vocab_overlap" -> OracleSqlGen.textVocabOverlap,
     "q_purchase_gap_median" -> OracleSqlGen.qPurchaseGapMedian,
     "ts_weekday_profile" -> OracleSqlGen.tsWeekdayProfile,

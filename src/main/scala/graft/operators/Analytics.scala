@@ -932,6 +932,37 @@ object Analytics {
           .as("max_concurrent"))
   }
 
+  /** #180 — month-over-month PART GROWTH movers: top-10 (part, month)
+    * cells by revenue growth ratio vs the previous calendar month —
+    * the merchandising "what's taking off" scan (ts_top_movers lifted
+    * to the business fact). Months key on the integer year·12+month
+    * index (pure field extraction — no epoch division can misbucket a
+    * calendar month); revenue stays on the exact 10^-4 quanta grid so
+    * the growth ratio is ONE double division of integers; one fact
+    * shuffle to the checkpointed (part, month) frame, the shift is a
+    * self equi-join on it. */
+  def qPartGrowth(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"),
+        (year(col("l_shipdate").cast("timestamp")) * 12 +
+          month(col("l_shipdate").cast("timestamp"))).cast("long").as("mi"))
+      .agg((sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        * 10000)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rq"))
+      .localCheckpoint()
+    val prev = rev.select(col("l_partkey"), (col("mi") + 1).as("mi"),
+      col("rq").as("rq_prev"))
+    rev.join(prev, Seq("l_partkey", "mi"))
+      .select(col("l_partkey"), col("mi"),
+        (col("rq").cast("double") / 10000.0).as("revenue"),
+        (col("rq_prev").cast("double") / 10000.0).as("revenue_prev"),
+        ((col("rq") - col("rq_prev")).cast("double") /
+          col("rq_prev").cast("double")).as("growth"))
+      .orderBy(col("growth").desc, col("l_partkey"), col("mi"))
+      .limit(10)
+  }
+
   /** #176 — median PURCHASE-GAP per user: the exact doubled-integer
     * median (odd n → 2·middle, even → lower+upper — no division, the
     * ts_anomaly_mad discipline) of the µs gaps between a user's

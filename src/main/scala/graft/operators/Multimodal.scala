@@ -179,6 +179,27 @@ object Multimodal {
       .distinct()
   }
 
+  /** #181 — PHASH PRECISION report: of the near-dup pairs the
+    * fingerprint index surfaces at each hamming distance, what share
+    * are literal payload duplicates — the media-dedup index-quality
+    * gate (the phash twin of dedup_minhash_est: before trusting
+    * fingerprint-only dedup at 100 TB, measure how often it's right
+    * where exact truth is checkable). Pairs come from the staged
+    * probe; the exact check is one md5-per-doc join — payload bytes
+    * still never shuffle. Integer counts, one mirrored division. */
+  def phashPrecision(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    phashPairs(s, dir)
+      .join(h.select(col("doc_id").as("doc_id1"), col("h").as("h1")), "doc_id1")
+      .join(h.select(col("doc_id").as("doc_id2"), col("h").as("h2")), "doc_id2")
+      .groupBy("ham")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_exact"))
+      .select(col("ham"), col("n_pairs"), col("n_exact"),
+        (col("n_exact").cast("double") / col("n_pairs")).as("precision"))
+  }
+
   /** #110 — INCREMENTAL payload near-dup: match only a NEW batch of
     * blobs (doc_id ≡ IncrRem mod IncrMod — the same deterministic
     * "today's documents" slice as dedup_incremental) against the

@@ -1307,6 +1307,40 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("part growth: exact top-10 match with a driver MoM recompute") {
+    val rev = graft.core.Tables.lineitem(spark, Sf)
+      .groupBy(col("l_partkey"),
+        (year(col("l_shipdate").cast("timestamp")) * 12 +
+          month(col("l_shipdate").cast("timestamp"))).cast("long").as("mi"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        * 10000).cast("decimal(38,0)").as("rq"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        BigInt(r.getDecimal(2).toBigInteger))).toMap
+    val expected = rev.toSeq.flatMap { case ((pk, mi), rq) =>
+      rev.get((pk, mi - 1)).map { prev =>
+        ((pk, mi), (rq.toDouble / 10000.0, prev.toDouble / 10000.0,
+          (rq - prev).toDouble / prev.toDouble))
+      }
+    }.sortBy { case ((pk, mi), (_, _, g)) => (-g, pk, mi) }.take(10).toList
+    val got = Analytics.qPartGrowth(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toList
+    assert(got == expected)
+  }
+
+  test("phash precision: pairs partition by hamming; exact share consistent") {
+    val rows = operators.Multimodal.phashPrecision(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nPairs = operators.Multimodal.phashPairs(spark, Sf).count()
+    assert(rows.map(_._2).sum == nPairs, "per-ham counts partition the pair set")
+    rows.foreach { case (ham, np, ne, prec) =>
+      assert(ham >= 0 && ham <= operators.Multimodal.PhashMaxHam)
+      assert(ne <= np && prec == ne.toDouble / np)
+    }
+  }
+
   test("centroid separation: exact match with a driver fixed-point recompute") {
     val S = Similarity.KmFixScale.toDouble
     val vs = graft.core.Tables.embeddings(spark, Sf).collect()
