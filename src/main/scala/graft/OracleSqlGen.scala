@@ -1742,6 +1742,37 @@ object OracleSqlGen {
       |FROM rev c JOIN rev p ON p.l_partkey = c.l_partkey AND p.mi = c.mi - 1
       |ORDER BY growth DESC, c.l_partkey, c.mi LIMIT 10""".stripMargin
 
+  /** #182 — value bands: the same integer-cent order-statistic
+    * selection at the ⌈0.1n⌉ / ⌈0.9n⌉ ranks, mirrored /100.0. */
+  val tsValueBands: String =
+    """WITH cc AS (SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+      |r AS (SELECT user_id, c,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY c, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM cc)
+      |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+      |  CAST(min(CASE WHEN rn * 10 >= n THEN c END) AS DOUBLE) / 100.0
+      |    AS p10_value,
+      |  CAST(min(CASE WHEN rn * 10 >= n * 9 THEN c END) AS DOUBLE) / 100.0
+      |    AS p90_value
+      |FROM r GROUP BY user_id""".stripMargin
+
+  /** #183 — Rayleigh quotient: the powerIter query nested as a CTE,
+    * both quadratic forms as the same left-to-right folds, one final
+    * division. */
+  val embRayleigh: String =
+    s"""WITH pw AS ($embPowerIter),
+       |ya AS (SELECT list(y ORDER BY dim) AS ys, max(n_vecs) AS n_vecs FROM pw),
+       |x AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xv
+       |  FROM embeddings WHERE vec_id = 0)
+       |SELECT n_vecs, num, den, num / den AS lambda_hat FROM (
+       |  SELECT ya.n_vecs,
+       |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+       |      j -> ys[j] * xv[j])), (p, q) -> p + q) AS num,
+       |    ${dot("xv", "xv")} AS den
+       |  FROM ya, x)""".stripMargin
+
   /** #179 — gap/liveness report: one lag window, integer thresholds,
     * broadcast global max horizon. */
   val tsGapStats: String =

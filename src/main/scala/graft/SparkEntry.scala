@@ -193,6 +193,8 @@ object SparkEntry {
     "ts_gap_stats" -> (TimeSeriesOps.gapStats _),
     "q_part_growth" -> (Analytics.qPartGrowth _),
     "mm_phash_precision" -> (Multimodal.phashPrecision _),
+    "ts_value_bands" -> (TimeSeriesOps.valueBands _),
+    "emb_rayleigh" -> (Similarity.rayleigh _),
     "text_vocab_overlap" -> (TextOps.vocabOverlap _),
     "q_purchase_gap_median" -> (Analytics.qPurchaseGapMedian _),
     "ts_weekday_profile" -> (TimeSeriesOps.weekdayProfile _),
@@ -1224,6 +1226,8 @@ object SparkEntry {
     "ts_gap_stats" -> OracleSqlGen.tsGapStats,
     "q_part_growth" -> OracleSqlGen.qPartGrowth,
     "mm_phash_precision" -> OracleSqlGen.mmPhashPrecision,
+    "ts_value_bands" -> OracleSqlGen.tsValueBands,
+    "emb_rayleigh" -> OracleSqlGen.embRayleigh,
     "text_vocab_overlap" -> OracleSqlGen.textVocabOverlap,
     "q_purchase_gap_median" -> OracleSqlGen.qPurchaseGapMedian,
     "ts_weekday_profile" -> OracleSqlGen.tsWeekdayProfile,

@@ -959,6 +959,30 @@ object Similarity {
         col("col.min_x").as("min_x"), col("col.max_x").as("max_x"))
   }
 
+  /** #183 — RAYLEIGH QUOTIENT of the power-iteration step: λ̂ =
+    * (xᵀ(VᵀV)x) / (xᵀx) — the leading-eigenvalue (top principal
+    * variance) estimate that turns #112's matvec into the "how
+    * anisotropic is this embedding space" number (a dominant direction
+    * means cosine similarities are inflated and whitening is due). The
+    * matvec y reuses powerIter's exact fixed-point machinery; the two
+    * quadratic forms fold sequentially over the dim-sorted 64-row
+    * frame collapsed to one array — deterministic left-to-right on
+    * both engines; ONE final division. */
+  def rayleigh(s: SparkSession, dir: String): DataFrame = {
+    val y = powerIter(s, dir)
+      .agg(sort_array(collect_list(struct(col("dim"), col("y")))).as("ys"),
+        max("n_vecs").as("n_vecs"))
+    val x = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(toDoubleVec(col("embedding")).as("xv"))
+    y.crossJoin(broadcast(x))
+      .withColumn("num", aggregate(col("ys"), lit(0.0),
+        (acc, c) => acc + c.getField("y") *
+          element_at(col("xv"), c.getField("dim").cast("int"))))
+      .withColumn("den", dot(col("xv"), col("xv")))
+      .select(col("n_vecs"), col("num"), col("den"),
+        (col("num") / col("den")).as("lambda_hat"))
+  }
+
   /** #153 — simplified (centroid) silhouette per label: the standard
     * cluster-quality score s = (b − a) / max(a, b) with a = cosine
     * distance to the OWN label centroid and b = distance to the nearest

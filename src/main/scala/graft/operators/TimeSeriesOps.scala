@@ -814,6 +814,31 @@ object TimeSeriesOps {
         (col("st.esum") / col("n_days")).as("mae"))
   }
 
+  /** #182 — per-key VALUE BANDS: exact p10 / p90 envelope of each
+    * series' values (integer cents, order-statistic selection — p10 =
+    * first rank with 10·rn ≥ n, p90 with 10·rn ≥ 9·n, the
+    * doc_len_percentiles discipline) — the per-series normal band an
+    * anomaly UI shades behind the line, exact where a t-digest drifts.
+    * ONE key shuffle shared by the rank window and both full-partition
+    * conditional mins; partitions bounded per key. */
+  def valueBands(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id")
+    val w = byKey.orderBy(col("c"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("p10c",
+        min(when(col("rn") * 10 >= col("n"), col("c"))).over(byKey))
+      .withColumn("p90c",
+        min(when(col("rn") * 10 >= col("n") * 9, col("c"))).over(byKey))
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"),
+        (max("p10c").cast("double") / 100.0).as("p10_value"),
+        (max("p90c").cast("double") / 100.0).as("p90_value"))
+  }
+
   /** Gap threshold (1 h) and staleness horizon (1 day) for #179. */
   val GapThreshUs = 3600000000L
   val StaleHorizonUs = 86400000000L

@@ -1307,6 +1307,40 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("value bands: exact order-statistic match with a driver recompute") {
+    val ev = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (uid, xs) =>
+      val cs = xs.map(x => (x._3, x._2)).sorted.map(_._1)
+      val n = cs.length
+      def at(num: Int, den: Int) =
+        cs((0 until n).find(i => (i + 1) * den >= n * num).get)
+      uid -> ((n.toLong, at(1, 10).toDouble / 100.0, at(9, 10).toDouble / 100.0))
+    }
+    val got = TimeSeriesOps.valueBands(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got == expected)
+    got.values.foreach { case (_, p10, p90) => assert(p10 <= p90) }
+  }
+
+  test("rayleigh: consistent with the power-iteration output; positive") {
+    val y = Similarity.powerIter(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    val x = vecsOf().find(_._1 == 0L).get._2
+    def d(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val num = y.indices.foldLeft(0.0)((acc, j) => acc + y(j) * x(j))
+    val r = Similarity.rayleigh(spark, Sf).head()
+    assert(r.getAs[Double]("num") == num)
+    assert(r.getAs[Double]("den") == d(x, x))
+    assert(r.getAs[Double]("lambda_hat") == num / d(x, x))
+    // VᵀV is PSD, so the quotient must be non-negative
+    assert(r.getAs[Double]("lambda_hat") >= 0.0)
+  }
+
   test("part growth: exact top-10 match with a driver MoM recompute") {
     val rev = graft.core.Tables.lineitem(spark, Sf)
       .groupBy(col("l_partkey"),
