@@ -1742,6 +1742,22 @@ object OracleSqlGen {
       |FROM rev c JOIN rev p ON p.l_partkey = c.l_partkey AND p.mi = c.mi - 1
       |ORDER BY growth DESC, c.l_partkey, c.mi LIMIT 10""".stripMargin
 
+  /** #184 — shard diversity: the same md5 shard buckets as
+    * doc_shard_assign, integer Σc², mirrored 1 − ss/n² chain. */
+  val docShardDiversity: String = {
+    val ns = graft.operators.TextOps.NumShards
+    s"""WITH per AS (SELECT
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $ns
+       |      AS shard,
+       |    source, count(*) AS c
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_sources,
+       |  1.0 - CAST(sum(c * c) AS DOUBLE) /
+       |    (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS simpson
+       |FROM per GROUP BY shard""".stripMargin
+  }
+
   /** #182 — value bands: the same integer-cent order-statistic
     * selection at the ⌈0.1n⌉ / ⌈0.9n⌉ ranks, mirrored /100.0. */
   val tsValueBands: String =

@@ -195,6 +195,7 @@ object SparkEntry {
     "mm_phash_precision" -> (Multimodal.phashPrecision _),
     "ts_value_bands" -> (TimeSeriesOps.valueBands _),
     "emb_rayleigh" -> (Similarity.rayleigh _),
+    "doc_shard_diversity" -> (TextOps.shardDiversity _),
     "text_vocab_overlap" -> (TextOps.vocabOverlap _),
     "q_purchase_gap_median" -> (Analytics.qPurchaseGapMedian _),
     "ts_weekday_profile" -> (TimeSeriesOps.weekdayProfile _),
@@ -1228,6 +1229,7 @@ object SparkEntry {
     "mm_phash_precision" -> OracleSqlGen.mmPhashPrecision,
     "ts_value_bands" -> OracleSqlGen.tsValueBands,
     "emb_rayleigh" -> OracleSqlGen.embRayleigh,
+    "doc_shard_diversity" -> OracleSqlGen.docShardDiversity,
     "text_vocab_overlap" -> OracleSqlGen.textVocabOverlap,
     "q_purchase_gap_median" -> OracleSqlGen.qPurchaseGapMedian,
     "ts_weekday_profile" -> OracleSqlGen.tsWeekdayProfile,

@@ -743,6 +743,32 @@ object TextOps {
         (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
   }
 
+  /** #184 — SHARD MIX DIVERSITY: per output shard (the #123
+    * doc_shard_assign buckets), the Simpson diversity index of its
+    * source mix — 1 − Σ(nₛ/n)² — the shard-health check before
+    * training reads the shards sequentially (a shard dominated by one
+    * source makes that training window distribution-skewed; hash
+    * sharding should score near the corpus-wide mix). Simpson over
+    * Shannon BY DESIGN: it is a ratio of integers with one IEEE
+    * division chain (ln() is not correctly rounded cross-engine — the
+    * mm_byte_ioc argument). One combinable (shard, source) count, one
+    * shard rollup. */
+  def shardDiversity(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(NumShards)))
+      .groupBy("shard", "source").agg(count(lit(1)).as("c"))
+    per.groupBy("shard")
+      .agg(sum("c").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("shard"), col("n_docs"), col("n_sources"),
+        (lit(1.0) - col("ss").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("simpson"))
+  }
+
   /** #175 — SOURCE VOCABULARY OVERLAP: pairwise Jaccard between the
     * distinct word vocabularies of every source pair — the corpus-
     * comparison matrix consulted when designing mixtures (two feeds

@@ -1307,6 +1307,30 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("shard diversity: exact match with a driver Simpson recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shardOf(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % TextOps.NumShards
+    }
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "source").collect()
+      .map(r => (shardOf(r.getLong(0)), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (sh, xs) =>
+      val bySrc = xs.groupBy(_._2).map(_._2.size.toLong)
+      val n = xs.length.toLong
+      sh -> ((n, bySrc.size.toLong,
+        1.0 - bySrc.map(c => c * c).sum.toDouble / (n.toDouble * n.toDouble)))
+    }
+    val got = TextOps.shardDiversity(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == expected)
+    // hash sharding must keep every shard well-mixed
+    got.values.foreach { case (_, _, sim) => assert(sim > 0.5) }
+  }
+
   test("value bands: exact order-statistic match with a driver recompute") {
     val ev = graft.core.Tables.events(spark, Sf)
       .select(col("user_id"), col("event_id"),
