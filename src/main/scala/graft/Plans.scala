@@ -68,7 +68,10 @@ object Plans {
       "mm_scene_cuts" -> "Shot boundaries decode-free: one regex pair-split + codegen conv per byte; the per-frame sum IS the groupBy's map-side combine (32:1 before the shuffle); payload bytes stay in the scan stage.",
       "dedup_span_removal" -> "Span excision: spans collapse to one per-doc array off the staged-probe miner; removal is an in-array indexed filter (tokens x spans of ONE doc); the only corpus-shaped stages are the doc-keyed join and the token projection.",
       "helix_scan_range" -> "Store-served scan: the staged HelixStore's bucket partition filter + pushed (key, ts) predicates reach the block parquet; compacted fast path = no LWW rank window anywhere in the plan.",
-      "q_abc_analysis" -> "Pareto cut: one fact shuffle to the checkpointed per-part revenue; the cumulative window and total ride the part-dimension frame; every class compare is an integer cross-product.")
+      "q_abc_analysis" -> "Pareto cut: one fact shuffle to the checkpointed per-part revenue; the cumulative window and total ride the part-dimension frame; every class compare is an integer cross-product.",
+      "ts_value_bands" -> "Exact percentile envelope: the rank window and both full-partition conditional mins share ONE user_id shuffle; selection is all-integer on cents.",
+      "emb_rayleigh" -> "Eigenvalue estimate at matvec cost: the 64-row powerIter output collapses to one array row; both quadratic forms are sequential in-array folds over a broadcast pair of rows.",
+      "mm_phash_precision" -> "Index-quality gate: staged-probe pairs + one md5-per-doc join; payload bytes never enter the plan; per-ham rollup is a combinable count.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")
