@@ -1742,6 +1742,21 @@ object OracleSqlGen {
       |FROM rev c JOIN rev p ON p.l_partkey = c.l_partkey AND p.mi = c.mi - 1
       |ORDER BY growth DESC, c.l_partkey, c.mi LIMIT 10""".stripMargin
 
+  /** #185 — LSH recall: both registered pipelines nested as CTEs, one
+    * pair intersection, two mirrored divisions. */
+  val dedupLshRecall: String =
+    s"""WITH ex AS ($dedupNgramJaccard),
+       |ls AS ($dedupMinhashLsh),
+       |hit AS (SELECT count(*) AS n_hit FROM ex
+       |  JOIN ls ON ls.doc_id1 = ex.doc_id1 AND ls.doc_id2 = ex.doc_id2),
+       |ne AS (SELECT count(*) AS n_exact FROM ex),
+       |nl AS (SELECT count(*) AS n_lsh FROM ls)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_hit AS DOUBLE) / n_exact AS recall,
+       |  CAST(n_hit AS DOUBLE) / n_lsh AS precision
+       |FROM ne, nl, hit""".stripMargin
+
   /** #184 — shard diversity: the same md5 shard buckets as
     * doc_shard_assign, integer Σc², mirrored 1 − ss/n² chain. */
   val docShardDiversity: String = {

@@ -196,6 +196,7 @@ object SparkEntry {
     "ts_value_bands" -> (TimeSeriesOps.valueBands _),
     "emb_rayleigh" -> (Similarity.rayleigh _),
     "doc_shard_diversity" -> (TextOps.shardDiversity _),
+    "dedup_lsh_recall" -> (Dedup.lshRecall _),
     "text_vocab_overlap" -> (TextOps.vocabOverlap _),
     "q_purchase_gap_median" -> (Analytics.qPurchaseGapMedian _),
     "ts_weekday_profile" -> (TimeSeriesOps.weekdayProfile _),
@@ -1230,6 +1231,7 @@ object SparkEntry {
     "ts_value_bands" -> OracleSqlGen.tsValueBands,
     "emb_rayleigh" -> OracleSqlGen.embRayleigh,
     "doc_shard_diversity" -> OracleSqlGen.docShardDiversity,
+    "dedup_lsh_recall" -> OracleSqlGen.dedupLshRecall,
     "text_vocab_overlap" -> OracleSqlGen.textVocabOverlap,
     "q_purchase_gap_median" -> OracleSqlGen.qPurchaseGapMedian,
     "ts_weekday_profile" -> OracleSqlGen.tsWeekdayProfile,

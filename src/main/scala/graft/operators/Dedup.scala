@@ -139,6 +139,27 @@ object Dedup {
     * exact set intersection over the full shingle sets. Jaccard is over
     * distinct 52-bit [[shingleHash]]ed shingles; the oracle hashes
     * identically, so the two engines agree bit-for-bit. */
+  /** #185 — LSH RECALL report: |LSH ∩ exact| / |exact| over the
+    * jaccard-duplicate pairs — the text-dedup leg of the index-health
+    * matrix (emb_ivf_recall / ann_pq_recall / mm_phash_precision for
+    * their indexes): before an exact verify pass is dropped at 100 TB,
+    * measure how much the banded probe actually recovers at the scale
+    * where exact truth is still computable. Both sides are the
+    * registered staged-probe pipelines; the intersection is one
+    * pair-keyed join; 1-row output, two mirrored divisions. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(s, dir).localCheckpoint()
+    val lsh = minhashLsh(s, dir)
+    val hit = exact.join(lsh, Seq("doc_id1", "doc_id2"))
+      .agg(count(lit(1)).as("n_hit"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(broadcast(hit))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"),
+        (col("n_hit").cast("double") / col("n_lsh")).as("precision"))
+  }
+
   /** Staged rset/ path accessor for cross-file consumers (TextOps #155). */
   def tokensIndexRset(s: SparkSession, dir: String): String =
     DedupIndex.ensure(s, dir).rset

@@ -1307,6 +1307,20 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("lsh recall report: consistent with the two registered pair sets") {
+    val ex = Dedup.ngramJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = Dedup.lshRecall(spark, Sf).head()
+    assert(r.getAs[Long]("n_exact") == ex.size)
+    assert(r.getAs[Long]("n_lsh") == ls.size)
+    assert(r.getAs[Long]("n_hit") == (ex & ls).size)
+    assert(r.getAs[Double]("recall") == (ex & ls).size.toDouble / ex.size)
+    // verified-candidate pairs are a subset of exact ⇒ precision is 1
+    assert(r.getAs[Double]("precision") == 1.0)
+  }
+
   test("shard diversity: exact match with a driver Simpson recompute") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def shardOf(id: Long): Long = {
