@@ -1773,6 +1773,23 @@ object OracleSqlGen {
        |FROM per GROUP BY shard""".stripMargin
   }
 
+  /** #186 — mix shift: same fixed type basis, day-value self-join,
+    * the L1 chain of share divisions mirrored term by term. */
+  val tsMixShift: String = {
+    val ts0 = graft.operators.TimeSeriesOps.MixTypes
+    val counts = ts0.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS c$i" }.mkString(", ")
+    val l1 = ts0.indices.map(i =>
+      s"abs(CAST(c.c$i AS DOUBLE) / c.n - CAST(p.c$i AS DOUBLE) / p.n)")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH per AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS n,
+       |    $counts
+       |  FROM events GROUP BY 1)
+       |SELECT c.d * 86400000000 AS day_us, CAST(c.n AS BIGINT) AS n_events,
+       |  CAST(p.n AS BIGINT) AS n_prev, $l1 AS mix_shift
+       |FROM per c JOIN per p ON p.d = c.d - 1""".stripMargin
+  }
+
   /** #182 — value bands: the same integer-cent order-statistic
     * selection at the ⌈0.1n⌉ / ⌈0.9n⌉ ranks, mirrored /100.0. */
   val tsValueBands: String =

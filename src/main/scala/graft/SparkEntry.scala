@@ -197,6 +197,7 @@ object SparkEntry {
     "emb_rayleigh" -> (Similarity.rayleigh _),
     "doc_shard_diversity" -> (TextOps.shardDiversity _),
     "dedup_lsh_recall" -> (Dedup.lshRecall _),
+    "ts_mix_shift" -> (TimeSeriesOps.mixShift _),
     "text_vocab_overlap" -> (TextOps.vocabOverlap _),
     "q_purchase_gap_median" -> (Analytics.qPurchaseGapMedian _),
     "ts_weekday_profile" -> (TimeSeriesOps.weekdayProfile _),
@@ -1232,6 +1233,7 @@ object SparkEntry {
     "emb_rayleigh" -> OracleSqlGen.embRayleigh,
     "doc_shard_diversity" -> OracleSqlGen.docShardDiversity,
     "dedup_lsh_recall" -> OracleSqlGen.dedupLshRecall,
+    "ts_mix_shift" -> OracleSqlGen.tsMixShift,
     "text_vocab_overlap" -> OracleSqlGen.textVocabOverlap,
     "q_purchase_gap_median" -> OracleSqlGen.qPurchaseGapMedian,
     "ts_weekday_profile" -> OracleSqlGen.tsWeekdayProfile,

@@ -814,6 +814,38 @@ object TimeSeriesOps {
         (col("st.esum") / col("n_days")).as("mae"))
   }
 
+  /** Fixed event-type basis for the mix-shift L1 fold (sorted — the
+    * fold order is part of the cross-engine contract). */
+  val MixTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** #186 — day-over-day MIX SHIFT: L1 distance between consecutive
+    * days' event-type share vectors — the ingest-distribution drift
+    * monitor every training-data pipeline runs daily (a feed silently
+    * changing its mix shows here before any model metric moves; L1 is
+    * total-variation ×2). ONE corpus scan folds to per-day conditional
+    * counts (checkpointed); the shift is a day-VALUE self-join (the
+    * ts_dod_wow discipline — a lag window would silently compare
+    * across gaps) and the L1 folds over the FIXED sorted type basis in
+    * one mirrored chain of share divisions. */
+  def mixShift(s: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: MixTypes.zipWithIndex.map {
+      case (t, i) =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val per = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    val prev = per.select((col("d") + 1).as("d") +: col("n").as("pn") +:
+      MixTypes.indices.map(i => col(s"c$i").as(s"p$i")): _*)
+    val l1 = MixTypes.indices.map(i =>
+      abs(col(s"c$i").cast("double") / col("n") -
+        col(s"p$i").cast("double") / col("pn"))).reduce(_ + _)
+    per.join(prev, "d")
+      .select((col("d") * 86400000000L).as("day_us"),
+        col("n").as("n_events"), col("pn").as("n_prev"), l1.as("mix_shift"))
+  }
+
   /** #182 — per-key VALUE BANDS: exact p10 / p90 envelope of each
     * series' values (integer cents, order-statistic selection — p10 =
     * first rank with 10·rn ≥ n, p90 with 10·rn ≥ 9·n, the

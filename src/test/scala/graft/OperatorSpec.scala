@@ -1307,6 +1307,29 @@ class OperatorSpec extends SparkTestBase {
       s"nn-descent recall $rRecall dropped below graph recall $gRecall")
   }
 
+  test("mix shift: exact match with a driver L1 recompute; bounded by 2") {
+    val ev = graft.core.Tables.events(spark, Sf)
+      .select(expr("unix_micros(ts) div 86400000000"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val types = TimeSeriesOps.MixTypes
+    val perDay = ev.groupBy(_._1).map { case (d, xs) =>
+      d -> ((xs.length.toLong, types.map(t => xs.count(_._2 == t).toLong)))
+    }
+    val expected = perDay.flatMap { case (d, (n, cs)) =>
+      perDay.get(d - 1).map { case (pn, ps) =>
+        val l1 = types.indices
+          .map(i => math.abs(cs(i).toDouble / n - ps(i).toDouble / pn))
+          .reduce(_ + _)
+        (d * 86400000000L) -> ((n, pn, l1))
+      }
+    }
+    val got = TimeSeriesOps.mixShift(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == expected)
+    got.values.foreach { case (_, _, l1) => assert(l1 >= 0.0 && l1 <= 2.0) }
+  }
+
   test("lsh recall report: consistent with the two registered pair sets") {
     val ex = Dedup.ngramJaccard(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
