@@ -1521,7 +1521,8 @@ object OracleSqlGen {
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val score = terms.indices.map(i =>
-      s"tf$i * (CAST(n AS DOUBLE) / df$i)").reduce((a, b) => s"($a + $b)")
+      s"CASE WHEN df$i = 0 THEN 0.0 ELSE tf$i * (CAST(n AS DOUBLE) / df$i) END")
+      .reduce((a, b) => s"($a + $b)")
     val tfCols = terms.indices.map(i => s"CAST(tf$i AS BIGINT) AS tf$i").mkString(", ")
     s"""WITH $toksCte,
        |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
@@ -1667,7 +1668,7 @@ object OracleSqlGen {
        |dfq AS (SELECT g, count(*) AS df FROM shg GROUP BY 1)
        |SELECT s.doc_id, CAST(z.n AS BIGINT) AS n_shingles,
        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / z.n
+       |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(z.n, 0)
        |    AS dup_frac
        |FROM shg s JOIN dfq d ON d.g = s.g JOIN szg z ON z.doc_id = s.doc_id
        |GROUP BY s.doc_id, z.n""".stripMargin
@@ -1753,8 +1754,8 @@ object OracleSqlGen {
        |nl AS (SELECT count(*) AS n_lsh FROM ls)
        |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
        |  CAST(n_hit AS BIGINT) AS n_hit,
-       |  CAST(n_hit AS DOUBLE) / n_exact AS recall,
-       |  CAST(n_hit AS DOUBLE) / n_lsh AS precision
+       |  CAST(n_hit AS DOUBLE) / NULLIF(n_exact, 0) AS recall,
+       |  CAST(n_hit AS DOUBLE) / NULLIF(n_lsh, 0) AS precision
        |FROM ne, nl, hit""".stripMargin
 
   /** #184 — shard diversity: the same md5 shard buckets as
@@ -1774,13 +1775,17 @@ object OracleSqlGen {
   }
 
   /** #186 — mix shift: same fixed type basis, day-value self-join,
-    * the L1 chain of share divisions mirrored term by term. */
+    * the L1 chain of share divisions mirrored term by term, residual
+    * "other" mass (n − Σcᵢ) appended last exactly as the Scala fold. */
   val tsMixShift: String = {
     val ts0 = graft.operators.TimeSeriesOps.MixTypes
     val counts = ts0.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS c$i" }.mkString(", ")
-    val l1 = ts0.indices.map(i =>
-      s"abs(CAST(c.c$i AS DOUBLE) / c.n - CAST(p.c$i AS DOUBLE) / p.n)")
+    def other(a: String, n: String) =
+      ts0.indices.map(i => s"$a.c$i").mkString(s"$a.$n - ", " - ", "")
+    val l1 = (ts0.indices.map(i =>
+      s"abs(CAST(c.c$i AS DOUBLE) / c.n - CAST(p.c$i AS DOUBLE) / p.n)") :+
+      s"abs(CAST(${other("c", "n")} AS DOUBLE) / c.n - CAST(${other("p", "n")} AS DOUBLE) / p.n)")
       .reduce((a, b) => s"($a + $b)")
     s"""WITH per AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS n,
        |    $counts

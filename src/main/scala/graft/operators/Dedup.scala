@@ -152,12 +152,17 @@ object Dedup {
     val lsh = minhashLsh(s, dir)
     val hit = exact.join(lsh, Seq("doc_id1", "doc_id2"))
       .agg(count(lit(1)).as("n_hit"))
+    // empty-denominator guard: a corpus with no duplicate pairs reports
+    // NULL recall/precision (mirrored by NULLIF in the oracle) instead
+    // of relying on both engines' IEEE x/0 conventions agreeing
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
       .crossJoin(broadcast(hit))
       .select(col("n_exact"), col("n_lsh"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_exact")).as("recall"),
-        (col("n_hit").cast("double") / col("n_lsh")).as("precision"))
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_exact")).as("recall"),
+        when(col("n_lsh") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_lsh")).as("precision"))
   }
 
   /** Staged rset/ path accessor for cross-file consumers (TextOps #155). */

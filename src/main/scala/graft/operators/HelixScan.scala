@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{HelixStore, StoreOptions, Tables}
@@ -21,13 +21,23 @@ import graft.core.{HelixStore, StoreOptions, Tables}
 object HelixScan {
   private def opts = StoreOptions(numShards = 8, bucketSize = 86400000000L)
 
+  /** Zero-pad a numeric key component. lpad silently TRUNCATES values
+    * wider than the pad, which would mangle keys, LWW uniqueness and
+    * the range bounds below — an id past the width must fail LOUDLY
+    * rather than silently diverge from the oracle on a larger corpus. */
+  private def padded(c: Column, width: Int, what: String): Column =
+    when(length(c.cast("string")) > width,
+      raise_error(concat(lit(s"$what exceeds $width digits for store key encoding: "),
+        c.cast("string"))).cast("string"))
+      .otherwise(lpad(c.cast("string"), width, "0"))
+
   /** Events → entry batch: key = zero-padded "user-event" (unique, so
     * LWW can never collapse two source rows), ts = epoch-µs, value =
     * exact integer cents as ASCII bytes. */
   private[operators] def entriesOf(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
-      concat(lpad(col("user_id").cast("string"), 6, "0"), lit("-"),
-        lpad(col("event_id").cast("string"), 10, "0")).cast("binary").as("key"),
+      concat(padded(col("user_id"), 6, "user_id"), lit("-"),
+        padded(col("event_id"), 10, "event_id")).cast("binary").as("key"),
       unix_micros(col("ts")).as("ts"),
       (col("value").cast("decimal(18,2)") * 100).cast("long")
         .cast("string").cast("binary").as("value"))
@@ -42,10 +52,33 @@ object HelixScan {
     base.resolve("store").toString
   }
 
+  // One OPEN read-only store per staged path: HelixStore.open starts a
+  // lock-heartbeat daemon, so opening per query invocation leaked one
+  // executor+thread per run. The staged store is immutable after
+  // ensure(), so a single cached handle (whose kv/kc caches then also
+  // persist across point reads) serves every consumer; closed on JVM
+  // exit and by clear().
+  private val openStores =
+    scala.collection.mutable.LinkedHashMap.empty[String, HelixStore]
+  private def storeFor(s: SparkSession, dir: String): HelixStore =
+    openStores.synchronized {
+      openStores.getOrElseUpdate(ensure(s, dir),
+        HelixStore.open(s, ensure(s, dir), opts))
+    }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => closeStores(),
+      "graft-helixscan-close"))
+  }
+  private def closeStores(): Unit = openStores.synchronized {
+    openStores.valuesIterator.foreach(st =>
+      try st.close() catch { case _: Throwable => () })
+    openStores.clear()
+  }
+
   /** #170 — time × key rectangle scan SERVED BY THE STORE (same bounds
     * as ts_scan_range: users 10–50, 2024-01-05 ≤ ts < 2024-01-12). */
   def scanRange(s: SparkSession, dir: String): DataFrame = {
-    val st = HelixStore.open(s, ensure(s, dir), opts)
+    val st = storeFor(s, dir)
     val lo = java.time.Instant.parse("2024-01-05T00:00:00Z")
       .toEpochMilli * 1000L
     val hi = java.time.Instant.parse("2024-01-12T00:00:00Z")
@@ -59,6 +92,6 @@ object HelixScan {
         col("value").cast("string").cast("long").as("cents"))
   }
 
-  /** Test hook: see [[Staging.clear]]. */
-  def clear(): Unit = Staging.clear()
+  /** Test hook: close cached stores, then see [[Staging.clear]]. */
+  def clear(): Unit = { closeStores(); Staging.clear() }
 }

@@ -740,7 +740,11 @@ object TextOps {
       .agg(max(col("n")).as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
-        (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
+        // n=0 cannot occur today (rset rows come from exploded shingles)
+        // but the guard keeps an empty set NULL, never engine-NaN
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(col("n_dup").cast("double") / col("n_shingles"))
+          .as("dup_frac"))
   }
 
   /** #184 — SHARD MIX DIVERSITY: per output shard (the #123
@@ -843,8 +847,11 @@ object TextOps {
       sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = tf.agg(dfAggs.head, dfAggs.tail: _*)
     val nTotal = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+    // df=0 guard: a term absent from the corpus contributes 0, not the
+    // NaN that 0 · (n/0) would produce (CASE mirrored by the oracle)
     val score = terms.indices.map(i =>
-        col(s"tf$i") * (col("nn").cast("double") / col(s"df$i")))
+        when(col(s"df$i") === 0, lit(0.0))
+          .otherwise(col(s"tf$i") * (col("nn").cast("double") / col(s"df$i"))))
       .reduce(_ + _)
     tf.crossJoin(broadcast(stats)).crossJoin(broadcast(nTotal))
       .select(col("doc_id") +:

@@ -826,7 +826,12 @@ object TimeSeriesOps {
     * counts (checkpointed); the shift is a day-VALUE self-join (the
     * ts_dod_wow discipline — a lag window would silently compare
     * across gaps) and the L1 folds over the FIXED sorted type basis in
-    * one mirrored chain of share divisions. */
+    * one mirrored chain of share divisions, PLUS a residual "other"
+    * component (n − Σcᵢ) appended last: an event type outside the
+    * hardcoded basis (a newly introduced type — exactly the ingest
+    * change this monitor exists to catch) contributes its mass to the
+    * distance directly instead of showing up only as uniform
+    * attenuation of the known types' shares. */
   def mixShift(s: SparkSession, dir: String): DataFrame = {
     val aggs = count(lit(1)).as("n") +: MixTypes.zipWithIndex.map {
       case (t, i) =>
@@ -838,9 +843,15 @@ object TimeSeriesOps {
       .localCheckpoint()
     val prev = per.select((col("d") + 1).as("d") +: col("n").as("pn") +:
       MixTypes.indices.map(i => col(s"c$i").as(s"p$i")): _*)
-    val l1 = MixTypes.indices.map(i =>
+    val curOther = MixTypes.indices.map(i => col(s"c$i"))
+      .foldLeft(col("n"))(_ - _)
+    val prevOther = MixTypes.indices.map(i => col(s"p$i"))
+      .foldLeft(col("pn"))(_ - _)
+    val l1 = (MixTypes.indices.map(i =>
       abs(col(s"c$i").cast("double") / col("n") -
-        col(s"p$i").cast("double") / col("pn"))).reduce(_ + _)
+        col(s"p$i").cast("double") / col("pn"))) :+
+      abs(curOther.cast("double") / col("n") -
+        prevOther.cast("double") / col("pn"))).reduce(_ + _)
     per.join(prev, "d")
       .select((col("d") * 86400000000L).as("day_us"),
         col("n").as("n_events"), col("pn").as("n_prev"), l1.as("mix_shift"))

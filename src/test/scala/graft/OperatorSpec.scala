@@ -1317,8 +1317,9 @@ class OperatorSpec extends SparkTestBase {
     }
     val expected = perDay.flatMap { case (d, (n, cs)) =>
       perDay.get(d - 1).map { case (pn, ps) =>
-        val l1 = types.indices
-          .map(i => math.abs(cs(i).toDouble / n - ps(i).toDouble / pn))
+        val l1 = (types.indices
+          .map(i => math.abs(cs(i).toDouble / n - ps(i).toDouble / pn)) :+
+          math.abs((n - cs.sum).toDouble / n - (pn - ps.sum).toDouble / pn))
           .reduce(_ + _)
         (d * 86400000000L) -> ((n, pn, l1))
       }
