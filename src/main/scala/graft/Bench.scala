@@ -27,7 +27,8 @@ object Bench {
         () => operators.IvfPqIndex.ensure(spark, sfDir),
         () => operators.PhashIndex.ensure(spark, sfDir),
         () => operators.KnnIndex.ensure(spark, sfDir),
-        () => operators.HelixScan.ensure(spark, sfDir)))
+        () => operators.HelixScan.ensure(spark, sfDir),
+        () => operators.HelixScan.ensurePoint(spark, sfDir)))
       try build() catch { case _: Throwable => () }
     // best-of-2 per query: the second run has warm codegen/JIT, so the
     // min reflects steady-state operator cost rather than noise
@@ -67,6 +68,12 @@ object Bench {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line = jsonLine(results, errors.toSeq, sfDir, spreads, load)
+    // the COMPLETE map (every query, every spread) beside the run — the
+    // stdout line elides to fit the driver's 2000-char tail window
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      fullJson(results, spreads, errors.toSeq, sfDir, load))
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     // Print AFTER spark.stop() with logging quieted, so no shutdown log
     // line can land after the JSON — the driver parses the LAST line.
     spark.sparkContext.setLogLevel("ERROR")
@@ -109,24 +116,27 @@ object Bench {
     // growing), drop entries for the FASTEST queries first — the slow
     // tail is what gets graded — and say how many were elided.
     // Noise indicators: the suite-median spread says how noisy the box
-    // was overall; per-query spreads ride along for the slowest queries
-    // only (the graded tail — a "regression" there with spread 0.4 is
-    // noise, with spread 0.02 it's real). Fixed small budget so the
-    // field can't crowd the queries map out of the tail window.
+    // was overall, and EVERY printed query carries its own spread (a
+    // "regression" with spread 0.4 is noise, with 0.02 it's real —
+    // r10's one unadjudicable perf question existed only because the
+    // spread was elided for all but 8 queries). Fewer queries fit the
+    // line with spreads attached, but a slow-tail entry without its
+    // spread is unactionable anyway; the complete map lands in
+    // bench_full.json beside the run.
     val bySlowest = results.toSeq.sortBy(-_._2)
-    val noiseField = if (spreads.isEmpty) "" else {
-      val sorted = spreads.values.toSeq.sorted
-      val med = sorted(sorted.size / 2)
-      val top = bySlowest.take(8).map { case (k, _) =>
-        "\"" + k + "\":" + f2(spreads.getOrElse(k, 0.0))
-      }.mkString("{", ",", "}")
-      val ld = if (load >= 0) s""","load":${f2(load)}""" else ""
-      s""","spread_med":${f2(med)},"spread":$top$ld"""
-    }
     def lineFor(qmap: Seq[(String, Double)], omitted: Int): String = {
       val qs = qmap.map { case (k, v) => "\"" + k + "\":" + f2(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      val noiseField = if (spreads.isEmpty) "" else {
+        val sorted = spreads.values.toSeq.sorted
+        val med = sorted(sorted.size / 2)
+        val sp = qmap.map { case (k, _) =>
+          "\"" + k + "\":" + f2(spreads.getOrElse(k, 0.0))
+        }.mkString("{", ",", "}")
+        val ld = if (load >= 0) s""","load":${f2(load)}""" else ""
+        s""","spread_med":${f2(med)},"spread":$sp$ld"""
+      }
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$om$errField$noiseField,"sf":"$sfDir"}"""
     }
     var keep = bySlowest.length
@@ -136,5 +146,24 @@ object Bench {
       line = lineFor(bySlowest.take(keep), bySlowest.length - keep)
     }
     line
+  }
+
+  /** Complete per-query record (nothing elided) written beside the run:
+    * the stdout line keeps the driver contract and its 2000-char tail
+    * budget; reviewers read this file for the full map. */
+  private[graft] def fullJson(results: Map[String, Double],
+      spreads: Map[String, Double], errors: Seq[(String, String)],
+      sfDir: String, load: Double): String = {
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(-_._2).map { case (k, v) =>
+      "\"" + k + "\":{\"sec\":" + f2(v) +
+        ",\"spread\":" + f2(spreads.getOrElse(k, 0.0)) + "}"
+    }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      val safe = v.take(200).replace("\\", "\\\\").replace("\"", "'")
+        .replaceAll("[\r\n\t]", " ")
+      "\"" + k + "\":\"" + safe + "\""
+    }.mkString("{", ",", "}")
+    s"""{"sf":"$sfDir","load":${f2(load)},"total":${f2(results.values.sum)},"queries":$qs,"errors":$errs}"""
   }
 }

@@ -144,6 +144,30 @@ object OracleSqlGen {
       |WHERE user_id BETWEEN 10 AND 50
       |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'""".stripMargin
 
+  /** #188 — store-served point gets (decompress on → BOTH layers serve):
+    * the probe predicate on the raw parquet; every probed entry must
+    * come back through routing, manifest, block decode and caches. */
+  val helixGetPoint: String = {
+    import graft.operators.HelixScan
+    s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |FROM events
+       |WHERE event_id % ${HelixScan.PointMod} = 0
+       |  AND event_id < ${HelixScan.PointIdBound}""".stripMargin
+  }
+
+  /** #189 — batched multiget with decompress OFF: the block layer is
+    * skipped, so only rick-resident (post-cut) entries are served. */
+  val helixMultiget: String = {
+    import graft.operators.HelixScan
+    s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |FROM events
+       |WHERE event_id % ${HelixScan.MultigetMod} = 0
+       |  AND event_id < ${HelixScan.PointIdBound}
+       |  AND epoch_us(ts) >= ${HelixScan.PointCutUs}""".stripMargin
+  }
+
   /** #169 — span removal: the dedupSpans query nested as a CTE, spans
     * packed as parallel start/len lists (no struct lists — see the
     * lifecycle-tiers accumulator note), removal as the same indexed
@@ -557,6 +581,19 @@ object OracleSqlGen {
        |  ${Dedup.WinnowPosPack - 1} - (sel % ${Dedup.WinnowPosPack}) AS pos,
        |  sel // ${Dedup.WinnowPosPack} AS fp
        |FROM sel WHERE wn >= ${Dedup.WinnowW}""".stripMargin
+
+  /** #187 — winnowed-fingerprint pair mining: the dedupWinnow query
+    * nested as a CTE, collapsed to distinct doc-level fp sets, the same
+    * WinDfCap boilerplate cap as dedup_substring, pairs on
+    * >= WinMinShared shared selections. */
+  val dedupWinnowPairs: String =
+    s"""WITH wsel AS ($dedupWinnow),
+       |wfp AS (SELECT DISTINCT doc_id, fp FROM wsel),
+       |keep AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= ${Dedup.WinDfCap})
+       |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_shared
+       |FROM wfp a JOIN keep k ON a.fp = k.fp
+       |JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinMinShared}""".stripMargin
 
   /** #146 — vocabulary growth: first-occurrence doc per type, 100-doc
     * buckets, running total (the two-level Spark carry sums to the

@@ -165,6 +165,7 @@ object SparkEntry {
     "q_rfm_segments" -> (Analytics.qRfmSegments _),
     "text_heaps_vocab" -> (TextOps.heapsVocab _),
     "dedup_winnow" -> (Dedup.winnow _),
+    "dedup_winnow_pairs" -> (Dedup.winnowPairs _),
     "ts_dod_wow" -> (TimeSeriesOps.dodWow _),
     "q_market_basket" -> (Analytics.qMarketBasket _),
     "emb_triplet_mine" -> (Similarity.tripletMine _),
@@ -185,6 +186,8 @@ object SparkEntry {
     "source_jsonl_roundtrip" -> (graft.sources.DocJsonl.roundtrip _),
     "dedup_span_removal" -> (Dedup.spanRemoval _),
     "helix_scan_range" -> (HelixScan.scanRange _),
+    "helix_get_point" -> (HelixScan.getPoint _),
+    "helix_multiget" -> (HelixScan.multiget _),
     "q_abc_analysis" -> (Analytics.qAbcAnalysis _),
     "emb_pq_code_balance" -> (Similarity.pqCodeBalance _),
     "text_dup_rate_by_source" -> (TextOps.dupRateBySource _),
@@ -965,6 +968,7 @@ object SparkEntry {
     "q_rfm_segments" -> OracleSqlGen.qRfmSegments,
     "text_heaps_vocab" -> OracleSqlGen.textHeapsVocab,
     "dedup_winnow" -> OracleSqlGen.dedupWinnow,
+    "dedup_winnow_pairs" -> OracleSqlGen.dedupWinnowPairs,
     "emb_triplet_mine" -> OracleSqlGen.embTripletMine,
     // day-value lags: missing days must yield NULL deltas
     "ts_dod_wow" ->
@@ -1221,6 +1225,8 @@ object SparkEntry {
     "source_jsonl_roundtrip" -> OracleSqlGen.sourceJsonlRoundtrip,
     "dedup_span_removal" -> OracleSqlGen.dedupSpanRemoval,
     "helix_scan_range" -> OracleSqlGen.helixScanRange,
+    "helix_get_point" -> OracleSqlGen.helixGetPoint,
+    "helix_multiget" -> OracleSqlGen.helixMultiget,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,

@@ -855,15 +855,19 @@ final class HelixStore private (
     * block layer is skipped (reference: src/option.rs:131). */
   private def rawEntries(decompress: Boolean = true,
       rowFilesSnapshot: Option[Seq[Path]] = None,
-      partitionPrune: Option[(Long, Long)] = None,
+      partitionPrune: Option[Seq[(Long, Long)]] = None,
       reader: SparkSession = spark): DataFrame = {
     val cols = Seq("key", "ts", "value", "seq", "subseq", "shard", "bucket")
     // (shard, bucket) pruning must land ON THE PARQUET SCANS, before
     // the block-decompress flatMap: Catalyst cannot push a predicate
     // through a typed flatMap, so filtering afterwards would decode
-    // EVERY block in the store for one point read.
+    // EVERY block in the store for one point read. An OR-fold over the
+    // touched pairs prunes partitions exactly (both columns are
+    // partition columns); multiGet passes the batch's distinct pairs.
     def prune(df: DataFrame): DataFrame = partitionPrune match {
-      case Some((s, b)) => df.filter(col("shard") === s && col("bucket") === b)
+      case Some(pairs) => df.filter(pairs
+        .map { case (s, b) => col("shard") === s && col("bucket") === b }
+        .reduce(_ || _))
       case None => df
     }
     val rows = rowFilesSnapshot match {
@@ -1006,19 +1010,75 @@ final class HelixStore private (
   def get(key: Array[Byte], ts: Long, decompress: Boolean = true): Option[Array[Byte]] = {
     refreshPointer()
     if (!hasData) return None
-    // default route: same function Spark's xxhash64(col) computes in
-    // put() (seed 42), evaluated driver-side — no job just to route the
-    // read. A custom ShardingKeyFn is an arbitrary Column expression, so
-    // it's evaluated through a one-row frame instead.
-    val shard = opts.shardingFn match {
-      case None =>
+    getInShard(routeShards(Seq(key)).head, key, ts, decompress)
+  }
+
+  /** Driver-side shard routing for a key batch. Default route: same
+    * function Spark's xxhash64(col) computes in put() (seed 42),
+    * evaluated driver-side — no job just to route a read. A custom
+    * ShardingKeyFn is an arbitrary Column expression, so it's evaluated
+    * through ONE small frame for the whole batch instead. */
+  private def routeShards(keys: Seq[Array[Byte]]): Seq[Long] =
+    opts.shardingFn match {
+      case None => keys.map { key =>
         val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
           key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, key.length, 42L)
         ((h % opts.numShards) + opts.numShards) % opts.numShards
+      }
       case Some(_) =>
-        spark.range(1).select(shardExpr(lit(key)).as("s")).head().getInt(0).toLong
+        import spark.implicits._
+        val byKey = keys.zipWithIndex.map { case (k, i) => (i, k) }
+          .toDF("i", "key")
+          .select(col("i"), shardExpr(col("key")).as("s"))
+          .collect().map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
+        keys.indices.map(byKey)
     }
-    getInShard(shard, key, ts, decompress)
+
+  /** BATCHED exact-timestamp point get — the reference client's get
+    * loop amortized Spark-first: all probes route driver-side, the
+    * union of touched (shard, bucket) partitions is pruned in ONE job
+    * (never one job per key, the scale failure of looping [[get]]),
+    * LWW resolves per (key, ts), and a broadcast join against the
+    * probe set cuts the scan to exact hits. The batch-level manifest
+    * check skips the block layer entirely when no probe's
+    * (shard, bucket, key) can be present (per-key manifest pruning is
+    * [[get]]'s job; a batch only needs the union decision). Results
+    * align with the probe order; misses are None. */
+  def multiGet(probes: Seq[(Array[Byte], Long)],
+      decompress: Boolean = true): Seq[Option[Array[Byte]]] = {
+    refreshPointer()
+    if (probes.isEmpty) return Seq.empty
+    if (!hasData) return probes.map(_ => None)
+    val shards = routeShards(probes.map(_._1))
+    val routed = probes.zip(shards).map { case ((k, ts), sh) =>
+      (k, ts, sh, ts / opts.bucketSize)
+    }
+    // logical retention, as in getInShardUncached
+    val live = routed.filter(_._4 >= ptr.minb)
+    if (live.isEmpty) return probes.map(_ => None)
+    val pairs = live.map(p => (p._3, p._4)).distinct
+    val useBlocks = decompress &&
+      live.exists(p => blockMayContain(p._3, p._4, p._1))
+    val src = rawEntries(useBlocks, partitionPrune = Some(pairs))
+    // LWW only when the rick layer can contribute a duplicate (post-
+    // compaction block entries are already unique per (key, ts) — the
+    // toDFWithPartitions fast path)
+    val resolved =
+      if (!hasRows) src
+      else {
+        val w = Window.partitionBy("shard", "bucket", "key", "ts")
+          .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
+        src.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }
+    import spark.implicits._
+    val probeDf = live.map(p => (p._1, p._2)).toDF("pk", "pts")
+    val hits = resolved
+      .join(broadcast(probeDf),
+        col("key") === col("pk") && col("ts") === col("pts"))
+      .select("key", "ts", "value").collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1)) ->
+        r.getAs[Array[Byte]](2)).toMap
+    probes.map { case (k, ts) => hits.get((k.toSeq, ts)) }
   }
 
   /** Shard-addressed point get bypassing the sharding function — the
@@ -1093,7 +1153,7 @@ final class HelixStore private (
       // ordering the unioned path sorts by.
       val blockHit = blockPointLookup(kcGet(shard, bucket, key), ts)
       val rickHit = rawEntries(decompress = false,
-          partitionPrune = Some((shard, bucket)))
+          partitionPrune = Some(Seq((shard, bucket))))
         .filter(col("key") === lit(key) && col("ts") === ts)
         .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
         .select("seq", "subseq", "value")
@@ -1105,7 +1165,7 @@ final class HelixStore private (
     } else {
       // (shard, bucket) prune INSIDE rawEntries so it reaches the parquet
       // scans below the block-decompress flatMap
-      val rows = rawEntries(useBlocks, partitionPrune = Some((shard, bucket)))
+      val rows = rawEntries(useBlocks, partitionPrune = Some(Seq((shard, bucket))))
         .filter(col("key") === lit(key) && col("ts") === ts)
         .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
         .select("value")

@@ -259,11 +259,15 @@ object Dedup {
     * [[substringSpans]] lift pair mining to span granularity; the
     * pair probe collapses to DISTINCT (doc_id, fp) at stage time
     * ([[DedupIndex]] fps/ vs fpos/). O(n·WinK) map-side work. */
-  private[operators] def substringFingerprints(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  /** Every [[WinK]]-token rolling-window hash with its 1-based start
+    * position — the shared upstream of BOTH fingerprint selections
+    * (mod-p sampling for fpos/, winnowing for wfp/): one tokenization,
+    * one Rabin-Karp pass, map-side only. */
+  private[operators] def windowHashes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) >= WinK)
-    d.select(col("doc_id"),
+      .select(col("doc_id"),
         transform(col("t"),
           w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("h"))
       .select(col("doc_id"),
@@ -272,8 +276,9 @@ object Dedup {
             (acc, x) => (acc * TextOps.RollB + x) % TextOps.RollP))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("fp"))
-      .filter(col("fp") % WinSelMod === 0)
-  }
+
+  private[operators] def substringFingerprints(s: SparkSession, dir: String): DataFrame =
+    windowHashes(s, dir).filter(col("fp") % WinSelMod === 0)
 
   /** #103 — substring-level dup pair mining: docs sharing >= WinMinShared
     * sampled window fingerprints (i.e. exact WinK-token runs), the
@@ -804,20 +809,20 @@ object Dedup {
     * runs as an integer min over a ROWS frame on the per-doc position
     * order — one doc_id shuffle, partitions bounded by per-doc window
     * counts, and the (fp, rightmost-pos) preference rides the packed
-    * code so no struct comparison crosses an engine boundary. */
-  def winnow(s: SparkSession, dir: String): DataFrame = {
-    val wh = Tables.documents(s, dir)
-      .withColumn("t", tokens(col("text")))
-      .filter(size(col("t")) >= WinK)
-      .select(col("doc_id"),
-        transform(col("t"),
-          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("h"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("h")) - (WinK - 1)),
-          i => aggregate(slice(col("h"), i, lit(WinK)), lit(0L),
-            (acc, x) => (acc * TextOps.RollB + x) % TextOps.RollP))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("fp"))
+    * code so no struct comparison crosses an engine boundary.
+    *
+    * The selection is corpus-invariant and threshold-free, so it is
+    * STAGED ([[DedupIndex]] wfp/, built by [[winnowSelection]] from the
+    * shared [[windowHashes]] pass): the registered query reads the
+    * staged parquet and never re-tokenizes — the same index/query split
+    * as fpos/ and the phash store. */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(DedupIndex.ensure(s, dir).wfp)
+      .select("doc_id", "pos", "fp")
+
+  /** Index-build producer for [[DedupIndex]] wfp/: the winnowing
+    * argmin over an already-materialized window-hash frame. */
+  private[operators] def winnowSelection(wh: DataFrame): DataFrame = {
     val wSel = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(WinnowW - 1), 0)
     wh.withColumn("code",
@@ -830,6 +835,30 @@ object Dedup {
         (lit(WinnowPosPack - 1) - pmod(col("sel"), lit(WinnowPosPack))).as("pos"),
         expr(s"sel div $WinnowPosPack").as("fp"))
       .distinct()
+  }
+
+  /** #187 — winnowed-fingerprint PAIR MINING (the matching half of the
+    * MOSS algorithm — Schleimer et al. SIGMOD'03 §2: selection alone
+    * finds nothing; the point is doc pairs sharing selected
+    * fingerprints, with the guarantee that any shared run of
+    * ≥ WinK + WinnowW − 1 tokens surfaces at least one shared
+    * fingerprint in both docs): doc pairs sharing ≥ [[WinMinShared]]
+    * distinct winnowed fingerprints off the staged wfp/ artifact. The
+    * same df-cap discipline as [[substringPairs]] — a fingerprint
+    * carried by more than WinDfCap docs is boilerplate and dropped
+    * BEFORE pairing (anti-join against the tiny over-cap list, never a
+    * per-fp window), so self-join fanout stays ≤ WinDfCap² per fp. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val wfp = s.read.parquet(DedupIndex.ensure(s, dir).wfp)
+      .select("doc_id", "fp").distinct()
+    val hot = wfp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinDfCap).select("fp")
+    val sel = wfp.join(hot, Seq("fp"), "left_anti")
+    sel.select(col("doc_id").as("doc_id1"), col("fp"))
+      .join(sel.select(col("doc_id").as("doc_id2"), col("fp")), "fp")
+      .filter(col("doc_id1") < col("doc_id2"))
+      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinMinShared)
   }
 
   /** Cosine threshold for SemDeDup within-cluster near-dup removal. */

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
  *   fps/    (doc_id, fp)                    the same fingerprints
  *           collapsed to DISTINCT doc-level sets (derived from fpos/ in
  *           one column-pruned pass) — `dedup_substring` probes these
+ *   wfp/    (doc_id, pos, fp)               WINNOWING selections
+ *           (Schleimer et al. SIGMOD'03): per-doc windowed argmin over
+ *           the same rolling-window hashes — `dedup_winnow` reads it
+ *           verbatim, `dedup_winnow_pairs` mines it
  *
  * Consumers: `dedup_cluster` reads `pairs` (cluster resolution is the
  * query; pair mining is index build — the same split as IvfIndex's
@@ -36,10 +40,10 @@ object DedupIndex {
 
   /** Bumped whenever the staged layout changes: a dir staged by older
     * code must not be served to code expecting new artifacts. */
-  private val LayoutVersion = "v5"
+  private val LayoutVersion = "v6"
 
   final case class StagedPaths(hset: String, bands: String, pairs: String,
-      rset: String, fps: String, fpos: String)
+      rset: String, fps: String, fpos: String, wfp: String)
 
   /** Ensure the signature store exists for `dir`; builds at most once
     * per source fingerprint. */
@@ -64,7 +68,19 @@ object DedupIndex {
           .write.parquet(tmp.resolve("pairs").toString)
       } finally hset.unpersist(): Unit
       Dedup.raritySortedSets(s, dir).write.parquet(tmp.resolve("rset").toString)
-      Dedup.substringFingerprints(s, dir).write.parquet(tmp.resolve("fpos").toString)
+      // ONE tokenization + Rabin-Karp pass feeds both fingerprint
+      // selections: the full window-hash frame lands in a build-local
+      // parquet dir (disk-backed — at corpus scale this is the scratch
+      // dataset an offline index build would stage anyway), fpos/ is
+      // its mod-p filter and wfp/ its winnowing argmin, then the
+      // scratch dir is dropped before the atomic rename.
+      val whDir = tmp.resolve("_wh_scratch")
+      Dedup.windowHashes(s, dir).write.parquet(whDir.toString)
+      val wh = s.read.parquet(whDir.toString)
+      wh.filter(col("fp") % Dedup.WinSelMod === 0)
+        .write.parquet(tmp.resolve("fpos").toString)
+      Dedup.winnowSelection(wh).write.parquet(tmp.resolve("wfp").toString)
+      deleteRecursively(whDir)
       // fps/ is the doc-level distinct projection of fpos/ — derived
       // from the just-written artifact (a column-pruned parquet scan),
       // never a second corpus tokenization pass
@@ -75,7 +91,19 @@ object DedupIndex {
     StagedPaths(base.resolve("hset").toString,
       base.resolve("bands").toString, base.resolve("pairs").toString,
       base.resolve("rset").toString, base.resolve("fps").toString,
-      base.resolve("fpos").toString)
+      base.resolve("fpos").toString, base.resolve("wfp").toString)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally st.close()
+    }
   }
 
   /** Test hook: see [[Staging.clear]]. */

@@ -60,11 +60,12 @@ object HelixScan {
   // exit and by clear().
   private val openStores =
     scala.collection.mutable.LinkedHashMap.empty[String, HelixStore]
-  private def storeFor(s: SparkSession, dir: String): HelixStore =
+  private def storeAt(s: SparkSession, path: String): HelixStore =
     openStores.synchronized {
-      openStores.getOrElseUpdate(ensure(s, dir),
-        HelixStore.open(s, ensure(s, dir), opts))
+      openStores.getOrElseUpdate(path, HelixStore.open(s, path, opts))
     }
+  private def storeFor(s: SparkSession, dir: String): HelixStore =
+    storeAt(s, ensure(s, dir))
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => closeStores(),
       "graft-helixscan-close"))
@@ -90,6 +91,95 @@ object HelixScan {
         substring(col("k"), 8, 10).cast("long").as("event_id"),
         col("ts").as("ts_us"),
         col("value").cast("string").cast("long").as("cents"))
+  }
+
+  // ---- point reads through the store (reference db.rs:54 get) ---------
+
+  /** Partial-compaction cut for the point-read store: entries before
+    * the cut are block-compacted (the SSTable layer), entries at or
+    * after it stay in the rick — so a point read exercises BOTH layers,
+    * and the decompress=false option (reference ReadOption,
+    * option.rs:131: skip the compressed block layer) has an observable,
+    * oracle-checkable effect: only rick-resident entries are served. */
+  val PointCutUs: Long =
+    java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli * 1000L
+  /** Probe-set predicate: event_id ≡ 0 (mod modulus) below a FIXED id
+    * bound, so the probe count is a constant (≤ bound/modulus + 1) at
+    * every scale factor — a point-read workload's cost is per probe,
+    * never per corpus row. */
+  val PointMod = 499L
+  val MultigetMod = 211L
+  val PointIdBound = 10000L
+
+  /** Build the HALF-COMPACTED staged store at most once per corpus:
+    * put(pre-cut) → blockCompact → put(post-cut). */
+  def ensurePoint(s: SparkSession, dir: String): String = {
+    val base = Staging.ensure("helixg",
+      Staging.fingerprint(dir, "events.parquet")) { tmp =>
+      val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
+      try {
+        st.put(entriesOf(s, dir).filter(col("ts") < PointCutUs))
+        st.blockCompact()
+        st.put(entriesOf(s, dir).filter(col("ts") >= PointCutUs))
+      } finally st.close()
+    }
+    base.resolve("store").toString
+  }
+  private def pointStoreFor(s: SparkSession, dir: String): HelixStore =
+    storeAt(s, ensurePoint(s, dir))
+
+  /** The (key, ts_us) probe list for a modulus — collected driver-side
+    * from the raw parquet. The collect is BOUNDED BY CONSTRUCTION
+    * (≤ PointIdBound/mod + 1 rows at any corpus size): it is the
+    * client's key list, the input a point-read API is handed, not a
+    * corpus materialization. */
+  private def probesOf(s: SparkSession, dir: String, mod: Long): Seq[(Array[Byte], Long)] =
+    Tables.events(s, dir)
+      .filter(col("event_id") % mod === 0 && col("event_id") < PointIdBound)
+      .select(concat(padded(col("user_id"), 6, "user_id"), lit("-"),
+        padded(col("event_id"), 10, "event_id")).as("k"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getString(0).getBytes("UTF-8"), r.getLong(1)))
+
+  /** Store hits decoded back to typed columns as a local DataFrame. */
+  private def decodeHits(s: SparkSession,
+      hits: Seq[(Array[Byte], Long, Array[Byte])]): DataFrame = {
+    import s.implicits._
+    hits.map { case (k, ts, v) =>
+      val ks = new String(k, "UTF-8")
+      (ks.substring(0, 6).toLong, ks.substring(7).toLong, ts,
+        new String(v, "UTF-8").toLong)
+    }.toDF("user_id", "event_id", "ts_us", "cents")
+  }
+
+  /** #188 — POINT GETS through the store (reference db.rs:54): each
+    * probe runs the full read path — shard routing, retention cutoff,
+    * per-key manifest check (blockMayContain), kc block-cache decode
+    * for the compacted half, rick probe for the fresh half, kv cache
+    * on repeats. decompress=true, so both layers serve; the oracle is
+    * the same probe predicate on the raw parquet — every probe MUST
+    * come back, byte-exact. */
+  def getPoint(s: SparkSession, dir: String): DataFrame = {
+    val st = pointStoreFor(s, dir)
+    val hits = probesOf(s, dir, PointMod).flatMap { case (k, ts) =>
+      st.get(k, ts, decompress = true).map(v => (k, ts, v))
+    }
+    decodeHits(s, hits)
+  }
+
+  /** #189 — BATCHED MULTIGET with decompress=false (reference
+    * ReadOption, option.rs:131): one Spark job for the whole probe
+    * batch (pruned to the touched (shard, bucket) partitions), and the
+    * block layer is skipped — only entries still in the rick (ts ≥
+    * [[PointCutUs]]) are served, which the oracle mirrors with the
+    * same ts predicate on the raw parquet. */
+  def multiget(s: SparkSession, dir: String): DataFrame = {
+    val st = pointStoreFor(s, dir)
+    val probes = probesOf(s, dir, MultigetMod)
+    val hits = probes.zip(st.multiGet(probes, decompress = false))
+      .collect { case ((k, ts), Some(v)) => (k, ts, v) }
+    decodeHits(s, hits)
   }
 
   /** Test hook: close cached stores, then see [[Staging.clear]]. */

@@ -37,7 +37,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= 1950)
   }
 
-  test("noise indicators: median spread, slow-tail per-query spread, load — inside the budget") {
+  test("noise indicators: median spread, FULL printed-tail per-query spread, load — inside the budget") {
     val results = (1 to 150).map(i => f"q_synthetic_query_$i%03d" -> i * 0.07).toMap
     val spreads = results.map { case (k, _) => k -> 0.15 }
     val line = Bench.jsonLine(results, Nil, "sf", spreads, load = 3.2)
@@ -46,10 +46,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(node.get("spread_med").asDouble - 0.15) < 0.01)
     assert(node.get("load").asDouble == 3.2)
     val sp = node.get("spread")
-    assert(sp.size() == 8, "per-query spread rides only for the 8 slowest")
+    val qs = node.get("queries")
+    // every printed query carries its spread — a slow-tail entry
+    // without one is unadjudicable (the r10 dedup_cluster lesson)
+    assert(sp.size() == qs.size(),
+      s"spread must cover the full printed tail: ${sp.size()} vs ${qs.size()}")
+    import scala.jdk.CollectionConverters._
+    qs.fieldNames().asScala.foreach(k => assert(sp.has(k), s"missing spread for $k"))
     assert(sp.has("q_synthetic_query_150"), "the slowest query's spread must be present")
     // queries map still dominates the line: elision still works alongside
-    assert(node.get("queries").size() + node.get("queries_omitted").asInt == 150)
+    assert(qs.size() + node.get("queries_omitted").asInt == 150)
+  }
+
+  test("full side dump: every query + spread, valid JSON, sorted slowest-first") {
+    val results = (1 to 150).map(i => f"q_synthetic_query_$i%03d" -> i * 0.07).toMap
+    val spreads = results.map { case (k, _) => k -> 0.33 }
+    val full = Bench.fullJson(results, spreads, Seq("qx" -> "boom"), "sf", 2.0)
+    val node = mapper.readTree(full)
+    assert(node.get("queries").size() == 150, "nothing may be elided from the side dump")
+    assert(node.get("queries").get("q_synthetic_query_150").get("spread").asDouble == 0.33)
+    assert(node.get("errors").get("qx").asText == "boom")
+    assert(math.abs(node.get("total").asDouble - results.values.sum) < 0.01)
   }
 
   test("no spreads passed: line is unchanged (no noise fields)") {

@@ -28,6 +28,33 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.get("nope".getBytes, 0L).isEmpty)
   }
 
+  test("multiGet: one batched job matches per-key gets across both layers; decompress=false skips blocks") {
+    val store = HelixStore.open(spark, tmpDir("hs-mget"),
+      StoreOptions(numShards = 4, bucketSize = 10))
+    // old half → compacted into blocks; new half stays in the rick
+    store.put(entriesDF((0 until 16).map(k => (f"k$k%02d", k.toLong, s"old$k"))))
+    store.blockCompact()
+    store.put(entriesDF((16 until 32).map(k => (f"k$k%02d", k.toLong, s"new$k"))))
+    // LWW overwrite landing in the rick on top of a blocked entry
+    store.put(entriesDF(Seq(("k03", 3L, "patched"))))
+    val probes: Seq[(Array[Byte], Long)] =
+      (0 until 32).map(k => (f"k$k%02d".getBytes: Array[Byte], k.toLong)) ++
+        Seq(("k00".getBytes: Array[Byte], 99L), // present key, absent ts
+          ("zz".getBytes: Array[Byte], 0L))     // absent key
+    val batched = store.multiGet(probes)
+    val looped = probes.map { case (k, ts) => store.get(k, ts) }
+    assert(batched.map(_.map(new String(_))) == looped.map(_.map(new String(_))))
+    assert(batched(3).map(new String(_)).contains("patched"), "rick must LWW-win over the block")
+    assert(batched.takeRight(2).forall(_.isEmpty))
+    // decompress=false: block-resident entries invisible, rick served
+    val noBlocks = store.multiGet(probes, decompress = false)
+    assert((0 until 16).filter(_ != 3).forall(noBlocks(_).isEmpty),
+      "compacted entries must be invisible without decompression")
+    assert(noBlocks(3).map(new String(_)).contains("patched"))
+    assert((16 until 32).forall(k =>
+      noBlocks(k).map(new String(_)).contains(s"new$k")))
+  }
+
   test("scan scaffold: full rectangle returns numTs * numKeys ordered rows") {
     val store = HelixStore.open(spark, tmpDir("hs-scan"), StoreOptions(numShards = 4, bucketSize = 4))
     val numTs = 10

@@ -1101,6 +1101,59 @@ class OperatorSpec extends SparkTestBase {
       got.size.toLong * Dedup.WinnowW >= totalWindows - docs.length * Dedup.WinnowW)
   }
 
+  test("winnow pairs: exact recompute; MOSS shared-run guarantee holds both ways") {
+    // per-doc distinct winnowed fp sets off the verified selection
+    val wfpSets = Dedup.winnow(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+      .distinct.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val dfCount = wfpSets.values.flatten.groupBy(identity)
+      .map { case (fp, xs) => fp -> xs.size }
+    val kept = dfCount.filter(_._2 <= Dedup.WinDfCap).keySet
+    val ids = wfpSets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      shared = (wfpSets(i) & wfpSets(j)) & kept
+      if shared.size >= Dedup.WinMinShared
+    } yield (i, j, shared.size.toLong)).toSet
+    val mined = Dedup.winnowPairs(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(mined == expected)
+    assert(mined.nonEmpty, "test corpus must exercise the pair miner")
+
+    // literal-run checks against the raw text, not hashes
+    val docTokens = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+      .toMap
+    def grams(d: Long, n: Int): Set[Seq[String]] = {
+      val t = docTokens(d)
+      if (t.length < n) Set.empty else t.sliding(n).map(_.toSeq).toSet
+    }
+    val runLen = Dedup.WinK + Dedup.WinnowW - 1
+    // guarantee direction (Schleimer et al. SIGMOD'03 §2): every doc
+    // pair sharing a literal run of >= WinK + WinnowW − 1 tokens is
+    // certain to share >= 1 winnowed fingerprint — check ALL such pairs
+    val byGram = docTokens.keys.toSeq
+      .flatMap(d => grams(d, runLen).map(_ -> d))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted).filter(_.size >= 2)
+    val runPairs = byGram.flatMap(ds =>
+      for { a <- ds; b <- ds if a < b } yield (a, b)).toSet
+    assert(runPairs.nonEmpty, "test corpus must contain shared long runs")
+    runPairs.foreach { case (a, b) =>
+      assert((wfpSets.getOrElse(a, Set.empty) &
+        wfpSets.getOrElse(b, Set.empty)).nonEmpty,
+        s"docs $a,$b share a $runLen-token run but no winnowed fingerprint")
+    }
+    // veracity direction: every mined pair's shared fingerprints come
+    // from literal shared WinK-token windows (no hash-collision pair)
+    mined.foreach { case (a, b, _) =>
+      assert((grams(a, Dedup.WinK) & grams(b, Dedup.WinK)).nonEmpty,
+        s"mined pair $a,$b shares no literal ${Dedup.WinK}-token run")
+    }
+  }
+
   test("heaps vocab: curve sums to the distinct bigram-type count, cumulative monotone") {
     val rows = TextOps.heapsVocab(spark, Sf).collect()
       .sortBy(_.getAs[Long]("bucket"))
@@ -1604,6 +1657,41 @@ class OperatorSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expected)
     assert(got.nonEmpty)
+  }
+
+  test("helix point gets: every probe served byte-exact through both store layers") {
+    val expected = graft.core.Tables.events(spark, Sf)
+      .filter(col("event_id") % operators.HelixScan.PointMod === 0 &&
+        col("event_id") < operators.HelixScan.PointIdBound)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = operators.HelixScan.getPoint(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the staged store is half-compacted: the probe set must exercise
+    // the block layer (pre-cut) — rick-only would not test decode
+    assert(expected.exists(_._3 < operators.HelixScan.PointCutUs),
+      "probe set must include block-resident (pre-cut) entries")
+  }
+
+  test("helix multiget with decompress off serves exactly the rick-resident half") {
+    val all = graft.core.Tables.events(spark, Sf)
+      .filter(col("event_id") % operators.HelixScan.MultigetMod === 0 &&
+        col("event_id") < operators.HelixScan.PointIdBound)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = all.filter(_._3 >= operators.HelixScan.PointCutUs).toSet
+    val got = operators.HelixScan.multiget(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "post-cut probes must exist")
+    assert(got.size < all.length,
+      "pre-cut probes must exist and be invisible without decompression")
   }
 
   test("abc analysis: exact match with a driver Pareto recompute") {

@@ -475,6 +475,25 @@ class PlanSpec extends SparkTestBase {
       "no tokenization pass: the corpus parquet must not appear")
   }
 
+  test("dedup_winnow reads the staged wfp artifact; no re-tokenize, no query-time argmin") {
+    val p = plan("dedup_winnow")
+    assert(p.contains("graft-stage"),
+      "winnowed selections must come from the staged wfp store")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "no tokenization pass: the corpus parquet must not appear")
+    assert(!p.contains("windowspecdefinition"),
+      "the winnowing argmin window is index build, not query work")
+  }
+
+  test("dedup_winnow_pairs mines the staged wfp; df cap is an anti-join, never a per-fp window") {
+    val p = plan("dedup_winnow_pairs")
+    assert(p.contains("graft-stage"), "must probe the staged wfp store")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "no tokenization pass: the corpus parquet must not appear")
+    assert(!p.contains("windowspecdefinition"),
+      "the boilerplate cap must not funnel hot fingerprints through one task")
+  }
+
   test("emb_pagerank_knn iterates over the staged edge parquet, never re-mines the graph") {
     val p = plan("emb_pagerank_knn")
     assert(p.contains("graft-stage"), "edges must come from the staged knn graph")
