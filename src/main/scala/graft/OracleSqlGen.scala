@@ -595,6 +595,27 @@ object OracleSqlGen {
        |JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinMinShared}""".stripMargin
 
+  /** #190 — store-served latest-per-key: the same newest-wins selection
+    * on the raw parquet ((user_id, ts) is unique, so no tiebreak is
+    * needed beyond ts). */
+  val helixLatest: String = {
+    import graft.operators.HelixScan
+    s"""WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+       |  FROM events WHERE epoch_us(ts) <= ${HelixScan.LatestAsOfUs})
+       |SELECT user_id, ts_us, cents FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** #191 — retention scan: rows at or past the bucket-aligned cutoff;
+    * too-eager or too-lazy retention diverges the hash. */
+  val helixOutdateScan: String = {
+    import graft.operators.HelixScan
+    s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |FROM events WHERE epoch_us(ts) >= ${HelixScan.OutdateCutUs}""".stripMargin
+  }
+
   /** #146 — vocabulary growth: first-occurrence doc per type, 100-doc
     * buckets, running total (the two-level Spark carry sums to the
     * identical integers). */

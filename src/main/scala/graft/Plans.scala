@@ -47,7 +47,8 @@ object Plans {
       "emb_ivf_recall" -> "Recall gate: the IVF side joins the staged cell-partitioned table on the probed cells; the exact side is the one unavoidable ground-truth scan over a SAMPLED query set; both rankings share per-qid windows.",
       "q_market_basket" -> "Pair mining keyed on o_orderkey: fanout bounded by lines-per-order squared; the distinct (order, part) checkpoint seeds pairs, supports, and the order count without re-scanning lineitem.",
       "emb_triplet_mine" -> "Batch-hard triplet mining: anchors broadcast, ONE corpus pass, two conditional struct-extrema HashAggregates (map-side combinable) — no per-anchor rank window funneling the corpus through 16 partitions.",
-      "dedup_winnow" -> "Winnowing selection: the (fp, rightmost-pos) argmin packs into one long so the window is an integer min over a 4-row frame; one doc_id shuffle shared by both windows, partitions bounded per doc.",
+      "dedup_winnow" -> "Winnowing selection SERVED FROM the staged wfp artifact (one column-pruned parquet scan, zero exchanges): the packed-integer argmin, its windows and the tokenization are index build, paid once per corpus fingerprint.",
+      "dedup_winnow_pairs" -> "MOSS matching over the staged wfp: distinct doc-level fp sets, boilerplate df-cap as an anti-join against the tiny over-cap list (never a per-fp window), fp-keyed self-join bounded by WinDfCap^2 per fingerprint.",
       "ts_cross_corr" -> "Cross-metric correlation: ONE corpus-sized aggregate to (type, hour) counts; spine completion, lag shift, and the pair Pearson all run over the tiny aggregated frame - pair*lag work grows with n_types^2*hours, not data volume.",
       "emb_silhouette" -> "Centroid silhouette: fixed-point centroid aggregate collapses to ONE broadcast array row; own + nearest-other distances are a pure map-side fold over the corpus - zero row expansion, no per-vector window.",
       "emb_pagerank_knn" -> "Integer PageRank: per iteration one src-keyed join + one dst HashAggregate over the staged n*k edge parquet; ranks stay a node-sized frame; the embeddings table appears only as the node-id scan.",
@@ -68,10 +69,33 @@ object Plans {
       "mm_scene_cuts" -> "Shot boundaries decode-free: one regex pair-split + codegen conv per byte; the per-frame sum IS the groupBy's map-side combine (32:1 before the shuffle); payload bytes stay in the scan stage.",
       "dedup_span_removal" -> "Span excision: spans collapse to one per-doc array off the staged-probe miner; removal is an in-array indexed filter (tokens x spans of ONE doc); the only corpus-shaped stages are the doc-keyed join and the token projection.",
       "helix_scan_range" -> "Store-served scan: the staged HelixStore's bucket partition filter + pushed (key, ts) predicates reach the block parquet; compacted fast path = no LWW rank window anywhere in the plan.",
+      "helix_latest" -> "Store-served newest-wins (TimeIterator): compacted fast path - no LWW rank shuffle in the read; the as-of filter pushes to the block scan and ONE per-key argmax window resolves latest.",
+      "helix_outdate_scan" -> "Retention as PARTITION PRUNING: the committed cutoff is a bucket >= minb filter on the bucket partition column - dropped buckets are never read, and the fully-compacted store reads with no LWW window.",
       "q_abc_analysis" -> "Pareto cut: one fact shuffle to the checkpointed per-part revenue; the cumulative window and total ride the part-dimension frame; every class compare is an integer cross-product.",
       "ts_value_bands" -> "Exact percentile envelope: the rank window and both full-partition conditional mins share ONE user_id shuffle; selection is all-integer on cents.",
       "emb_rayleigh" -> "Eigenvalue estimate at matvec cost: the 64-row powerIter output collapses to one array row; both quadratic forms are sequential in-array folds over a broadcast pair of rows.",
-      "mm_phash_precision" -> "Index-quality gate: staged-probe pairs + one md5-per-doc join; payload bytes never enter the plan; per-ham rollup is a combinable count.")
+      "mm_phash_precision" -> "Index-quality gate: staged-probe pairs + one md5-per-doc join; payload bytes never enter the plan; per-ham rollup is a combinable count.",
+      "dedup_lsh_recall" -> "Ground-truth gate: runs BOTH registered pipelines by definition (staged prefix-filtered exact jaccard + staged banded LSH probe); the intersection is one pair-keyed join; 1-row output with NULLIF-guarded divisions.",
+      "q_part_growth" -> "MoM growth: one fact shuffle to the checkpointed (part, month) decimal frame; the shift is a self equi-join on (part, month-1) over that small frame; top-10 via TakeOrderedAndProject.",
+      "emb_centroid_separation" -> "Centroid geometry: the corpus collapses to K fixed-point centroid rows in one combinable aggregate; all pairwise separations run over the K-row broadcast - corpus appears once.",
+      "text_dsir" -> "DSIR importance weights: hashed-bigram bucket counts fold map-side into the <=buckets-sized model (broadcast back); scoring is one combinable per-doc aggregate over the same bigram projection.",
+      "ts_above_p95" -> "Threshold composition: the exact per-type p95 frame (rank selection, no whole-group window) broadcasts against the events scan; one conditional-count aggregate on the type shuffle.",
+      "dedup_cluster" -> "Star contraction over the STAGED pair parquet: each round is one bounded checkpointed job (largeStar+smallStar); the convergence probe folds two emptiness checks over the tiny edge set. Converges in 1 round on this corpus (profiled: ~1.1 s warm, cost is fixed job overhead, not data).",
+      "q21_late_supplier" -> "Q21 shape: the lineitem self-joins key on l_orderkey (exists/not-exists as semi/anti joins on the same shuffle); supplier/nation broadcast; top via TakeOrderedAndProject.",
+      "dedup_cluster_survivor" -> "Cluster survivorship: contraction output (vanishing fraction of the corpus) joins documents on doc_id - AQE broadcasts it; one per-cluster window with partitions bounded by cluster size.",
+      "dedup_simhash_pairs" -> "SimHash pair mining via byte blocking: 4-way (position, byte) explode of the fingerprint frame; equality join on the block key (pigeonhole-exact for hamming<=3); bit_count verifies; distinct only on survivors.",
+      "q16_supplier_count" -> "Q16 shape: part filter reaches the parquet scan; complaint suppliers anti-join; the distinct supplier count is a two-level aggregate on the (brand,type,size) shuffle.",
+      "q8_market_share" -> "Q8 shape: dims chain as broadcast hash joins pruning the fact scan; the share is a per-year conditional decimal division over the small (year) rollup.",
+      "emb_centroid_shift" -> "Centroid drift: two seeded assignments (broadcast fold-argmax projections, no window) each collapse to K centroid rows; the shift is a K-row matched-label join - corpus passes twice, nothing else grows.",
+      "text_heaps_vocab" -> "Heaps curve: first-occurrence doc per bigram type is one min(doc_id) combinable aggregate over the exploded bigrams; the bucket rollup + running total ride the type-count-sized frame.",
+      "mm_phash_clusters" -> "Media dup clusters: the star contraction runs verbatim over the staged phash pair source (bounded byte-block join over 8-byte fingerprints); payload bytes never enter the plan.",
+      "ts_gap_fill" -> "Gap fill: per-key hourly spine from sequence()+explode (bounded by each key's time span); LOCF is one running last_value window on the key shuffle - no corpus-spanning frame.",
+      "q_cube" -> "CUBE rollup: Spark Expand feeds one combinable HashAggregate pair - grouping-set fanout is 4x map-side, one exchange total.",
+      "text_top_term" -> "Top tf/df term: the explode shuffles once to (doc, term) counts; df derives from that frame (no second explode); the per-doc argmax window partitions by doc_id - bounded by one doc's vocabulary.",
+      "q10_returns" -> "Q10 shape: returned-lineitem filter pushed to the scan; customer/nation broadcast; one custkey rollup then top-20 via TakeOrderedAndProject.",
+      "q_approx_distinct" -> "HLL sketch: approx_count_distinct folds map-side into one combinable aggregate - a single exchange carries only sketch buffers (rows-only gate by design).",
+      "ts_mix_shift" -> "Mix drift: ONE corpus scan to checkpointed per-day conditional counts (+ residual 'other' mass); the day-value self-join and L1 fold run over the calendar-bounded frame.",
+      "emb_kmeans_step" -> "One Lloyd iteration: seed centroids broadcast as an array row; assignment is an in-array fold-argmax projection (no window, no explode); new centroids are one fixed-point combinable aggregate.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -72,7 +72,9 @@ object Scale {
            () => PhashIndex.ensure(spark, dir),
            () => KnnIndex.ensure(spark, dir),
            () => HelixScan.ensure(spark, dir),
-           () => HelixScan.ensurePoint(spark, dir)))
+           () => HelixScan.ensurePoint(spark, dir),
+           () => HelixScan.ensureLatest(spark, dir),
+           () => HelixScan.ensureOutdated(spark, dir)))
       try build() catch { case e: Throwable =>
         System.err.println(s"[scale] prebuild failed for $dir: ${e.toString.take(150)}")
       }

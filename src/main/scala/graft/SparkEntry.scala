@@ -188,6 +188,8 @@ object SparkEntry {
     "helix_scan_range" -> (HelixScan.scanRange _),
     "helix_get_point" -> (HelixScan.getPoint _),
     "helix_multiget" -> (HelixScan.multiget _),
+    "helix_latest" -> (HelixScan.latest _),
+    "helix_outdate_scan" -> (HelixScan.outdateScan _),
     "q_abc_analysis" -> (Analytics.qAbcAnalysis _),
     "emb_pq_code_balance" -> (Similarity.pqCodeBalance _),
     "text_dup_rate_by_source" -> (TextOps.dupRateBySource _),
@@ -1227,6 +1229,8 @@ object SparkEntry {
     "helix_scan_range" -> OracleSqlGen.helixScanRange,
     "helix_get_point" -> OracleSqlGen.helixGetPoint,
     "helix_multiget" -> OracleSqlGen.helixMultiget,
+    "helix_latest" -> OracleSqlGen.helixLatest,
+    "helix_outdate_scan" -> OracleSqlGen.helixOutdateScan,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,

@@ -63,6 +63,14 @@ object StoreBench {
       val k = f"key${(i * 37) % numKeys}%08d".getBytes
       time(store.get(k, (i * 13) % numTs))._2
     }
+    // batched multiget: fresh keys (kv-cache cold) in ONE pruned job —
+    // the per-batch cost the looped gets above pay per key
+    val mgProbes: Seq[(Array[Byte], Long)] = (100 until 150).map { i =>
+      (f"key${(i * 37) % numKeys}%08d".getBytes: Array[Byte],
+        ((i * 13) % numTs).toLong)
+    }
+    val (mgHits, tMultiget) = time(store.multiGet(mgProbes))
+    require(mgHits.forall(_.isDefined), "multiget must hit every probe")
 
     val rows = numKeys.toLong * numTs
 
@@ -120,7 +128,8 @@ object StoreBench {
     println(f"""{"rows":$rows,"put_s":$tPut%.2f,"put_rows_per_s":${rows / tPut}%.0f,""" +
       f""""get_avg_ms":${gets.sum / gets.size * 1000}%.0f,""" +
       f""""get_cached_avg_us":${cachedGets.sum / cachedGets.size * 1e6}%.0f,""" +
-      f""""get_block_avg_ms":${blockGets.sum / blockGets.size * 1000}%.0f,"scan_s":$tScan%.2f,""" +
+      f""""get_block_avg_ms":${blockGets.sum / blockGets.size * 1000}%.0f,""" +
+      f""""multiget50_s":$tMultiget%.2f,"multiget_avg_ms":${tMultiget / mgProbes.size * 1000}%.0f,"scan_s":$tScan%.2f,""" +
       f""""scan_rows_per_s":${rows / tScan}%.0f,"block_compact_s":$tCompact%.2f,""" +
       f""""scan_after_compact_s":$tScan2%.2f,""" +
       noopFloat + "," + gorillaFloat + "}")

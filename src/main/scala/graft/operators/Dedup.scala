@@ -646,6 +646,12 @@ object Dedup {
     * the DuckDB recursive-CTE oracle lands on the identical assignment.
     * Output: every clustered doc with its canonical (minimum) id,
     * keep = 1 on the survivor. */
+  /** Convergence-round count of the last [[clusterDups]] run on this
+    * JVM — profiling visibility for the O(log n) claim (a grown pair
+    * set that suddenly needs more rounds shows up here, not as a
+    * silent per-round cost increase). */
+  @volatile private[graft] var lastClusterRounds = 0
+
   def clusterDups(s: SparkSession, dir: String,
       pairSource: (SparkSession, String) => DataFrame = stagedPairs): DataFrame = {
     val pairs = pairSource(s, dir)
@@ -688,6 +694,7 @@ object Dedup {
       edges = next
       iter += 1
     }
+    lastClusterRounds = iter
     // stars: (child, componentMin) edges, plus each root labelling itself
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionAll(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())

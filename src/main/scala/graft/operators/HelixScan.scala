@@ -182,6 +182,88 @@ object HelixScan {
     decodeHits(s, hits)
   }
 
+  // ---- latest-per-key through the store (TimeIterator semantics) ------
+
+  /** As-of instant for the latest-value query (mid-corpus, so later
+    * writes exist and must be excluded). */
+  val LatestAsOfUs: Long =
+    java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L
+
+  /** USER-keyed entries — many timestamps per key, the layout where
+    * "latest value per key" is a real merge (the reference
+    * TimeIterator's newest-wins scan). (user_id, ts) is unique in the
+    * corpus (verified at every SF), so LWW never collapses rows. */
+  private[operators] def userEntriesOf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      padded(col("user_id"), 6, "user_id").cast("binary").as("key"),
+      unix_micros(col("ts")).as("ts"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long")
+        .cast("string").cast("binary").as("value"))
+
+  /** Build the user-keyed compacted store at most once per corpus. */
+  def ensureLatest(s: SparkSession, dir: String): String = {
+    val base = Staging.ensure("helixl",
+      Staging.fingerprint(dir, "events.parquet")) { tmp =>
+      val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
+      try { st.put(userEntriesOf(s, dir)); st.blockCompact() } finally st.close()
+    }
+    base.resolve("store").toString
+  }
+
+  /** #190 — LATEST VALUE PER KEY as of T, SERVED BY THE STORE (the
+    * reference TimeIterator's newest-wins merge, iterator.rs): one
+    * store read (compacted fast path — no LWW rank shuffle) + one
+    * per-key argmax window; the oracle is the same row_number
+    * selection on the raw parquet. */
+  def latest(s: SparkSession, dir: String): DataFrame = {
+    val st = storeAt(s, ensureLatest(s, dir))
+    st.latest(LatestAsOfUs)
+      .select(col("key").cast("string").cast("long").as("user_id"),
+        col("ts").as("ts_us"),
+        col("value").cast("string").cast("long").as("cents"))
+  }
+
+  // ---- retention through the store (Outdate, level.rs:337) ------------
+
+  /** Bucket-aligned retention cutoff (bucketSize = 1 day, midnight
+    * UTC): outdate drops whole buckets, so an aligned cutoff makes the
+    * surviving set exactly `ts >= cut` — oracle-expressible. */
+  val OutdateCutUs: Long =
+    java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+
+  /** Build the compacted-then-outdated store at most once per corpus:
+    * put → blockCompact → outdate (the reference's full lifecycle,
+    * level.rs TimestampAction Compact + Outdate). */
+  def ensureOutdated(s: SparkSession, dir: String): String = {
+    val base = Staging.ensure("helixo",
+      Staging.fingerprint(dir, "events.parquet")) { tmp =>
+      val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
+      try {
+        st.put(entriesOf(s, dir)); st.blockCompact()
+        st.outdate(OutdateCutUs)
+      } finally st.close()
+    }
+    base.resolve("store").toString
+  }
+
+  /** #191 — RETENTION SCAN: everything live in the outdated store. The
+    * dropped buckets are invisible via the committed cutoff (a
+    * partition-pruned filter, not a scan-and-discard) and the store is
+    * fully compacted, so the plan is a block parquet scan with bucket
+    * pruning and no LWW window; the oracle keeps raw-parquet rows at or
+    * past the cutoff — if retention dropped too much or too little, the
+    * hashes diverge. */
+  def outdateScan(s: SparkSession, dir: String): DataFrame = {
+    val st = storeAt(s, ensureOutdated(s, dir))
+    st.toDF
+      .withColumn("k", col("key").cast("string"))
+      .select(
+        substring(col("k"), 1, 6).cast("long").as("user_id"),
+        substring(col("k"), 8, 10).cast("long").as("event_id"),
+        col("ts").as("ts_us"),
+        col("value").cast("string").cast("long").as("cents"))
+  }
+
   /** Test hook: close cached stores, then see [[Staging.clear]]. */
   def clear(): Unit = { closeStores(); Staging.clear() }
 }

@@ -1694,6 +1694,36 @@ class OperatorSpec extends SparkTestBase {
       "pre-cut probes must exist and be invisible without decompression")
   }
 
+  test("helix latest: newest-wins per user as of T through the compacted store") {
+    val asOf = operators.HelixScan.LatestAsOfUs
+    val raw = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = raw.filter(_._2 <= asOf).groupBy(_._1)
+      .map { case (_, xs) => xs.maxBy(_._2) }.toSet
+    val got = operators.HelixScan.latest(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    assert(raw.exists(_._2 > asOf), "later writes must exist and be excluded")
+  }
+
+  test("helix outdate scan: retention keeps exactly the at-or-past-cutoff rows") {
+    val cut = operators.HelixScan.OutdateCutUs
+    val raw = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = raw.filter(_._3 >= cut).toSet
+    val got = operators.HelixScan.outdateScan(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    assert(raw.exists(_._3 < cut), "pre-cutoff rows must exist and be dropped")
+  }
+
   test("abc analysis: exact match with a driver Pareto recompute") {
     val rev = graft.core.Tables.lineitem(spark, Sf)
       .groupBy(col("l_partkey"))
