@@ -30,7 +30,8 @@ object Bench {
         () => operators.HelixScan.ensure(spark, sfDir),
         () => operators.HelixScan.ensurePoint(spark, sfDir),
         () => operators.HelixScan.ensureLatest(spark, sfDir),
-        () => operators.HelixScan.ensureOutdated(spark, sfDir)))
+        () => operators.HelixScan.ensureOutdated(spark, sfDir),
+        () => operators.TextIndex.ensure(spark, sfDir)))
       try build() catch { case _: Throwable => () }
     // best-of-2 per query: the second run has warm codegen/JIT, so the
     // min reflects steady-state operator cost rather than noise

@@ -38,10 +38,10 @@ object Plans {
       "ts_anomaly_mad" -> "Two exact medians, ONE scan, ONE exchange: both doubled-integer medians are full-partition conditional window sums over the same user_id partitioning - each pass adds only a Sort, never a join-back or second shuffle.",
       "emb_ivf_balance" -> "Zero data bytes: the cell counts come from the staged assignment table's PARTITION column alone (ReadSchema: struct<>); the skew division joins a 1-row broadcast total.",
       "emb_semdedup" -> "SemDeDup: broadcast seed assignment (fold-argmax projection, no window), salted within-cluster pair join — all-pairs cost collapses to cluster-bounded buckets; the keep bit is one left join against the tiny dropped set.",
-      "emb_knn_graph" -> "k-NN graph bootstrap: banded bucket self-join with the first-match-band dedup UNROLLED into the codegen'd join filter (no distinct over scored candidates, no per-pair lambda); per-src rank windows bounded by one node's candidates.",
+      "emb_knn_graph" -> "k-NN graph SERVED FROM the staged KnnIndex (one column-pruned parquet scan, zero exchanges): the banded self-join with unrolled first-match-band dedup and the per-src rank are index build, paid once per corpus fingerprint.",
       "emb_nn_descent_step" -> "NN-descent over the STAGED KnnIndex graph: the n*k edge parquet seeds symmetrize + 2-hop joins; the corpus appears only as two key-equi joins fetching endpoint vectors — no band re-mining.",
       "q_session_concurrency" -> "Interval-overlap sweep split by day: within-day running sums partition on day_us; the midnight carry is a prefix sum over the one-row-per-day net frame — no corpus-spanning window.",
-      "text_char_lm" -> "Char-LM in TWO bounded passes: the materialized (doc, bigram, count) profile feeds both the broadcast model build and the scoring probe; bigrams come from codegen'd \\G chunk splits, never a per-position lambda.",
+      "text_char_lm" -> "Char-LM over the STAGED bigram profiles (TextIndex bgc/ - the corpus tokenization and (doc, bigram) aggregate are index build): the query derives the tiny add-1 model and scores, both over the profile parquet; text never enters the plan.",
       "mm_byte_ioc" -> "Byte histogram without byte rows leaving codegen: one regex chunk split per payload, explode -> (doc, code) HashAggregate with map-side combine (<=256 keys/doc), one doc re-agg; the IoC is a single integer-ratio division.",
       "ts_rollup_cascade" -> "Materialized rollup cascade: ONE corpus scan builds the hourly frame; day and month aggregate the previous grain's calendar-bounded checkpoint — the events table appears exactly once in the plan.",
       "emb_ivf_recall" -> "Recall gate: the IVF side joins the staged cell-partitioned table on the probed cells; the exact side is the one unavoidable ground-truth scan over a SAMPLED query set; both rankings share per-qid windows.",
@@ -78,7 +78,7 @@ object Plans {
       "dedup_lsh_recall" -> "Ground-truth gate: runs BOTH registered pipelines by definition (staged prefix-filtered exact jaccard + staged banded LSH probe); the intersection is one pair-keyed join; 1-row output with NULLIF-guarded divisions.",
       "q_part_growth" -> "MoM growth: one fact shuffle to the checkpointed (part, month) decimal frame; the shift is a self equi-join on (part, month-1) over that small frame; top-10 via TakeOrderedAndProject.",
       "emb_centroid_separation" -> "Centroid geometry: the corpus collapses to K fixed-point centroid rows in one combinable aggregate; all pairwise separations run over the K-row broadcast - corpus appears once.",
-      "text_dsir" -> "DSIR importance weights: hashed-bigram bucket counts fold map-side into the <=buckets-sized model (broadcast back); scoring is one combinable per-doc aggregate over the same bigram projection.",
+      "text_dsir" -> "DSIR importance weights over the STAGED feature profiles (TextIndex dsir/ - <=128 hashed-bucket count rows per doc): target/raw ratios derive from one tiny aggregate, the score from one combinable per-doc aggregate; text never enters the plan.",
       "ts_above_p95" -> "Threshold composition: the exact per-type p95 frame (rank selection, no whole-group window) broadcasts against the events scan; one conditional-count aggregate on the type shuffle.",
       "dedup_cluster" -> "Star contraction over the STAGED pair parquet: each round is one bounded checkpointed job (largeStar+smallStar); the convergence probe folds two emptiness checks over the tiny edge set. Converges in 1 round on this corpus (profiled: ~1.1 s warm, cost is fixed job overhead, not data).",
       "q21_late_supplier" -> "Q21 shape: the lineitem self-joins key on l_orderkey (exists/not-exists as semi/anti joins on the same shuffle); supplier/nation broadcast; top via TakeOrderedAndProject.",

@@ -74,7 +74,8 @@ object Scale {
            () => HelixScan.ensure(spark, dir),
            () => HelixScan.ensurePoint(spark, dir),
            () => HelixScan.ensureLatest(spark, dir),
-           () => HelixScan.ensureOutdated(spark, dir)))
+           () => HelixScan.ensureOutdated(spark, dir),
+           () => TextIndex.ensure(spark, dir)))
       try build() catch { case e: Throwable =>
         System.err.println(s"[scale] prebuild failed for $dir: ${e.toString.take(150)}")
       }

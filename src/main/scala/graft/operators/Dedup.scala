@@ -543,8 +543,10 @@ object Dedup {
     verifyJaccard(cand, newHset, oldHset, "new_doc_id", "old_doc_id")
   }
 
-  /** The (doc_id, simhash) fingerprint frame shared by #19 and #66. */
-  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
+  /** Index-build producer for [[DedupIndex]] sim/: the per-doc 32-bit
+    * SimHash fingerprint (one token explode, 32 conditional bit sums —
+    * the corpus-sized pass under #19 and #66). */
+  private[operators] def simhashBuild(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
@@ -555,6 +557,14 @@ object Dedup {
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     agg.select(col("doc_id"), sim.as("simhash"))
   }
+
+  /** The (doc_id, simhash) fingerprint frame shared by #19 and #66 —
+    * served from the STAGED artifact (fingerprints are corpus-invariant
+    * and parameter-free; the tokenization and bit aggregation are index
+    * build, the same split as wfp/ and the phash store). */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(DedupIndex.ensure(s, dir).sim)
+      .select("doc_id", "simhash")
 
   /** #19 — 32-bit SimHash fingerprint from per-token md5 bits, plus
     * hamming distance to doc 0 (bit_count(xor)); #66 mines pairs. */

@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
  *           (Schleimer et al. SIGMOD'03): per-doc windowed argmin over
  *           the same rolling-window hashes — `dedup_winnow` reads it
  *           verbatim, `dedup_winnow_pairs` mines it
+ *   sim/    (doc_id, simhash)               32-bit SimHash fingerprints
+ *           — `dedup_simhash` reads it, `dedup_simhash_pairs` mines it
+ *           via byte blocking
  *
  * Consumers: `dedup_cluster` reads `pairs` (cluster resolution is the
  * query; pair mining is index build — the same split as IvfIndex's
@@ -40,10 +43,10 @@ object DedupIndex {
 
   /** Bumped whenever the staged layout changes: a dir staged by older
     * code must not be served to code expecting new artifacts. */
-  private val LayoutVersion = "v6"
+  private val LayoutVersion = "v7"
 
   final case class StagedPaths(hset: String, bands: String, pairs: String,
-      rset: String, fps: String, fpos: String, wfp: String)
+      rset: String, fps: String, fpos: String, wfp: String, sim: String)
 
   /** Ensure the signature store exists for `dir`; builds at most once
     * per source fingerprint. */
@@ -87,11 +90,13 @@ object DedupIndex {
       s.read.parquet(tmp.resolve("fpos").toString)
         .select("doc_id", "fp").distinct()
         .write.parquet(tmp.resolve("fps").toString)
+      Dedup.simhashBuild(s, dir).write.parquet(tmp.resolve("sim").toString)
     }
     StagedPaths(base.resolve("hset").toString,
       base.resolve("bands").toString, base.resolve("pairs").toString,
       base.resolve("rset").toString, base.resolve("fps").toString,
-      base.resolve("fpos").toString, base.resolve("wfp").toString)
+      base.resolve("fpos").toString, base.resolve("wfp").toString,
+      base.resolve("sim").toString)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

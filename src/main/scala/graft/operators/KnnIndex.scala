@@ -17,7 +17,7 @@ object KnnIndex {
   def ensure(s: SparkSession, dir: String): String = {
     val base = Staging.ensure("knng",
       Staging.fingerprint(dir, "embeddings.parquet")) { tmp =>
-      Similarity.knnGraph(s, dir).write.parquet(tmp.resolve("g").toString)
+      Similarity.knnGraphBuild(s, dir).write.parquet(tmp.resolve("g").toString)
     }
     base.resolve("g").toString
   }

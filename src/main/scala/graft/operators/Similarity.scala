@@ -579,8 +579,20 @@ object Similarity {
     * bootstrapped before NN-descent refinement (#137): band width
     * scales with log n to hold bucket sizes, and the graph's edge count
     * is n·k by construction. Scores round to 6 dp (ties → lowest dst)
-    * so ranking is bit-deterministic across engines. */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    * so ranking is bit-deterministic across engines.
+    *
+    * The graph is corpus-invariant and parameter-free, so the build is
+    * STAGED ([[KnnIndex]], which persists [[knnGraphBuild]]'s output —
+    * its consumers #137/#154/#160 already probe it); the registered
+    * query reads the staged edge parquet, the same index/query split
+    * as dedup_winnow and the phash store. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(KnnIndex.ensure(s, dir))
+      .select("src", "rnk", "dst", "rcos")
+
+  /** Index-build producer for [[KnnIndex]]: the banded bucket self-join
+    * + per-src top-k. */
+  private[operators] def knnGraphBuild(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))

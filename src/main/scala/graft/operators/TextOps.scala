@@ -618,27 +618,31 @@ object TextOps {
     * combinable shuffle on bigram keys; pass 2 is map-side probe +
     * one doc_id shuffle. P(b|a) = (c(ab)+1) / (c(a·)+V) with V =
     * distinct second chars. */
-  def charLm(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** Index-build producer for [[TextIndex]] bgc/: the per-doc
+    * overlapping char-bigram count profile (doc_id, bg, c) — the one
+    * corpus-sized pass under text_char_lm. Occurrence-level sums are
+    * recovered exactly as Σ c·x. The overlapping bigram multiset comes
+    * from TWO codegen'd \G chunk splits (even- and odd-aligned 2-char
+    * chunks; length-1 tails and trailing "" drop in the filter) — a
+    * per-position transform lambda is interpreted per ELEMENT and was
+    * the dominant cost of the first formulation (3.9 s → ~1.3 s at
+    * sf0.1). */
+  private[operators] def charBigramProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), lower(col("text")).as("nm"))
       .filter(length(col("nm")) >= 2)
-    // The per-doc bigram-count PROFILE (doc_id, bg, c) is the one
-    // corpus-sized pass; it is materialized (localCheckpoint) because
-    // it feeds BOTH the model build and the scoring probe — without it
-    // the corpus would be re-exploded per consumer. Occurrence-level
-    // sums are recovered exactly as Σ c·pfix / Σ c. The overlapping
-    // bigram multiset comes from TWO codegen'd \G chunk splits (even-
-    // and odd-aligned 2-char chunks; length-1 tails and trailing ""
-    // drop in the filter) — a per-position transform lambda is
-    // interpreted per ELEMENT and was the dominant cost of the first
-    // formulation (3.9 s → ~1.3 s at sf0.1).
-    val bgc = docs.select(col("doc_id"), explode(concat(
+      .select(col("doc_id"), explode(concat(
         split(col("nm"), "(?<=\\G..)"),
         split(col("nm").substr(lit(2), length(col("nm"))), "(?<=\\G..)")))
         .as("bg"))
       .filter(length(col("bg")) === 2)
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+
+  def charLm(s: SparkSession, dir: String): DataFrame = {
+    // The per-doc profile is STAGED (TextIndex bgc/ — tokenization and
+    // the corpus-sized (doc, bg) aggregate are index build); the query
+    // derives the tiny add-1 model and scores, both over the profile.
+    val bgc = s.read.parquet(TextIndex.ensure(s, dir).bgc)
     val m = bgc.groupBy("bg").agg(sum("c").as("cab"))
     val fc = m.groupBy(substring(col("bg"), 1, 1).as("a")).agg(sum("cab").as("ca"))
     val vz = m.agg(countDistinct(substring(col("bg"), 2, 1)).as("vsz"))
@@ -678,9 +682,11 @@ object TextOps {
     * floor, DECIMAL(38) sums) so the oracle is bit-identical. Pass 1:
     * one combinable shuffle onto ≤B keys + a 1-row totals frame;
     * pass 2: map-side broadcast probe + one doc_id shuffle. */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val isEval = col("doc_id") % EvalMod === 0
-    val bgf = Tables.documents(s, dir)
+  /** Index-build producer for [[TextIndex]] dsir/: the per-doc hashed
+    * word-bigram feature-count profile (doc_id, h, c) — ≤ DsirBuckets
+    * rows per doc, exact occurrence counts. */
+  private[operators] def dsirFeatureProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(transform(
@@ -690,9 +696,18 @@ object TextOps {
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("bgr")), 1, 8), 16, 10).cast("long"),
           lit(DsirBuckets)).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % EvalMod === 0
+    // STAGED profile probe (TextIndex dsir/): tokenization, hashing and
+    // the corpus-sized (doc, h) aggregate are index build; occurrence
+    // sums recover exactly as Σ c (and Σ c·rfix for the score), so
+    // every derived integer matches the from-scratch oracle.
+    val bgf = s.read.parquet(TextIndex.ensure(s, dir).dsir)
     val counts = bgf.groupBy("h").agg(
-      sum(when(isEval, 1L).otherwise(0L)).as("t_h"),
-      sum(when(isEval, 0L).otherwise(1L)).as("r_h"))
+      sum(when(isEval, col("c")).otherwise(0L)).as("t_h"),
+      sum(when(isEval, 0L).otherwise(col("c"))).as("r_h"))
     val totals = counts.agg(sum("t_h").as("tt"), sum("r_h").as("tr"))
     val model = counts.crossJoin(broadcast(totals))
       .select(col("h"),
@@ -704,7 +719,7 @@ object TextOps {
     bgf.filter(!isEval)
       .join(broadcast(model), "h")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("rfix").as("sfix"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("rfix")).as("sfix"))
       .select(col("doc_id"), col("n_feats"),
         ((col("sfix").cast("double") / DsirFixScale) / col("n_feats"))
           .as("dsir_score"))

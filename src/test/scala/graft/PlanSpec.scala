@@ -494,6 +494,36 @@ class PlanSpec extends SparkTestBase {
       "the boilerplate cap must not funnel hot fingerprints through one task")
   }
 
+  test("dedup_simhash_pairs mines the staged fingerprints; the corpus text never enters the plan") {
+    val p = plan("dedup_simhash_pairs")
+    assert(p.contains("graft-stage"), "fingerprints must come from the staged sim store")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "no tokenization pass: the corpus parquet must not appear")
+  }
+
+  test("text_char_lm probes the staged bigram profiles; the corpus text never enters the plan") {
+    val p = plan("text_char_lm")
+    assert(p.contains("graft-stage"), "profiles must come from the staged store")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "no tokenization pass: the corpus parquet must not appear")
+  }
+
+  test("text_dsir probes the staged feature profiles; the corpus text never enters the plan") {
+    val p = plan("text_dsir")
+    assert(p.contains("graft-stage"), "profiles must come from the staged store")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "no tokenization pass: the corpus parquet must not appear")
+  }
+
+  test("emb_knn_graph reads the staged edge parquet; the banded build never runs per query") {
+    val p = plan("emb_knn_graph")
+    assert(p.contains("graft-stage"), "edges must come from the staged knn graph")
+    assert(!p.contains("graft_band_codes"),
+      "the banded self-join is index build, not query work")
+    assert(!p.contains("windowspecdefinition"),
+      "the per-src rank window is index build, not query work")
+  }
+
   test("emb_pagerank_knn iterates over the staged edge parquet, never re-mines the graph") {
     val p = plan("emb_pagerank_knn")
     assert(p.contains("graft-stage"), "edges must come from the staged knn graph")
