@@ -88,6 +88,19 @@ class StoreModelSpec extends SparkTestBase {
       assert(storeState == visible,
         s"seed=$seed step=$step: store diverged from model " +
           s"(${storeState.size} vs ${visible.size} entries)")
+      // batched-read parity through every store state (rick/blocks mix,
+      // retention cutoffs, reopens): a random probe batch of present
+      // and absent (key, ts) pairs must match the model exactly
+      val probes: Seq[(Array[Byte], Long)] =
+        keys.take(3).map(k =>
+          (k.getBytes: Array[Byte], rnd.nextInt(100).toLong)) :+
+          (("zz".getBytes: Array[Byte], 0L))
+      store.multiGet(probes).zip(probes).foreach { case (got, (kb, ts)) =>
+        val exp = model.get((new String(kb), ts))
+          .filter(_ => ts / bucketSize >= minBucket)
+        assert(got.map(new String(_)) == exp,
+          s"seed=$seed step=$step: multiGet diverged at (${new String(kb)}, $ts)")
+      }
     }
     store.close()
   }
