@@ -149,7 +149,12 @@ object Dedup {
     * pair-keyed join; 1-row output, two mirrored divisions. */
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = ngramJaccard(s, dir).localCheckpoint()
-    val lsh = minhashLsh(s, dir)
+    // the LSH side is the STAGED pair table (DedupIndex pairs/ —
+    // byte-identical to running the banded probe: pairs/ IS the
+    // verified minhashLsh output, the same artifact dedup_cluster
+    // resolves over); the exact side must run — it is the ground truth
+    // being measured against
+    val lsh = stagedPairs(s, dir)
     val hit = exact.join(lsh, Seq("doc_id1", "doc_id2"))
       .agg(count(lit(1)).as("n_hit"))
     // empty-denominator guard: a corpus with no duplicate pairs reports
