@@ -162,11 +162,20 @@ object Bench {
       "\"" + k + "\":{\"sec\":" + f2(v) +
         ",\"spread\":" + f2(spreads.getOrElse(k, 0.0)) + "}"
     }.mkString("{", ",", "}")
+    // every control char must escape, not just \r\n\t — a \b or  
+    // in an exception message would otherwise invalidate the whole file
+    def esc(v: String): String = v.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "'"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     val errs = errors.map { case (k, v) =>
-      val safe = v.take(200).replace("\\", "\\\\").replace("\"", "'")
-        .replaceAll("[\r\n\t]", " ")
-      "\"" + k + "\":\"" + safe + "\""
+      "\"" + k + "\":\"" + esc(v.take(200)) + "\""
     }.mkString("{", ",", "}")
-    s"""{"sf":"$sfDir","load":${f2(load)},"total":${f2(results.values.sum)},"queries":$qs,"errors":$errs}"""
+    // getSystemLoadAverage returns -1 on unsupported platforms: omit,
+    // matching jsonLine
+    val ld = if (load >= 0) s""""load":${f2(load)},""" else ""
+    s"""{"sf":"$sfDir",$ld"total":${f2(results.values.sum)},"queries":$qs,"errors":$errs}"""
   }
 }

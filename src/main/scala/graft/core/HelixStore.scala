@@ -791,6 +791,39 @@ final class HelixStore private (
     }
   }
 
+  /** Batch form of [[blockMayContain]]: true when the block layer might
+    * hold ANY of the probes. With a collected manifest this is the
+    * in-memory check per probe; in ManifestTooBig mode it is ONE
+    * filtered scan over the batch's (shard, bucket) pairs — never a
+    * scan per probe, which would reintroduce the job-per-key cost
+    * multiGet exists to amortize. */
+  private def blockMayContainAny(probes: Seq[(Long, Long, Array[Byte])]): Boolean = {
+    if (!hasBlocks) return false
+    if (ptr.manifest.isEmpty) return true // no manifest: can't prune
+    manifest match {
+      case ManifestLoaded(_) =>
+        probes.exists(p => blockMayContain(p._1, p._2, p._3))
+      case ManifestTooBig =>
+        val pairs = probes.map(p => (p._1, p._2)).distinct
+        val pred = pairs
+          .map { case (s, b) => col("shard") === s && col("bucket") === b }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val ranges = spark.read.parquet(dirOf(ptr.manifest.get).toString)
+          .filter(pred).select("shard", "bucket", "min_key", "max_key")
+          .collect() // bounded by the batch's distinct pair count
+          .map(r => (r.getAs[Number]("shard").longValue(),
+            r.getAs[Number]("bucket").longValue()) ->
+            ((r.getAs[Array[Byte]]("min_key"), r.getAs[Array[Byte]]("max_key"))))
+          .toMap
+        probes.exists { case (s, b, k) =>
+          ranges.get((s, b)).exists { case (lo, hi) =>
+            java.util.Arrays.compareUnsigned(k, lo) >= 0 &&
+              java.util.Arrays.compareUnsigned(k, hi) <= 0
+          }
+        }
+    }
+  }
+
   /** True when the block layer might hold `key` in (shard, bucket) —
     * false only on manifest proof of absence. */
   private def blockMayContain(shard: Long, bucket: Long, key: Array[Byte]): Boolean = {
@@ -867,7 +900,7 @@ final class HelixStore private (
     def prune(df: DataFrame): DataFrame = partitionPrune match {
       case Some(pairs) => df.filter(pairs
         .map { case (s, b) => col("shard") === s && col("bucket") === b }
-        .reduce(_ || _))
+        .reduceOption(_ || _).getOrElse(lit(false)))
       case None => df
     }
     val rows = rowFilesSnapshot match {
@@ -1058,7 +1091,7 @@ final class HelixStore private (
     if (live.isEmpty) return probes.map(_ => None)
     val pairs = live.map(p => (p._3, p._4)).distinct
     val useBlocks = decompress &&
-      live.exists(p => blockMayContain(p._3, p._4, p._1))
+      blockMayContainAny(live.map(p => (p._3, p._4, p._1)))
     val src = rawEntries(useBlocks, partitionPrune = Some(pairs))
     // LWW only when the rick layer can contribute a duplicate (post-
     // compaction block entries are already unique per (key, ts) — the
@@ -1071,10 +1104,18 @@ final class HelixStore private (
         src.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       }
     import spark.implicits._
-    val probeDf = live.map(p => (p._1, p._2)).toDF("pk", "pts")
+    // the probe join carries the ROUTED shard: without it, an entry
+    // written via directPut into a shard another probe pulled into the
+    // pruned scan could satisfy a key routed elsewhere — get() would
+    // miss it (the documented directPut/directGet contract), so the
+    // batch must too, and a probe's result must never depend on which
+    // other probes share its batch
+    val probeDf = live.map(p => (p._1, p._2, p._3))
+      .toDF("pk", "pts", "pshard")
     val hits = resolved
       .join(broadcast(probeDf),
-        col("key") === col("pk") && col("ts") === col("pts"))
+        col("key") === col("pk") && col("ts") === col("pts") &&
+          col("shard") === col("pshard"))
       .select("key", "ts", "value").collect()
       .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1)) ->
         r.getAs[Array[Byte]](2)).toMap

@@ -249,25 +249,22 @@ object Dedup {
   val WinDfCap = 64
   val WinMinShared = 2
 
-  /** Index-build producer for [[DedupIndex]] fps/: mod-p-sampled
-    * rolling-window fingerprints — the LBFS/MOSS content-defined
-    * fingerprint family (Manber '94; Schleimer et al. SIGMOD'03), the
-    * signal public training-data pipelines use for EXACT SUBSTRING
-    * duplication (shared spans, not whole-document similarity). Every
-    * WinK-token window hashes with the same Rabin-Karp fold as
-    * text_rolling_hash (TextOps.RollB/RollP over 32-bit md5 token
-    * prefixes); only windows whose hash ≡ 0 (mod WinSelMod) are kept,
-    * so the artifact stores ~1/WinSelMod of the windows yet any
-    * sufficiently long shared span still lands ≥1 sampled fingerprint
-    * on both sides. Emits (doc_id, pos, fp) with pos the 1-based token
-    * index of the window start — the position column is what lets
-    * [[substringSpans]] lift pair mining to span granularity; the
-    * pair probe collapses to DISTINCT (doc_id, fp) at stage time
-    * ([[DedupIndex]] fps/ vs fpos/). O(n·WinK) map-side work. */
   /** Every [[WinK]]-token rolling-window hash with its 1-based start
-    * position — the shared upstream of BOTH fingerprint selections
-    * (mod-p sampling for fpos/, winnowing for wfp/): one tokenization,
-    * one Rabin-Karp pass, map-side only. */
+    * position — the shared upstream of BOTH fingerprint selections in
+    * [[DedupIndex]] (mod-p sampling for fpos/fps/, winnowing for
+    * wfp/): one tokenization, one Rabin-Karp pass (the same fold as
+    * text_rolling_hash: TextOps.RollB/RollP over 32-bit md5 token
+    * prefixes), map-side only, O(n·WinK).
+    *
+    * The mod-p selection (fp ≡ 0 mod [[WinSelMod]], applied at stage
+    * time) is the LBFS/MOSS content-defined fingerprint family
+    * (Manber '94; Schleimer et al. SIGMOD'03) — the signal public
+    * training-data pipelines use for EXACT SUBSTRING duplication:
+    * ~1/WinSelMod of windows are stored, yet any sufficiently long
+    * shared span lands ≥1 sampled fingerprint on both sides. The pos
+    * column is what lets [[substringSpans]] lift pair mining to span
+    * granularity; the pair probe collapses to DISTINCT (doc_id, fp)
+    * at stage time (fps/ vs fpos/). */
   private[operators] def windowHashes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("t", tokens(col("text")))
@@ -281,9 +278,6 @@ object Dedup {
             (acc, x) => (acc * TextOps.RollB + x) % TextOps.RollP))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("fp"))
-
-  private[operators] def substringFingerprints(s: SparkSession, dir: String): DataFrame =
-    windowHashes(s, dir).filter(col("fp") % WinSelMod === 0)
 
   /** #103 — substring-level dup pair mining: docs sharing >= WinMinShared
     * sampled window fingerprints (i.e. exact WinK-token runs), the
@@ -647,6 +641,12 @@ object Dedup {
   def stagedPairs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(DedupIndex.ensure(s, dir).pairs)
 
+  /** Convergence-round count of the last [[clusterDups]] run on this
+    * JVM — profiling visibility for the O(log n) claim (a grown pair
+    * set that suddenly needs more rounds shows up here, not as a
+    * silent per-round cost increase). */
+  @volatile private[graft] var lastClusterRounds = 0
+
   /** #45 — duplicate-cluster resolution: connected components over the
     * dup pairs via alternating large-star/small-star contractions
     * (Kiveris et al. 2014) — converges in O(log n) rounds regardless of
@@ -661,12 +661,6 @@ object Dedup {
     * the DuckDB recursive-CTE oracle lands on the identical assignment.
     * Output: every clustered doc with its canonical (minimum) id,
     * keep = 1 on the survivor. */
-  /** Convergence-round count of the last [[clusterDups]] run on this
-    * JVM — profiling visibility for the O(log n) claim (a grown pair
-    * set that suddenly needs more rounds shows up here, not as a
-    * silent per-round cost increase). */
-  @volatile private[graft] var lastClusterRounds = 0
-
   def clusterDups(s: SparkSession, dir: String,
       pairSource: (SparkSession, String) => DataFrame = stagedPairs): DataFrame = {
     val pairs = pairSource(s, dir)

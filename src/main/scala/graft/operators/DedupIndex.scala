@@ -83,7 +83,7 @@ object DedupIndex {
       wh.filter(col("fp") % Dedup.WinSelMod === 0)
         .write.parquet(tmp.resolve("fpos").toString)
       Dedup.winnowSelection(wh).write.parquet(tmp.resolve("wfp").toString)
-      deleteRecursively(whDir)
+      Staging.deleteRecursively(whDir)
       // fps/ is the doc-level distinct projection of fpos/ — derived
       // from the just-written artifact (a column-pruned parquet scan),
       // never a second corpus tokenization pass
@@ -97,18 +97,6 @@ object DedupIndex {
       base.resolve("rset").toString, base.resolve("fps").toString,
       base.resolve("fpos").toString, base.resolve("wfp").toString,
       base.resolve("sim").toString)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      val st = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally st.close()
-    }
   }
 
   /** Test hook: see [[Staging.clear]]. */

@@ -62,6 +62,13 @@ object HelixScan {
     scala.collection.mutable.LinkedHashMap.empty[String, HelixStore]
   private def storeAt(s: SparkSession, path: String): HelixStore =
     openStores.synchronized {
+      // a cached handle bound to a STOPPED SparkSession would fail every
+      // read forever (long-lived server that restarts its session):
+      // evict and reopen against the live session
+      openStores.get(path).filter(_.spark.sparkContext.isStopped).foreach { st =>
+        try st.close() catch { case _: Throwable => () }
+        openStores.remove(path): Unit
+      }
       openStores.getOrElseUpdate(path, HelixStore.open(s, path, opts))
     }
   private def storeFor(s: SparkSession, dir: String): HelixStore =
@@ -69,6 +76,9 @@ object HelixScan {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => closeStores(),
       "graft-helixscan-close"))
+    // any module's clear() (they all delegate to Staging.clear) must
+    // release the cached handles before the staged dirs vanish
+    Staging.registerClearHook(() => closeStores())
   }
   private def closeStores(): Unit = openStores.synchronized {
     openStores.valuesIterator.foreach(st =>

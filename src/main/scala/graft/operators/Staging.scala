@@ -60,7 +60,7 @@ object Staging {
       base
     }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[operators] def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try {
@@ -71,9 +71,17 @@ object Staging {
     }
   }
 
+  // Modules holding live handles into staged dirs (HelixScan's cached
+  // open stores) register a hook so ANY module's clear() — they all
+  // delegate here — releases the handles before the dirs vanish under
+  // them.
+  private val clearHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  def registerClearHook(f: () => Unit): Unit = synchronized { clearHooks += f }
+
   /** Test hook: drop every staged artifact so a spec can measure a
     * cold build deterministically. */
   def clear(): Unit = synchronized {
+    clearHooks.foreach(f => try f() catch { case _: Throwable => () })
     deleteRecursively(Paths.get(stageRoot))
   }
 }

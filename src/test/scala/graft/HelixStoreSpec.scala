@@ -55,6 +55,33 @@ class HelixStoreSpec extends SparkTestBase {
       noBlocks(k).map(new String(_)).contains(s"new$k")))
   }
 
+  test("multiGet honors routing: a foreign-shard directPut entry stays invisible whatever shares its batch") {
+    val store = HelixStore.open(spark, tmpDir("hs-mget-route"),
+      StoreOptions(numShards = 4, bucketSize = 10))
+    val key = "kA".getBytes
+    // find kA's routed home shard empirically, then plant a same-(key,ts)
+    // entry in a DIFFERENT shard via directPut
+    store.put(entriesDF(Seq(("kA", 1L, "routed"))))
+    val home = (0 until 4).find(sh => store.directGet(sh, key, 1L).isDefined).get
+    val foreign = (home + 1) % 4
+    store.directPut(foreign, entriesDF(Seq(("kA", 5L, "alien"))))
+    // a routed key living in the FOREIGN shard + same bucket, so a batch
+    // containing it drags (foreign, bucket) into the pruned scan
+    val mate = (0 until 50).map(i => s"kC$i").find { k =>
+      store.put(entriesDF(Seq((k, 5L, s"v-$k"))))
+      store.directGet(foreign, k.getBytes, 5L).isDefined
+    }.get
+    // get() misses the alien entry (documented directPut/directGet
+    // contract); multiGet must agree — alone AND batched with the mate
+    assert(store.get(key, 5L).isEmpty)
+    assert(store.multiGet(Seq((key, 5L))).head.isEmpty)
+    val batched = store.multiGet(Seq((key, 5L), (mate.getBytes, 5L)))
+    assert(batched(0).isEmpty,
+      "a probe's result must not depend on which other probes share its batch")
+    assert(batched(1).map(new String(_)).contains(s"v-$mate"))
+    assert(store.directGet(foreign, key, 5L).map(new String(_)).contains("alien"))
+  }
+
   test("scan scaffold: full rectangle returns numTs * numKeys ordered rows") {
     val store = HelixStore.open(spark, tmpDir("hs-scan"), StoreOptions(numShards = 4, bucketSize = 4))
     val numTs = 10
