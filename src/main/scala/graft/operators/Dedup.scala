@@ -265,7 +265,7 @@ object Dedup {
     * column is what lets [[substringSpans]] lift pair mining to span
     * granularity; the pair probe collapses to DISTINCT (doc_id, fp)
     * at stage time (fps/ vs fpos/). */
-  private[operators] def windowHashes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def windowHashes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) >= WinK)
@@ -838,7 +838,7 @@ object Dedup {
 
   /** Index-build producer for [[DedupIndex]] wfp/: the winnowing
     * argmin over an already-materialized window-hash frame. */
-  private[operators] def winnowSelection(wh: DataFrame): DataFrame = {
+  private[graft] def winnowSelection(wh: DataFrame): DataFrame = {
     val wSel = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(WinnowW - 1), 0)
     wh.withColumn("code",

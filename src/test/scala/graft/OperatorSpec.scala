@@ -1101,6 +1101,72 @@ class OperatorSpec extends SparkTestBase {
       got.size.toLong * Dedup.WinnowW >= totalWindows - docs.length * Dedup.WinnowW)
   }
 
+  test("winnowing on planted adversarial corpora: exact vs driver recompute; guarantee on every planted run (seeded)") {
+    // small vocab → repeated tokens, equal window hashes, rightmost-tie
+    // paths — the structure the real corpus rarely exercises
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val runLen = Dedup.WinK + Dedup.WinnowW - 1
+    def hash32(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def winnowOf(t: Seq[String]): Set[(Long, Long)] = {
+      if (t.length < Dedup.WinK) return Set.empty
+      val h = t.map(hash32)
+      val fps = (0 to h.length - Dedup.WinK).map { i =>
+        (0 until Dedup.WinK).foldLeft(0L)((acc, j) =>
+          (acc * TextOps.RollB + h(i + j)) % TextOps.RollP)
+      }
+      (Dedup.WinnowW - 1 until fps.length).flatMap { j =>
+        val win = (j - Dedup.WinnowW + 1 to j).map(i => (fps(i), i))
+        val m = win.minBy { case (f, i) => (f, -i) }
+        Some(((m._2 + 1).toLong, m._1))
+      }.toSet
+    }
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(4242 + trial)
+      val nDocs = 20
+      val docs = Array.tabulate(nDocs) { i =>
+        (i.toLong, Vector.fill(12 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val planted = scala.collection.mutable.Set.empty[(Long, Long)]
+      for (_ <- 0 until 6) {
+        val a = rnd.nextInt(nDocs)
+        val b = (a + 1 + rnd.nextInt(nDocs - 1)) % nDocs
+        val ta = docs(a)._2
+        if (ta.length >= runLen) {
+          val st = rnd.nextInt(ta.length - runLen + 1)
+          val run = ta.slice(st, st + runLen)
+          val (idb, tb) = docs(b)
+          val ins = rnd.nextInt(tb.length + 1)
+          docs(b) = (idb, tb.take(ins) ++ run ++ tb.drop(ins))
+          planted += ((math.min(a, b).toLong, math.max(a, b).toLong))
+        }
+      }
+      val dir = tmpDir(s"winnow-prop-$trial")
+      val sp = spark; import sp.implicits._
+      docs.toSeq.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.winnowSelection(Dedup.windowHashes(spark, dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // 1) pipeline exactness on adversarial data (hash ties, repeats)
+      val expected = docs.toSeq.flatMap { case (id, t) =>
+        winnowOf(t).map { case (pos, fp) => (id, pos, fp) }
+      }.toSet
+      assert(got.toSet == expected, s"trial $trial: selection diverged")
+      // 2) guarantee: every planted >= K+W-1-token shared run yields a
+      // shared selected fingerprint VALUE between the two docs
+      val byDoc = got.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).toSet }
+      assert(planted.nonEmpty)
+      planted.foreach { case (a, b) =>
+        assert((byDoc.getOrElse(a, Set.empty) & byDoc.getOrElse(b, Set.empty)).nonEmpty,
+          s"trial $trial: planted run between docs $a,$b surfaced no shared fingerprint")
+      }
+    }
+  }
+
   test("winnow pairs: exact recompute; MOSS shared-run guarantee holds both ways") {
     // per-doc distinct winnowed fp sets off the verified selection
     val wfpSets = Dedup.winnow(spark, Sf).collect()
