@@ -1101,6 +1101,40 @@ class OperatorSpec extends SparkTestBase {
       got.size.toLong * Dedup.WinnowW >= totalWindows - docs.length * Dedup.WinnowW)
   }
 
+  test("simhash pairs: byte blocking finds exactly the hamming<=3 pairs of a driver all-pairs recompute") {
+    def hash32(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val sims = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) None // tokenless docs never enter the frame
+        else {
+          val bitSums = Array.fill(32)(0L)
+          toks.foreach { w =>
+            val h = hash32(w)
+            (0 until 32).foreach(b =>
+              bitSums(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+          }
+          Some(r.getLong(0) -> (0 until 32).foldLeft(0L)((acc, b) =>
+            if (bitSums(b) > 0) acc | (1L << b) else acc))
+        }
+      }.sortBy(_._1)
+    val expected = (for {
+      i <- sims.indices; j <- sims.indices if i < j
+      ham = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2)
+      if ham <= Dedup.SimhashMaxHam
+    } yield (sims(i)._1, sims(j)._1, ham.toLong)).toSet
+    val got = Dedup.simhashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      "byte blocking must be pigeonhole-exact: no hamming<=3 pair lost or invented")
+    assert(expected.nonEmpty, "corpus must exercise the pair miner")
+  }
+
   test("winnowing on planted adversarial corpora: exact vs driver recompute; guarantee on every planted run (seeded)") {
     // small vocab → repeated tokens, equal window hashes, rightmost-tie
     // paths — the structure the real corpus rarely exercises
