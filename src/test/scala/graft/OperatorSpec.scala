@@ -1101,6 +1101,40 @@ class OperatorSpec extends SparkTestBase {
       got.size.toLong * Dedup.WinnowW >= totalWindows - docs.length * Dedup.WinnowW)
   }
 
+  test("exact dedup family: groups, prefix groups and survivors match a driver recompute") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // #16 exact: md5 groups with count + lowest id
+    val expGroups = docs.groupBy(d => md5hex(d._2)).map { case (h, xs) =>
+      (h, xs.length.toLong, xs.map(_._1).min)
+    }.toSet
+    val gotGroups = Dedup.exact(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotGroups == expGroups)
+    assert(gotGroups.nonEmpty)
+    // #88 prefix dedup: 64-char-prefix collision groups only
+    val expPrefix = docs.groupBy(d => md5hex(d._2.take(64)))
+      .collect { case (h, xs) if xs.length >= 2 =>
+        (h, xs.length.toLong, xs.map(_._1).min) }.toSet
+    val gotPrefix = Dedup.prefixDups(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPrefix == expPrefix)
+    assert(gotPrefix.nonEmpty, "corpus must contain shared-prefix groups")
+    // #54 survivor: longest doc wins per md5 group, ties to lowest id
+    val expKeep = docs.groupBy(d => md5hex(d._2)).values.flatMap { xs =>
+      val winner = xs.minBy(d => (-d._3, d._1))._1
+      xs.map(d => d._1 -> (d._1 == winner))
+    }.toMap
+    val gotKeep = Dedup.survivor(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2) == 1)).toMap
+    assert(gotKeep == expKeep)
+  }
+
   test("simhash pairs: byte blocking finds exactly the hamming<=3 pairs of a driver all-pairs recompute") {
     def hash32(w: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
