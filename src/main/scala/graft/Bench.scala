@@ -151,6 +151,17 @@ object Bench {
     line
   }
 
+  /** JSON-string sanitizer shared by every tool that embeds exception
+    * text (fullJson here, Scale's failed map): EVERY control char must
+    * be neutralized, not just CR/LF/TAB — a backspace or a NUL byte in
+    * an exception message would otherwise invalidate the whole file. */
+  private[graft] def escJson(v: String): String = v.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "'"
+    case c if c < ' ' => " "
+    case c => c.toString
+  }
+
   /** Complete per-query record (nothing elided) written beside the run:
     * the stdout line keeps the driver contract and its 2000-char tail
     * budget; reviewers read this file for the full map. */
@@ -162,16 +173,8 @@ object Bench {
       "\"" + k + "\":{\"sec\":" + f2(v) +
         ",\"spread\":" + f2(spreads.getOrElse(k, 0.0)) + "}"
     }.mkString("{", ",", "}")
-    // every control char must escape, not just \r\n\t — a \b or  
-    // in an exception message would otherwise invalidate the whole file
-    def esc(v: String): String = v.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "'"
-      case c if c < ' ' => " "
-      case c => c.toString
-    }
     val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + esc(v.take(200)) + "\""
+      "\"" + k + "\":\"" + escJson(v.take(200)) + "\""
     }.mkString("{", ",", "}")
     // getSystemLoadAverage returns -1 on unsupported platforms: omit,
     // matching jsonLine

@@ -127,8 +127,10 @@ object Scale {
       "\"" + n + "\":{\"base\":" + f2(b) + ",\"scaled\":" + f2(s) +
         ",\"ratio\":" + f2(r) + "}"
     }.mkString("{\"grown\":\"events x10, docs/emb/lineitem/orders x4\",\"queries\":{", ",", "}")
+    // Bench.escJson maps ALL control chars (Spark exception messages
+    // routinely contain newlines, which would invalidate the JSON)
     val errs = failed.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
+      "\"" + k + "\":\"" + Bench.escJson(v) + "\""
     }.mkString(",\"failed\":{", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("scale_sweep.json"),

@@ -3,7 +3,7 @@ package graft.core
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -791,6 +791,19 @@ final class HelixStore private (
     }
   }
 
+  /** Membership predicate for a batch of (shard, bucket) pairs with
+    * BOUNDED expression depth: an OR-fold over the pairs builds a
+    * Catalyst tree as deep as the batch, which plans slowly and can
+    * overflow the stack on a large multiGet. Packing the pair into one
+    * string and testing isInCollection keeps the tree depth constant
+    * (Catalyst converts a large IN to a hash-set InSet), and because
+    * the expression references only the two prune columns, partition
+    * pruning still evaluates it exactly per partition. */
+  private def pairPredicate(pairs: Seq[(Long, Long)]): Column =
+    if (pairs.isEmpty) lit(false)
+    else concat_ws(":", col("shard").cast("string"), col("bucket").cast("string"))
+      .isInCollection(pairs.map { case (s, b) => s"$s:$b" })
+
   /** Batch form of [[blockMayContain]]: true when the block layer might
     * hold ANY of the probes. With a collected manifest this is the
     * in-memory check per probe; in ManifestTooBig mode it is ONE
@@ -805,11 +818,9 @@ final class HelixStore private (
         probes.exists(p => blockMayContain(p._1, p._2, p._3))
       case ManifestTooBig =>
         val pairs = probes.map(p => (p._1, p._2)).distinct
-        val pred = pairs
-          .map { case (s, b) => col("shard") === s && col("bucket") === b }
-          .reduceOption(_ || _).getOrElse(lit(false))
         val ranges = spark.read.parquet(dirOf(ptr.manifest.get).toString)
-          .filter(pred).select("shard", "bucket", "min_key", "max_key")
+          .filter(pairPredicate(pairs))
+          .select("shard", "bucket", "min_key", "max_key")
           .collect() // bounded by the batch's distinct pair count
           .map(r => (r.getAs[Number]("shard").longValue(),
             r.getAs[Number]("bucket").longValue()) ->
@@ -894,13 +905,13 @@ final class HelixStore private (
     // (shard, bucket) pruning must land ON THE PARQUET SCANS, before
     // the block-decompress flatMap: Catalyst cannot push a predicate
     // through a typed flatMap, so filtering afterwards would decode
-    // EVERY block in the store for one point read. An OR-fold over the
-    // touched pairs prunes partitions exactly (both columns are
-    // partition columns); multiGet passes the batch's distinct pairs.
+    // EVERY block in the store for one point read. The packed-pair IN
+    // predicate prunes partitions exactly (both columns are partition
+    // columns and the expression references only them, so the file
+    // index evaluates it per partition); multiGet passes the batch's
+    // distinct pairs.
     def prune(df: DataFrame): DataFrame = partitionPrune match {
-      case Some(pairs) => df.filter(pairs
-        .map { case (s, b) => col("shard") === s && col("bucket") === b }
-        .reduceOption(_ || _).getOrElse(lit(false)))
+      case Some(pairs) => df.filter(pairPredicate(pairs))
       case None => df
     }
     val rows = rowFilesSnapshot match {

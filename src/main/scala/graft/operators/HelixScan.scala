@@ -63,12 +63,17 @@ object HelixScan {
   private def storeAt(s: SparkSession, path: String): HelixStore =
     openStores.synchronized {
       // a cached handle bound to a STOPPED SparkSession would fail every
-      // read forever (long-lived server that restarts its session):
-      // evict and reopen against the live session
-      openStores.get(path).filter(_.spark.sparkContext.isStopped).foreach { st =>
-        try st.close() catch { case _: Throwable => () }
-        openStores.remove(path): Unit
-      }
+      // read forever (long-lived server that restarts its session), and
+      // one bound to a DIFFERENT live session than the caller's would
+      // silently run every read on the session captured at first open
+      // (wrong configs/listeners for the caller) — the cache behaves as
+      // if keyed by (session, path): evict and reopen on either.
+      openStores.get(path)
+        .filter(st => st.spark.sparkContext.isStopped || !(st.spark eq s))
+        .foreach { st =>
+          try st.close() catch { case _: Throwable => () }
+          openStores.remove(path): Unit
+        }
       openStores.getOrElseUpdate(path, HelixStore.open(s, path, opts))
     }
   private def storeFor(s: SparkSession, dir: String): HelixStore =
