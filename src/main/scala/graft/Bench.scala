@@ -16,23 +16,55 @@ object Bench {
     // Untimed warmup: JVM/codegen/first-parquet-footer costs otherwise
     // land entirely on whichever query happens to run first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Pre-build every staged artifact untimed: a staged-probe query's
-    // run 1 otherwise pays the one-time index build, which saturates
-    // its spread field and hides real deltas (r8: dedup_containment
-    // spread 3.88 was the store build, not the query).
-    for (build <- Seq[() => Any](
-        () => operators.DedupIndex.ensure(spark, sfDir),
-        () => operators.IvfIndex.ensure(spark, sfDir),
-        () => operators.PqIndex.ensure(spark, sfDir),
-        () => operators.IvfPqIndex.ensure(spark, sfDir),
-        () => operators.PhashIndex.ensure(spark, sfDir),
-        () => operators.KnnIndex.ensure(spark, sfDir),
-        () => operators.HelixScan.ensure(spark, sfDir),
-        () => operators.HelixScan.ensurePoint(spark, sfDir),
-        () => operators.HelixScan.ensureLatest(spark, sfDir),
-        () => operators.HelixScan.ensureOutdated(spark, sfDir),
-        () => operators.TextIndex.ensure(spark, sfDir)))
-      try build() catch { case _: Throwable => () }
+    // STAGING, timed as its own reported phase: every staged artifact
+    // builds here, untimed per query — a staged-probe query's run 1
+    // otherwise pays the one-time index build, which saturates its
+    // spread field and hides real deltas (r8: dedup_containment spread
+    // 3.88 was the store build, not the query; r11: helix_get_point
+    // spread 163 was the first-use kv-cache fill). The cost is real and
+    // amortized-once, so it is reported as ONE "staging" number instead
+    // of being charged to whichever query happens to trigger it first.
+    // A failed build MUST complain loudly: its queries would then pay
+    // the build inside the timed runs, silently re-polluting spreads.
+    val tStaging = System.nanoTime()
+    for ((what, build) <- Seq[(String, () => Any)](
+        "DedupIndex" -> (() => operators.DedupIndex.ensure(spark, sfDir)),
+        "IvfIndex" -> (() => operators.IvfIndex.ensure(spark, sfDir)),
+        "PqIndex" -> (() => operators.PqIndex.ensure(spark, sfDir)),
+        "IvfPqIndex" -> (() => operators.IvfPqIndex.ensure(spark, sfDir)),
+        "PhashIndex" -> (() => operators.PhashIndex.ensure(spark, sfDir)),
+        "KnnIndex" -> (() => operators.KnnIndex.ensure(spark, sfDir)),
+        "HelixScan.scan" -> (() => operators.HelixScan.ensure(spark, sfDir)),
+        "HelixScan.point" -> (() => operators.HelixScan.ensurePoint(spark, sfDir)),
+        "HelixScan.latest" -> (() => operators.HelixScan.ensureLatest(spark, sfDir)),
+        "HelixScan.outdated" -> (() => operators.HelixScan.ensureOutdated(spark, sfDir)),
+        "HelixScan.stream" -> (() => operators.HelixScan.ensureStream(spark, sfDir)),
+        "TextIndex" -> (() => operators.TextIndex.ensure(spark, sfDir)),
+        "BasketIndex" -> (() => operators.BasketIndex.ensure(spark, sfDir)))) {
+      val t0 = System.nanoTime()
+      try build() catch { case e: Throwable =>
+        System.err.println(s"[bench] STAGING $what FAILED " +
+          s"(its queries will pay the build inside timed runs): $e")
+      }
+      System.err.println(f"[bench] staged $what in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val stagingSec = (System.nanoTime() - tStaging) / 1e9
+    // WARMUP, one full untimed suite pass, also its own reported phase:
+    // first-use costs that live OUTSIDE the staged artifacts (the
+    // store's kv/manifest cache fills on point reads, codegen for each
+    // query's plan, parquet footer caches) otherwise land in run 1 and
+    // saturate that query's spread — r11's helix_get_point spread of
+    // 163 was 21 cold per-probe jobs, not the steady-state query. After
+    // this pass both timed runs are steady state and spread is a pure
+    // box-noise signal. staging + warmup together ARE the cold-suite
+    // cost — reported, not hidden.
+    val tWarmup = System.nanoTime()
+    for ((name, fn) <- SparkEntry.queries)
+      try { fn(spark, sfDir).queryExecution.toRdd.count(): Unit }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name FAILED: $e")
+      }
+    val warmupSec = (System.nanoTime() - tWarmup) / 1e9
     // best-of-2 per query: the second run has warm codegen/JIT, so the
     // min reflects steady-state operator cost rather than noise
     // A failed query MUST NOT silently record its (tiny) failure time —
@@ -70,12 +102,14 @@ object Bench {
     }
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val line = jsonLine(results, errors.toSeq, sfDir, spreads, load)
+    val line = jsonLine(results, errors.toSeq, sfDir, spreads, load,
+      stagingSec, warmupSec)
     // the COMPLETE map (every query, every spread) beside the run — the
     // stdout line elides to fit the driver's 2000-char tail window
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      fullJson(results, spreads, errors.toSeq, sfDir, load))
+      fullJson(results, spreads, errors.toSeq, sfDir, load,
+        stagingSec, warmupSec))
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     // Print AFTER spark.stop() with logging quieted, so no shutdown log
     // line can land after the JSON — the driver parses the LAST line.
@@ -90,7 +124,8 @@ object Bench {
   private[graft] def jsonLine(results: Map[String, Double],
       errors: Seq[(String, String)], sfDir: String,
       spreads: Map[String, Double] = Map.empty,
-      load: Double = -1.0): String = {
+      load: Double = -1.0,
+      staging: Double = -1.0, warmup: Double = -1.0): String = {
     // The driver tails only the last 2000 chars of output and parses the
     // JSON line out of that window; full-precision doubles pushed the line
     // past 2000 chars (rounds 1-4 all recorded parsed:null). 10 ms
@@ -140,7 +175,13 @@ object Bench {
         val ld = if (load >= 0) s""","load":${f2(load)}""" else ""
         s""","spread_med":${f2(med)},"spread":$sp$ld"""
       }
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$om$errField$noiseField,"sf":"$sfDir"}"""
+      // one-time cold costs (staged-artifact builds; one full untimed
+      // suite pass) reported as their own fields: value stays the
+      // steady-state suite time the rounds are compared on, and
+      // value + staging + warmup is the honest cold-suite wall clock
+      val phases = (if (staging >= 0) s""","staging":${f2(staging)}""" else "") +
+        (if (warmup >= 0) s""","warmup":${f2(warmup)}""" else "")
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec"$phases,"queries":$qs$om$errField$noiseField,"sf":"$sfDir"}"""
     }
     var keep = bySlowest.length
     var line = lineFor(bySlowest.take(keep), 0)
@@ -167,7 +208,8 @@ object Bench {
     * budget; reviewers read this file for the full map. */
   private[graft] def fullJson(results: Map[String, Double],
       spreads: Map[String, Double], errors: Seq[(String, String)],
-      sfDir: String, load: Double): String = {
+      sfDir: String, load: Double,
+      staging: Double = -1.0, warmup: Double = -1.0): String = {
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(-_._2).map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + f2(v) +
@@ -179,6 +221,8 @@ object Bench {
     // getSystemLoadAverage returns -1 on unsupported platforms: omit,
     // matching jsonLine
     val ld = if (load >= 0) s""""load":${f2(load)},""" else ""
-    s"""{"sf":"$sfDir",$ld"total":${f2(results.values.sum)},"queries":$qs,"errors":$errs}"""
+    val phases = (if (staging >= 0) s""""staging":${f2(staging)},""" else "") +
+      (if (warmup >= 0) s""""warmup":${f2(warmup)},""" else "")
+    s"""{"sf":"$sfDir",$ld$phases"total":${f2(results.values.sum)},"queries":$qs,"errors":$errs}"""
   }
 }

@@ -168,6 +168,52 @@ object OracleSqlGen {
        |  AND epoch_us(ts) >= ${HelixScan.PointCutUs}""".stripMargin
   }
 
+  /** #192 — streaming-ingested store scan: the rectangle predicate on
+    * the raw parquet; any entry the micro-batched put/compact pipeline
+    * dropped, duplicated or mangled diverges the hash. */
+  val helixStreamScan: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |FROM events
+      |WHERE user_id BETWEEN 60 AND 120
+      |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-20'""".stripMargin
+
+  /** #193 — custom-comparator scan: row_number over the comparator's
+    * total order — (event-id suffix, lexical key, ts) ≡ (event_id,
+    * user_id, ts) — checks the EMITTED ORDER itself, not just the
+    * row set. */
+  val helixScanCustomOrder: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |  row_number() OVER (ORDER BY event_id, user_id, epoch_us(ts)) AS ord
+      |FROM events
+      |WHERE user_id BETWEEN 10 AND 50
+      |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'""".stripMargin
+
+  /** #194 — bounded gap fill: ts_gap_fill's oracle with the rectangle
+    * predicate applied before the hourly aggregate, mirroring the
+    * pushed-down window. */
+  val tsGapFillRange: String = {
+    import graft.operators.TimeSeriesOps.{GapFillHourHi, GapFillHourLo, GapFillUserHi, GapFillUserLo}
+    s"""WITH hourly AS (
+       |  SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour,
+       |    count(*) AS cnt
+       |  FROM events
+       |  WHERE user_id BETWEEN $GapFillUserLo AND $GapFillUserHi
+       |    AND epoch_us(ts) BETWEEN ${GapFillHourLo * 3600000000L}
+       |      AND ${GapFillHourHi * 3600000000L - 1}
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM (
+       |    SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1))
+       |SELECT s.user_id, s.hour * 3600000000 AS hour_us,
+       |  last_value(h.cnt IGNORE NULLS) OVER (
+       |    PARTITION BY s.user_id ORDER BY s.hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cnt,
+       |  CASE WHEN h.cnt IS NULL THEN 1 ELSE 0 END AS is_gap
+       |FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour""".stripMargin
+  }
+
   /** #169 — span removal: the dedupSpans query nested as a CTE, spans
     * packed as parallel start/len lists (no struct lists — see the
     * lifecycle-tiers accumulator note), removal as the same indexed

@@ -209,6 +209,10 @@ object SparkEntry {
     "ts_lifecycle_tiers" -> (TimeSeriesOps.lifecycleTiers _),
     "emb_knn_accuracy" -> (Similarity.knnAccuracy _),
     "mm_scene_cuts" -> (Multimodal.sceneCuts _),
+    // r12 additions (#192-194)
+    "helix_stream_scan" -> (HelixScan.streamScan _),
+    "helix_scan_custom_order" -> (HelixScan.customOrderScan _),
+    "ts_gap_fill_range" -> (TimeSeriesOps.gapFillRange _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1231,6 +1235,9 @@ object SparkEntry {
     "helix_multiget" -> OracleSqlGen.helixMultiget,
     "helix_latest" -> OracleSqlGen.helixLatest,
     "helix_outdate_scan" -> OracleSqlGen.helixOutdateScan,
+    "helix_stream_scan" -> OracleSqlGen.helixStreamScan,
+    "helix_scan_custom_order" -> OracleSqlGen.helixScanCustomOrder,
+    "ts_gap_fill_range" -> OracleSqlGen.tsGapFillRange,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,

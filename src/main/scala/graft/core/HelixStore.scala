@@ -185,7 +185,8 @@ final case class StoreOptions(
   *    order; unordered scans round-robin. */
 final case class ScanOptions(
     targetPartitions: Int = 0,
-    maxPartitionBytes: Option[Long] = None) {
+    maxPartitionBytes: Option[Long] = None,
+    comparator: Option[Column => Column] = None) {
   require(targetPartitions >= 0,
     s"targetPartitions must be >= 0: $targetPartitions")
   require(maxPartitionBytes.forall(_ > 0),
@@ -1327,10 +1328,25 @@ final class HelixStore private (
   /** Time-range × key-range scan, globally ordered by (key, ts) —
     * the reference's mux-merged iterator (src/db.rs:67, iterator.rs),
     * expressed as a range-partitioned sort. Bounds follow the reference
-    * TimeRange semantics: [start, end) on ts, [low, high) on key. */
+    * TimeRange semantics: [start, end) on ts, [low, high) on key.
+    *
+    * User-defined ordering — the reference's `Comparator` trait
+    * (src/util.rs:21; LexicalComparator and NoOrderComparator are the
+    * two it ships) re-expressed Spark-first: instead of a pairwise
+    * cmp callback (which would force every comparison through a
+    * non-codegen UDF), [[ScanOptions.comparator]] supplies the SORT
+    * KEY as a Column transform of the entry key, and the scan sorts by
+    * (sortKey, key, ts) — any deterministic expression, evaluated
+    * inside whole-stage codegen, with the lexical (key, ts) fallback
+    * keeping the order total under sort-key ties. comparator=None +
+    * ordered=true is LexicalComparator; ordered=false is
+    * NoOrderComparator (a comparator is meaningless there and is
+    * rejected loudly rather than silently ignored). */
   def scan(tsRange: (Long, Long), keyRange: (Array[Byte], Array[Byte]),
       ordered: Boolean = true,
       scanOpts: ScanOptions = ScanOptions()): DataFrame = {
+    require(ordered || scanOpts.comparator.isEmpty,
+      "comparator requires ordered=true (ordered=false IS the NoOrderComparator scan)")
     refreshPointer()
     if (!hasData) return toDF // empty frame with the entry schema
     val (t0, t1) = tsRange
@@ -1365,14 +1381,20 @@ final class HelixStore private (
       .select(EntryColumns.map(col): _*)
     // ordered=false is the reference's NoOrderComparator scan (util.rs):
     // skip the global sort when the consumer doesn't need key order.
+    // A user comparator prepends its sort-key expression; (key, ts)
+    // stays as the tiebreak so the order is total either way.
+    val sortCols = scanOpts.comparator match {
+      case Some(sortKeyOf) => Seq(sortKeyOf(col("key")), col("key"), col("ts"))
+      case None => Seq(col("key"), col("ts"))
+    }
     (ordered, scanOpts.targetPartitions) match {
-      case (true, 0) => filtered.orderBy("key", "ts")
+      case (true, 0) => filtered.orderBy(sortCols: _*)
       // explicit parallelism, order preserved: range-partition on the
       // sort key into exactly n partitions, then sort within each —
       // the same physical shape orderBy plans, with the count pinned
       case (true, n) => filtered
-        .repartitionByRange(n, col("key"), col("ts"))
-        .sortWithinPartitions("key", "ts")
+        .repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
       case (false, 0) => filtered
       case (false, n) => filtered.repartition(n)
     }

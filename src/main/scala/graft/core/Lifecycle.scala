@@ -93,12 +93,18 @@ object Lifecycle {
     } finally pinned.unpersist(): Unit
   }
 
-  /** Streaming ingestion with the same policy applied per micro-batch. */
+  /** Streaming ingestion with the same policy applied per micro-batch.
+    * `trigger` defaults to Structured Streaming's default (continuous
+    * micro-batches); pass `Trigger.AvailableNow()` for a drain-and-stop
+    * backfill through the same code path. */
   def streamingPutReviewed(store: HelixStore, entries: DataFrame,
-      checkpoint: String, reviewer: TimestampReviewer)
+      checkpoint: String, reviewer: TimestampReviewer,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       : org.apache.spark.sql.streaming.StreamingQuery =
     entries.writeStream
       .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) putReviewed(store, batch, reviewer): Unit
       }

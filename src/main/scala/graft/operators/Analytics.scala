@@ -824,14 +824,15 @@ object Analytics {
     * recommender / assortment analysis. The pair join is keyed on
     * o_orderkey, so fanout is bounded by lines-per-order squared (a
     * handful), never corpus²; item supports re-aggregate the same
-    * distinct (order, part) frame. Lift = (c_ab·n) / (c_a·c_b) — all
-    * integers into ONE IEEE division mirrored by the oracle; top-k is
-    * TakeOrderedAndProject on (count desc, p1, p2). */
+    * distinct (order, part) frame. That frame is corpus-invariant and
+    * parameter-free, so it is STAGED ([[BasketIndex]], the winnow/
+    * knn-graph discipline): the query reads the small staged incidence
+    * frame and lineitem never enters the pair join. Lift =
+    * (c_ab·n) / (c_a·c_b) — all integers into ONE IEEE division
+    * mirrored by the oracle; top-k is TakeOrderedAndProject on
+    * (count desc, p1, p2). */
   def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint() // one distinct pass seeds pairs + supports + n
+    val op = BasketIndex.frame(s, dir) // staged distinct (ok, pk)
     val pairs = op.select(col("ok"), col("pk").as("p1"))
       .join(op.select(col("ok"), col("pk").as("p2")), "ok")
       .filter(col("p1") < col("p2"))

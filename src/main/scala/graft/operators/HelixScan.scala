@@ -279,6 +279,109 @@ object HelixScan {
         col("value").cast("string").cast("long").as("cents"))
   }
 
+  // ---- user-comparator scan (reference Comparator trait, util.rs:21) --
+
+  /** #193 — CUSTOM-ORDER SCAN: the same rectangle as helix_scan_range,
+    * served in a USER-DEFINED order — the reference's Comparator trait
+    * Spark-first ([[graft.core.ScanOptions.comparator]]): the sort key
+    * is the numeric event-id SUFFIX of the composite key, so the scan
+    * interleaves users in a deliberately non-lexical order. The order
+    * itself is what this query hash-checks: `ord` is the scan's own
+    * emission index (zipWithIndex preserves the range-partitioned
+    * sort), and the oracle computes row_number over the equivalent
+    * (event_id, user_id) SQL ordering — if the comparator did not
+    * actually govern the emitted order, every ord diverges. */
+  def customOrderScan(s: SparkSession, dir: String): DataFrame = {
+    val st = storeFor(s, dir)
+    val lo = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      .toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-01-12T00:00:00Z")
+      .toEpochMilli * 1000L
+    val decoded = st.scan((lo, hi), ("000010-".getBytes, "000050~".getBytes),
+      ordered = true,
+      scanOpts = graft.core.ScanOptions(comparator =
+        Some(k => substring(k.cast("string"), 8, 10).cast("long"))))
+      .withColumn("k", col("key").cast("string"))
+      .select(
+        substring(col("k"), 1, 6).cast("long").as("user_id"),
+        substring(col("k"), 8, 10).cast("long").as("event_id"),
+        col("ts").as("ts_us"),
+        col("value").cast("string").cast("long").as("cents"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val withOrd = decoded.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(withOrd, decoded.schema.add("ord", LongType))
+  }
+
+  // ---- streaming-ingested store (streamingPut + lifecycle reviewer) ---
+
+  /** Compaction cadence for the streaming build: one rick-range per
+    * week of event time, so several micro-batches trigger compactions
+    * and the final store mixes block-layer and rick-resident data. */
+  val StreamRickRangeUs: Long = 7L * 86400L * 1000000L
+
+  /** Build a store BY STREAMING the corpus through
+    * [[graft.core.Lifecycle.streamingPutReviewed]] at most once per
+    * corpus: the entries spool to time-range parquet slices, a file-
+    * source stream drains them in micro-batches (AvailableNow), each
+    * batch runs put + the [[graft.core.SimpleTimestampReviewer]] policy
+    * (async compaction scheduled whenever event time crosses a rick-
+    * range boundary), and the build closes only after every scheduled
+    * compaction lands. The serving scan then proves the streaming write
+    * path byte-equal to the raw parquet — batching, LWW, scheduled
+    * compaction and all. Outdate stays out of THIS build: its cutoff
+    * would depend on per-batch max-ts arrival order, which a
+    * deterministic oracle must not (helix_outdate_scan covers the
+    * retention path from the batch side). */
+  def ensureStream(s: SparkSession, dir: String): String = {
+    val base = Staging.ensure("helixst",
+      Staging.fingerprint(dir, "events.parquet")) { tmp =>
+      val spool = tmp.resolve("spool").toString
+      entriesOf(s, dir).repartitionByRange(8, col("ts"))
+        .write.parquet(spool)
+      val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
+      try {
+        val entries = s.readStream
+          .schema(s.read.parquet(spool).schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(spool)
+        val reviewer = new graft.core.SimpleTimestampReviewer(
+          rickRange = StreamRickRangeUs,
+          // retention effectively off: deterministic content (above)
+          outdateRange = Long.MaxValue / 4)
+        val q = graft.core.Lifecycle.streamingPutReviewed(
+          st, entries, tmp.resolve("ckpt").toString, reviewer,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        st.awaitCompactions()
+      } finally st.close()
+    }
+    base.resolve("store").toString
+  }
+
+  /** #192 — SCAN OVER THE STREAMING-INGESTED STORE: a different
+    * rectangle (users 60–120, Jan 8 ≤ ts < Jan 20) than
+    * helix_scan_range, served from the store the STREAMING path wrote.
+    * The oracle is the same predicate on the raw parquet: any entry the
+    * micro-batched put/compact pipeline dropped, duplicated or mangled
+    * diverges the hash. */
+  def streamScan(s: SparkSession, dir: String): DataFrame = {
+    val st = storeAt(s, ensureStream(s, dir))
+    val lo = java.time.Instant.parse("2024-01-08T00:00:00Z")
+      .toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-01-20T00:00:00Z")
+      .toEpochMilli * 1000L
+    st.scan((lo, hi), ("000060-".getBytes, "000120~".getBytes))
+      .withColumn("k", col("key").cast("string"))
+      .select(
+        substring(col("k"), 1, 6).cast("long").as("user_id"),
+        substring(col("k"), 8, 10).cast("long").as("event_id"),
+        col("ts").as("ts_us"),
+        col("value").cast("string").cast("long").as("cents"))
+  }
+
   /** Test hook: close cached stores, then see [[Staging.clear]]. */
   def clear(): Unit = { closeStores(); Staging.clear() }
 }

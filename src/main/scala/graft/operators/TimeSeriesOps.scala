@@ -231,6 +231,46 @@ object TimeSeriesOps {
         col("filled_cnt"), col("is_gap"))
   }
 
+  /** Bounds for the windowed gap fill: users 10–50, hours of
+    * [2024-01-05, 2024-01-12) — the ts_scan_range rectangle. */
+  val GapFillUserLo = 10L
+  val GapFillUserHi = 50L
+  val GapFillHourLo: Long =
+    java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli * 1000L / 3600000000L
+  val GapFillHourHi: Long =
+    java.time.Instant.parse("2024-01-12T00:00:00Z").toEpochMilli * 1000L / 3600000000L
+
+  /** #194 — BOUNDED gap fill: the windowed form a 100 TB operator
+    * actually ships. ts_gap_fill materializes every key's full-history
+    * spine unconditionally — correct, but the output (and the sweep
+    * ratio) grows with keys × total history. Here the spine is capped
+    * to a queried key range and time window BEFORE anything is built:
+    * the rectangle predicate pushes to the parquet scan, the hourly
+    * aggregate sees only in-window rows, and the per-key spine spans
+    * the key's observed hours INSIDE the window — so cost is bounded
+    * by keys-in-range × window-hours no matter how much history the
+    * corpus accumulates. Same fill semantics as ts_gap_fill
+    * (last-observation-carried-forward, gap flag). */
+  def gapFillRange(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("user_id").between(GapFillUserLo, GapFillUserHi))
+      .filter(expr("unix_micros(ts)").between(
+        GapFillHourLo * 3600000000L, GapFillHourHi * 3600000000L - 1))
+      .groupBy(col("user_id"),
+        expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled_cnt", last(col("cnt"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("cnt").isNull.cast("int"))
+      .select(col("user_id"), (col("hour") * 3600000000L).as("hour_us"),
+        col("filled_cnt"), col("is_gap"))
+  }
+
   /** #42 — counter rate (PromQL-style): per key, value delta over time
     * delta between consecutive events, averaged per day. Deltas are a
     * lag window; the rollup shares the same key shuffle. */

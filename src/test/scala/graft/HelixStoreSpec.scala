@@ -167,6 +167,39 @@ class HelixStoreSpec extends SparkTestBase {
     assert(ord == unord && ord.size == 20)
   }
 
+  test("user comparator governs scan order (Comparator trait parity, util.rs:21)") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val store = HelixStore.open(spark, tmpDir("hs-cmp"),
+      StoreOptions(numShards = 4, bucketSize = 10))
+    // keys whose lexical and numeric-suffix orders DIFFER: lexically
+    // k10 < k2, numerically 2 < 10 — the comparator's effect is visible
+    store.put(entriesDF(Seq(("k10", 1L, "a"), ("k2", 1L, "b"),
+      ("k30", 1L, "c"), ("k4", 1L, "d"))))
+    val suffixCmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      k => substring(k.cast("string"), 2, 10).cast("long")
+    def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r => new String(r.getAs[Array[Byte]]("key"))).toSeq
+    // custom order: numeric suffix
+    assert(keysOf(store.scan((0L, 5L), ("k".getBytes, "l".getBytes),
+      scanOpts = graft.core.ScanOptions(comparator = Some(suffixCmp))))
+      == Seq("k2", "k4", "k10", "k30"))
+    // default stays LexicalComparator
+    assert(keysOf(store.scan((0L, 5L), ("k".getBytes, "l".getBytes)))
+      == Seq("k10", "k2", "k30", "k4"))
+    // comparator survives pinned parallelism (range partition + sort)
+    val pinned = store.scan((0L, 5L), ("k".getBytes, "l".getBytes),
+      scanOpts = graft.core.ScanOptions(targetPartitions = 2,
+        comparator = Some(suffixCmp)))
+    assert(pinned.rdd.getNumPartitions == 2)
+    assert(keysOf(pinned) == Seq("k2", "k4", "k10", "k30"))
+    // ordered=false IS NoOrderComparator: a comparator there is a
+    // contradiction and must fail loudly, not be silently ignored
+    intercept[IllegalArgumentException] {
+      store.scan((0L, 5L), ("k".getBytes, "l".getBytes), ordered = false,
+        scanOpts = graft.core.ScanOptions(comparator = Some(suffixCmp)))
+    }
+  }
+
   test("streamingPut ingests a stream of entries into the store") {
     val srcDir = tmpDir("hs-stream-src")
     val entries = entriesDF((0 until 30).map(k => (s"sk$k", k.toLong, s"sv$k")))

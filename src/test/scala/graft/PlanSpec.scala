@@ -541,6 +541,15 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
   }
 
+  test("q_market_basket mines the staged incidence frame; lineitem never enters the pair join") {
+    val p = plan("q_market_basket")
+    assert(p.contains("graft-stage"),
+      "the distinct (order, part) frame must come from the staged BasketIndex")
+    assert(!p.toLowerCase.contains("lineitem.parquet"),
+      "no corpus scan: pairs, supports and n all derive from the staged frame")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
   test("emb_silhouette scores by broadcast fold — no window, no shuffle join") {
     val p = plan("emb_silhouette")
     assert(!p.contains("windowspecdefinition"), "no per-vector window")
