@@ -45,7 +45,7 @@ object Plans {
       "mm_byte_ioc" -> "Byte histogram without byte rows leaving codegen: one regex chunk split per payload, explode -> (doc, code) HashAggregate with map-side combine (<=256 keys/doc), one doc re-agg; the IoC is a single integer-ratio division.",
       "ts_rollup_cascade" -> "Materialized rollup cascade: ONE corpus scan builds the hourly frame; day and month aggregate the previous grain's calendar-bounded checkpoint — the events table appears exactly once in the plan.",
       "emb_ivf_recall" -> "Recall gate: the IVF side joins the staged cell-partitioned table on the probed cells; the exact side is the one unavoidable ground-truth scan over a SAMPLED query set; both rankings share per-qid windows.",
-      "q_market_basket" -> "Pair mining keyed on o_orderkey: fanout bounded by lines-per-order squared; the distinct (order, part) checkpoint seeds pairs, supports, and the order count without re-scanning lineitem.",
+      "q_market_basket" -> "Pair mining over the STAGED (order, part) incidence frame (BasketIndex - the lineitem distinct is index build): fanout bounded by lines-per-order squared; pairs, supports and the order count all read the small staged parquet; lineitem never enters the plan.",
       "emb_triplet_mine" -> "Batch-hard triplet mining: anchors broadcast, ONE corpus pass, two conditional struct-extrema HashAggregates (map-side combinable) — no per-anchor rank window funneling the corpus through 16 partitions.",
       "dedup_winnow" -> "Winnowing selection SERVED FROM the staged wfp artifact (one column-pruned parquet scan, zero exchanges): the packed-integer argmin, its windows and the tokenization are index build, paid once per corpus fingerprint.",
       "dedup_winnow_pairs" -> "MOSS matching over the staged wfp: distinct doc-level fp sets, boilerplate df-cap as an anti-join against the tiny over-cap list (never a per-fp window), fp-keyed self-join bounded by WinDfCap^2 per fingerprint.",
@@ -95,7 +95,11 @@ object Plans {
       "q10_returns" -> "Q10 shape: returned-lineitem filter pushed to the scan; customer/nation broadcast; one custkey rollup then top-20 via TakeOrderedAndProject.",
       "q_approx_distinct" -> "HLL sketch: approx_count_distinct folds map-side into one combinable aggregate - a single exchange carries only sketch buffers (rows-only gate by design).",
       "ts_mix_shift" -> "Mix drift: ONE corpus scan to checkpointed per-day conditional counts (+ residual 'other' mass); the day-value self-join and L1 fold run over the calendar-bounded frame.",
-      "emb_kmeans_step" -> "One Lloyd iteration: seed centroids broadcast as an array row; assignment is an in-array fold-argmax projection (no window, no explode); new centroids are one fixed-point combinable aggregate.")
+      "emb_kmeans_step" -> "One Lloyd iteration: seed centroids broadcast as an array row; assignment is an in-array fold-argmax projection (no window, no explode); new centroids are one fixed-point combinable aggregate.",
+      "knn_label_centroid" -> "Label-centroid assignment: one fixed-point combinable aggregate collapses the corpus to K centroid rows; assignment is the broadcast fold-argmax projection on a second corpus pass - no window, no explode, cost = two scans + one K-row exchange.",
+      "helix_stream_scan" -> "Scan over the STREAMING-ingested store (spool -> AvailableNow micro-batches -> put + reviewer-scheduled compactions, all index build): the serving plan is the compacted fast path - bucket partition filter + pushed (key, ts) predicates on the block parquet, no LWW window.",
+      "helix_scan_custom_order" -> "User-comparator scan (Comparator trait parity): the sort key is a codegen Column over the entry key, so the ordered scan plans the SAME range-partitioned sort shape as lexical order with one extra leading sort expression; ord attaches via zipWithIndex on the sorted output (plan shows the materialized LogicalRDD).",
+      "ts_gap_fill_range" -> "Bounded gap fill: the key-range x time-window rectangle pushes to the parquet scan, so spine, LOCF window and output are all capped by keys-in-range x window-hours - the 100 TB form of ts_gap_fill, whose spine grows with keys x full history.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")
