@@ -9,6 +9,41 @@ import graft.streaming.StreamOps
   * same transformation, unbounded source. */
 class StreamingSpec extends SparkTestBase {
 
+  test("streamingPutReviewed drains micro-batches through put + scheduled compactions (helix_stream_scan path)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import graft.core.{HelixStore, Lifecycle, SimpleTimestampReviewer, StoreOptions}
+    val srcDir = tmpDir("stream-rev-src")
+    val entrySchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("ts", LongType),
+      StructField("value", BinaryType)))
+    // 40 entries spanning 4 rick-ranges (rickRange = 10)
+    val entries = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 40).map(i =>
+        Row(f"rk$i%02d".getBytes, i.toLong, s"rv$i".getBytes)), 2),
+      entrySchema)
+    entries.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val store = HelixStore.open(spark, tmpDir("stream-rev-store"),
+      StoreOptions(numShards = 2, bucketSize = 10))
+    val stream = spark.readStream.schema(entrySchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val reviewer = new SimpleTimestampReviewer(rickRange = 10,
+      outdateRange = Long.MaxValue / 4)
+    val q = Lifecycle.streamingPutReviewed(store, stream,
+      tmpDir("stream-rev-ckpt"), reviewer, trigger = Trigger.AvailableNow())
+    q.awaitTermination(180000L)
+    store.awaitCompactions()
+    // the reviewer actually scheduled compactions: block layer exists
+    assert(store.hasBlockLayer,
+      "event time crossed rick-range boundaries — compaction must have run")
+    // batching + async compaction dropped/duplicated/mangled nothing
+    val out = store.toDF.collect().map(r =>
+      (new String(r.getAs[Array[Byte]]("key")), r.getLong(1),
+        new String(r.getAs[Array[Byte]]("value")))).toSet
+    assert(out == (0 until 40).map(i => (f"rk$i%02d", i.toLong, s"rv$i")).toSet)
+  }
+
   test("streaming tumbling counts equal the batch twin") {
     // Stage a directory holding only event-schema parquet (µs timestamps).
     val staged = tmpDir("stream-events")
