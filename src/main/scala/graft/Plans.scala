@@ -76,7 +76,7 @@ object Plans {
       "emb_rayleigh" -> "Eigenvalue estimate at matvec cost: the 64-row powerIter output collapses to one array row; both quadratic forms are sequential in-array folds over a broadcast pair of rows.",
       "mm_phash_precision" -> "Index-quality gate: staged-probe pairs + one md5-per-doc join; payload bytes never enter the plan; per-ham rollup is a combinable count.",
       "dedup_lsh_recall" -> "Ground-truth gate: the exact prefix-filtered jaccard pipeline runs (it IS the ground truth being measured); the LSH side reads the STAGED pair table (pairs/ = the verified banded output); one pair-keyed intersection join; 1-row output with NULL-guarded divisions.",
-      "q_part_growth" -> "MoM growth: one fact shuffle to the checkpointed (part, month) decimal frame; the shift is a self equi-join on (part, month-1) over that small frame; top-10 via TakeOrderedAndProject.",
+      "q_part_growth" -> "MoM growth: one fact shuffle (map-side partials) to the (part, month) decimal frame; the month shift is a lag window guarded by mi_prev = mi-1, whose part-keyed exchange moves only the aggregated frame - no checkpoint job, no self-join; top-10 via TakeOrderedAndProject.",
       "emb_centroid_separation" -> "Centroid geometry: the corpus collapses to K fixed-point centroid rows in one combinable aggregate; all pairwise separations run over the K-row broadcast - corpus appears once.",
       "text_dsir" -> "DSIR importance weights over the STAGED feature profiles (TextIndex dsir/ - <=128 hashed-bucket count rows per doc): target/raw ratios derive from one tiny aggregate, the score from one combinable per-doc aggregate; text never enters the plan.",
       "ts_above_p95" -> "Threshold composition: the exact per-type p95 frame (rank selection, no whole-group window) broadcasts against the events scan; one conditional-count aggregate on the type shuffle.",

@@ -84,7 +84,9 @@ object Scale {
            () => HelixScan.ensurePoint(spark, dir),
            () => HelixScan.ensureLatest(spark, dir),
            () => HelixScan.ensureOutdated(spark, dir),
-           () => TextIndex.ensure(spark, dir)))
+           () => HelixScan.ensureStream(spark, dir),
+           () => TextIndex.ensure(spark, dir),
+           () => BasketIndex.ensure(spark, dir)))
       try build() catch { case e: Throwable =>
         System.err.println(s"[scale] prebuild failed for $dir: ${e.toString.take(150)}")
       }

@@ -939,11 +939,15 @@ object Analytics {
     * to the business fact). Months key on the integer year·12+month
     * index (pure field extraction — no epoch division can misbucket a
     * calendar month); revenue stays on the exact 10^-4 quanta grid so
-    * the growth ratio is ONE double division of integers; one fact
-    * shuffle to the checkpointed (part, month) frame, the shift is a
-    * self equi-join on it. */
+    * the growth ratio is ONE double division of integers. One fact
+    * shuffle (map-side partials) to the (part, month) frame; the
+    * month shift is a lag window guarded by mi_prev = mi − 1 (exactly
+    * the rows the previous self equi-join on (part, mi−1) matched) —
+    * the window's part-keyed exchange moves only the aggregated frame,
+    * replacing the checkpoint job + join the earlier form paid. */
   def qPartGrowth(s: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(s, dir)
+    val w = Window.partitionBy("l_partkey").orderBy("mi")
+    Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"),
         (year(col("l_shipdate").cast("timestamp")) * 12 +
           month(col("l_shipdate").cast("timestamp"))).cast("long").as("mi"))
@@ -951,10 +955,9 @@ object Analytics {
         (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
         * 10000)
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rq"))
-      .localCheckpoint()
-    val prev = rev.select(col("l_partkey"), (col("mi") + 1).as("mi"),
-      col("rq").as("rq_prev"))
-    rev.join(prev, Seq("l_partkey", "mi"))
+      .withColumn("mi_prev", lag("mi", 1).over(w))
+      .withColumn("rq_prev", lag("rq", 1).over(w))
+      .filter(col("mi_prev") === col("mi") - 1)
       .select(col("l_partkey"), col("mi"),
         (col("rq").cast("double") / 10000.0).as("revenue"),
         (col("rq_prev").cast("double") / 10000.0).as("revenue_prev"),
