@@ -42,11 +42,16 @@ object Bench {
         "TextIndex" -> (() => operators.TextIndex.ensure(spark, sfDir)),
         "BasketIndex" -> (() => operators.BasketIndex.ensure(spark, sfDir)))) {
       val t0 = System.nanoTime()
-      try build() catch { case e: Throwable =>
+      // one line per build, success XOR failure — a success line after
+      // a failure would let a 'staged' grep conclude all artifacts built
+      try {
+        build()
+        System.err.println(
+          f"[bench] staged $what in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] STAGING $what FAILED " +
           s"(its queries will pay the build inside timed runs): $e")
       }
-      System.err.println(f"[bench] staged $what in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val stagingSec = (System.nanoTime() - tStaging) / 1e9
     // WARMUP, one full untimed suite pass, also its own reported phase:

@@ -799,11 +799,22 @@ final class HelixStore private (
     * string and testing isInCollection keeps the tree depth constant
     * (Catalyst converts a large IN to a hash-set InSet), and because
     * the expression references only the two prune columns, partition
-    * pruning still evaluates it exactly per partition. */
+    * pruning still evaluates it exactly per partition.
+    *
+    * The packed expression is NOT source-translatable, so on a scan
+    * where shard/bucket are DATA columns (the oversized-manifest probe
+    * — the one consumer this path exists for at cluster scale) it
+    * alone would forfeit parquet row-group stats skipping. The coarse
+    * single-column IN terms below ARE pushable; ANDing them in keeps
+    * pushdown on that scan (a false positive there only admits a row
+    * group the exact packed term then drops) while partition-column
+    * consumers are unaffected. */
   private def pairPredicate(pairs: Seq[(Long, Long)]): Column =
     if (pairs.isEmpty) lit(false)
-    else concat_ws(":", col("shard").cast("string"), col("bucket").cast("string"))
-      .isInCollection(pairs.map { case (s, b) => s"$s:$b" })
+    else col("shard").isInCollection(pairs.map(_._1).distinct) &&
+      col("bucket").isInCollection(pairs.map(_._2).distinct) &&
+      concat_ws(":", col("shard").cast("string"), col("bucket").cast("string"))
+        .isInCollection(pairs.map { case (s, b) => s"$s:$b" })
 
   /** Batch form of [[blockMayContain]]: true when the block layer might
     * hold ANY of the probes. With a collected manifest this is the

@@ -309,10 +309,16 @@ object HelixScan {
         col("value").cast("string").cast("long").as("cents"))
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val withOrd = decoded.rdd.zipWithIndex.map { case (r, i) =>
+    // zipWithIndex runs an eager job (partition start offsets) and the
+    // consumer then evaluates the LogicalRDD's lineage — without a
+    // cache that is the full sorted scan TWICE. The decoded rectangle
+    // is a few hundred rows; lifetime = this query's action, released
+    // by the harness clearCache() (the mmrRerank shortlist contract).
+    val pinned = decoded.cache()
+    val withOrd = pinned.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    s.createDataFrame(withOrd, decoded.schema.add("ord", LongType))
+    s.createDataFrame(withOrd, pinned.schema.add("ord", LongType))
   }
 
   // ---- streaming-ingested store (streamingPut + lifecycle reviewer) ---
@@ -357,6 +363,12 @@ object HelixScan {
         q.awaitTermination()
         st.awaitCompactions()
       } finally st.close()
+      // the spool (a full second copy of every entry) and the stream
+      // checkpoint are build-time scaffolding — dropping them before
+      // _GRAFT_READY keeps the staged artifact at the store's own
+      // footprint instead of roughly double
+      Staging.deleteRecursively(tmp.resolve("spool"))
+      Staging.deleteRecursively(tmp.resolve("ckpt"))
     }
     base.resolve("store").toString
   }

@@ -26,22 +26,24 @@ class StreamingSpec extends SparkTestBase {
     entries.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(srcDir)
     val store = HelixStore.open(spark, tmpDir("stream-rev-store"),
       StoreOptions(numShards = 2, bucketSize = 10))
-    val stream = spark.readStream.schema(entrySchema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val reviewer = new SimpleTimestampReviewer(rickRange = 10,
-      outdateRange = Long.MaxValue / 4)
-    val q = Lifecycle.streamingPutReviewed(store, stream,
-      tmpDir("stream-rev-ckpt"), reviewer, trigger = Trigger.AvailableNow())
-    q.awaitTermination(180000L)
-    store.awaitCompactions()
-    // the reviewer actually scheduled compactions: block layer exists
-    assert(store.hasBlockLayer,
-      "event time crossed rick-range boundaries — compaction must have run")
-    // batching + async compaction dropped/duplicated/mangled nothing
-    val out = store.toDF.collect().map(r =>
-      (new String(r.getAs[Array[Byte]]("key")), r.getLong(1),
-        new String(r.getAs[Array[Byte]]("value")))).toSet
-    assert(out == (0 until 40).map(i => (f"rk$i%02d", i.toLong, s"rv$i")).toSet)
+    try {
+      val stream = spark.readStream.schema(entrySchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val reviewer = new SimpleTimestampReviewer(rickRange = 10,
+        outdateRange = Long.MaxValue / 4)
+      val q = Lifecycle.streamingPutReviewed(store, stream,
+        tmpDir("stream-rev-ckpt"), reviewer, trigger = Trigger.AvailableNow())
+      q.awaitTermination(180000L)
+      store.awaitCompactions()
+      // the reviewer actually scheduled compactions: block layer exists
+      assert(store.hasBlockLayer,
+        "event time crossed rick-range boundaries — compaction must have run")
+      // batching + async compaction dropped/duplicated/mangled nothing
+      val out = store.toDF.collect().map(r =>
+        (new String(r.getAs[Array[Byte]]("key")), r.getLong(1),
+          new String(r.getAs[Array[Byte]]("value")))).toSet
+      assert(out == (0 until 40).map(i => (f"rk$i%02d", i.toLong, s"rv$i")).toSet)
+    } finally store.close() // an open store leaks its lock-heartbeat daemon
   }
 
   test("streaming tumbling counts equal the batch twin") {
