@@ -289,6 +289,14 @@ class HelixStoreSpec extends SparkTestBase {
     assert(store.get("mmm".getBytes, 999L).isEmpty)
     store.put(entriesDF(Seq(("aaa", 3L, "fresh"))))
     assert(store.get("aaa".getBytes, 3L).map(new String(_)).contains("fresh"))
+    // the BATCH path on the same too-big manifest: blockMayContainAny's
+    // filtered manifest scan (pairPredicate over DATA columns) must
+    // admit block hits, serve rick hits, and miss absences in one batch
+    val batch = store.multiGet(Seq[(Array[Byte], Long)](
+      ("mmm".getBytes, 1L), ("nnn".getBytes, 2L),
+      ("aaa".getBytes, 3L), ("zzz".getBytes, 1L), ("mmm".getBytes, 999L)))
+    assert(batch.map(_.map(new String(_))) ==
+      Seq(Some("v1"), Some("v2"), Some("fresh"), None, None))
   }
 
   test("UDCF registry dispatches codecs per key prefix (fn_registry.rs:75-99)") {
