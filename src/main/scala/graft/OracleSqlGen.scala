@@ -593,6 +593,23 @@ object OracleSqlGen {
        |  WHERE a.vec_id <> 0)
        |ORDER BY rnk LIMIT 10""".stripMargin
 
+  /** #195 — filtered ANN: the annIvfTopk probe with the metadata
+    * predicate applied to the candidate set (the engine stores the
+    * label in the inverted lists; the oracle joins it back from e). */
+  val annFilteredTopk: String =
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT clabel AS assigned_label FROM cvt, q
+       |  ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel LIMIT 2)
+       |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk FROM (
+       |  SELECT a.vec_id, ${cos("a.v", "q.qv")} AS c
+       |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label
+       |  JOIN e el ON el.vec_id = a.vec_id, q
+       |  WHERE a.vec_id <> 0
+       |    AND el.label IN (${graft.operators.Similarity.FilteredAnnLabels.mkString(", ")}))
+       |ORDER BY rnk LIMIT 10""".stripMargin
+
   /** #97 — decontamination: distinct-3-gram overlap of train docs
     * against the eval slice (doc_id ≡ 0 mod EvalMod). Shares the
     * shingle CTEs with the dedup family. */

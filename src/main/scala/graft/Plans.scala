@@ -99,7 +99,8 @@ object Plans {
       "knn_label_centroid" -> "Label-centroid assignment: one fixed-point combinable aggregate collapses the corpus to K centroid rows; assignment is the broadcast fold-argmax projection on a second corpus pass - no window, no explode, cost = two scans + one K-row exchange.",
       "helix_stream_scan" -> "Scan over the STREAMING-ingested store (spool -> AvailableNow micro-batches -> put + reviewer-scheduled compactions, all index build): the serving plan is the compacted fast path - bucket partition filter + pushed (key, ts) predicates on the block parquet, no LWW window.",
       "helix_scan_custom_order" -> "User-comparator scan (Comparator trait parity): the sort key is a codegen Column over the entry key, so the ordered scan plans the SAME range-partitioned sort shape as lexical order with one extra leading sort expression; ord attaches via zipWithIndex on the sorted output (plan shows the materialized LogicalRDD).",
-      "ts_gap_fill_range" -> "Bounded gap fill: the key-range x time-window rectangle pushes to the parquet scan, so spine, LOCF window and output are all capped by keys-in-range x window-hours - the 100 TB form of ts_gap_fill, whose spine grows with keys x full history.")
+      "ts_gap_fill_range" -> "Bounded gap fill: the key-range x time-window rectangle pushes to the parquet scan, so spine, LOCF window and output are all capped by keys-in-range x window-hours - the 100 TB form of ts_gap_fill, whose spine grows with keys x full history.",
+      "ann_filtered_topk" -> "Filtered vector search: the metadata tag set is a PUSHED parquet In filter on the cell-pruned staged index scan (the label lives IN the inverted lists), composing with the probe's dynamic partition pruning - filtered rows drop at the reader, never fetched and post-filtered; no query-time index build.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -209,10 +209,11 @@ object SparkEntry {
     "ts_lifecycle_tiers" -> (TimeSeriesOps.lifecycleTiers _),
     "emb_knn_accuracy" -> (Similarity.knnAccuracy _),
     "mm_scene_cuts" -> (Multimodal.sceneCuts _),
-    // r12 additions (#192-194)
+    // r12 additions (#192-195)
     "helix_stream_scan" -> (HelixScan.streamScan _),
     "helix_scan_custom_order" -> (HelixScan.customOrderScan _),
     "ts_gap_fill_range" -> (TimeSeriesOps.gapFillRange _),
+    "ann_filtered_topk" -> (Similarity.annFilteredTopk _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1238,6 +1239,7 @@ object SparkEntry {
     "helix_stream_scan" -> OracleSqlGen.helixStreamScan,
     "helix_scan_custom_order" -> OracleSqlGen.helixScanCustomOrder,
     "ts_gap_fill_range" -> OracleSqlGen.tsGapFillRange,
+    "ann_filtered_topk" -> OracleSqlGen.annFilteredTopk,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,

@@ -20,19 +20,30 @@ import org.apache.spark.sql.functions._
  */
 object IvfIndex {
 
+  /** Layout version, part of the staging key: v2 added the metadata
+    * `label` column to the inverted lists (filtered ANN reads it as a
+    * pushed parquet filter) — the source fingerprint alone would keep
+    * serving the narrower v1 artifact. */
+  private val LayoutVersion = "v2"
+
   /** Ensure the index exists for `dir`; returns (centroidsPath,
     * assignedPath). Builds at most once per source fingerprint. */
   def ensure(s: SparkSession, dir: String): (String, String) = {
-    val base = Staging.ensure("ivf", Staging.fingerprint(dir, "embeddings.parquet")) { tmp =>
+    val base = Staging.ensure("ivf",
+      s"${Staging.fingerprint(dir, "embeddings.parquet")}-$LayoutVersion") { tmp =>
       val e = graft.core.Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), Similarity.toDoubleVec(col("embedding")).as("v"))
       val cents = Similarity.centroidsOf(e)
       cents.coalesce(1).write.parquet(tmp.resolve("centroids").toString)
       // Assignment is the fold-argmax projection — one pass over the
       // corpus, no row expansion, no per-vector window — written with
-      // the cell as the partition column (the inverted lists).
+      // the cell as the partition column (the inverted lists). The
+      // metadata label rides along as a DATA column: filtered vector
+      // search needs the filter column stored beside the vectors, so
+      // the predicate reaches the cell-pruned scan as a parquet filter
+      // instead of a post-scan join.
       Similarity.assignByFold(e, s.read.parquet(tmp.resolve("centroids").toString))
-        .select(col("vec_id"), col("v"), col("assigned_label"))
+        .select(col("vec_id"), col("label"), col("v"), col("assigned_label"))
         .repartition(col("assigned_label"))
         .write.partitionBy("assigned_label")
         .parquet(tmp.resolve("assigned").toString)

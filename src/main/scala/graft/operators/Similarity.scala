@@ -168,6 +168,43 @@ object Similarity {
       .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
 
+  /** Metadata tag set for the filtered-ANN query — a fixed,
+    * deterministic stand-in for the tag/tenant/language filters
+    * production vector search composes with similarity. An IN set
+    * (not an arithmetic predicate) deliberately: it is
+    * source-TRANSLATABLE, so parquet row-group stats can skip at the
+    * reader. */
+  val FilteredAnnLabels: Seq[Long] = Seq(1L, 4L, 7L)
+
+  /** #195 — FILTERED ANN (vector search under a metadata predicate —
+    * the operation every production vector store serves: "nearest
+    * neighbours WHERE tenant/tag/language = X"): top-10 by cosine to
+    * the query among vectors whose label satisfies the predicate,
+    * served through the SAME staged IVF layout as ann_ivf_topk. The
+    * filter column is STORED IN the inverted lists (IvfIndex layout
+    * v2), so the predicate composes with the probe's dynamic partition
+    * pruning as a pushed parquet filter on the cell-pruned scan —
+    * filtered rows are dropped at the reader, never fetched and
+    * post-filtered. nprobe stays the fixed 2 of the unfiltered probe
+    * (deterministic for the oracle); a production system would widen
+    * nprobe as the filter's selectivity rises — same plan, larger cell
+    * set. */
+  def annFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(toDoubleVec(col("embedding")).as("qv"))
+    val probeCells = s.read.parquet(centPath).crossJoin(broadcast(q))
+      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+      .orderBy(col("rcos").desc, col("clabel")).limit(2)
+      .select(col("clabel").as("assigned_label"))
+    rankedTopK(s.read.parquet(assignedPath)
+      .filter(col("label").isin(FilteredAnnLabels: _*))
+      .join(broadcast(probeCells), "assigned_label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv"))), 10)
+  }
+
   /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a
     * query set (vec_id < 10) against the corpus (the rest) — the real
     * production shape (embedding dedup / retrieval runs thousands of

@@ -541,6 +541,18 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg")
   }
 
+  test("ann_filtered_topk pushes the metadata filter to the cell-pruned index scan") {
+    val p = plan("ann_filtered_topk")
+    assert(p.contains("graft-stage"), "must read the staged IVF index, not rebuild it")
+    assert(p.contains("dynamicpruningexpression"),
+      "probe must partition-prune the assignment scan to the probed cells")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(label, [1,4,7])") || pushed.contains("In(label"),
+      s"the tag-set filter must reach the parquet reader, got: $pushed")
+    assert(!p.contains("HashAggregate"),
+      "the centroid aggregation must not run at query time — probe only")
+  }
+
   test("q_market_basket mines the staged incidence frame; lineitem never enters the pair join") {
     val p = plan("q_market_basket")
     assert(p.contains("graft-stage"),
