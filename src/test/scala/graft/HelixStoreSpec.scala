@@ -200,6 +200,44 @@ class HelixStoreSpec extends SparkTestBase {
     }
   }
 
+  test("comparator property: scan order equals the driver-side sort for random keys and transforms") {
+    import org.apache.spark.sql.functions.{col, length => strlen, reverse, substring}
+    val store = HelixStore.open(spark, tmpDir("hs-cmp-prop"),
+      StoreOptions(numShards = 4, bucketSize = 100))
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic spec
+    val rows = (0 until 120).map { i =>
+      val k = rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString
+      (s"$k#$i", rnd.nextInt(50).toLong, s"v$i") // #i suffix: unique keys
+    }
+    store.put(entriesDF(rows))
+    // each comparator paired with the Scala ordering it must reproduce;
+    // ties fall to (key, ts) in BOTH (scan appends them; Seq sort is
+    // given them explicitly)
+    val cases: Seq[(org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        ((String, Long)) => (String, String, Long))] = Seq(
+      // by reversed key string
+      (k => reverse(k.cast("string")), { case (k, ts) => (k.reverse, k, ts) }),
+      // by key length (low-cardinality sort key: heavy ties)
+      (k => strlen(k.cast("string")).cast("string"),
+        { case (k, ts) => (k.length.toString, k, ts) }),
+      // by the 2nd..4th chars
+      (k => substring(k.cast("string"), 2, 3),
+        { case (k, ts) => (k.slice(1, 4), k, ts) }))
+    for (((cmp, expectedKey), i) <- cases.zipWithIndex) {
+      // explicit 0xFF upper bound: a non-ASCII literal's getBytes
+      // depends on the fork JVM's default charset
+      val got = store.scan((0L, 50L), ("".getBytes, Array(0xff.toByte)),
+        scanOpts = graft.core.ScanOptions(comparator = Some(cmp),
+          // alternate pinned parallelism through the cases
+          targetPartitions = if (i % 2 == 0) 0 else 3))
+        .collect().map(r => (new String(r.getAs[Array[Byte]]("key")), r.getLong(1)))
+      val expected = rows.map(r => (r._1, r._2))
+        .sortBy { case (k, ts) => expectedKey((k, ts)) }
+      assert(got.toSeq == expected,
+        s"comparator case $i diverged from the driver-side sort")
+    }
+  }
+
   test("streamingPut ingests a stream of entries into the store") {
     val srcDir = tmpDir("hs-stream-src")
     val entries = entriesDF((0 until 30).map(k => (s"sk$k", k.toLong, s"sv$k")))
