@@ -581,22 +581,12 @@ object OracleSqlGen {
        |  CAST(COALESCE(h, 0) AS DOUBLE) / 10.0 AS recall
        |FROM q LEFT JOIN h ON q.qid = h.qid""".stripMargin
 
-  val annIvfTopk: String =
-    s"""WITH $eCte,
-       |$ivfAssignedCtes,
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |probe AS (SELECT clabel AS assigned_label FROM cvt, q
-       |  ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel LIMIT 2)
-       |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk FROM (
-       |  SELECT a.vec_id, ${cos("a.v", "q.qv")} AS c
-       |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label, q
-       |  WHERE a.vec_id <> 0)
-       |ORDER BY rnk LIMIT 10""".stripMargin
-
-  /** #195 — filtered ANN: the annIvfTopk probe with the metadata
-    * predicate applied to the candidate set (the engine stores the
-    * label in the inverted lists; the oracle joins it back from e). */
-  val annFilteredTopk: String =
+  /** The single-query IVF probe + ranked-candidates SQL shared by
+    * annIvfTopk and annFilteredTopk — ONE builder (mirroring the
+    * engine's shared `ivfProbe` helper) so a change to the probe
+    * tie-break or rank precision can never reach one oracle and not
+    * the other. `extraPredicate` ANDs into the candidate WHERE. */
+  private def ivfTopkSql(extraPredicate: String): String =
     s"""WITH $eCte,
        |$ivfAssignedCtes,
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -606,9 +596,17 @@ object OracleSqlGen {
        |  SELECT a.vec_id, ${cos("a.v", "q.qv")} AS c
        |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label
        |  JOIN e el ON el.vec_id = a.vec_id, q
-       |  WHERE a.vec_id <> 0
-       |    AND el.label IN (${graft.operators.Similarity.FilteredAnnLabels.mkString(", ")}))
+       |  WHERE a.vec_id <> 0$extraPredicate)
        |ORDER BY rnk LIMIT 10""".stripMargin
+
+  val annIvfTopk: String = ivfTopkSql("")
+
+  /** #195 — filtered ANN: the shared IVF probe SQL with the metadata
+    * predicate ANDed into the candidate set (the engine stores the
+    * label in the inverted lists; the oracle joins it back from e). */
+  val annFilteredTopk: String = ivfTopkSql(
+    s"\n|    AND el.label IN (${graft.operators.Similarity.FilteredAnnLabels.mkString(", ")})"
+      .stripMargin)
 
   /** #97 — decontamination: distinct-3-gram overlap of train docs
     * against the eval slice (doc_id ≡ 0 mod EvalMod). Shares the

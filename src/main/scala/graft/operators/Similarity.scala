@@ -153,14 +153,25 @@ object Similarity {
     * and scans just those cells' partitions (broadcast join on the
     * partition column → dynamic partition pruning). At 100 TB a probe
     * touches nprobe/ncells of the corpus and nothing else. */
-  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+  /** The single-query IVF coarse probe shared by annIvfTopk and
+    * annFilteredTopk: the nprobe nearest centroid cells to query vec 0
+    * by rounded cosine (ties → lowest clabel). ONE definition so the
+    * two queries' probes — and their oracles' shared SQL — can never
+    * drift apart. Returns (query frame, probed-cell frame). */
+  private def ivfProbe(s: SparkSession, dir: String, centPath: String,
+      nprobe: Int): (DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(toDoubleVec(col("embedding")).as("qv"))
-    val probeCells = s.read.parquet(centPath).crossJoin(broadcast(q))
+    val cells = s.read.parquet(centPath).crossJoin(broadcast(q))
       .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
-      .orderBy(col("rcos").desc, col("clabel")).limit(2)
+      .orderBy(col("rcos").desc, col("clabel")).limit(nprobe)
       .select(col("clabel").as("assigned_label"))
+    (q, cells)
+  }
+
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    val (q, probeCells) = ivfProbe(s, dir, centPath, nprobe = 2)
     rankedTopK(s.read.parquet(assignedPath)
       .join(broadcast(probeCells), "assigned_label")
       .filter(col("vec_id") =!= 0)
@@ -191,12 +202,7 @@ object Similarity {
     * set. */
   def annFilteredTopk(s: SparkSession, dir: String): DataFrame = {
     val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
-    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(toDoubleVec(col("embedding")).as("qv"))
-    val probeCells = s.read.parquet(centPath).crossJoin(broadcast(q))
-      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
-      .orderBy(col("rcos").desc, col("clabel")).limit(2)
-      .select(col("clabel").as("assigned_label"))
+    val (q, probeCells) = ivfProbe(s, dir, centPath, nprobe = 2)
     rankedTopK(s.read.parquet(assignedPath)
       .filter(col("label").isin(FilteredAnnLabels: _*))
       .join(broadcast(probeCells), "assigned_label")

@@ -173,6 +173,7 @@ class HelixStoreSpec extends SparkTestBase {
       StoreOptions(numShards = 4, bucketSize = 10))
     // keys whose lexical and numeric-suffix orders DIFFER: lexically
     // k10 < k2, numerically 2 < 10 — the comparator's effect is visible
+    try {
     store.put(entriesDF(Seq(("k10", 1L, "a"), ("k2", 1L, "b"),
       ("k30", 1L, "c"), ("k4", 1L, "d"))))
     val suffixCmp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -198,6 +199,7 @@ class HelixStoreSpec extends SparkTestBase {
       store.scan((0L, 5L), ("k".getBytes, "l".getBytes), ordered = false,
         scanOpts = graft.core.ScanOptions(comparator = Some(suffixCmp)))
     }
+    } finally store.close() // open handle = leaked lock-heartbeat daemon
   }
 
   test("comparator property: scan order equals the driver-side sort for random keys and transforms") {
@@ -209,6 +211,7 @@ class HelixStoreSpec extends SparkTestBase {
       val k = rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString
       (s"$k#$i", rnd.nextInt(50).toLong, s"v$i") // #i suffix: unique keys
     }
+    try {
     store.put(entriesDF(rows))
     // each comparator paired with the Scala ordering it must reproduce;
     // ties fall to (key, ts) in BOTH (scan appends them; Seq sort is
@@ -236,6 +239,7 @@ class HelixStoreSpec extends SparkTestBase {
       assert(got.toSeq == expected,
         s"comparator case $i diverged from the driver-side sort")
     }
+    } finally store.close() // open handle = leaked lock-heartbeat daemon
   }
 
   test("streamingPut ingests a stream of entries into the store") {

@@ -547,8 +547,9 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("dynamicpruningexpression"),
       "probe must partition-prune the assignment scan to the probed cells")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
-    assert(pushed.contains("In(label, [1,4,7])") || pushed.contains("In(label"),
-      s"the tag-set filter must reach the parquet reader, got: $pushed")
+    val want = operators.Similarity.FilteredAnnLabels.mkString("In(label, [", ",", "])")
+    assert(pushed.contains(want),
+      s"the FULL tag-set filter must reach the parquet reader: want $want, got $pushed")
     assert(!p.contains("HashAggregate"),
       "the centroid aggregation must not run at query time — probe only")
   }

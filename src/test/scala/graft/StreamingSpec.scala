@@ -33,7 +33,9 @@ class StreamingSpec extends SparkTestBase {
         outdateRange = Long.MaxValue / 4)
       val q = Lifecycle.streamingPutReviewed(store, stream,
         tmpDir("stream-rev-ckpt"), reviewer, trigger = Trigger.AvailableNow())
-      q.awaitTermination(180000L)
+      val drained = q.awaitTermination(180000L)
+      if (!drained) q.stop() // don't close the store under an in-flight batch
+      assert(drained, "AvailableNow drain exceeded 180s — timeout, not data loss")
       store.awaitCompactions()
       // the reviewer actually scheduled compactions: block layer exists
       assert(store.hasBlockLayer,
