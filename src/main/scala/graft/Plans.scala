@@ -100,7 +100,12 @@ object Plans {
       "helix_stream_scan" -> "Scan over the STREAMING-ingested store (spool -> AvailableNow micro-batches -> put + reviewer-scheduled compactions, all index build): the serving plan is the compacted fast path - bucket partition filter + pushed (key, ts) predicates on the block parquet, no LWW window.",
       "helix_scan_custom_order" -> "User-comparator scan (Comparator trait parity): the sort key is a codegen Column over the entry key, so the ordered scan plans the SAME range-partitioned sort shape as lexical order with one extra leading sort expression; ord attaches via zipWithIndex on the sorted output (plan shows the materialized LogicalRDD).",
       "ts_gap_fill_range" -> "Bounded gap fill: the key-range x time-window rectangle pushes to the parquet scan, so spine, LOCF window and output are all capped by keys-in-range x window-hours - the 100 TB form of ts_gap_fill, whose spine grows with keys x full history.",
-      "ann_filtered_topk" -> "Filtered vector search: the metadata tag set is a PUSHED parquet In filter on the cell-pruned staged index scan (the label lives IN the inverted lists), composing with the probe's dynamic partition pruning - filtered rows drop at the reader, never fetched and post-filtered; no query-time index build.")
+      "ann_filtered_topk" -> "Filtered vector search: the metadata tag set is a PUSHED parquet In filter on the cell-pruned staged index scan (the label lives IN the inverted lists), composing with the probe's dynamic partition pruning - filtered rows drop at the reader, never fetched and post-filtered; no query-time index build.",
+      "q18_large_orders" -> "Q18 shape: the big-order aggregate is one combinable l_orderkey HashAggregate pair; the orders join rides the SAME orderkey shuffle key (AQE broadcasts the vanishing >250-qty side); customers broadcast.",
+      "q_rollup" -> "ROLLUP: Spark Expand feeds one combinable HashAggregate pair - 3x map-side grouping-set fanout, one exchange total, 6-column pruned scan.",
+      "q5_nation_revenue" -> "Q5 shape: customer/nation/region chain as broadcast hash joins (region filter prunes before the fact); the orderkey fact-fact join is the one shuffle pair; final rollup on 5 nation rows.",
+      "q7_volume" -> "Q7 shape: both nation legs broadcast; AQE broadcasts the small customer/supplier dims; the orderkey fact-fact join is the one shuffle pair; the two-nation disjunction evaluates in the post-join codegen stage before the tiny (nation, nation, year) rollup.",
+      "emb_power_iter" -> "One power-iteration matvec: a single corpus pass computes dot(v, x) against the broadcast 1-row vector and folds 64 fixed-point component sums in ONE combinable aggregate (no explode below the agg); the 1x64 result posexplodes above it.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

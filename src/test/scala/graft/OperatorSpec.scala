@@ -20,6 +20,27 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("filtered ANN returns only allowed labels, a subset of the unfiltered probe's candidates") {
+    val labels = graft.core.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val filtered = Similarity.annFilteredTopk(spark, Sf).collect()
+      .map(r => r.getAs[Number](0).longValue)
+    assert(filtered.nonEmpty)
+    // predicate honored: every result's metadata label is in the tag set
+    assert(filtered.forall(id =>
+      Similarity.FilteredAnnLabels.contains(labels(id))),
+      "a result escaped the metadata predicate")
+    // same probe ⇒ the filtered top-k is exactly the allowed-label
+    // subsequence of the unfiltered ranking's allowed prefix
+    val unfiltered = Similarity.annIvfTopk(spark, Sf).collect()
+      .map(_.getAs[Number](0).longValue)
+    val allowedPrefix = unfiltered.filter(id =>
+      Similarity.FilteredAnnLabels.contains(labels(id)))
+    assert(filtered.take(allowedPrefix.length).sameElements(allowedPrefix),
+      "filtered ranking disagrees with the unfiltered ranking's allowed subsequence")
+  }
+
   test("q1 pricing: 6 flag/status groups, positive sums") {
     val rows = Analytics.q1Pricing(spark, Sf).collect()
     assert(rows.length == 6)
