@@ -214,6 +214,7 @@ object SparkEntry {
     "helix_scan_custom_order" -> (HelixScan.customOrderScan _),
     "ts_gap_fill_range" -> (TimeSeriesOps.gapFillRange _),
     "ann_filtered_topk" -> (Similarity.annFilteredTopk _),
+    "ts_increase" -> (TimeSeriesOps.increase _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1240,6 +1241,18 @@ object SparkEntry {
     "helix_scan_custom_order" -> OracleSqlGen.helixScanCustomOrder,
     "ts_gap_fill_range" -> OracleSqlGen.tsGapFillRange,
     "ann_filtered_topk" -> OracleSqlGen.annFilteredTopk,
+    "ts_increase" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN prev IS NULL THEN 0
+        |    WHEN cents >= prev THEN cents - prev ELSE cents END) AS BIGINT)
+        |    AS increase_cents
+        |FROM (SELECT user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+        |      PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts) AS prev
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,

@@ -271,6 +271,29 @@ object TimeSeriesOps {
         col("filled_cnt"), col("is_gap"))
   }
 
+  /** #196 — counter INCREASE with reset correction (PromQL increase):
+    * per (key, day), the sum of deltas between consecutive samples
+    * where a value DROP is a counter reset contributing the post-reset
+    * value (the counter restarted from zero — the semantics ts_resets
+    * counts and ts_rate sidesteps by filtering positive deltas). Exact
+    * integer cents end to end, so the day totals are engine-exact; one
+    * (key, day) shuffle carries the lag window and the rollup
+    * (partitions bounded by one key-day's samples). (user_id, ts) is
+    * unique in the corpus, so the lag order is total. */
+  def increase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day_us").orderBy("ts_us")
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("prev", lag("cents", 1).over(w))
+      .withColumn("inc", when(col("prev").isNull, lit(0L))
+        .when(col("cents") >= col("prev"), col("cents") - col("prev"))
+        .otherwise(col("cents")))
+      .groupBy("user_id", "day_us")
+      .agg(count(lit(1)).as("n_samples"), sum("inc").as("increase_cents"))
+  }
+
   /** #42 — counter rate (PromQL-style): per key, value delta over time
     * delta between consecutive events, averaged per day. Deltas are a
     * lag window; the rollup shares the same key shuffle. */
