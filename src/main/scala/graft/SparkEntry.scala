@@ -215,6 +215,7 @@ object SparkEntry {
     "ts_gap_fill_range" -> (TimeSeriesOps.gapFillRange _),
     "ann_filtered_topk" -> (Similarity.annFilteredTopk _),
     "ts_increase" -> (TimeSeriesOps.increase _),
+    "ts_irate" -> (TimeSeriesOps.irate _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1253,6 +1254,24 @@ object SparkEntry {
         |      PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts) AS prev
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "ts_irate" ->
+      """SELECT user_id,
+        |  CAST(CASE WHEN cents >= prev_c THEN cents - prev_c ELSE cents END
+        |    AS BIGINT) AS d_cents,
+        |  CAST(ts_us - prev_ts AS BIGINT) AS dt_us,
+        |  CAST(CASE WHEN cents >= prev_c THEN cents - prev_c ELSE cents END
+        |    AS DOUBLE) / (CAST(ts_us - prev_ts AS DOUBLE) / 1000000.0)
+        |    AS rate_per_s
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, cents,
+        |    lag(epoch_us(ts)) OVER w AS prev_ts,
+        |    lag(cents) OVER w AS prev_c,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts) DESC) AS rn
+        |  FROM (SELECT user_id, ts,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |    FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
+        |WHERE rn = 1 AND prev_ts IS NOT NULL""".stripMargin,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,

@@ -294,6 +294,33 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n_samples"), sum("inc").as("increase_cents"))
   }
 
+  /** #197 — INSTANTANEOUS rate (PromQL irate): per key, the delta over
+    * the LAST two samples only — the spike-sensitive companion to the
+    * averaged ts_rate, with the same reset correction as ts_increase
+    * (a drop contributes the post-reset value). The asc lag and the
+    * desc last-row rank share ONE user_id shuffle (the ts_anomaly_mad
+    * two-windows-one-exchange discipline); dt_us ≥ 1 because
+    * (user_id, ts) is unique, so the single mirrored IEEE division of
+    * exact integers is safe and bit-equal across engines. */
+  def irate(s: SparkSession, dir: String): DataFrame = {
+    val asc = Window.partitionBy("user_id").orderBy("ts_us")
+    val desc = Window.partitionBy("user_id").orderBy(col("ts_us").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(asc))
+      .withColumn("prev_c", lag("cents", 1).over(asc))
+      .withColumn("rn", row_number().over(desc))
+      .filter(col("rn") === 1 && col("prev_ts").isNotNull)
+      .withColumn("d_cents",
+        when(col("cents") >= col("prev_c"), col("cents") - col("prev_c"))
+          .otherwise(col("cents")))
+      .withColumn("dt_us", col("ts_us") - col("prev_ts"))
+      .select(col("user_id"), col("d_cents"), col("dt_us"),
+        (col("d_cents").cast("double") /
+          (col("dt_us").cast("double") / 1000000.0)).as("rate_per_s"))
+  }
+
   /** #42 — counter rate (PromQL-style): per key, value delta over time
     * delta between consecutive events, averaged per day. Deltas are a
     * lag window; the rollup shares the same key shuffle. */
