@@ -54,6 +54,14 @@ object Bench {
       }
     }
     val stagingSec = (System.nanoTime() - tStaging) / 1e9
+    // the COLD cost of the same artifacts: sum of the build seconds
+    // each artifact RECORDED when it was actually built (persisted as
+    // _GRAFT_BUILD_SECS inside the staged dir) — on a box whose
+    // fingerprint cache is warm, `staging` above is just readiness
+    // probes (~0.04 s) while this is what staging-from-nothing costs
+    val stagingColdSec = operators.Staging.coldBuildSecs
+    System.err.println(
+      f"[bench] staging (this run) $stagingSec%.2f s, cold (recorded builds) $stagingColdSec%.2f s")
     // WARMUP, one full untimed suite pass, also its own reported phase:
     // first-use costs that live OUTSIDE the staged artifacts (the
     // store's kv/manifest cache fills on point reads, codegen for each
@@ -108,13 +116,13 @@ object Bench {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line = jsonLine(results, errors.toSeq, sfDir, spreads, load,
-      stagingSec, warmupSec)
+      stagingSec, warmupSec, stagingColdSec)
     // the COMPLETE map (every query, every spread) beside the run — the
     // stdout line elides to fit the driver's 2000-char tail window
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       fullJson(results, spreads, errors.toSeq, sfDir, load,
-        stagingSec, warmupSec))
+        stagingSec, warmupSec, stagingColdSec))
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     // Print AFTER spark.stop() with logging quieted, so no shutdown log
     // line can land after the JSON — the driver parses the LAST line.
@@ -130,7 +138,8 @@ object Bench {
       errors: Seq[(String, String)], sfDir: String,
       spreads: Map[String, Double] = Map.empty,
       load: Double = -1.0,
-      staging: Double = -1.0, warmup: Double = -1.0): String = {
+      staging: Double = -1.0, warmup: Double = -1.0,
+      stagingCold: Double = -1.0): String = {
     // The driver tails only the last 2000 chars of output and parses the
     // JSON line out of that window; full-precision doubles pushed the line
     // past 2000 chars (rounds 1-4 all recorded parsed:null). 10 ms
@@ -184,7 +193,12 @@ object Bench {
       // suite pass) reported as their own fields: value stays the
       // steady-state suite time the rounds are compared on, and
       // value + staging + warmup is the honest cold-suite wall clock
+      // staging = this run's ensure() wall time (readiness probes when
+      // the fingerprint cache is warm); staging_cold = sum of the
+      // recorded per-artifact build seconds — what staging costs from
+      // an empty cache
       val phases = (if (staging >= 0) s""","staging":${f2(staging)}""" else "") +
+        (if (stagingCold >= 0) s""","staging_cold":${f2(stagingCold)}""" else "") +
         (if (warmup >= 0) s""","warmup":${f2(warmup)}""" else "")
       s"""{"metric":"total","value":${f2(total)},"unit":"sec"$phases,"queries":$qs$om$errField$noiseField,"sf":"$sfDir"}"""
     }
@@ -214,7 +228,8 @@ object Bench {
   private[graft] def fullJson(results: Map[String, Double],
       spreads: Map[String, Double], errors: Seq[(String, String)],
       sfDir: String, load: Double,
-      staging: Double = -1.0, warmup: Double = -1.0): String = {
+      staging: Double = -1.0, warmup: Double = -1.0,
+      stagingCold: Double = -1.0): String = {
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(-_._2).map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + f2(v) +
@@ -227,6 +242,7 @@ object Bench {
     // matching jsonLine
     val ld = if (load >= 0) s""""load":${f2(load)},""" else ""
     val phases = (if (staging >= 0) s""""staging":${f2(staging)},""" else "") +
+      (if (stagingCold >= 0) s""""staging_cold":${f2(stagingCold)},""" else "") +
       (if (warmup >= 0) s""""warmup":${f2(warmup)},""" else "")
     s"""{"sf":"$sfDir",$ld$phases"total":${f2(results.values.sum)},"queries":$qs,"errors":$errs}"""
   }

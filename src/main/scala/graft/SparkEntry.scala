@@ -1251,7 +1251,8 @@ object SparkEntry {
         |FROM (SELECT user_id, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
         |    lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
-        |      PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts) AS prev
+        |      PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS prev
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
     "ts_irate" ->
@@ -1265,12 +1266,12 @@ object SparkEntry {
         |FROM (SELECT user_id, epoch_us(ts) AS ts_us, cents,
         |    lag(epoch_us(ts)) OVER w AS prev_ts,
         |    lag(cents) OVER w AS prev_c,
-        |    row_number() OVER (
-        |      PARTITION BY user_id ORDER BY epoch_us(ts) DESC) AS rn
-        |  FROM (SELECT user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM (SELECT user_id, ts, event_id,
         |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |    FROM events)
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
         |WHERE rn = 1 AND prev_ts IS NOT NULL""".stripMargin,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,

@@ -948,9 +948,12 @@ object Analytics {
   def qPartGrowth(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_partkey").orderBy("mi")
     Tables.lineitem(s, dir)
+      // one tz conversion per row (timestamp → date), then year/month
+      // are plain epoch-day field extractions — not two independent
+      // µs → ZonedDateTime walks per row
+      .withColumn("d", to_date(col("l_shipdate")))
       .groupBy(col("l_partkey"),
-        (year(col("l_shipdate").cast("timestamp")) * 12 +
-          month(col("l_shipdate").cast("timestamp"))).cast("long").as("mi"))
+        (year(col("d")) * 12 + month(col("d"))).cast("long").as("mi"))
       .agg((sum(dec("l_extendedprice") *
         (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
         * 10000)
@@ -1003,10 +1006,14 @@ object Analytics {
     * running share ≤ 80%, B ≤ 95%, else C. Revenue quantizes to exact
     * 10^-4 integer units (the product scale of price × (1−disc)), so
     * the cumulative window and both share thresholds compare as pure
-    * integers — no float can flip a class at any scale. One fact
-    * shuffle to per-part revenue (checkpointed — it seeds the window
-    * and the total); the ordered cumulative window spans the PART
-    * dimension (bounded by catalogue size, never fact volume). */
+    * integers — no float can flip a class at any scale. ONE fact
+    * shuffle to per-part revenue, ONE sort: the grand total comes from
+    * a second window over the SAME ordering with an unbounded frame,
+    * so Spark reuses the cumulative window's sorted child instead of
+    * re-materializing the frame (the previous localCheckpoint +
+    * crossJoin(total) re-ran the checkpoint every invocation); the
+    * ordered cumulative window spans the PART dimension (bounded by
+    * catalogue size, never fact volume). */
   def qAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
@@ -1014,12 +1021,13 @@ object Analytics {
         (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
         * 10000)
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rq"))
-      .localCheckpoint()
-    val w = Window.orderBy(col("rq").desc, col("l_partkey"))
+    val ord = Seq(col("rq").desc, col("l_partkey"))
+    val w = Window.orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = rev.agg(sum("rq").as("t"))
+    val wAll = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     rev.withColumn("cum", sum("rq").over(w))
-      .crossJoin(broadcast(tot))
+      .withColumn("t", sum("rq").over(wAll))
       .withColumn("cls",
         when(col("cum") * 5 <= col("t") * 4, "A")
           .when(col("cum") * 20 <= col("t") * 19, "B")

@@ -59,22 +59,22 @@ object HelixScan {
   // persist across point reads) serves every consumer; closed on JVM
   // exit and by clear().
   private val openStores =
-    scala.collection.mutable.LinkedHashMap.empty[String, HelixStore]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), HelixStore]
   private def storeAt(s: SparkSession, path: String): HelixStore =
     openStores.synchronized {
-      // a cached handle bound to a STOPPED SparkSession would fail every
-      // read forever (long-lived server that restarts its session), and
-      // one bound to a DIFFERENT live session than the caller's would
-      // silently run every read on the session captured at first open
-      // (wrong configs/listeners for the caller) — the cache behaves as
-      // if keyed by (session, path): evict and reopen on either.
-      openStores.get(path)
-        .filter(st => st.spark.sparkContext.isStopped || !(st.spark eq s))
-        .foreach { st =>
-          try st.close() catch { case _: Throwable => () }
-          openStores.remove(path): Unit
-        }
-      openStores.getOrElseUpdate(path, HelixStore.open(s, path, opts))
+      // keyed by (session, path): two LIVE sessions alternating reads on
+      // the same staged path each keep their OWN handle (the store's
+      // on-disk lock is per-mutation, not per-handle, so concurrent
+      // read-only opens are safe) — evicting on session mismatch would
+      // close the other session's handle while its queries are in
+      // flight. Only handles bound to a STOPPED session (which can
+      // never serve a read again) are evicted and closed.
+      openStores.filterInPlace { case (_, st) =>
+        val live = !st.spark.sparkContext.isStopped
+        if (!live) { try st.close() catch { case _: Throwable => () } }
+        live
+      }
+      openStores.getOrElseUpdate((s, path), HelixStore.open(s, path, opts))
     }
   private def storeFor(s: SparkSession, dir: String): HelixStore =
     storeAt(s, ensure(s, dir))
@@ -286,11 +286,15 @@ object HelixScan {
     * Spark-first ([[graft.core.ScanOptions.comparator]]): the sort key
     * is the numeric event-id SUFFIX of the composite key, so the scan
     * interleaves users in a deliberately non-lexical order. The order
-    * itself is what this query hash-checks: `ord` is the scan's own
-    * emission index (zipWithIndex preserves the range-partitioned
-    * sort), and the oracle computes row_number over the equivalent
-    * (event_id, user_id) SQL ordering — if the comparator did not
-    * actually govern the emitted order, every ord diverges. */
+    * contract is what this query hash-checks: `ord` is row_number over
+    * the comparator's own total order (comparator value = event_id,
+    * tie-broken by the unique composite key's user_id, then ts), and
+    * the oracle computes row_number over the equivalent
+    * (event_id, user_id, ts) SQL ordering — any divergence between the
+    * comparator semantics and the SQL order diverges every ord. The
+    * window stays in Tungsten (no RDD round-trip, no cache to leak);
+    * the scan's PHYSICAL emission order under ordered=true is
+    * property-tested against driver-side sorts in the store specs. */
   def customOrderScan(s: SparkSession, dir: String): DataFrame = {
     val st = storeFor(s, dir)
     val lo = java.time.Instant.parse("2024-01-05T00:00:00Z")
@@ -307,18 +311,12 @@ object HelixScan {
         substring(col("k"), 8, 10).cast("long").as("event_id"),
         col("ts").as("ts_us"),
         col("value").cast("string").cast("long").as("cents"))
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
-    // zipWithIndex runs an eager job (partition start offsets) and the
-    // consumer then evaluates the LogicalRDD's lineage — without a
-    // cache that is the full sorted scan TWICE. The decoded rectangle
-    // is a few hundred rows; lifetime = this query's action, released
-    // by the harness clearCache() (the mmrRerank shortlist contract).
-    val pinned = decoded.cache()
-    val withOrd = pinned.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    s.createDataFrame(withOrd, pinned.schema.add("ord", LongType))
+    // single-partition window is fine here: the frame is the scan's
+    // key×time RECTANGLE (a few hundred rows at any corpus scale), not
+    // the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id"), col("user_id"), col("ts_us"))
+    decoded.withColumn("ord", row_number().over(w).cast("long"))
   }
 
   // ---- streaming-ingested store (streamingPut + lifecycle reviewer) ---
@@ -360,7 +358,15 @@ object HelixScan {
         val q = graft.core.Lifecycle.streamingPutReviewed(
           st, entries, tmp.resolve("ckpt").toString, reviewer,
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        q.awaitTermination()
+        // bounded wait: Staging.ensure is synchronized JVM-wide, so an
+        // unbounded awaitTermination on a stuck AvailableNow drain would
+        // hang every other staged-artifact build too — fail loudly
+        // instead (generous bound: the sf0.1 build drains in seconds)
+        if (!q.awaitTermination(10 * 60 * 1000L)) {
+          try q.stop() catch { case _: Throwable => () }
+          sys.error("helix_stream_scan staging: AvailableNow drain did " +
+            "not terminate within 10 minutes — store build aborted")
+        }
         st.awaitCompactions()
       } finally st.close()
       // the spool (a full second copy of every entry) and the stream

@@ -36,8 +36,15 @@ object Staging {
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Staged dirs this process has ensured (hit or built) — the basis
+    * for [[coldBuildSecs]]. */
+  private val touched = scala.collection.mutable.LinkedHashSet.empty[Path]
+
   /** Ensure the `<prefix>-<key>` staged dir exists, running `build`
-    * into a temp dir at most once per key; returns the ready base. */
+    * into a temp dir at most once per key; returns the ready base.
+    * The build's wall seconds are persisted INSIDE the artifact
+    * (`_GRAFT_BUILD_SECS`), so a later fingerprint-cache HIT can still
+    * report what the artifact cost to build cold. */
   def ensure(prefix: String, key: String)(build: Path => Unit): Path =
     synchronized {
       val base = Paths.get(stageRoot, s"$prefix-$key")
@@ -47,7 +54,11 @@ object Staging {
           s"${base.getFileName}.tmp-${java.util.UUID.randomUUID()}")
         Files.createDirectories(tmp)
         try {
+          val t0 = System.nanoTime()
           build(tmp)
+          Files.writeString(tmp.resolve("_GRAFT_BUILD_SECS"),
+            "%.3f".formatLocal(java.util.Locale.ROOT,
+              (System.nanoTime() - t0) / 1e9))
           Files.writeString(tmp.resolve("_GRAFT_READY"), "ok")
           try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException |
@@ -57,8 +68,23 @@ object Staging {
           }
         } catch { case e: Throwable => deleteRecursively(tmp); throw e }
       }
+      touched += base
       base
     }
+
+  /** Sum of recorded cold-build seconds across every staged artifact
+    * this process has ensured — the honest "staging from nothing" cost
+    * even when each ensure() was a cache hit (whose measured cost is
+    * just a readiness probe). Artifacts staged before the build-secs
+    * record existed contribute 0 — the sum is a floor, never a lie. */
+  def coldBuildSecs: Double = synchronized {
+    touched.toSeq.map { base =>
+      val f = base.resolve("_GRAFT_BUILD_SECS")
+      if (Files.exists(f))
+        scala.util.Try(Files.readString(f).trim.toDouble).getOrElse(0.0)
+      else 0.0
+    }.sum
+  }
 
   private[operators] def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {

@@ -278,13 +278,15 @@ object TimeSeriesOps {
     * counts and ts_rate sidesteps by filtering positive deltas). Exact
     * integer cents end to end, so the day totals are engine-exact; one
     * (key, day) shuffle carries the lag window and the rollup
-    * (partitions bounded by one key-day's samples). (user_id, ts) is
-    * unique in the corpus, so the lag order is total. */
+    * (partitions bounded by one key-day's samples). event_id trails the
+    * ORDER BY so the lag order is total BY CONSTRUCTION — not by
+    * relying on (user_id, ts) uniqueness, which a per-user ts tie in a
+    * future corpus would break differently in each engine. */
   def increase(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "day_us").orderBy("ts_us")
+    val w = Window.partitionBy("user_id", "day_us").orderBy("ts_us", "event_id")
     Tables.events(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"), col("event_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .withColumn("prev", lag("cents", 1).over(w))
       .withColumn("inc", when(col("prev").isNull, lit(0L))
@@ -299,14 +301,16 @@ object TimeSeriesOps {
     * averaged ts_rate, with the same reset correction as ts_increase
     * (a drop contributes the post-reset value). The asc lag and the
     * desc last-row rank share ONE user_id shuffle (the ts_anomaly_mad
-    * two-windows-one-exchange discipline); dt_us ≥ 1 because
-    * (user_id, ts) is unique, so the single mirrored IEEE division of
-    * exact integers is safe and bit-equal across engines. */
+    * two-windows-one-exchange discipline). event_id trails both window
+    * orders so they are total even under a per-user ts tie (dt_us = 0
+    * would then make the division ±Inf identically in both engines
+    * rather than pairing different rows nondeterministically). */
   def irate(s: SparkSession, dir: String): DataFrame = {
-    val asc = Window.partitionBy("user_id").orderBy("ts_us")
-    val desc = Window.partitionBy("user_id").orderBy(col("ts_us").desc)
+    val asc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val desc = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
     Tables.events(s, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .withColumn("prev_ts", lag("ts_us", 1).over(asc))
       .withColumn("prev_c", lag("cents", 1).over(asc))
