@@ -608,6 +608,57 @@ object OracleSqlGen {
     s"\n|    AND el.label IN (${graft.operators.Similarity.FilteredAnnLabels.mkString(", ")})"
       .stripMargin)
 
+  /** #198 — batched IVF probe: per-qid nprobe=2 cell ranks with the
+    * single-query probe's (rounded cos desc, clabel) tie order, then
+    * ann_batch_topk's (cos desc, vec_id) rank over the probed cells'
+    * rows only. */
+  val annBatchIvfTopk: String =
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |probe AS (SELECT qid, assigned_label FROM (
+       |  SELECT q.qid, cvt.clabel AS assigned_label,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel) AS rn
+       |  FROM cvt, q) WHERE rn <= 2)
+       |SELECT qid, rnk, vec_id FROM (
+       |  SELECT p.qid, a.vec_id, row_number() OVER (PARTITION BY p.qid
+       |    ORDER BY ${cos("a.v", "q.qv")} DESC, a.vec_id) AS rnk
+       |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label
+       |  JOIN q ON q.qid = p.qid WHERE a.vec_id >= 10)
+       |WHERE rnk <= 3""".stripMargin
+
+  /** #199 — selectivity-adaptive filtered ANN: cells in probe-rank
+    * order, the prefix whose PRECEDING filtered mass is below the
+    * target (per-cell filtered counts recomputed from the assignment —
+    * the engine reads them from the staged stats table), then the
+    * filtered candidate rank of the fixed probe. */
+  val annFilteredAdaptive: String = {
+    val labels = graft.operators.Similarity.FilteredAnnLabels.mkString(", ")
+    val target = graft.operators.Similarity.FilteredAdaptiveTarget
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |fcnt AS (SELECT a.assigned_label, count(*) AS fc
+       |  FROM assigned a JOIN e el ON el.vec_id = a.vec_id
+       |  WHERE el.label IN ($labels) GROUP BY 1),
+       |rc AS (SELECT cvt.clabel AS assigned_label, row_number() OVER (
+       |    ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel) AS rn
+       |  FROM cvt, q),
+       |sel AS (SELECT assigned_label FROM (
+       |  SELECT rc.assigned_label, rn,
+       |    COALESCE(sum(fc) OVER (ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+       |  FROM rc LEFT JOIN fcnt USING (assigned_label))
+       |  WHERE rn <= 2 OR cum_prev < $target)
+       |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk FROM (
+       |  SELECT a.vec_id, ${cos("a.v", "q.qv")} AS c
+       |  FROM assigned a JOIN sel p ON a.assigned_label = p.assigned_label
+       |  JOIN e el ON el.vec_id = a.vec_id, q
+       |  WHERE a.vec_id <> 0 AND el.label IN ($labels))
+       |ORDER BY rnk LIMIT 10""".stripMargin
+  }
+
   /** #97 — decontamination: distinct-3-gram overlap of train docs
     * against the eval slice (doc_id ≡ 0 mod EvalMod). Shares the
     * shingle CTEs with the dedup family. */

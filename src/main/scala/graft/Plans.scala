@@ -98,7 +98,9 @@ object Plans {
       "emb_kmeans_step" -> "One Lloyd iteration: seed centroids broadcast as an array row; assignment is an in-array fold-argmax projection (no window, no explode); new centroids are one fixed-point combinable aggregate.",
       "knn_label_centroid" -> "Label-centroid assignment: one fixed-point combinable aggregate collapses the corpus to K centroid rows; assignment is the broadcast fold-argmax projection on a second corpus pass - no window, no explode, cost = two scans + one K-row exchange.",
       "helix_stream_scan" -> "Scan over the STREAMING-ingested store (spool -> AvailableNow micro-batches -> put + reviewer-scheduled compactions, all index build): the serving plan is the compacted fast path - bucket partition filter + pushed (key, ts) predicates on the block parquet, no LWW window.",
-      "helix_scan_custom_order" -> "User-comparator scan (Comparator trait parity): the sort key is a codegen Column over the entry key, so the ordered scan plans the SAME range-partitioned sort shape as lexical order with one extra leading sort expression; ord attaches via zipWithIndex on the sorted output (plan shows the materialized LogicalRDD).",
+      "helix_scan_custom_order" -> "User-comparator scan (Comparator trait parity): the sort key is a codegen Column over the entry key, so the ordered scan plans the SAME range-partitioned sort shape as lexical order with one extra leading sort expression; ord is a row_number Window over the comparator's total order - all Tungsten, no RDD round-trip, frame bounded by the scan's key x time rectangle.",
+      "ann_batch_ivf_topk" -> "Batched IVF probe: each query ranks the broadcast centroid table for its nprobe cells (ncells x nqueries rows); the probed (qid, cell) set broadcast-equi-joins the staged cell-partitioned lists under dynamic partition pruning - a thousand-query batch costs the UNION of its probed cells, never the corpus crossJoin of the exact baseline (ann_batch_topk).",
+      "ann_filtered_adaptive" -> "Selectivity-adaptive filtered ANN: cells widen in probe-rank order until the staged per-(cell,label) stats cover k*margin filter-satisfying candidates (fixed nprobe=2 floor, so the cell set is a superset of ann_filtered_topk's); sizing reads ONLY the ncells x nlabels stats parquet, and candidates stay the pushed-In-filter cell-pruned scan.",
       "ts_gap_fill_range" -> "Bounded gap fill: the key-range x time-window rectangle pushes to the parquet scan, so spine, LOCF window and output are all capped by keys-in-range x window-hours - the 100 TB form of ts_gap_fill, whose spine grows with keys x full history.",
       "ann_filtered_topk" -> "Filtered vector search: the metadata tag set is a PUSHED parquet In filter on the cell-pruned staged index scan (the label lives IN the inverted lists), composing with the probe's dynamic partition pruning - filtered rows drop at the reader, never fetched and post-filtered; no query-time index build.",
       "q18_large_orders" -> "Q18 shape: the big-order aggregate is one combinable l_orderkey HashAggregate pair; the orders join rides the SAME orderkey shuffle key (AQE broadcasts the vanishing >250-qty side); customers broadcast.",

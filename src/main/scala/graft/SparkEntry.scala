@@ -214,6 +214,8 @@ object SparkEntry {
     "helix_scan_custom_order" -> (HelixScan.customOrderScan _),
     "ts_gap_fill_range" -> (TimeSeriesOps.gapFillRange _),
     "ann_filtered_topk" -> (Similarity.annFilteredTopk _),
+    "ann_batch_ivf_topk" -> (Similarity.annBatchIvfTopk _),
+    "ann_filtered_adaptive" -> (Similarity.annFilteredAdaptive _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
     // Streaming batch twins (#30, #77)
@@ -1242,6 +1244,8 @@ object SparkEntry {
     "helix_scan_custom_order" -> OracleSqlGen.helixScanCustomOrder,
     "ts_gap_fill_range" -> OracleSqlGen.tsGapFillRange,
     "ann_filtered_topk" -> OracleSqlGen.annFilteredTopk,
+    "ann_batch_ivf_topk" -> OracleSqlGen.annBatchIvfTopk,
+    "ann_filtered_adaptive" -> OracleSqlGen.annFilteredAdaptive,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
         |  count(*) AS n_samples,

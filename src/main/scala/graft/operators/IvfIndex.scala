@@ -22,14 +22,14 @@ object IvfIndex {
 
   /** Layout version, part of the staging key: v2 added the metadata
     * `label` column to the inverted lists (filtered ANN reads it as a
-    * pushed parquet filter) — the source fingerprint alone would keep
-    * serving the narrower v1 artifact. */
-  private val LayoutVersion = "v2"
+    * pushed parquet filter); v3 added the per-(cell, label) count
+    * table (`cellstats`) the selectivity-adaptive filtered probe sizes
+    * its cell set from — the source fingerprint alone would keep
+    * serving the narrower earlier artifacts. */
+  private val LayoutVersion = "v3"
 
-  /** Ensure the index exists for `dir`; returns (centroidsPath,
-    * assignedPath). Builds at most once per source fingerprint. */
-  def ensure(s: SparkSession, dir: String): (String, String) = {
-    val base = Staging.ensure("ivf",
+  private def ensureBase(s: SparkSession, dir: String): java.nio.file.Path =
+    Staging.ensure("ivf",
       s"${Staging.fingerprint(dir, "embeddings.parquet")}-$LayoutVersion") { tmp =>
       val e = graft.core.Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), Similarity.toDoubleVec(col("embedding")).as("v"))
@@ -47,9 +47,26 @@ object IvfIndex {
         .repartition(col("assigned_label"))
         .write.partitionBy("assigned_label")
         .parquet(tmp.resolve("assigned").toString)
+      // Per-(cell, label) row counts — ncells × nlabels rows, the
+      // statistic a production index keeps beside its lists so a
+      // FILTERED probe can size its cell set without scanning anything
+      // (a build-time column-pruned pass over the lists, tiny on disk).
+      s.read.parquet(tmp.resolve("assigned").toString)
+        .groupBy(col("assigned_label"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .coalesce(1).write.parquet(tmp.resolve("cellstats").toString)
     }
+
+  /** Ensure the index exists for `dir`; returns (centroidsPath,
+    * assignedPath). Builds at most once per source fingerprint. */
+  def ensure(s: SparkSession, dir: String): (String, String) = {
+    val base = ensureBase(s, dir)
     (base.resolve("centroids").toString, base.resolve("assigned").toString)
   }
+
+  /** The staged per-(cell, label) count table (see [[ensure]]). */
+  def statsPath(s: SparkSession, dir: String): String =
+    ensureBase(s, dir).resolve("cellstats").toString
 
   /** Test hook: see [[Staging.clear]]. */
   def clear(): Unit = Staging.clear()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -211,6 +212,57 @@ object Similarity {
       .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
 
+  /** Candidate target for the ADAPTIVE filtered probe: cells are taken
+    * in probe-rank order until the staged per-cell FILTERED row counts
+    * cover k × margin candidates (k = 10, margin = 3). */
+  val FilteredAdaptiveTarget: Long = 30L
+
+  /** #199 — SELECTIVITY-ADAPTIVE filtered ANN: the production form of
+    * ann_filtered_topk. A fixed nprobe under-probes when the metadata
+    * filter is selective (2 cells may hold almost no matching rows —
+    * recall collapses exactly when the filter matters most), so the
+    * probe WIDENS deterministically: cells are taken in the same
+    * rank order as the fixed probe (rounded centroid cosine desc,
+    * clabel) until the cumulative count of FILTER-SATISFYING rows in
+    * the chosen cells reaches [[FilteredAdaptiveTarget]], with the
+    * fixed probe's nprobe = 2 as a FLOOR (the probed set is a superset
+    * of ann_filtered_topk's, so recall can only improve) — counts read
+    * from the staged per-(cell, label) stats table ([[IvfIndex]] v3,
+    * ncells × nlabels rows), so sizing the cell set touches no corpus
+    * data at any scale. The candidate scan is then identical to the
+    * fixed probe's: label predicate pushed to the cell-pruned parquet
+    * reader. Deterministic given the staged stats → fully oracled; the
+    * spec asserts its recall on the filtered slice ≥ the fixed probe's. */
+  def annFilteredAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    val (q, _) = ivfProbe(s, dir, centPath, nprobe = 1)
+    // filtered-row count per cell, from the staged stats (tiny frame)
+    val fcnt = s.read.parquet(IvfIndex.statsPath(s, dir))
+      .filter(col("label").isin(FilteredAnnLabels: _*))
+      .groupBy("assigned_label").agg(sum("n").as("fc"))
+    // cells in probe-rank order; prefix whose PRECEDING cells' filtered
+    // mass is still short of the target (so the crossing cell is kept,
+    // and at least one cell is always probed)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rcos").desc, col("clabel"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("rn").rowsBetween(Window.unboundedPreceding, -1)
+    val sel = s.read.parquet(centPath).crossJoin(broadcast(q))
+      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumnRenamed("clabel", "assigned_label")
+      .join(fcnt, Seq("assigned_label"), "left")
+      .withColumn("cum_prev", coalesce(sum("fc").over(wCum), lit(0L)))
+      .filter(col("rn") <= 2 || col("cum_prev") < FilteredAdaptiveTarget)
+      .select("assigned_label")
+    rankedTopK(s.read.parquet(assignedPath)
+      .filter(col("label").isin(FilteredAnnLabels: _*))
+      .join(broadcast(sel), "assigned_label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv"))), 10)
+  }
+
   /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a
     * query set (vec_id < 10) against the corpus (the rest) — the real
     * production shape (embedding dedup / retrieval runs thousands of
@@ -226,6 +278,39 @@ object Similarity {
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     e.filter(col("vec_id") >= 10)
       .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"))
+  }
+
+  /** #198 — BATCHED IVF probe: ann_batch_topk's workload (top-3 for
+    * every query vec_id < 10 against the corpus vec_id ≥ 10) served
+    * through the STAGED index instead of a corpus crossJoin — the form
+    * a thousand-query batch must take at 100 TB, where exact
+    * brute-force (kept registered as the baseline) would scan the full
+    * corpus once per batch. Each query ranks the centroid table
+    * (ncells × nqueries rows — broadcast-tiny) and takes its own
+    * nprobe = 2 cells with the single-query probe's exact tie order;
+    * the union of probed cells partition-prunes ONE scan of the
+    * inverted lists (a query touching a pruned-in cell pays only that
+    * cell), and the per-qid rank windows partition on qid so no window
+    * ever sees more than one query's candidates. */
+  def annBatchIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), toDoubleVec(col("embedding")).as("qv"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("rcos").desc, col("clabel"))
+    val probe = s.read.parquet(centPath).crossJoin(broadcast(q))
+      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("qv"), col("clabel").as("assigned_label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    s.read.parquet(assignedPath)
+      .join(broadcast(probe), "assigned_label")
+      .filter(col("vec_id") >= 10)
       .withColumn("cos", cosine(col("v"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)

@@ -41,6 +41,55 @@ class OperatorSpec extends SparkTestBase {
       "filtered ranking disagrees with the unfiltered ranking's allowed subsequence")
   }
 
+  test("adaptive filtered ANN: predicate honored, recall ≥ the fixed-nprobe probe's on the filtered slice") {
+    import org.apache.spark.sql.functions.{col, not}
+    val labels = graft.core.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val adaptive = Similarity.annFilteredAdaptive(spark, Sf).collect()
+      .map(_.getAs[Number](0).longValue)
+    assert(adaptive.nonEmpty)
+    assert(adaptive.forall(id =>
+      Similarity.FilteredAnnLabels.contains(labels(id))),
+      "a result escaped the metadata predicate")
+    // exact filtered top-10 (brute force over the filtered slice)
+    val e = graft.core.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"),
+        col("label"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = e.filter(col("label").isin(Similarity.FilteredAnnLabels: _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .withColumn("cos", Similarity.cosine(col("v"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Number]("vec_id").longValue).toSet
+    val fixed = Similarity.annFilteredTopk(spark, Sf).collect()
+      .map(_.getAs[Number](0).longValue)
+    val hitsAdaptive = adaptive.count(exact)
+    val hitsFixed = fixed.count(exact)
+    assert(hitsAdaptive >= hitsFixed,
+      s"adaptive probe recall $hitsAdaptive/10 fell below the fixed probe's $hitsFixed/10 — " +
+        "its cell set must be a superset of the fixed probe's")
+  }
+
+  test("batched IVF probe: full query coverage, ranks 1..3, usable recall vs exact batch top-3") {
+    val ivf = Similarity.annBatchIvfTopk(spark, Sf).collect()
+      .map(r => (r.getAs[Number]("qid").longValue,
+        r.getAs[Number]("rnk").intValue, r.getAs[Number]("vec_id").longValue))
+    val byQid = ivf.groupBy(_._1)
+    assert(byQid.keySet == (0L until 10L).toSet, s"every query must answer: ${byQid.keySet}")
+    assert(byQid.values.forall(_.map(_._2).sorted.sameElements(Seq(1, 2, 3))),
+      "each query must return exactly ranks 1..3")
+    assert(ivf.forall(_._3 >= 10L), "corpus candidates only — no query vector may return itself")
+    val exact = Similarity.annBatchTopk(spark, Sf).collect()
+      .map(r => (r.getAs[Number]("qid").longValue, r.getAs[Number]("vec_id").longValue)).toSet
+    val hits = ivf.count(t => exact((t._1, t._3)))
+    // same floor as the ivf-recall report: nprobe = 2 of 10 label-mean
+    // cells bounds recall by construction at this tiny SF
+    assert(hits >= 6,
+      s"batched IVF recall $hits/30 vs exact batch top-3 — probe or index layout degraded")
+  }
+
   test("q1 pricing: 6 flag/status groups, positive sums") {
     val rows = Analytics.q1Pricing(spark, Sf).collect()
     assert(rows.length == 6)

@@ -554,6 +554,33 @@ class PlanSpec extends SparkTestBase {
       "the centroid aggregation must not run at query time — probe only")
   }
 
+  test("ann_batch_ivf_topk serves the batch from the staged index: cell-pruned scan, no corpus crossJoin") {
+    val p = plan("ann_batch_ivf_topk")
+    assert(p.contains("graft-stage"), "must read the staged IVF index, not rebuild it")
+    assert(p.contains("dynamicpruningexpression"),
+      "the probed (qid, cell) set must partition-prune the assignment scan")
+    assert(!p.contains("HashAggregate"),
+      "the centroid aggregation must not run at query time — probe only")
+    // the only nested-loop join allowed is the tiny centroid × query
+    // probe; the corpus join must be the broadcast equi-join on the
+    // cell column (a corpus crossJoin would be the brute-force shape
+    // this query exists to replace)
+    assert(p.contains("BroadcastHashJoin"),
+      "candidates must come from the broadcast (qid, cell) equi-join")
+  }
+
+  test("ann_filtered_adaptive sizes the probe from staged stats; filter pushed to the cell-pruned scan") {
+    val p = plan("ann_filtered_adaptive")
+    assert(p.contains("graft-stage"), "must read the staged IVF index, not rebuild it")
+    assert(p.contains("cellstats"), "cell sizing must read the staged stats table")
+    assert(p.contains("dynamicpruningexpression"),
+      "probe must partition-prune the assignment scan to the selected cells")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    val want = operators.Similarity.FilteredAnnLabels.mkString("In(label, [", ",", "])")
+    assert(pushed.contains(want),
+      s"the FULL tag-set filter must reach the parquet reader: want $want, got $pushed")
+  }
+
   test("q_market_basket mines the staged incidence frame; lineitem never enters the pair join") {
     val p = plan("q_market_basket")
     assert(p.contains("graft-stage"),
