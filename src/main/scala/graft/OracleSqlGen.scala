@@ -359,6 +359,30 @@ object OracleSqlGen {
        |FROM cand WHERE bit_count(xor(s1, s2)) <= ${Dedup.SimhashMaxHam}""".stripMargin
   }
 
+  /** #201 — capped simhash pairs: the dedupSimhashPairs mining with the
+    * per-doc (hamming asc, nbr asc) rank cap over the symmetrized
+    * verified pairs. */
+  val dedupSimhashPairsCapped: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS byte FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $simhashCtes,
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
+       |    x.simhash AS s1, y.simhash AS s2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT doc_id1, doc_id2,
+       |    CAST(bit_count(xor(s1, s2)) AS BIGINT) AS ham
+       |  FROM cand WHERE bit_count(xor(s1, s2)) <= ${Dedup.SimhashMaxHam}),
+       |sym AS (SELECT doc_id1 AS doc_id, doc_id2 AS nbr_id, ham FROM pairs
+       |  UNION ALL SELECT doc_id2, doc_id1, ham FROM pairs)
+       |SELECT doc_id, rnk, nbr_id, ham FROM (
+       |  SELECT doc_id, nbr_id, ham, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY ham, nbr_id) AS rnk FROM sym)
+       |WHERE rnk <= ${Dedup.PairCapM}""".stripMargin
+  }
+
   /** dot(x,y) with the exact same fold order as the Spark zip_with+aggregate. */
   private def dot(x: String, y: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> $x[i] * $y[i]), (p, q) -> p + q)"
@@ -412,6 +436,28 @@ object OracleSqlGen {
        |SELECT c.vec_id1, c.vec_id2 FROM cand c
        |JOIN e a ON a.vec_id = c.vec_id1 JOIN e b ON b.vec_id = c.vec_id2
        |WHERE ${cos("a.v", "b.v")} >= 0.45""".stripMargin
+  }
+
+  /** #200 — capped embedding pairs: the dedupEmbedding mining with the
+    * per-vector (cosine desc, nbr asc) rank cap over the symmetrized
+    * verified pairs — the cosine is the shared fold, so the rank order
+    * is engine-exact. */
+  val dedupEmbeddingCapped: String = {
+    val bandSelects = embBandSelects
+    s"""WITH $eCte,
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_id1, y.vec_id AS vec_id2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT c.vec_id1, c.vec_id2, ${cos("a.v", "b.v")} AS c
+       |  FROM cand c
+       |  JOIN e a ON a.vec_id = c.vec_id1 JOIN e b ON b.vec_id = c.vec_id2
+       |  WHERE ${cos("a.v", "b.v")} >= 0.45),
+       |sym AS (SELECT vec_id1 AS vec_id, vec_id2 AS nbr_id, c FROM pairs
+       |  UNION ALL SELECT vec_id2, vec_id1, c FROM pairs)
+       |SELECT vec_id, rnk, nbr_id FROM (
+       |  SELECT vec_id, nbr_id, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY c DESC, nbr_id) AS rnk FROM sym)
+       |WHERE rnk <= ${Dedup.PairCapM}""".stripMargin
   }
 
   /** #135 — SemDeDup: seed assignment (the kmeansStep fixpoint), pairs

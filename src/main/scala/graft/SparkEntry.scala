@@ -216,6 +216,8 @@ object SparkEntry {
     "ann_filtered_topk" -> (Similarity.annFilteredTopk _),
     "ann_batch_ivf_topk" -> (Similarity.annBatchIvfTopk _),
     "ann_filtered_adaptive" -> (Similarity.annFilteredAdaptive _),
+    "dedup_embedding_capped" -> (Dedup.embeddingCosineCapped _),
+    "dedup_simhash_pairs_capped" -> (Dedup.simhashPairsCapped _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
     // Streaming batch twins (#30, #77)
@@ -1246,6 +1248,8 @@ object SparkEntry {
     "ann_filtered_topk" -> OracleSqlGen.annFilteredTopk,
     "ann_batch_ivf_topk" -> OracleSqlGen.annBatchIvfTopk,
     "ann_filtered_adaptive" -> OracleSqlGen.annFilteredAdaptive,
+    "dedup_embedding_capped" -> OracleSqlGen.dedupEmbeddingCapped,
+    "dedup_simhash_pairs_capped" -> OracleSqlGen.dedupSimhashPairsCapped,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
         |  count(*) AS n_samples,

@@ -605,6 +605,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-doc neighbour cap for the CAPPED pair miners (#200, #201): the
+    * output dial a 100 TB pair miner ships with — a document duplicated
+    * c times otherwise emits O(c²) pairs, so boilerplate-heavy corpora
+    * blow up the output (the scale sweep's >3× tail) even when the
+    * candidate generation itself is bounded. */
+  val PairCapM = 5
+
+  /** #201 — dedup_simhash_pairs with the per-doc cap: each doc keeps
+    * only its [[PairCapM]] NEAREST neighbours (hamming asc, nbr id asc
+    * — deterministic total order), so output is ≤ m rows per doc
+    * regardless of how many copies of it exist. The mining is the
+    * identical byte-pigeonhole join; the cap is a per-doc rank window
+    * over the symmetrized verified pairs (partitions bounded by a
+    * doc's bucket co-members, never the corpus). */
+  def simhashPairsCapped(s: SparkSession, dir: String): DataFrame = {
+    val p = simhashPairs(s, dir)
+    val sym = p.select(col("doc_id1").as("doc_id"), col("doc_id2").as("nbr_id"), col("ham"))
+      .unionAll(p.select(col("doc_id2").as("doc_id"), col("doc_id1").as("nbr_id"), col("ham")))
+    val w = Window.partitionBy("doc_id").orderBy(col("ham"), col("nbr_id"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PairCapM)
+      .select("doc_id", "rnk", "nbr_id", "ham")
+  }
+
   /** One large-star contraction (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", 2014 — public): every node links its
     * STRICTLY LARGER neighbours to the minimum of its closed
@@ -768,7 +792,14 @@ object Dedup {
     * volume.) Recall is governed by the band layout (spec asserts the
     * blocked pairs are a subset of [[embeddingCosineExact]] with >= 0.5
     * recall). */
-  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame =
+    embeddingCosineVerified(s, dir).select("vec_id1", "vec_id2")
+
+  /** The LSH-blocked verified pair frame (vec_id1, vec_id2, cos) shared
+    * by #20 and the capped #200 — cos is functionally dependent on the
+    * pair, so the distinct collapses multi-band duplicates exactly as
+    * the id-only form did. */
+  private def embeddingCosineVerified(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
@@ -786,9 +817,28 @@ object Dedup {
       col("vec_id").as("vec_id2"), col("v").as("vb"), col("nrm").as("nb"))
     x.join(y, Seq("band", "bkey", "salt"))
       .filter(col("vec_id1") < col("vec_id2"))
-      .filter(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.45)
-      .select("vec_id1", "vec_id2")
+      .withColumn("cos",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_id1", "vec_id2", "cos")
       .distinct()
+  }
+
+  /** #200 — dedup_embedding with the per-doc cap: each vector keeps
+    * only its [[PairCapM]] MOST-SIMILAR verified neighbours (cosine
+    * desc, nbr id asc — the cosine is the shared deterministic fold, so
+    * the order is engine-exact), bounding output at m rows per vector
+    * no matter how many near-copies the corpus plants. Same banded
+    * candidates, same inline verify; the cap is a per-vector rank
+    * window over the symmetrized pair set. */
+  def embeddingCosineCapped(s: SparkSession, dir: String): DataFrame = {
+    val p = embeddingCosineVerified(s, dir)
+    val sym = p.select(col("vec_id1").as("vec_id"), col("vec_id2").as("nbr_id"), col("cos"))
+      .unionAll(p.select(col("vec_id2").as("vec_id"), col("vec_id1").as("nbr_id"), col("cos")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PairCapM)
+      .select("vec_id", "rnk", "nbr_id")
   }
 
   /** Exact all-pairs baseline for #20 — O(n²), test-scale only: the

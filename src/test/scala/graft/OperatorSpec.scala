@@ -90,6 +90,37 @@ class OperatorSpec extends SparkTestBase {
       s"batched IVF recall $hits/30 vs exact batch top-3 — probe or index layout degraded")
   }
 
+  test("capped pair miners: ≤ m rows per doc, and exactly the nearest of the full pair set") {
+    // simhash side: integer distances, fully checkable
+    val full = Dedup.simhashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = (full.map(t => (t._1, (t._2, t._3))) ++
+      full.map(t => (t._2, (t._1, t._3)))).groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).sortBy(x => (x._2, x._1)) }
+    val capped = Dedup.simhashPairsCapped(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("nbr_id"), r.getAs[Long]("ham")))
+    val byDoc = capped.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= Dedup.PairCapM), "cap exceeded")
+    assert(byDoc.keySet == adj.keySet, "capped miner must cover every doc with a neighbour")
+    byDoc.foreach { case (d, rows) =>
+      val want = adj(d).take(Dedup.PairCapM).toSeq
+      val got = rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got == want, s"doc $d: capped neighbours $got != nearest-$want of the full set")
+    }
+    // embedding side: structural checks (cos order verified by the oracle)
+    val embCap = Dedup.embeddingCosineCapped(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rnk"), r.getAs[Long]("nbr_id")))
+    val embFull = Dedup.embeddingCosine(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val embPairs = embFull.flatMap(p => Seq(p, p.swap)).toSet
+    assert(embCap.groupBy(_._1).values.forall(_.length <= Dedup.PairCapM), "cap exceeded")
+    assert(embCap.forall(t => embPairs((t._1, t._3))),
+      "a capped neighbour is not a verified pair")
+    assert(embCap.groupBy(_._1).keySet == embPairs.map(_._1),
+      "capped miner must cover every vector with a neighbour")
+  }
+
   test("q1 pricing: 6 flag/status groups, positive sums") {
     val rows = Analytics.q1Pricing(spark, Sf).collect()
     assert(rows.length == 6)
