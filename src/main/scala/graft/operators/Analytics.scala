@@ -940,11 +940,15 @@ object Analytics {
     * index (pure field extraction — no epoch division can misbucket a
     * calendar month); revenue stays on the exact 10^-4 quanta grid so
     * the growth ratio is ONE double division of integers. One fact
-    * shuffle (map-side partials) to the (part, month) frame; the
-    * month shift is a lag window guarded by mi_prev = mi − 1 (exactly
-    * the rows the previous self equi-join on (part, mi−1) matched) —
-    * the window's part-keyed exchange moves only the aggregated frame,
-    * replacing the checkpoint job + join the earlier form paid. */
+    * shuffle to the (part, month) frame; the month shift is a lag
+    * window guarded by mi_prev = mi − 1 (exactly the rows the previous
+    * self equi-join on (part, mi−1) matched). The one shuffle is an
+    * explicit repartition on l_partkey ALONE: hash(part) satisfies the
+    * (part, month) agg's clustering AND the window's, so agg, lag and
+    * rank all ride a single exchange — the default plan paid a second
+    * full exchange to re-key the (part, month) frame for the window,
+    * and with ~30 populated months per part the agg barely reduces, so
+    * that second exchange moved nearly the whole fact volume again. */
   def qPartGrowth(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_partkey").orderBy("mi")
     Tables.lineitem(s, dir)
@@ -952,6 +956,8 @@ object Analytics {
       // are plain epoch-day field extractions — not two independent
       // µs → ZonedDateTime walks per row
       .withColumn("d", to_date(col("l_shipdate")))
+      .select(col("l_partkey"), col("d"), col("l_extendedprice"), col("l_discount"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"),
         (year(col("d")) * 12 + month(col("d"))).cast("long").as("mi"))
       .agg((sum(dec("l_extendedprice") *

@@ -581,6 +581,17 @@ class PlanSpec extends SparkTestBase {
       s"the FULL tag-set filter must reach the parquet reader: want $want, got $pushed")
   }
 
+  test("q_part_growth: agg, lag window and rank share ONE part-keyed exchange") {
+    val p = plan("q_part_growth")
+    // hashpartitioning(l_partkey) serves the (part, month) agg AND the
+    // part-keyed lag window; the only other allowed exchange is the
+    // final top-10's single-partition collect
+    val exchanges = p.linesIterator.count(l => l.trim.startsWith("(") &&
+      l.contains("Exchange"))
+    assert(exchanges <= 2, s"expected one part-keyed exchange (+ top-10 collect), got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q_market_basket mines the staged incidence frame; lineitem never enters the pair join") {
     val p = plan("q_market_basket")
     assert(p.contains("graft-stage"),
