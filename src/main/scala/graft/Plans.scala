@@ -101,7 +101,7 @@ object Plans {
       "helix_scan_custom_order" -> "User-comparator scan (Comparator trait parity): the sort key is a codegen Column over the entry key, so the ordered scan plans the SAME range-partitioned sort shape as lexical order with one extra leading sort expression; ord is a row_number Window over the comparator's total order - all Tungsten, no RDD round-trip, frame bounded by the scan's key x time rectangle.",
       "ann_batch_ivf_topk" -> "Batched IVF probe: each query ranks the broadcast centroid table for its nprobe cells (ncells x nqueries rows); the probed (qid, cell) set broadcast-equi-joins the staged cell-partitioned lists under dynamic partition pruning - a thousand-query batch costs the UNION of its probed cells, never the corpus crossJoin of the exact baseline (ann_batch_topk).",
       "ann_filtered_adaptive" -> "Selectivity-adaptive filtered ANN: cells widen in probe-rank order until the staged per-(cell,label) stats cover k*margin filter-satisfying candidates (fixed nprobe=2 floor, so the cell set is a superset of ann_filtered_topk's); sizing reads ONLY the ncells x nlabels stats parquet, and candidates stay the pushed-In-filter cell-pruned scan.",
-      "dedup_simhash_pairs_capped" -> "Capped pair miner: the identical byte-pigeonhole mining over the staged fingerprints, then a per-doc rank window (ham asc, nbr asc) keeps m=5 neighbours per doc - output stays m*n no matter how many copies the corpus plants (the uncapped form's O(c^2) output is the scale sweep's tail).",
+      "dedup_simhash_pairs_capped" -> "Capped pair miner, compute-bounded: byte-pigeonhole join over DISTINCT fingerprints (exact-dedup-first - c exact copies collapse to one fingerprint before the quadratic join), per-doc neighbours reconstructed from per-fingerprint id rankings, final per-doc rank window keeps m=5 - both output AND join volume stay bounded under planted-copy mass.",
       "dedup_embedding_capped" -> "Capped embedding pair miner: banded hyperplane candidates + inline cosine verify unchanged; a per-vector rank window (cos desc, nbr asc - the shared deterministic fold) keeps m=5 neighbours per vector, bounding output volume under planted-duplicate mass.",
       "ts_gap_fill_range" -> "Bounded gap fill: the key-range x time-window rectangle pushes to the parquet scan, so spine, LOCF window and output are all capped by keys-in-range x window-hours - the 100 TB form of ts_gap_fill, whose spine grows with keys x full history.",
       "ann_filtered_topk" -> "Filtered vector search: the metadata tag set is a PUSHED parquet In filter on the cell-pruned staged index scan (the label lives IN the inverted lists), composing with the probe's dynamic partition pruning - filtered rows drop at the reader, never fetched and post-filtered; no query-time index build.",

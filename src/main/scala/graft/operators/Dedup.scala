@@ -615,17 +615,56 @@ object Dedup {
   /** #201 — dedup_simhash_pairs with the per-doc cap: each doc keeps
     * only its [[PairCapM]] NEAREST neighbours (hamming asc, nbr id asc
     * — deterministic total order), so output is ≤ m rows per doc
-    * regardless of how many copies of it exist. The mining is the
-    * identical byte-pigeonhole join; the cap is a per-doc rank window
-    * over the symmetrized verified pairs (partitions bounded by a
-    * doc's bucket co-members, never the corpus). */
+    * regardless of how many copies of it exist.
+    *
+    * The compute is bounded too, not just the output: the quadratic
+    * byte-pigeonhole join runs over DISTINCT fingerprints (the
+    * exact-dedup-first discipline every production near-dup pipeline
+    * applies — c exact copies share one fingerprint, so the ×c-copy
+    * corpus that costs the uncapped miner O(c²) join rows collapses to
+    * its unique fingerprint set here), and per-doc neighbours
+    * reconstruct from per-fingerprint id rankings: a doc's m nearest
+    * ham-0 siblings are among the m+1 smallest ids of its own
+    * fingerprint group, and any other fingerprint can contribute at
+    * most its m smallest ids — so the final per-doc rank window sees a
+    * provably sufficient bounded candidate set and its top-m equals
+    * the top-m over all pairs exactly (the spec checks this against
+    * the uncapped miner; the oracle mines all pairs and ranks). */
   def simhashPairsCapped(s: SparkSession, dir: String): DataFrame = {
-    val p = simhashPairs(s, dir)
-    val sym = p.select(col("doc_id1").as("doc_id"), col("doc_id2").as("nbr_id"), col("ham"))
-      .unionAll(p.select(col("doc_id2").as("doc_id"), col("doc_id1").as("nbr_id"), col("ham")))
+    val m = PairCapM
+    val sim = simhashFrame(s, dir)
+    // docs ranked within their fingerprint group, smallest ids first
+    val wFp = Window.partitionBy("simhash").orderBy("doc_id")
+    val fpTop = sim
+      .withColumn("rn", row_number().over(wFp)).filter(col("rn") <= m + 1)
+      .select(col("simhash").as("fp"), col("doc_id").as("nbr_id"))
+    // byte-pigeonhole mining over DISTINCT fingerprints only (two
+    // distinct fingerprints have ham >= 1; ham-0 never enters the join)
+    val fps = sim.select("simhash").distinct()
+    val bands = fps.select(col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(0xFF)): _*)))
+      .select(col("simhash"), col("pos").as("band"), col("col").as("byte"))
+    val fpPairs = bands.alias("x").join(bands.alias("y"), Seq("band", "byte"))
+      .filter(col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .distinct()
+      .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("ham") <= SimhashMaxHam)
+    val fpSym = fpPairs.select(col("s1").as("s"), col("s2").as("o"), col("ham"))
+      .unionAll(fpPairs.select(col("s2").as("s"), col("s1").as("o"), col("ham")))
+    // ham-0 candidates: a doc's same-fingerprint siblings
+    val zero = sim.join(fpTop, col("simhash") === col("fp"))
+      .filter(col("nbr_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("nbr_id"), lit(0L).as("ham"))
+    // ham >= 1 candidates: the smallest ids of each neighbouring group
+    val near = sim.join(fpSym, col("simhash") === col("s"))
+      .join(fpTop, col("o") === col("fp"))
+      .select(col("doc_id"), col("nbr_id"), col("ham"))
     val w = Window.partitionBy("doc_id").orderBy(col("ham"), col("nbr_id"))
-    sym.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= PairCapM)
+    zero.unionAll(near)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= m)
       .select("doc_id", "rnk", "nbr_id", "ham")
   }
 
