@@ -289,6 +289,29 @@ object OracleSqlGen {
 
   val dedupMinhashLsh: String = s"WITH $minhashCtes\n$minhashSelect"
 
+  /** #202 — capped minhash pairs: the dedupMinhashLsh candidates +
+    * exact-jaccard verify, then the per-doc (jaccard desc, nbr asc)
+    * rank cap over the symmetrized pairs; the jaccard is the same
+    * IEEE division of intersection/union integers the engine does. */
+  val dedupMinhashLshCapped: String =
+    s"""WITH $minhashCtes,
+       |pairs AS (SELECT i.doc_id1, i.doc_id2,
+       |    CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) AS jaccard
+       |  FROM (
+       |    SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
+       |    JOIN shh a ON a.doc_id = c1.doc_id1
+       |    JOIN shh b ON b.doc_id = c1.doc_id2 AND b.h = a.h
+       |    GROUP BY 1, 2) i
+       |  JOIN szh s1 ON i.doc_id1 = s1.doc_id
+       |  JOIN szh s2 ON i.doc_id2 = s2.doc_id
+       |  WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)),
+       |sym AS (SELECT doc_id1 AS doc_id, doc_id2 AS nbr_id, jaccard FROM pairs
+       |  UNION ALL SELECT doc_id2, doc_id1, jaccard FROM pairs)
+       |SELECT doc_id, rnk, nbr_id, jaccard FROM (
+       |  SELECT doc_id, nbr_id, jaccard, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rnk FROM sym)
+       |WHERE rnk <= ${Dedup.PairCapM}""".stripMargin
+
   /** Connected components over the MINHASH dup pairs (same pair source
     * as the Spark operator): transitive closure by recursive CTE, then
     * min reachable id per node — the same fixpoint the Spark min-label

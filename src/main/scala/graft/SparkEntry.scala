@@ -218,6 +218,7 @@ object SparkEntry {
     "ann_filtered_adaptive" -> (Similarity.annFilteredAdaptive _),
     "dedup_embedding_capped" -> (Dedup.embeddingCosineCapped _),
     "dedup_simhash_pairs_capped" -> (Dedup.simhashPairsCapped _),
+    "dedup_minhash_lsh_capped" -> (Dedup.minhashLshCapped _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
     // Streaming batch twins (#30, #77)
@@ -1250,6 +1251,7 @@ object SparkEntry {
     "ann_filtered_adaptive" -> OracleSqlGen.annFilteredAdaptive,
     "dedup_embedding_capped" -> OracleSqlGen.dedupEmbeddingCapped,
     "dedup_simhash_pairs_capped" -> OracleSqlGen.dedupSimhashPairsCapped,
+    "dedup_minhash_lsh_capped" -> OracleSqlGen.dedupMinhashLshCapped,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
         |  count(*) AS n_samples,

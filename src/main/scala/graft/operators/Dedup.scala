@@ -449,6 +449,42 @@ object Dedup {
     verifyJaccard(cand, hset, hset, "doc_id1", "doc_id2")
   }
 
+  /** #202 — dedup_minhash_lsh with the per-doc cap: each doc keeps its
+    * [[PairCapM]] MOST-SIMILAR verified neighbours (exact jaccard desc
+    * — one mirrored IEEE division of the intersection/union integers,
+    * so the rank order is engine-exact — then nbr id asc), completing
+    * the capped family across all three pair miners. The candidate and
+    * verify path is [[minhashLsh]]'s staged-probe shape unchanged
+    * (banded blocking already bounds candidate volume — sweep 2.8 on
+    * the ×4-copy corpus); the cap bounds the OUTPUT at m rows per doc,
+    * which is what grows quadratically under planted-duplicate mass. */
+  def minhashLshCapped(s: SparkSession, dir: String): DataFrame = {
+    val st = DedupIndex.ensure(s, dir)
+    val bands = s.read.parquet(st.bands)
+    val hset = s.read.parquet(st.hset)
+    val cand = bands.alias("x")
+      .join(bands.alias("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
+      .distinct()
+    val p = cand
+      .join(hset.select(col("doc_id").as("doc_id1"),
+        col("hs").as("h1"), col("n").as("n1")), "doc_id1")
+      .join(hset.select(col("doc_id").as("doc_id2"),
+        col("hs").as("h2"), col("n").as("n2")), "doc_id2")
+      .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
+      .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
+      .select(col("doc_id1"), col("doc_id2"),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
+    val sym = p.select(col("doc_id1").as("doc_id"), col("doc_id2").as("nbr_id"), col("jaccard"))
+      .unionAll(p.select(col("doc_id2").as("doc_id"), col("doc_id1").as("nbr_id"), col("jaccard")))
+    val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("nbr_id"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PairCapM)
+      .select("doc_id", "rnk", "nbr_id", "jaccard")
+  }
+
   /** #125 — MINHASH ESTIMATE vs EXACT jaccard for every band-candidate
     * pair: the sketch-accuracy report run before trusting an
     * estimate-only dedup at scale (where the exact verify becomes the

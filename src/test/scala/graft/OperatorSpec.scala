@@ -108,6 +108,19 @@ class OperatorSpec extends SparkTestBase {
       val got = rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq
       assert(got == want, s"doc $d: capped neighbours $got != nearest-$want of the full set")
     }
+    // minhash side: every kept neighbour is a verified pair, cap holds,
+    // coverage equals the full miner's doc set (jaccard order is
+    // oracle-verified — the division is the shared mirrored fold)
+    val mhFull = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mhPairs = mhFull.flatMap(p => Seq(p, p.swap)).toSet
+    val mhCap = Dedup.minhashLshCapped(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"), r.getAs[Long]("nbr_id")))
+    assert(mhCap.groupBy(_._1).values.forall(_.length <= Dedup.PairCapM), "cap exceeded")
+    assert(mhCap.forall(t => mhPairs((t._1, t._3))),
+      "a capped minhash neighbour is not a verified pair")
+    assert(mhCap.groupBy(_._1).keySet == mhPairs.map(_._1),
+      "capped minhash miner must cover every doc with a neighbour")
     // embedding side: structural checks (cos order verified by the oracle)
     val embCap = Dedup.embeddingCosineCapped(spark, Sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rnk"), r.getAs[Long]("nbr_id")))
