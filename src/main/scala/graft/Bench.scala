@@ -30,6 +30,7 @@ object Bench {
     for ((what, build) <- Seq[(String, () => Any)](
         "DedupIndex" -> (() => operators.DedupIndex.ensure(spark, sfDir)),
         "IvfIndex" -> (() => operators.IvfIndex.ensure(spark, sfDir)),
+        "IvfIndex.indexed" -> (() => operators.IvfIndex.ensureIndexed(spark, sfDir)),
         "PqIndex" -> (() => operators.PqIndex.ensure(spark, sfDir)),
         "IvfPqIndex" -> (() => operators.IvfPqIndex.ensure(spark, sfDir)),
         "PhashIndex" -> (() => operators.PhashIndex.ensure(spark, sfDir)),

@@ -579,16 +579,21 @@ object OracleSqlGen {
   /** Per-label centroids + fold-argmax cell assignment — the IVF build
     * replicated as CTEs, shared by the probe oracle and the balance
     * report. */
-  private val ivfAssignedCtes: String =
+  /** The centroid + fold-argmax assignment CTEs over an arbitrary
+    * source CTE `src` — parameterized so the INCREMENTAL probe can
+    * build its index over the indexed slice only. */
+  private def ivfAssignedCtesOver(src: String): String =
     s"""byd AS (SELECT clabel, j, sum(x) / count(*) AS m FROM (
-       |    SELECT label AS clabel, unnest(generate_series(1, 64)) AS j, unnest(v) AS x FROM e)
+       |    SELECT label AS clabel, unnest(generate_series(1, 64)) AS j, unnest(v) AS x FROM $src)
        |  GROUP BY 1, 2),
        |cvt AS (SELECT clabel, list(m ORDER BY j) AS cv FROM byd GROUP BY clabel),
        |assigned AS (SELECT vec_id, v, clabel AS assigned_label FROM (
-       |  SELECT e.vec_id, e.v, cvt.clabel,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${rcosSafe("e.v", "cvt.cv")} DESC, cvt.clabel) AS rn
-       |  FROM e, cvt) WHERE rn = 1)""".stripMargin
+       |  SELECT $src.vec_id, $src.v, cvt.clabel,
+       |    row_number() OVER (PARTITION BY $src.vec_id
+       |      ORDER BY ${rcosSafe(s"$src.v", "cvt.cv")} DESC, cvt.clabel) AS rn
+       |  FROM $src, cvt) WHERE rn = 1)""".stripMargin
+
+  private val ivfAssignedCtes: String = ivfAssignedCtesOver("e")
 
   /** #128 — IVF cell balance: same assignment fixpoint, per-cell
     * counts, skew division mirrored. */
@@ -725,6 +730,27 @@ object OracleSqlGen {
        |  FROM assigned a JOIN sel p ON a.assigned_label = p.assigned_label
        |  JOIN e el ON el.vec_id = a.vec_id, q
        |  WHERE a.vec_id <> 0 AND el.label IN ($labels))
+       |ORDER BY rnk LIMIT 10""".stripMargin
+  }
+
+  /** #203 — incremental IVF probe: centroids + assignment rebuilt over
+    * the INDEXED slice only, the fresh tail brute-scanned, the merged
+    * candidates ranked by the shared (cos desc, vec_id) order. */
+  val annIvfIncremental: String = {
+    val (mod, rem) = (graft.operators.IvfIndex.IncrMod, graft.operators.IvfIndex.IncrRem)
+    s"""WITH $eCte,
+       |eo AS (SELECT * FROM e WHERE vec_id % $mod <> $rem),
+       |${ivfAssignedCtesOver("eo")},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT clabel AS assigned_label FROM cvt, q
+       |  ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel LIMIT 2),
+       |cand AS (
+       |  SELECT a.vec_id, ${cos("a.v", "q.qv")} AS c
+       |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label, q
+       |  WHERE a.vec_id <> 0
+       |  UNION ALL
+       |  SELECT e.vec_id, ${cos("e.v", "q.qv")} FROM e, q WHERE e.vec_id % $mod = $rem)
+       |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk FROM cand
        |ORDER BY rnk LIMIT 10""".stripMargin
   }
 

@@ -104,6 +104,7 @@ object Plans {
       "dedup_simhash_pairs_capped" -> "Capped pair miner, compute-bounded: byte-pigeonhole join over DISTINCT fingerprints (exact-dedup-first - c exact copies collapse to one fingerprint before the quadratic join), per-doc neighbours reconstructed from per-fingerprint id rankings, final per-doc rank window keeps m=5 - both output AND join volume stay bounded under planted-copy mass.",
       "dedup_embedding_capped" -> "Capped embedding pair miner: banded hyperplane candidates + inline cosine verify unchanged; a per-vector rank window (cos desc, nbr asc - the shared deterministic fold) keeps m=5 neighbours per vector, bounding output volume under planted-duplicate mass.",
       "dedup_minhash_lsh_capped" -> "Capped minhash pair miner: the staged band self-join + exact-jaccard verify unchanged; per-doc rank window (jaccard desc - one mirrored IEEE division - then nbr asc) keeps m=5 neighbours, completing the capped family over all three pair miners.",
+      "ann_ivf_incremental" -> "Index-freshness probe: the staged index covers only the indexed slice (vec_id % 20 != 7); the probe partition-prunes its cells AND brute-scans the 5% unindexed fresh tail, merging both candidate sets under one (cos desc, vec_id) rank - how production serves vectors that arrived after the last reindex.",
       "ts_gap_fill_range" -> "Bounded gap fill: the key-range x time-window rectangle pushes to the parquet scan, so spine, LOCF window and output are all capped by keys-in-range x window-hours - the 100 TB form of ts_gap_fill, whose spine grows with keys x full history.",
       "ann_filtered_topk" -> "Filtered vector search: the metadata tag set is a PUSHED parquet In filter on the cell-pruned staged index scan (the label lives IN the inverted lists), composing with the probe's dynamic partition pruning - filtered rows drop at the reader, never fetched and post-filtered; no query-time index build.",
       "q18_large_orders" -> "Q18 shape: the big-order aggregate is one combinable l_orderkey HashAggregate pair; the orders join rides the SAME orderkey shuffle key (AQE broadcasts the vanishing >250-qty side); customers broadcast.",

@@ -68,6 +68,32 @@ object IvfIndex {
   def statsPath(s: SparkSession, dir: String): String =
     ensureBase(s, dir).resolve("cellstats").toString
 
+  /** Carves the NOT-YET-INDEXED batch for the incremental probe:
+    * vec_id % [[IncrMod]] == [[IncrRem]] is fresh (unindexed). */
+  val IncrMod = 20L
+  val IncrRem = 7L
+
+  /** IVF index staged over the INDEXED slice only (vec_id %
+    * IncrMod != IncrRem) — the state of a production index between
+    * reindex cycles, probed together with a brute scan of the fresh
+    * tail by ann_ivf_incremental. Returns (centroidsPath, assignedPath). */
+  def ensureIndexed(s: SparkSession, dir: String): (String, String) = {
+    val base = Staging.ensure("ivfold",
+      s"${Staging.fingerprint(dir, "embeddings.parquet")}-v1") { tmp =>
+      val e = graft.core.Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(IncrMod)) =!= IncrRem)
+        .select(col("vec_id"), col("label"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      Similarity.centroidsOf(e)
+        .coalesce(1).write.parquet(tmp.resolve("centroids").toString)
+      Similarity.assignByFold(e, s.read.parquet(tmp.resolve("centroids").toString))
+        .select(col("vec_id"), col("label"), col("v"), col("assigned_label"))
+        .repartition(col("assigned_label"))
+        .write.partitionBy("assigned_label")
+        .parquet(tmp.resolve("assigned").toString)
+    }
+    (base.resolve("centroids").toString, base.resolve("assigned").toString)
+  }
+
   /** Test hook: see [[Staging.clear]]. */
   def clear(): Unit = Staging.clear()
 }

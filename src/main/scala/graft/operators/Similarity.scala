@@ -317,6 +317,36 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id"))
   }
 
+  /** #203 — INCREMENTAL IVF probe (index freshness — the state every
+    * production vector store is in between reindex cycles): the staged
+    * index covers only the INDEXED slice (vec_id % 20 ≠ 7,
+    * [[IvfIndex.ensureIndexed]]); the 5% fresh tail is unindexed and
+    * served by a BRUTE scan merged into the probe — exactly how a
+    * production system serves not-yet-indexed segments (the fresh scan
+    * is bounded by the reindex cadence, the indexed side stays
+    * nprobe/ncells of the corpus). Probe cells come from the sliced
+    * index's own centroids with the single-query probe's exact tie
+    * order; the merged candidate set ranks by the shared (cos desc,
+    * vec_id) order, so results are deterministic and fully oracled
+    * (the oracle rebuilds centroids + assignment over the same slice). */
+  def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensureIndexed(s, dir)
+    val (q, probeCells) = ivfProbe(s, dir, centPath, nprobe = 2)
+    val indexed = s.read.parquet(assignedPath)
+      .join(broadcast(probeCells), "assigned_label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .select(col("vec_id"), col("cos"))
+    val fresh = Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(IvfIndex.IncrMod)) === IvfIndex.IncrRem)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .select(col("vec_id"), col("cos"))
+    rankedTopK(indexed.unionAll(fresh), 10)
+  }
+
   /** Seed-centroid count for the Lloyd-iteration operator. */
   val KmK = 8
 

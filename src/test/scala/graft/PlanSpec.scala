@@ -592,6 +592,15 @@ class PlanSpec extends SparkTestBase {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("ann_ivf_incremental probes the sliced staged index; no query-time index build") {
+    val p = plan("ann_ivf_incremental")
+    assert(p.contains("graft-stage"), "must read the staged sliced IVF index")
+    assert(p.contains("dynamicpruningexpression"),
+      "the indexed side must partition-prune to the probed cells")
+    assert(!p.contains("HashAggregate"),
+      "neither centroid build nor assignment may run at query time")
+  }
+
   test("q_market_basket mines the staged incidence frame; lineitem never enters the pair join") {
     val p = plan("q_market_basket")
     assert(p.contains("graft-stage"),
