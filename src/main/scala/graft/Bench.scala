@@ -55,14 +55,6 @@ object Bench {
       }
     }
     val stagingSec = (System.nanoTime() - tStaging) / 1e9
-    // the COLD cost of the same artifacts: sum of the build seconds
-    // each artifact RECORDED when it was actually built (persisted as
-    // _GRAFT_BUILD_SECS inside the staged dir) — on a box whose
-    // fingerprint cache is warm, `staging` above is just readiness
-    // probes (~0.04 s) while this is what staging-from-nothing costs
-    val stagingColdSec = operators.Staging.coldBuildSecs
-    System.err.println(
-      f"[bench] staging (this run) $stagingSec%.2f s, cold (recorded builds) $stagingColdSec%.2f s")
     // WARMUP, one full untimed suite pass, also its own reported phase:
     // first-use costs that live OUTSIDE the staged artifacts (the
     // store's kv/manifest cache fills on point reads, codegen for each
@@ -79,6 +71,16 @@ object Bench {
         System.err.println(s"[bench] warmup $name FAILED: $e")
       }
     val warmupSec = (System.nanoTime() - tWarmup) / 1e9
+    // the COLD cost of every artifact the suite ensured: sum of the
+    // build seconds each RECORDED when actually built (persisted as
+    // _GRAFT_BUILD_SECS inside the staged dir) — on a box whose
+    // fingerprint cache is warm, `staging` above is just readiness
+    // probes (~0.04 s) while this is what staging-from-nothing costs.
+    // Captured AFTER warmup so a build that failed in the staging
+    // phase but succeeded on its query's first warmup run still counts.
+    val stagingColdSec = operators.Staging.coldBuildSecs
+    System.err.println(
+      f"[bench] staging (this run) $stagingSec%.2f s, cold (recorded builds) $stagingColdSec%.2f s")
     // best-of-2 per query: the second run has warm codegen/JIT, so the
     // min reflects steady-state operator cost rather than noise
     // A failed query MUST NOT silently record its (tiny) failure time —

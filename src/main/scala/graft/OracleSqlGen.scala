@@ -368,33 +368,32 @@ object OracleSqlGen {
        |  CAST(bit_count(xor(s.simhash, r.simhash)) AS BIGINT) AS ham0
        |FROM sim s, (SELECT simhash FROM sim WHERE doc_id = 0) r""".stripMargin
 
-  val dedupSimhashPairs: String = {
+  /** Byte-pigeonhole banding + candidate CTEs over `sim` — ONE
+    * definition shared by the pair miner and its capped form, so a
+    * banding change can never reach one oracle and not the other. */
+  private val simhashBandCandCtes: String = {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS byte FROM sim")
       .mkString("\n  UNION ALL ")
-    s"""WITH $simhashCtes,
-       |bands AS ($bandSelects),
+    s"""bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
        |    x.simhash AS s1, y.simhash AS s2
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val dedupSimhashPairs: String =
+    s"""WITH $simhashCtes,
+       |$simhashBandCandCtes
        |SELECT doc_id1, doc_id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS ham
        |FROM cand WHERE bit_count(xor(s1, s2)) <= ${Dedup.SimhashMaxHam}""".stripMargin
-  }
 
   /** #201 — capped simhash pairs: the dedupSimhashPairs mining with the
     * per-doc (hamming asc, nbr asc) rank cap over the symmetrized
     * verified pairs. */
-  val dedupSimhashPairsCapped: String = {
-    val bandSelects = (0 until 4).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS byte FROM sim")
-      .mkString("\n  UNION ALL ")
+  val dedupSimhashPairsCapped: String =
     s"""WITH $simhashCtes,
-       |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
-       |    x.simhash AS s1, y.simhash AS s2
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id),
+       |$simhashBandCandCtes,
        |pairs AS (SELECT doc_id1, doc_id2,
        |    CAST(bit_count(xor(s1, s2)) AS BIGINT) AS ham
        |  FROM cand WHERE bit_count(xor(s1, s2)) <= ${Dedup.SimhashMaxHam}),
@@ -404,7 +403,6 @@ object OracleSqlGen {
        |  SELECT doc_id, nbr_id, ham, row_number() OVER (
        |    PARTITION BY doc_id ORDER BY ham, nbr_id) AS rnk FROM sym)
        |WHERE rnk <= ${Dedup.PairCapM}""".stripMargin
-  }
 
   /** dot(x,y) with the exact same fold order as the Spark zip_with+aggregate. */
   private def dot(x: String, y: String): String =

@@ -413,7 +413,21 @@ object Dedup {
     * docs against the staged corpus store). No broadcast hint: AQE
     * broadcasts the set table while it fits and falls back to a
     * shuffled hash join at billion-doc scale. */
-  private[operators] def verifyJaccard(cand: DataFrame, hsetL: DataFrame,
+  /** Band-bucket candidate pairs (doc_id1 < doc_id2, distinct) from a
+    * staged band frame — THE candidate-generation block shared by the
+    * LSH miner, its capped form and the estimate report. */
+  private[operators] def bandCandidates(bands: DataFrame): DataFrame =
+    bands.alias("x")
+      .join(bands.alias("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
+      .distinct()
+
+  /** Exact-jaccard verification keeping the score: one definition of
+    * the threshold and the jaccard division, so the miner, its capped
+    * form and the incremental probe can never apply different
+    * similarity semantics. */
+  private[operators] def verifyJaccardScored(cand: DataFrame, hsetL: DataFrame,
       hsetR: DataFrame, lc: String, rc: String): DataFrame =
     cand
       .join(hsetL.select(col("doc_id").as(lc),
@@ -422,7 +436,13 @@ object Dedup {
         col("hs").as("h2"), col("n").as("n2")), rc)
       .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
       .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
-      .select(lc, rc)
+      .select(col(lc), col(rc),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
+
+  private[operators] def verifyJaccard(cand: DataFrame, hsetL: DataFrame,
+      hsetR: DataFrame, lc: String, rc: String): DataFrame =
+    verifyJaccardScored(cand, hsetL, hsetR, lc, rc).select(lc, rc)
 
   /** #18 — MinHash + LSH: 16 integer min-hashes, 4 bands of 4; docs
     * sharing a band key become candidates; exact jaccard verifies only
@@ -441,12 +461,7 @@ object Dedup {
     val st = DedupIndex.ensure(s, dir)
     val bands = s.read.parquet(st.bands)
     val hset = s.read.parquet(st.hset)
-    val cand = bands.alias("x")
-      .join(bands.alias("y"), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
-      .distinct()
-    verifyJaccard(cand, hset, hset, "doc_id1", "doc_id2")
+    verifyJaccard(bandCandidates(bands), hset, hset, "doc_id1", "doc_id2")
   }
 
   /** #202 — dedup_minhash_lsh with the per-doc cap: each doc keeps its
@@ -462,21 +477,8 @@ object Dedup {
     val st = DedupIndex.ensure(s, dir)
     val bands = s.read.parquet(st.bands)
     val hset = s.read.parquet(st.hset)
-    val cand = bands.alias("x")
-      .join(bands.alias("y"), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
-      .distinct()
-    val p = cand
-      .join(hset.select(col("doc_id").as("doc_id1"),
-        col("hs").as("h1"), col("n").as("n1")), "doc_id1")
-      .join(hset.select(col("doc_id").as("doc_id2"),
-        col("hs").as("h2"), col("n").as("n2")), "doc_id2")
-      .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
-      .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
-      .select(col("doc_id1"), col("doc_id2"),
-        (col("c").cast("double") /
-          (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
+    val p = verifyJaccardScored(bandCandidates(bands), hset, hset,
+      "doc_id1", "doc_id2")
     val sym = p.select(col("doc_id1").as("doc_id"), col("doc_id2").as("nbr_id"), col("jaccard"))
       .unionAll(p.select(col("doc_id2").as("doc_id"), col("doc_id1").as("nbr_id"), col("jaccard")))
     val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("nbr_id"))
@@ -499,11 +501,7 @@ object Dedup {
     val st = DedupIndex.ensure(s, dir)
     val bands = s.read.parquet(st.bands)
     val hset = s.read.parquet(st.hset)
-    val cand = bands.alias("x")
-      .join(bands.alias("y"), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
-      .distinct()
+    val cand = bandCandidates(bands)
     val sig = hset.select(col("doc_id"),
       graft.functions.VectorFunctions.minhashSig(col("hs"), NumHashes, MinhashP)
         .as("sig"), col("hs"), col("n"))

@@ -159,13 +159,29 @@ object Similarity {
     * by rounded cosine (ties → lowest clabel). ONE definition so the
     * two queries' probes — and their oracles' shared SQL — can never
     * drift apart. Returns (query frame, probed-cell frame). */
+  /** The flagship single-query vector: vec_id 0 as a 1-row (qv) frame,
+    * shared by every single-query probe. */
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(toDoubleVec(col("embedding")).as("qv"))
+
+  /** THE coarse-probe cell order — (rounded centroid cosine desc,
+    * clabel). ONE definition consumed by every IVF probe variant
+    * (single-query, batched, adaptive) so the tie-break can never
+    * drift between them or away from the oracles' shared SQL. */
+  private def probeOrder: Seq[Column] = Seq(col("rcos").desc, col("clabel"))
+
+  /** Centroid table × query frame with the probe score attached —
+    * the scoring expression half of the single probe definition. */
+  private def scoredCells(cents: DataFrame, q: DataFrame): DataFrame =
+    cents.crossJoin(broadcast(q))
+      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+
   private def ivfProbe(s: SparkSession, dir: String, centPath: String,
       nprobe: Int): (DataFrame, DataFrame) = {
-    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(toDoubleVec(col("embedding")).as("qv"))
-    val cells = s.read.parquet(centPath).crossJoin(broadcast(q))
-      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
-      .orderBy(col("rcos").desc, col("clabel")).limit(nprobe)
+    val q = queryVec(s, dir)
+    val cells = scoredCells(s.read.parquet(centPath), q)
+      .orderBy(probeOrder: _*).limit(nprobe)
       .select(col("clabel").as("assigned_label"))
     (q, cells)
   }
@@ -235,7 +251,7 @@ object Similarity {
     * spec asserts its recall on the filtered slice ≥ the fixed probe's. */
   def annFilteredAdaptive(s: SparkSession, dir: String): DataFrame = {
     val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
-    val (q, _) = ivfProbe(s, dir, centPath, nprobe = 1)
+    val q = queryVec(s, dir)
     // filtered-row count per cell, from the staged stats (tiny frame)
     val fcnt = s.read.parquet(IvfIndex.statsPath(s, dir))
       .filter(col("label").isin(FilteredAnnLabels: _*))
@@ -243,12 +259,10 @@ object Similarity {
     // cells in probe-rank order; prefix whose PRECEDING cells' filtered
     // mass is still short of the target (so the crossing cell is kept,
     // and at least one cell is always probed)
-    val wRank = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rcos").desc, col("clabel"))
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy(probeOrder: _*)
     val wCum = org.apache.spark.sql.expressions.Window
       .orderBy("rn").rowsBetween(Window.unboundedPreceding, -1)
-    val sel = s.read.parquet(centPath).crossJoin(broadcast(q))
-      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+    val sel = scoredCells(s.read.parquet(centPath), q)
       .withColumn("rn", row_number().over(wRank))
       .withColumnRenamed("clabel", "assigned_label")
       .join(fcnt, Seq("assigned_label"), "left")
@@ -300,10 +314,8 @@ object Similarity {
     val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
     val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), toDoubleVec(col("embedding")).as("qv"))
-    val wProbe = Window.partitionBy("qid")
-      .orderBy(col("rcos").desc, col("clabel"))
-    val probe = s.read.parquet(centPath).crossJoin(broadcast(q))
-      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+    val wProbe = Window.partitionBy("qid").orderBy(probeOrder: _*)
+    val probe = scoredCells(s.read.parquet(centPath), q)
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
       .select(col("qid"), col("qv"), col("clabel").as("assigned_label"))
@@ -851,9 +863,8 @@ object Similarity {
     val q = e.filter(col("vec_id") < IvfRecallQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("rcos").desc, col("clabel"))
-    val probe = s.read.parquet(centPath).crossJoin(broadcast(q))
-      .withColumn("rcos", round(cosine(col("cv"), col("qv")), 6))
+      .partitionBy("qid").orderBy(probeOrder: _*)
+    val probe = scoredCells(s.read.parquet(centPath), q)
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
       .select(col("qid"), col("clabel").as("assigned_label"))
     val wr = org.apache.spark.sql.expressions.Window

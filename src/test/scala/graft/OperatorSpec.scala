@@ -134,6 +134,34 @@ class OperatorSpec extends SparkTestBase {
       "capped miner must cover every vector with a neighbour")
   }
 
+  test("custom-order scan: ordered=true PHYSICALLY emits in comparator order on the staged corpus store") {
+    // helix_scan_custom_order's registered query now derives ord via a
+    // row_number window (Tungsten), so THIS test carries the
+    // end-to-end guarantee the query's zipWithIndex form used to: the
+    // distributed ordered scan itself — range partitioning, per-shard
+    // merge, comparator sort key — must emit rows physically in
+    // comparator order on the real staged store, not just on the
+    // property-test corpora.
+    val path = operators.HelixScan.ensure(spark, Sf)
+    val st = graft.core.HelixStore.open(spark, path,
+      graft.core.StoreOptions(numShards = 8, bucketSize = 86400000000L))
+    try {
+      val lo = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli * 1000L
+      val hi = java.time.Instant.parse("2024-01-12T00:00:00Z").toEpochMilli * 1000L
+      val rows = st.scan((lo, hi), ("000010-".getBytes, "000050~".getBytes),
+        ordered = true,
+        scanOpts = graft.core.ScanOptions(comparator =
+          Some(k => substring(k.cast("string"), 8, 10).cast("long"))))
+        .select(col("key").cast("string").as("k"), col("ts"))
+        .collect() // preserves partition index × within-partition order
+      assert(rows.nonEmpty)
+      val emitted = rows.map(r => (r.getString(0).substring(7, 17).toLong,
+        r.getString(0), r.getLong(1))).toSeq
+      assert(emitted == emitted.sortBy(identity),
+        "ordered=true emission does not follow the comparator order")
+    } finally st.close()
+  }
+
   test("q1 pricing: 6 flag/status groups, positive sums") {
     val rows = Analytics.q1Pricing(spark, Sf).collect()
     assert(rows.length == 6)
