@@ -986,36 +986,43 @@ object Similarity {
     * clustering/IVF build uses to place initial centroids so no region
     * of embedding space is unseeded): start from vec_id 0, then
     * [[KcK]]−1 greedy rounds each picking the vector FARTHEST from the
-    * chosen set (max over corpus of min rounded-L2 to the ≤K chosen —
-    * the min folds inside a broadcast array, the argmax is one
-    * combinable struct-max aggregate with negated-id ties, zero
-    * windows). Each round is one corpus pass against a ≤K-row
-    * broadcast — K passes total, the algorithm's inherent shape (each
-    * pick depends on the last); at 100 TB rounds run on a coreset
-    * sample, same plan. Output: (round, seed id, selection distance —
-    * the coverage-gain curve whose flattening says K is enough). */
+    * chosen set (max over corpus of min rounded-L2 to the ≤K chosen
+    * literal centers; the argmax is one combinable struct-max aggregate
+    * with negated-id ties that CARRIES the winning vector, zero
+    * windows). Each round collects exactly ONE row to the driver
+    * (bounded by construction: KcK−1 = 3 single-row argmax results +
+    * the seed lookup) so the next round's centers enter the plan as
+    * literals — each round is exactly one corpus pass, K passes total,
+    * with no lineage re-execution (the previous lazy-union formulation
+    * re-ran round r−1's passes inside round r's plan, ~K²/2 passes).
+    * Sequential rounds are the algorithm's inherent shape (each pick
+    * depends on the last); at 100 TB rounds run on a coreset sample,
+    * same plan. Output: (round, seed id, selection distance — the
+    * coverage-gain curve whose flattening says K is enough). */
   def kcenterInit(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    def l2r(a: Column, b: Column) = round(aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+    def l2r(a: Column, cv: Seq[Double]) = round(aggregate(
+      zip_with(a, typedLit(cv), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x), 6)
-    var chosen = e.filter(col("vec_id") === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        lit(0L).as("rnd"), lit(null).cast("double").as("sel_d"))
-    for (r <- 1 until KcK) {
-      val centArr = chosen
-        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
-      val pick = e.crossJoin(broadcast(centArr))
-        .withColumn("md",
-          array_min(transform(col("cs"), c => l2r(col("v"), c.getField("cv")))))
-        .agg(max(struct(col("md").as("md"), (-col("vec_id")).as("nid"))).as("b"))
-        .select((-col("b.nid")).as("vec_id"), col("b.md").as("sel_d"))
-      chosen = chosen.unionByName(e.join(pick, "vec_id")
-        .select(col("vec_id").as("cid"), col("v").as("cv"),
-          lit(r.toLong).as("rnd"), col("sel_d")))
+    val seed = e.filter(col("vec_id") === 0).head() // 1 row: unique id
+    var chosen = Vector[(Long, Seq[Double], Option[Double])](
+      (seed.getLong(0), seed.getSeq[Double](1), None))
+    for (_ <- 1 until KcK) {
+      val md = array_min(array(chosen.map(c => l2r(col("v"), c._2)): _*))
+      // (md, nid) is already a total order (vec_id unique), so the
+      // trailing pv field never breaks ties — it just rides the max.
+      val p = e.agg(max(struct(md.as("md"), (-col("vec_id")).as("nid"),
+          col("v").as("pv"))).as("b"))
+        .select((-col("b.nid")).as("vec_id"), col("b.md").as("sel_d"),
+          col("b.pv").as("pv"))
+        .head() // 1 row: global argmax
+      chosen = chosen :+ ((p.getLong(0), p.getSeq[Double](2), Some(p.getDouble(1))))
     }
-    chosen.select(col("rnd"), col("cid"), col("sel_d"))
+    import s.implicits._
+    chosen.zipWithIndex
+      .map { case ((cid, _, selD), r) => (r.toLong, cid, selD) }
+      .toDF("rnd", "cid", "sel_d")
   }
 
   /** int8 levels for scalar quantization. */
