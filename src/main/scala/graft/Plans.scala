@@ -111,7 +111,9 @@ object Plans {
       "q_rollup" -> "ROLLUP: Spark Expand feeds one combinable HashAggregate pair - 3x map-side grouping-set fanout, one exchange total, 6-column pruned scan.",
       "q5_nation_revenue" -> "Q5 shape: customer/nation/region chain as broadcast hash joins (region filter prunes before the fact); the orderkey fact-fact join is the one shuffle pair; final rollup on 5 nation rows.",
       "q7_volume" -> "Q7 shape: both nation legs broadcast; AQE broadcasts the small customer/supplier dims; the orderkey fact-fact join is the one shuffle pair; the two-nation disjunction evaluates in the post-join codegen stage before the tiny (nation, nation, year) rollup.",
-      "emb_power_iter" -> "One power-iteration matvec: a single corpus pass computes dot(v, x) against the broadcast 1-row vector and folds 64 fixed-point component sums in ONE combinable aggregate (no explode below the agg); the 1x64 result posexplodes above it.")
+      "emb_power_iter" -> "One power-iteration matvec: a single corpus pass computes dot(v, x) against the broadcast 1-row vector and folds 64 fixed-point component sums in ONE combinable aggregate (no explode below the agg); the 1x64 result posexplodes above it.",
+      "ts_deriv" -> "PromQL deriv: the per-key first-sample window min and the closed-form OLS regression agg share ONE user_id exchange; five exact integer sums (map-side combinable), slope is one mirrored double division.",
+      "ts_quantile_daily" -> "quantile_over_time: the rank/count windows and the bracketing-rank groupBy all ride ONE (key, day) exchange (the agg sees the window's partitioning, no reshuffle); per-group frames are scrape-bounded, so the window is safe at any corpus size.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -222,6 +222,9 @@ object SparkEntry {
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
+    "ts_deriv" -> (TimeSeriesOps.deriv _),
+    "ts_predict_linear" -> (TimeSeriesOps.predictLinear _),
+    "ts_quantile_daily" -> (TimeSeriesOps.quantileDaily _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
@@ -1285,6 +1288,63 @@ object SparkEntry {
         |    FROM events)
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
         |WHERE rn = 1 AND prev_ts IS NOT NULL""".stripMargin,
+    "ts_deriv" ->
+      """WITH b AS (SELECT user_id,
+        |    (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+        |      // 1000000 AS x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |xy AS (SELECT user_id, CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+        |  FROM b)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CASE WHEN count(*) * sum(x*x) - sum(x) * sum(x) = 0 THEN NULL
+        |    ELSE CAST(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT)
+        |        AS DOUBLE) /
+        |      CAST(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT)
+        |        AS DOUBLE) END
+        |    AS slope_cents_per_s
+        |FROM xy GROUP BY user_id""".stripMargin,
+    "ts_predict_linear" ->
+      """WITH b AS (SELECT user_id,
+        |    (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+        |      // 60000000 AS x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |xy AS (SELECT user_id, CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+        |  FROM b)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CASE WHEN count(*) * sum(x*x) - sum(x) * sum(x) = 0 THEN NULL
+        |    ELSE CAST(CAST(sum(y) * sum(x*x) - sum(x) * sum(x*y) +
+        |        (count(*) * sum(x*y) - sum(x) * sum(y)) * (max(x) + 60)
+        |        AS BIGINT) AS DOUBLE) /
+        |      CAST(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT)
+        |        AS DOUBLE) END
+        |    AS predicted_cents
+        |FROM xy GROUP BY user_id""".stripMargin,
+    "ts_quantile_daily" ->
+      """WITH r AS (SELECT user_id,
+        |    epoch_us(date_trunc('day', ts)) AS day_us, value,
+        |    row_number() OVER (PARTITION BY user_id,
+        |      epoch_us(date_trunc('day', ts)) ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id,
+        |      epoch_us(date_trunc('day', ts))) AS n
+        |  FROM events),
+        |g AS (SELECT user_id, day_us, CAST(count(*) AS BIGINT) AS n_samples,
+        |    min(CASE WHEN rn = floor(CAST(n - 1 AS DOUBLE) * 0.5) + 1
+        |      THEN value END) AS v50l,
+        |    min(CASE WHEN rn = ceil(CAST(n - 1 AS DOUBLE) * 0.5) + 1
+        |      THEN value END) AS v50h,
+        |    min(CASE WHEN rn = floor(CAST(n - 1 AS DOUBLE) * 0.95) + 1
+        |      THEN value END) AS v95l,
+        |    min(CASE WHEN rn = ceil(CAST(n - 1 AS DOUBLE) * 0.95) + 1
+        |      THEN value END) AS v95h
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, day_us, n_samples,
+        |  v50l + (CAST(n_samples - 1 AS DOUBLE) * 0.5 -
+        |    floor(CAST(n_samples - 1 AS DOUBLE) * 0.5)) * (v50h - v50l) AS p50,
+        |  v95l + (CAST(n_samples - 1 AS DOUBLE) * 0.95 -
+        |    floor(CAST(n_samples - 1 AS DOUBLE) * 0.95)) * (v95h - v95l) AS p95
+        |FROM g""".stripMargin,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,

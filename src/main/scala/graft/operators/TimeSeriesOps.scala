@@ -325,6 +325,108 @@ object TimeSeriesOps {
           (col("dt_us").cast("double") / 1000000.0)).as("rate_per_s"))
   }
 
+  /** #204 — PromQL deriv(): per-key least-squares DERIVATIVE of the
+    * gauge value over time — the trend-direction primitive served next
+    * to rate() for gauges (rate is for counters; deriv fits a line).
+    * Same closed-form OLS shape as ts_trend_fit (#161) but regressing
+    * the VALUE (exact cents) on elapsed SECONDS from the key's first
+    * sample, so x and y are both exact integers and Σx, Σy, Σxy, Σx²
+    * are order-independent DECIMAL sums; the slope division is one
+    * mirrored double chain. ONE key shuffle (the window min and the
+    * regression agg share the user_id exchange); single-sample /
+    * zero-variance keys yield NULL through the den=0 guard. */
+  def deriv(s: SparkSession, dir: String): DataFrame = {
+    val base = derivBase(s, dir, 1000000L)
+    val n = count(lit(1)).cast("decimal(19,0)")
+    val den = n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+    val num = n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))
+    base.groupBy("user_id")
+      .agg(count(lit(1)).as("n_samples"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double"))
+          .as("slope_cents_per_s"))
+  }
+
+  /** Shared regression frame for #204/#205: per key, x = elapsed time
+    * since the key's own first sample floor-divided onto a unit grid
+    * (seconds for #204, minutes for #205 — the coarser grid keeps
+    * #205's intercept-sized numerator under 2^63, where the DuckDB
+    * oracle's BIGINT→DOUBLE cast is correctly rounded; its
+    * HUGEINT→DOUBLE cast is NOT, off by an ULP near halfway points),
+    * y = exact cents. The window min and the downstream agg both key
+    * on user_id — one exchange. */
+  private def derivBase(s: SparkSession, dir: String, unitUs: Long): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("t0", min("ts_us").over(Window.partitionBy("user_id")))
+      .select(col("user_id"),
+        expr(s"(ts_us - t0) div ${unitUs}L").cast("decimal(19,0)").as("x"),
+        col("cents").cast("decimal(19,0)").as("y"))
+
+  /** Forecast horizon for #205 (one hour = 60 minute-units past each
+    * key's last sample). */
+  val PredictHorizonMin = 60L
+
+  /** #205 — PromQL predict_linear(): the value each key's least-squares
+    * line reaches [[PredictHorizonMin]] minutes past its LAST sample —
+    * the disk-will-fill / quota-will-exhaust alerting primitive built
+    * on the same five exact sums as #204. The affine form
+    * intercept + slope·(x_last+H) is algebraically collapsed to ONE
+    * division, (icpt_num + num·(x_last+H)) / den, whose numerator stays
+    * in the exact integer domain — a single rounding per engine, so the
+    * double is bit-identical by construction (a two-division chain
+    * differed in the last ULP between engines). Same single key-shuffle
+    * plan as #204; NULL through the same den=0 guard. */
+  def predictLinear(s: SparkSession, dir: String): DataFrame = {
+    val base = derivBase(s, dir, 60000000L)
+    val n = count(lit(1)).cast("decimal(19,0)")
+    val den = n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+    val num = n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))
+    val icpt = sum(col("y")) * sum(col("x") * col("x")) -
+      sum(col("x")) * sum(col("x") * col("y"))
+    base.groupBy("user_id")
+      .agg(count(lit(1)).as("n_samples"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(
+            (icpt + num * (max(col("x")) + lit(PredictHorizonMin)))
+              .cast("double") / den.cast("double"))
+          .as("predicted_cents"))
+  }
+
+  /** #206 — PromQL quantile_over_time(): exact interpolated p50/p95 of
+    * value per (key, day). Unlike q_percentiles' corpus-wide two-phase
+    * rank extraction, a (key, day) group is bounded by the scrape
+    * interval (the ts_downsample argument), so a per-group window rank
+    * is safe at any corpus size: row_number + count over ONE
+    * (user_id, day) exchange, the two bracketing ranks of each target
+    * selected by conditional min, and the interpolation h = (n−1)·q,
+    * v = v_lo + (h − ⌊h⌋)(v_hi − v_lo) mirrored verbatim (event_id
+    * breaks value ties so both engines rank identically). */
+  def quantileDaily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day_us")
+    def h(q: Double) = (col("n") - 1).cast("double") * lit(q)
+    def bracket(q: Double, edge: Column => Column) =
+      min(when(col("rn") === edge(h(q)) + 1, col("value")))
+    def interp(q: Double, vlo: Column, vhi: Column): Column = {
+      val hq = (col("n_samples") - 1).cast("double") * lit(q)
+      vlo + (hq - floor(hq)) * (vhi - vlo)
+    }
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w.orderBy("value", "event_id")))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy("user_id", "day_us")
+      .agg(count(lit(1)).as("n_samples"),
+        bracket(0.50, floor).as("v50l"), bracket(0.50, ceil).as("v50h"),
+        bracket(0.95, floor).as("v95l"), bracket(0.95, ceil).as("v95h"))
+      .select(col("user_id"), col("day_us"), col("n_samples"),
+        interp(0.50, col("v50l"), col("v50h")).as("p50"),
+        interp(0.95, col("v95l"), col("v95h")).as("p95"))
+  }
+
   /** #42 — counter rate (PromQL-style): per key, value delta over time
     * delta between consecutive events, averaged per day. Deltas are a
     * lag window; the rollup shares the same key shuffle. */

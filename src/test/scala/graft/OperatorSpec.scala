@@ -2484,4 +2484,62 @@ class OperatorSpec extends SparkTestBase {
     // clusters must be at least weakly coherent on average
     assert(got.values.forall { case (_, m) => m >= -1.0 && m <= 1.0 })
   }
+
+  test("deriv and predict_linear: exact match with a driver closed-form OLS recompute") {
+    val rows = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def ols(unitUs: Long) = rows.groupBy(_._1).map { case (uid, rs) =>
+      val t0 = rs.map(_._2).min
+      val xs = rs.map(r => BigInt((r._2 - t0) / unitUs))
+      val ys = rs.map(r => BigInt(r._3))
+      val n = BigInt(rs.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      uid -> ((rs.length.toLong, n * sxy - sx * sy, n * sxx - sx * sx,
+        sy * sxx - sx * sxy, xs.max))
+    }
+    val expDeriv = ols(1000000L).map { case (uid, (n, num, den, _, _)) =>
+      uid -> ((n, if (den == 0) None else Some(num.toDouble / den.toDouble)))
+    }
+    val gotDeriv = TimeSeriesOps.deriv(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(gotDeriv == expDeriv)
+    val expPred = ols(60000000L).map { case (uid, (n, num, den, icpt, xl)) =>
+      uid -> ((n, if (den == 0) None
+        else Some((icpt + num * (xl + BigInt(TimeSeriesOps.PredictHorizonMin)))
+          .toDouble / den.toDouble)))
+    }
+    val gotPred = TimeSeriesOps.predictLinear(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(gotPred == expPred)
+  }
+
+  test("daily quantiles: exact interpolated p50/p95 vs a driver sort") {
+    val rows = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day"),
+        col("value"), col("event_id"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+    val expected = rows.groupBy(_._1).map { case (k, xs) =>
+      val vs = xs.map(_._2).sortBy(identity).map(_._1)
+      def q(p: Double) = {
+        val h = (vs.length - 1).toDouble * p
+        val lo = math.floor(h).toInt
+        vs(lo) + (h - math.floor(h)) * (vs(math.ceil(h).toInt) - vs(lo))
+      }
+      k -> ((vs.length.toLong, q(0.5), q(0.95)))
+    }
+    val got = TimeSeriesOps.quantileDaily(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+    // interpolated quantiles of one sorted run are monotone in p
+    assert(got.values.forall { case (_, p50, p95) => p50 <= p95 })
+  }
 }

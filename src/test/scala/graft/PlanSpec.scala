@@ -614,6 +614,31 @@ class PlanSpec extends SparkTestBase {
     val p = plan("emb_silhouette")
     assert(!p.contains("windowspecdefinition"), "no per-vector window")
     assert(!p.contains("SortMergeJoin"),
-      "the centroid table must reach rows as a broadcast array, never a shuffle join")
+      "the centroid table must reach rows as a broadcast join, never a shuffle join")
+  }
+
+  test("ts_deriv/predict share one key exchange between window min and OLS agg") {
+    for (q <- Seq("ts_deriv", "ts_predict_linear")) {
+      val p = plan(q)
+      val scans = p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("events.parquet"))
+      assert(scans == 1, s"$q: the fact must be scanned once, got $scans")
+      assert("Exchange".r.findAllIn(p).size <= 2,
+        s"$q: one user_id shuffle (+AQE read)")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: regression sums must partial-aggregate map-side")
+    }
+  }
+
+  test("ts_quantile_daily ranks and brackets on ONE (key, day) exchange") {
+    val p = plan("ts_quantile_daily")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 1, s"the fact must be scanned once, got $scans")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "the window and the bracketing groupBy must share one exchange")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props"), s"payload column must be pruned: $l")
+    }
   }
 }
