@@ -230,6 +230,7 @@ object SparkEntry {
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
     "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
     "stream_interval_join" -> (graft.streaming.StreamOps.intervalJoinBatch _),
+    "stream_dedup_incremental" -> (Dedup.incrementalStreamTwin _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
@@ -932,6 +933,8 @@ object SparkEntry {
     "dedup_cluster" -> OracleSqlGen.dedupCluster,
     "dedup_cluster_survivor" -> OracleSqlGen.dedupClusterSurvivor,
     "dedup_incremental" -> OracleSqlGen.dedupIncremental,
+    // #207 shares #96's semantics by construction (streaming-safe shape)
+    "stream_dedup_incremental" -> OracleSqlGen.dedupIncremental,
     "dedup_substring" -> OracleSqlGen.dedupSubstring,
     "dedup_spans" -> OracleSqlGen.dedupSpans,
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,

@@ -576,6 +576,59 @@ object Dedup {
     verifyJaccard(cand, newHset, oldHset, "new_doc_id", "old_doc_id")
   }
 
+  /** #207 shared logic — the [[incremental]] probe in a STREAMING-safe
+    * shape: identical on a static batch or an unbounded stream of
+    * arriving documents. hs is computed ROW-WISE (array_distinct over
+    * the hashed shingle array — no explode+groupBy, so the stream side
+    * stays stateless map work; equal to the collect_set AS A SET, and
+    * every consumer — minhash, intersection, size — is
+    * order-independent), bands explode statelessly, candidates come
+    * from the stream-static equi-join with the STAGED band store, pair
+    * dedup is dropDuplicates (batch plans it as distinct; streaming
+    * keeps pair keys in the state store — production TTLs it with an
+    * arrival-time watermark), and the exact-jaccard verify stream-
+    * static-joins the staged hash-sets. The stream never re-shingles
+    * the corpus: per-batch cost is the arriving docs × a columnar
+    * signature scan — [[incremental]]'s scale contract, continuous. */
+  def incrementalPairsOf(docs: DataFrame, oldBands: DataFrame,
+      oldHset: DataFrame): DataFrame = {
+    // spread the arriving batch across the cluster BEFORE the heavy
+    // row-wise hashing: a small batch often lands as one file / one
+    // rowgroup (unsplittable), which would pin all shingling onto one
+    // task. The exchange carries only the batch's raw text — bounded
+    // by arrival volume, never corpus-sized.
+    val hs0 = docs.repartition(col("doc_id")).select(col("doc_id"),
+      array_distinct(transform(shinglesOf(tokens(col("text"))),
+        sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))).as("hs"))
+      .withColumn("n", size(col("hs")))
+    // consumed twice (band explode + verify): cache the static twin so
+    // the shingling runs once (released by the harness clearCache —
+    // the minhashLsh lifetime note); a streaming frame cannot cache and
+    // recomputes per micro-batch, bounded by that batch's arrivals.
+    val hs = if (hs0.isStreaming) hs0 else hs0.cache()
+    val cand = bandsOf(hs)
+      .select(col("doc_id").as("new_doc_id"), col("band"), col("bkey"))
+      .join(oldBands.select(col("doc_id").as("old_doc_id"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .select("new_doc_id", "old_doc_id")
+      .dropDuplicates("new_doc_id", "old_doc_id")
+    verifyJaccard(cand, hs, oldHset, "new_doc_id", "old_doc_id")
+  }
+
+  /** #207 — batch twin of the STREAMING incremental dedup (the oracled
+    * registration; StreamOps.incrementalDedupStreaming wires the same
+    * call onto an unbounded source): the shared pipeline over the
+    * new-batch slice as a static frame. Output identical to
+    * [[incremental]] by construction — spec-checked — so the streaming
+    * shape provably loses nothing vs the batch daily run. */
+  def incrementalStreamTwin(s: SparkSession, dir: String): DataFrame = {
+    val st = DedupIndex.ensure(s, dir)
+    val isNew = col("doc_id") % IncrMod === IncrRem
+    incrementalPairsOf(Tables.documents(s, dir).filter(isNew),
+      s.read.parquet(st.bands).filter(!isNew),
+      s.read.parquet(st.hset).filter(!isNew))
+  }
+
   /** Index-build producer for [[DedupIndex]] sim/: the per-doc 32-bit
     * SimHash fingerprint (one token explode, 32 conditional bit sums —
     * the corpus-sized pass under #19 and #66). */

@@ -156,6 +156,27 @@ object StreamOps {
     sessionSpans(
       s.readStream.schema(schema).format("parquet").load(eventsDir))
 
+  /** #207 streaming version — CONTINUOUS incremental dedup: arriving
+    * documents are matched against the STAGED corpus signature store
+    * (DedupIndex bands/ + hset/ of `sfDir`, minus the new slice — the
+    * store as it stood before these docs) through the shared
+    * Dedup.incrementalPairsOf pipeline: stateless row-wise signatures,
+    * stream-static candidate join, state-store pair dedup, stream-
+    * static exact verify. This is the always-on form of the daily
+    * incremental batch — a training-data pipeline admitting documents
+    * as they arrive. */
+  def incrementalDedupStreaming(s: SparkSession, docsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sfDir: String): DataFrame = {
+    val st = graft.operators.DedupIndex.ensure(s, sfDir)
+    val isNew = col("doc_id") % graft.operators.Dedup.IncrMod ===
+      graft.operators.Dedup.IncrRem
+    graft.operators.Dedup.incrementalPairsOf(
+      s.readStream.schema(schema).format("parquet").load(docsDir),
+      s.read.parquet(st.bands).filter(!isNew),
+      s.read.parquet(st.hset).filter(!isNew))
+  }
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

@@ -166,4 +166,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming incremental dedup equals the batch twin AND the daily incremental") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    // the stream carries ONLY the arriving (new-slice) documents, in
+    // several files so AvailableNow processes multiple micro-batches
+    val staged = tmpDir("stream-incr-docs")
+    Tables.documents(spark, Sf)
+      .filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRem)
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.incrementalDedupStreaming(spark, staged, schema, Sf)
+      .writeStream.format("memory").queryName("incr_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("incr_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twin = Dedup.incrementalStreamTwin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val daily = Dedup.incremental(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == twin, "unbounded source must change nothing")
+    assert(twin == daily,
+      "the streaming-safe shape must equal the oracled daily incremental")
+    assert(streamed.nonEmpty)
+  }
 }
