@@ -1467,7 +1467,11 @@ object OracleSqlGen {
     * (hex windows, md5-prefix bits) and byte-block pair mining. DuckDB
     * hex(text) is the hex of the UTF-8 bytes, matching Spark's binary
     * payload hex. */
-  val mmPhashPairs: String = {
+  /** Window-SimHash fingerprinting (win/th/bits/ph) + byte-pigeonhole
+    * banding and candidates over `documents` — ONE definition shared by
+    * the mm pair miner and its capped form, so a fingerprint or banding
+    * change can never reach one oracle and not the other. */
+  private val mmPhashCandCtes: String = {
     val bitSums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
     val simExpr = (0 until 32)
@@ -1475,7 +1479,7 @@ object OracleSqlGen {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, phash, $b AS band, (phash >> ${8 * b}) & 255 AS byte FROM ph")
       .mkString("\n  UNION ALL ")
-    s"""WITH win AS (SELECT doc_id,
+    s"""win AS (SELECT doc_id,
        |    substr(hex(text), 2 * i - 1, 16) AS w
        |  FROM (SELECT doc_id, text, unnest(generate_series(1, strlen(text) - 7, 4)) AS i
        |        FROM documents WHERE strlen(text) >= 8)),
@@ -1486,10 +1490,29 @@ object OracleSqlGen {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
        |    x.phash AS p1, y.phash AS p2
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val mmPhashPairs: String =
+    s"""WITH $mmPhashCandCtes
        |SELECT doc_id1, doc_id2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS ham
        |FROM cand WHERE bit_count(xor(p1, p2)) <= ${graft.operators.Multimodal.PhashMaxHam}""".stripMargin
-  }
+
+  /** #208 — capped phash pairs: the mmPhashPairs mining with the
+    * per-doc (hamming asc, nbr asc) rank cap over the symmetrized
+    * verified pairs — the dedupSimhashPairsCapped shape on the media
+    * fingerprints. */
+  val mmPhashPairsCapped: String =
+    s"""WITH $mmPhashCandCtes,
+       |pairs AS (SELECT doc_id1, doc_id2,
+       |    CAST(bit_count(xor(p1, p2)) AS BIGINT) AS ham
+       |  FROM cand WHERE bit_count(xor(p1, p2)) <= ${graft.operators.Multimodal.PhashMaxHam}),
+       |sym AS (SELECT doc_id1 AS doc_id, doc_id2 AS nbr_id, ham FROM pairs
+       |  UNION ALL SELECT doc_id2, doc_id1, ham FROM pairs)
+       |SELECT doc_id, rnk, nbr_id, ham FROM (
+       |  SELECT doc_id, nbr_id, ham, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY ham, nbr_id) AS rnk FROM sym)
+       |WHERE rnk <= ${Dedup.PairCapM}""".stripMargin
 
   /** #110 — incremental payload near-dup: the mm_phash machinery with
     * the pigeonhole join restricted to new×old (doc_id mod IncrMod —

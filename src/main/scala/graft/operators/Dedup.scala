@@ -717,36 +717,44 @@ object Dedup {
     * provably sufficient bounded candidate set and its top-m equals
     * the top-m over all pairs exactly (the spec checks this against
     * the uncapped miner; the oracle mines all pairs and ranks). */
-  def simhashPairsCapped(s: SparkSession, dir: String): DataFrame = {
+  def simhashPairsCapped(s: SparkSession, dir: String): DataFrame =
+    cappedHamPairs(
+      simhashFrame(s, dir).select(col("doc_id"), col("simhash").as("fp")),
+      SimhashMaxHam)
+
+  /** The capped nearest-by-hamming miner over any (doc_id, fp) 32-bit
+    * fingerprint frame — the engine behind #201 (token simhash) and
+    * #208 (payload phash): identical banding, identical cap semantics,
+    * one definition. */
+  private[operators] def cappedHamPairs(sim: DataFrame, maxHam: Int): DataFrame = {
     val m = PairCapM
-    val sim = simhashFrame(s, dir)
     // docs ranked within their fingerprint group, smallest ids first
-    val wFp = Window.partitionBy("simhash").orderBy("doc_id")
+    val wFp = Window.partitionBy("fp").orderBy("doc_id")
     val fpTop = sim
       .withColumn("rn", row_number().over(wFp)).filter(col("rn") <= m + 1)
-      .select(col("simhash").as("fp"), col("doc_id").as("nbr_id"))
+      .select(col("fp").as("ofp"), col("doc_id").as("nbr_id"))
     // byte-pigeonhole mining over DISTINCT fingerprints only (two
     // distinct fingerprints have ham >= 1; ham-0 never enters the join)
-    val fps = sim.select("simhash").distinct()
-    val bands = fps.select(col("simhash"),
+    val fps = sim.select("fp").distinct()
+    val bands = fps.select(col("fp"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), 8 * b).bitwiseAND(0xFF)): _*)))
-      .select(col("simhash"), col("pos").as("band"), col("col").as("byte"))
+        shiftright(col("fp"), 8 * b).bitwiseAND(0xFF)): _*)))
+      .select(col("fp"), col("pos").as("band"), col("col").as("byte"))
     val fpPairs = bands.alias("x").join(bands.alias("y"), Seq("band", "byte"))
-      .filter(col("x.simhash") < col("y.simhash"))
-      .select(col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .filter(col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("s1"), col("y.fp").as("s2"))
       .distinct()
       .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
-      .filter(col("ham") <= SimhashMaxHam)
+      .filter(col("ham") <= maxHam)
     val fpSym = fpPairs.select(col("s1").as("s"), col("s2").as("o"), col("ham"))
       .unionAll(fpPairs.select(col("s2").as("s"), col("s1").as("o"), col("ham")))
     // ham-0 candidates: a doc's same-fingerprint siblings
-    val zero = sim.join(fpTop, col("simhash") === col("fp"))
+    val zero = sim.join(fpTop, col("fp") === col("ofp"))
       .filter(col("nbr_id") =!= col("doc_id"))
       .select(col("doc_id"), col("nbr_id"), lit(0L).as("ham"))
     // ham >= 1 candidates: the smallest ids of each neighbouring group
-    val near = sim.join(fpSym, col("simhash") === col("s"))
-      .join(fpTop, col("o") === col("fp"))
+    val near = sim.join(fpSym, col("fp") === col("s"))
+      .join(fpTop, col("o") === col("ofp"))
       .select(col("doc_id"), col("nbr_id"), col("ham"))
     val w = Window.partitionBy("doc_id").orderBy(col("ham"), col("nbr_id"))
     zero.unionAll(near)

@@ -179,6 +179,22 @@ object Multimodal {
       .distinct()
   }
 
+  /** #208 — mm_phash with the per-doc cap ([[Dedup.PairCapM]]): the
+    * media twin of #201 — each blob keeps only its m NEAREST
+    * fingerprint neighbours (hamming asc, nbr id asc — deterministic
+    * total order), so a payload duplicated c times emits ≤ m rows
+    * instead of the O(c²) that put mm_phash in the scale sweep's >3×
+    * tail. Mining runs through [[Dedup.cappedHamPairs]] over the
+    * STAGED fingerprint store: the pigeonhole join sees DISTINCT
+    * fingerprints only and per-doc neighbours reconstruct from
+    * per-fingerprint id rankings, so both compute and output are
+    * bounded — payload bytes never shuffle and never re-hash. */
+  def phashPairsCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.cappedHamPairs(
+      s.read.parquet(PhashIndex.ensure(s, dir))
+        .select(col("doc_id"), col("phash").as("fp")),
+      PhashMaxHam)
+
   /** #181 — PHASH PRECISION report: of the near-dup pairs the
     * fingerprint index surfaces at each hamming distance, what share
     * are literal payload duplicates — the media-dedup index-quality

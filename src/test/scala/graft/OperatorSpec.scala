@@ -132,6 +132,25 @@ class OperatorSpec extends SparkTestBase {
       "a capped neighbour is not a verified pair")
     assert(embCap.groupBy(_._1).keySet == embPairs.map(_._1),
       "capped miner must cover every vector with a neighbour")
+    // phash side: integer distances again — the media miner's capped
+    // form must equal the top-m ranking of the full pair set exactly
+    val phFull = Multimodal.phashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val phAdj = (phFull.map(t => (t._1, (t._2, t._3))) ++
+      phFull.map(t => (t._2, (t._1, t._3)))).groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).sortBy(x => (x._2, x._1)) }
+    val phCap = Multimodal.phashPairsCapped(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("nbr_id"), r.getAs[Long]("ham")))
+    val phByDoc = phCap.groupBy(_._1)
+    assert(phByDoc.values.forall(_.length <= Dedup.PairCapM), "phash cap exceeded")
+    assert(phByDoc.keySet == phAdj.keySet,
+      "capped phash miner must cover every doc with a neighbour")
+    phByDoc.foreach { case (d, rows) =>
+      val want = phAdj(d).take(Dedup.PairCapM).toSeq
+      val got = rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got == want, s"doc $d: capped phash neighbours $got != nearest-$want of the full set")
+    }
   }
 
   test("custom-order scan: ordered=true PHYSICALLY emits in comparator order on the staged corpus store") {
