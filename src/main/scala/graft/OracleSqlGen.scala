@@ -1498,6 +1498,18 @@ object OracleSqlGen {
        |SELECT doc_id1, doc_id2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS ham
        |FROM cand WHERE bit_count(xor(p1, p2)) <= ${graft.operators.Multimodal.PhashMaxHam}""".stripMargin
 
+  /** #209 — bloom-prefiltered incremental exact dedup: the bloom is a
+    * PREFILTER with no false negatives and verify-eliminated false
+    * positives, so the engine's output equals the plain new×old exact
+    * content-hash join — which is exactly what the oracle runs. */
+  val dedupBloomIncremental: String =
+    s"""SELECT n.doc_id AS new_doc_id, min(o.doc_id) AS keep_doc_id
+       |FROM documents n JOIN documents o
+       |  ON md5(substr(n.text, 1, 64)) = md5(substr(o.text, 1, 64))
+       |WHERE n.doc_id % ${Dedup.IncrMod} = ${Dedup.IncrRem}
+       |  AND o.doc_id % ${Dedup.IncrMod} <> ${Dedup.IncrRem}
+       |GROUP BY n.doc_id""".stripMargin
+
   /** #208 — capped phash pairs: the mmPhashPairs mining with the
     * per-doc (hamming asc, nbr asc) rank cap over the symmetrized
     * verified pairs — the dedupSimhashPairsCapped shape on the media

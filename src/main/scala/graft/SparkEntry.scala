@@ -220,6 +220,7 @@ object SparkEntry {
     "dedup_simhash_pairs_capped" -> (Dedup.simhashPairsCapped _),
     "dedup_minhash_lsh_capped" -> (Dedup.minhashLshCapped _),
     "mm_phash_pairs_capped" -> (Multimodal.phashPairsCapped _),
+    "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1261,6 +1262,7 @@ object SparkEntry {
     "dedup_simhash_pairs_capped" -> OracleSqlGen.dedupSimhashPairsCapped,
     "dedup_minhash_lsh_capped" -> OracleSqlGen.dedupMinhashLshCapped,
     "mm_phash_pairs_capped" -> OracleSqlGen.mmPhashPairsCapped,
+    "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

@@ -102,3 +102,39 @@ object DedupIndex {
   /** Test hook: see [[Staging.clear]]. */
   def clear(): Unit = Staging.clear()
 }
+
+/** Staged Bloom filter of the HISTORICAL corpus' boilerplate
+  * signatures (xxhash64 of [[Dedup.bloomKey]]) — the membership gate in
+  * front of #209's incremental dedup. Built ONCE per corpus fingerprint by
+  * Catalyst's distributed BloomFilterAggregate (partial blooms OR
+  * together map-side — no driver-side pass over the corpus); the
+  * artifact is one binary row whose size is the n/fpp tradeoff
+  * (~1.44·n·log₂(1/fpp) bits), never the corpus. */
+object BloomIndex {
+  /** Bumped whenever the membership key or layout changes: a bloom
+    * staged by older code must not gate new probes. */
+  private val LayoutVersion = "v2"
+
+  /** Ensure the bloom exists for `dir`; returns the bf/ path. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val key = s"${Staging.fingerprint(dir, "documents.parquet")}-$LayoutVersion"
+    val base = Staging.ensure("bloom", key) { tmp =>
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val old = graft.core.Tables.documents(s, dir)
+        .filter(!(col("doc_id") % Dedup.IncrMod === Dedup.IncrRem))
+        .select(xxhash64(Dedup.bloomKey).as("h64"))
+      // size the bloom to the corpus-side cardinality — a count over a
+      // column-pruned scan, index-build cost paid once per corpus
+      val n = math.max(old.count(), 1L)
+      val agg = new BloomFilterAggregate(
+        ColumnBridge.expression(col("h64")), n).toAggregateExpression()
+      old.agg(ColumnBridge.column(agg).as("bloom"))
+        .write.parquet(tmp.resolve("bf").toString)
+    }
+    base.resolve("bf").toString
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}

@@ -153,6 +153,27 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("bloom incremental dedup: output exactly equals the plain join, and the bloom actually filters") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("h"))
+    val newSide = docs.filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRem)
+    val oldSide = docs.filter(col("doc_id") % Dedup.IncrMod =!= Dedup.IncrRem)
+    val exact = newSide.alias("n").join(oldSide.alias("o"), col("n.h") === col("o.h"))
+      .groupBy(col("n.doc_id")).agg(min(col("o.doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = Dedup.bloomIncremental(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("keep_doc_id"))).toMap
+    assert(exact.nonEmpty, "fixture must plant cross-slice boilerplate matches or the test is vacuous")
+    assert(got == exact,
+      "bloom is a prefilter: no false negatives, false positives verify-eliminated — output must equal the plain exact join")
+    val nNew = newSide.count()
+    val nDup = exact.size.toLong
+    val positives = Dedup.bloomCandidates(spark, Sf).count()
+    assert(positives >= nDup, "a bloom has no false negatives")
+    assert(positives <= nDup + math.max(5L, ((nNew - nDup) * 0.2).toLong),
+      s"bloom prefilter must actually filter: $positives positives of $nNew new docs, $nDup true dups")
+  }
+
   test("custom-order scan: ordered=true PHYSICALLY emits in comparator order on the staged corpus store") {
     // helix_scan_custom_order's registered query now derives ord via a
     // row_number window (Tungsten), so THIS test carries the

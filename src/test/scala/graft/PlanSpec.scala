@@ -630,6 +630,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_bloom_incremental gates the batch with a codegen bloom probe and broadcasts the survivors") {
+    val p = plan("dedup_bloom_incremental")
+    assert(p.contains("might_contain"),
+      "the staged bloom must gate the batch as a native Catalyst predicate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bloom-surviving batch side must broadcast — the corpus never shuffles for the verify")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join may remain behind the bloom gate")
+  }
+
   test("ts_quantile_daily ranks and brackets on ONE (key, day) exchange") {
     val p = plan("ts_quantile_daily")
     val scans = p.linesIterator.count(l =>
