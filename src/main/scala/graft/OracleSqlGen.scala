@@ -1831,6 +1831,22 @@ object OracleSqlGen {
        |FROM tf, st, nn ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** #210 — hybrid RRF: both registered legs nested verbatim as CTEs
+    * (the keyword tf-idf top-10 and the IVF-probe top-10), integer
+    * ranks, the two exact IEEE divisions summed text-then-vector in
+    * both engines. */
+  val annHybridRrf: String =
+    s"""WITH t AS ($textSearchTfidf),
+       |vleg AS ($annIvfTopk),
+       |tr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rt FROM t),
+       |vr AS (SELECT vec_id AS doc_id, rnk AS rv FROM vleg)
+       |SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, rt, rv,
+       |  coalesce(CAST(1 AS DOUBLE) / (${graft.operators.Similarity.RrfK} + rt), CAST(0 AS DOUBLE))
+       |    + coalesce(CAST(1 AS DOUBLE) / (${graft.operators.Similarity.RrfK} + rv), CAST(0 AS DOUBLE)) AS rrf
+       |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   /** #164 — multiwindow burn rate: spine-completed 5-minute buckets,
     * trailing ROWS-12 window sums, integer cross-product thresholds,
     * burn divisions mirrored. */

@@ -221,6 +221,7 @@ object SparkEntry {
     "dedup_minhash_lsh_capped" -> (Dedup.minhashLshCapped _),
     "mm_phash_pairs_capped" -> (Multimodal.phashPairsCapped _),
     "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
+    "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1263,6 +1264,7 @@ object SparkEntry {
     "dedup_minhash_lsh_capped" -> OracleSqlGen.dedupMinhashLshCapped,
     "mm_phash_pairs_capped" -> OracleSqlGen.mmPhashPairsCapped,
     "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
+    "ann_hybrid_rrf" -> OracleSqlGen.annHybridRrf,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

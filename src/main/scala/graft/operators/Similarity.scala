@@ -277,6 +277,40 @@ object Similarity {
       .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
 
+  /** RRF rank constant (Cormack, Clarke & Buettcher, SIGIR 2009 —
+    * public): k = 60, the paper's recommended smoothing. */
+  val RrfK = 60
+
+  /** #210 — HYBRID RETRIEVAL: the keyword leg (#163's staged tf-idf
+    * top-10) and the vector leg (#36's staged-IVF probe top-10) fused
+    * by RECIPROCAL RANK FUSION — score(d) = Σ_legs 1/(k + rank_leg(d))
+    * — the fusion every production RAG/retrieval stack runs over its
+    * lexical and dense indexes. Both legs are the REGISTERED staged
+    * pipelines (one corpus aggregate for tf; partition-pruned cell
+    * scan for vectors), so the fusion itself touches two ≤10-row
+    * frames: a full-outer join on the shared id, two exact IEEE
+    * divisions per row, top-10 by (rrf desc, id). Ranks are integers,
+    * so the fused order is engine-exact. doc_id ≡ vec_id is the
+    * fixture's documents↔embeddings pairing (both tables enumerate the
+    * same corpus). */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    // keyword leg: rank 1..10 over the registered tf-idf top-10 (a
+    // 10-row frame — the partitionless window is limit-bounded)
+    val wT = Window.orderBy(col("score").desc, col("doc_id"))
+    val textLeg = TextOps.searchTfidf(s, dir)
+      .select(col("doc_id"), row_number().over(wT).as("rt"))
+    // vector leg: the staged IVF probe's (vec_id, rnk) top-10
+    val vecLeg = annIvfTopk(s, dir)
+      .select(col("vec_id").as("doc_id"), col("rnk").as("rv"))
+    textLeg.join(vecLeg, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("rt"), col("rv"), col("rrf"))
+  }
+
   /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a
     * query set (vec_id < 10) against the corpus (the rest) — the real
     * production shape (embedding dedup / retrieval runs thousands of

@@ -174,6 +174,26 @@ class OperatorSpec extends SparkTestBase {
       s"bloom prefilter must actually filter: $positives positives of $nNew new docs, $nDup true dups")
   }
 
+  test("hybrid RRF: fusion equals the rank-recomputed RRF of its two registered legs") {
+    val text = TextOps.searchTfidf(spark, Sf).collect()
+      .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val vec = Similarity.annIvfTopk(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("rnk")).toMap
+    val want = (text.keySet ++ vec.keySet).toSeq.map { d =>
+      val rrf = text.get(d).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+        vec.get(d).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+      (d, rrf)
+    }.sortBy { case (d, sc) => (-sc, d) }.take(10)
+    val got = Similarity.hybridRrf(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+    assert(got == want,
+      s"fused ranking must equal the driver-side RRF of the registered legs: $got != $want")
+    assert(got.exists(t => text.contains(t._1)) && got.exists(t => vec.contains(t._1)),
+      "both retrieval legs must contribute to the fused top-10 on this fixture")
+  }
+
   test("custom-order scan: ordered=true PHYSICALLY emits in comparator order on the staged corpus store") {
     // helix_scan_custom_order's registered query now derives ord via a
     // row_number window (Tungsten), so THIS test carries the
