@@ -1582,6 +1582,16 @@ object OracleSqlGen {
        |JOIN h b ON b.doc_id = pp.doc_id2
        |GROUP BY pp.ham""".stripMargin
 
+  /** #211 — windowed top-k heavy hitters: per-hour per-user counts,
+    * then the closed-window (cnt desc, user_id) rank capped at k. */
+  val streamTopk: String =
+    s"""WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       |    user_id, count(*) AS cnt FROM events GROUP BY 1, 2)
+       |SELECT window_start_us, rnk, user_id, cnt FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY window_start_us
+       |    ORDER BY cnt DESC, user_id) AS rnk FROM c)
+       |WHERE rnk <= ${graft.streaming.StreamOps.TopK}""".stripMargin
+
   val streamTumbling: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
       |  count(*) AS cnt,

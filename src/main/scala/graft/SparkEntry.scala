@@ -222,6 +222,7 @@ object SparkEntry {
     "mm_phash_pairs_capped" -> (Multimodal.phashPairsCapped _),
     "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
     "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
+    "stream_topk" -> (graft.streaming.StreamOps.topkBatch _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1265,6 +1266,7 @@ object SparkEntry {
     "mm_phash_pairs_capped" -> OracleSqlGen.mmPhashPairsCapped,
     "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
     "ann_hybrid_rrf" -> OracleSqlGen.annHybridRrf,
+    "stream_topk" -> OracleSqlGen.streamTopk,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

@@ -177,6 +177,47 @@ object StreamOps {
       s.read.parquet(st.hset).filter(!isNew))
   }
 
+  /** Per-window top-k size for #211. */
+  val TopK = 3
+
+  /** Shared logic for #211's streaming half: per-hour per-user event
+    * counts — the state the stream maintains is one counter per
+    * (window, active user), evicted by the watermark. The top-k RANK
+    * deliberately lives OUTSIDE the streaming agg: ranking inside would
+    * need a whole window's user set in one state entry; production
+    * ranks each window's emitted count rows once the watermark closes
+    * it, which is exactly what [[windowTopk]] does. */
+  def userWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("user_id"), col("cnt"))
+
+  /** Top-k heaviest users per closed window: a rank over the emitted
+    * count rows — each partition is one window's active-user frame,
+    * bounded by per-hour activity, parallel across windows. */
+  def windowTopk(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start_us").orderBy(col("cnt").desc, col("user_id"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select("window_start_us", "rnk", "user_id", "cnt")
+  }
+
+  /** #211 batch twin (oracled): the identical counts + closed-window
+    * rank over the static table. */
+  def topkBatch(s: SparkSession, dir: String): DataFrame =
+    windowTopk(userWindowCounts(Tables.events(s, dir)))
+
+  /** #211 streaming half over a file source (spec-paired: the spec
+    * ranks the drained count rows and compares to the batch twin). */
+  def topkStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    userWindowCounts(
+      s.readStream.schema(schema).format("parquet").load(eventsDir))
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

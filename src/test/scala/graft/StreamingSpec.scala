@@ -48,6 +48,31 @@ class StreamingSpec extends SparkTestBase {
     } finally store.close() // an open store leaks its lock-heartbeat daemon
   }
 
+  test("streaming windowed top-k: ranked drained counts equal the batch twin") {
+    val staged = tmpDir("stream-topk-events")
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.topkStreaming(spark, staged, schema)
+      .writeStream.format("memory").queryName("topk_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    // rank the stream's emitted per-window counts, as production does
+    // once the watermark closes a window
+    val ranked = StreamOps.windowTopk(spark.table("topk_counts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = StreamOps.topkBatch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ranked == batch, "stream-drained top-k must equal the batch twin")
+    assert(ranked.nonEmpty)
+    val byWin = ranked.groupBy(_._1)
+    assert(byWin.values.forall(_.size <= StreamOps.TopK), "per-window cap")
+    assert(byWin.values.forall(rows =>
+      rows.map(_._2).toList.sorted == (1L to rows.size).toList),
+      "each window must carry dense ranks 1..min(k, users)")
+  }
+
   test("streaming tumbling counts equal the batch twin") {
     // Stage a directory holding only event-schema parquet (µs timestamps).
     val staged = tmpDir("stream-events")
