@@ -887,6 +887,27 @@ object OracleSqlGen {
        |FROM bg b JOIN model USING (bg)
        |GROUP BY b.doc_id""".stripMargin
 
+  /** #212 — CCNet quality buckets: the char-LM oracle nested verbatim,
+    * per-lang tercile thresholds from the doc_id-parity sample's rank
+    * frame, value-comparison assignment with null fall-through to
+    * tail — the identical CASE chain as the engine's `when` chain. */
+  val textCcnetBucket: String =
+    s"""WITH lm AS ($textCharLm),
+       |sc AS (SELECT lm.doc_id, d.lang, lm.mean_p
+       |  FROM lm JOIN documents d USING (doc_id)),
+       |rk AS (SELECT lang, doc_id, mean_p,
+       |    row_number() OVER (PARTITION BY lang ORDER BY mean_p DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS ns
+       |  FROM sc WHERE doc_id % ${TextOps.CcnetSampleMod} = 0),
+       |th AS (SELECT lang, min(CASE WHEN rn * 3 <= ns THEN mean_p END) AS t1,
+       |    min(CASE WHEN rn * 3 <= 2 * ns THEN mean_p END) AS t2
+       |  FROM rk GROUP BY lang)
+       |SELECT sc.doc_id, sc.lang, sc.mean_p,
+       |  CASE WHEN sc.mean_p >= th.t1 THEN 'head'
+       |       WHEN sc.mean_p >= th.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sc LEFT JOIN th USING (lang)""".stripMargin
+
   /** #141 — DSIR importance weights: hashed word-bigram buckets, add-1
     * target/raw ratio per bucket through the DsirFixScale floor (casts
     * + three divisions — exact IEEE), per-doc HUGEINT sums ↔ Spark's

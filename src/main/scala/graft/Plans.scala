@@ -119,7 +119,8 @@ object Plans {
       "mm_phash_pairs_capped" -> "Capped media pair miner: the shared cappedHamPairs engine over the staged 8-byte fingerprints - DISTINCT-fingerprint pigeonhole join (exact copies collapse before the quadratic step), per-fingerprint id rankings reconstruct per-doc neighbours, final rank window keeps m=5; payload bytes never shuffle and never re-hash.",
       "dedup_bloom_incremental" -> "Bloom-gated incremental dedup: the staged corpus bloom enters as a literal into a codegen might_contain predicate on the batch scan (no UDF, no join to test membership); only bloom-positives reach the verify join, and they BROADCAST - the corpus side streams map-side, no SortMergeJoin anywhere.",
       "ann_hybrid_rrf" -> "Hybrid RRF fusion: both legs are the registered staged pipelines (tf-idf's one corpus aggregate; the IVF probe's partition-pruned cell scan), so the fusion layer itself joins two <=10-row frames full-outer and ranks - no corpus work is added on top of the legs.",
-      "stream_topk" -> "Windowed top-k: the streaming-safe half is one combinable (window, user) count agg (state = one counter per active pair, watermark-evicted); the rank runs over closed windows' emitted rows - each rank partition is one window's active users, parallel across windows.")
+      "stream_topk" -> "Windowed top-k: the streaming-safe half is one combinable (window, user) count agg (state = one counter per active pair, watermark-evicted); the rank runs over closed windows' emitted rows - each rank partition is one window's active users, parallel across windows.",
+      "text_ccnet_bucket" -> "CCNet bucketing at scale: the per-lang tercile rank runs ONLY over the deterministic sample frame; thresholds broadcast and the corpus assigns map-side by value comparison - no corpus-wide window, no skew exposure to a big language.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -223,6 +223,7 @@ object SparkEntry {
     "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
     "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
     "stream_topk" -> (graft.streaming.StreamOps.topkBatch _),
+    "text_ccnet_bucket" -> (TextOps.ccnetBucket _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1267,6 +1268,7 @@ object SparkEntry {
     "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
     "ann_hybrid_rrf" -> OracleSqlGen.annHybridRrf,
     "stream_topk" -> OracleSqlGen.streamTopk,
+    "text_ccnet_bucket" -> OracleSqlGen.textCcnetBucket,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

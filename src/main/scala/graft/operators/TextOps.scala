@@ -660,6 +660,39 @@ object TextOps {
           .as("mean_p"))
   }
 
+  /** Deterministic threshold-sample rate for #212 (doc_id parity —
+    * CCNet's "estimate quantiles on a sample" dial). */
+  val CcnetSampleMod = 2
+
+  /** #212 — CCNet-style QUALITY BUCKETING (Wenzek et al., LREC 2020 —
+    * public): every doc lands in its language's head/middle/tail
+    * tercile by char-LM score — the filtering signal CCNet uses to
+    * keep the most-fluent third of a crawl. Scores come from the
+    * REGISTERED staged char-LM (#140); thresholds are estimated on a
+    * deterministic SAMPLE (doc_id parity), exactly CCNet's move: the
+    * per-lang rank runs only over the bounded sample frame, the
+    * thresholds broadcast, and the corpus assigns map-side by value
+    * comparison — the full corpus never enters a rank window, so the
+    * shape survives any per-language skew at 100 TB. Null-threshold
+    * fall-through (a lang too small to seat a tercile in the sample)
+    * buckets to tail in both engines. */
+  def ccnetBucket(s: SparkSession, dir: String): DataFrame = {
+    val scored = charLm(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+    val samp = scored.filter(col("doc_id") % CcnetSampleMod === 0)
+    val wS = Window.partitionBy("lang").orderBy(col("mean_p").desc, col("doc_id"))
+    val rk = samp.withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("lang")))
+    val th = rk.groupBy("lang").agg(
+      min(when(col("rn") * 3 <= col("ns"), col("mean_p"))).as("t1"),
+      min(when(col("rn") * 3 <= col("ns") * 2, col("mean_p"))).as("t2"))
+    scored.join(broadcast(th), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("mean_p"),
+        when(col("mean_p") >= col("t1"), "head")
+          .when(col("mean_p") >= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DSIR hashed-feature space and its fixed-point grid (ratios can
     * reach corpus scale, so sums go through DECIMAL(38), not long). */
   val DsirBuckets = 128

@@ -174,6 +174,26 @@ class OperatorSpec extends SparkTestBase {
       s"bloom prefilter must actually filter: $positives positives of $nNew new docs, $nDup true dups")
   }
 
+  test("ccnet buckets: per-lang score-monotone, thresholds from the sample, all three buckets live") {
+    val rows = TextOps.ccnetBucket(spark, Sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"), r.getAs[Double]("mean_p")))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).toSet == Set("head", "middle", "tail"),
+      "the corpus must populate all three quality buckets")
+    // assignment is a value comparison, so buckets are score-monotone
+    // within a language: every head doc outscores every middle doc, etc.
+    rows.groupBy(_._1).foreach { case (lang, ls) =>
+      val by = ls.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail"));
+           h <- by.get(hi); l <- by.get(lo))
+        assert(h.min > l.max, s"$lang: $hi scores must strictly dominate $lo")
+    }
+    // the largest language's head share is tercile-ish (sample-estimated)
+    val en = rows.filter(_._1 == "en")
+    val share = en.count(_._2 == "head").toDouble / en.length
+    assert(share > 0.15 && share < 0.55, s"en head share $share out of tercile range")
+  }
+
   test("hybrid RRF: fusion equals the rank-recomputed RRF of its two registered legs") {
     val text = TextOps.searchTfidf(spark, Sf).collect()
       .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
