@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Similarity, TextOps, TimeSeriesOps}
 
 /** Programmatically-generated DuckDB oracle SQL for the pipeline
   * operators, built from the SAME constants (salt counts, band layout,
@@ -432,6 +432,29 @@ object OracleSqlGen {
        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= 3""".stripMargin
+
+  /** #214 — matryoshka truncation eval: the 16-dim-prefix cosine fold
+    * (same left-to-right list_reduce as the 64-dim dot), per-qid rank,
+    * hits flagged against the full-dim exact leg nested verbatim. */
+  val embMatryoshkaRecall: String = {
+    val d = graft.operators.Similarity.MrlDims
+    def dotN(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, $d), i -> $x[i] * $y[i]), (p, q) -> p + q)"
+    def cosN(a: String, b: String) =
+      s"${dotN(a, b)} / (sqrt(${dotN(a, a)}) * sqrt(${dotN(b, b)}))"
+    s"""WITH full_leg AS ($annBatchTopk),
+       |$eCte,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (SELECT q.qid, e2.vec_id, ${cosN("e2.v", "q.qv")} AS c
+       |  FROM e e2, q WHERE e2.vec_id >= 10),
+       |ptop AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT p.qid, p.rnk, p.vec_id,
+       |  CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hit
+       |FROM ptop p LEFT JOIN full_leg f ON f.qid = p.qid AND f.vec_id = p.vec_id
+       |WHERE p.rnk <= 3""".stripMargin
+  }
 
   /** Banded hyperplane sign codes as a UNION ALL over `e` — the
     * identical integer planes and left-to-right dot order as the native
@@ -1612,6 +1635,17 @@ object OracleSqlGen {
        |  SELECT *, row_number() OVER (PARTITION BY window_start_us
        |    ORDER BY cnt DESC, user_id) AS rnk FROM c)
        |WHERE rnk <= ${graft.streaming.StreamOps.TopK}""".stripMargin
+
+  /** #213 — deterministic reservoir: the md5-of-id rank windowed per
+    * (key, day), event_id trailing for a total order. */
+  val tsSampleReservoir: String =
+    s"""SELECT user_id, day_us, rnk, event_id, value FROM (
+       |  SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+       |    event_id, value,
+       |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+       |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+       |  FROM events)
+       |WHERE rnk <= ${TimeSeriesOps.ReservoirK}""".stripMargin
 
   val streamTumbling: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

@@ -120,7 +120,9 @@ object Plans {
       "dedup_bloom_incremental" -> "Bloom-gated incremental dedup: the staged corpus bloom enters as a literal into a codegen might_contain predicate on the batch scan (no UDF, no join to test membership); only bloom-positives reach the verify join, and they BROADCAST - the corpus side streams map-side, no SortMergeJoin anywhere.",
       "ann_hybrid_rrf" -> "Hybrid RRF fusion: both legs are the registered staged pipelines (tf-idf's one corpus aggregate; the IVF probe's partition-pruned cell scan), so the fusion layer itself joins two <=10-row frames full-outer and ranks - no corpus work is added on top of the legs.",
       "stream_topk" -> "Windowed top-k: the streaming-safe half is one combinable (window, user) count agg (state = one counter per active pair, watermark-evicted); the rank runs over closed windows' emitted rows - each rank partition is one window's active users, parallel across windows.",
-      "text_ccnet_bucket" -> "CCNet bucketing at scale: the per-lang tercile rank runs ONLY over the deterministic sample frame; thresholds broadcast and the corpus assigns map-side by value comparison - no corpus-wide window, no skew exposure to a big language.")
+      "text_ccnet_bucket" -> "CCNet bucketing at scale: the per-lang tercile rank runs ONLY over the deterministic sample frame; thresholds broadcast and the corpus assigns map-side by value comparison - no corpus-wide window, no skew exposure to a big language.",
+      "ts_sample_reservoir" -> "Deterministic reservoir: md5-of-id rank keeps k exemplars per (key, day) - no RNG state crosses machines, re-runs reproduce bit-identically, and every rank partition is one scrape-bounded (key, day) group.",
+      "emb_matryoshka_recall" -> "Truncation eval: the 16-dim prefix is a map-side slice feeding the same broadcast-query/per-qid-rank shape as the exact batch leg; the hit join touches two 30-row frames.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

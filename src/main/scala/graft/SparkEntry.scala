@@ -224,6 +224,8 @@ object SparkEntry {
     "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
     "stream_topk" -> (graft.streaming.StreamOps.topkBatch _),
     "text_ccnet_bucket" -> (TextOps.ccnetBucket _),
+    "ts_sample_reservoir" -> (TimeSeriesOps.sampleReservoir _),
+    "emb_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1269,6 +1271,8 @@ object SparkEntry {
     "ann_hybrid_rrf" -> OracleSqlGen.annHybridRrf,
     "stream_topk" -> OracleSqlGen.streamTopk,
     "text_ccnet_bucket" -> OracleSqlGen.textCcnetBucket,
+    "ts_sample_reservoir" -> OracleSqlGen.tsSampleReservoir,
+    "emb_matryoshka_recall" -> OracleSqlGen.embMatryoshkaRecall,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

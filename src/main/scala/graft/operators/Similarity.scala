@@ -281,6 +281,39 @@ object Similarity {
     * public): k = 60, the paper's recommended smoothing. */
   val RrfK = 60
 
+  /** Truncation width for #214 (the 64-dim corpus' 16-dim prefix). */
+  val MrlDims = 16
+
+  /** #214 — MATRYOSHKA TRUNCATION EVAL (Kusupati et al., NeurIPS 2022
+    * — public): does retrieval over the embeddings' 16-dim PREFIX
+    * still find the full-64-dim top-3? For every batch query, the
+    * prefix-cosine top-3 is ranked and each candidate flagged against
+    * the full-dim exact leg (#58, nested verbatim) — the measurement a
+    * pipeline runs before switching its serving index to truncated
+    * vectors (4× smaller index, same layout). Same broadcast-query /
+    * per-qid-rank shape as the batch exact leg; the truncation itself
+    * is a map-side slice, so the eval costs one brute pass at this
+    * fixture and would ride the staged IVF at corpus scale. */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        toDoubleVec(slice(col("embedding"), 1, MrlDims)).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val prefixTop = e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"))
+    val full = annBatchTopk(s, dir)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    prefixTop.join(full, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+  }
+
   /** #210 — HYBRID RETRIEVAL: the keyword leg (#163's staged tf-idf
     * top-10) and the vector leg (#36's staged-IVF probe top-10) fused
     * by RECIPROCAL RANK FUSION — score(d) = Σ_legs 1/(k + rank_leg(d))

@@ -1310,4 +1310,30 @@ object TimeSeriesOps {
             (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
           .as("xcorr"))
   }
+
+  /** Per-(key, day) sample size for #213. */
+  val ReservoirK = 3
+
+  /** #213 — DETERMINISTIC per-key reservoir sample: keep the
+    * [[ReservoirK]] events per (key, day) with the smallest content-
+    * hash rank (md5 of event_id — the one hash both engines share;
+    * event_id trails the order so ties are total). This is the
+    * distributed, re-runnable form of reservoir sampling a TSDB uses
+    * to keep exemplars per series per day: hash order is uniform,
+    * stable under re-execution and partitioning, and the rank window's
+    * partitions are scrape-bounded (key, day) groups — the
+    * ts_downsample safety argument. Output is k rows per group at ANY
+    * corpus size. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day_us")
+      .orderBy(col("hk"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("event_id"), col("value"))
+      .withColumn("hk", md5(col("event_id").cast("string")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= ReservoirK)
+      .select("user_id", "day_us", "rnk", "event_id", "value")
+  }
 }

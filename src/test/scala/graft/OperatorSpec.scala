@@ -174,6 +174,58 @@ class OperatorSpec extends SparkTestBase {
       s"bloom prefilter must actually filter: $positives positives of $nNew new docs, $nDup true dups")
   }
 
+  test("matryoshka eval: prefix top-3 per query, hits flagged against the exact full-dim leg") {
+    val rows = Similarity.matryoshkaRecall(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("hit")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet, "every query must answer")
+    assert(byQ.values.forall(_.map(_._2).sorted.sameElements(Seq(1L, 2L, 3L))),
+      "dense ranks 1..3 per query")
+    val full = Similarity.annBatchTopk(spark, Sf).collect()
+      .map(r => (r.getAs[Number]("qid").longValue, r.getAs[Number]("vec_id").longValue)).toSet
+    rows.foreach { case (q, _, v, hit) =>
+      assert((hit == 1L) == full((q, v)), s"hit flag wrong for ($q, $v)")
+    }
+    // the prefix leg itself is exact: driver-side 16-dim cosine top-3
+    // (same left-to-right fold) must pick the same candidates
+    val vecs = graft.core.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).take(Similarity.MrlDims).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = vecs.keys.filter(_ >= 10).toSeq
+    for (q <- 0L until 10L) {
+      val want = corpus.map(v => (v, cos(vecs(v), vecs(q))))
+        .sortBy { case (v, c) => (-c, v) }.take(3).map(_._1)
+      val got = byQ(q).sortBy(_._2).map(_._3).toSeq
+      assert(got == want, s"query $q: prefix top-3 $got != driver recompute $want")
+    }
+  }
+
+  test("reservoir sample: exactly the k smallest hash ranks per (key, day), stable under recompute") {
+    val all = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): String = {
+      val d = md.clone().asInstanceOf[java.security.MessageDigest]
+      d.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val want = all.groupBy(t => (t._1, t._2)).view.mapValues(
+      _.map(_._3).sortBy(id => (hk(id), id)).take(TimeSeriesOps.ReservoirK).toSet).toMap
+    val got = TimeSeriesOps.sampleReservoir(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day_us"), r.getAs[Long]("event_id")))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).toSet).toMap
+    assert(got == want, "kept events must be exactly the k smallest md5 ranks per group")
+    assert(got.values.forall(_.size <= TimeSeriesOps.ReservoirK))
+  }
+
   test("ccnet buckets: per-lang score-monotone, thresholds from the sample, all three buckets live") {
     val rows = TextOps.ccnetBucket(spark, Sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"), r.getAs[Double]("mean_p")))
