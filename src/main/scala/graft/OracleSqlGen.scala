@@ -1636,6 +1636,25 @@ object OracleSqlGen {
        |    ORDER BY cnt DESC, user_id) AS rnk FROM c)
        |WHERE rnk <= ${graft.streaming.StreamOps.TopK}""".stripMargin
 
+  /** #215 — streaming anomaly flags: the ts_zscore stats restricted to
+    * the historical slice, the flag pass restricted to arrivals, same
+    * exact decimal grid and division chain. */
+  val streamAnomaly: String = {
+    val cut = graft.streaming.StreamOps.AnomalyCutoverUs
+    s"""WITH st AS (
+       |  SELECT user_id, count(*) AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+       |      AS DOUBLE) / count(*) AS msq
+       |  FROM events WHERE epoch_us(ts) < $cut GROUP BY 1)
+       |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value,
+       |  (e.value - st.mean) / sqrt(st.msq - st.mean * st.mean) AS z_score
+       |FROM events e JOIN st USING (user_id)
+       |WHERE epoch_us(e.ts) >= $cut
+       |  AND st.n >= 2 AND st.msq - st.mean * st.mean > 0
+       |  AND abs((e.value - st.mean) / sqrt(st.msq - st.mean * st.mean)) > 2.5""".stripMargin
+  }
+
   /** #213 — deterministic reservoir: the md5-of-id rank windowed per
     * (key, day), event_id trailing for a total order. */
   val tsSampleReservoir: String =

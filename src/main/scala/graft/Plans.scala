@@ -122,7 +122,8 @@ object Plans {
       "stream_topk" -> "Windowed top-k: the streaming-safe half is one combinable (window, user) count agg (state = one counter per active pair, watermark-evicted); the rank runs over closed windows' emitted rows - each rank partition is one window's active users, parallel across windows.",
       "text_ccnet_bucket" -> "CCNet bucketing at scale: the per-lang tercile rank runs ONLY over the deterministic sample frame; thresholds broadcast and the corpus assigns map-side by value comparison - no corpus-wide window, no skew exposure to a big language.",
       "ts_sample_reservoir" -> "Deterministic reservoir: md5-of-id rank keeps k exemplars per (key, day) - no RNG state crosses machines, re-runs reproduce bit-identically, and every rank partition is one scrape-bounded (key, day) group.",
-      "emb_matryoshka_recall" -> "Truncation eval: the 16-dim prefix is a map-side slice feeding the same broadcast-query/per-qid-rank shape as the exact batch leg; the hit join touches two 30-row frames.")
+      "emb_matryoshka_recall" -> "Truncation eval: the 16-dim prefix is a map-side slice feeding the same broadcast-query/per-qid-rank shape as the exact batch leg; the hit join touches two 30-row frames.",
+      "stream_anomaly" -> "Stream-static anomaly flags: the per-key baseline is a static frame (one row per key, AQE-broadcast while small); arrivals probe it in a stateless equi-join + filter - no state store, no watermark bookkeeping, per-event cost is one hash probe.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

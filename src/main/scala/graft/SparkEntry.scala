@@ -226,6 +226,7 @@ object SparkEntry {
     "text_ccnet_bucket" -> (TextOps.ccnetBucket _),
     "ts_sample_reservoir" -> (TimeSeriesOps.sampleReservoir _),
     "emb_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
+    "stream_anomaly" -> (graft.streaming.StreamOps.anomalyBatch _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1273,6 +1274,7 @@ object SparkEntry {
     "text_ccnet_bucket" -> OracleSqlGen.textCcnetBucket,
     "ts_sample_reservoir" -> OracleSqlGen.tsSampleReservoir,
     "emb_matryoshka_recall" -> OracleSqlGen.embMatryoshkaRecall,
+    "stream_anomaly" -> OracleSqlGen.streamAnomaly,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

@@ -218,6 +218,55 @@ object StreamOps {
     userWindowCounts(
       s.readStream.schema(schema).format("parquet").load(eventsDir))
 
+  /** Baseline/arrival cutover for #215 (µs since epoch,
+    * 2024-01-22T00:00Z — the fixture's last 9 days are "arrivals"). */
+  val AnomalyCutoverUs: Long =
+    java.time.Instant.parse("2024-01-22T00:00:00Z").toEpochMilli * 1000L
+
+  /** Per-key baseline stats over the HISTORICAL slice (ts < cutover):
+    * exact decimal sums on the ts_zscore grid. Static in streaming —
+    * at scale this is the staged artifact a serving tier refreshes per
+    * day, not per event. */
+  def anomalyBaseline(events: DataFrame): DataFrame =
+    events.filter(unix_micros(col("ts")) < AnomalyCutoverUs)
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("mean"),
+        (sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("msq"))
+
+  /** Shared logic for #215: arriving events (ts ≥ cutover) flagged
+    * |z| > 2.5 against the static baseline — a STATELESS stream-static
+    * equi-join + filter, the always-on form of ts_zscore (per-event
+    * cost is one broadcast/hash probe; no state store at all). */
+  def anomalyFlags(arrivals: DataFrame, baseline: DataFrame): DataFrame = {
+    val z = (col("value") - col("mean")) /
+      sqrt(col("msq") - col("mean") * col("mean"))
+    arrivals.filter(unix_micros(col("ts")) >= AnomalyCutoverUs)
+      .join(baseline, "user_id")
+      .filter(col("n") >= 2 && col("msq") - col("mean") * col("mean") > 0 &&
+        abs(z) > 2.5)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), z.as("z_score"))
+  }
+
+  /** #215 batch twin (oracled). */
+  def anomalyBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    anomalyFlags(ev, anomalyBaseline(ev))
+  }
+
+  /** #215 streaming version: arrivals from a file source, baseline
+    * static from the corpus table (spec-paired with the batch twin). */
+  def anomalyStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sfDir: String): DataFrame =
+    anomalyFlags(
+      s.readStream.schema(schema).format("parquet").load(eventsDir),
+      anomalyBaseline(Tables.events(s, sfDir)))
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

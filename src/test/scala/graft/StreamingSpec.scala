@@ -73,6 +73,26 @@ class StreamingSpec extends SparkTestBase {
       "each window must carry dense ranks 1..min(k, users)")
   }
 
+  test("streaming anomaly flags equal the batch twin (stream-static baseline join)") {
+    val staged = tmpDir("stream-anom-events")
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.anomalyStreaming(spark, staged, schema, Sf)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("anom_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val batch = StreamOps.anomalyBatch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(streamed == batch, "stream-static anomaly flags must equal the batch twin")
+    assert(streamed.nonEmpty, "the fixture must produce at least one |z| > 2.5 arrival")
+    // every flag is an arrival — the baseline slice never re-emits
+    assert(streamed.forall(_._3 >= StreamOps.AnomalyCutoverUs))
+  }
+
   test("streaming tumbling counts equal the batch twin") {
     // Stage a directory holding only event-schema parquet (µs timestamps).
     val staged = tmpDir("stream-events")
