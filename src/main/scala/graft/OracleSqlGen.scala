@@ -1511,6 +1511,32 @@ object OracleSqlGen {
     * (hex windows, md5-prefix bits) and byte-block pair mining. DuckDB
     * hex(text) is the hex of the UTF-8 bytes, matching Spark's binary
     * payload hex. */
+  /** #216 — CDC chunk dedup: identical stride-1 window hash, mod-grid
+    * cuts, sentinel bounds, lead spans and hex-substring chunk md5. */
+  val mmCdcChunks: String = {
+    val m = graft.operators.Multimodal.CdcMod
+    s"""WITH hx AS (SELECT doc_id, hex(text) AS hx,
+       |    CAST(strlen(text) AS BIGINT) AS nb
+       |  FROM documents WHERE strlen(text) >= 8),
+       |cuts AS (SELECT doc_id, i AS p FROM (
+       |    SELECT doc_id, hx, unnest(generate_series(2, nb - 7)) AS i FROM hx)
+       |  WHERE ('0x' || substr(md5(substr(hx, CAST(2 * i - 1 AS INTEGER), 16)),
+       |    1, 8))::BIGINT % $m = 0),
+       |bounds AS (SELECT doc_id, p FROM cuts
+       |  UNION SELECT doc_id, 1 FROM hx
+       |  UNION SELECT doc_id, nb + 1 FROM hx),
+       |spans AS (SELECT doc_id, p,
+       |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS q FROM bounds),
+       |chunks AS (SELECT s.doc_id, s.q - s.p AS len,
+       |    md5(substr(h.hx, CAST(2 * s.p - 1 AS INTEGER),
+       |      CAST(2 * (s.q - s.p) AS INTEGER))) AS chunk_md5
+       |  FROM spans s JOIN hx h USING (doc_id) WHERE s.q IS NOT NULL)
+       |SELECT chunk_md5, count(*) AS n_copies,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_blobs,
+       |  min(len) AS chunk_bytes, min(doc_id) AS keep_doc_id
+       |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+  }
+
   /** Window-SimHash fingerprinting (win/th/bits/ph) + byte-pigeonhole
     * banding and candidates over `documents` — ONE definition shared by
     * the mm pair miner and its capped form, so a fingerprint or banding

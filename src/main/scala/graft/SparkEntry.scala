@@ -227,6 +227,7 @@ object SparkEntry {
     "ts_sample_reservoir" -> (TimeSeriesOps.sampleReservoir _),
     "emb_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "stream_anomaly" -> (graft.streaming.StreamOps.anomalyBatch _),
+    "mm_cdc_chunks" -> (Multimodal.cdcChunks _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1275,6 +1276,7 @@ object SparkEntry {
     "ts_sample_reservoir" -> OracleSqlGen.tsSampleReservoir,
     "emb_matryoshka_recall" -> OracleSqlGen.embMatryoshkaRecall,
     "stream_anomaly" -> OracleSqlGen.streamAnomaly,
+    "mm_cdc_chunks" -> OracleSqlGen.mmCdcChunks,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

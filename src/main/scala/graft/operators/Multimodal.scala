@@ -195,6 +195,65 @@ object Multimodal {
         .select(col("doc_id"), col("phash").as("fp")),
       PhashMaxHam)
 
+  /** Expected CDC chunk length dial for #216 (boundary probability
+    * 1/CdcMod per byte position). */
+  val CdcMod = 32
+
+  /** #216 — CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/FastCDC
+    * family — public): chunk boundaries fall where the payload's
+    * rolling 8-byte window hash lands on the mod grid, so a byte
+    * inserted at the front shifts every FIXED chunk (#60 mm_chunk) but
+    * leaves all later CDC cut points — and their chunk hashes — intact.
+    * This is how a media store dedupes STORAGE under shifts, the
+    * byte-level counterpart of the phash family's similarity matching.
+    * One corpus pass hashes the stride-1 windows (the algorithm's
+    * O(bytes) nature — at 100 TB this is ingest-time work, the
+    * dedup_substring build split); the boundary frame that survives is
+    * ~bytes/CdcMod rows, the lead window runs per-doc over that
+    * bounded frame, and chunk hashing re-reads only each doc's hex
+    * row. Output: duplicate chunk groups (hash, copies, blobs, bytes,
+    * keeper). */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val hx = withPayload(s, dir)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .filter(col("nb") >= 8)
+    cdcSpansOf(hx)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct("doc_id").as("n_blobs"),
+        min("len").as("chunk_bytes"),
+        min("doc_id").as("keep_doc_id"))
+      .filter(col("n_copies") >= 2)
+  }
+
+  /** The CDC span core over a (doc_id, hx, nb) frame — exposed so the
+    * spec can chunk synthetic shifted payloads and assert the
+    * cut-point stability that justifies CDC over fixed chunking.
+    * Returns (doc_id, p, q, len, chunk_md5) with [p, q) byte spans. */
+  private[graft] def cdcSpansOf(hx: DataFrame): DataFrame = {
+    // cut candidates at byte positions 2..nb-7 (1 is always a boundary)
+    val cuts = hx.filter(col("nb") >= 9)
+      .select(col("doc_id"),
+        explode(sequence(lit(2L), col("nb") - 7)).as("p"), col("hx"))
+      .withColumn("h", conv(substring(md5(
+        col("hx").substr((col("p") * 2 - 1).cast("int"), lit(16))), 1, 8), 16, 10)
+        .cast("long"))
+      .filter(col("h") % CdcMod === 0)
+      .select("doc_id", "p")
+    val bounds = cuts
+      .unionAll(hx.select(col("doc_id"), lit(1L).as("p")))
+      .unionAll(hx.select(col("doc_id"), (col("nb") + 1).as("p")))
+      .distinct()
+    val wD = Window.partitionBy("doc_id").orderBy("p")
+    bounds.withColumn("q", lead("p", 1).over(wD))
+      .filter(col("q").isNotNull)
+      .join(hx, "doc_id")
+      .select(col("doc_id"), col("p"), col("q"), (col("q") - col("p")).as("len"),
+        md5(col("hx").substr((col("p") * 2 - 1).cast("int"),
+          ((col("q") - col("p")) * 2).cast("int"))).as("chunk_md5"))
+  }
+
   /** #181 — PHASH PRECISION report: of the near-dup pairs the
     * fingerprint index surfaces at each hamming distance, what share
     * are literal payload duplicates — the media-dedup index-quality

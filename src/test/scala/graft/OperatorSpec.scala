@@ -174,6 +174,46 @@ class OperatorSpec extends SparkTestBase {
       s"bloom prefilter must actually filter: $positives positives of $nNew new docs, $nDup true dups")
   }
 
+  test("CDC chunks: spans partition every payload, and cut points survive a front-insert") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // spans partition each corpus doc's bytes exactly
+    val hxCorpus = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
+        octet_length(col("text").cast("binary")).cast("long").as("nb"))
+      .filter(col("nb") >= 8)
+    val spans = Multimodal.cdcSpansOf(hxCorpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("p"), r.getAs[Long]("q")))
+    val nbs = hxCorpus.select("doc_id", "nb").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.groupBy(_._1).foreach { case (d, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._2 == 1L && sorted.last._3 == nbs(d) + 1,
+        s"doc $d: spans must cover [1, nb+1)")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 == b._2, s"doc $d: spans must be contiguous")
+      case _ => }
+    }
+    // shift robustness: a byte inserted at the front leaves every later
+    // cut point, so most chunk hashes survive (fixed chunking loses all)
+    val base = graft.core.Tables.documents(spark, Sf)
+      .orderBy("doc_id").limit(1).collect()(0).getAs[String]("text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("t", StringType)))
+    val two = spark.createDataFrame(
+      java.util.Arrays.asList(Row(0L, base), Row(1L, "X" + base)), schema)
+      .select(col("doc_id"), hex(col("t").cast("binary")).as("hx"),
+        octet_length(col("t").cast("binary")).cast("long").as("nb"))
+    val ch = Multimodal.cdcSpansOf(two).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chunk_md5")))
+    val c0 = ch.filter(_._1 == 0L).map(_._2).toSet
+    val c1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val shared = (c0 & c1).size.toDouble / c0.size
+    assert(shared >= 0.5,
+      s"front-insert must preserve most CDC chunks, shared share $shared " +
+        s"(${c0.size} orig chunks) — boundary hashing broke")
+  }
+
   test("matryoshka eval: prefix top-3 per query, hits flagged against the exact full-dim leg") {
     val rows = Similarity.matryoshkaRecall(spark, Sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
