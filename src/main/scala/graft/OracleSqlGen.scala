@@ -456,6 +456,30 @@ object OracleSqlGen {
        |WHERE p.rnk <= 3""".stripMargin
   }
 
+  /** #217 — binary-quantization eval: per-dim sign bits packed into
+    * one BIGINT (bit values as Scala-emitted literals — DuckDB's `<<`
+    * overflows at bit 63; summed low-bit-first so every partial sum
+    * stays in BIGINT range), all-integer hamming rank, hits flagged
+    * against the full-precision leg nested verbatim. */
+  val embBqRecall: String = {
+    val bq = (0 until 64).map(i =>
+      s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH full_leg AS ($annBatchTopk),
+       |$eCte,
+       |b AS (SELECT vec_id, CAST($bq AS BIGINT) AS bq FROM e),
+       |q AS (SELECT vec_id AS qid, bq AS qbq FROM b WHERE vec_id < 10),
+       |scored AS (SELECT q.qid, b2.vec_id,
+       |    CAST(bit_count(xor(b2.bq, q.qbq)) AS BIGINT) AS ham
+       |  FROM b b2, q WHERE b2.vec_id >= 10),
+       |btop AS (SELECT qid, vec_id, ham,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT p.qid, p.rnk, p.vec_id, p.ham,
+       |  CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hit
+       |FROM btop p LEFT JOIN full_leg f ON f.qid = p.qid AND f.vec_id = p.vec_id
+       |WHERE p.rnk <= 3""".stripMargin
+  }
+
   /** Banded hyperplane sign codes as a UNION ALL over `e` — the
     * identical integer planes and left-to-right dot order as the native
     * BandCodes expression; shared by the embedding-dedup, k-NN-graph,

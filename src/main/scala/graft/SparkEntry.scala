@@ -228,6 +228,7 @@ object SparkEntry {
     "emb_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "stream_anomaly" -> (graft.streaming.StreamOps.anomalyBatch _),
     "mm_cdc_chunks" -> (Multimodal.cdcChunks _),
+    "emb_bq_recall" -> (Similarity.bqRecall _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1277,6 +1278,7 @@ object SparkEntry {
     "emb_matryoshka_recall" -> OracleSqlGen.embMatryoshkaRecall,
     "stream_anomaly" -> OracleSqlGen.streamAnomaly,
     "mm_cdc_chunks" -> OracleSqlGen.mmCdcChunks,
+    "emb_bq_recall" -> OracleSqlGen.embBqRecall,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

@@ -344,6 +344,38 @@ object Similarity {
       .select(col("doc_id"), col("rt"), col("rv"), col("rrf"))
   }
 
+  /** #217 — BINARY QUANTIZATION EVAL: retrieval over 1-bit-per-dim
+    * sign fingerprints (the 64-dim vector packs into ONE long — a 256×
+    * smaller index than float32) scored by hamming distance, each
+    * candidate hit-flagged against the full-precision exact leg (#58,
+    * nested verbatim in the oracle). The quantization axis of the eval
+    * matrix beside #214's truncation axis and #119's scalar-quant
+    * distortion: what a vector store measures before switching its
+    * coarse pass to binary codes. All-integer scoring (bit_count of
+    * xor) — no float crosses an engine boundary in the BQ leg; ties
+    * break (ham asc, vec_id). Packing is map-side; the rank is the
+    * same per-qid window as the exact leg. */
+  def bqRecall(s: SparkSession, dir: String): DataFrame = {
+    val sign = (0 until 64).map(i =>
+      when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i))
+        .otherwise(0L)).reduce(_ + _)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), sign.as("bq"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("bq").as("qbq"))
+    val w = Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))
+    val bqTop = e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .withColumn("ham", bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("ham"))
+    val full = annBatchTopk(s, dir)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    bqTop.join(full, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rnk"), col("vec_id"), col("ham"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+  }
+
   /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a
     * query set (vec_id < 10) against the corpus (the rest) — the real
     * production shape (embedding dedup / retrieval runs thousands of

@@ -214,6 +214,35 @@ class OperatorSpec extends SparkTestBase {
         s"(${c0.size} orig chunks) — boundary hashing broke")
   }
 
+  test("BQ eval: hamming top-3 over sign-packed longs equals the driver recompute") {
+    val vecs = graft.core.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val bq = (0 until 64).foldLeft(0L)((acc, i) =>
+          if (v(i) > 0f) acc | (1L << i) else acc)
+        r.getAs[Long]("vec_id") -> bq
+      }.toMap
+    val corpus = vecs.keys.filter(_ >= 10).toSeq
+    val rows = Similarity.bqRecall(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("ham"), r.getAs[Long]("hit")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet)
+    for (q <- 0L until 10L) {
+      val want = corpus
+        .map(v => (v, java.lang.Long.bitCount(vecs(v) ^ vecs(q)).toLong))
+        .sortBy { case (v, h) => (h, v) }.take(3)
+      val got = byQ(q).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got == want, s"query $q: BQ top-3 $got != driver recompute $want")
+    }
+    val full = Similarity.annBatchTopk(spark, Sf).collect()
+      .map(r => (r.getAs[Number]("qid").longValue, r.getAs[Number]("vec_id").longValue)).toSet
+    rows.foreach { case (q, _, v, _, hit) =>
+      assert((hit == 1L) == full((q, v)), s"hit flag wrong for ($q, $v)")
+    }
+  }
+
   test("matryoshka eval: prefix top-3 per query, hits flagged against the exact full-dim leg") {
     val rows = Similarity.matryoshkaRecall(spark, Sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
