@@ -1542,10 +1542,14 @@ object OracleSqlGen {
     s"""WITH hx AS (SELECT doc_id, hex(text) AS hx,
        |    CAST(strlen(text) AS BIGINT) AS nb
        |  FROM documents WHERE strlen(text) >= 8),
-       |cuts AS (SELECT doc_id, i AS p FROM (
-       |    SELECT doc_id, hx, unnest(generate_series(2, nb - 7)) AS i FROM hx)
-       |  WHERE ('0x' || substr(md5(substr(hx, CAST(2 * i - 1 AS INTEGER), 16)),
-       |    1, 8))::BIGINT % $m = 0),
+       |by AS (SELECT doc_id, nb,
+       |    list_transform(generate_series(1, CAST(nb AS INTEGER)),
+       |      i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT) AS bytes
+       |  FROM hx WHERE nb >= 9),
+       |cuts AS (SELECT doc_id, p FROM (
+       |    SELECT doc_id, unnest(generate_series(2, nb - 7)) AS p, bytes FROM by)
+       |  WHERE list_reduce(list_prepend(0, bytes[CAST(p AS INTEGER):CAST(p + 7 AS INTEGER)]),
+       |    (acc, x) -> (acc * ${TextOps.RollB} + x) % ${TextOps.RollP}) % $m = 0),
        |bounds AS (SELECT doc_id, p FROM cuts
        |  UNION SELECT doc_id, 1 FROM hx
        |  UNION SELECT doc_id, nb + 1 FROM hx),

@@ -124,7 +124,7 @@ object Plans {
       "ts_sample_reservoir" -> "Deterministic reservoir: md5-of-id rank keeps k exemplars per (key, day) - no RNG state crosses machines, re-runs reproduce bit-identically, and every rank partition is one scrape-bounded (key, day) group.",
       "emb_matryoshka_recall" -> "Truncation eval: the 16-dim prefix is a map-side slice feeding the same broadcast-query/per-qid-rank shape as the exact batch leg; the hit join touches two 30-row frames.",
       "stream_anomaly" -> "Stream-static anomaly flags: the per-key baseline is a static frame (one row per key, AQE-broadcast while small); arrivals probe it in a stateless equi-join + filter - no state store, no watermark bookkeeping, per-event cost is one hash probe.",
-      "mm_cdc_chunks" -> "CDC storage dedup: stride-1 window hashing is the one O(bytes) pass (ingest-time work); the surviving boundary frame is ~bytes/32 rows, the lead window is per-doc over that bounded frame, and the final dedup is one hash-group shuffle over chunk md5s - payload bytes never shuffle.",
+      "mm_cdc_chunks" -> "CDC storage dedup: the stride-1 rolling-hash pass is STAGED ingest work (CdcIndex spans/); the registered query is one hash-group shuffle over the 40-byte span rows - payload bytes never touch the query path at all.",
       "emb_bq_recall" -> "Binary-quantization eval: vectors pack map-side into one long (sign bits); candidate scoring is bit_count(xor) - pure integer codegen, 8 bytes per vector moving through the rank instead of 256.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")

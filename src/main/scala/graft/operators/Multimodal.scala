@@ -213,34 +213,49 @@ object Multimodal {
     * bounded frame, and chunk hashing re-reads only each doc's hex
     * row. Output: duplicate chunk groups (hash, copies, blobs, bytes,
     * keeper). */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val hx = withPayload(s, dir)
-      .select(col("doc_id"), hex(col("payload")).as("hx"),
-        octet_length(col("payload")).cast("long").as("nb"))
-      .filter(col("nb") >= 8)
-    cdcSpansOf(hx)
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(CdcIndex.ensure(s, dir))
       .groupBy("chunk_md5")
       .agg(count(lit(1)).as("n_copies"),
         countDistinct("doc_id").as("n_blobs"),
         min("len").as("chunk_bytes"),
         min("doc_id").as("keep_doc_id"))
       .filter(col("n_copies") >= 2)
-  }
+
+  /** Index-build producer for [[CdcIndex]]: the corpus' CDC span table.
+    * The stride-1 rolling-hash pass is the O(bytes) cost a store pays
+    * at INGEST (chunking happens when a blob is written, the
+    * dedup_substring build split) — the registered query only groups
+    * the staged 40-byte span rows. */
+  private[operators] def cdcBuild(s: SparkSession, dir: String): DataFrame =
+    cdcSpansOf(withPayload(s, dir)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .filter(col("nb") >= 8))
 
   /** The CDC span core over a (doc_id, hx, nb) frame — exposed so the
     * spec can chunk synthetic shifted payloads and assert the
     * cut-point stability that justifies CDC over fixed chunking.
     * Returns (doc_id, p, q, len, chunk_md5) with [p, q) byte spans. */
   private[graft] def cdcSpansOf(hx: DataFrame): DataFrame = {
-    // cut candidates at byte positions 2..nb-7 (1 is always a boundary)
+    // cut candidates at byte positions 2..nb-7 (1 is always a boundary).
+    // The window hash is the shared Rabin-Karp roll (TextOps.RollB/P)
+    // over raw byte VALUES — one hex decode per byte, pure arithmetic
+    // per window (an md5 per stride-1 window would cost ~100× more and
+    // is only needed where a hash must survive as an identifier; cut
+    // selection needs uniformity, not collision resistance).
     val cuts = hx.filter(col("nb") >= 9)
+      .withColumn("bytes",
+        transform(sequence(lit(1L), col("nb")),
+          i => conv(col("hx").substr((i * 2 - 1).cast("int"), lit(2)), 16, 10)
+            .cast("long")))
       .select(col("doc_id"),
-        explode(sequence(lit(2L), col("nb") - 7)).as("p"), col("hx"))
-      .withColumn("h", conv(substring(md5(
-        col("hx").substr((col("p") * 2 - 1).cast("int"), lit(16))), 1, 8), 16, 10)
-        .cast("long"))
-      .filter(col("h") % CdcMod === 0)
-      .select("doc_id", "p")
+        posexplode(transform(sequence(lit(2L), col("nb") - 7),
+          p => aggregate(slice(col("bytes"), p.cast("int"), lit(8)), lit(0L),
+            (acc, x) => (acc * graft.operators.TextOps.RollB + x) %
+              graft.operators.TextOps.RollP))))
+      .filter(col("col") % CdcMod === 0)
+      .select(col("doc_id"), (col("pos") + 2).cast("long").as("p"))
     val bounds = cuts
       .unionAll(hx.select(col("doc_id"), lit(1L).as("p")))
       .unionAll(hx.select(col("doc_id"), (col("nb") + 1).as("p")))
@@ -405,6 +420,23 @@ object Multimodal {
  * Staleness safety and build atomicity come from [[Staging]] (same
  * documents.parquet fingerprint as DedupIndex).
  */
+/** Staged CDC span table (doc_id, p, q, len, chunk_md5) — content-
+  * defined chunk boundaries and hashes for every corpus blob, built
+  * once per corpus fingerprint. Chunking is ingest-time work in a real
+  * media store; #216 queries this artifact. */
+object CdcIndex {
+  /** Ensure the span table exists for `dir`; returns the spans/ path. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val base = Staging.ensure("cdc", Staging.fingerprint(dir, "documents.parquet")) { tmp =>
+      Multimodal.cdcBuild(s, dir).write.parquet(tmp.resolve("spans").toString)
+    }
+    base.resolve("spans").toString
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}
+
 object PhashIndex {
   /** Ensure the fingerprint table exists for `dir`; builds at most
     * once per source fingerprint. Returns the ph/ path. */
