@@ -783,7 +783,7 @@ object Dedup {
     * fingerprint frame — the engine behind #201 (token simhash) and
     * #208 (payload phash): identical banding, identical cap semantics,
     * one definition. */
-  private[operators] def cappedHamPairs(sim: DataFrame, maxHam: Int): DataFrame = {
+  private[graft] def cappedHamPairs(sim: DataFrame, maxHam: Int): DataFrame = {
     val m = PairCapM
     // docs ranked within their fingerprint group, smallest ids first
     val wFp = Window.partitionBy("fp").orderBy("doc_id")

@@ -174,6 +174,43 @@ class OperatorSpec extends SparkTestBase {
       s"bloom prefilter must actually filter: $positives positives of $nNew new docs, $nDup true dups")
   }
 
+  test("cappedHamPairs reconstruction lemma holds on adversarial random fingerprint multisets") {
+    // The engine mines DISTINCT fingerprints and reconstructs per-doc
+    // neighbours from per-fingerprint id rankings; the lemma says its
+    // top-m equals the top-m over ALL pairs. Fixed-seed corpora drawn
+    // from a tiny fingerprint space force heavy exact-copy mass and
+    // near-ham collisions — the regimes the reconstruction must survive.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("fp", LongType)))
+    val rnd = new scala.util.Random(1234L)
+    for (round <- 0 until 3) {
+      val bases = Array.fill(4)(rnd.nextLong() & 0xFFFFFFFFL)
+      val rows = (0 until 40).map { d =>
+        val base = bases(rnd.nextInt(bases.length))
+        val flips = rnd.nextInt(4) // 0..3 bit flips off a base
+        val fp = (0 until flips).foldLeft(base)((v, _) => v ^ (1L << rnd.nextInt(32)))
+        Row(d.toLong, fp)
+      }
+      val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val fps = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = (for {
+        a <- fps.keys; b <- fps.keys if a != b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b)).toLong if h <= Dedup.SimhashMaxHam
+      } yield (a, b, h)).toSeq
+      val want = brute.groupBy(_._1).view.mapValues(
+        _.map(t => (t._3, t._2)).sorted.take(Dedup.PairCapM)
+          .zipWithIndex.map { case ((h, b), i) => (i + 1L, b, h) }.toSeq).toMap
+      val got = Dedup.cappedHamPairs(df, Dedup.SimhashMaxHam).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("nbr_id"), r.getAs[Long]("ham")))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+          .map(t => (t._2, t._3, t._4)).toSeq).toMap
+      assert(got == want, s"round $round: capped miner diverged from brute-force top-m")
+    }
+  }
+
   test("CDC chunks: spans partition every payload, and cut points survive a front-insert") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
