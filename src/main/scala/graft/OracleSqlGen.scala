@@ -461,12 +461,35 @@ object OracleSqlGen {
     * overflows at bit 63; summed low-bit-first so every partial sum
     * stays in BIGINT range), all-integer hamming rank, hits flagged
     * against the full-precision leg nested verbatim. */
+  /** Sign-bit packing of e.v into one BIGINT — bit values as Scala-
+    * emitted literals (DuckDB's `<<` overflows at bit 63), summed
+    * low-bit-first so every partial sum stays in BIGINT range. Shared
+    * by #217 and #218. */
+  private val bqPackExpr: String = (0 until 64).map(i =>
+    s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  /** #218 — BQ serve path: integer-hamming shortlist of 32 per query,
+    * exact cosine re-rank over the shortlist only. */
+  val embBqRerank: String =
+    s"""WITH $eCte,
+       |b AS (SELECT vec_id, CAST($bqPackExpr AS BIGINT) AS bq FROM e),
+       |qb AS (SELECT vec_id AS qid, bq AS qbq FROM b WHERE vec_id < 10),
+       |sl AS (SELECT qid, vec_id FROM (
+       |  SELECT qb.qid, b2.vec_id, row_number() OVER (PARTITION BY qb.qid
+       |    ORDER BY bit_count(xor(b2.bq, qb.qbq)), b2.vec_id) AS hrnk
+       |  FROM b b2, qb WHERE b2.vec_id >= 10)
+       |  WHERE hrnk <= ${graft.operators.Similarity.BqShortlist}),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+       |SELECT qid, rnk, vec_id FROM (
+       |  SELECT sl.qid, sl.vec_id, row_number() OVER (PARTITION BY sl.qid
+       |    ORDER BY ${cos("e2.v", "q.qv")} DESC, sl.vec_id) AS rnk
+       |  FROM sl JOIN e e2 ON e2.vec_id = sl.vec_id JOIN q ON q.qid = sl.qid)
+       |WHERE rnk <= 3""".stripMargin
+
   val embBqRecall: String = {
-    val bq = (0 until 64).map(i =>
-      s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     s"""WITH full_leg AS ($annBatchTopk),
        |$eCte,
-       |b AS (SELECT vec_id, CAST($bq AS BIGINT) AS bq FROM e),
+       |b AS (SELECT vec_id, CAST($bqPackExpr AS BIGINT) AS bq FROM e),
        |q AS (SELECT vec_id AS qid, bq AS qbq FROM b WHERE vec_id < 10),
        |scored AS (SELECT q.qid, b2.vec_id,
        |    CAST(bit_count(xor(b2.bq, q.qbq)) AS BIGINT) AS ham
@@ -1537,9 +1560,12 @@ object OracleSqlGen {
     * payload hex. */
   /** #216 — CDC chunk dedup: identical stride-1 window hash, mod-grid
     * cuts, sentinel bounds, lead spans and hex-substring chunk md5. */
-  val mmCdcChunks: String = {
+  /** The CDC span/chunk CTE chain (hx → bytes → cuts → bounds → spans
+    * → chunks) — ONE definition shared by #216 and #219 so a boundary
+    * or hash change can never reach one oracle and not the other. */
+  private val mmCdcSpanCtes: String = {
     val m = graft.operators.Multimodal.CdcMod
-    s"""WITH hx AS (SELECT doc_id, hex(text) AS hx,
+    s"""hx AS (SELECT doc_id, hex(text) AS hx,
        |    CAST(strlen(text) AS BIGINT) AS nb
        |  FROM documents WHERE strlen(text) >= 8),
        |by AS (SELECT doc_id, nb,
@@ -1558,12 +1584,32 @@ object OracleSqlGen {
        |chunks AS (SELECT s.doc_id, s.q - s.p AS len,
        |    md5(substr(h.hx, CAST(2 * s.p - 1 AS INTEGER),
        |      CAST(2 * (s.q - s.p) AS INTEGER))) AS chunk_md5
-       |  FROM spans s JOIN hx h USING (doc_id) WHERE s.q IS NOT NULL)
+       |  FROM spans s JOIN hx h USING (doc_id) WHERE s.q IS NOT NULL)""".stripMargin
+  }
+
+  val mmCdcChunks: String =
+    s"""WITH $mmCdcSpanCtes
        |SELECT chunk_md5, count(*) AS n_copies,
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_blobs,
        |  min(len) AS chunk_bytes, min(doc_id) AS keep_doc_id
        |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin
-  }
+
+  /** #219 — incremental CDC: the new batch's chunks probed against the
+    * DISTINCT chunk hashes of the old side, per-blob dedupable-byte
+    * report. */
+  val mmCdcIncremental: String =
+    s"""WITH $mmCdcSpanCtes,
+       |old AS (SELECT DISTINCT chunk_md5 FROM chunks
+       |  WHERE doc_id % ${Dedup.IncrMod} <> ${Dedup.IncrRem}),
+       |nw AS (SELECT * FROM chunks
+       |  WHERE doc_id % ${Dedup.IncrMod} = ${Dedup.IncrRem})
+       |SELECT nw.doc_id AS new_doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN o.chunk_md5 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN o.chunk_md5 IS NULL THEN 0 ELSE nw.len END) AS BIGINT)
+       |    AS dup_bytes
+       |FROM nw LEFT JOIN old o ON o.chunk_md5 = nw.chunk_md5
+       |GROUP BY 1""".stripMargin
 
   /** Window-SimHash fingerprinting (win/th/bits/ph) + byte-pigeonhole
     * banding and candidates over `documents` — ONE definition shared by

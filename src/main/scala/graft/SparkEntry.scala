@@ -229,6 +229,8 @@ object SparkEntry {
     "stream_anomaly" -> (graft.streaming.StreamOps.anomalyBatch _),
     "mm_cdc_chunks" -> (Multimodal.cdcChunks _),
     "emb_bq_recall" -> (Similarity.bqRecall _),
+    "emb_bq_rerank" -> (Similarity.bqRerank _),
+    "mm_cdc_incremental" -> (Multimodal.cdcIncremental _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1279,6 +1281,8 @@ object SparkEntry {
     "stream_anomaly" -> OracleSqlGen.streamAnomaly,
     "mm_cdc_chunks" -> OracleSqlGen.mmCdcChunks,
     "emb_bq_recall" -> OracleSqlGen.embBqRecall,
+    "emb_bq_rerank" -> OracleSqlGen.embBqRerank,
+    "mm_cdc_incremental" -> OracleSqlGen.mmCdcIncremental,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

@@ -233,6 +233,34 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("nb"))
       .filter(col("nb") >= 8))
 
+  /** #219 — INCREMENTAL CDC: only the arriving batch (the
+    * dedup_incremental doc_id slice) is chunked; its chunk hashes probe
+    * the STAGED span store's old side, and each new blob reports how
+    * many of its chunks — and how many of its bytes — the store
+    * already holds. This is the write-path question a dedup store
+    * answers per ingested blob ("store 2 MB or 80 KB?"); re-chunking
+    * the historical corpus (O(corpus bytes)) would dwarf the batch,
+    * which is exactly why the span table is the staged artifact. The
+    * old side sheds to DISTINCT chunk hashes before the probe join and
+    * the bloom-style small side broadcasts. */
+  def cdcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.IncrMod === Dedup.IncrRem
+    val newSpans = cdcSpansOf(withPayload(s, dir).filter(isNew)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .filter(col("nb") >= 8))
+    val oldHashes = s.read.parquet(CdcIndex.ensure(s, dir))
+      .filter(!isNew).select("chunk_md5").distinct()
+      .withColumn("stored", lit(1L))
+    newSpans.join(oldHashes, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id").as("new_doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("stored"), lit(0L))).as("n_dup_chunks"),
+        sum(col("len") * coalesce(col("stored"), lit(0L))).as("dup_bytes"))
+      .select(col("new_doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("dup_bytes"))
+  }
+
   /** The CDC span core over a (doc_id, hx, nb) frame — exposed so the
     * spec can chunk synthetic shifted payloads and assert the
     * cut-point stability that justifies CDC over fixed chunking.

@@ -355,11 +355,15 @@ object Similarity {
     * xor) — no float crosses an engine boundary in the BQ leg; ties
     * break (ham asc, vec_id). Packing is map-side; the rank is the
     * same per-qid window as the exact leg. */
-  def bqRecall(s: SparkSession, dir: String): DataFrame = {
-    val sign = (0 until 64).map(i =>
+  /** Sign-bit packing of the 64-dim embedding into one long — shared
+    * by #217's eval and #218's serving path. */
+  private def signPack: Column =
+    (0 until 64).map(i =>
       when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i))
         .otherwise(0L)).reduce(_ + _)
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), sign.as("bq"))
+
+  def bqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), signPack.as("bq"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("bq").as("qbq"))
     val w = Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))
@@ -374,6 +378,43 @@ object Similarity {
     bqTop.join(full, Seq("qid", "vec_id"), "left")
       .select(col("qid"), col("rnk"), col("vec_id"), col("ham"),
         coalesce(col("hit"), lit(0L)).as("hit"))
+  }
+
+  /** Coarse shortlist size for #218 (hamming survivors per query). */
+  val BqShortlist = 32
+
+  /** #218 — BQ COARSE + EXACT RE-RANK: the production serving shape
+    * binary quantization exists for — stage 1 ranks the corpus by
+    * hamming over sign-packed longs (8 bytes and a popcount per
+    * candidate — pure integer codegen) and keeps [[BqShortlist]]
+    * survivors per query; stage 2 fetches ONLY the shortlist's float
+    * vectors and re-ranks by exact cosine. Per query, full-precision
+    * work drops from corpus-size to 32 rows regardless of corpus size
+    * — #217 measures whether the coarse pass is safe, this is the
+    * query that runs once it is. Ties: (ham asc, vec_id) then
+    * (cos desc, vec_id) — both total. */
+  def bqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val b = emb.select(col("vec_id"), signPack.as("bq"))
+    val qb = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("bq").as("qbq"))
+    val wH = Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))
+    val shortlist = b.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(qb))
+      .withColumn("ham", bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"))
+      .withColumn("hrnk", row_number().over(wH))
+      .filter(col("hrnk") <= BqShortlist)
+      .select("qid", "vec_id")
+    // exact re-rank: floats fetched for the 32-row-per-query shortlist only
+    val v = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val qv = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wC = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(v, "vec_id").join(broadcast(qv), "qid")
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(wC).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"))
   }
 
   /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a

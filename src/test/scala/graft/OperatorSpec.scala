@@ -211,6 +211,56 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("BQ rerank: hamming-32 shortlist then exact cosine equals the driver two-stage recompute") {
+    val raw = graft.core.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    val bq = raw.view.mapValues(v => (0 until 64).foldLeft(0L)((acc, i) =>
+      if (v(i) > 0f) acc | (1L << i) else acc)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = raw.keys.filter(_ >= 10).toSeq
+    val got = Similarity.bqRerank(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got.keySet == (0L until 10L).toSet)
+    for (q <- 0L until 10L) {
+      val short = corpus
+        .map(v => (v, java.lang.Long.bitCount(bq(v) ^ bq(q)).toLong))
+        .sortBy { case (v, h) => (h, v) }.take(Similarity.BqShortlist).map(_._1)
+      val want = short.map(v => (v, cos(raw(v), raw(q))))
+        .sortBy { case (v, c) => (-c, v) }.take(3).map(_._1)
+      assert(got(q) == want, s"query $q: rerank ${got(q)} != two-stage recompute $want")
+    }
+  }
+
+  test("incremental CDC: per-blob dedupable-byte report equals the span-store recompute") {
+    val hxAll = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
+        octet_length(col("text").cast("binary")).cast("long").as("nb"))
+      .filter(col("nb") >= 8)
+    val spans = Multimodal.cdcSpansOf(hxAll).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"), r.getAs[String]("chunk_md5")))
+    val isNew = (d: Long) => d % Dedup.IncrMod == Dedup.IncrRem
+    val oldHashes = spans.filter(t => !isNew(t._1)).map(_._3).toSet
+    val want = spans.filter(t => isNew(t._1)).groupBy(_._1).view.mapValues { cs =>
+      (cs.length.toLong, cs.count(c => oldHashes(c._3)).toLong,
+        cs.filter(c => oldHashes(c._3)).map(_._2).sum)
+    }.toMap
+    val got = Multimodal.cdcIncremental(spark, Sf).collect()
+      .map(r => r.getAs[Long]("new_doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"), r.getAs[Long]("dup_bytes"))))
+      .toMap
+    assert(got == want, "incremental CDC report must equal the driver span recompute")
+    assert(got.values.exists(_._2 > 0), "fixture must contain cross-slice duplicate chunks")
+  }
+
   test("CDC chunks: spans partition every payload, and cut points survive a front-insert") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
