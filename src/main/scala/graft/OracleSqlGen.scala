@@ -746,6 +746,12 @@ object OracleSqlGen {
   /** #195 — filtered ANN: the shared IVF probe SQL with the metadata
     * predicate ANDed into the candidate set (the engine stores the
     * label in the inverted lists; the oracle joins it back from e). */
+  /** #220 — tombstone-aware probe: the shared IVF probe SQL with the
+    * deletion slice anti-filtered before the rank. */
+  val annIvfDelete: String = ivfTopkSql(
+    s"\n|    AND a.vec_id % ${graft.operators.Similarity.TombMod} <> ${graft.operators.Similarity.TombRem}"
+      .stripMargin)
+
   val annFilteredTopk: String = ivfTopkSql(
     s"\n|    AND el.label IN (${graft.operators.Similarity.FilteredAnnLabels.mkString(", ")})"
       .stripMargin)

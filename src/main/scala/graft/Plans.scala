@@ -127,7 +127,8 @@ object Plans {
       "mm_cdc_chunks" -> "CDC storage dedup: the stride-1 rolling-hash pass is STAGED ingest work (CdcIndex spans/); the registered query is one hash-group shuffle over the 40-byte span rows - payload bytes never touch the query path at all.",
       "emb_bq_recall" -> "Binary-quantization eval: vectors pack map-side into one long (sign bits); candidate scoring is bit_count(xor) - pure integer codegen, 8 bytes per vector moving through the rank instead of 256.",
       "emb_bq_rerank" -> "BQ serve path: the integer-hamming coarse rank sees 8 bytes per candidate; float vectors are fetched only for the 32-row-per-query shortlist join - full-precision work is corpus-size-independent.",
-      "mm_cdc_incremental" -> "Incremental CDC: only the arriving batch is chunked (one bounded rolling-hash pass); the corpus side is the staged span store shed to distinct hashes before the probe join - historical bytes are never re-chunked.")
+      "mm_cdc_incremental" -> "Incremental CDC: only the arriving batch is chunked (one bounded rolling-hash pass); the corpus side is the staged span store shed to distinct hashes before the probe join - historical bytes are never re-chunked.",
+      "ann_ivf_delete" -> "Deletion-aware probe: the tombstone filter composes with the cell prune on the staged scan (pushed, source-translatable) and the rank still fills k - deletes serve correctly between reindexes with zero index mutation.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

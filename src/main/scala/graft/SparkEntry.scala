@@ -231,6 +231,7 @@ object SparkEntry {
     "emb_bq_recall" -> (Similarity.bqRecall _),
     "emb_bq_rerank" -> (Similarity.bqRerank _),
     "mm_cdc_incremental" -> (Multimodal.cdcIncremental _),
+    "ann_ivf_delete" -> (Similarity.annIvfDelete _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1283,6 +1284,7 @@ object SparkEntry {
     "emb_bq_recall" -> OracleSqlGen.embBqRecall,
     "emb_bq_rerank" -> OracleSqlGen.embBqRerank,
     "mm_cdc_incremental" -> OracleSqlGen.mmCdcIncremental,
+    "ann_ivf_delete" -> OracleSqlGen.annIvfDelete,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

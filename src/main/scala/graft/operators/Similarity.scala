@@ -499,6 +499,31 @@ object Similarity {
     rankedTopK(indexed.unionAll(fresh), 10)
   }
 
+  /** Deterministic tombstone slice for #220 (vec_id ≡ 5 mod 20 —
+    * "vectors deleted since the last reindex"). */
+  val TombMod = 20
+  val TombRem = 5
+
+  /** #220 — TOMBSTONE-AWARE IVF probe: vectors deleted since the last
+    * reindex still sit in the staged inverted lists, so the probe
+    * anti-filters the tombstone set BEFORE the rank and still returns
+    * a full top-10 — completing the index-maintenance triad (#36
+    * steady state, #203 additions via the fresh-tail merge, #220
+    * deletions). The tombstone set is a broadcast anti-join side in
+    * production (bounded by deletes-since-reindex, compacted away at
+    * the next rebuild); here the slice is arithmetic so it reaches the
+    * staged scan as a pushed filter composed with the cell prune. */
+  def annIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    val (q, probeCells) = ivfProbe(s, dir, centPath, nprobe = 2)
+    rankedTopK(s.read.parquet(assignedPath)
+      .join(broadcast(probeCells), "assigned_label")
+      .filter(col("vec_id") =!= 0)
+      .filter(pmod(col("vec_id"), lit(TombMod.toLong)) =!= TombRem.toLong)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv"))), 10)
+  }
+
   /** Seed-centroid count for the Lloyd-iteration operator. */
   val KmK = 8
 

@@ -211,6 +211,24 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("tombstone-aware IVF probe: deleted ids never emit, survivors keep their order") {
+    val del = Similarity.annIvfDelete(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rnk")))
+    assert(del.length == 10 && del.map(_._2).sorted.sameElements(1 to 10),
+      "deletion must not shrink the answer below k — dense ranks 1..10")
+    assert(del.forall(_._1 % Similarity.TombMod != Similarity.TombRem),
+      "a tombstoned vector leaked into the probe result")
+    // deletion only removes: the steady-state probe's surviving results
+    // appear in the same relative order
+    val base = Similarity.annIvfTopk(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rnk")))
+      .filter(_._1 % Similarity.TombMod != Similarity.TombRem)
+      .sortBy(_._2).map(_._1)
+    val delOrdered = del.sortBy(_._2).map(_._1)
+    assert(delOrdered.take(base.length).sameElements(base),
+      "survivors must keep their steady-state relative order as a prefix")
+  }
+
   test("BQ rerank: hamming-32 shortlist then exact cosine equals the driver two-stage recompute") {
     val raw = graft.core.Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding")).collect()
