@@ -640,6 +640,25 @@ class PlanSpec extends SparkTestBase {
       "no corpus-sized shuffle join may remain behind the bloom gate")
   }
 
+  test("ann_ivf_delete pushes the tombstone filter into the staged cell-pruned scan") {
+    val p = plan("ann_ivf_delete")
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters"),
+      "the probe must keep the cell prune")
+    assert(!p.contains("SortMergeJoin"), "the probe joins stay broadcast")
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("vec_id")).mkString
+    assert(scanLines.nonEmpty, "vec_id filters must reach the staged scan")
+  }
+
+  test("emb_bq_rerank fetches float vectors only behind the shortlist join") {
+    val p = plan("emb_bq_rerank")
+    // stage 1 ranks sign-packed longs; the float-vector join must hang
+    // off the 32-row-per-query shortlist, not a corpus crossJoin
+    assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).size <= 2,
+      "only the two 10-row query broadcasts may cross-join")
+    assert(p.contains("bit_count"), "coarse scoring must be the integer popcount")
+  }
+
   test("ts_quantile_daily ranks and brackets on ONE (key, day) exchange") {
     val p = plan("ts_quantile_daily")
     val scans = p.linesIterator.count(l =>
