@@ -128,7 +128,8 @@ object Plans {
       "emb_bq_recall" -> "Binary-quantization eval: vectors pack map-side into one long (sign bits); candidate scoring is bit_count(xor) - pure integer codegen, 8 bytes per vector moving through the rank instead of 256.",
       "emb_bq_rerank" -> "BQ serve path: the integer-hamming coarse rank sees 8 bytes per candidate; float vectors are fetched only for the 32-row-per-query shortlist join - full-precision work is corpus-size-independent.",
       "mm_cdc_incremental" -> "Incremental CDC: only the arriving batch is chunked (one bounded rolling-hash pass); the corpus side is the staged span store shed to distinct hashes before the probe join - historical bytes are never re-chunked.",
-      "ann_ivf_delete" -> "Deletion-aware probe: the tombstone filter composes with the cell prune on the staged scan (pushed, source-translatable) and the rank still fills k - deletes serve correctly between reindexes with zero index mutation.")
+      "ann_ivf_delete" -> "Deletion-aware probe: the tombstone filter composes with the cell prune on the staged scan (pushed, source-translatable) and the rank still fills k - deletes serve correctly between reindexes with zero index mutation.",
+      "stream_cdc_incremental" -> "Continuous CDC: the in-array chunker is pure scalar expressions over one row's hex (streaming-safe - no window, no state); the probe is a stream-static join against the staged span store's distinct hashes.")
     val sb = new StringBuilder
     sb.append("# PLANS — annotated physical plans (sf0.01, local[8])\n\n")
     sb.append("Generated by `graft.Plans`. What to look for in each: pushed filters,\npruned ReadSchema, exchange count, broadcast vs shuffle joins, codegen spans.\n")

@@ -232,6 +232,7 @@ object SparkEntry {
     "emb_bq_rerank" -> (Similarity.bqRerank _),
     "mm_cdc_incremental" -> (Multimodal.cdcIncremental _),
     "ann_ivf_delete" -> (Similarity.annIvfDelete _),
+    "stream_cdc_incremental" -> (Multimodal.cdcIncrementalStreamTwin _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
@@ -1285,6 +1286,8 @@ object SparkEntry {
     "emb_bq_rerank" -> OracleSqlGen.embBqRerank,
     "mm_cdc_incremental" -> OracleSqlGen.mmCdcIncremental,
     "ann_ivf_delete" -> OracleSqlGen.annIvfDelete,
+    // #221 shares #219's oracle: same output contract by construction
+    "stream_cdc_incremental" -> OracleSqlGen.mmCdcIncremental,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -249,16 +249,76 @@ object Multimodal {
       .select(col("doc_id"), hex(col("payload")).as("hx"),
         octet_length(col("payload")).cast("long").as("nb"))
       .filter(col("nb") >= 8))
-    val oldHashes = s.read.parquet(CdcIndex.ensure(s, dir))
-      .filter(!isNew).select("chunk_md5").distinct()
-      .withColumn("stored", lit(1L))
-    newSpans.join(oldHashes, Seq("chunk_md5"), "left")
+    newSpans.join(cdcOldHashes(s, dir), Seq("chunk_md5"), "left")
       .groupBy(col("doc_id").as("new_doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(coalesce(col("stored"), lit(0L))).as("n_dup_chunks"),
         sum(col("len") * coalesce(col("stored"), lit(0L))).as("dup_bytes"))
       .select(col("new_doc_id"), col("n_chunks"), col("n_dup_chunks"),
         col("dup_bytes"))
+  }
+
+  /** ROW-WISE CDC chunker: the same cuts/bounds/chunks pipeline as
+    * [[cdcSpansOf]] expressed entirely in-array over one row's hex —
+    * no window, no shuffle, STREAMING-SAFE (what lets #221 chunk
+    * arriving blobs inside a micro-batch). Returns an array of
+    * (len, chunk_md5) structs; equality with the window-based span
+    * core is spec-pinned on the full corpus. */
+  private[graft] def cdcChunkArray(hx: Column, nb: Column): Column = {
+    def byteAt(i: Column): Column =
+      conv(hx.substr((i * 2 - 1).cast("int"), lit(2)), 16, 10).cast("long")
+    val roll = (p: Column) => aggregate(
+      transform(sequence(p, p + 7), i => byteAt(i)), lit(0L),
+      (acc, x) => (acc * graft.operators.TextOps.RollB + x) %
+        graft.operators.TextOps.RollP)
+    val cuts = when(nb >= 9,
+      filter(sequence(lit(2L), nb - 7), p => roll(p) % CdcMod === 0))
+      .otherwise(array().cast("array<bigint>"))
+    val bounds = concat(array(lit(1L)), cuts, array(nb + 1))
+    transform(sequence(lit(1), size(bounds) - 1), i => {
+      val lo = element_at(bounds, i)
+      val hi = element_at(bounds, i + 1)
+      struct((hi - lo).as("len"),
+        md5(hx.substr((lo * 2 - 1).cast("int"), ((hi - lo) * 2).cast("int")))
+          .as("chunk_md5"))
+    })
+  }
+
+  /** Shared logic for #221: a frame of arriving blobs chunked ROW-WISE
+    * and probed against the staged span store's old-side distinct
+    * hashes — per-blob dedupable-bytes report, the streaming-safe twin
+    * of [[cdcIncremental]] (same output contract, same oracle). */
+  def cdcIncrementalOf(arrivals: DataFrame, oldHashes: DataFrame): DataFrame =
+    arrivals
+      .select(col("doc_id"),
+        explode(cdcChunkArray(hex(col("payload")),
+          octet_length(col("payload")).cast("long"))).as("c"))
+      .select(col("doc_id"), col("c.len").as("len"),
+        col("c.chunk_md5").as("chunk_md5"))
+      .join(oldHashes, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id").as("new_doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("stored"), lit(0L))).as("n_dup_chunks"),
+        sum(col("len") * coalesce(col("stored"), lit(0L))).as("dup_bytes"))
+
+  /** The staged old-side distinct chunk hashes (the probe target of
+    * #219/#221). */
+  private[graft] def cdcOldHashes(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(CdcIndex.ensure(s, dir))
+      .filter(!(col("doc_id") % Dedup.IncrMod === Dedup.IncrRem))
+      .select("chunk_md5").distinct()
+      .withColumn("stored", lit(1L))
+
+  /** #221 batch twin (oracled with #219's SQL — semantics identical BY
+    * CONSTRUCTION; the spec additionally pins row-wise == window-based
+    * chunking on the whole corpus). */
+  def cdcIncrementalStreamTwin(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.IncrMod === Dedup.IncrRem
+    cdcIncrementalOf(
+      withPayload(s, dir).filter(isNew)
+        .filter(octet_length(col("payload")) >= 8)
+        .select(col("doc_id"), col("payload")),
+      cdcOldHashes(s, dir))
   }
 
   /** The CDC span core over a (doc_id, hx, nb) frame — exposed so the

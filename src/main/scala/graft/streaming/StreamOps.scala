@@ -267,6 +267,22 @@ object StreamOps {
       s.readStream.schema(schema).format("parquet").load(eventsDir),
       anomalyBaseline(Tables.events(s, sfDir)))
 
+  /** #221 streaming version — CONTINUOUS incremental CDC: arriving
+    * blobs are chunked ROW-WISE inside the micro-batch (the in-array
+    * chunker — no window, no state) and probed stream-static against
+    * the staged span store's old-side hashes; the per-blob dedupable-
+    * bytes report is the write-path answer computed as media arrives
+    * rather than nightly. */
+  def cdcIncrementalStreaming(s: SparkSession, docsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sfDir: String): DataFrame =
+    graft.operators.Multimodal.cdcIncrementalOf(
+      s.readStream.schema(schema).format("parquet").load(docsDir)
+        .withColumn("payload", col("text").cast("binary"))
+        .filter(octet_length(col("payload")) >= 8)
+        .select(col("doc_id"), col("payload")),
+      graft.operators.Multimodal.cdcOldHashes(s, sfDir))
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

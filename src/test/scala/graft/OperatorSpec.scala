@@ -279,6 +279,30 @@ class OperatorSpec extends SparkTestBase {
     assert(got.values.exists(_._2 > 0), "fixture must contain cross-slice duplicate chunks")
   }
 
+  test("row-wise CDC chunker equals the window-based span core on every corpus doc, in order") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
+        octet_length(col("text").cast("binary")).cast("long").as("nb"))
+      .filter(col("nb") >= 8)
+    val winBased = Multimodal.cdcSpansOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("p"),
+        r.getAs[Long]("len"), r.getAs[String]("chunk_md5")))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val rowWise = docs
+      .select(col("doc_id"),
+        posexplode(Multimodal.cdcChunkArray(col("hx"), col("nb"))))
+      .select(col("doc_id"), col("pos"), col("col.len").as("len"),
+        col("col.chunk_md5").as("chunk_md5"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+        r.getAs[Long]("len"), r.getAs[String]("chunk_md5")))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    assert(rowWise == winBased,
+      "the streaming-safe in-array chunker must produce the identical ordered chunk list")
+  }
+
   test("CDC chunks: spans partition every payload, and cut points survive a front-insert") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}

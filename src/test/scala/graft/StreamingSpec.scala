@@ -93,6 +93,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.forall(_._3 >= StreamOps.AnomalyCutoverUs))
   }
 
+  test("streaming incremental CDC: row-wise in-batch chunking equals the batch twin and #219") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val staged = tmpDir("stream-cdc-docs")
+    // stage ONLY the arriving slice — what the stream would see
+    Tables.documents(spark, Sf)
+      .filter(col("doc_id") % graft.operators.Dedup.IncrMod ===
+        graft.operators.Dedup.IncrRem)
+      .write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.cdcIncrementalStreaming(spark, staged, schema, Sf)
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val streamed = asMap(spark.table("cdc_out").collect())
+    val twin = asMap(Multimodal.cdcIncrementalStreamTwin(spark, Sf).collect())
+    val daily = asMap(Multimodal.cdcIncremental(spark, Sf).collect())
+    assert(streamed == twin, "streamed report must equal the batch twin")
+    assert(streamed == daily,
+      "row-wise in-array chunking must agree with the window-based daily batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming tumbling counts equal the batch twin") {
     // Stage a directory holding only event-schema parquet (µs timestamps).
     val staged = tmpDir("stream-events")
