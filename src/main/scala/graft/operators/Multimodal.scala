@@ -264,24 +264,38 @@ object Multimodal {
     * arriving blobs inside a micro-batch). Returns an array of
     * (len, chunk_md5) structs; equality with the window-based span
     * core is spec-pinned on the full corpus. */
+  /** Let-binding for scalar expressions: evaluate `v` ONCE and expose
+    * it to `body` as a lambda VARIABLE. Higher-order functions get no
+    * common-subexpression elimination and CollapseProject freely
+    * inlines a once-referenced column into a lambda that iterates —
+    * which turned the chunker O(bytes²) per row (benched 200× slower).
+    * Binding through a 1-element-array transform is optimizer-proof:
+    * the array constructor evaluates `v` exactly once per row. */
+  private def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   private[graft] def cdcChunkArray(hx: Column, nb: Column): Column = {
-    def byteAt(i: Column): Column =
-      conv(hx.substr((i * 2 - 1).cast("int"), lit(2)), 16, 10).cast("long")
-    val roll = (p: Column) => aggregate(
-      transform(sequence(p, p + 7), i => byteAt(i)), lit(0L),
-      (acc, x) => (acc * graft.operators.TextOps.RollB + x) %
-        graft.operators.TextOps.RollP)
-    val cuts = when(nb >= 9,
-      filter(sequence(lit(2L), nb - 7), p => roll(p) % CdcMod === 0))
-      .otherwise(array().cast("array<bigint>"))
-    val bounds = concat(array(lit(1L)), cuts, array(nb + 1))
-    transform(sequence(lit(1), size(bounds) - 1), i => {
-      val lo = element_at(bounds, i)
-      val hi = element_at(bounds, i + 1)
-      struct((hi - lo).as("len"),
-        md5(hx.substr((lo * 2 - 1).cast("int"), ((hi - lo) * 2).cast("int")))
-          .as("chunk_md5"))
-    })
+    val bytesExpr = transform(sequence(lit(1L), nb),
+      i => conv(hx.substr((i * 2 - 1).cast("int"), lit(2)), 16, 10).cast("long"))
+    val boundsExpr = bind(bytesExpr) { bytes =>
+      val roll = (p: Column) => aggregate(
+        slice(bytes, p.cast("int"), lit(8)), lit(0L),
+        (acc, x) => (acc * graft.operators.TextOps.RollB + x) %
+          graft.operators.TextOps.RollP)
+      val cuts = when(nb >= 9,
+        filter(sequence(lit(2L), nb - 7), p => roll(p) % CdcMod === 0))
+        .otherwise(array().cast("array<bigint>"))
+      concat(array(lit(1L)), cuts, array(nb + 1))
+    }
+    bind(boundsExpr) { bounds =>
+      transform(sequence(lit(1), size(bounds) - 1), i => {
+        val lo = element_at(bounds, i)
+        val hi = element_at(bounds, i + 1)
+        struct((hi - lo).as("len"),
+          md5(hx.substr((lo * 2 - 1).cast("int"), ((hi - lo) * 2).cast("int")))
+            .as("chunk_md5"))
+      })
+    }
   }
 
   /** Shared logic for #221: a frame of arriving blobs chunked ROW-WISE
@@ -290,9 +304,10 @@ object Multimodal {
     * of [[cdcIncremental]] (same output contract, same oracle). */
   def cdcIncrementalOf(arrivals: DataFrame, oldHashes: DataFrame): DataFrame =
     arrivals
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).cast("long").as("nb"))
       .select(col("doc_id"),
-        explode(cdcChunkArray(hex(col("payload")),
-          octet_length(col("payload")).cast("long"))).as("c"))
+        explode(cdcChunkArray(col("hx"), col("nb"))).as("c"))
       .select(col("doc_id"), col("c.len").as("len"),
         col("c.chunk_md5").as("chunk_md5"))
       .join(oldHashes, Seq("chunk_md5"), "left")
