@@ -125,8 +125,8 @@ object Plans {
       "emb_matryoshka_recall" -> "Truncation eval: the 16-dim prefix is a map-side slice feeding the same broadcast-query/per-qid-rank shape as the exact batch leg; the hit join touches two 30-row frames.",
       "stream_anomaly" -> "Stream-static anomaly flags: the per-key baseline is a static frame (one row per key, AQE-broadcast while small); arrivals probe it in a stateless equi-join + filter - no state store, no watermark bookkeeping, per-event cost is one hash probe.",
       "mm_cdc_chunks" -> "CDC storage dedup: the stride-1 rolling-hash pass is STAGED ingest work (CdcIndex spans/); the registered query is one hash-group shuffle over the 40-byte span rows - payload bytes never touch the query path at all.",
-      "emb_bq_recall" -> "Binary-quantization eval: vectors pack map-side into one long (sign bits); candidate scoring is bit_count(xor) - pure integer codegen, 8 bytes per vector moving through the rank instead of 256.",
-      "emb_bq_rerank" -> "BQ serve path: the integer-hamming coarse rank sees 8 bytes per candidate; float vectors are fetched only for the 32-row-per-query shortlist join - full-precision work is corpus-size-independent.",
+      "emb_bq_recall" -> "Binary-quantization eval: the BQ leg reads the STAGED BqIndex longs (8 bytes/vector, packed once per corpus) and takes its top-3 via the bounded-heap graft_topk_min aggregate - map-side partials keep <=3 longs per (task, qid), no corpus-wide rank window; only the brute-force ground-truth leg windows, by contract.",
+      "emb_bq_rerank" -> "BQ serve path: staged BqIndex fingerprints score by bit_count(xor); the 32-survivor shortlist is the bounded-heap graft_topk_min aggregate (hamming<<40|vec_id packs the tie order into one long), so no corpus x nqueries shuffle exists; floats are fetched only behind the shortlist join and the lone window ranks <=32 rows per qid.",
       "mm_cdc_incremental" -> "Incremental CDC: only the arriving batch is chunked (one bounded rolling-hash pass); the corpus side is the staged span store shed to distinct hashes before the probe join - historical bytes are never re-chunked.",
       "ann_ivf_delete" -> "Deletion-aware probe: the tombstone filter composes with the cell prune on the staged scan (pushed, source-translatable) and the rank still fills k - deletes serve correctly between reindexes with zero index mutation.",
       "stream_cdc_incremental" -> "Continuous CDC: the in-array chunker is pure scalar expressions over one row's hex (streaming-safe - no window, no state); the probe is a stream-static join against the staged span store's distinct hashes.")

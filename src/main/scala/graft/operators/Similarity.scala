@@ -353,26 +353,46 @@ object Similarity {
     * distortion: what a vector store measures before switching its
     * coarse pass to binary codes. All-integer scoring (bit_count of
     * xor) — no float crosses an engine boundary in the BQ leg; ties
-    * break (ham asc, vec_id). Packing is map-side; the rank is the
-    * same per-qid window as the exact leg. */
+    * break (ham asc, vec_id). Fingerprints come pre-packed from the
+    * staged [[BqIndex]]; the BQ leg's top-3 is a bounded-heap
+    * aggregate, not a rank window (the exact leg keeps its per-qid
+    * window by contract — brute force IS the ground truth here). */
   /** Sign-bit packing of the 64-dim embedding into one long — shared
-    * by #217's eval and #218's serving path. */
-  private def signPack: Column =
+    * by #217's eval and #218's serving path. Evaluated once at
+    * [[BqIndex]] build time; queries read the staged 8-byte
+    * fingerprints instead of re-packing floats per run. */
+  private[operators] def signPack: Column =
     (0 until 64).map(i =>
       when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i))
         .otherwise(0L)).reduce(_ + _)
 
-  def bqRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), signPack.as("bq"))
-    val q = e.filter(col("vec_id") < 10)
+  /** Per-query BQ coarse shortlist off the STAGED fingerprints: the
+    * corpus's packed longs stream through a bounded-heap top-k
+    * aggregate on `ham << 40 | vec_id` (hamming is ≤ 64 and ids are
+    * < 2^40, so one primitive long comparison IS the (ham asc,
+    * vec_id asc) tie order) — partial aggregation keeps ≤ k longs per
+    * (task, qid) map-side, so no corpus-wide rank window and no
+    * corpus×nqueries shuffle exist anywhere in the coarse pass. */
+  private def bqShortlistTop(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val b = s.read.parquet(BqIndex.ensure(s, dir))
+    val q = b.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("bq").as("qbq"))
-    val w = Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))
-    val bqTop = e.filter(col("vec_id") >= 10)
+    b.filter(col("vec_id") >= 10)
       .crossJoin(broadcast(q))
-      .withColumn("ham", bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("ham"))
+      .withColumn("packed",
+        shiftleft(bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"), 40)
+          + col("vec_id"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topkMinLongs(col("packed"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "packed")))
+      .select(col("qid"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("packed").bitwiseAND(lit((1L << 40) - 1)).as("vec_id"),
+        shiftrightunsigned(col("packed"), 40).as("ham"))
+  }
+
+  def bqRecall(s: SparkSession, dir: String): DataFrame = {
+    val bqTop = bqShortlistTop(s, dir, 3)
     val full = annBatchTopk(s, dir)
       .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
     bqTop.join(full, Seq("qid", "vec_id"), "left")
@@ -384,28 +404,23 @@ object Similarity {
   val BqShortlist = 32
 
   /** #218 — BQ COARSE + EXACT RE-RANK: the production serving shape
-    * binary quantization exists for — stage 1 ranks the corpus by
-    * hamming over sign-packed longs (8 bytes and a popcount per
+    * binary quantization exists for — stage 1 scores the STAGED
+    * [[BqIndex]] fingerprints by hamming (8 bytes and a popcount per
     * candidate — pure integer codegen) and keeps [[BqShortlist]]
-    * survivors per query; stage 2 fetches ONLY the shortlist's float
-    * vectors and re-ranks by exact cosine. Per query, full-precision
+    * survivors per query via the bounded-heap top-k aggregate (no
+    * corpus-wide rank window, no corpus×nqueries shuffle); stage 2
+    * fetches ONLY the shortlist's float vectors and re-ranks by exact
+    * cosine. Per query, full-precision
     * work drops from corpus-size to 32 rows regardless of corpus size
     * — #217 measures whether the coarse pass is safe, this is the
     * query that runs once it is. Ties: (ham asc, vec_id) then
     * (cos desc, vec_id) — both total. */
   def bqRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val b = emb.select(col("vec_id"), signPack.as("bq"))
-    val qb = b.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("bq").as("qbq"))
-    val wH = Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))
-    val shortlist = b.filter(col("vec_id") >= 10)
-      .crossJoin(broadcast(qb))
-      .withColumn("ham", bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"))
-      .withColumn("hrnk", row_number().over(wH))
-      .filter(col("hrnk") <= BqShortlist)
-      .select("qid", "vec_id")
-    // exact re-rank: floats fetched for the 32-row-per-query shortlist only
+    val shortlist = bqShortlistTop(s, dir, BqShortlist).select("qid", "vec_id")
+    // exact re-rank: floats fetched for the 32-row-per-query shortlist
+    // only; the rank window below sees ≤ BqShortlist rows per qid, so
+    // it is shortlist-bounded, never corpus-bounded
     val v = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val qv = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))

@@ -2872,4 +2872,29 @@ class OperatorSpec extends SparkTestBase {
     // interpolated quantiles of one sorted run are monotone in p
     assert(got.values.forall { case (_, p50, p95) => p50 <= p95 })
   }
+
+  test("bounded-heap top-k aggregate: exact sort-take-k across partial merges") {
+    import spark.implicits._
+    // deterministic pseudo-random values with heavy key collisions so
+    // partial aggregation merges non-trivial heaps across partitions
+    val rows = (0 until 5000).map { i =>
+      val g = i % 7
+      val v = ((i * 2654435761L) ^ (i >> 3)) & 0xFFFFFFFFL
+      (g, v)
+    }
+    val df = spark.createDataset(rows).toDF("g", "v").repartition(8)
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKAgg.topkMinLongs(col("v"), 5).as("top"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    val expected = rows.groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).sorted.take(5).toList }
+    assert(got == expected)
+    // groups smaller than k return what exists, ascending
+    val tiny = spark.createDataset(Seq((1, 9L), (1, 3L))).toDF("g", "v")
+      .groupBy("g")
+      .agg(graft.functions.TopKAgg.topkMinLongs(col("v"), 5).as("top"))
+      .collect().head.getSeq[Long](1).toList
+    assert(tiny == List(3L, 9L))
+  }
 }

@@ -652,11 +652,34 @@ class PlanSpec extends SparkTestBase {
 
   test("emb_bq_rerank fetches float vectors only behind the shortlist join") {
     val p = plan("emb_bq_rerank")
-    // stage 1 ranks sign-packed longs; the float-vector join must hang
-    // off the 32-row-per-query shortlist, not a corpus crossJoin
+    // stage 1 scores STAGED sign-packed longs; the float-vector join
+    // must hang off the 32-row-per-query shortlist, not a corpus
+    // crossJoin
     assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).size <= 2,
       "only the two 10-row query broadcasts may cross-join")
     assert(p.contains("bit_count"), "coarse scoring must be the integer popcount")
+    // the fingerprints come pre-packed from the staged BqIndex, never
+    // re-packed from raw floats per run
+    assert(p.contains("graft-stage") && p.contains("bq-"),
+      "coarse pass must read the staged BqIndex fingerprints")
+    // the coarse shortlist is a bounded-heap aggregate with map-side
+    // partials; the ONLY window is the 32-row-per-qid exact rerank
+    assert(p.contains("graft_topk_min"),
+      "shortlist must be the bounded-heap top-k aggregate")
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size == 1,
+      "no rank window may exist over the corpus — only the shortlist rerank")
+  }
+
+  test("emb_bq_recall's BQ leg is staged + heap-aggregated; only the exact leg windows") {
+    val p = plan("emb_bq_recall")
+    assert(p.contains("graft-stage") && p.contains("bq-"),
+      "BQ leg must read the staged BqIndex fingerprints")
+    assert(p.contains("graft_topk_min"),
+      "BQ top-3 must be the bounded-heap top-k aggregate")
+    // the single remaining window belongs to the brute-force exact leg
+    // (annBatchTopk), which IS the eval's ground-truth contract
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size == 1,
+      "only the exact ground-truth leg may rank via a window")
   }
 
   test("ts_quantile_daily ranks and brackets on ONE (key, day) exchange") {
