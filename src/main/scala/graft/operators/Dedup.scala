@@ -479,8 +479,7 @@ object Dedup {
     val hset = s.read.parquet(st.hset)
     val p = verifyJaccardScored(bandCandidates(bands), hset, hset,
       "doc_id1", "doc_id2")
-    val sym = p.select(col("doc_id1").as("doc_id"), col("doc_id2").as("nbr_id"), col("jaccard"))
-      .unionAll(p.select(col("doc_id2").as("doc_id"), col("doc_id1").as("nbr_id"), col("jaccard")))
+    val sym = symmetrize(p, "doc_id1", "doc_id2", "jaccard", "doc_id", "nbr_id")
     val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("nbr_id"))
     sym.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= PairCapM)
@@ -585,8 +584,8 @@ object Dedup {
     * order-independent), bands explode statelessly, candidates come
     * from the stream-static equi-join with the STAGED band store, pair
     * dedup is dropDuplicates (batch plans it as distinct; streaming
-    * keeps pair keys in the state store — production TTLs it with an
-    * arrival-time watermark), and the exact-jaccard verify stream-
+    * TTLs its pair-key state with an arrival-time watermark — see the
+    * inline note), and the exact-jaccard verify stream-
     * static-joins the staged hash-sets. The stream never re-shingles
     * the corpus: per-batch cost is the arriving docs × a columnar
     * signature scan — [[incremental]]'s scale contract, continuous. */
@@ -597,21 +596,38 @@ object Dedup {
     // rowgroup (unsplittable), which would pin all shingling onto one
     // task. The exchange carries only the batch's raw text — bounded
     // by arrival volume, never corpus-sized.
+    // the token array is LET-BOUND (Multimodal.bind) before shingling:
+    // an inlined tokens(text) subtree re-splits the whole document once
+    // per shingle position — the O(len²) pattern shinglesOf's contract
+    // forbids (measured 10×; same bug class as the CDC chunker fix)
     val hs0 = docs.repartition(col("doc_id")).select(col("doc_id"),
-      array_distinct(transform(shinglesOf(tokens(col("text"))),
-        sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))).as("hs"))
+      Multimodal.bind(tokens(col("text")))(t =>
+        array_distinct(transform(shinglesOf(t),
+          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long")))).as("hs"))
       .withColumn("n", size(col("hs")))
     // consumed twice (band explode + verify): cache the static twin so
     // the shingling runs once (released by the harness clearCache —
     // the minhashLsh lifetime note); a streaming frame cannot cache and
     // recomputes per micro-batch, bounded by that batch's arrivals.
     val hs = if (hs0.isStreaming) hs0 else hs0.cache()
-    val cand = bandsOf(hs)
+    val cand0 = bandsOf(hs)
       .select(col("doc_id").as("new_doc_id"), col("band"), col("bkey"))
       .join(oldBands.select(col("doc_id").as("old_doc_id"),
         col("band"), col("bkey")), Seq("band", "bkey"))
       .select("new_doc_id", "old_doc_id")
-      .dropDuplicates("new_doc_id", "old_doc_id")
+    // pair dedup: batch plans a plain distinct; a CONTINUOUS stream
+    // must TTL its pair-key state or the store grows with every pair
+    // ever seen — an arrival-time watermark bounds it to one hour of
+    // arrivals (a pair band-matching across a longer horizon re-emits
+    // and re-verifies: harmless duplicates downstream, bounded state
+    // here — the production trade)
+    val cand =
+      if (cand0.isStreaming)
+        cand0.withColumn("arrival_ts", current_timestamp())
+          .withWatermark("arrival_ts", "1 hour")
+          .dropDuplicatesWithinWatermark("new_doc_id", "old_doc_id")
+          .drop("arrival_ts")
+      else cand0.dropDuplicates("new_doc_id", "old_doc_id")
     verifyJaccard(cand, hs, oldHset, "new_doc_id", "old_doc_id")
   }
 
@@ -779,6 +795,18 @@ object Dedup {
       simhashFrame(s, dir).select(col("doc_id"), col("simhash").as("fp")),
       SimhashMaxHam)
 
+  /** Both orientations of an undirected scored pair frame in ONE pass:
+    * each pair explodes into its two directed rows, so the (expensive)
+    * mining/verify plan executes once — the unionAll of two
+    * projections over the same frame it replaces planned that frame
+    * TWICE, doubling the dominant stage of every capped miner. */
+  private def symmetrize(p: DataFrame, id1: String, id2: String,
+      score: String, outId: String, outNbr: String): DataFrame =
+    p.select(explode(array(
+        struct(col(id1).as(outId), col(id2).as(outNbr), col(score)),
+        struct(col(id2).as(outId), col(id1).as(outNbr), col(score)))).as("e"))
+      .select(col(s"e.$outId"), col(s"e.$outNbr"), col(s"e.$score"))
+
   /** The capped nearest-by-hamming miner over any (doc_id, fp) 32-bit
     * fingerprint frame — the engine behind #201 (token simhash) and
     * #208 (payload phash): identical banding, identical cap semantics,
@@ -803,8 +831,7 @@ object Dedup {
       .distinct()
       .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
       .filter(col("ham") <= maxHam)
-    val fpSym = fpPairs.select(col("s1").as("s"), col("s2").as("o"), col("ham"))
-      .unionAll(fpPairs.select(col("s2").as("s"), col("s1").as("o"), col("ham")))
+    val fpSym = symmetrize(fpPairs, "s1", "s2", "ham", "s", "o")
     // ham-0 candidates: a doc's same-fingerprint siblings
     val zero = sim.join(fpTop, col("fp") === col("ofp"))
       .filter(col("nbr_id") =!= col("doc_id"))
@@ -1024,8 +1051,7 @@ object Dedup {
     * window over the symmetrized pair set. */
   def embeddingCosineCapped(s: SparkSession, dir: String): DataFrame = {
     val p = embeddingCosineVerified(s, dir)
-    val sym = p.select(col("vec_id1").as("vec_id"), col("vec_id2").as("nbr_id"), col("cos"))
-      .unionAll(p.select(col("vec_id2").as("vec_id"), col("vec_id1").as("nbr_id"), col("cos")))
+    val sym = symmetrize(p, "vec_id1", "vec_id2", "cos", "vec_id", "nbr_id")
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
     sym.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= PairCapM)

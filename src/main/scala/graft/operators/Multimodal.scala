@@ -271,7 +271,7 @@ object Multimodal {
     * which turned the chunker O(bytes²) per row (benched 200× slower).
     * Binding through a 1-element-array transform is optimizer-proof:
     * the array constructor evaluates `v` exactly once per row. */
-  private def bind(v: Column)(body: Column => Column): Column =
+  private[operators] def bind(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
   private[graft] def cdcChunkArray(hx: Column, nb: Column): Column = {

@@ -83,4 +83,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("queries_omitted") == null)
     assert(math.abs(node.get("value").asDouble - 1.75) < 1e-9)
   }
+
+  test("contention guard fields: load bracket + retry count reach both artifacts") {
+    val line = Bench.jsonLine(Map("a" -> 0.5), Nil, "sf",
+      spreads = Map("a" -> 0.1), load = 2.0, loadStart = 31.5, retries = 3)
+    val node = mapper.readTree(line)
+    assert(node.get("load_start").asDouble == 31.5)
+    assert(node.get("load").asDouble == 2.0)
+    assert(node.get("guard_retries").asInt == 3)
+    val full = Bench.fullJson(Map("a" -> 0.5), Map("a" -> 0.1), Nil, "sf",
+      2.0, loadStart = 31.5, retried = Map("a" -> 0.45))
+    val fnode = mapper.readTree(full)
+    assert(fnode.get("load_start").asDouble == 31.5)
+    assert(fnode.get("guard_retries").asInt == 1)
+    assert(fnode.get("queries").get("a").get("retry_sec").asDouble == 0.45)
+  }
+
+  test("previousBest reads per-query bests from a bench_full dump; corrupt file disables the guard") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprev")
+    val ok = dir.resolve("bench_full.json")
+    java.nio.file.Files.writeString(ok,
+      """{"sf":"x","total":1.0,"queries":{"q1":{"sec":0.40,"spread":0.1},"q2":{"sec":1.20,"spread":0.0}},"errors":{}}""")
+    val prev = Bench.previousBest(ok.toString)
+    assert(prev == Map("q1" -> 0.40, "q2" -> 1.20))
+    val bad = dir.resolve("corrupt.json")
+    java.nio.file.Files.writeString(bad, """{"queries": not json""")
+    assert(Bench.previousBest(bad.toString).isEmpty)
+    assert(Bench.previousBest(dir.resolve("missing.json").toString).isEmpty)
+  }
 }
