@@ -41,6 +41,10 @@ object Bench {
         "HelixScan.outdated" -> (() => operators.HelixScan.ensureOutdated(spark, sfDir)),
         "HelixScan.stream" -> (() => operators.HelixScan.ensureStream(spark, sfDir)),
         "TextIndex" -> (() => operators.TextIndex.ensure(spark, sfDir)),
+        "OldClusterIndex" -> (() => operators.OldClusterIndex.ensure(spark, sfDir)),
+        "BqIndex" -> (() => operators.BqIndex.ensure(spark, sfDir)),
+        "BloomIndex" -> (() => operators.BloomIndex.ensure(spark, sfDir)),
+        "CdcIndex" -> (() => operators.CdcIndex.ensure(spark, sfDir)),
         "BasketIndex" -> (() => operators.BasketIndex.ensure(spark, sfDir)))) {
       val t0 = System.nanoTime()
       // one line per build, success XOR failure — a success line after

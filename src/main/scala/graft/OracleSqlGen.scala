@@ -329,6 +329,25 @@ object OracleSqlGen {
        |  CAST(a = min(r) AS INTEGER) AS keep
        |FROM reach GROUP BY a""".stripMargin
 
+  /** #222 — incremental cluster maintenance: by construction the
+    * incremental assignment equals the FULL-corpus components
+    * restricted to the arriving slice (the operator's contract, also
+    * spec-proved against the Spark full recompute), so the oracle is
+    * the dedup_cluster closure with the new-slice restriction. */
+  val dedupClusterIncremental: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS ($minhashSelect),
+       |edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+       |  UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+       |reach(a, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b)
+       |SELECT a AS doc_id, min(r) AS cluster_id,
+       |  CAST(a = min(r) AS INTEGER) AS keep
+       |FROM reach WHERE a % ${Dedup.IncrMod} = ${Dedup.IncrRem}
+       |GROUP BY a""".stripMargin
+
   /** Cluster-level survivorship: the dedup_cluster recursive CTE plus
     * a per-cluster (n_chars DESC, doc_id) row_number — keep the
     * longest doc of each dup cluster, ties to the lowest id. */

@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Dedup.clusterDups(s, d)),
     "dedup_cluster_survivor" -> (Dedup.clusterSurvivor _),
+    "dedup_cluster_incremental" -> (Dedup.clusterIncremental _),
     "dedup_containment" -> (Dedup.containment _),
     "dedup_prefix" -> (Dedup.prefixDups _),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -946,6 +947,7 @@ object SparkEntry {
     "dedup_embedding" -> OracleSqlGen.dedupEmbedding,
     "dedup_cluster" -> OracleSqlGen.dedupCluster,
     "dedup_cluster_survivor" -> OracleSqlGen.dedupClusterSurvivor,
+    "dedup_cluster_incremental" -> OracleSqlGen.dedupClusterIncremental,
     "dedup_incremental" -> OracleSqlGen.dedupIncremental,
     // #207 shares #96's semantics by construction (streaming-safe shape)
     "stream_dedup_incremental" -> OracleSqlGen.dedupIncremental,

@@ -953,6 +953,54 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
   }
 
+  /** #222 — INCREMENTAL dup-cluster maintenance: arriving documents
+    * are assigned to EXISTING cluster ids without re-running connected
+    * components over history — the cluster twin of [[incremental]] /
+    * [[bloomIncremental]]. The staged [[OldClusterIndex]] holds
+    * yesterday's (doc_id, cluster_id) state; the arriving slice mines
+    * its new×old pairs through the staged band/hset probe (the
+    * [[incremental]] shape) and its new×new pairs among the arrivals
+    * only, then CONTRACTS every old endpoint to its existing cluster
+    * id (an old doc absent from the state is its own singleton). The
+    * star-contraction fixpoint then runs over the REDUCED graph —
+    * bounded by arrival volume, never corpus-sized — and its labels
+    * restricted to the new docs equal a full-corpus recompute exactly
+    * (spec-proved): a component's min over {old cluster mins, new doc
+    * ids} is the full component's min, including the bridge case where
+    * one arrival connects two old clusters. Reference analogue: the
+    * rick→SSTable merge discipline (reference level.rs — absorb the
+    * fresh tail without rewriting history). Output: every PAIRED new
+    * doc with its component's canonical (minimum) id, keep = 1 iff the
+    * new doc IS the canonical id. */
+  def clusterIncremental(s: SparkSession, dir: String): DataFrame = {
+    val st = DedupIndex.ensure(s, dir)
+    val oldClus = s.read.parquet(OldClusterIndex.ensure(s, dir))
+    val isNew = col("doc_id") % IncrMod === IncrRem
+    val oldBands = s.read.parquet(st.bands).filter(!isNew)
+    val oldHset = s.read.parquet(st.hset).filter(!isNew)
+    // cached: feeds the band explode (twice) and both verifies;
+    // released by the harness clearCache (minhashLsh lifetime note)
+    val newHset = minhashHset(s, dir, Some(isNew)).cache()
+    val newBands = bandsOf(newHset)
+    val newOld = verifyJaccard(
+      newBands.select(col("doc_id").as("new_doc_id"), col("band"), col("bkey"))
+        .join(oldBands.select(col("doc_id").as("old_doc_id"),
+          col("band"), col("bkey")), Seq("band", "bkey"))
+        .select("new_doc_id", "old_doc_id").distinct(),
+      newHset, oldHset, "new_doc_id", "old_doc_id")
+    val newNew = verifyJaccard(bandCandidates(newBands),
+      newHset, newHset, "doc_id1", "doc_id2")
+    // reduced edges: new—cluster(old) anchors + new—new arrivals
+    val anchored = newOld
+      .join(oldClus.withColumnRenamed("doc_id", "old_doc_id"),
+        Seq("old_doc_id"), "left")
+      .select(col("new_doc_id").as("doc_id1"),
+        coalesce(col("cluster_id"), col("old_doc_id")).as("doc_id2"))
+    val reduced = anchored.unionAll(newNew.select("doc_id1", "doc_id2"))
+    clusterDups(s, dir, (_, _) => reduced)
+      .filter(col("doc_id") % IncrMod === IncrRem)
+  }
+
   /** #104 — CLUSTER-LEVEL survivorship: [[clusterDups]] picks each
     * cluster's minimum doc_id as its canonical label, but a real
     * pipeline keeps the BEST document of a dup cluster, not the

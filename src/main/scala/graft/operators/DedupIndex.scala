@@ -103,6 +103,39 @@ object DedupIndex {
   def clear(): Unit = Staging.clear()
 }
 
+/** Staged cluster assignment of the HISTORICAL corpus: (doc_id,
+  * cluster_id) over the old-only dup pairs — the state a production
+  * dedup pipeline carries between ingest cycles, so arriving documents
+  * can be ASSIGNED to existing cluster ids without re-running
+  * connected components over history. The old slice's pairs are the
+  * staged pair artifact restricted to old×old endpoints (band keys and
+  * the verify depend only on a doc's own shingles, so the restriction
+  * IS the old-only mining output). Reference analogue: the
+  * rick→SSTable merge discipline (reference level.rs) — absorb the
+  * fresh tail without rewriting history. */
+object OldClusterIndex {
+  private val LayoutVersion = "v1"
+
+  /** Ensure the old-corpus cluster table exists for `dir`; returns the
+    * clus/ path. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val key = s"${Staging.fingerprint(dir, "documents.parquet")}-$LayoutVersion"
+    val base = Staging.ensure("clusold", key) { tmp =>
+      val notNew = (c: org.apache.spark.sql.Column) =>
+        c % Dedup.IncrMod =!= Dedup.IncrRem
+      Dedup.clusterDups(s, dir, (ss, d) =>
+          Dedup.stagedPairs(ss, d)
+            .filter(notNew(col("doc_id1")) && notNew(col("doc_id2"))))
+        .select("doc_id", "cluster_id")
+        .write.parquet(tmp.resolve("clus").toString)
+    }
+    base.resolve("clus").toString
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}
+
 /** Staged Bloom filter of the HISTORICAL corpus' boilerplate
   * signatures (xxhash64 of [[Dedup.bloomKey]]) — the membership gate in
   * front of #209's incremental dedup. Built ONCE per corpus fingerprint by

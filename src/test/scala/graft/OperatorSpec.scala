@@ -830,6 +830,18 @@ class OperatorSpec extends SparkTestBase {
       .forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
   }
 
+  test("incremental cluster assignment equals the full-corpus recompute on the arriving slice") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Int]("keep"))
+    val full = Dedup.clusterDups(spark, Sf)
+      .filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRem)
+      .collect().map(key).toSet
+    val inc = Dedup.clusterIncremental(spark, Sf).collect().map(key).toSet
+    assert(inc == full,
+      s"incremental-full diff: +${(inc -- full).take(5)} -${(full -- inc).take(5)}")
+    assert(inc.nonEmpty, "fixture must exercise the arriving slice")
+  }
+
   test("langid predicts a known language or 'und'") {
     val langs = TextOps.langId(spark, Sf).select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet
