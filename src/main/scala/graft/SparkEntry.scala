@@ -246,6 +246,7 @@ object SparkEntry {
     "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
     "stream_interval_join" -> (graft.streaming.StreamOps.intervalJoinBatch _),
     "stream_dedup_incremental" -> (Dedup.incrementalStreamTwin _),
+    "stream_ann_probe" -> (Similarity.annServeTwin _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
@@ -951,6 +952,7 @@ object SparkEntry {
     "dedup_incremental" -> OracleSqlGen.dedupIncremental,
     // #207 shares #96's semantics by construction (streaming-safe shape)
     "stream_dedup_incremental" -> OracleSqlGen.dedupIncremental,
+    "stream_ann_probe" -> OracleSqlGen.annBatchIvfTopk,
     "dedup_substring" -> OracleSqlGen.dedupSubstring,
     "dedup_spans" -> OracleSqlGen.dedupSpans,
     "ann_topk_brute" -> OracleSqlGen.annTopkBrute,

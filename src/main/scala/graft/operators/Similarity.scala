@@ -484,6 +484,110 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id"))
   }
 
+  /** #223 shared logic — the IVF SERVE path for a (possibly STREAMING)
+    * query frame: the maintenance triad (#36/#203/#220) covers the
+    * index, this is the serving side — a micro-batched stream of query
+    * vectors probing the STAGED lists, the stream_dedup_incremental
+    * pattern applied to [[annBatchIvfTopk]]'s workload. Identical on a
+    * static batch or an unbounded stream, emitting #198's exact rows:
+    *
+    *  - cell choice is an IN-ARRAY top-2 fold over the one-row
+    *    broadcast centroid array (the [[assignByFold]] discipline
+    *    lifted to nprobe = 2) with the batch probe's exact
+    *    (round(cos, 6) desc, clabel) tie order — a rank window is
+    *    unavailable on a stream and unnecessary: the fold is stateless
+    *    map work per query row;
+    *  - candidates come from the stream-static equi-join of the probed
+    *    (qid, cell) rows with the staged inverted lists — per batch the
+    *    static side is touched only for probed cells' rows, and the
+    *    corpus is never re-scanned per query;
+    *  - the per-query top-3 is a BOUNDED (4-slot) insertion over the
+    *    candidate iterator inside mapGroupsWithState — the
+    *    KeyValueGroupedDataset custom-state path; every candidate of a
+    *    query lives in that query's own micro-batch (they derive from
+    *    its row via the stream-static join), so state carries nothing
+    *    across batches and memory per group is O(k). Exact doubles
+    *    compare in the JVM, so the rank is bit-identical to #198's
+    *    (cos desc, vec_id) window — the batch twin reuses #198's
+    *    oracle verbatim. */
+  def annServeOf(s: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import s.implicits._
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    // one broadcast row: the clabel-ascending centroid array (tiny —
+    // ncells rows; a serving tier keeps exactly this in memory)
+    val centArr = s.read.parquet(centPath)
+      .agg(sort_array(collect_list(struct(col("clabel"), col("cv")))).as("cents"))
+      .withColumn("jk", lit(1))
+    // identical scalar tree to the batch probe's scoredCells rcos
+    def rcosOf(c: Column): Column = round(cosine(c.getField("cv"), col("qv")), 6)
+    def pick(c: Column): Column =
+      struct(rcosOf(c).as("rcos"), c.getField("clabel").as("clabel"))
+    // (rcos desc, clabel asc) — probeOrder as a struct comparison
+    def better(p: Column, q: Column): Column =
+      p.getField("rcos") > q.getField("rcos") ||
+        (p.getField("rcos") === q.getField("rcos") &&
+          p.getField("clabel") < q.getField("clabel"))
+    val e1 = element_at(col("cents"), 1)
+    val e2 = element_at(col("cents"), 2)
+    // seed with cells 1,2 ordered; fold the rest through the 2-slot
+    // keep (cents is clabel-ascending, and the comparisons replace only
+    // on strictly-better, so ties land on the lowest clabel exactly as
+    // the batch window does). Requires ncells >= 2 — any real IVF
+    // index; a 1-cell index needs no probe choice at all.
+    val seed = when(better(pick(e2), pick(e1)),
+        struct(pick(e2).as("b1"), pick(e1).as("b2")))
+      .otherwise(struct(pick(e1).as("b1"), pick(e2).as("b2")))
+    val probed = queries.withColumn("jk", lit(1))
+      .join(broadcast(centArr), "jk")
+      .withColumn("top2", aggregate(
+        slice(col("cents"), lit(3), greatest(size(col("cents")) - 2, lit(0))),
+        seed,
+        (acc, c) => when(better(pick(c), acc.getField("b1")),
+            struct(pick(c).as("b1"), acc.getField("b1").as("b2")))
+          .when(better(pick(c), acc.getField("b2")),
+            struct(acc.getField("b1").as("b1"), pick(c).as("b2")))
+          .otherwise(acc)))
+      .select(col("qid"), col("qv"),
+        explode(array(col("top2.b1.clabel"), col("top2.b2.clabel")))
+          .as("assigned_label"))
+    probed.join(s.read.parquet(assignedPath), "assigned_label")
+      .filter(col("vec_id") >= 10)
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[(Long, Long, Double)], st: GroupState[Int]) =>
+          // bounded 4-slot insertion: top-3 by (cos desc, vec_id asc)
+          val cs = new Array[Double](4)
+          val vs = new Array[Long](4)
+          var n = 0
+          it.foreach { case (_, vid, c) =>
+            var i = n
+            while (i > 0 && (cs(i - 1) < c ||
+                (cs(i - 1) == c && vs(i - 1) > vid))) {
+              if (i < 4) { cs(i) = cs(i - 1); vs(i) = vs(i - 1) }
+              i -= 1
+            }
+            if (i < 4) { cs(i) = c; vs(i) = vid }
+            if (n < 3) n += 1
+          }
+          (qid, vs.take(n).toSeq)
+      }
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "vec_id")))
+      .select(col("qid"), (col("pos") + 1).as("rnk"), col("vec_id"))
+  }
+
+  /** #223 — batch twin of the STREAMING ANN serve path (the oracled
+    * registration; StreamOps.annProbeStreaming wires the same call
+    * onto an unbounded query source): the shared pipeline over the
+    * static query slice. Emits [[annBatchIvfTopk]]'s exact rows by
+    * construction (spec-checked), so it shares #198's oracle. */
+  def annServeTwin(s: SparkSession, dir: String): DataFrame =
+    annServeOf(s, dir, Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), toDoubleVec(col("embedding")).as("qv")))
+
   /** #203 — INCREMENTAL IVF probe (index freshness — the state every
     * production vector store is in between reindex cycles): the staged
     * index covers only the INDEXED slice (vec_id % 20 ≠ 7,

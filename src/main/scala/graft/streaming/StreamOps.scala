@@ -283,6 +283,21 @@ object StreamOps {
         .select(col("doc_id"), col("payload")),
       graft.operators.Multimodal.cdcOldHashes(s, sfDir))
 
+  /** #223 streaming version — the ANN SERVE path: an unbounded
+    * micro-batched stream of query vectors probes the STAGED IVF lists
+    * through the shared Similarity.annServeOf pipeline (in-array top-2
+    * cell fold, stream-static list join, bounded custom-state top-3).
+    * The maintenance triad (#36/#203/#220) keeps the index correct;
+    * this is what answers queries while it does. */
+  def annProbeStreaming(s: SparkSession, queriesDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sfDir: String): DataFrame =
+    graft.operators.Similarity.annServeOf(s, sfDir,
+      s.readStream.schema(schema).format("parquet").load(queriesDir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          graft.operators.Similarity.toDoubleVec(col("embedding")).as("qv")))
+
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session

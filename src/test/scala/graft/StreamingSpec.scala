@@ -239,6 +239,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming ANN serve path equals the batch twin AND the batched IVF probe") {
+    import org.apache.spark.sql.functions.col
+    // the query stream carries only query vectors, split across files
+    // so AvailableNow processes multiple micro-batches
+    val staged = tmpDir("stream-ann-q")
+    Tables.embeddings(spark, Sf).filter(col("vec_id") < 10)
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.annProbeStreaming(spark, staged, schema, Sf)
+      .writeStream.format("memory").queryName("ann_out")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2))
+    val streamed = spark.table("ann_out").collect().map(key).toSet
+    val twin = graft.operators.Similarity.annServeTwin(spark, Sf)
+      .collect().map(key).toSet
+    val batch = graft.operators.Similarity.annBatchIvfTopk(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == twin, "unbounded query source must change nothing")
+    assert(twin == batch,
+      "the serve path must emit the batched IVF probe's exact rows")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming incremental dedup equals the batch twin AND the daily incremental") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Dedup
