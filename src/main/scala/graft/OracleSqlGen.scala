@@ -1840,6 +1840,41 @@ object OracleSqlGen {
        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** #224 — BPE apply: the #152 learning CTEs feed a 20-row priority
+    * merge table; the apply iterates it via a recursive CTE whose step
+    * is the SAME sentinel string replace the engine runs (left-to-right
+    * non-overlapping; chr(57344 + i) = the engine's 0xE000 + i
+    * private-use sentinels), over the distinct-word vocab; the final
+    * report re-joins per-doc word occurrences and sources. */
+  val textBpeApply: String = {
+    val m = graft.operators.TextOps.BpeMerges
+    s"""WITH RECURSIVE $toksCte,
+       |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |wc AS (SELECT w AS wd, count(*) AS wc FROM w GROUP BY 1),
+       |p AS (SELECT substr(wd, CAST(i AS INTEGER), 2) AS pair, wc
+       |  FROM (SELECT wd, wc, unnest(generate_series(1, len(wd) - 1)) AS i
+       |        FROM wc WHERE len(wd) >= 2)),
+       |top AS (SELECT pair, sum(wc) AS cnt FROM p GROUP BY 1
+       |  ORDER BY cnt DESC, pair LIMIT $m),
+       |mt AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS mi FROM top),
+       |vocab AS (SELECT DISTINCT w AS wd FROM w),
+       |ap(w0, wd, mi) AS (
+       |  SELECT wd, wd, 0 FROM vocab
+       |  UNION ALL
+       |  SELECT a.w0, replace(a.wd, m.pair,
+       |    chr(CAST(57344 + m.mi - 1 AS INTEGER))), m.mi
+       |  FROM ap a JOIN mt m ON m.mi = a.mi + 1),
+       |nsym AS (SELECT w0, CAST(length(wd) AS BIGINT) AS nb FROM ap WHERE mi = $m)
+       |SELECT d.source, CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(nb) AS BIGINT) AS bpe_tokens,
+       |  CAST(count(*) AS DOUBLE) / count(DISTINCT w.doc_id) AS ws_per_doc,
+       |  CAST(sum(nb) AS DOUBLE) / count(DISTINCT w.doc_id) AS bpe_per_doc
+       |FROM w JOIN nsym ON w.w = nsym.w0
+       |JOIN documents d ON w.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** #172 — PQ code balance: the annPqTopk encode CTEs re-grouped by
     * (sub, code), the uniform-baseline division mirrored. */
   val embPqCodeBalance: String = {

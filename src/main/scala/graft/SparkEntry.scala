@@ -172,6 +172,7 @@ object SparkEntry {
     "emb_triplet_mine" -> (Similarity.tripletMine _),
     "ts_cross_corr" -> (TimeSeriesOps.crossCorr _),
     "text_bpe_merge" -> (TextOps.bpeMergeStep _),
+    "text_bpe_apply" -> (TextOps.bpeApply _),
     "emb_silhouette" -> (Similarity.silhouette _),
     "emb_pagerank_knn" -> (Similarity.pagerankKnn _),
     "text_dup_ngram_frac" -> (TextOps.dupNgramFrac _),
@@ -1249,6 +1250,7 @@ object SparkEntry {
     "mm_phash_incremental" -> OracleSqlGen.mmPhashIncremental,
     "ts_cross_corr" -> OracleSqlGen.tsCrossCorr,
     "text_bpe_merge" -> OracleSqlGen.textBpeMerge,
+    "text_bpe_apply" -> OracleSqlGen.textBpeApply,
     "emb_silhouette" -> OracleSqlGen.embSilhouette,
     "emb_pagerank_knn" -> OracleSqlGen.embPagerankKnn,
     "text_dup_ngram_frac" -> OracleSqlGen.textDupNgramFrac,

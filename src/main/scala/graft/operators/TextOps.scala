@@ -908,6 +908,51 @@ object TextOps {
       .limit(10)
   }
 
+  /** Merge-table size for #224 (the #152 top-20). */
+  val BpeMerges = 20
+
+  /** #224 — BPE APPLY: tokenize the corpus with the learned merge
+    * table (#152's top-[[BpeMerges]] char pairs in (cnt desc, pair)
+    * priority order) and report BPE tokens/doc against the whitespace
+    * baseline — the apply side a pipeline runs once merges are learned.
+    *
+    * The apply itself exploits a closed form: every learned merge is a
+    * (1-char, 1-char) pair and a merged symbol is 2 chars, so a merged
+    * symbol can never re-merge — applying the table in priority order
+    * is therefore EXACTLY a chain of left-to-right non-overlapping
+    * string replaces, each rewriting a merged pair to a unique
+    * private-use sentinel char (so later merges cannot consume a
+    * consumed char). Final symbol count = length of the rewritten
+    * string. The spec proves this encoding equals the real
+    * symbol-list BPE apply (driver recompute over the whole vocab plus
+    * adversarial overlap words) and that detokenization round-trips.
+    *
+    * Scale shape: the replace chain runs over the DISTINCT-word vocab
+    * (vocab-bounded, never corpus-bounded), which joins back to the
+    * per-doc word explode — the merge table itself is 20 rows pulled
+    * to the driver and baked in as literals (the bloom-literal
+    * discipline). Reference: fn_registry.rs's UDCF dispatch is the
+    * contract for registering such derived text functions. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges: Seq[String] =
+      bpeMergeStep(s, dir).collect().map(_.getString(0)).toSeq
+    val applied = merges.zipWithIndex.foldLeft(col("w")) { case (c, (p, i)) =>
+      replace(c, lit(p), lit(new String(Character.toChars(0xE000 + i))))
+    }
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+    val vocab = words.select("w").distinct()
+      .withColumn("nb", length(applied).cast("long"))
+    words.join(vocab, "w")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("ws_tokens"),
+        sum(col("nb")).as("bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        (col("ws_tokens").cast("double") / col("n_docs")).as("ws_per_doc"),
+        (col("bpe_tokens").cast("double") / col("n_docs")).as("bpe_per_doc"))
+  }
+
   def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
     val wc = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))

@@ -2885,6 +2885,55 @@ class OperatorSpec extends SparkTestBase {
     assert(got.values.forall { case (_, p50, p95) => p50 <= p95 })
   }
 
+  test("bpe apply: sentinel-replace encoding equals true symbol-list BPE; detokenization round-trips") {
+    import spark.implicits._
+    val merges = TextOps.bpeMergeStep(spark, Sf).collect().map(_.getString(0)).toSeq
+    assert(merges.size == TextOps.BpeMerges)
+    // ground truth: the real symbol-list apply — merges in priority
+    // order, each merging adjacent single-char symbols left-to-right
+    // non-overlapping (a 2-char merged symbol can never re-merge)
+    def bpeSymbols(w: String): List[String] = {
+      var syms: List[String] = w.map(_.toString).toList
+      for (m <- merges) {
+        val (a, b) = (m.substring(0, 1), m.substring(1, 2))
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: t if x == a && y == b => out += m; rest = t
+          case x :: t => out += x; rest = t
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val vocab = graft.core.Tables.documents(spark, Sf)
+      .select(explode(Dedup.tokens(col("text"))).as("w")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    // adversarial overlap/chain words the corpus may not contain
+    val (a, b) = (merges.head.substring(0, 1), merges.head.substring(1, 2))
+    val adversarial = Seq(a * 4, b * 4, s"$a$b$a$b", s"$a$a$b$b", s"$a$b$b$a",
+      merges.head * 3, merges(1) + merges.head, a + merges(1) + b)
+    val words = (vocab ++ adversarial).distinct
+    val applied = merges.zipWithIndex.foldLeft(col("w")) { case (c, (p, i)) =>
+      replace(c, lit(p), lit(new String(Character.toChars(0xE000 + i))))
+    }
+    val engine = spark.createDataset(words).toDF("w")
+      .withColumn("nb", length(applied)).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      val syms = bpeSymbols(w)
+      assert(syms.mkString == w, s"detokenization must round-trip: $w")
+      assert(engine(w) == syms.length,
+        s"engine symbol count diverged for '$w': ${engine(w)} vs $syms")
+    }
+    // the registered report: BPE can only merge, never split
+    val rep = TextOps.bpeApply(spark, Sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+
   test("bounded-heap top-k aggregate: exact sort-take-k across partial merges") {
     import spark.implicits._
     // deterministic pseudo-random values with heavy key collisions so
