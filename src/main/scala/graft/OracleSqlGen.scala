@@ -39,6 +39,40 @@ object OracleSqlGen {
 
   val dedupNgramJaccard: String = s"WITH $ngramCtes\n$ngramSelect"
 
+  /** #225 — capped exact-jaccard pairs: the oracle mines ALL scored
+    * pairs directly (the engine's distinct-set reconstruction equals
+    * it by the capped-family lemma, spec-proved), symmetrizes, and
+    * ranks per doc (jaccard desc, nbr) to the cap. */
+  val dedupNgramJaccardCapped: String =
+    s"""WITH $ngramCtes,
+       |pairs AS (SELECT i.doc_id1, i.doc_id2,
+       |    CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) AS jaccard
+       |  FROM (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS c
+       |      FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) i
+       |  JOIN szg s1 ON i.doc_id1 = s1.doc_id JOIN szg s2 ON i.doc_id2 = s2.doc_id
+       |  WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)),
+       |sym AS (SELECT doc_id1 AS doc_id, doc_id2 AS nbr_id, jaccard FROM pairs
+       |  UNION ALL SELECT doc_id2, doc_id1, jaccard FROM pairs)
+       |SELECT doc_id, rnk, nbr_id, jaccard FROM (
+       |  SELECT doc_id, nbr_id, jaccard, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rnk FROM sym)
+       |WHERE rnk <= ${Dedup.PairCapM}""".stripMargin
+
+  /** #226 — capped containment: all scored ORDERED pairs (directional
+    * miner — no symmetrization), ranked per contained doc to the cap. */
+  val dedupContainmentCapped: String =
+    s"""WITH $ngramCtes,
+       |pairs AS (SELECT i.doc_id1 AS doc_id, i.doc_id2 AS nbr_id,
+       |    CAST(i.c AS DOUBLE) / CAST(s1.n AS DOUBLE) AS containment
+       |  FROM (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS c
+       |      FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2) i
+       |  JOIN szg s1 ON i.doc_id1 = s1.doc_id
+       |  WHERE i.c * ${Dedup.ContainDen} >= ${Dedup.ContainNum} * s1.n)
+       |SELECT doc_id, rnk, nbr_id, containment FROM (
+       |  SELECT doc_id, nbr_id, containment, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY containment DESC, nbr_id) AS rnk FROM pairs)
+       |WHERE rnk <= ${Dedup.PairCapM}""".stripMargin
+
   /** Asymmetric containment: ordered pairs with |Sa∩Sb| >= 0.9·|Sa|
     * (the oracle verifies all co-shingled pairs; the Spark side reaches
     * the same set through prefix-filtered candidates). */

@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_survivor" -> (Dedup.survivor _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_ngram_jaccard_capped" -> (Dedup.ngramJaccardCapped _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "dedup_cluster_survivor" -> (Dedup.clusterSurvivor _),
     "dedup_cluster_incremental" -> (Dedup.clusterIncremental _),
     "dedup_containment" -> (Dedup.containment _),
+    "dedup_containment_capped" -> (Dedup.containmentCapped _),
     "dedup_prefix" -> (Dedup.prefixDups _),
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_substring" -> (Dedup.substringPairs _),
@@ -942,7 +944,9 @@ object SparkEntry {
          |JOIN (${OracleSqlGen.textQuality}) q ON l.doc_id = q.doc_id
          |JOIN ($SurvivorSql) s ON l.doc_id = s.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> OracleSqlGen.dedupNgramJaccard,
+    "dedup_ngram_jaccard_capped" -> OracleSqlGen.dedupNgramJaccardCapped,
     "dedup_containment" -> OracleSqlGen.dedupContainment,
+    "dedup_containment_capped" -> OracleSqlGen.dedupContainmentCapped,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh,
     "dedup_simhash" -> OracleSqlGen.dedupSimhash,
     "dedup_simhash_pairs" -> OracleSqlGen.dedupSimhashPairs,

@@ -207,6 +207,88 @@ object Dedup {
       .select("doc_id1", "doc_id2")
   }
 
+  /** Scored PPJoin core over any (doc_id, n, set) rarity-sorted frame
+    * — [[ngramJaccard]]'s candidate + verify pipeline keeping the
+    * jaccard, parameterized so the capped miner can run it over the
+    * DISTINCT-set representative frame instead of the corpus. */
+  private def ppJaccardScored(rset: DataFrame): DataFrame = {
+    val docs = rset
+      .withColumn("prefixLen",
+        expr(s"n - ((n * $ThreshNum + $ThreshDen - 1) div $ThreshDen) + 1"))
+      .select(col("doc_id"), col("n"), col("set"),
+        slice(col("set"), lit(1), col("prefixLen").cast("int")).as("prefix"))
+    val pre = docs.select(col("doc_id"), explode(col("prefix")).as("s"))
+    val cand = pre.select(col("doc_id").as("doc_id1"), col("s"))
+      .join(pre.select(col("doc_id").as("doc_id2"), col("s")), "s")
+      .filter(col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_id1"),
+        col("set").as("s1"), col("n").as("n1")), "doc_id1")
+      .join(docs.select(col("doc_id").as("doc_id2"),
+        col("set").as("s2"), col("n").as("n2")), "doc_id2")
+      .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
+      .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
+      .select(col("doc_id1"), col("doc_id2"),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
+  }
+
+  /** Distinct shingle-SET grouping of the staged rset: each doc tagged
+    * with its group's representative (minimum doc id) and within-group
+    * rank — the [[cappedHamPairs]] signature discipline lifted from
+    * 32-bit fingerprints to whole hashed shingle sets (the rset arrays
+    * are deterministically rarity-sorted, so set equality IS array
+    * equality). Both windows share one (set) exchange. Under
+    * planted-copy mass this is what turns the quadratic identical-set
+    * blowup into per-group bounded work: the exact-threshold miner
+    * runs over DISTINCT sets only, and per-doc pairs reconstruct from
+    * each group's m+1 smallest ids. */
+  private def setGroups(rset: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("set").orderBy("doc_id")
+    rset
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("set")))
+      .select("doc_id", "n", "set", "rn", "rep")
+  }
+
+  /** #225 — dedup_ngram_jaccard with the per-doc cap: each doc keeps
+    * its [[PairCapM]] most-similar verified neighbours (exact jaccard
+    * desc, nbr id asc), completing the capped family for the EXACT
+    * PPJoin miner. Candidates and verify run over DISTINCT shingle-set
+    * representatives only ([[setGroups]]); identical-set siblings are
+    * jaccard-1.0 pairs reconstructed from each group's m+1 smallest
+    * ids (cross-group jaccard of distinct sets is strictly < 1, and a
+    * group's pairwise score is every member's score, so the per-doc
+    * top-m over {siblings} ∪ {paired groups' m+1 smallest ids} equals
+    * the top-m over ALL pairs exactly — the [[cappedHamPairs]] lemma,
+    * spec-proved against the full-frame recompute). */
+  def ngramJaccardCapped(s: SparkSession, dir: String): DataFrame = {
+    val m = PairCapM
+    // cached: feeds the rep frame, the per-group shortlist, and the
+    // doc join; released by the harness clearCache
+    val dr = setGroups(s.read.parquet(DedupIndex.ensure(s, dir).rset)).cache()
+    val g = dr.filter(col("rn") === 1)
+      .select(col("rep").as("doc_id"), col("n"), col("set"))
+    val gpSym = symmetrize(ppJaccardScored(g),
+      "doc_id1", "doc_id2", "jaccard", "r", "o")
+    val gTop = dr.filter(col("rn") <= m + 1)
+      .select(col("rep").as("orep"), col("doc_id").as("nbr_id"))
+    val sib = dr.select(col("doc_id"), col("rep"))
+      .join(gTop, col("rep") === col("orep"))
+      .filter(col("nbr_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("nbr_id"), lit(1.0).as("jaccard"))
+    val near = dr.select(col("doc_id"), col("rep"))
+      .join(gpSym, col("rep") === col("r"))
+      .join(gTop, col("o") === col("orep"))
+      .select(col("doc_id"), col("nbr_id"), col("jaccard"))
+    val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("nbr_id"))
+    sib.unionAll(near)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= m)
+      .select("doc_id", "rnk", "nbr_id", "jaccard")
+  }
+
   /** #78 — asymmetric containment dedup: ORDERED pairs (a, b) with
     * |Sa ∩ Sb| >= 0.9·|Sa| — "a is 90% inside b". Catches
     * boilerplate-wrapped and quote-inclusion duplicates whose symmetric
@@ -237,6 +319,63 @@ object Dedup {
       .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
       .filter(col("c") * ContainDen >= lit(ContainNum) * col("n1"))
       .select("doc_id1", "doc_id2")
+  }
+
+  /** Scored containment core over any (doc_id, n, set) frame —
+    * [[containment]]'s prefix-filtered candidates + exact verify
+    * keeping the score c/|Sa|, parameterized for the capped miner. */
+  private def ppContainScored(docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .withColumn("prefixLen",
+        expr(s"n - ((n * $ContainNum + $ContainDen - 1) div $ContainDen) + 1"))
+      .select(col("doc_id"), col("n"), col("set"),
+        slice(col("set"), lit(1), col("prefixLen").cast("int")).as("prefix"))
+    val pre = docs.select(col("doc_id").as("doc_id1"), explode(col("prefix")).as("s"))
+    val full = docs.select(col("doc_id").as("doc_id2"), explode(col("set")).as("s"))
+    val cand = pre.join(full, "s")
+      .filter(col("doc_id1") =!= col("doc_id2"))
+      .select("doc_id1", "doc_id2").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_id1"),
+        col("set").as("s1"), col("n").as("n1")), "doc_id1")
+      .join(docs.select(col("doc_id").as("doc_id2"), col("set").as("s2")), "doc_id2")
+      .withColumn("c", size(array_intersect(col("s1"), col("s2"))))
+      .filter(col("c") * ContainDen >= lit(ContainNum) * col("n1"))
+      .select(col("doc_id1"), col("doc_id2"),
+        (col("c").cast("double") / col("n1").cast("double")).as("containment"))
+  }
+
+  /** #226 — dedup_containment with the per-doc cap: each doc keeps the
+    * [[PairCapM]] neighbours it is MOST contained in (containment
+    * desc, nbr id asc). Directional pairs mine over DISTINCT-set
+    * representatives only (no symmetrization — the miner emits both
+    * orientations itself); identical-set siblings are containment-1.0
+    * rows from each group's m+1 smallest ids. A strict-subset pair can
+    * also score exactly 1.0 — the id tiebreak totalizes the order, and
+    * both families are in the candidate pool, so the reconstruction is
+    * exact (spec-proved against the full-frame recompute). */
+  def containmentCapped(s: SparkSession, dir: String): DataFrame = {
+    val m = PairCapM
+    val dr = setGroups(s.read.parquet(DedupIndex.ensure(s, dir).rset)).cache()
+    val g = dr.filter(col("rn") === 1)
+      .select(col("rep").as("doc_id"), col("n"), col("set"))
+    val gdir = ppContainScored(g)
+      .select(col("doc_id1").as("r"), col("doc_id2").as("o"), col("containment"))
+    val gTop = dr.filter(col("rn") <= m + 1)
+      .select(col("rep").as("orep"), col("doc_id").as("nbr_id"))
+    val sib = dr.select(col("doc_id"), col("rep"))
+      .join(gTop, col("rep") === col("orep"))
+      .filter(col("nbr_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("nbr_id"), lit(1.0).as("containment"))
+    val near = dr.select(col("doc_id"), col("rep"))
+      .join(gdir, col("rep") === col("r"))
+      .join(gTop, col("o") === col("orep"))
+      .select(col("doc_id"), col("nbr_id"), col("containment"))
+    val w = Window.partitionBy("doc_id").orderBy(col("containment").desc, col("nbr_id"))
+    sib.unionAll(near)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= m)
+      .select("doc_id", "rnk", "nbr_id", "containment")
   }
 
   /** #103 dedup_substring constants: window length in tokens, mod-p

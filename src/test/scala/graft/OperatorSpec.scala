@@ -2885,6 +2885,40 @@ class OperatorSpec extends SparkTestBase {
     assert(got.values.forall { case (_, p50, p95) => p50 <= p95 })
   }
 
+  test("capped PPJoin miners: distinct-set reconstruction equals the all-pairs top-m") {
+    val rs = spark.read.parquet(graft.operators.DedupIndex.ensure(spark, Sf).rset)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Seq[Long]]("set").toSet))
+    val m = Dedup.PairCapM
+    def topm(sym: Seq[(Long, Long, Double)]): Set[(Long, Long, Long, Double)] =
+      sym.groupBy(_._1).flatMap { case (d, xs) =>
+        xs.sortBy { case (_, nbr, sc) => (-sc, nbr) }.take(m).zipWithIndex
+          .map { case ((_, nbr, sc), i) => (d, (i + 1).toLong, nbr, sc) }
+      }.toSet
+    // exact jaccard, all pairs, symmetrized
+    val jp = for {
+      (d1, s1) <- rs.toSeq; (d2, s2) <- rs.toSeq if d1 < d2
+      c = (s1 & s2).size
+      if c * Dedup.ThreshDen >= Dedup.ThreshNum * (s1.size + s2.size - c)
+    } yield (d1, d2, c.toDouble / (s1.size + s2.size - c))
+    val expJ = topm(jp.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) })
+    val gotJ = Dedup.ngramJaccardCapped(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotJ == expJ,
+      s"jaccard diff: +${(gotJ -- expJ).take(3)} -${(expJ -- gotJ).take(3)}")
+    // exact containment, all ORDERED pairs
+    val cp = for {
+      (d1, s1) <- rs.toSeq; (d2, s2) <- rs.toSeq if d1 != d2
+      c = (s1 & s2).size
+      if c * Dedup.ContainDen >= Dedup.ContainNum * s1.size
+    } yield (d1, d2, c.toDouble / s1.size)
+    val expC = topm(cp)
+    val gotC = Dedup.containmentCapped(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotC == expC,
+      s"containment diff: +${(gotC -- expC).take(3)} -${(expC -- gotC).take(3)}")
+    assert(gotJ.nonEmpty && gotC.nonEmpty)
+  }
+
   test("bpe apply: sentinel-replace encoding equals true symbol-list BPE; detokenization round-trips") {
     import spark.implicits._
     val merges = TextOps.bpeMergeStep(spark, Sf).collect().map(_.getString(0)).toSeq
