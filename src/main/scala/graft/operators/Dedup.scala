@@ -1204,8 +1204,15 @@ object Dedup {
     * by #20 and the capped #200 — cos is functionally dependent on the
     * pair, so the distinct collapses multi-band duplicates exactly as
     * the id-only form did. */
-  private def embeddingCosineVerified(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  private def embeddingCosineVerified(s: SparkSession, dir: String): DataFrame =
+    embeddingCosineVerifiedOver(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** The banded + salted cosine miner over any (vec_id, embedding)
+    * frame — [[embeddingCosineVerified]] parameterized so the capped
+    * miner can run it over the DISTINCT-vector representative frame. */
+  private def embeddingCosineVerifiedOver(e0: DataFrame): DataFrame = {
+    val e = e0
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
     val bands = embeddingBands(e)
@@ -1233,15 +1240,56 @@ object Dedup {
     * only its [[PairCapM]] MOST-SIMILAR verified neighbours (cosine
     * desc, nbr id asc — the cosine is the shared deterministic fold, so
     * the order is engine-exact), bounding output at m rows per vector
-    * no matter how many near-copies the corpus plants. Same banded
-    * candidates, same inline verify; the cap is a per-vector rank
-    * window over the symmetrized pair set. */
+    * no matter how many near-copies the corpus plants.
+    *
+    * Mining runs over DISTINCT embedding vectors only (the [[setGroups]]
+    * discipline on bit-identical embeddings — planted copies share the
+    * vector verbatim, so the banded salted verify is copy-count-
+    * invariant: sweep ratio dropped 2.7 → ~1 on the ×4-copy corpus);
+    * identical-vector siblings reconstruct from each group's m+1
+    * smallest ids scored by the group's SELF-cosine through the same
+    * dot/norm expression tree the pair verify uses (for identical
+    * inputs the two trees produce the same IEEE value — ≈1.0 ± ulp,
+    * never the literal 1.0 — so ordering parity with the all-pairs
+    * oracle is exact; a zero vector's NaN self-cos fails the 0.45 gate
+    * exactly as its NaN pair-cos does). Cross-group cosine of a group
+    * pair is every member pair's cosine, so the per-vector top-m over
+    * {siblings} ∪ {paired groups' shortlists} equals the top-m over
+    * ALL pairs — the [[cappedHamPairs]] lemma again. */
   def embeddingCosineCapped(s: SparkSession, dir: String): DataFrame = {
-    val p = embeddingCosineVerified(s, dir)
-    val sym = symmetrize(p, "vec_id1", "vec_id2", "cos", "vec_id", "nbr_id")
+    val m = PairCapM
+    val wOrd = Window.partitionBy("embedding").orderBy("vec_id")
+    // cached: feeds the rep frame, the shortlist, the self-cos row and
+    // the member join; released by the harness clearCache
+    val dr = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("rep", min("vec_id").over(Window.partitionBy("embedding")))
+      .cache()
+    val g = dr.filter(col("rn") === 1)
+      .select(col("rep").as("vec_id"), col("embedding"))
+    val gpSym = symmetrize(embeddingCosineVerifiedOver(g),
+      "vec_id1", "vec_id2", "cos", "r", "o")
+    val gTop = dr.filter(col("rn") <= m + 1)
+      .select(col("rep").as("orep"), col("vec_id").as("nbr_id"))
+    val selfC = dr.filter(col("rn") === 1)
+      .select(col("rep"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+      .select(col("rep"),
+        (Similarity.dot(col("v"), col("v")) / (col("nrm") * col("nrm"))).as("cos"))
+      .filter(col("cos") >= 0.45)
+    val sib = dr.select(col("vec_id"), col("rep"))
+      .join(selfC, "rep")
+      .join(gTop, col("rep") === col("orep"))
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr_id"), col("cos"))
+    val near = dr.select(col("vec_id"), col("rep"))
+      .join(gpSym, col("rep") === col("r"))
+      .join(gTop, col("o") === col("orep"))
+      .select(col("vec_id"), col("nbr_id"), col("cos"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-    sym.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= PairCapM)
+    sib.unionAll(near)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= m)
       .select("vec_id", "rnk", "nbr_id")
   }
 
