@@ -44,6 +44,8 @@ object Bench {
         "OldClusterIndex" -> (() => operators.OldClusterIndex.ensure(spark, sfDir)),
         "BqIndex" -> (() => operators.BqIndex.ensure(spark, sfDir)),
         "BloomIndex" -> (() => operators.BloomIndex.ensure(spark, sfDir)),
+        "SetGroupIndex" -> (() => operators.SetGroupIndex.ensure(spark, sfDir)),
+        "VecGroupIndex" -> (() => operators.VecGroupIndex.ensure(spark, sfDir)),
         "CdcIndex" -> (() => operators.CdcIndex.ensure(spark, sfDir)),
         "BasketIndex" -> (() => operators.BasketIndex.ensure(spark, sfDir)))) {
       val t0 = System.nanoTime()

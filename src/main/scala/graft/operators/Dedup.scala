@@ -244,7 +244,7 @@ object Dedup {
     * blowup into per-group bounded work: the exact-threshold miner
     * runs over DISTINCT sets only, and per-doc pairs reconstruct from
     * each group's m+1 smallest ids. */
-  private def setGroups(rset: DataFrame): DataFrame = {
+  private[operators] def setGroups(rset: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("set").orderBy("doc_id")
     rset
       .withColumn("rn", row_number().over(wOrd))
@@ -265,9 +265,11 @@ object Dedup {
     * spec-proved against the full-frame recompute). */
   def ngramJaccardCapped(s: SparkSession, dir: String): DataFrame = {
     val m = PairCapM
-    // cached: feeds the rep frame, the per-group shortlist, and the
-    // doc join; released by the harness clearCache
-    val dr = setGroups(s.read.parquet(DedupIndex.ensure(s, dir).rset)).cache()
+    // the STAGED group table ([[SetGroupIndex]]): the array-shuffling
+    // grouping windows are index build; each consumer re-reads the
+    // column-pruned staged parquet (shortlist and member joins never
+    // touch the set arrays)
+    val dr = s.read.parquet(SetGroupIndex.ensure(s, dir))
     val g = dr.filter(col("rn") === 1)
       .select(col("rep").as("doc_id"), col("n"), col("set"))
     val gpSym = symmetrize(ppJaccardScored(g),
@@ -356,7 +358,8 @@ object Dedup {
     * exact (spec-proved against the full-frame recompute). */
   def containmentCapped(s: SparkSession, dir: String): DataFrame = {
     val m = PairCapM
-    val dr = setGroups(s.read.parquet(DedupIndex.ensure(s, dir).rset)).cache()
+    // staged group table: see ngramJaccardCapped
+    val dr = s.read.parquet(SetGroupIndex.ensure(s, dir))
     val g = dr.filter(col("rn") === 1)
       .select(col("rep").as("doc_id"), col("n"), col("set"))
     val gdir = ppContainScored(g)
@@ -1258,13 +1261,10 @@ object Dedup {
     * ALL pairs — the [[cappedHamPairs]] lemma again. */
   def embeddingCosineCapped(s: SparkSession, dir: String): DataFrame = {
     val m = PairCapM
-    val wOrd = Window.partitionBy("embedding").orderBy("vec_id")
-    // cached: feeds the rep frame, the shortlist, the self-cos row and
-    // the member join; released by the harness clearCache
-    val dr = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("rep", min("vec_id").over(Window.partitionBy("embedding")))
-      .cache()
+    // the STAGED vector-group table ([[VecGroupIndex]]): grouping
+    // windows are index build; member/shortlist joins read pruned
+    // (vec_id, rn, rep) slices without the vectors
+    val dr = s.read.parquet(VecGroupIndex.ensure(s, dir))
     val g = dr.filter(col("rn") === 1)
       .select(col("rep").as("vec_id"), col("embedding"))
     val gpSym = symmetrize(embeddingCosineVerifiedOver(g),

@@ -103,6 +103,58 @@ object DedupIndex {
   def clear(): Unit = Staging.clear()
 }
 
+/** Staged DISTINCT-set grouping of the corpus (doc_id, n, set, rn,
+  * rep): every doc tagged with its shingle-set group's representative
+  * (minimum doc id) and within-group rank — the frame both capped
+  * exact PPJoin miners (#225/#226) reconstruct from. The two
+  * array-shuffling windows that compute it are index BUILD (once per
+  * corpus fingerprint); queries read column-pruned slices (the
+  * shortlist and member joins never touch the set arrays). */
+object SetGroupIndex {
+  private val LayoutVersion = "v1"
+
+  /** Ensure the group table exists for `dir`; returns the gset/ path. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val key = s"${Staging.fingerprint(dir, "documents.parquet")}-$LayoutVersion"
+    val base = Staging.ensure("gset", key) { tmp =>
+      Dedup.setGroups(s.read.parquet(DedupIndex.ensure(s, dir).rset))
+        .write.parquet(tmp.resolve("gset").toString)
+    }
+    base.resolve("gset").toString
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}
+
+/** Staged DISTINCT-vector grouping of the embeddings corpus (vec_id,
+  * embedding, rn, rep) — the [[SetGroupIndex]] discipline for #200's
+  * copy-count-invariant mining: bit-identical embeddings group once at
+  * build time; the capped miner's member/shortlist joins read pruned
+  * (vec_id, rn, rep) slices without the vectors. */
+object VecGroupIndex {
+  private val LayoutVersion = "v1"
+
+  /** Ensure the group table exists for `dir`; returns the vgrp/ path. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val key = s"${Staging.fingerprint(dir, "embeddings.parquet")}-$LayoutVersion"
+    val base = Staging.ensure("vgrp", key) { tmp =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("embedding").orderBy("vec_id")
+      graft.core.Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("rep", min("vec_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("embedding")))
+        .write.parquet(tmp.resolve("vgrp").toString)
+    }
+    base.resolve("vgrp").toString
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}
+
 /** Staged cluster assignment of the HISTORICAL corpus: (doc_id,
   * cluster_id) over the old-only dup pairs — the state a production
   * dedup pipeline carries between ingest cycles, so arriving documents
