@@ -670,6 +670,45 @@ class PlanSpec extends SparkTestBase {
       "no rank window may exist over the corpus — only the shortlist rerank")
   }
 
+  test("stream_ann_probe's serve path has NO rank window and reads the staged lists") {
+    val p = plan("stream_ann_probe")
+    // cell choice is the in-array fold, the top-3 is custom state —
+    // a rank window anywhere would break the streaming contract
+    assert(!p.contains("windowspecdefinition"),
+      "the serve path must be window-free end to end")
+    assert(p.contains("graft-stage"),
+      "candidates must come from the staged IVF lists")
+    assert(p.contains("FlatMapGroupsWithState") || p.contains("MapGroups"),
+      "the per-query top-3 must be the bounded custom-state operator")
+  }
+
+  test("text_bpe_apply applies the merge chain over the vocab, not the corpus") {
+    val p = plan("text_bpe_apply")
+    // the replace chain must evaluate once per DISTINCT word — i.e.
+    // inside the vocab aggregate's result projection (the nb column),
+    // never in the corpus-side token explode
+    val replLines = p.linesIterator.filter(_.contains("replace(")).toSeq
+    assert(replLines.nonEmpty, "the sentinel replace chain must be in the plan")
+    assert(replLines.forall(_.contains("AS nb#")),
+      s"the replace chain may only compute the vocab nb column:\n${replLines.mkString("\n")}")
+    assert(p.contains("Keys [1]: [w#"),
+      "a distinct-word aggregate must bound the apply at vocab size")
+    assert(!p.contains("windowspecdefinition"), "no window anywhere")
+  }
+
+  test("capped PPJoin miners read the staged group table, never re-window the arrays") {
+    for (q <- Seq("dedup_ngram_jaccard_capped", "dedup_containment_capped",
+        "dedup_embedding_capped")) {
+      val p = plan(q)
+      assert(p.contains("graft-stage"), s"$q must read staged artifacts")
+      // the only windows left are the per-doc cap and (for PPJoin) none
+      // over raw set arrays: no window may partition by set/embedding
+      val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.forall(l => !l.contains("set#") && !l.contains("embedding#")),
+        s"$q must not re-group the arrays at query time:\n${specs.mkString("\n")}")
+    }
+  }
+
   test("emb_bq_recall's BQ leg is staged + heap-aggregated; only the exact leg windows") {
     val p = plan("emb_bq_recall")
     assert(p.contains("graft-stage") && p.contains("bq-"),
