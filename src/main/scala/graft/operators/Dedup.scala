@@ -616,15 +616,43 @@ object Dedup {
     * the ×4-copy corpus); the cap bounds the OUTPUT at m rows per doc,
     * which is what grows quadratically under planted-duplicate mass. */
   def minhashLshCapped(s: SparkSession, dir: String): DataFrame = {
+    // DISTINCT-set mining, like the capped PPJoin miners: band keys and
+    // hash sets are functions of a doc's shingle set alone, so the
+    // band self-join + exact verify runs over each distinct set's
+    // representative only (the staged [[SetGroupIndex]] thin
+    // (doc_id, rn, rep) slice — the arrays never load here) and
+    // identical-set siblings reconstruct as jaccard-1.0 rows
+    // (n/(n+n−n) is EXACTLY 1.0 in IEEE, matching the oracle's
+    // division for identical hash sets). The reconstruction equals the
+    // all-band-candidate top-m by the [[cappedHamPairs]] lemma —
+    // member pairs band-collide iff their reps do. hset and the group
+    // table cover the same docs (both derive from the shingle
+    // explode), so no member is dropped.
+    val m = PairCapM
     val st = DedupIndex.ensure(s, dir)
-    val bands = s.read.parquet(st.bands)
-    val hset = s.read.parquet(st.hset)
-    val p = verifyJaccardScored(bandCandidates(bands), hset, hset,
-      "doc_id1", "doc_id2")
-    val sym = symmetrize(p, "doc_id1", "doc_id2", "jaccard", "doc_id", "nbr_id")
+    val dr = s.read.parquet(SetGroupIndex.ensure(s, dir))
+      .select("doc_id", "rn", "rep")
+    val reps = dr.filter(col("rn") === 1).select(col("rep").as("doc_id"))
+    val repHset = s.read.parquet(st.hset).join(reps, "doc_id")
+    val repBands = s.read.parquet(st.bands).join(reps, "doc_id")
+    val gpSym = symmetrize(
+      verifyJaccardScored(bandCandidates(repBands), repHset, repHset,
+        "doc_id1", "doc_id2"),
+      "doc_id1", "doc_id2", "jaccard", "r", "o")
+    val gTop = dr.filter(col("rn") <= m + 1)
+      .select(col("rep").as("orep"), col("doc_id").as("nbr_id"))
+    val sib = dr.select(col("doc_id"), col("rep"))
+      .join(gTop, col("rep") === col("orep"))
+      .filter(col("nbr_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("nbr_id"), lit(1.0).as("jaccard"))
+    val near = dr.select(col("doc_id"), col("rep"))
+      .join(gpSym, col("rep") === col("r"))
+      .join(gTop, col("o") === col("orep"))
+      .select(col("doc_id"), col("nbr_id"), col("jaccard"))
     val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("nbr_id"))
-    sym.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= PairCapM)
+    sib.unionAll(near)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= m)
       .select("doc_id", "rnk", "nbr_id", "jaccard")
   }
 

@@ -698,7 +698,7 @@ class PlanSpec extends SparkTestBase {
 
   test("capped PPJoin miners read the staged group table, never re-window the arrays") {
     for (q <- Seq("dedup_ngram_jaccard_capped", "dedup_containment_capped",
-        "dedup_embedding_capped")) {
+        "dedup_embedding_capped", "dedup_minhash_lsh_capped")) {
       val p = plan(q)
       assert(p.contains("graft-stage"), s"$q must read staged artifacts")
       // the only windows left are the per-doc cap and (for PPJoin) none
