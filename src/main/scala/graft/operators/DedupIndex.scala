@@ -155,6 +155,38 @@ object VecGroupIndex {
   def clear(): Unit = Staging.clear()
 }
 
+/** Staged minhash signatures of the ARRIVAL slice (doc_id ≡ IncrRem
+  * mod IncrMod): hset/ (doc_id, hs, n) and bands/ (doc_id, band, bkey)
+  * — the artifact a production pipeline writes when the arrival batch
+  * lands, so every incremental probe (cluster assignment #222, pair
+  * probe #96) reads columnar signatures instead of re-shingling the
+  * arrival text per run. Same permutation family as [[DedupIndex]]
+  * (minhashHset/bandsOf), same [[Staging]] atomicity; the build is the
+  * one-time ingest cost, bounded by arrival volume. */
+object ArrivalSigIndex {
+  private val LayoutVersion = "v1"
+
+  final case class ArrivalPaths(hset: String, bands: String)
+
+  /** Ensure the arrival-slice signature store exists for `dir`. */
+  def ensure(s: SparkSession, dir: String): ArrivalPaths = {
+    val key = s"${Staging.fingerprint(dir, "documents.parquet")}-$LayoutVersion"
+    val base = Staging.ensure("arrsig", key) { tmp =>
+      val isNew = col("doc_id") % Dedup.IncrMod === Dedup.IncrRem
+      Dedup.minhashHset(s, dir, Some(isNew))
+        .write.parquet(tmp.resolve("hset").toString)
+      // bands derive from the just-written hset parquet so the shingle
+      // pass runs once, not once per artifact
+      Dedup.bandsOf(s.read.parquet(tmp.resolve("hset").toString))
+        .write.parquet(tmp.resolve("bands").toString)
+    }
+    ArrivalPaths(base.resolve("hset").toString, base.resolve("bands").toString)
+  }
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}
+
 /** Staged cluster assignment of the HISTORICAL corpus: (doc_id,
   * cluster_id) over the old-only dup pairs — the state a production
   * dedup pipeline carries between ingest cycles, so arriving documents

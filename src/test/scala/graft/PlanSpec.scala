@@ -360,14 +360,37 @@ class PlanSpec extends SparkTestBase {
       "pair mining must be the byte-block equi-join, never all pairs")
   }
 
-  test("dedup_incremental scans the corpus once (new batch) + the staged signature store") {
+  test("dedup_incremental probes staged signatures on BOTH sides — zero corpus scans") {
     val p = plan("dedup_incremental")
-    assert(p.contains("graft-stage"), "old side must read the staged store")
+    assert(p.contains("graft-stage"), "both sides must read staged stores")
     val docScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("documents.parquet"))
-    assert(docScans == 1, s"only the new batch may scan the corpus, got $docScans")
+    assert(docScans == 0,
+      s"arrival signatures are staged at ingest (ArrivalSigIndex) — no text re-shingle, got $docScans corpus scans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the band join, never all pairs")
+  }
+
+  test("dedup_cluster_incremental's reduced graph probes staged signatures — zero corpus scans") {
+    // the contraction loop's localCheckpoints erase lineage, so assert
+    // on the reduced-edge source plan directly (the clusterDups pattern)
+    val p = graft.operators.Dedup.clusterIncrementalReduced(spark, Sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("graft-stage"),
+      "bands/hsets/cluster state must come from staged stores")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "neither side may re-shingle text: arrival signatures are staged at ingest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the band join, never all pairs")
+  }
+
+  test("mm_phash_incremental reads staged 8-byte fingerprints on BOTH sides — zero payload scans") {
+    val p = plan("mm_phash_incremental")
+    assert(p.contains("graft-stage"), "both sides must read the staged phash store")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      "the payload table must not appear: arrival fingerprints are staged at ingest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair mining must be the byte-block equi-join, never all pairs")
   }
 
   test("text_gopher_rules is a pure map-side projection — zero exchanges") {
