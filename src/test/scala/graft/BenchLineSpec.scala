@@ -99,6 +99,41 @@ class BenchLineSpec extends AnyFunSuite {
     assert(fnode.get("queries").get("a").get("retry_sec").asDouble == 0.45)
   }
 
+  test("guard: a failed third pass keeps the clean best-of-2 and rolls back the error") {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // slow_q trips the 3x threshold; its third pass fails fast (0.02 s)
+    val out = Bench.applyGuard(
+      Map("slow_q" -> 4.0, "ok_q" -> 0.5),
+      Map("slow_q" -> 1.0, "ok_q" -> 0.5),
+      errors, retried,
+      k => { errors(k) = "boom: transient"; 0.02 })
+    assert(out("slow_q") == 4.0,
+      "a failed retry must never publish its time-to-exception")
+    assert(errors.isEmpty, "two clean runs: the query is not FAILED")
+    assert(retried.isEmpty, "a failed retry is not recorded as a retry")
+    assert(out("ok_q") == 0.5, "non-tripping queries pass through")
+  }
+
+  test("guard: a successful third pass publishes the min and records the retry") {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val out = Bench.applyGuard(
+      Map("slow_q" -> 4.0), Map("slow_q" -> 1.0), errors, retried, _ => 1.1)
+    assert(out("slow_q") == 1.1 && retried("slow_q") == 1.1 && errors.isEmpty)
+  }
+
+  test("guard decision record: threshold, baseline, and fast flags land in the side dump") {
+    val full = Bench.fullJson(Map("a" -> 0.5), Map("a" -> 0.1), Nil, "sf",
+      2.0, guardFast = Seq("a"))
+    val node = mapper.readTree(full)
+    val g = node.get("guard")
+    assert(g.get("threshold").asDouble == 3.0)
+    assert(g.get("baseline").asText == "bench_full.json@HEAD")
+    assert(g.get("fast_flagged").get(0).asText == "a",
+      "suspicious speedups must be surfaced for adjudication")
+  }
+
   test("previousBest reads per-query bests from a bench_full dump; corrupt file disables the guard") {
     val dir = java.nio.file.Files.createTempDirectory("benchprev")
     val ok = dir.resolve("bench_full.json")
