@@ -301,28 +301,64 @@ object StreamOps {
   /** Stateful streaming sessionization via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics windowed
     * aggs can't express. State per user: (last event ts, running session
-    * count); a >30-min gap opens a new session. Agrees with the batch
-    * q_sessionize operator (spec-checked). */
+    * count, epoch id); a >30-min gap opens a new session.
+    *
+    * State EXPIRES: EventTimeTimeout evicts a user once the watermark
+    * passes their session-gap horizon (last event + gap) — on an
+    * unbounded key space the store would otherwise grow monotonically
+    * (16 bytes/key forever; the same class of leak the pair-dedup state
+    * fixed with its watermark TTL). A returning user gets a FRESH state
+    * incarnation, so each emitted row carries its incarnation's `epoch`
+    * (the first event µs it saw — strictly increasing across
+    * incarnations because a post-expiry event lies beyond the old
+    * horizon): total sessions per user = Σ over epochs of the epoch's
+    * final count, which is how the spec proves parity with the batch
+    * q_sessionize operator, expiry included. The timed-out invocation
+    * re-emits the epoch's final row and removes the state. */
   def sessionizeStreaming(s: SparkSession, eventsDir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.streaming.GroupState
     import s.implicits._
     val GapUs = 30L * 60 * 1000000
-    s.readStream.schema(schema).format("parquet").load(eventsDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"))
-      .as[(Long, Long)]
+    val reader0 = s.readStream.schema(schema).format("parquet")
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    // the watermarked event-time column must SURVIVE the projection into
+    // the stateful operator (dropping it drops the watermark and fails
+    // analysis for EventTimeTimeout); `us` rides alongside for µs math
+    reader.load(eventsDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
-          var (last, n) = state.getOption.getOrElse((Long.MinValue, 0L))
-          it.map(_._2).toArray.sorted.foreach { t =>
-            if (last == Long.MinValue || t - last > GapUs) n += 1
-            last = t
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (_, n, epoch) = state.get
+            state.remove()
+            (uid, epoch, n)
+          } else {
+            var (last, n, epoch) =
+              state.getOption.getOrElse((Long.MinValue, 0L, -1L))
+            val ts = it.map(_._2).toArray.sorted
+            if (epoch == -1L && ts.nonEmpty) epoch = ts.head
+            ts.foreach { t =>
+              if (last == Long.MinValue || t - last > GapUs) n += 1
+              last = t
+            }
+            state.update((last, n, epoch))
+            // expire once the watermark passes the gap horizon; the
+            // timestamp must sit strictly beyond the current watermark
+            // (Spark rejects a timeout in the past), so a late-ish
+            // update simply lives one more trigger
+            state.setTimeoutTimestamp(math.max(
+              last / 1000 + GapUs / 1000, state.getCurrentWatermarkMs() + 1))
+            (uid, epoch, n)
           }
-          state.update((last, n))
-          (uid, n)
       }
-      .toDF("user_id", "n_sessions")
+      .toDF("user_id", "epoch", "n_sessions")
   }
 }

@@ -229,14 +229,67 @@ class StreamingSpec extends SparkTestBase {
       .start()
     q.awaitTermination(120000L)
 
-    // keep only each user's final state row (update mode may emit per batch)
-    val streamed = spark.table("sess_out").groupBy("user_id")
-      .agg(org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"))
+    // per (user, epoch) the final count is the max update row; total
+    // sessions per user = sum across state incarnations (epochs)
+    import org.apache.spark.sql.functions.{max, sum}
+    val streamed = spark.table("sess_out").groupBy("user_id", "epoch")
+      .agg(max("n_sessions").as("n"))
+      .groupBy("user_id").agg(sum("n").as("n_sessions"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val batch = graft.operators.Analytics.qSessionize(spark, Sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"))).toMap
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("sessionization state EXPIRES: a batch past the timeout horizon evicts idle users, counts still exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, max, sum}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    val dir = tmpDir("stream-sess-expiry")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val t0 = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+    def rows(ts: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ts.map { case (u, us) =>
+        Row(u, new java.sql.Timestamp(us / 1000)) }, 1), schema)
+    val h = 3600L * 1000000
+    // file 1: user 1 two sessions (gap 31 min), user 2 one event
+    rows(Seq((1L, t0), (1L, t0 + 31 * 60 * 1000000L), (2L, t0)))
+      .write.parquet(s"$dir/b1")
+    Thread.sleep(50)
+    // file 2: 5 hours later — after this batch the watermark (max - 1h)
+    // sits past user 1's gap horizon
+    rows(Seq((3L, t0 + 5 * h))).write.parquet(s"$dir/b2")
+    Thread.sleep(50) // distinct mtimes: the file source orders triggers by them
+    // file 3: a batch WITHOUT user 1 — timeouts only fire for keys with
+    // no data in the trigger, so this is where the idle users evict
+    rows(Seq((4L, t0 + 5 * h + 60 * 1000000L))).write.parquet(s"$dir/b3")
+    Thread.sleep(50)
+    // file 4: user 1 RETURNS after expiry — a fresh state incarnation
+    // (new epoch) must start a new session, not resurrect the old count
+    rows(Seq((1L, t0 + 6 * h))).write.parquet(s"$dir/b4")
+    val src = spark.read.parquet(s"$dir/b1").schema
+    val q = StreamOps.sessionizeStreaming(spark, s"$dir/{b1,b2,b3,b4}", src,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("sess_expiry")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val out = spark.table("sess_expiry")
+    // user 1 lived two state incarnations: expiry actually removed the
+    // first state (a surviving state would have kept its epoch)
+    val epochs1 = out.filter(col("user_id") === 1L)
+      .select("epoch").distinct().count()
+    assert(epochs1 == 2, s"expected 2 state incarnations for user 1, got $epochs1")
+    // counts stay exact across expiry: per-epoch finals sum to the
+    // driver-computed truth (3 sessions for user 1: two in file 1 +
+    // the post-expiry return; 1 each for users 2, 3, 4)
+    val totals = out.groupBy("user_id", "epoch").agg(max("n_sessions").as("n"))
+      .groupBy("user_id").agg(sum("n").as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(totals == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L), s"got $totals")
   }
 
   test("streaming ANN serve path equals the batch twin AND the batched IVF probe") {
