@@ -511,9 +511,17 @@ object Similarity {
     *    (cos desc, vec_id) window — the batch twin reuses #198's
     *    oracle verbatim. */
   def annServeOf(s: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    annServeOfPaths(s, centPath, assignedPath, queries)
+  }
+
+  /** [[annServeOf]] with an injectable index (paths split out so the
+    * spec can drive degenerate index shapes — the 1-cell fallback —
+    * without re-staging the corpus index). */
+  private[graft] def annServeOfPaths(s: SparkSession, centPath: String,
+      assignedPath: String, queries: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import s.implicits._
-    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
     // one broadcast row: the clabel-ascending centroid array (tiny —
     // ncells rows; a serving tier keeps exactly this in memory)
     val centArr = s.read.parquet(centPath)
@@ -533,11 +541,15 @@ object Similarity {
     // seed with cells 1,2 ordered; fold the rest through the 2-slot
     // keep (cents is clabel-ascending, and the comparisons replace only
     // on strictly-better, so ties land on the lowest clabel exactly as
-    // the batch window does). Requires ncells >= 2 — any real IVF
-    // index; a 1-cell index needs no probe choice at all.
-    val seed = when(better(pick(e2), pick(e1)),
+    // the batch window does). A degenerate 1-cell index (element_at 2
+    // would be null, and a null clabel would silently DROP the probe
+    // row in the list join) falls back to probing its only cell twice —
+    // the array_distinct below collapses the duplicate label.
+    val seed = when(size(col("cents")) < 2,
+        struct(pick(e1).as("b1"), pick(e1).as("b2")))
+      .otherwise(when(better(pick(e2), pick(e1)),
         struct(pick(e2).as("b1"), pick(e1).as("b2")))
-      .otherwise(struct(pick(e1).as("b1"), pick(e2).as("b2")))
+      .otherwise(struct(pick(e1).as("b1"), pick(e2).as("b2"))))
     val probed = queries.withColumn("jk", lit(1))
       .join(broadcast(centArr), "jk")
       .withColumn("top2", aggregate(
@@ -549,7 +561,11 @@ object Similarity {
             struct(acc.getField("b1").as("b1"), pick(c).as("b2")))
           .otherwise(acc)))
       .select(col("qid"), col("qv"),
-        explode(array(col("top2.b1.clabel"), col("top2.b2.clabel")))
+        // distinct: the two slots hold distinct cells by construction
+        // EXCEPT under the 1-cell fallback, where a duplicated label
+        // would double every candidate and corrupt the bounded top-k
+        explode(array_distinct(array(
+          col("top2.b1.clabel"), col("top2.b2.clabel"))))
           .as("assigned_label"))
     probed.join(s.read.parquet(assignedPath), "assigned_label")
       .filter(col("vec_id") >= 10)

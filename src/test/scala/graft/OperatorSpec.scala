@@ -2992,4 +2992,29 @@ class OperatorSpec extends SparkTestBase {
       .collect().head.getSeq[Long](1).toList
     assert(tiny == List(3L, 9L))
   }
+
+  test("ann serve path survives a degenerate 1-cell index: fallback probes the only cell") {
+    // a 1-cell index made the top-2 seed read element_at(cents, 2) =
+    // null, and the null clabel silently DROPPED every probe row in the
+    // list join — degraded output instead of a clear answer. The
+    // fallback probes the single cell (twice, deduped) instead.
+    import spark.implicits._
+    val base = tmpDir("serve-1cell")
+    Seq((0L, Seq(1.0, 0.0)))
+      .toDF("clabel", "cv").write.parquet(s"$base/cent")
+    Seq(
+      (10L, 0L, Seq(1.0, 0.0), 0L),
+      (11L, 0L, Seq(0.6, 0.8), 0L),
+      (12L, 0L, Seq(0.0, 1.0), 0L),
+      (13L, 0L, Seq(-1.0, 0.0), 0L))
+      .toDF("vec_id", "label", "v", "assigned_label")
+      .write.parquet(s"$base/assigned")
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val got = Similarity.annServeOfPaths(spark,
+        s"$base/cent", s"$base/assigned", queries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // top-3 by (cos desc, vec_id): 10 (1.0), 11 (0.6), 12 (0.0)
+    assert(got == Set((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)),
+      s"1-cell fallback must serve exact top-3, got $got")
+  }
 }
