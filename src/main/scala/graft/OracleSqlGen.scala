@@ -1898,7 +1898,9 @@ object OracleSqlGen {
        |  SELECT a.w0, replace(a.wd, m.pair,
        |    chr(CAST(57344 + m.mi - 1 AS INTEGER))), m.mi
        |  FROM ap a JOIN mt m ON m.mi = a.mi + 1),
-       |nsym AS (SELECT w0, CAST(length(wd) AS BIGINT) AS nb FROM ap WHERE mi = $m)
+       |nsym AS (SELECT w0, CAST(CASE WHEN regexp_matches(w0, '[\\x{E000}-\\x{E01F}]')
+       |    THEN length(w0) ELSE length(wd) END AS BIGINT) AS nb
+       |  FROM ap WHERE mi = $m)
        |SELECT d.source, CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
        |  CAST(count(*) AS BIGINT) AS ws_tokens,
        |  CAST(sum(nb) AS BIGINT) AS bpe_tokens,
@@ -1907,6 +1909,46 @@ object OracleSqlGen {
        |FROM w JOIN nsym ON w.w = nsym.w0
        |JOIN documents d ON w.doc_id = d.doc_id
        |GROUP BY 1""".stripMargin
+  }
+
+  /** #text_bpe_train — iterated BPE training unrolled as N static SQL
+    * stages (DuckDB recursive CTEs cannot aggregate over the recursive
+    * table, so the fold is generated): stage r counts adjacent 2-char
+    * pairs over vocab v(r-1), picks top-1 (cnt DESC, pair — the
+    * engine's exact order), rewrites vr with the chr(57344+r-1)
+    * sentinel (replace semantics agree: left-to-right non-overlapping)
+    * and reports the weighted symbol count after the merge. `merged`
+    * expands sentinels back in DESCENDING round order — round j's raw
+    * pair only references sentinels < j, so one pass is complete. The
+    * coalesce guard keeps a pair-exhausted stage a no-op (a NULL search
+    * string would null the whole vocab) — the 3-char plane-15 filler
+    * can never equal a 2-char pair. */
+  val textBpeTrain: String = {
+    val n = graft.operators.TextOps.BpeTrainRounds
+    val stages = (1 to n).map { r =>
+      val pv = s"v${r - 1}"
+      s"""p$r AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+         |  FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i FROM $pv)),
+         |t$r AS MATERIALIZED (SELECT $r AS r, pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p$r
+         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT replace(w, coalesce((SELECT pair FROM t$r),
+         |    chr(983041) || chr(983041) || chr(983041)), chr(${57344 + r - 1})) AS w, wc FROM $pv),
+         |s$r AS (SELECT CAST(sum(wc * len(w)) AS BIGINT) AS symbols FROM v$r)"""
+    }.mkString(",\n")
+    def mergedExpr(r: Int): String =
+      (r - 1 to 1 by -1).foldLeft(s"(SELECT pair FROM t$r)")((acc, j) =>
+        s"replace($acc, chr(${57344 + j - 1}), (SELECT pair FROM t$j))")
+    val selects = (1 to n).map { r =>
+      s"""SELECT CAST(r AS BIGINT) AS merge_round, pair,
+         |  ${mergedExpr(r)} AS merged, cnt,
+         |  (SELECT symbols FROM s$r) AS corpus_symbols FROM t$r"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $toksCte,
+       |wx AS (SELECT unnest(t) AS w FROM toks),
+       |v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM wx
+       |  WHERE NOT regexp_matches(w, '[\\x{E000}-\\x{E01F}]') GROUP BY 1),
+       |$stages
+       |$selects""".stripMargin
   }
 
   /** #172 — PQ code balance: the annPqTopk encode CTEs re-grouped by

@@ -175,6 +175,7 @@ object SparkEntry {
     "ts_cross_corr" -> (TimeSeriesOps.crossCorr _),
     "text_bpe_merge" -> (TextOps.bpeMergeStep _),
     "text_bpe_apply" -> (TextOps.bpeApply _),
+    "text_bpe_train" -> (TextOps.bpeTrain _),
     "emb_silhouette" -> (Similarity.silhouette _),
     "emb_pagerank_knn" -> (Similarity.pagerankKnn _),
     "text_dup_ngram_frac" -> (TextOps.dupNgramFrac _),
@@ -1255,6 +1256,7 @@ object SparkEntry {
     "ts_cross_corr" -> OracleSqlGen.tsCrossCorr,
     "text_bpe_merge" -> OracleSqlGen.textBpeMerge,
     "text_bpe_apply" -> OracleSqlGen.textBpeApply,
+    "text_bpe_train" -> OracleSqlGen.textBpeTrain,
     "emb_silhouette" -> OracleSqlGen.embSilhouette,
     "emb_pagerank_knn" -> OracleSqlGen.embPagerankKnn,
     "text_dup_ngram_frac" -> OracleSqlGen.textDupNgramFrac,

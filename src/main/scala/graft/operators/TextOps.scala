@@ -941,8 +941,14 @@ object TextOps {
     }
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+    // a word already containing a private-use sentinel would be
+    // MISCOUNTED by the replace chain (its chars collide with the
+    // encoding), so such words count as unmergeable raw length — the
+    // CASE is mirrored verbatim in the oracle (zero such words in
+    // practice; the guard exists so one can never corrupt the count)
     val vocab = words.select("w").distinct()
-      .withColumn("nb", length(applied).cast("long"))
+      .withColumn("nb", when(col("w").rlike(BpeSentinelClass),
+        length(col("w"))).otherwise(length(applied)).cast("long"))
     words.join(vocab, "w")
       .groupBy("source")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -951,6 +957,96 @@ object TextOps {
       .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
         (col("ws_tokens").cast("double") / col("n_docs")).as("ws_per_doc"),
         (col("bpe_tokens").cast("double") / col("n_docs")).as("bpe_per_doc"))
+  }
+
+  /** Training rounds for #text_bpe_train. */
+  val BpeTrainRounds = 10
+
+  /** Sentinel-range regex shared by the BPE ops: words already
+    * containing private-use sentinels are excluded from training and
+    * application (they would collide with the encoding — the exact
+    * failure the r14 advisor flagged), mirrored verbatim in the oracle
+    * so both engines drop the same (in practice zero) words. */
+  private[operators] val BpeSentinelClass = "[\uE000-\uE01F]"
+
+  /** #text_bpe_train — TRUE iterated BPE training: N rounds, each
+    * counting adjacent SYMBOL pairs over the current vocab encoding and
+    * merging THE most frequent pair (cnt desc, pair asc — the classic
+    * algorithm, one merge per round). Merged symbols are single
+    * private-use sentinel chars, so the 1 char = 1 symbol invariant
+    * holds every round and a sentinel pair re-enters the statistics —
+    * round 2 can merge (sentinel, char): the restriction #152/#224's
+    * single-round table lived under is lifted. Per round the output
+    * reports the raw chosen pair, its expanded (readable) merged
+    * symbol, the weighted pair count, and corpus_symbols = Σ wc·len
+    * AFTER the merge — the apply side of the learned table at every
+    * prefix, i.e. the compression curve a tokenizer team reads before
+    * freezing a vocab.
+    *
+    * Scale shape: the driver loop runs 2 tiny actions per round (top-1
+    * pair + symbol count) over the DISTINCT-word vocab — vocab-bounded,
+    * never corpus-bounded; the corpus is tokenized ONCE into the
+    * weighted vocab and each round's rewrite is one string replace,
+    * localCheckpointed so lineage stays flat. The oracle unrolls the
+    * identical fold as N SQL stages (replace semantics — left-to-right,
+    * non-overlapping — agree between engines; the spec additionally
+    * proves the sentinel encoding equals a reference symbol-list BPE
+    * incl. multi-char merges and round-trip detokenization).
+    * Reference: fn_registry.rs's registered-function dispatch (the
+    * UDCF precedent for derived text functions). */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val vocab0 = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(!col("w").rlike(BpeSentinelClass))
+    bpeTrainOf(s, vocab0)
+  }
+
+  /** [[bpeTrain]]'s core over an explicit weighted vocab (w, wc) — the
+    * spec drives crafted vocabularies through it to prove the sentinel
+    * encoding against a reference symbol-list BPE. */
+  private[graft] def bpeTrainOf(s: SparkSession, vocab0: DataFrame): DataFrame = {
+    var vocab = vocab0.localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+    val raw = scala.collection.mutable.ArrayBuffer[String]()
+    // expand a sentinel-encoded string back to readable chars: replace
+    // sentinels in DESCENDING round order — round j's raw pair only
+    // contains sentinels < j, so one descending pass is a full expansion
+    def expand(p: String): String =
+      (raw.size to 1 by -1).foldLeft(p)((acc, j) =>
+        acc.replace(new String(Character.toChars(0xE000 + j - 1)), raw(j - 1)))
+    var r = 0
+    var exhausted = false
+    while (r < BpeTrainRounds && !exhausted) {
+      // len >= 2 guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
+      // so a fully-merged 1-char word would emit phantom pairs
+      // (DuckDB's generate_series is empty there — the engines diverge
+      // without the filter; bpeMergeStep carries the same guard)
+      val top = vocab.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val pair = top.head.getString(0)
+        val cnt = top.head.getLong(1)
+        val sent = new String(Character.toChars(0xE000 + r))
+        vocab = vocab
+          .select(replace(col("w"), lit(pair), lit(sent)).as("w"), col("wc"))
+          .localCheckpoint()
+        val symbols = vocab
+          .agg(sum(col("wc") * length(col("w")))).collect().head.getLong(0)
+        val merged = expand(pair)
+        raw += pair
+        rows += ((r + 1L, pair, merged, cnt, symbols))
+      }
+      r += 1
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("merge_round", "pair", "merged", "cnt", "corpus_symbols")
   }
 
   def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {

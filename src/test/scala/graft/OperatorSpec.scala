@@ -2993,6 +2993,78 @@ class OperatorSpec extends SparkTestBase {
     assert(tiny == List(3L, 9L))
   }
 
+  test("bpeTrain equals a reference symbol-list BPE (multi-round merges, overlaps, round-trip)") {
+    import spark.implicits._
+    // crafted so merges COMPOSE: "ab" merges round 1, then a pair
+    // containing the round-1 symbol must win a later round (the
+    // single-round restriction #152 lived under is provably lifted),
+    // plus an overlap word ("aaaa") where left-to-right non-overlapping
+    // application differs from naive pair counting
+    val vocab = Seq(("abab", 9L), ("aab", 5L), ("ab", 7L),
+      ("aaaa", 6L), ("abc", 4L), ("bcd", 3L))
+    // reference: words as symbol-id vectors (chars; merge r = 0xE000+r),
+    // pair rank key = the 2-char encoded string (the engines' order),
+    // merges applied left-to-right non-overlapping (replace semantics)
+    def enc(id: Int) = new String(Character.toChars(id))
+    var words: Seq[(Vector[Int], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toInt).toVector, c) }
+    val expansion = scala.collection.mutable.Map[Int, String]()
+    def expand(id: Int): String =
+      expansion.getOrElse(id, new String(Character.toChars(id)))
+    val ref = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+    var r = 0
+    var done = false
+    while (r < TextOps.BpeTrainRounds && !done) {
+      val counts = scala.collection.mutable.Map[(Int, Int), Long]()
+      for ((w, c) <- words; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rt), cnt) = counts.minBy { case ((a, b), c) =>
+          (-c, enc(a) + enc(b))
+        }
+        val sym = 0xE000 + r
+        expansion(sym) = expand(l) + expand(rt)
+        words = words.map { case (w, c) =>
+          val out = Vector.newBuilder[Int]
+          var i = 0
+          while (i < w.length) {
+            if (i < w.length - 1 && w(i) == l && w(i + 1) == rt) {
+              out += sym; i += 2
+            } else { out += w(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        val symbols = words.map { case (w, c) => w.length * c }.sum
+        ref += ((r + 1L, enc(l) + enc(rt), expansion(sym), cnt, symbols))
+      }
+      r += 1
+    }
+    val got = TextOps.bpeTrainOf(spark, vocab.toDF("w", "wc"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == ref.toSeq, s"engine:\n${got.mkString("\n")}\nref:\n${ref.mkString("\n")}")
+    // the lift is real: some merge composes an earlier one (merged > 2
+    // chars), and every merged string round-trips to original chars
+    assert(got.exists(_._3.length > 2), "no multi-round merge composed")
+    assert(got.forall(g => !g._3.exists(c => c >= 0xE000.toChar && c <= 0xE01F.toChar)),
+      "merged must be fully expanded back to readable chars")
+    // corpus symbol counts never increase; top counts never increase
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse)
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+  }
+
+  test("bpe train on the corpus: monotone counts and a real compression curve") {
+    val rows = TextOps.bpeTrain(spark, Sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == TextOps.BpeTrainRounds)
+    val cnts = rows.map(_.getLong(3)).toSeq
+    assert(cnts == cnts.sorted.reverse, s"round counts must be non-increasing: $cnts")
+    val syms = rows.map(_.getLong(4)).toSeq
+    assert(syms == syms.sorted.reverse && syms.distinct == syms,
+      s"every merge must strictly shrink the corpus: $syms")
+  }
+
   test("ann serve path survives a degenerate 1-cell index: fallback probes the only cell") {
     // a 1-cell index made the top-2 seed read element_at(cents, 2) =
     // null, and the null clabel silently DROPPED every probe row in the
