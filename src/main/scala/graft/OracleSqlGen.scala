@@ -1367,6 +1367,65 @@ object OracleSqlGen {
        |FROM c${Similarity.KcK - 1}""".stripMargin
   }
 
+  /** #emb_kmeans_train — the full training trajectory unrolled: the
+    * embKcenterInit rounds build the K seeds (cid = pick order), then
+    * KmTrainIters MATERIALIZED Lloyd stages — per-vector argmin via the
+    * rounded-L2 row_number (ties by cid, the engine's struct-min), mean
+    * update through the fixed-point grid with the sum cast BIGINT
+    * before DOUBLE (HUGEINT→DOUBLE is not correctly rounded; BIGINT is,
+    * and Σ floor(x·2^40) over any realistic slice fits), division
+    * parenthesized exactly as the engine ((sf / S) / n), empty clusters
+    * keep their centroid via the LEFT JOIN fallback. shift folds the
+    * squared centroid movement left-to-right over dims, round 6 —
+    * DuckDB round = half away from zero = the driver's HALF_UP on the
+    * non-negative shifts. */
+  val embKmeansTrain: String = {
+    import graft.operators.Similarity.{KcK, KmTrainIters, KmFixScale}
+    def l2(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (p, q) -> p + q)""".stripMargin
+    val kcRounds = (1 until KcK).map { r =>
+      s"""km$r AS (SELECT e.vec_id, min(round(${l2("e.v", "c.cv")}, 6)) AS md
+         |  FROM e, kc${r - 1} c GROUP BY e.vec_id),
+         |kn$r AS (SELECT vec_id FROM km$r ORDER BY md DESC, vec_id LIMIT 1),
+         |kc$r AS (SELECT cid, cv FROM kc${r - 1}
+         |  UNION ALL SELECT $r, e.v FROM e JOIN kn$r n USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val iters = (1 to KmTrainIters).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT vec_id, v, cid, du FROM (
+         |    SELECT e.vec_id, e.v, c.cid, ${l2("e.v", "c.cv")} AS du,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${l2("e.v", "c.cv")}, 6), c.cid) AS rn
+         |    FROM e, ci${t - 1} c) WHERE rn = 1),
+         |st$t AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(CAST(sum(CAST(floor(du * $KmFixScale) AS BIGINT)) AS BIGINT)
+         |      AS DOUBLE) / $KmFixScale AS sse
+         |  FROM a$t GROUP BY cid),
+         |dm$t AS (SELECT cid, dim,
+         |    (CAST(CAST(sum(CAST(floor(v[dim] * $KmFixScale) AS BIGINT)) AS BIGINT)
+         |      AS DOUBLE) / $KmFixScale) / CAST(count(*) AS DOUBLE) AS mc
+         |  FROM a$t, (SELECT unnest(generate_series(1, 64)) AS dim)
+         |  GROUP BY cid, dim),
+         |nc$t AS (SELECT cid, list(mc ORDER BY dim) AS cv FROM dm$t GROUP BY cid),
+         |ci$t AS MATERIALIZED (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+         |  FROM ci${t - 1} p LEFT JOIN nc$t n USING (cid)),
+         |sh$t AS (SELECT p.cid, round(${l2("n.cv", "p.cv")}, 6) AS shift
+         |  FROM ci${t - 1} p JOIN ci$t n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to KmTrainIters).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS iter, CAST(k.cid AS BIGINT) AS cid,
+         |  coalesce(st.n, 0) AS n_members, coalesce(st.sse, 0.0) AS sse,
+         |  sh.shift
+         |FROM ci0 k LEFT JOIN st$t st USING (cid) JOIN sh$t sh ON sh.cid = k.cid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $eCte,
+       |kc0 AS (SELECT 0 AS cid, v AS cv FROM e WHERE vec_id = 0),
+       |$kcRounds,
+       |ci0 AS MATERIALIZED (SELECT cid, cv FROM kc${KcK - 1}),
+       |$iters
+       |$selects""".stripMargin
+  }
+
   /** #134 — PQ distortion: the same encode CTEs (rounded argmin picks
     * the code), the UNROUNDED squared-error fold at the chosen code
     * floored onto the fixed-point grid, per-subspace exact sums +

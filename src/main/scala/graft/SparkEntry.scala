@@ -184,6 +184,7 @@ object SparkEntry {
     "ts_holt_backtest" -> (TimeSeriesOps.holtBacktest _),
     "ann_pq_recall" -> (Similarity.pqRecall _),
     "emb_kcenter_init" -> (Similarity.kcenterInit _),
+    "emb_kmeans_train" -> (Similarity.kmeansTrain _),
     "ts_trend_fit" -> (TimeSeriesOps.trendFit _),
     "q_growth_accounting" -> (Analytics.qGrowthAccounting _),
     "text_search_tfidf" -> (TextOps.searchTfidf _),
@@ -1265,6 +1266,7 @@ object SparkEntry {
     "ts_holt_backtest" -> OracleSqlGen.tsHoltBacktest,
     "ann_pq_recall" -> OracleSqlGen.annPqRecall,
     "emb_kcenter_init" -> OracleSqlGen.embKcenterInit,
+    "emb_kmeans_train" -> OracleSqlGen.embKmeansTrain,
     "ts_trend_fit" -> OracleSqlGen.tsTrendFit,
     "q_growth_accounting" -> OracleSqlGen.qGrowthAccounting,
     "text_search_tfidf" -> OracleSqlGen.textSearchTfidf,

@@ -1300,6 +1300,17 @@ object Similarity {
     * same plan. Output: (round, seed id, selection distance — the
     * coverage-gain curve whose flattening says K is enough). */
   def kcenterInit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kcenterChosen(s, dir).zipWithIndex
+      .map { case ((cid, _, selD), r) => (r.toLong, cid, selD) }
+      .toDF("rnd", "cid", "sel_d")
+  }
+
+  /** The farthest-first selection itself — (vec_id, vector, selection
+    * distance) in pick order; #160 reports it, [[kmeansTrain]] seeds
+    * from the vectors. */
+  private[graft] def kcenterChosen(s: SparkSession,
+      dir: String): Vector[(Long, Seq[Double], Option[Double])] = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     def l2r(a: Column, cv: Seq[Double]) = round(aggregate(
@@ -1319,10 +1330,106 @@ object Similarity {
         .head() // 1 row: global argmax
       chosen = chosen :+ ((p.getLong(0), p.getSeq[Double](2), Some(p.getDouble(1))))
     }
-    import s.implicits._
-    chosen.zipWithIndex
-      .map { case ((cid, _, selD), r) => (r.toLong, cid, selD) }
-      .toDF("rnd", "cid", "sel_d")
+    chosen
+  }
+
+  /** Lloyd iterations for #emb_kmeans_train (fixed, so the oracle can
+    * unroll the identical fold; the shift column makes convergence
+    * visible — on this corpus it collapses within the budget). */
+  val KmTrainIters = 6
+
+  /** #emb_kmeans_train — K-MEANS TO CONVERGENCE: [[kcenterChosen]]'s
+    * deterministic farthest-first seeds (K = [[KcK]], Gonzalez 1985)
+    * drive [[KmTrainIters]] full Lloyd iterations — assignment by
+    * rounded-L2 fold-argmin against the K broadcast literal centroids
+    * (ties to the lowest cluster id), mean update through the
+    * [[KmFixScale]] fixed-point grid so every cross-row sum is an exact
+    * integer (the kmeansStep discipline, with the sum cast LONG before
+    * DOUBLE — BIGINT→DOUBLE is correctly rounded in both engines where
+    * HUGEINT→DOUBLE is not). Per (iteration, cluster) the output
+    * reports members, the exact-integer-summed SSE (the inertia the
+    * spec proves non-increasing — Lloyd's invariant), and the squared
+    * centroid movement (rounded 6 — the convergence curve; an empty
+    * cluster keeps its centroid, n = 0, shift = 0). The eval matrix
+    * (silhouette, separation, shift, balance) can consume REAL
+    * converged centroids instead of one step's.
+    *
+    * Scale shape: one corpus pass per iteration (an in-array argmin
+    * projection + ONE combinable aggregate of K×(64+2) partials); the
+    * K-row stats collect to the driver, so centroids stay literals and
+    * no per-vector state ever shuffles. The oracle unrolls the same
+    * trajectory as MATERIALIZED SQL stages. */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    kmeansTrainOf(s, e, kcenterChosen(s, dir).map(_._2))
+  }
+
+  /** [[kmeansTrain]]'s core over an explicit (vec_id, v) frame and
+    * literal init centroids — the spec drives crafted corpora through
+    * it against a reference Lloyd loop. */
+  private[graft] def kmeansTrainOf(s: SparkSession, e: DataFrame,
+      init: Seq[Seq[Double]]): DataFrame = {
+    val S = KmFixScale.toDouble
+    // driver-side round matching Catalyst round() and DuckDB round():
+    // HALF_UP = half away from zero on the non-negative shifts
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var cents: Seq[Seq[Double]] = init
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double, Double)]()
+    val dimSums = (0 until 64).map(j =>
+      sum(floor(element_at(col("v"), j + 1) * KmFixScale)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"))
+    for (it <- 1 to KmTrainIters) {
+      // one fold per centroid: the K distances evaluate ONCE into a
+      // let-bound array (HOFs get no CSE — an inlined fold would run
+      // twice per centroid, rounded + unrounded; measured ~2× whole-
+      // query), then the argmin is an in-array struct min over cheap
+      // element_at picks: (rounded d, cid) is a total order; the
+      // unrounded du rides along for the exact SSE
+      val duArr = transform(typedLit(cents.map(_.toVector).toVector),
+        cv => aggregate(zip_with(col("v"), cv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      val picks = Multimodal.bind(duArr) { da =>
+        array_min(array(cents.indices.map { cid =>
+          struct(round(element_at(da, cid + 1), 6).as("d"),
+            lit(cid.toLong).as("cid"), element_at(da, cid + 1).as("du"))
+        }: _*))
+      }
+      val aggCols = count(lit(1)).as("n") +:
+        sum(floor(col("b.du") * KmFixScale)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sf") +:
+        dimSums
+      val stats = e.withColumn("b", picks)
+        .groupBy(col("b.cid").as("cid"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+        .map(r => r.getLong(0).toInt -> r).toMap
+      val next = cents.indices.map { cid =>
+        stats.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            (0 until 64).map(j =>
+              (r.getDecimal(3 + j).longValueExact().toDouble / S) / n)
+          case None => cents(cid) // empty cluster keeps its centroid
+        }
+      }
+      for (cid <- cents.indices) {
+        val (n, sse) = stats.get(cid) match {
+          case Some(r) =>
+            (r.getLong(1), r.getDecimal(2).longValueExact().toDouble / S)
+          case None => (0L, 0.0)
+        }
+        val shift = r6(cents(cid).indices.foldLeft(0.0) { (acc, j) =>
+          val d = next(cid)(j) - cents(cid)(j); acc + d * d
+        })
+        out += ((it.toLong, cid.toLong, n, sse, shift))
+      }
+      cents = next
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("iter", "cid", "n_members", "sse", "shift")
   }
 
   /** int8 levels for scalar quantization. */

@@ -1007,6 +1007,14 @@ object TextOps {
     * encoding against a reference symbol-list BPE. */
   private[graft] def bpeTrainOf(s: SparkSession, vocab0: DataFrame): DataFrame = {
     var vocab = vocab0.localCheckpoint()
+    // Σ wc — with it, symbols-after-merge needs NO extra vocab scan:
+    // len(w) = pairs(w) + 1 for every (non-empty) word, so
+    // Σ wc·len = Σ pair counts + Σ wc, and round r+1's pair aggregate
+    // already computes the pair mass of round r's vocab. One tiny agg
+    // here; per round ONE heavy job (the pair aggregate, which also
+    // carries the top-1 via min(struct(-cnt, pair))) + the rewrite
+    // checkpoint — down from three vocab-scanning jobs per round.
+    val totalWc = vocab.agg(sum("wc")).collect().head.getLong(0)
     val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
     val raw = scala.collection.mutable.ArrayBuffer[String]()
     // expand a sentinel-encoded string back to readable chars: replace
@@ -1015,35 +1023,54 @@ object TextOps {
     def expand(p: String): String =
       (raw.size to 1 by -1).foldLeft(p)((acc, j) =>
         acc.replace(new String(Character.toChars(0xE000 + j - 1)), raw(j - 1)))
-    var r = 0
-    var exhausted = false
-    while (r < BpeTrainRounds && !exhausted) {
+    // (top pair by cnt desc / pair asc via min(struct(-cnt, pair)),
+    // total pair mass) of the CURRENT vocab, in one job
+    def pairStats(): (Option[(String, Long)], Long) = {
       // len >= 2 guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
       // so a fully-merged 1-char word would emit phantom pairs
       // (DuckDB's generate_series is empty there — the engines diverge
       // without the filter; bpeMergeStep carries the same guard)
-      val top = vocab.filter(length(col("w")) >= 2)
+      val r = vocab.filter(length(col("w")) >= 2)
         .select(col("wc"), explode(transform(
           sequence(lit(1), length(col("w")) - 1),
           i => col("w").substr(i, lit(2)))).as("pair"))
         .groupBy("pair").agg(sum(col("wc")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true // every word fully merged
+        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("b"),
+          sum(col("cnt")).as("mass"))
+        .collect().head
+      if (r.isNullAt(0)) (None, 0L)
       else {
-        val pair = top.head.getString(0)
-        val cnt = top.head.getLong(1)
-        val sent = new String(Character.toChars(0xE000 + r))
-        vocab = vocab
-          .select(replace(col("w"), lit(pair), lit(sent)).as("w"), col("wc"))
-          .localCheckpoint()
-        val symbols = vocab
-          .agg(sum(col("wc") * length(col("w")))).collect().head.getLong(0)
-        val merged = expand(pair)
-        raw += pair
-        rows += ((r + 1L, pair, merged, cnt, symbols))
+        val b = r.getStruct(0)
+        (Some((b.getString(1), -b.getLong(0))), r.getLong(1))
+      }
+    }
+    var r = 0
+    var exhausted = false
+    var pending: Option[Int] = None // row index awaiting its symbols
+    while (r < BpeTrainRounds && !exhausted) {
+      val (top, mass) = pairStats()
+      // this round's pair mass IS the previous round's symbol count
+      pending.foreach { i => rows(i) = rows(i).copy(_5 = totalWc + mass) }
+      pending = None
+      top match {
+        case None => exhausted = true // every word fully merged
+        case Some((pair, cnt)) =>
+          val sent = new String(Character.toChars(0xE000 + r))
+          vocab = vocab
+            .select(replace(col("w"), lit(pair), lit(sent)).as("w"), col("wc"))
+            .localCheckpoint()
+          val merged = expand(pair)
+          raw += pair
+          rows += ((r + 1L, pair, merged, cnt, -1L))
+          pending = Some(rows.length - 1)
       }
       r += 1
+    }
+    // the final round's symbols: one last pair-mass pass over the
+    // rewritten vocab (the only vocab scan not amortized into a round)
+    pending.foreach { i =>
+      val (_, mass) = pairStats()
+      rows(i) = rows(i).copy(_5 = totalWc + mass)
     }
     s.createDataFrame(rows.toSeq)
       .toDF("merge_round", "pair", "merged", "cnt", "corpus_symbols")

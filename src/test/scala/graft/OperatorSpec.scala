@@ -3065,6 +3065,66 @@ class OperatorSpec extends SparkTestBase {
       s"every merge must strictly shrink the corpus: $syms")
   }
 
+  test("kmeansTrainOf equals a reference Lloyd loop on separated clusters") {
+    import spark.implicits._
+    // three tight, well-separated blobs in dims 0-2 (padded to 64) —
+    // rounding/fixed-point effects are orders of magnitude below the
+    // separation, so assignments must match a plain-double reference
+    def v(a: Double, b: Double, c: Double): Seq[Double] =
+      Seq(a, b, c) ++ Seq.fill(61)(0.0)
+    val pts = Seq(
+      v(0.0, 0.1, 0.0), v(0.1, 0.0, 0.0), v(0.05, 0.05, 0.1),
+      v(10.0, 10.1, 0.0), v(10.1, 9.9, 0.2), v(9.9, 10.0, 0.1),
+      v(-10.0, 0.0, 5.0), v(-10.2, 0.1, 5.1))
+    val e = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("vec_id", "v")
+    val init = Seq(v(0.0, 0.0, 0.0), v(9.0, 9.0, 0.0), v(-9.0, 0.0, 4.0))
+    val got = Similarity.kmeansTrainOf(spark, e, init).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // reference: plain-double Lloyd, same assignment tie rule
+    var cents = init
+    for (it <- 1 to Similarity.KmTrainIters) {
+      val assign = pts.map { p =>
+        cents.indices.minBy(c => (cents(c).zip(p).map { case (a, b) =>
+          (a - b) * (a - b) }.sum, c))
+      }
+      val next = cents.indices.map { c =>
+        val mine = pts.zip(assign).filter(_._2 == c).map(_._1)
+        if (mine.isEmpty) cents(c)
+        else (0 until 64).map(j => mine.map(_(j)).sum / mine.size)
+      }
+      for (c <- cents.indices) {
+        val mine = pts.zip(assign).filter(_._2 == c).map(_._1)
+        val sse = mine.map(p => p.zip(cents(c)).map { case (x, a) =>
+          (x - a) * (x - a) }.sum).sum
+        val shift = next(c).zip(cents(c)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum
+        val (gn, gsse, gshift) = got((it.toLong, c.toLong))
+        assert(gn == mine.size, s"iter $it cluster $c members: $gn vs ${mine.size}")
+        assert(math.abs(gsse - sse) < 1e-6, s"iter $it cluster $c sse: $gsse vs $sse")
+        assert(math.abs(gshift - shift) < 1e-6, s"iter $it cluster $c shift")
+      }
+      cents = next
+    }
+    // converged: the final iteration moved nothing
+    val lastShift = (0 until 3).map(c =>
+      got((Similarity.KmTrainIters.toLong, c.toLong))._3).max
+    assert(lastShift == 0.0, s"fixpoint expected on separated blobs, got $lastShift")
+  }
+
+  test("kmeans training on the corpus: inertia is monotone non-increasing (Lloyd's invariant)") {
+    val rows = Similarity.kmeansTrain(spark, Sf).collect()
+    assert(rows.length == Similarity.KmTrainIters * Similarity.KcK)
+    val inertia = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.map(_.getDouble(3)).sum }
+    inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9) + 1e-6, s"inertia must not increase: $inertia")
+    }
+    // every vector stays assigned somewhere, every iteration
+    val nPer = rows.groupBy(_.getLong(0)).values.map(_.map(_.getLong(2)).sum).toSet
+    assert(nPer.size == 1, s"membership total must be constant: $nPer")
+  }
+
   test("ann serve path survives a degenerate 1-cell index: fallback probes the only cell") {
     // a 1-cell index made the top-2 seed read element_at(cents, 2) =
     // null, and the null clabel silently DROPPED every probe row in the
