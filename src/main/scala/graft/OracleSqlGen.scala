@@ -323,6 +323,25 @@ object OracleSqlGen {
 
   val dedupMinhashLsh: String = s"WITH $minhashCtes\n$minhashSelect"
 
+  /** #229 — cross-source dup-flow matrix: the dedupMinhashLsh pairs
+    * (same mining the staged pair table holds), each endpoint joined to
+    * its source, canonicalized to one triangle by least/greatest
+    * (binary string order in both engines), share as one mirrored
+    * double division against the summed total. */
+  val dedupCrossSourceMatrix: String =
+    s"""WITH $minhashCtes,
+       |p AS ($minhashSelect),
+       |g AS (SELECT least(d1.source, d2.source) AS source_a,
+       |    greatest(d1.source, d2.source) AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM p JOIN documents d1 ON p.doc_id1 = d1.doc_id
+       |    JOIN documents d2 ON p.doc_id2 = d2.doc_id
+       |  GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM g)
+       |SELECT source_a, source_b, n_pairs,
+       |  CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+       |FROM g, t""".stripMargin
+
   /** #202 — capped minhash pairs: the dedupMinhashLsh candidates +
     * exact-jaccard verify, then the per-doc (jaccard desc, nbr asc)
     * rank cap over the symmetrized pairs; the jaccard is the same
@@ -1123,6 +1142,41 @@ object OracleSqlGen {
        |  CAST(sx AS DOUBLE) / ${Similarity.KmFixScale}.0 AS y,
        |  CAST(n AS BIGINT) AS n_vecs
        |FROM byd""".stripMargin
+
+  /** #emb_remove_top_pc — all-but-the-top eval: the embPowerIter
+    * matvec (sums cast BIGINT before DOUBLE — the HUGEINT→DOUBLE
+    * rounding hazard), normalized by the left-to-right y² fold exactly
+    * as the driver's foldLeft; per-vector cos/residual folds and the
+    * fixed-point label means mirror the engine's division order. */
+  val embRemoveTopPc: String = {
+    val S = s"${Similarity.KmFixScale}.0"
+    def meanOf(c: String) =
+      s"(CAST(CAST(sum(CAST(floor($c * $S) AS HUGEINT)) AS BIGINT) AS DOUBLE) / $S) / count(*)"
+    s"""WITH $eCte,
+       |x AS (SELECT v AS xv FROM e WHERE vec_id = 0),
+       |sc AS (SELECT e.vec_id, e.v, ${dot("e.v", "x.xv")} AS s FROM e, x),
+       |byd AS (SELECT j,
+       |    CAST(CAST(sum(CAST(floor((s * c) * $S) AS HUGEINT)) AS BIGINT) AS DOUBLE) / $S AS y
+       |  FROM (SELECT s, unnest(generate_series(1, 64)) AS j, unnest(v) AS c FROM sc)
+       |  GROUP BY j),
+       |ul AS (SELECT list_transform(ys, c -> c / sqrt(list_reduce(
+       |    list_prepend(0.0, list_transform(ys, t -> t * t)), (p, q) -> p + q))) AS us
+       |  FROM (SELECT list(y ORDER BY j) AS ys FROM byd)),
+       |s2 AS (SELECT e.label, e.v, u.us,
+       |    sqrt(${dot("e.v", "e.v")}) AS nrm, ${dot("e.v", "u.us")} AS cc
+       |  FROM e, ul u WHERE sqrt(${dot("e.v", "e.v")}) > 0),
+       |st AS (SELECT label, nrm, abs(cc) / nrm AS acs,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(
+       |      generate_series(1, 64),
+       |      i -> (v[i] - cc * us[i]) * (v[i] - cc * us[i]))),
+       |      (p, q) -> p + q)) AS resid
+       |  FROM s2)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  ${meanOf("nrm")} AS mean_norm,
+       |  ${meanOf("acs")} AS mean_abs_cos,
+       |  ${meanOf("resid")} AS mean_resid_norm
+       |FROM st GROUP BY label""".stripMargin
+  }
 
   /** #100 — mixture weights: equal token-budget split across sources;
     * the division chain is written in the identical order as the Spark

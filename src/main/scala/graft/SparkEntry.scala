@@ -110,6 +110,7 @@ object SparkEntry {
     "ann_range" -> (Similarity.annRange _),
     "emb_kmeans_step" -> (Similarity.kmeansStep _),
     "emb_norm_stats" -> (Similarity.normStats _),
+    "emb_remove_top_pc" -> (Similarity.removeTopPc _),
     "emb_power_iter" -> (Similarity.powerIter _),
     "ann_pq_topk" -> (PqIndex.annPqTopk _),
     "ann_ivfpq_topk" -> (IvfPqIndex.annIvfPqTopk _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "helix_outdate_scan" -> (HelixScan.outdateScan _),
     "q_abc_analysis" -> (Analytics.qAbcAnalysis _),
     "emb_pq_code_balance" -> (Similarity.pqCodeBalance _),
+    "dedup_cross_source_matrix" -> (Dedup.crossSourceMatrix _),
     "text_dup_rate_by_source" -> (TextOps.dupRateBySource _),
     "emb_dup_exact" -> (Similarity.dupExact _),
     "emb_centroid_separation" -> (Similarity.centroidSeparation _),
@@ -970,6 +972,7 @@ object SparkEntry {
     "ann_range" -> OracleSqlGen.annRange,
     "emb_kmeans_step" -> OracleSqlGen.embKmeansStep,
     "emb_norm_stats" -> OracleSqlGen.embNormStats,
+    "emb_remove_top_pc" -> OracleSqlGen.embRemoveTopPc,
     "emb_power_iter" -> OracleSqlGen.embPowerIter,
     "ann_pq_topk" -> OracleSqlGen.annPqTopk,
     "ann_ivfpq_topk" -> OracleSqlGen.annIvfPqTopk,
@@ -1393,6 +1396,7 @@ object SparkEntry {
         |FROM g""".stripMargin,
     "q_abc_analysis" -> OracleSqlGen.qAbcAnalysis,
     "emb_pq_code_balance" -> OracleSqlGen.embPqCodeBalance,
+    "dedup_cross_source_matrix" -> OracleSqlGen.dedupCrossSourceMatrix,
     "text_dup_rate_by_source" -> OracleSqlGen.textDupRateBySource,
     "emb_dup_exact" -> OracleSqlGen.embDupExact,
     "emb_centroid_separation" -> OracleSqlGen.embCentroidSeparation,

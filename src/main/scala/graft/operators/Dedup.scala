@@ -1193,6 +1193,30 @@ object Dedup {
     anchored.unionAll(newNew.select("doc_id1", "doc_id2"))
   }
 
+  /** #229 — CROSS-SOURCE near-dup FLOW matrix: which ingest sources
+    * duplicate EACH OTHER — the diagnostic behind "feed X is a mirror
+    * of feed Y, drop one" decisions that per-source dup rates
+    * (#173) cannot answer (they say a source has dups, not WITH WHOM).
+    * Pairs come from the STAGED verified pair table ([[stagedPairs]] —
+    * mining is index build); each endpoint joins its source (a 2-column
+    * corpus projection, pair side broadcast by AQE while it fits), the
+    * pair canonicalizes to (min source, max source) so the matrix is
+    * one triangle, and the share divides against the broadcast 1-row
+    * total — output is bounded by n_sources², never pair volume. */
+  def crossSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val g = stagedPairs(s, dir)
+      .join(src.select(col("doc_id").as("doc_id1"), col("source").as("sa")), "doc_id1")
+      .join(src.select(col("doc_id").as("doc_id2"), col("source").as("sb")), "doc_id2")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint() // seeds both the total and the share projection
+    g.crossJoin(broadcast(g.agg(sum("n_pairs").as("tot"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
+  }
+
   /** #104 — CLUSTER-LEVEL survivorship: [[clusterDups]] picks each
     * cluster's minimum doc_id as its canonical label, but a real
     * pipeline keeps the BEST document of a dup cluster, not the

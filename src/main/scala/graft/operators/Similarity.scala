@@ -659,6 +659,65 @@ object Similarity {
       .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
 
+  /** #emb_remove_top_pc — ALL-BUT-THE-TOP de-biasing eval (Mu &
+    * Viswanath, ICLR'18 — public): embedding spaces are anisotropic
+    * (a dominant common direction carries frequency, not meaning);
+    * removing the top principal component measurably improves cosine
+    * retrieval, and THIS is the report a pipeline reads before turning
+    * the projection on. The dominant direction u is one power-iteration
+    * matvec ([[powerIter]]'s exact fixed-point shape, collected as one
+    * 1×64 row and normalized in the driver — deterministic, so u enters
+    * the plan as literals); per vector c = v·u and the residual
+    * ‖v − c·u‖ fold left-to-right; per label the report gives
+    * mean ‖v‖, mean |cos(v, u)| (the anisotropy mass) and mean
+    * residual norm — all through the [[KmFixScale]] fixed-point sums
+    * (exact at any group size), every division in a fixed mirrored
+    * order, sums cast LONG before DOUBLE (the HUGEINT→DOUBLE hazard).
+    * Scale: two corpus passes (the matvec + the scoring pass), zero
+    * row expansion, one combinable label aggregate. */
+  def removeTopPc(s: SparkSession, dir: String): DataFrame = {
+    val S = KmFixScale.toDouble
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val x = e.filter(col("vec_id") === 0).select(col("v").as("xv"))
+    val dimSums = (0 until 64).map(j =>
+      sum(floor((col("s") * element_at(col("v"), j + 1)) * KmFixScale)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"))
+    val yRow = e.crossJoin(broadcast(x))
+      .withColumn("s", dot(col("v"), col("xv")))
+      .agg(dimSums.head, dimSums.tail: _*)
+      .collect().head
+    val y = (0 until 64).map(j =>
+      yRow.getDecimal(j).longValueExact().toDouble / S)
+    val nrmY = math.sqrt(y.foldLeft(0.0)((a, c) => a + c * c))
+    val u = y.map(_ / nrmY)
+    val uLit = typedLit(u)
+    def fix(c: Column) = sum(floor(c * KmFixScale)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    def meanOf(c: Column) =
+      (c.cast("long").cast("double") / S) / col("n_vecs")
+    e.filter(l2norm(col("v")) > 0)
+      .withColumn("stats", Multimodal.bind(l2norm(col("v"))) { nrm =>
+        Multimodal.bind(dot(col("v"), uLit)) { cc =>
+          struct(
+            nrm.as("nrm"),
+            (abs(cc) / nrm).as("acos"),
+            sqrt(aggregate(zip_with(col("v"), uLit,
+              (xj, uj) => (xj - cc * uj) * (xj - cc * uj)),
+              lit(0.0), (a, t) => a + t)).as("resid"))
+        }
+      })
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        fix(col("stats.nrm")).as("sn"),
+        fix(col("stats.acos")).as("sc"),
+        fix(col("stats.resid")).as("sr"))
+      .select(col("label"), col("n_vecs"),
+        meanOf(col("sn")).as("mean_norm"),
+        meanOf(col("sc")).as("mean_abs_cos"),
+        meanOf(col("sr")).as("mean_resid_norm"))
+  }
+
   /** Seed-centroid count for the Lloyd-iteration operator. */
   val KmK = 8
 

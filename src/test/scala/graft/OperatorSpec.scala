@@ -3125,6 +3125,73 @@ class OperatorSpec extends SparkTestBase {
     assert(nPer.size == 1, s"membership total must be constant: $nPer")
   }
 
+  test("cross-source dup matrix: canonical triangle, exact driver recompute, shares sum to 1") {
+    val src = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.stagedPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val ref = pairs.toSeq.groupBy { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, v) => k -> v.size.toLong }
+    val rows = Dedup.crossSourceMatrix(spark, Sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == ref)
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1), "one triangle only"))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9,
+      "shares must sum to 1")
+  }
+
+  test("remove-top-pc: exact driver recompute; residual never exceeds the raw norm") {
+    val S = Similarity.KmFixScale.toDouble
+    val rows = graft.core.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number]("label").longValue, r.getSeq[Double](2).toArray))
+    def dotf(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val x = rows.find(_._1 == 0L).get._3
+    val sums = Array.fill(64)(0L)
+    rows.foreach { case (_, _, v) =>
+      val s = dotf(v, x)
+      (0 until 64).foreach(j => sums(j) += math.floor((s * v(j)) * S).toLong)
+    }
+    val y = sums.map(_.toDouble / S)
+    val nrmY = math.sqrt(y.foldLeft(0.0)((a, c) => a + c * c))
+    val u = y.map(_ / nrmY)
+    val acc = scala.collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    rows.foreach { case (_, lbl, v) =>
+      val nrm = math.sqrt(dotf(v, v))
+      if (nrm > 0) {
+        val cc = dotf(v, u)
+        val acos = math.abs(cc) / nrm
+        val resid = math.sqrt((0 until 64).foldLeft(0.0) { (a, j) =>
+          val d = v(j) - cc * u(j); a + d * d
+        })
+        val (n, sn, sc, sr) = acc.getOrElse(lbl, (0L, 0L, 0L, 0L))
+        acc(lbl) = (n + 1, sn + math.floor(nrm * S).toLong,
+          sc + math.floor(acos * S).toLong, sr + math.floor(resid * S).toLong)
+      }
+    }
+    val got = Similarity.removeTopPc(spark, Sf).collect()
+      .map(r => r.getAs[Number]("label").longValue ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == acc.keySet)
+    acc.foreach { case (lbl, (n, sn, sc, sr)) =>
+      val (gn, gnorm, gacos, gresid) = got(lbl)
+      assert(gn == n)
+      assert(gnorm == (sn.toDouble / S) / n, s"label $lbl mean_norm")
+      assert(gacos == (sc.toDouble / S) / n, s"label $lbl mean_abs_cos")
+      assert(gresid == (sr.toDouble / S) / n, s"label $lbl mean_resid_norm")
+      // projection removes a component: the residual cannot exceed the norm
+      assert(gresid <= gnorm + 1e-12 && gacos >= 0.0 && gacos <= 1.0 + 1e-12)
+    }
+  }
+
   test("ann serve path survives a degenerate 1-cell index: fallback probes the only cell") {
     // a 1-cell index made the top-2 seed read element_at(cents, 2) =
     // null, and the null clabel silently DROPPED every probe row in the
