@@ -848,6 +848,35 @@ object OracleSqlGen {
        |  JOIN q ON q.qid = p.qid WHERE a.vec_id >= 10)
        |WHERE rnk <= 3""".stripMargin
 
+  /** #ann_bq_ivf — IVF-pruned BQ serve: the batched-probe cell CTEs
+    * restrict the candidate set, hamming ranks within it ((ham,
+    * vec_id) ties — the engine's packed-long heap order), exact cosine
+    * re-ranks the ≤32-row shortlist. */
+  val annBqIvf: String =
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |probe AS (SELECT qid, assigned_label FROM (
+       |  SELECT q.qid, cvt.clabel AS assigned_label,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel) AS rn
+       |  FROM cvt, q) WHERE rn <= 2),
+       |cand AS (SELECT p.qid, a.vec_id
+       |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label
+       |  WHERE a.vec_id >= 10),
+       |b AS (SELECT vec_id, CAST($bqPackExpr AS BIGINT) AS bq FROM e),
+       |qb AS (SELECT vec_id AS qid, bq AS qbq FROM b WHERE vec_id < 10),
+       |sl AS (SELECT qid, vec_id FROM (
+       |  SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
+       |    ORDER BY bit_count(xor(b2.bq, qb.qbq)), c.vec_id) AS hrnk
+       |  FROM cand c JOIN b b2 ON b2.vec_id = c.vec_id JOIN qb ON qb.qid = c.qid)
+       |  WHERE hrnk <= ${graft.operators.Similarity.BqShortlist})
+       |SELECT qid, rnk, vec_id FROM (
+       |  SELECT sl.qid, sl.vec_id, row_number() OVER (PARTITION BY sl.qid
+       |    ORDER BY ${cos("e2.v", "q.qv")} DESC, sl.vec_id) AS rnk
+       |  FROM sl JOIN e e2 ON e2.vec_id = sl.vec_id JOIN q ON q.qid = sl.qid)
+       |WHERE rnk <= 3""".stripMargin
+
   /** #199 — selectivity-adaptive filtered ANN: cells in probe-rank
     * order, the prefix whose PRECEDING filtered mass is below the
     * target (per-cell filtered counts recomputed from the assignment —

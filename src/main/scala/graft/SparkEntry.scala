@@ -47,6 +47,7 @@ object SparkEntry {
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
     "q_funnel" -> (Analytics.qFunnel _),
+    "q_funnel_window" -> (Analytics.qFunnelWindow _),
     "q4_order_priority" -> (Analytics.q4OrderPriority _),
     "q_anti_dormant" -> (Analytics.qAntiDormant _),
     "q7_volume" -> (Analytics.q7Volume _),
@@ -229,6 +230,7 @@ object SparkEntry {
     "dedup_minhash_lsh_capped" -> (Dedup.minhashLshCapped _),
     "mm_phash_pairs_capped" -> (Multimodal.phashPairsCapped _),
     "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
+    "ann_bq_ivf" -> (Similarity.annBqIvf _),
     "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
     "stream_topk" -> (graft.streaming.StreamOps.topkBatch _),
     "text_ccnet_bucket" -> (TextOps.ccnetBucket _),
@@ -485,6 +487,25 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_funnel_window" ->
+      s"""WITH t1s AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+         |  FROM events GROUP BY 1),
+         |t2s AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'click'
+         |      AND epoch_us(e.ts) > t.t1 THEN epoch_us(e.ts) END) AS t2
+         |  FROM events e JOIN t1s t USING (user_id) GROUP BY 1),
+         |t3s AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase'
+         |      AND epoch_us(e.ts) > t.t2 THEN epoch_us(e.ts) END) AS t3
+         |  FROM events e JOIN t2s t USING (user_id) GROUP BY 1),
+         |u AS (SELECT a.user_id, a.t1, b.t2, c.t3,
+         |    CASE WHEN c.t3 IS NOT NULL AND c.t3 - a.t1 <= ${operators.Analytics.FunnelWindowUs} THEN 3
+         |         WHEN b.t2 IS NOT NULL AND b.t2 - a.t1 <= ${operators.Analytics.FunnelWindowUs} THEN 2
+         |         WHEN a.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+         |  FROM t1s a JOIN t2s b USING (user_id) JOIN t3s c USING (user_id))
+         |SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(CAST(sum(CASE WHEN depth = 3 THEN t3 - t1 END) AS BIGINT) AS DOUBLE)
+         |    / count(*) AS mean_convert_us
+         |FROM u GROUP BY 1""".stripMargin,
     "q_funnel" ->
       """SELECT user_id, CAST(t_view IS NOT NULL AS INTEGER) AS did_view,
         |  CAST(t_view < t_click AS INTEGER) AS view_then_click,
@@ -1292,6 +1313,7 @@ object SparkEntry {
     "dedup_minhash_lsh_capped" -> OracleSqlGen.dedupMinhashLshCapped,
     "mm_phash_pairs_capped" -> OracleSqlGen.mmPhashPairsCapped,
     "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
+    "ann_bq_ivf" -> OracleSqlGen.annBqIvf,
     "ann_hybrid_rrf" -> OracleSqlGen.annHybridRrf,
     "stream_topk" -> OracleSqlGen.streamTopk,
     "text_ccnet_bucket" -> OracleSqlGen.textCcnetBucket,

@@ -265,6 +265,49 @@ object Analytics {
         (col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
           .cast("int").as("full_funnel"))
 
+  /** Chain timeout for #q_funnel_window (7 days in µs — the synthetic
+    * events are sparse, ~minutes-to-hours apart per user, so a 7-day
+    * conversion window separates converted / timed-out / never like a
+    * real product analytics cut would). */
+  val FunnelWindowUs: Long = 7L * 86400 * 1000000
+
+  /** #q_funnel_window — funnel WITH A TIMEOUT (the ClickHouse
+    * windowFunnel / Amplitude "conversion window" semantics, pinned to
+    * the deterministic EARLIEST-CHAIN rule): per user, t1 = first
+    * view, t2 = first click AFTER t1, t3 = first purchase AFTER t2;
+    * the reached depth counts only steps within [[FunnelWindowUs]] of
+    * t1 — "converted within the hour", which #43's order-only funnel
+    * cannot express. Earliest-chain is exactly mirrorable (each step
+    * is a conditional min given the previous), unlike ClickHouse's
+    * max-over-all-chains scan, whose per-level state updates are not
+    * SQL-expressible cross-engine. Three full-partition conditional
+    * mins REUSE one user_id exchange (unordered windows — no sort),
+    * then one rollup to ≤4 depth rows with the mean time-to-convert
+    * of completed funnels (exact integer µs sums, one mirrored
+    * division). */
+  def qFunnelWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("us") > col("t1"), col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("us") > col("t2"), col("us"))).over(w))
+    val perUser = base.groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+      .withColumn("depth",
+        when(col("t3").isNotNull && col("t3") - col("t1") <= FunnelWindowUs, 3L)
+          .when(col("t2").isNotNull && col("t2") - col("t1") <= FunnelWindowUs, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L))
+    perUser.groupBy("depth")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("depth") === 3, col("t3") - col("t1"))).as("sum_us"))
+      .select(col("depth"), col("n_users"),
+        (col("sum_us").cast("double") / col("n_users")).as("mean_convert_us"))
+  }
+
   /** #44 — sketch path: HyperLogLog approximate distinct users per
     * event_type. No DuckDB oracle (sketch internals differ by engine) —
     * accuracy vs exact is spec-asserted instead; at 100 TB this is the

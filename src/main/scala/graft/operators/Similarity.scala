@@ -432,6 +432,57 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id"))
   }
 
+  /** #ann_bq_ivf — IVF-pruned BQ serve: the two staged index layers
+    * COMPOSED the way a production vector store serves at 100 TB —
+    * the coarse quantizer prunes the corpus to each query's nprobe = 2
+    * cells (partition-pruned id-only scan of the inverted lists — no
+    * floats, no fingerprints read for unprobed cells), binary
+    * quantization scores only those cells' staged 8-byte fingerprints
+    * (popcount hamming into the bounded-heap top-k — ≤ [[BqShortlist]]
+    * longs per (task, qid), no rank window over candidates), and exact
+    * cosine re-ranks the ≤ 32-row shortlist. Per-query full-precision
+    * work: 32 rows; per-query fingerprint work: the probed cells'
+    * share of the corpus — each layer cuts what the next one reads,
+    * which is exactly why both artifacts exist. Ties: (rcos desc,
+    * clabel) probe, (ham asc, vec_id) coarse (one packed-long
+    * comparison), (cos desc, vec_id) final — all total orders. */
+  def annBqIvf(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), toDoubleVec(col("embedding")).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(probeOrder: _*)
+    val probe = scoredCells(s.read.parquet(centPath), q)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("clabel").as("assigned_label"))
+    // cell-pruned candidate ids: the lists scan reads (vec_id,
+    // assigned_label) only — vectors stay on disk for unprobed cells
+    val candIds = s.read.parquet(assignedPath)
+      .join(broadcast(probe), "assigned_label")
+      .filter(col("vec_id") >= 10)
+      .select(col("qid"), col("vec_id"))
+    val bq = s.read.parquet(BqIndex.ensure(s, dir))
+    val qbq = bq.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("bq").as("qbq"))
+    val shortlist = candIds
+      .join(bq, "vec_id").join(broadcast(qbq), "qid")
+      .withColumn("packed",
+        shiftleft(bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"), 40)
+          + col("vec_id"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topkMinLongs(col("packed"), BqShortlist).as("top"))
+      .select(col("qid"), explode(col("top")).as("packed"))
+      .select(col("qid"), col("packed").bitwiseAND(lit((1L << 40) - 1)).as("vec_id"))
+    val v = e.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val wC = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(v, "vec_id").join(broadcast(q), "qid")
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(wC).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"))
+  }
+
   /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a
     * query set (vec_id < 10) against the corpus (the rest) — the real
     * production shape (embedding dedup / retrieval runs thousands of

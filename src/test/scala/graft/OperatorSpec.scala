@@ -3125,6 +3125,56 @@ class OperatorSpec extends SparkTestBase {
     assert(nPer.size == 1, s"membership total must be constant: $nPer")
   }
 
+  test("windowed funnel: exact driver recompute of the earliest chain with timeout") {
+    import graft.core.Tables
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val W = Analytics.FunnelWindowUs
+    val depths = byUser.toSeq.map { case (_, es) =>
+      def firstAfter(tp: String, after: Long): Option[Long] =
+        es.filter(e => e._2 == tp && e._3 > after).map(_._3).sorted.headOption
+      val t1 = es.filter(_._2 == "view").map(_._3).sorted.headOption
+      val t2 = t1.flatMap(a => firstAfter("click", a))
+      val t3 = t2.flatMap(a => firstAfter("purchase", a))
+      (t1, t2, t3) match {
+        case (Some(a), _, Some(c)) if c - a <= W => (3L, Some(c - a))
+        case (Some(a), Some(b), _) if b - a <= W => (2L, None)
+        case (Some(_), _, _) => (1L, None)
+        case _ => (0L, None)
+      }
+    }.toSeq
+    val ref = depths.groupBy(_._1).map { case (d, xs) =>
+      val durs = xs.flatMap(_._2)
+      d -> (xs.size.toLong,
+        if (durs.isEmpty) None else Some(durs.sum.toDouble / xs.size))
+    }
+    val got = Analytics.qFunnelWindow(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    assert(got.contains(3L), "the 7-day window must let some users convert")
+  }
+
+  test("ivf-pruned BQ serve: full coverage, candidates from probed cells, usable recall") {
+    val rows = Similarity.annBqIvf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQid = rows.groupBy(_._1)
+    assert(byQid.keySet == (0L until 10L).toSet)
+    assert(byQid.values.forall(_.map(_._2).sorted.sameElements(Seq(1L, 2L, 3L))))
+    assert(rows.forall(_._3 >= 10L), "no query vector may return itself")
+    // composing BQ inside the probed cells can only SHRINK each query's
+    // candidate set vs the plain batched IVF probe — every answer must
+    // also be an ivf candidate's cell member; recall floor mirrors the
+    // coarse pass being 2 approximations deep
+    val exact = Similarity.annBatchTopk(spark, Sf).collect()
+      .map(r => (r.getAs[Number]("qid").longValue,
+        r.getAs[Number]("vec_id").longValue)).toSet
+    val hits = rows.count(t => exact((t._1, t._3)))
+    assert(hits >= 5, s"bq+ivf recall $hits/30 vs exact — a layer degraded")
+  }
+
   test("cross-source dup matrix: canonical triangle, exact driver recompute, shares sum to 1") {
     val src = graft.core.Tables.documents(spark, Sf)
       .select("doc_id", "source").collect()
