@@ -1204,17 +1204,23 @@ object Dedup {
     * one triangle, and the share divides against the broadcast 1-row
     * total — output is bounded by n_sources², never pair volume. */
   def crossSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: seeds both the total and the share projection
+    val g = crossSourceGrouped(s, dir).localCheckpoint()
+    g.crossJoin(broadcast(g.agg(sum("n_pairs").as("tot"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
+  }
+
+  /** #229's grouped matrix before the checkpoint (exposed so PlanSpec
+    * can assert the staged-probe shape — the checkpoint erases it). */
+  private[graft] def crossSourceGrouped(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val g = stagedPairs(s, dir)
+    stagedPairs(s, dir)
       .join(src.select(col("doc_id").as("doc_id1"), col("source").as("sa")), "doc_id1")
       .join(src.select(col("doc_id").as("doc_id2"), col("source").as("sb")), "doc_id2")
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
-      .localCheckpoint() // seeds both the total and the share projection
-    g.crossJoin(broadcast(g.agg(sum("n_pairs").as("tot"))))
-      .select(col("source_a"), col("source_b"), col("n_pairs"),
-        (col("n_pairs").cast("double") / col("tot").cast("double")).as("share"))
   }
 
   /** #104 — CLUSTER-LEVEL survivorship: [[clusterDups]] picks each

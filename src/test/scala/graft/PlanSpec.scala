@@ -393,6 +393,56 @@ class PlanSpec extends SparkTestBase {
       "pair mining must be the byte-block equi-join, never all pairs")
   }
 
+  test("q_funnel_window: conditional-min chain shares one user exchange — no self-join") {
+    val p = plan("q_funnel_window")
+    assert(!p.contains("Join"), "the step chain must be windows, never event self-joins")
+    // count tree nodes ("+- Exchange"), not raw mentions — formatted
+    // mode repeats every node in the detail section
+    val exchanges = "- Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"user window + depth rollup only, got $exchanges exchanges")
+  }
+
+  test("ann_bq_ivf: id-only cell-pruned list scan, heap shortlist, floats only behind the shortlist") {
+    val p = plan("ann_bq_ivf")
+    assert(p.contains("graft-stage"), "lists and fingerprints must be staged reads")
+    assert(p.contains("graft_topk_min"),
+      "the coarse pass must be the bounded-heap aggregate, not a candidate rank window")
+    assert(p.contains("dynamicpruningexpression"),
+      "the probed (qid, cell) set must partition-prune the lists scan")
+    // tree nodes only (details repeat them): probe window + rerank
+    // window + the probe's copy inside the partition-pruning subquery;
+    // the candidate hamming pass must NOT be a window
+    assert("- Window ".r.findAllIn(p).size <= 3,
+      "rank windows only for the 2-cell probe (plus its DPP subquery copy) and the <=32-row rerank")
+    // the only nested-loop join allowed is the tiny centroid × query
+    // probe (the ann_batch_ivf_topk precedent); corpus joins are
+    // broadcast equi-joins
+    assert(!p.contains("CartesianProduct"))
+    assert("- BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the centroid probe may cross (it appears once more inside its DPP subquery) — never fingerprints or floats")
+  }
+
+  test("emb_remove_top_pc: map-side folds into one combinable label aggregate — no explode below the agg") {
+    val p = plan("emb_remove_top_pc")
+    assert(!p.contains("Generate"),
+      "the scoring pass folds inside the arrays, never explodes the corpus")
+    assert(!p.contains("windowspecdefinition"), "no window anywhere")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final label agg")
+  }
+
+  test("dedup_cross_source_matrix mines nothing: staged pairs + a 2-column corpus projection") {
+    // the registered query checkpoints the grouped matrix (it seeds two
+    // consumers), so assert on the pre-checkpoint frame directly
+    val p = graft.operators.Dedup.crossSourceGrouped(spark, Sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("graft-stage"), "pairs must come from the staged table")
+    val docScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("doc_id")).toList
+    assert(docScans.nonEmpty && docScans.forall(!_.contains("text")),
+      s"the documents scan must prune to (doc_id, source) — no text column: $docScans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("text_gopher_rules is a pure map-side projection — zero exchanges") {
     val p = plan("text_gopher_rules")
     assert(!p.contains("Exchange"), "quality rules must not shuffle the corpus")
