@@ -323,6 +323,30 @@ object OracleSqlGen {
 
   val dedupMinhashLsh: String = s"WITH $minhashCtes\n$minhashSelect"
 
+  /** #dedup_jaccard_histogram — the unthresholded candidate jaccard
+    * distribution: the same band candidates + exact intersection, no
+    * similarity cut; floor(j·10) buckets and a descending cumulative
+    * window over ≤ 11 rows. */
+  val dedupJaccardHistogram: String =
+    s"""WITH $minhashCtes,
+       |ic AS (SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1
+       |  JOIN shh a ON a.doc_id = c1.doc_id1
+       |  JOIN shh b ON b.doc_id = c1.doc_id2 AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |jp AS (SELECT CAST(coalesce(ic.c, 0) AS DOUBLE)
+       |    / CAST(s1.n + s2.n - coalesce(ic.c, 0) AS DOUBLE) AS j
+       |  FROM cand c0
+       |  LEFT JOIN ic ON ic.doc_id1 = c0.doc_id1 AND ic.doc_id2 = c0.doc_id2
+       |  JOIN szh s1 ON c0.doc_id1 = s1.doc_id
+       |  JOIN szh s2 ON c0.doc_id2 = s2.doc_id),
+       |g AS (SELECT CAST(floor(j * 10) AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_pairs FROM jp GROUP BY 1)
+       |SELECT bucket, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_pairs_ge
+       |FROM g""".stripMargin
+
   /** #229 — cross-source dup-flow matrix: the dedupMinhashLsh pairs
     * (same mining the staged pair table holds), each endpoint joined to
     * its source, canonicalized to one triangle by least/greatest
@@ -794,6 +818,47 @@ object OracleSqlGen {
        |SELECT q.qid, CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
        |  CAST(COALESCE(h, 0) AS DOUBLE) / 10.0 AS recall
        |FROM q LEFT JOIN h ON q.qid = h.qid""".stripMargin
+
+  /** #ann_recall_vs_nprobe — the tuning curve: probe ranks carried to
+    * [[graft.operators.Similarity.NprobeCurveMax]], one candidate CTE,
+    * per-depth top-10 + pooled hit counts vs the exact leg. */
+  val annRecallVsNprobe: String = {
+    import graft.operators.Similarity.{NprobeCurveMax, NprobeCurveQueries}
+    val depths = (1 to NprobeCurveMax).map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |  CAST((SELECT count(*) FROM (
+         |    SELECT qid, vec_id FROM (
+         |      SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY c.cs DESC, c.vec_id) AS rn
+         |      FROM cand c WHERE c.pr <= $p) WHERE rn <= 10) i
+         |    JOIN ex10 x ON i.qid = x.qid AND i.vec_id = x.vec_id) AS BIGINT)
+         |    AS n_hits,
+         |  CAST((SELECT count(*) FROM (
+         |    SELECT qid, vec_id FROM (
+         |      SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY c.cs DESC, c.vec_id) AS rn
+         |      FROM cand c WHERE c.pr <= $p) WHERE rn <= 10) i
+         |    JOIN ex10 x ON i.qid = x.qid AND i.vec_id = x.vec_id) AS DOUBLE)
+         |    / ${10.0 * NprobeCurveQueries} AS recall"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e
+       |  WHERE vec_id < $NprobeCurveQueries),
+       |probe AS MATERIALIZED (SELECT qid, clabel AS assigned_label, pr FROM (
+       |  SELECT q.qid, cvt.clabel, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY round(${cos("cvt.cv", "q.qv")}, 6) DESC, cvt.clabel) AS pr
+       |  FROM cvt, q) WHERE pr <= $NprobeCurveMax),
+       |cand AS MATERIALIZED (SELECT p.qid, a.vec_id, p.pr,
+       |    ${cos("a.v", "q.qv")} AS cs
+       |  FROM assigned a JOIN probe p ON a.assigned_label = p.assigned_label
+       |  JOIN q ON q.qid = p.qid WHERE a.vec_id <> p.qid),
+       |ex10 AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY ${cos("e.v", "q.qv")} DESC, e.vec_id) AS rn
+       |  FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10)
+       |$depths""".stripMargin
+  }
 
   /** The single-query IVF probe + ranked-candidates SQL shared by
     * annIvfTopk and annFilteredTopk — ONE builder (mirroring the

@@ -142,6 +142,7 @@ object SparkEntry {
     "ts_sla_burn" -> (TimeSeriesOps.slaBurn _),
     "dedup_minhash_est" -> (Dedup.minhashEstimate _),
     "emb_centroid_shift" -> (Similarity.centroidShift _),
+    "dedup_jaccard_histogram" -> (Dedup.jaccardHistogram _),
     "dedup_band_stats" -> (Dedup.bandStats _),
     "emb_ivf_balance" -> (Similarity.ivfBalance _),
     "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "text_dsir" -> (TextOps.dsirWeights _),
     "ts_rollup_cascade" -> (TimeSeriesOps.rollupCascade _),
     "mm_byte_ioc" -> (Multimodal.byteIoc _),
+    "ann_recall_vs_nprobe" -> (Similarity.recallVsNprobe _),
     "emb_ivf_recall" -> (Similarity.ivfRecall _),
     "q_rfm_segments" -> (Analytics.qRfmSegments _),
     "text_heaps_vocab" -> (TextOps.heapsVocab _),
@@ -1026,6 +1028,7 @@ object SparkEntry {
     "ann_mmr_rerank" -> OracleSqlGen.annMmrRerank,
     "dedup_minhash_est" -> OracleSqlGen.dedupMinhashEst,
     "emb_centroid_shift" -> OracleSqlGen.embCentroidShift,
+    "dedup_jaccard_histogram" -> OracleSqlGen.dedupJaccardHistogram,
     "dedup_band_stats" -> OracleSqlGen.dedupBandStats,
     "emb_ivf_balance" -> OracleSqlGen.embIvfBalance,
     "text_lang_confusion" -> OracleSqlGen.textLangConfusion,
@@ -1034,6 +1037,7 @@ object SparkEntry {
     "emb_semdedup" -> OracleSqlGen.embSemDedup,
     "text_char_lm" -> OracleSqlGen.textCharLm,
     "text_dsir" -> OracleSqlGen.textDsir,
+    "ann_recall_vs_nprobe" -> OracleSqlGen.annRecallVsNprobe,
     "emb_ivf_recall" -> OracleSqlGen.embIvfRecall,
     "q_rfm_segments" -> OracleSqlGen.qRfmSegments,
     "text_heaps_vocab" -> OracleSqlGen.textHeapsVocab,

@@ -689,6 +689,39 @@ object Dedup {
         col("c").cast("double") / (col("n1") + col("n2") - col("c")))
   }
 
+  /** #dedup_jaccard_histogram — the THRESHOLD-TUNING report: the exact
+    * jaccard DISTRIBUTION of every band-candidate pair, bucketed to
+    * 0.1 (floor(j·10), so bucket 8 = [0.8, 0.9)) with the cumulative
+    * pair count at-or-above each bucket — how a dedup owner reads off
+    * "what would a 0.7 (or 0.9) threshold have matched" BEFORE
+    * rerunning the miner per candidate threshold. Candidates and hash
+    * sets come from the STAGED store (no re-shingle); NO similarity
+    * threshold is applied — the jaccard is the same mirrored IEEE
+    * division, the bucket one floor, and the descending cumulative sum
+    * is a partitionless window over ≤ 11 bucket rows (the
+    * q_session_concurrency calendar-bounded precedent). Recall caveat
+    * documented: the curve sees what the 4×4 banding surfaces —
+    * below-band-recall pairs (j ≪ 0.8) appear only when they collide,
+    * which is exactly the population a threshold change would serve. */
+  def jaccardHistogram(s: SparkSession, dir: String): DataFrame = {
+    val st = DedupIndex.ensure(s, dir)
+    val bands = s.read.parquet(st.bands)
+    val hset = s.read.parquet(st.hset)
+    val j = bandCandidates(bands)
+      .join(hset.select(col("doc_id").as("doc_id1"),
+        col("hs").as("h1"), col("n").as("n1")), "doc_id1")
+      .join(hset.select(col("doc_id").as("doc_id2"),
+        col("hs").as("h2"), col("n").as("n2")), "doc_id2")
+      .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
+      .select((col("c").cast("double") /
+        (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
+    val g = j.withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_pairs_ge", sum("n_pairs").over(w))
+  }
+
   /** #127 — LSH BAND-BUCKET health report from the staged bands/: per
     * band, the bucket count, the largest bucket, and the candidate-pair
     * mass Σ sz·(sz−1)/2 — the fanout bound the band self-join actually

@@ -1298,6 +1298,61 @@ object Similarity {
         (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
   }
 
+  /** Query-set size and maximum probe depth for the recall-vs-nprobe
+    * tuning curve. */
+  val NprobeCurveQueries = 5
+  val NprobeCurveMax = 4
+
+  /** #ann_recall_vs_nprobe — THE IVF TUNING CURVE: recall@10 as nprobe
+    * sweeps 1..[[NprobeCurveMax]] over a sampled query set — the plot
+    * every IVF deployment reads to pick its latency/recall point
+    * (emb_ivf_recall fixes nprobe = 2; this answers "was 2 right").
+    * One candidate pass serves the WHOLE curve: the staged lists scan
+    * once at the maximum probe depth with each candidate carrying its
+    * cell's probe rank, cosines computed once and checkpointed; each
+    * curve point is then a filter (pr ≤ p) + a per-qid top-10 over
+    * that bounded frame — never a second corpus or index touch. The
+    * exact leg is the one unavoidable ground-truth scan (sampled
+    * queries), checkpointed and reused by all depths. Recall is
+    * pooled hits / (10 · queries); monotone non-decreasing in p by
+    * construction (candidate sets nest — the spec asserts it). */
+  def recallVsNprobe(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < NprobeCurveQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(probeOrder: _*)
+    val probe = scoredCells(s.read.parquet(centPath), q)
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= NprobeCurveMax)
+      .select(col("qid"), col("clabel").as("assigned_label"), col("pr"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val cand = s.read.parquet(assignedPath)
+      .join(broadcast(probe), "assigned_label")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(q), "qid")
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .select(col("qid"), col("vec_id"), col("pr"), col("cos"))
+      .localCheckpoint()
+    val exact10 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint()
+    (1 to NprobeCurveMax).map { p =>
+      val ivf10 = cand.filter(col("pr") <= p)
+        .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+      exact10.join(ivf10, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p.toLong).as("nprobe"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            lit(10.0 * NprobeCurveQueries)).as("recall"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Query-set size for the PQ recall report. */
   val PqRecallQueries = 8
 

@@ -3175,6 +3175,44 @@ class OperatorSpec extends SparkTestBase {
     assert(hits >= 5, s"bq+ivf recall $hits/30 vs exact — a layer degraded")
   }
 
+  test("recall-vs-nprobe curve: monotone non-decreasing, ends at the widest probe's recall") {
+    val rows = Similarity.recallVsNprobe(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1) == (1L to Similarity.NprobeCurveMax).toSeq)
+    val recalls = rows.map(_._3)
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"candidate sets nest — recall cannot drop: $recalls")
+    }
+    assert(recalls.last > 0.0, "the widest probe must hit something")
+    rows.foreach { case (_, h, r) =>
+      assert(r == h.toDouble / (10.0 * Similarity.NprobeCurveQueries)) }
+  }
+
+  test("jaccard histogram: exact driver recompute off the staged store, cumulative consistent") {
+    // reference: re-derive candidates + exact jaccard from the staged
+    // artifacts directly (the operator must add nothing beyond them)
+    val st = DedupIndex.ensure(spark, Sf)
+    val bands = spark.read.parquet(st.bands).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getString(2)))
+    val hs = spark.read.parquet(st.hset).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val cand = bands.groupBy(b => (b._2, b._3)).values.flatMap { g =>
+      val ids = g.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val ref = cand.toSeq.map { case (a, b) =>
+      val c = (hs(a) intersect hs(b)).size
+      val j = c.toDouble / (hs(a).size + hs(b).size - c)
+      math.floor(j * 10).toLong
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Dedup.jaccardHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == ref, s"got ${got.toSeq} ref $ref")
+    // cumulative = suffix sums in descending bucket order
+    val sorted = got.sortBy(-_._1)
+    assert(sorted.map(_._2).scanLeft(0L)(_ + _).tail.sameElements(sorted.map(_._3)))
+  }
+
   test("cross-source dup matrix: canonical triangle, exact driver recompute, shares sum to 1") {
     val src = graft.core.Tables.documents(spark, Sf)
       .select("doc_id", "source").collect()
