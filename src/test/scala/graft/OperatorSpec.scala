@@ -3178,10 +3178,10 @@ class OperatorSpec extends SparkTestBase {
   test("recall-vs-nprobe curve: monotone non-decreasing, ends at the widest probe's recall") {
     val rows = Similarity.recallVsNprobe(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    assert(rows.map(_._1) == (1L to Similarity.NprobeCurveMax).toSeq)
-    val recalls = rows.map(_._3)
-    recalls.sliding(2).foreach { case Seq(a, b) =>
-      assert(b >= a, s"candidate sets nest — recall cannot drop: $recalls")
+    assert(rows.map(_._1).toSeq == (1 to Similarity.NprobeCurveMax).map(_.toLong))
+    val recalls = rows.map(_._3).toSeq
+    recalls.sliding(2).foreach { w =>
+      assert(w(1) >= w(0), s"candidate sets nest — recall cannot drop: $recalls")
     }
     assert(recalls.last > 0.0, "the widest probe must hit something")
     rows.foreach { case (_, h, r) =>
