@@ -686,6 +686,19 @@ object OracleSqlGen {
        |$knnGraphCtes
        |SELECT src, rnk, dst, rcos FROM knn""".stripMargin
 
+  /** #emb_knn_outliers — kNN-dist outliers: the graph CTEs re-derive
+    * the staged edges, floor(rcos·10⁶) longs make the per-src sum
+    * exact, one mirrored division chain, bottom-20 by (mean, src). */
+  val embKnnOutliers: String =
+    s"""WITH $eCte,
+       |$knnGraphCtes,
+       |p AS (SELECT src, CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(sum(CAST(floor(rcos * 1000000) AS BIGINT)) AS BIGINT) AS sl
+       |  FROM knn GROUP BY 1)
+       |SELECT src, n_edges,
+       |  (CAST(sl AS DOUBLE) / 1000000.0) / n_edges AS mean_rcos
+       |FROM p ORDER BY mean_rcos, src LIMIT 20""".stripMargin
+
   /** #137 — one NN-descent step over the k-NN graph: symmetrize,
     * add 2-hop candidates through a shared mid node, re-score, re-rank. */
   val embNnDescentStep: String =
@@ -1681,6 +1694,30 @@ object OracleSqlGen {
        |        FROM toks WHERE len(t) >= 2))
        |SELECT bigram, count(*) AS cnt FROM big
        |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  /** #text_bigram_lift — collocations by lift (log-free PMI): unigram
+    * + bigram counts off the shared token CTE, totals as scalar
+    * subqueries, the identical three-division chain, min-support cut,
+    * top-20 by (lift DESC, bigram). */
+  val textBigramLift: String =
+    s"""WITH $toksCte,
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |big AS (SELECT t[i] || ' ' || t[i+1] AS bigram,
+       |    t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+       |        FROM toks WHERE len(t) >= 2)),
+       |bc AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2,
+       |    CAST(count(*) AS BIGINT) AS cab FROM big GROUP BY 1),
+       |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+       |nb AS (SELECT CAST(sum(cab) AS BIGINT) AS n_bi FROM bc)
+       |SELECT b.bigram, b.cab, a.c AS ca, d.c AS cb,
+       |  (((CAST(b.cab AS DOUBLE) / n_bi) / (CAST(a.c AS DOUBLE) / n_uni))
+       |    / (CAST(d.c AS DOUBLE) / n_uni)) AS lift
+       |FROM bc b JOIN uni a ON b.w1 = a.w
+       |JOIN uni d ON b.w2 = d.w, nu, nb
+       |WHERE b.cab >= ${TextOps.LiftMinSupport}
+       |ORDER BY lift DESC, b.bigram LIMIT 20""".stripMargin
 
   val textTopTerm: String =
     s"""WITH $toksCte,

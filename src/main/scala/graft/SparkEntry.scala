@@ -122,6 +122,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_rolling_hash" -> (TextOps.rollingHash _),
     "text_bigrams" -> (TextOps.bigrams _),
+    "text_bigram_lift" -> (TextOps.bigramLift _),
     "text_top_term" -> (TextOps.topTerm _),
     "pipeline_curate" -> (TextOps.curate _),
     "pipeline_funnel" -> (TextOps.funnel _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "mm_phash_clusters" -> (Multimodal.phashClusters _),
     "emb_pq_distortion" -> (Similarity.pqDistortion _),
     "emb_semdedup" -> (Dedup.semDedup _),
+    "emb_knn_outliers" -> (Similarity.knnOutliers _),
     "emb_knn_graph" -> (Similarity.knnGraph _),
     "emb_nn_descent_step" -> (Similarity.nnDescentStep _),
     // Multimodal plumbing (#28-29)
@@ -1005,6 +1007,7 @@ object SparkEntry {
     "text_fingerprint" -> OracleSqlGen.textFingerprint,
     "text_rolling_hash" -> OracleSqlGen.textRollingHash,
     "text_bigrams" -> OracleSqlGen.textBigrams,
+    "text_bigram_lift" -> OracleSqlGen.textBigramLift,
     "text_top_term" -> OracleSqlGen.textTopTerm,
     "sample_stratified" ->
       """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
@@ -1091,6 +1094,7 @@ object SparkEntry {
         |  CAST(sum(cnt * (cnt - 1)) AS DOUBLE) /
         |    CAST(sum(cnt) * (sum(cnt) - 1) AS DOUBLE) AS ioc
         |FROM c GROUP BY doc_id""".stripMargin,
+    "emb_knn_outliers" -> OracleSqlGen.embKnnOutliers,
     "emb_knn_graph" -> OracleSqlGen.embKnnGraph,
     "emb_nn_descent_step" -> OracleSqlGen.embNnDescentStep,
     // doubled-integer p50 (no division until the report); p95 = exact

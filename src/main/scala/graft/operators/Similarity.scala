@@ -1353,6 +1353,31 @@ object Similarity {
     }.reduce(_.unionAll(_))
   }
 
+  /** #emb_knn_outliers — kNN-distance OUTLIER ranking off the STAGED
+    * graph: each vector's mean rounded-cosine to its k nearest
+    * neighbours (kNN-dist, the classic density-based outlier score —
+    * Ramaswamy et al. SIGMOD'00, cosine form), bottom-20 = the
+    * periphery of embedding space — where coverage sampling looks
+    * first and where mislabeled/garbage examples concentrate (the
+    * data-map companion to #154's hub ranking). ZERO mining at query
+    * time: one column-pruned scan of the staged (src, rcos) edges,
+    * one combinable aggregate; the per-edge rcos values are identical
+    * doubles in both engines, so floor(rcos·10⁶) longs make the
+    * cross-row sum exact and order-independent, and the mean divides
+    * in one fixed mirrored chain. Bottom-20 via TakeOrderedAndProject
+    * ((mean asc, src) total order). */
+  def knnOutliers(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(KnnIndex.ensure(s, dir))
+      .select(col("src"), floor(col("rcos") * 1000000).cast("long").as("li"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_edges"), sum("li").as("sl"))
+      .select(col("src"), col("n_edges"),
+        ((col("sl").cast("double") / 1000000.0) / col("n_edges"))
+          .as("mean_rcos"))
+      .orderBy(col("mean_rcos"), col("src"))
+      .limit(20)
+  }
+
   /** Query-set size for the PQ recall report. */
   val PqRecallQueries = 8
 

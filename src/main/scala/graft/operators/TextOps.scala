@@ -139,6 +139,49 @@ object TextOps {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
 
+  /** Minimum bigram support for #text_bigram_lift. */
+  val LiftMinSupport = 5L
+
+  /** #text_bigram_lift — COLLOCATION extraction by lift (the log-free
+    * PMI: lift = P(ab) / (P(a)·P(b)), where PMI = log lift — log is
+    * not correctly rounded cross-engine, the raw ratio is): the top-20
+    * token pairs that co-occur far above chance, with a minimum
+    * support of [[LiftMinSupport]] so single-digit flukes cannot
+    * dominate — the phrase/collocation mining step (Dunning '93 /
+    * word2vec phrase pass) raw frequency (#55) cannot do (frequent
+    * pairs of frequent words score LOW here). One explode pass feeds
+    * BOTH count frames (unigrams; bigrams derive from the same token
+    * arrays); totals broadcast as 1-row frames; the lift is a fixed
+    * three-division chain of exact integer counts mirrored verbatim;
+    * top-20 via TakeOrderedAndProject with (lift desc, bigram) total
+    * order. */
+  def bigramLift(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir).withColumn("t", tokens(col("text")))
+    val uni = tok.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val biAll = tok
+      .select(explode(
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+    val bi = biAll.groupBy("bigram").agg(count(lit(1)).as("cab"))
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    val nBi = bi.agg(sum("cab").as("n_bi"))
+    bi.filter(col("cab") >= LiftMinSupport)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("cab"), col("ca"), col("cb"),
+        (((col("cab").cast("double") / col("n_bi")) /
+          (col("ca").cast("double") / col("n_uni"))) /
+          (col("cb").cast("double") / col("n_uni"))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** #59 — TF-IDF-style keyword extraction: each doc's most
     * discriminative term = argmax tf/df (term frequency over document
     * frequency), ties by term. tf and df are exact integers and tf/df

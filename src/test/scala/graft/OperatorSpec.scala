@@ -3175,6 +3175,44 @@ class OperatorSpec extends SparkTestBase {
     assert(hits >= 5, s"bq+ivf recall $hits/30 vs exact — a layer degraded")
   }
 
+  test("bigram lift: exact driver recompute of the collocation ranking") {
+    val toks = graft.core.Tables.documents(spark, Sf)
+      .select(Dedup.tokens(col("text")).as("t")).collect()
+      .map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val bi = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val nUni = uni.values.sum.toDouble
+    val nBi = bi.values.sum.toDouble
+    val ref = bi.toSeq
+      .filter(_._2 >= TextOps.LiftMinSupport)
+      .map { case ((a, b), cab) =>
+        val lift = ((cab.toDouble / nBi) / (uni(a).toDouble / nUni)) /
+          (uni(b).toDouble / nUni)
+        (s"$a $b", cab, uni(a), uni(b), lift)
+      }
+      .sortBy(x => (-x._5, x._1)).take(20)
+    val got = TextOps.bigramLift(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == ref, s"got\n${got.mkString("\n")}\nref\n${ref.mkString("\n")}")
+    // lift actually discriminates: the top collocation beats chance
+    assert(got.head._5 > 1.0)
+  }
+
+  test("knn outliers: exact bottom-20 mean-neighbour-similarity off the staged graph") {
+    val edges = spark.read.parquet(KnnIndex.ensure(spark, Sf))
+      .select("src", "rcos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ref = edges.groupBy(_._1).toSeq.map { case (src, es) =>
+      val sl = es.map(e => math.floor(e._2 * 1000000).toLong).sum
+      (src, es.length.toLong, (sl.toDouble / 1000000.0) / es.length)
+    }.sortBy(x => (x._3, x._1)).take(20)
+    val got = Similarity.knnOutliers(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == ref, s"got\n${got.mkString("\n")}\nref\n${ref.mkString("\n")}")
+  }
+
   test("recall-vs-nprobe curve: monotone non-decreasing, ends at the widest probe's recall") {
     val rows = Similarity.recallVsNprobe(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
