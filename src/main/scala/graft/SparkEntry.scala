@@ -72,6 +72,7 @@ object SparkEntry {
     "ts_interp_linear" -> (TimeSeriesOps.interpLinear _),
     "ts_above_p95" -> (Analytics.tsAboveP95 _),
     "q_retention" -> (Analytics.qRetention _),
+    "q_cohort_matrix" -> (Analytics.qCohortMatrix _),
     "ts_heavy_hitters" -> (Analytics.heavyHitters _),
     // sketch op: intentionally NO oracle (HLL internals are engine-
     // specific); accuracy vs exact is asserted in OperatorSpec
@@ -491,6 +492,20 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_cohort_matrix" ->
+      """WITH weekly AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS c0 FROM weekly GROUP BY 1),
+        |sizes AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_n
+        |  FROM cohort GROUP BY 1),
+        |m AS (SELECT c.c0, w.wk - c.c0 AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT m.c0 AS cohort_wk, m.week_offset, m.n_active, s.cohort_n,
+        |  CAST(m.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE) AS share
+        |FROM m JOIN sizes s ON m.c0 = s.c0""".stripMargin,
     "q_funnel_window" ->
       s"""WITH t1s AS (SELECT user_id,
          |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1

@@ -512,6 +512,35 @@ object Analytics {
         sum("r7").cast("long").as("n_d7"))
   }
 
+  /** #q_cohort_matrix — the WEEKLY RETENTION TRIANGLE: users cohorted
+    * by their first active epoch-week, and for every (cohort, week
+    * offset) the count + share of the cohort still active — the full
+    * matrix behind every product-analytics retention chart (#52 gives
+    * d1/d7 cuts, #162 the adjacent-week ledger; the triangle is the
+    * view a PM actually reads). Weeks are pure integer floor(µs/week)
+    * buckets (no calendar/locale conventions can diverge engines),
+    * offsets integer subtraction, share ONE mirrored division against
+    * the cohort-size frame. One distinct pass to (user, week), the
+    * cohort min reuses the user shuffle, the matrix rollup is bounded
+    * by weeks² — never event volume. */
+  def qCohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val weekly = Tables.events(s, dir)
+      .select(col("user_id"), floor(unix_micros(col("ts")) / weekUs)
+        .cast("long").as("wk"))
+      .distinct()
+    val cohort = weekly.groupBy("user_id").agg(min("wk").as("c0"))
+    val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("cohort_n"))
+    weekly.join(cohort, "user_id")
+      .groupBy(col("c0"), (col("wk") - col("c0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "c0")
+      .select(col("c0").as("cohort_wk"), col("week_offset"),
+        col("n_active"), col("cohort_n"),
+        (col("n_active").cast("double") / col("cohort_n").cast("double"))
+          .as("share"))
+  }
+
   /** #53 — heavy hitters: top-10 users by event count, deterministic
     * ties. Map-side partial counts collapse the shuffle to one row per
     * user; the top-k is TakeOrderedAndProject (per-partition heaps, no

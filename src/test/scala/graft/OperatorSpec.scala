@@ -3175,6 +3175,27 @@ class OperatorSpec extends SparkTestBase {
     assert(hits >= 5, s"bq+ivf recall $hits/30 vs exact — a layer degraded")
   }
 
+  test("cohort matrix: exact driver recompute; offset-0 share is 1 for every cohort") {
+    val weekUs = 7L * 86400000000L
+    val ev = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), math.floorDiv(r.getLong(1), weekUs)))
+      .distinct
+    val cohort = ev.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val ref = ev.toSeq.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case ((c0, off), xs) =>
+        (c0, off, xs.size.toLong, sizes(c0),
+          xs.size.toDouble / sizes(c0).toDouble)
+      }.toSet
+    val got = Analytics.qCohortMatrix(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == ref, s"got $got\nref $ref")
+    // by construction every cohort is fully active at offset 0
+    got.filter(_._2 == 0L).foreach { r => assert(r._5 == 1.0, s"offset-0 share: $r") }
+  }
+
   test("bigram lift: exact driver recompute of the collocation ranking") {
     val toks = graft.core.Tables.documents(spark, Sf)
       .select(Dedup.tokens(col("text")).as("t")).collect()
