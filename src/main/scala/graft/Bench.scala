@@ -35,6 +35,7 @@ object Bench {
         "IvfPqIndex" -> (() => operators.IvfPqIndex.ensure(spark, sfDir)),
         "PhashIndex" -> (() => operators.PhashIndex.ensure(spark, sfDir)),
         "KnnIndex" -> (() => operators.KnnIndex.ensure(spark, sfDir)),
+        "KcSeedIndex" -> (() => operators.KcSeedIndex.ensure(spark, sfDir)),
         "HelixScan.scan" -> (() => operators.HelixScan.ensure(spark, sfDir)),
         "HelixScan.point" -> (() => operators.HelixScan.ensurePoint(spark, sfDir)),
         "HelixScan.latest" -> (() => operators.HelixScan.ensureLatest(spark, sfDir)),

@@ -80,6 +80,7 @@ object Scale {
            () => IvfPqIndex.ensure(spark, dir),
            () => PhashIndex.ensure(spark, dir),
            () => KnnIndex.ensure(spark, dir),
+           () => KcSeedIndex.ensure(spark, dir),
            () => HelixScan.ensure(spark, dir),
            () => HelixScan.ensurePoint(spark, dir),
            () => HelixScan.ensureLatest(spark, dir),

