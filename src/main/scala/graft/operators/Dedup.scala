@@ -756,9 +756,10 @@ object Dedup {
     * hash-sets come from the staged parquet (reading signatures ≪
     * recomputing them from text), so per-day cost scales with the new
     * batch plus a columnar signature scan, not with corpus text size.
-    * New docs' signatures come from the STAGED [[ArrivalSigIndex]] —
-    * written once when the arrival batch lands (the ingest cost), so
-    * the daily probe reads columnar parquet on BOTH sides. Output:
+    * New docs' signatures are the staged store's isNew slice — the
+    * corpus-wide hset/bands artifacts already cover every document, so
+    * the daily probe reads columnar parquet on BOTH sides with no
+    * second arrival-slice artifact to stage or invalidate. Output:
     * (new_doc_id, old_doc_id) with exact jaccard
     * >= 0.8 — by construction identical to what a full-corpus
     * recompute yields restricted to new×old pairs, which is exactly
@@ -768,9 +769,8 @@ object Dedup {
     val isNew = col("doc_id") % IncrMod === IncrRem
     val oldBands = s.read.parquet(st.bands).filter(!isNew)
     val oldHset = s.read.parquet(st.hset).filter(!isNew)
-    val arr = ArrivalSigIndex.ensure(s, dir)
-    val newHset = s.read.parquet(arr.hset)
-    val cand = s.read.parquet(arr.bands)
+    val newHset = s.read.parquet(st.hset).filter(isNew)
+    val cand = s.read.parquet(st.bands).filter(isNew)
       .select(col("doc_id").as("new_doc_id"), col("band"), col("bkey"))
       .join(oldBands.select(col("doc_id").as("old_doc_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -1172,8 +1172,8 @@ object Dedup {
     * [[bloomIncremental]]. The staged [[OldClusterIndex]] holds
     * yesterday's (doc_id, cluster_id) state; the arriving slice mines
     * its new×old pairs through the staged band/hset probe (the
-    * [[incremental]] shape — BOTH sides staged: the corpus store plus
-    * the arrival-slice [[ArrivalSigIndex]], so the timed run never
+    * [[incremental]] shape — BOTH sides are slices of the staged
+    * corpus store, so the timed run never
     * re-shingles text) and its new×new pairs among the arrivals
     * only, then CONTRACTS every old endpoint to its existing cluster
     * id (an old doc absent from the state is its own singleton). The
@@ -1202,13 +1202,13 @@ object Dedup {
     val isNew = col("doc_id") % IncrMod === IncrRem
     val oldBands = s.read.parquet(st.bands).filter(!isNew)
     val oldHset = s.read.parquet(st.hset).filter(!isNew)
-    // the arrival slice's signatures come from the STAGED
-    // [[ArrivalSigIndex]] (written once when the batch lands) — the
-    // timed run probes columnar parquet on every leg instead of
-    // re-shingling the arrival text per run
-    val arr = ArrivalSigIndex.ensure(s, dir)
-    val newHset = s.read.parquet(arr.hset)
-    val newBands = s.read.parquet(arr.bands)
+    // the arrival slice's signatures are the staged store's isNew
+    // slice (the corpus artifacts cover every doc — the same
+    // filter-don't-restage move phashIncremental uses), so the timed
+    // run probes columnar parquet on every leg instead of re-shingling
+    // the arrival text per run
+    val newHset = s.read.parquet(st.hset).filter(isNew)
+    val newBands = s.read.parquet(st.bands).filter(isNew)
     val newOld = verifyJaccard(
       newBands.select(col("doc_id").as("new_doc_id"), col("band"), col("bkey"))
         .join(oldBands.select(col("doc_id").as("old_doc_id"),

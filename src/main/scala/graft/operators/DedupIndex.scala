@@ -155,38 +155,6 @@ object VecGroupIndex {
   def clear(): Unit = Staging.clear()
 }
 
-/** Staged minhash signatures of the ARRIVAL slice (doc_id ≡ IncrRem
-  * mod IncrMod): hset/ (doc_id, hs, n) and bands/ (doc_id, band, bkey)
-  * — the artifact a production pipeline writes when the arrival batch
-  * lands, so every incremental probe (cluster assignment #222, pair
-  * probe #96) reads columnar signatures instead of re-shingling the
-  * arrival text per run. Same permutation family as [[DedupIndex]]
-  * (minhashHset/bandsOf), same [[Staging]] atomicity; the build is the
-  * one-time ingest cost, bounded by arrival volume. */
-object ArrivalSigIndex {
-  private val LayoutVersion = "v1"
-
-  final case class ArrivalPaths(hset: String, bands: String)
-
-  /** Ensure the arrival-slice signature store exists for `dir`. */
-  def ensure(s: SparkSession, dir: String): ArrivalPaths = {
-    val key = s"${Staging.fingerprint(dir, "documents.parquet")}-$LayoutVersion"
-    val base = Staging.ensure("arrsig", key) { tmp =>
-      val isNew = col("doc_id") % Dedup.IncrMod === Dedup.IncrRem
-      Dedup.minhashHset(s, dir, Some(isNew))
-        .write.parquet(tmp.resolve("hset").toString)
-      // bands derive from the just-written hset parquet so the shingle
-      // pass runs once, not once per artifact
-      Dedup.bandsOf(s.read.parquet(tmp.resolve("hset").toString))
-        .write.parquet(tmp.resolve("bands").toString)
-    }
-    ArrivalPaths(base.resolve("hset").toString, base.resolve("bands").toString)
-  }
-
-  /** Test hook: see [[Staging.clear]]. */
-  def clear(): Unit = Staging.clear()
-}
-
 /** Staged cluster assignment of the HISTORICAL corpus: (doc_id,
   * cluster_id) over the old-only dup pairs — the state a production
   * dedup pipeline carries between ingest cycles, so arriving documents
@@ -201,9 +169,12 @@ object OldClusterIndex {
   private val LayoutVersion = "v1"
 
   /** Ensure the old-corpus cluster table exists for `dir`; returns the
-    * clus/ path. */
+    * clus/ path. The old/new split ([[Dedup.IncrMod]]/[[Dedup.IncrRem]])
+    * governs the artifact's content, so it is part of the staging key —
+    * changing the arrival regime can never serve a stale cluster state. */
   def ensure(s: SparkSession, dir: String): String = {
-    val key = s"${Staging.fingerprint(dir, "documents.parquet")}-$LayoutVersion"
+    val key = s"${Staging.fingerprint(dir, "documents.parquet")}" +
+      s"-m${Dedup.IncrMod}r${Dedup.IncrRem}-$LayoutVersion"
     val base = Staging.ensure("clusold", key) { tmp =>
       val notNew = (c: org.apache.spark.sql.Column) =>
         c % Dedup.IncrMod =!= Dedup.IncrRem
@@ -232,9 +203,12 @@ object BloomIndex {
     * staged by older code must not gate new probes. */
   private val LayoutVersion = "v2"
 
-  /** Ensure the bloom exists for `dir`; returns the bf/ path. */
+  /** Ensure the bloom exists for `dir`; returns the bf/ path. The
+    * old/new split governs which docs enter the bloom, so
+    * [[Dedup.IncrMod]]/[[Dedup.IncrRem]] are part of the staging key. */
   def ensure(s: SparkSession, dir: String): String = {
-    val key = s"${Staging.fingerprint(dir, "documents.parquet")}-$LayoutVersion"
+    val key = s"${Staging.fingerprint(dir, "documents.parquet")}" +
+      s"-m${Dedup.IncrMod}r${Dedup.IncrRem}-$LayoutVersion"
     val base = Staging.ensure("bloom", key) { tmp =>
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -37,9 +37,13 @@ object KcSeedIndex {
 
   private val LayoutVersion = "v1"
 
-  /** Ensure the seed table exists for `dir`; returns the seeds/ path. */
+  /** Ensure the seed table exists for `dir`; returns the seeds/ path.
+    * [[Similarity.KcK]] governs the artifact's CONTENT (how many seeds
+    * are picked), so it is part of the staging key: bumping K can
+    * never silently serve a stale seed set with the wrong count. */
   def ensure(s: SparkSession, dir: String): String = {
-    val key = s"${Staging.fingerprint(dir, "embeddings.parquet")}-$LayoutVersion"
+    val key = s"${Staging.fingerprint(dir, "embeddings.parquet")}" +
+      s"-k${Similarity.KcK}-$LayoutVersion"
     val base = Staging.ensure("kcseed", key) { tmp =>
       import s.implicits._
       Similarity.kcenterChosen(s, dir).zipWithIndex

@@ -366,7 +366,7 @@ class PlanSpec extends SparkTestBase {
     val docScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("documents.parquet"))
     assert(docScans == 0,
-      s"arrival signatures are staged at ingest (ArrivalSigIndex) — no text re-shingle, got $docScans corpus scans")
+      s"arrival signatures are the staged store's isNew slice — no text re-shingle, got $docScans corpus scans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the band join, never all pairs")
   }
