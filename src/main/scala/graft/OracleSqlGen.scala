@@ -699,6 +699,60 @@ object OracleSqlGen {
        |  (CAST(sl AS DOUBLE) / 1000000.0) / n_edges AS mean_rcos
        |FROM p ORDER BY mean_rcos, src LIMIT 20""".stripMargin
 
+  /** #ann_graph_probe — the beam-search trajectory replayed exactly:
+    * kcenter seed ids (the embKcenterInit rounds), the staged graph
+    * re-derived by the shared knn CTEs (materialized — it is probed
+    * once per hop), then [[graft.operators.Similarity.GraphHops]]
+    * unrolled expansions with the same (rcos desc, vec_id) beam order,
+    * final top-3 over ALL visited nodes. */
+  val annGraphProbe: String = {
+    import graft.operators.Similarity.{GraphBeam, GraphHops, KcK}
+    def l2r(a: String, b: String) =
+      s"""round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (p, q) -> p + q), 6)""".stripMargin
+    val kcRounds = (1 until KcK).map { r =>
+      s"""gm$r AS (SELECT e.vec_id, min(${l2r("e.v", "c.cv")}) AS md
+         |  FROM e, gc${r - 1} c GROUP BY e.vec_id),
+         |gn$r AS (SELECT vec_id FROM gm$r ORDER BY md DESC, vec_id LIMIT 1),
+         |gc$r AS (SELECT cid, cv FROM gc${r - 1}
+         |  UNION ALL SELECT e.vec_id, e.v FROM e JOIN gn$r n USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val hops = (2 to GraphHops).map { h =>
+      s"""f${h - 1} AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rcos DESC, vec_id) AS rn FROM s${h - 1}) WHERE rn <= $GraphBeam),
+         |v$h AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT qid, vec_id FROM v${h - 1}
+         |    UNION ALL SELECT f.qid, k.dst AS vec_id
+         |      FROM f${h - 1} f JOIN knng k ON k.src = f.vec_id)
+         |  WHERE vec_id >= 10),
+         |s$h AS MATERIALIZED (SELECT w.qid, w.vec_id,
+         |    round(${cos("e2.v", "q.qv")}, 6) AS rcos
+         |  FROM v$h w JOIN e e2 ON e2.vec_id = w.vec_id JOIN q ON q.qid = w.qid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $eCte,
+       |$knnGraphCtes,
+       |knng AS MATERIALIZED (SELECT src, dst FROM knn),
+       |gc0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id = 0),
+       |$kcRounds,
+       |seeds AS (SELECT cid AS vec_id FROM gc${KcK - 1}),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |f0 AS (SELECT q.qid, s.vec_id FROM q, seeds s),
+       |v1 AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
+       |    SELECT qid, vec_id FROM f0
+       |    UNION ALL SELECT f.qid, k.dst AS vec_id
+       |      FROM f0 f JOIN knng k ON k.src = f.vec_id)
+       |  WHERE vec_id >= 10),
+       |s1 AS MATERIALIZED (SELECT w.qid, w.vec_id,
+       |    round(${cos("e2.v", "q.qv")}, 6) AS rcos
+       |  FROM v1 w JOIN e e2 ON e2.vec_id = w.vec_id JOIN q ON q.qid = w.qid),
+       |$hops
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, rcos FROM (
+       |  SELECT qid, vec_id, rcos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rcos DESC, vec_id) AS rnk FROM s$GraphHops)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   /** #137 — one NN-descent step over the k-NN graph: symmetrize,
     * add 2-hop candidates through a shared mid node, re-score, re-rank. */
   val embNnDescentStep: String =

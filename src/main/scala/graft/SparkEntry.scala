@@ -236,6 +236,7 @@ object SparkEntry {
     "mm_phash_pairs_capped" -> (Multimodal.phashPairsCapped _),
     "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
     "ann_bq_ivf" -> (Similarity.annBqIvf _),
+    "ann_graph_probe" -> (Similarity.annGraphProbe _),
     "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
     "stream_topk" -> (graft.streaming.StreamOps.topkBatch _),
     "text_ccnet_bucket" -> (TextOps.ccnetBucket _),
@@ -1337,6 +1338,7 @@ object SparkEntry {
     "mm_phash_pairs_capped" -> OracleSqlGen.mmPhashPairsCapped,
     "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
     "ann_bq_ivf" -> OracleSqlGen.annBqIvf,
+    "ann_graph_probe" -> OracleSqlGen.annGraphProbe,
     "ann_hybrid_rrf" -> OracleSqlGen.annHybridRrf,
     "stream_topk" -> OracleSqlGen.streamTopk,
     "text_ccnet_bucket" -> OracleSqlGen.textCcnetBucket,

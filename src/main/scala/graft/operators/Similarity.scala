@@ -366,10 +366,28 @@ object Similarity {
       when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i))
         .otherwise(0L)).reduce(_ + _)
 
+  /** Id budget of the (hamming, vec_id) single-long pack: hamming ≤ 64
+    * occupies the high bits, ids get the low [[HamIdBits]] — ~1.1e12
+    * ids, comfortably past a 100 TB embedding corpus, but a violation
+    * must fail LOUDLY (a silent overflow corrupts both the shortlist
+    * order and the recovered id), so [[packHamId]] guards it per row. */
+  private val HamIdBits = 40
+
+  /** `ham << HamIdBits | vec_id` with a codegen'd per-row guard: any
+    * vec_id at or above 2^40 raises instead of returning wrong
+    * neighbours (one branch beside the popcount — free in practice). */
+  private def packHamId(ham: Column, id: Column): Column =
+    shiftleft(ham.cast("long"), HamIdBits) +
+      when(id < lit(1L << HamIdBits) && id >= 0L, id)
+        .otherwise(raise_error(concat(
+          lit(s"vec_id exceeds the $HamIdBits-bit pack budget: "),
+          id.cast("string"))))
+
   /** Per-query BQ coarse shortlist off the STAGED fingerprints: the
     * corpus's packed longs stream through a bounded-heap top-k
     * aggregate on `ham << 40 | vec_id` (hamming is ≤ 64 and ids are
-    * < 2^40, so one primitive long comparison IS the (ham asc,
+    * < 2^40 — guarded by [[packHamId]] — so one primitive long
+    * comparison IS the (ham asc,
     * vec_id asc) tie order) — partial aggregation keeps ≤ k longs per
     * (task, qid) map-side, so no corpus-wide rank window and no
     * corpus×nqueries shuffle exist anywhere in the coarse pass. */
@@ -380,8 +398,7 @@ object Similarity {
     b.filter(col("vec_id") >= 10)
       .crossJoin(broadcast(q))
       .withColumn("packed",
-        shiftleft(bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"), 40)
-          + col("vec_id"))
+        packHamId(bit_count(col("bq").bitwiseXOR(col("qbq"))), col("vec_id")))
       .groupBy("qid")
       .agg(graft.functions.TopKAgg.topkMinLongs(col("packed"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "packed")))
@@ -468,8 +485,7 @@ object Similarity {
     val shortlist = candIds
       .join(bq, "vec_id").join(broadcast(qbq), "qid")
       .withColumn("packed",
-        shiftleft(bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"), 40)
-          + col("vec_id"))
+        packHamId(bit_count(col("bq").bitwiseXOR(col("qbq"))), col("vec_id")))
       .groupBy("qid")
       .agg(graft.functions.TopKAgg.topkMinLongs(col("packed"), BqShortlist).as("top"))
       .select(col("qid"), explode(col("top")).as("packed"))
@@ -481,6 +497,100 @@ object Similarity {
       .withColumn("rnk", row_number().over(wC).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("vec_id"))
+  }
+
+  /** Beam width and hop count of the graph-ANN probe (#ann_graph_probe).
+    * Small fixed values keep the trajectory exactly mirrorable: the
+    * oracle unrolls the same [[GraphHops]] expansions. */
+  val GraphBeam = 8
+  val GraphHops = 3
+
+  /** #ann_graph_probe — GRAPH-ANN serve: deterministic beam search over
+    * the STAGED kNN graph ([[KnnIndex]] — built by #136, the index
+    * class HNSW/NSG-family production vector stores serve from),
+    * seeded from the STAGED kcenter rows ([[KcSeedIndex]] — the same
+    * global entry points every query starts at, the role HNSW's top
+    * layer plays). Each hop expands the current per-query beam through
+    * the graph's out-edges (a key equi-join against the staged edge
+    * list), scores ONLY visited nodes by exact rounded cosine, and
+    * keeps the [[GraphBeam]] best per query ((rcos desc, vec_id) — a
+    * total order, so the trajectory is bit-deterministic and the
+    * DuckDB oracle replays it exactly). Per-query work is
+    * beam × degree × hops — never corpus-sized: the corpus is touched
+    * only to fetch visited nodes' vectors BY KEY, and the graph scan
+    * is the staged n·k edge parquet filtered to the frontier.
+    * Completes the serve-path family (IVF #36, PQ #101, BQ #218,
+    * IVF+BQ #232) with the traversal-based index class. Reference
+    * contract: db.rs:67 scan's user-comparator-ordered merge — a
+    * deterministic traversal order over a staged layout. Output:
+    * top-3 visited per query, (qid, rnk, vec_id, rcos). */
+  def annGraphProbe(s: SparkSession, dir: String): DataFrame = {
+    val g = s.read.parquet(KnnIndex.ensure(s, dir)).select("src", "dst")
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val seeds = s.read.parquet(KcSeedIndex.ensure(s, dir)).select("vec_id")
+    // hop-0 frontier: the SAME staged seeds for every query (qids ×
+    // KcK rows — both sides tiny; the seed side broadcasts)
+    val f0 = q.select("qid").crossJoin(broadcast(seeds))
+    // frontier ∪ its graph out-neighbours, restricted to corpus ids
+    // (queries are excluded from results AND from re-entry — vec_id <
+    // 10 IS the query set, the usual serve split)
+    def expand(f: DataFrame): DataFrame =
+      f.select("qid", "vec_id").unionAll(
+        f.select(col("qid"), col("vec_id").as("src"))
+          .join(g, "src").select(col("qid"), col("dst").as("vec_id")))
+        .filter(col("vec_id") >= 10).distinct()
+    // exact rounded cosine for VISITED nodes only: vectors fetched by
+    // key, queries broadcast — work ∝ visited set, never corpus
+    def score(vis: DataFrame): DataFrame =
+      vis.join(e, "vec_id").join(broadcast(q), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("v"), col("qv")), 6).as("rcos"))
+    val wB = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id"))
+    def beam(scored: DataFrame): DataFrame =
+      scored.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= GraphBeam).select("qid", "vec_id")
+    // GraphHops fixed expansions: visited accumulates, the beam
+    // re-selects from ALL visited each hop — best-first search's
+    // "never lose a better node seen earlier" property, and exactly
+    // what the oracle replays. Each hop's visited frame is
+    // localCheckpointed (qids × beam × degree × hop rows — tiny by
+    // construction): a recursive plan without the cut re-derives hop
+    // h−1 at EVERY reference, doubling the staged probes per extra
+    // hop (measured 13 edge scans for 3 hops) — the clusterDups
+    // iteration discipline applies verbatim.
+    var visited = expand(f0).localCheckpoint()
+    for (_ <- 2 to GraphHops)
+      visited = visited.unionAll(expand(beam(score(visited))))
+        .distinct().localCheckpoint()
+    score(visited)
+      .withColumn("rnk", row_number().over(wB).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("rcos"))
+  }
+
+  /** One scored hop of #ann_graph_probe BEFORE the checkpoint cut —
+    * exposed so PlanSpec can assert the per-hop scale shape the
+    * registered query's localCheckpoints erase (the
+    * clusterIncrementalReduced pattern): seeds and edges from staged
+    * parquet, one edge scan per hop, vectors fetched by key. */
+  private[graft] def annGraphProbeHop(s: SparkSession, dir: String): DataFrame = {
+    val g = s.read.parquet(KnnIndex.ensure(s, dir)).select("src", "dst")
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val seeds = s.read.parquet(KcSeedIndex.ensure(s, dir)).select("vec_id")
+    val f0 = q.select("qid").crossJoin(broadcast(seeds))
+    val vis = f0.select("qid", "vec_id").unionAll(
+      f0.select(col("qid"), col("vec_id").as("src"))
+        .join(g, "src").select(col("qid"), col("dst").as("vec_id")))
+      .filter(col("vec_id") >= 10).distinct()
+    vis.join(e, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("rcos"))
   }
 
   /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a

@@ -3175,6 +3175,51 @@ class OperatorSpec extends SparkTestBase {
     assert(hits >= 5, s"bq+ivf recall $hits/30 vs exact — a layer degraded")
   }
 
+  test("graph-ANN probe: exact driver replay of the beam trajectory") {
+    import graft.core.Tables
+    // the same rounded-cosine scores the operator uses, via the SAME
+    // Spark expression — bit-equal, so the driver walk is exact
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scores = e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosine(col("v"), col("qv")), 6).as("rcos"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue) -> r.getDouble(2)).toMap
+    val g = spark.read.parquet(KnnIndex.ensure(spark, Sf))
+      .select("src", "dst").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = spark.read.parquet(KcSeedIndex.ensure(spark, Sf))
+      .select("vec_id").collect().map(_.getAs[Number](0).longValue).toSet
+    def expand(f: Set[Long]): Set[Long] =
+      (f ++ f.flatMap(x => g.getOrElse(x, Set.empty[Long]))).filter(_ >= 10)
+    val qids = scores.keys.map(_._1).toSet
+    val ref = qids.toSeq.sorted.flatMap { qid =>
+      var visited = expand(seeds)
+      for (_ <- 2 to Similarity.GraphHops) {
+        val beam = visited.toSeq.map(v => (scores(qid -> v), v))
+          .sortBy { case (c, v) => (-c, v) }
+          .take(Similarity.GraphBeam).map(_._2).toSet
+        visited = visited ++ expand(beam)
+      }
+      visited.toSeq.map(v => (scores(qid -> v), v))
+        .sortBy { case (c, v) => (-c, v) }.take(3).zipWithIndex
+        .map { case ((c, v), i) => (qid, (i + 1).toLong, v, c) }
+    }.toSet
+    val got = Similarity.annGraphProbe(spark, Sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getDouble(3))).toSet
+    assert(got == ref, s"got ${got.toSeq.sorted.take(6)}…\nref ${ref.toSeq.sorted.take(6)}…")
+    // the walk must actually move past its entry points: some result is
+    // neither a seed nor a direct seed neighbour
+    val hop1 = expand(seeds)
+    assert(got.exists(r => !hop1.contains(r._3)),
+      "beam search never advanced beyond the seed neighbourhood")
+  }
+
   test("cohort matrix: exact driver recompute; offset-0 share is 1 for every cohort") {
     val weekUs = 7L * 86400000000L
     val ev = graft.core.Tables.events(spark, Sf)

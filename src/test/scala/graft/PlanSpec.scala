@@ -597,6 +597,30 @@ class PlanSpec extends SparkTestBase {
       "the per-src rank window is index build, not query work")
   }
 
+  test("ann_graph_probe walks staged artifacts only — work ∝ beam × degree × hops, never corpus") {
+    // the registered query localCheckpoints each hop's visited frame
+    // (so every staged probe evaluates ONCE per hop), which erases the
+    // lineage — assert on the exposed pre-checkpoint hop frame (the
+    // clusterIncrementalReduced pattern)
+    val p = graft.operators.Similarity.annGraphProbeHop(spark, Sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("graft-stage"),
+      "seeds and edges must come from the staged kcenter/knn stores")
+    assert(!p.contains("graft_band_codes"),
+      "no candidate mining at query time: the graph build is index work")
+    // ONE staged edge scan per hop — never per-node, never corpus-wide
+    val edgeScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("knng"))
+    assert(edgeScans == 1, s"one staged edge scan per hop, got $edgeScans")
+    // the only nested-loop joins are the (queries × KcK seeds) hop-0
+    // broadcast, duplicated across the expand union's two branches —
+    // both sides bounded constants, never corpus frames
+    val bnlj = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2,
+      s"only the tiny hop-0 seed cross join may be non-equi, got $bnlj")
+  }
+
   test("emb_pagerank_knn iterates over the staged edge parquet, never re-mines the graph") {
     val p = plan("emb_pagerank_knn")
     assert(p.contains("graft-stage"), "edges must come from the staged knn graph")
