@@ -1595,7 +1595,7 @@ object OracleSqlGen {
     * DuckDB round = half away from zero = the driver's HALF_UP on the
     * non-negative shifts. */
   val embKmeansTrain: String = {
-    import graft.operators.Similarity.{KcK, KmTrainIters, KmFixScale}
+    import graft.operators.Similarity.{KcK, KmTrainIters, KmTrainEps, KmFixScale}
     def l2(a: String, b: String) =
       s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
          |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (p, q) -> p + q)""".stripMargin
@@ -1633,12 +1633,23 @@ object OracleSqlGen {
          |  sh.shift
          |FROM ci0 k LEFT JOIN st$t st USING (cid) JOIN sh$t sh ON sh.cid = k.cid""".stripMargin
     }.mkString("\nUNION ALL\n")
+    // the ε-stop mirrored: the stopping iteration is the first whose
+    // MAX rounded shift is ≤ KmTrainEps (else the cap); stages past it
+    // compute but filter out — Lloyd is deterministic, so the kept
+    // prefix is identical to an engine that never ran them
+    val maxShifts = (1 to KmTrainIters).map(t =>
+      s"SELECT $t AS t, max(shift) AS m FROM sh$t").mkString("\n  UNION ALL ")
     s"""WITH $eCte,
        |kc0 AS (SELECT 0 AS cid, v AS cv FROM e WHERE vec_id = 0),
        |$kcRounds,
        |ci0 AS MATERIALIZED (SELECT cid, cv FROM kc${KcK - 1}),
-       |$iters
-       |$selects""".stripMargin
+       |$iters,
+       |stopi AS (SELECT coalesce(min(CASE WHEN m <= $KmTrainEps THEN t END),
+       |    $KmTrainIters) AS si
+       |  FROM ($maxShifts))
+       |SELECT * FROM (
+       |$selects
+       |) WHERE iter <= (SELECT si FROM stopi)""".stripMargin
   }
 
   /** #134 — PQ distortion: the same encode CTEs (rounded argmin picks

@@ -1639,14 +1639,25 @@ object Similarity {
     chosen
   }
 
-  /** Lloyd iterations for #emb_kmeans_train (fixed, so the oracle can
-    * unroll the identical fold; the shift column makes convergence
-    * visible — on this corpus it collapses within the budget). */
+  /** Lloyd iteration CAP for #emb_kmeans_train — the bound under the
+    * ε-stop (the oracle unrolls exactly this many stages and filters
+    * to the mirrored stopping iteration). */
   val KmTrainIters = 6
+
+  /** Convergence threshold for #emb_kmeans_train: training stops after
+    * the first iteration whose MAX rounded squared centroid shift is
+    * ≤ this (the shift column is already the convergence curve — this
+    * is the stop condition read off it), under the [[KmTrainIters]]
+    * cap. The emitted trajectory ends at the stopping iteration, so
+    * the stop is visible in the output and the oracle replays the
+    * identical rule over its unrolled stages. */
+  val KmTrainEps = 0.001
 
   /** #emb_kmeans_train — K-MEANS TO CONVERGENCE: [[kcenterChosen]]'s
     * deterministic farthest-first seeds (K = [[KcK]], Gonzalez 1985)
-    * drive [[KmTrainIters]] full Lloyd iterations — assignment by
+    * drive Lloyd iterations TO CONVERGENCE (ε-stop on the max rounded
+    * centroid shift, [[KmTrainEps]]) under the [[KmTrainIters]] cap —
+    * assignment by
     * rounded-L2 fold-argmin against the K broadcast literal centroids
     * (ties to the lowest cluster id), mean update through the
     * [[KmFixScale]] fixed-point grid so every cross-row sum is an exact
@@ -1697,7 +1708,9 @@ object Similarity {
     val dimSums = (0 until 64).map(j =>
       sum(floor(element_at(col("v"), j + 1) * KmFixScale)
         .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"))
-    for (it <- 1 to KmTrainIters) {
+    var it = 1
+    var converged = false
+    while (it <= KmTrainIters && !converged) {
       // one fold per centroid: the K distances evaluate ONCE into a
       // let-bound array (HOFs get no CSE — an inlined fold would run
       // twice per centroid, rounded + unrounded; measured ~2× whole-
@@ -1734,6 +1747,7 @@ object Similarity {
           case None => cents(cid) // empty cluster keeps its centroid
         }
       }
+      var maxShift = 0.0
       for (cid <- cents.indices) {
         val (n, sse) = stats.get(cid) match {
           case Some(r) =>
@@ -1743,9 +1757,16 @@ object Similarity {
         val shift = r6(cents(cid).indices.foldLeft(0.0) { (acc, j) =>
           val d = next(cid)(j) - cents(cid)(j); acc + d * d
         })
+        maxShift = math.max(maxShift, shift)
         out += ((it.toLong, cid.toLong, n, sse, shift))
       }
       cents = next
+      // ε-stop: the emitted rounded shifts ARE the convergence signal —
+      // the loop ends after the first iteration whose max is ≤ ε, so
+      // an easy corpus doesn't pay iterations it doesn't need and the
+      // stopping iteration is visible as the trajectory's last row
+      converged = maxShift <= KmTrainEps
+      it += 1
     }
     s.createDataFrame(out.toSeq)
       .toDF("iter", "cid", "n_members", "sse", "shift")

@@ -3081,9 +3081,12 @@ class OperatorSpec extends SparkTestBase {
     val got = Similarity.kmeansTrainOf(spark, e, init).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
-    // reference: plain-double Lloyd, same assignment tie rule
+    // reference: plain-double Lloyd with the SAME ε-stop rule
     var cents = init
-    for (it <- 1 to Similarity.KmTrainIters) {
+    var it = 1
+    var refIters = 0
+    var stopped = false
+    while (it <= Similarity.KmTrainIters && !stopped) {
       val assign = pts.map { p =>
         cents.indices.minBy(c => (cents(c).zip(p).map { case (a, b) =>
           (a - b) * (a - b) }.sum, c))
@@ -3093,35 +3096,79 @@ class OperatorSpec extends SparkTestBase {
         if (mine.isEmpty) cents(c)
         else (0 until 64).map(j => mine.map(_(j)).sum / mine.size)
       }
+      var maxShift = 0.0
       for (c <- cents.indices) {
         val mine = pts.zip(assign).filter(_._2 == c).map(_._1)
         val sse = mine.map(p => p.zip(cents(c)).map { case (x, a) =>
           (x - a) * (x - a) }.sum).sum
         val shift = next(c).zip(cents(c)).map { case (a, b) =>
           (a - b) * (a - b) }.sum
+        maxShift = math.max(maxShift, shift)
         val (gn, gsse, gshift) = got((it.toLong, c.toLong))
         assert(gn == mine.size, s"iter $it cluster $c members: $gn vs ${mine.size}")
         assert(math.abs(gsse - sse) < 1e-6, s"iter $it cluster $c sse: $gsse vs $sse")
         assert(math.abs(gshift - shift) < 1e-6, s"iter $it cluster $c shift")
       }
       cents = next
+      refIters = it
+      stopped = maxShift <= Similarity.KmTrainEps
+      it += 1
     }
-    // converged: the final iteration moved nothing
-    val lastShift = (0 until 3).map(c =>
-      got((Similarity.KmTrainIters.toLong, c.toLong))._3).max
-    assert(lastShift == 0.0, s"fixpoint expected on separated blobs, got $lastShift")
+    val gotIters = got.keys.map(_._1).max
+    assert(gotIters == refIters.toLong,
+      s"trajectory length: engine $gotIters vs reference $refIters")
+    // EARLY STOP proof: the separated blobs converge well under the cap
+    assert(gotIters < Similarity.KmTrainIters.toLong,
+      s"easy corpus must ε-stop before the cap, ran $gotIters")
+    // converged: the final iteration's movement is within ε
+    val lastShift = (0 until 3).map(c => got((gotIters, c.toLong))._3).max
+    assert(lastShift <= Similarity.KmTrainEps,
+      s"the stopping iteration must satisfy the ε rule, got $lastShift")
+  }
+
+  test("kmeansTrainOf cap-stops on a slow-converging corpus, every iteration still moving") {
+    import spark.implicits._
+    // the classic slow Lloyd: a 64-point line with both centroids
+    // seeded at one end — the boundary walks right a few points per
+    // iteration, so centroid shifts stay ≫ ε past the cap
+    def v(a: Double): Seq[Double] = a +: Seq.fill(63)(0.0)
+    val pts = (0 until 64).map(i => v(i.toDouble))
+    val e = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("vec_id", "v")
+    val rows = Similarity.kmeansTrainOf(spark, e, Seq(v(0.0), v(1.0))).collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    val byIter = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(byIter.keySet == (1 to Similarity.KmTrainIters).map(_.toLong).toSet,
+      s"hard corpus must run to the cap, got iterations ${byIter.keySet}")
+    byIter.foreach { case (it, ms) =>
+      assert(ms > Similarity.KmTrainEps,
+        s"iteration $it max shift $ms should still exceed ε on the hard corpus")
+    }
   }
 
   test("kmeans training on the corpus: inertia is monotone non-increasing (Lloyd's invariant)") {
     val rows = Similarity.kmeansTrain(spark, Sf).collect()
-    assert(rows.length == Similarity.KmTrainIters * Similarity.KcK)
-    val inertia = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val byIter = rows.groupBy(_.getLong(0))
+    val itersRun = byIter.keys.max
+    assert(itersRun <= Similarity.KmTrainIters.toLong)
+    assert(rows.length == itersRun * Similarity.KcK,
+      "every iteration up to the stop reports all K clusters")
+    // the ε-stop rule holds on the real corpus: every non-final
+    // iteration still moved > ε, and the run either converged or capped
+    val maxShift = byIter.view.mapValues(_.map(_.getDouble(4)).max).toMap
+    (1L until itersRun).foreach { t =>
+      assert(maxShift(t) > Similarity.KmTrainEps,
+        s"iteration $t was already converged yet training continued")
+    }
+    assert(itersRun == Similarity.KmTrainIters.toLong
+        || maxShift(itersRun) <= Similarity.KmTrainEps,
+      "training may end only at the cap or at convergence")
+    val inertia = byIter.toSeq.sortBy(_._1)
       .map { case (_, rs) => rs.map(_.getDouble(3)).sum }
     inertia.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a * (1 + 1e-9) + 1e-6, s"inertia must not increase: $inertia")
     }
     // every vector stays assigned somewhere, every iteration
-    val nPer = rows.groupBy(_.getLong(0)).values.map(_.map(_.getLong(2)).sum).toSet
+    val nPer = byIter.values.map(_.map(_.getLong(2)).sum).toSet
     assert(nPer.size == 1, s"membership total must be constant: $nPer")
   }
 
