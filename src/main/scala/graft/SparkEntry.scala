@@ -53,6 +53,7 @@ object SparkEntry {
     "q7_volume" -> (Analytics.q7Volume _),
     "q10_returns" -> (Analytics.q10Returns _),
     "q12_shipmode" -> (Analytics.q12Shipmode _),
+    "q_join_salted" -> (Analytics.qJoinSalted _),
     "q14_promo" -> (Analytics.q14Promo _),
     "q8_market_share" -> (Analytics.q8MarketShare _),
     "q9_profit" -> (Analytics.q9Profit _),
@@ -701,6 +702,13 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderpriority, l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
         |  CAST(sum(CASE WHEN n_name = 'NATION_7'

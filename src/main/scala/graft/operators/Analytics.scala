@@ -455,6 +455,54 @@ object Analytics {
           .otherwise(1L)).as("low_line_count"))
   }
 
+  /** Salt fanout for #q_join_salted — one hot key spreads across this
+    * many join reducers. */
+  val JoinSaltN = 8
+
+  /** #q_join_salted — SKEW-HARDENED equi-join twin: the lineitem ⋈
+    * orders fact join with the orders side REPLICATED [[JoinSaltN]]×
+    * (explode of a literal salt array) and the fact side salted by a
+    * deterministic per-row hash, so a hot orderkey's rows spread over
+    * [[JoinSaltN]] reducers instead of stalling one task — #38 proved
+    * the two-phase SALTED pattern for aggregations; this applies it to
+    * the JOIN shuffle, the other operator a hot key stalls at 100 TB
+    * (AQE's skew-join split handles moderate skew at runtime; the
+    * explicit salt is the plan-level guarantee for the pathological
+    * key AQE only discovers after a straggler). The join is hinted
+    * sort-merge — the strategy big×big joins take at scale, and the
+    * one the salt exists for (a broadcast join has no shuffle to
+    * skew). Output: priority × returnflag revenue rollup, BIT-EQUAL to
+    * the unsalted join by construction — the oracle IS the plain join
+    * SQL, and the planted-hot-key spec proves equality against the
+    * unsalted formulation. Cost: the dim side carries JoinSaltN× rows
+    * through the shuffle — the standard trade (pay bounded dim
+    * replication, buy hot-key spread); decimal sums keep the rollup
+    * exact under any row order. */
+  def qJoinSalted(s: SparkSession, dir: String): DataFrame =
+    qJoinSaltedOf(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** [[qJoinSalted]]'s core over explicit frames — the spec drives a
+    * planted-hot-key corpus through it against the unsalted join. */
+  private[graft] def qJoinSaltedOf(li0: DataFrame, od0: DataFrame): DataFrame = {
+    val li = li0.select(col("l_orderkey"), col("l_returnflag"),
+      (dec("l_extendedprice") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .as("rev"),
+      // deterministic per-row salt: uniform over the hot key's rows,
+      // and salt-value-independent output (bit-equality is by
+      // construction, so the hash only affects balance)
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(JoinSaltN))
+        .as("salt"))
+    val od = od0.select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt",
+        explode(array((0 until JoinSaltN).map(i => lit(i.toLong)): _*)))
+    li.join(od.hint("merge"),
+        li("l_orderkey") === od("o_orderkey") && li("salt") === od("salt"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
   /** #62 — TPC-H Q14-style promo revenue share: decimal-exact numerator
     * and denominator, ONE double division at the end (bit-identical in
     * both engines). Part is a broadcast dim. */

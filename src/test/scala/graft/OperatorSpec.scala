@@ -3267,6 +3267,37 @@ class OperatorSpec extends SparkTestBase {
       "beam search never advanced beyond the seed neighbourhood")
   }
 
+  test("salted join: bit-equal to the unsalted join on a planted hot key; the salt spreads it") {
+    import spark.implicits._
+    // one pathological orderkey holding 90% of the fact rows — the
+    // corpus that stalls one reducer in an unsalted shuffle join
+    val li = ((1 to 900).map(i => (1L, i.toLong, "F", 100.0 + i, 0.05)) ++
+      (1 to 100).map(i => ((i % 20 + 2).toLong, i.toLong, "R", 50.0 + i, 0.1)))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice", "l_discount")
+    val od = (1 to 30).map(k =>
+      (k.toLong, if (k % 3 == 0) "1-URGENT" else "3-MEDIUM"))
+      .toDF("o_orderkey", "o_orderpriority")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val salted = Analytics.qJoinSaltedOf(li, od).collect().map(key).toSet
+    val plain = li.join(od, li("l_orderkey") === od("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
+      .collect().map(key).toSet
+    assert(salted == plain, s"salted ${salted.toSeq.sorted}\nplain ${plain.toSeq.sorted}")
+    // the hot key's 900 rows actually fan across every salt bucket
+    val spread = li.filter(col("l_orderkey") === 1)
+      .select(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+        lit(Analytics.JoinSaltN)).as("s"))
+      .distinct().count()
+    assert(spread == Analytics.JoinSaltN.toLong,
+      s"hot key must spread over all ${Analytics.JoinSaltN} salts, got $spread")
+  }
+
   test("cohort matrix: exact driver recompute; offset-0 share is 1 for every cohort") {
     val weekUs = 7L * 86400000000L
     val ev = graft.core.Tables.events(spark, Sf)

@@ -621,6 +621,20 @@ class PlanSpec extends SparkTestBase {
       s"only the tiny hop-0 seed cross join may be non-equi, got $bnlj")
   }
 
+  test("q_join_salted: the salt reaches the join keys and the dim replicates in-plan") {
+    val p = plan("q_join_salted")
+    assert(p.contains("SortMergeJoin"),
+      "the salted twin must stay a shuffle join — broadcast has no shuffle to skew")
+    // the dim side replicates through the literal salt explode
+    assert(p.contains("explode([0,1,2,3,4,5,6,7])"),
+      "orders must replicate via the literal salt-array explode")
+    // the join condition carries the salt beside the orderkey, so the
+    // hot key's rows hash to JoinSaltN distinct reducer partitions
+    val smj = p.linesIterator.filter(_.contains("Left keys")).mkString
+    assert(smj.contains("salt"),
+      s"join keys must include the salt, got: $smj")
+  }
+
   test("emb_pagerank_knn iterates over the staged edge parquet, never re-mines the graph") {
     val p = plan("emb_pagerank_knn")
     assert(p.contains("graft-stage"), "edges must come from the staged knn graph")
