@@ -365,6 +365,18 @@ object SparkEntry {
         |      RANGE BETWEEN 300000000 PRECEDING AND 1 PRECEDING) AS n_recent
         |  FROM events) WHERE event_type = 'purchase'""".stripMargin,
     "q_percentiles" -> PercentilesSql,
+    // the sketch audits: the exact columns are recomputed, the flags are
+    // the CONTRACT — the oracle claims 1, so an engine sketch drifting
+    // past its budget hash-mismatches and fails the gate
+    "q_approx_distinct" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS sketch_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_approx_quantiles" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(1 AS BIGINT) AS p50_rank_ok, CAST(1 AS BIGINT) AS p95_rank_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "q_histogram" ->
       """WITH st AS (SELECT event_type, min(value) AS mn, max(value) AS mx
         |  FROM events GROUP BY 1)

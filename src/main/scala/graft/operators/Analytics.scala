@@ -308,30 +308,87 @@ object Analytics {
         (col("sum_us").cast("double") / col("n_users")).as("mean_convert_us"))
   }
 
-  /** #44 — sketch path: HyperLogLog approximate distinct users per
-    * event_type. No DuckDB oracle (sketch internals differ by engine) —
-    * accuracy vs exact is spec-asserted instead; at 100 TB this is the
-    * only affordable distinct-count. */
-  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  /** Relative-error budget the #44 accuracy flag asserts: HLL at
+    * rsd = 0.01 sits well inside 5%. */
+  val SketchDistinctTol = 0.05
+
+  /** The #44 sketch + its exact leg in one frame — the spec asserts
+    * the raw estimate's accuracy off this; the registered query
+    * projects the oracled audit columns. */
+  private[graft] def qApproxDistinctFull(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("cnt"))
 
-  /** #81 — mergeable quantile sketch (Greenwald-Khanna via
-    * approx_percentile): p50/p95 per event_type in ONE map-side-
-    * combinable pass — the sketch complement of the exact two-phase
-    * [[qPercentiles]] (two passes). No DuckDB oracle (sketch internals
-    * are engine-specific); accuracy vs the exact ranks is
-    * spec-asserted. At 100 TB this is the single-pass affordable
-    * quantile, and sketches merge across partitions/days for free. */
-  def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy("event_type")
+  /** #44 — HyperLogLog distinct-count WITH ITS ACCURACY AUDIT: the
+    * sketch estimate (the only affordable distinct at 100 TB — one
+    * map-side-combinable pass, mergeable across partitions/days) is
+    * checked in-engine against an exact leg and the output carries
+    * (exact value, sketch_ok flag). The sketch VALUE stays
+    * engine-specific (HLL internals differ by engine) and is
+    * spec-asserted; the FLAG is the oracle-checkable contract — the
+    * oracle emits the contractual 1, so a sketch drifting past
+    * [[SketchDistinctTol]] fails the hash gate loudly. The exact leg
+    * is the audit's ground-truth cost (the recall-eval discipline:
+    * production serves the sketch alone; this registered form is the
+    * go/no-go run before trusting it). */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    qApproxDistinctFull(s, dir).select(
+      col("event_type"), col("cnt"), col("exact_users"),
+      (abs(col("approx_users") - col("exact_users")).cast("double") <=
+        lit(SketchDistinctTol) * col("exact_users").cast("double"))
+        .cast("long").as("sketch_ok"))
+
+  /** Rank-error budget the #81 flags assert: GK at accuracy 2500
+    * guarantees ~4e-4 rank error; 0.02 is generous. */
+  val SketchRankTol = 0.02
+
+  /** The #81 sketch values + the exact rank-position audit in one
+    * frame (spec consumes the raw ap50/ap95; the registered query
+    * projects the flags). The audit counts, per type, the values on
+    * either side of the sketch's picks — GK's guarantee IS a rank
+    * guarantee, so the check is tie-robust and scale-free, and the
+    * conditional counts are exact longs in any engine. */
+  private[graft] def qApproxQuantilesFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val ap = ev.groupBy("event_type")
       .agg(
         approx_percentile(col("value"), lit(0.5), lit(2500)).as("ap50"),
         approx_percentile(col("value"), lit(0.95), lit(2500)).as("ap95"),
         count(lit(1)).as("cnt"))
+    ev.join(broadcast(ap), "event_type")
+      .groupBy("event_type")
+      .agg(max("ap50").as("ap50"), max("ap95").as("ap95"),
+        max("cnt").as("cnt"),
+        sum((col("value") <= col("ap50")).cast("long")).as("le50"),
+        sum((col("value") < col("ap50")).cast("long")).as("lt50"),
+        sum((col("value") <= col("ap95")).cast("long")).as("le95"),
+        sum((col("value") < col("ap95")).cast("long")).as("lt95"))
+  }
+
+  /** #81 — mergeable quantile sketch (Greenwald-Khanna via
+    * approx_percentile) WITH ITS ACCURACY AUDIT: p50/p95 per
+    * event_type in ONE combinable pass (the single-pass affordable
+    * quantile at 100 TB, vs the exact two-phase [[qPercentiles]]),
+    * then one exact pass counts each type's values around the sketch's
+    * picks and flags whether both picks sit within [[SketchRankTol]]
+    * of their target ranks (frac(≤ pick) ≥ q − tol AND frac(< pick) ≤
+    * q + tol — the two-sided rank test that is exact under ties). The
+    * sketch values stay engine-specific and spec-asserted; the FLAGS
+    * are the oracle contract (constant 1), so sketch drift fails the
+    * hash gate. */
+  def qApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    def rankOk(le: String, lt: String, q: Double): Column =
+      ((col(le).cast("double") >= (lit(q) - lit(SketchRankTol)) * col("cnt")) &&
+        (col(lt).cast("double") <= (lit(q) + lit(SketchRankTol)) * col("cnt")))
+        .cast("long")
+    qApproxQuantilesFull(s, dir).select(
+      col("event_type"), col("cnt"),
+      rankOk("le50", "lt50", 0.5).as("p50_rank_ok"),
+      rankOk("le95", "lt95", 0.95).as("p95_rank_ok"))
+  }
 
   /** #48 — TPC-H Q4-style priority count via LEFT SEMI join: orders with
     * at least one line shipped after the order date. The semi join never

@@ -774,27 +774,40 @@ class OperatorSpec extends SparkTestBase {
     assert(n > 0)
   }
 
-  test("approx distinct is within 5% of exact") {
-    val approx = Analytics.qApproxDistinct(spark, Sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx distinct is within 5% of exact; the registered audit flags it") {
+    val full = Analytics.qApproxDistinctFull(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Number]("approx_users").longValue,
+        r.getAs[Number]("exact_users").longValue)).toMap
     val exact = graft.core.Tables.events(spark, Sf)
       .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: ${approx(k)} vs $n")
+      assert(full(k)._2 == n, s"$k exact leg: ${full(k)._2} vs $n")
+      assert(math.abs(full(k)._1 - n).toDouble / n < 0.05,
+        s"$k: ${full(k)._1} vs $n")
+    }
+    // the oracle-facing flag asserts the same contract in-engine
+    Analytics.qApproxDistinct(spark, Sf).collect().foreach { r =>
+      assert(r.getAs[Number]("sketch_ok").longValue == 1L,
+        s"${r.getString(0)} sketch_ok should be 1")
     }
   }
 
-  test("approx quantiles land within the exact interquantile neighborhood") {
+  test("approx quantiles land within the exact interquantile neighborhood; rank flags hold") {
     val exact = Analytics.qPercentiles(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
-    Analytics.qApproxQuantiles(spark, Sf).collect().foreach { r =>
+    Analytics.qApproxQuantilesFull(spark, Sf).collect().foreach { r =>
       val (p50, p95) = exact(r.getString(0))
       val span = math.max(1e-9, p95 - p50)
       assert(math.abs(r.getAs[Double]("ap50") - p50) <= 0.1 * span,
         s"${r.getString(0)}: ap50 ${r.getAs[Double]("ap50")} vs exact $p50")
       assert(math.abs(r.getAs[Double]("ap95") - p95) <= 0.1 * span,
         s"${r.getString(0)}: ap95 ${r.getAs[Double]("ap95")} vs exact $p95")
+    }
+    Analytics.qApproxQuantiles(spark, Sf).collect().foreach { r =>
+      assert(r.getAs[Number]("p50_rank_ok").longValue == 1L &&
+        r.getAs[Number]("p95_rank_ok").longValue == 1L,
+        s"${r.getString(0)} rank flags must hold")
     }
   }
 
