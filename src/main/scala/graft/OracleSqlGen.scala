@@ -313,6 +313,27 @@ object OracleSqlGen {
        |JOIN szh s1 ON i.doc_id1 = s1.doc_id JOIN szh s2 ON i.doc_id2 = s2.doc_id
        |WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)""".stripMargin
 
+  /** #text_decontaminate_fuzzy — the incremental-probe shape with the
+    * train/eval split and the looser jaccard cut; the scored division
+    * mirrors the engine's int/int → double exactly. */
+  val textDecontaminateFuzzy: String = {
+    import graft.operators.TextOps.{EvalMod, FuzzyNum, FuzzyDen}
+    s"""WITH $minhashSigCtes,
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS eval_doc_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id % $EvalMod <> 0 AND y.doc_id % $EvalMod = 0)
+       |SELECT i.doc_id, i.eval_doc_id,
+       |  CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) AS jaccard
+       |FROM (
+       |  SELECT c1.doc_id, c1.eval_doc_id, count(*) AS c FROM cand c1
+       |  JOIN shh a ON a.doc_id = c1.doc_id
+       |  JOIN shh b ON b.doc_id = c1.eval_doc_id AND b.h = a.h
+       |  GROUP BY 1, 2) i
+       |JOIN szh s1 ON i.doc_id = s1.doc_id
+       |JOIN szh s2 ON i.eval_doc_id = s2.doc_id
+       |WHERE i.c * $FuzzyDen >= $FuzzyNum * (s1.n + s2.n - i.c)""".stripMargin
+  }
+
   private val minhashSelect: String =
     s"""SELECT i.doc_id1, i.doc_id2 FROM (
        |  SELECT c1.doc_id1, c1.doc_id2, count(*) AS c FROM cand c1

@@ -134,6 +134,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "doc_pack_bins" -> (TextOps.docPackBins _),
     "text_decontaminate" -> (TextOps.decontaminate _),
+    "text_decontaminate_fuzzy" -> (TextOps.decontaminateFuzzy _),
     "doc_mix_weights" -> (TextOps.mixWeights _),
     "text_gopher_rules" -> (TextOps.gopherRules _),
     "doc_shard_assign" -> (TextOps.shardAssign _),
@@ -1062,6 +1063,7 @@ object SparkEntry {
     "text_repetition" -> OracleSqlGen.textRepetition,
     "doc_pack_bins" -> OracleSqlGen.docPackBins,
     "text_decontaminate" -> OracleSqlGen.textDecontaminate,
+    "text_decontaminate_fuzzy" -> OracleSqlGen.textDecontaminateFuzzy,
     "doc_mix_weights" -> OracleSqlGen.docMixWeights,
     "doc_mix_temperature" -> OracleSqlGen.docMixTemperature,
     "ann_mmr_rerank" -> OracleSqlGen.annMmrRerank,

@@ -571,13 +571,20 @@ object Dedup {
     * similarity semantics. */
   private[operators] def verifyJaccardScored(cand: DataFrame, hsetL: DataFrame,
       hsetR: DataFrame, lc: String, rc: String): DataFrame =
+    verifyJaccardScoredAt(cand, hsetL, hsetR, lc, rc, ThreshNum, ThreshDen)
+
+  /** [[verifyJaccardScored]] at an explicit num/den threshold — the
+    * fuzzy decontamination probe verifies at a looser cut than the
+    * dedup miners, with the SAME integer comparison and division. */
+  private[operators] def verifyJaccardScoredAt(cand: DataFrame, hsetL: DataFrame,
+      hsetR: DataFrame, lc: String, rc: String, num: Int, den: Int): DataFrame =
     cand
       .join(hsetL.select(col("doc_id").as(lc),
         col("hs").as("h1"), col("n").as("n1")), lc)
       .join(hsetR.select(col("doc_id").as(rc),
         col("hs").as("h2"), col("n").as("n2")), rc)
       .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
-      .filter(col("c") * ThreshDen >= lit(ThreshNum) * (col("n1") + col("n2") - col("c")))
+      .filter(col("c") * den >= lit(num) * (col("n1") + col("n2") - col("c")))
       .select(col(lc), col(rc),
         (col("c").cast("double") /
           (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))

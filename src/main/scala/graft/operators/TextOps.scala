@@ -386,6 +386,40 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Fuzzy-decontamination threshold (#text_decontaminate_fuzzy):
+    * jaccard ≥ 1/2 over hashed shingle sets — looser than the dedup
+    * miners' 8/10, the cut that catches paraphrased/partial eval
+    * leakage exact n-gram matching (#97) misses. */
+  val FuzzyNum = 1
+  val FuzzyDen = 2
+
+  /** #text_decontaminate_fuzzy — FUZZY eval-set decontamination: #97
+    * catches verbatim n-gram overlap; real leakage is PARAPHRASED, so
+    * this leg composes the MinHash/LSH machinery instead — the eval
+    * slice's staged band keys (tiny: eval sets are thousands of docs,
+    * not billions — broadcast) equi-join the training slice's staged
+    * bands for candidates, and the exact jaccard verifies at the
+    * looser [[FuzzyNum]]/[[FuzzyDen]] cut. BOTH sides are filters of
+    * the ONE staged signature store ([[DedupIndex]]) — the corpus
+    * never re-shingles at query time, the same staged-probe shape as
+    * dedup_incremental. Output: (train doc, eval doc, jaccard) —
+    * the drop list with its evidence score (one mirrored integer
+    * division, engine-exact rank order if a consumer caps it). */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val st = DedupIndex.ensure(s, dir)
+    val isEval = col("doc_id") % EvalMod === 0
+    val evalBands = s.read.parquet(st.bands).filter(isEval)
+      .select(col("doc_id").as("eval_doc_id"), col("band"), col("bkey"))
+    val cand = s.read.parquet(st.bands).filter(!isEval)
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .join(broadcast(evalBands), Seq("band", "bkey"))
+      .select("doc_id", "eval_doc_id").distinct()
+    Dedup.verifyJaccardScoredAt(cand,
+      s.read.parquet(st.hset).filter(!isEval),
+      s.read.parquet(st.hset).filter(isEval),
+      "doc_id", "eval_doc_id", FuzzyNum, FuzzyDen)
+  }
+
   /** Global token budget for the mixture-weights operator. */
   val MixBudget = 200000L
 

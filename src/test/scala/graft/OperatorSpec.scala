@@ -3311,6 +3311,36 @@ class OperatorSpec extends SparkTestBase {
       s"hot key must spread over all ${Analytics.JoinSaltN} salts, got $spread")
   }
 
+  test("fuzzy decontamination: exact driver recompute off the staged signatures") {
+    val st = DedupIndex.ensure(spark, Sf)
+    val bands = spark.read.parquet(st.bands).collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue,
+        (r.getAs[Number]("band").intValue, r.getAs[Any]("bkey").toString)))
+    val hs = spark.read.parquet(st.hset).collect()
+      .map(r => r.getAs[Number]("doc_id").longValue ->
+        r.getSeq[Long](r.fieldIndex("hs")).toSet).toMap
+    val isEval = (d: Long) => d % TextOps.EvalMod == 0
+    val evalByKey = bands.filter(b => isEval(b._1)).groupBy(_._2)
+    val candPairs = bands.filter(b => !isEval(b._1)).flatMap { case (t, k) =>
+      evalByKey.getOrElse(k, Array.empty).map(e => (t, e._1))
+    }.distinct
+    val ref = candPairs.flatMap { case (t, e) =>
+      val c = (hs(t) intersect hs(e)).size
+      val u = hs(t).size + hs(e).size - c
+      if (c * TextOps.FuzzyDen >= TextOps.FuzzyNum * u)
+        Some((t, e, c.toDouble / u.toDouble))
+      else None
+    }.toSet
+    val got = TextOps.decontaminateFuzzy(spark, Sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getDouble(2))).toSet
+    assert(got == ref, s"got $got\nref $ref")
+    // the probe actually separates the slices
+    got.foreach { case (t, e, j) =>
+      assert(!isEval(t) && isEval(e) && j >= 0.5, s"bad row ($t, $e, $j)")
+    }
+  }
+
   test("cohort matrix: exact driver recompute; offset-0 share is 1 for every cohort") {
     val weekUs = 7L * 86400000000L
     val ev = graft.core.Tables.events(spark, Sf)

@@ -621,6 +621,17 @@ class PlanSpec extends SparkTestBase {
       s"only the tiny hop-0 seed cross join may be non-equi, got $bnlj")
   }
 
+  test("text_decontaminate_fuzzy probes the staged store on BOTH sides — zero corpus scans") {
+    val p = plan("text_decontaminate_fuzzy")
+    assert(p.contains("graft-stage"), "both slices must read staged signatures")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans == 0,
+      s"neither side may re-shingle text at query time, got $docScans corpus scans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the band equi-join, never all pairs")
+  }
+
   test("q_join_salted: the salt reaches the join keys and the dim replicates in-plan") {
     val p = plan("q_join_salted")
     assert(p.contains("SortMergeJoin"),
