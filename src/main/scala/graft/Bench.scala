@@ -141,6 +141,20 @@ object Bench {
     }.toSeq.sorted
     for (k <- guardFast) System.err.println(
       f"[bench] guard: $k best-of-2 ${best2(k)}%.2f s is >3x FASTER than prev ${prevBest(k)}%.2f s — flagged (not re-timed)")
+    // Sub-retry SLOWDOWNS are also flagged, not re-timed: between 1.8x
+    // and the 3x retry threshold sits exactly the band where the r15
+    // driver record's phantom "regressions" lived (ccnet 3.14 s under
+    // load vs 1.14 steady) — a PUBLISHED value still >1.8x its previous
+    // recorded best (after any guard retry) self-identifies so record
+    // readers can separate box noise from a real regression without
+    // chasing it by hand. Published-value based: a retried query whose
+    // third pass came back under the band is clean and stays unflagged.
+    val guardSlow = guarded.collect {
+      case (k, v) if prevBest.get(k).exists(pb => pb > 0.3 && v > 1.8 * pb)
+        && !errors.contains(k) => k
+    }.toSeq.sorted
+    for (k <- guardSlow) System.err.println(
+      f"[bench] guard: $k published ${guarded(k)}%.2f s is >1.8x SLOWER than prev ${prevBest(k)}%.2f s — flagged (not re-timed)")
     // Round BEFORE summing so total always equals the sum of the printed
     // per-query values exactly (a downstream consistency check comparing
     // them must never see a last-digit mismatch).
@@ -168,7 +182,7 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       fullJson(results, spreads, errors.toSeq, sfDir, load,
         stagingSec, warmupSec, stagingColdSec, loadStart, retried.toMap,
-        guardFast))
+        guardFast, guardSlow))
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     // Print AFTER spark.stop() with logging quieted, so no shutdown log
     // line can land after the JSON — the driver parses the LAST line.
@@ -341,7 +355,8 @@ object Bench {
       stagingCold: Double = -1.0,
       loadStart: Double = -1.0,
       retried: Map[String, Double] = Map.empty,
-      guardFast: Seq[String] = Nil): String = {
+      guardFast: Seq[String] = Nil,
+      guardSlow: Seq[String] = Nil): String = {
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(-_._2).map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + f2(v) +
@@ -362,9 +377,12 @@ object Bench {
     // consumer can reproduce every retry/flag decision), retry count,
     // and the flagged-suspicious speedups (surfaced, never re-timed)
     val gfast = guardFast.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val gslow = guardSlow.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gr = s""""guard":{"threshold":3.0,"min_sec":0.3,""" +
       s""""baseline":"bench_full.json@HEAD","retries":${retried.size},""" +
-      s""""fast_flagged":$gfast},"guard_retries":${retried.size},"""
+      s""""fast_flagged":$gfast,""" +
+      s""""slow_threshold":1.8,"slow_flagged":$gslow},""" +
+      s""""guard_retries":${retried.size},"""
     s"""{"sf":"$sfDir",$ld$phases$gr"total":${f2(results.values.sum)},"queries":$qs,"errors":$errs}"""
   }
 }

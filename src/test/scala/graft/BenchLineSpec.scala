@@ -134,6 +134,22 @@ class BenchLineSpec extends AnyFunSuite {
       "suspicious speedups must be surfaced for adjudication")
   }
 
+  test("guard decision record: sub-retry slowdowns (>1.8x, <3x) are flagged, never re-timed") {
+    val full = Bench.fullJson(Map("a" -> 0.5, "b" -> 2.3), Map.empty, Nil,
+      "sf", 2.0, guardSlow = Seq("b"))
+    val node = mapper.readTree(full)
+    val g = node.get("guard")
+    assert(g.get("slow_threshold").asDouble == 1.8)
+    assert(g.get("slow_flagged").size() == 1
+      && g.get("slow_flagged").get(0).asText == "b",
+      "a published >1.8x-slower value must self-identify in the record")
+    // the empty case still emits the field so a reader can distinguish
+    // "nothing flagged" from "flag not implemented in this round"
+    val clean = mapper.readTree(Bench.fullJson(Map("a" -> 0.5), Map.empty,
+      Nil, "sf", 2.0))
+    assert(clean.get("guard").get("slow_flagged").size() == 0)
+  }
+
   test("previousBest reads per-query bests from a bench_full dump; corrupt file disables the guard") {
     val dir = java.nio.file.Files.createTempDirectory("benchprev")
     val ok = dir.resolve("bench_full.json")
