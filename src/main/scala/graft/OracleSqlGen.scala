@@ -2860,4 +2860,32 @@ object OracleSqlGen {
        |  (CAST(sum(CAST(floor(sil * ${Similarity.KmFixScale}.0) AS HUGEINT)) AS DOUBLE)
        |     / ${Similarity.KmFixScale}.0) / count(*) AS mean_sil
        |FROM sl GROUP BY label""".stripMargin
+
+  /** #246 — stride-paired cosine histogram: the same three id-lag
+    * equi-joins, the shared fold-order cosine rounded to 6, and the
+    * clamped floor(rcos·10) bin. */
+  val embCosHist: String = {
+    val pairSelects = graft.operators.Similarity.CosHistStrides.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS stride, a.v AS va, b.v AS vb
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + $d""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $eCte,
+       |p AS ($pairSelects),
+       |r AS (SELECT stride, round(${cos("va", "vb")}, 6) AS rcos FROM p)
+       |SELECT stride,
+       |  CAST(greatest(-10, least(9, floor(rcos * 10.0))) AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM r GROUP BY 1, 2""".stripMargin
+  }
+
+  /** #247 — graph-ANN recall: the probe trajectory (#ann_graph_probe,
+    * nested verbatim) hit-flagged against the exact batch leg (#58,
+    * also nested verbatim) — same composition as embBqRecall. */
+  val annGraphRecall: String =
+    s"""WITH probe AS ($annGraphProbe),
+       |full_leg AS ($annBatchTopk)
+       |SELECT p.qid, p.rnk, p.vec_id,
+       |  CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hit
+       |FROM probe p LEFT JOIN full_leg f
+       |  ON f.qid = p.qid AND f.vec_id = p.vec_id""".stripMargin
 }

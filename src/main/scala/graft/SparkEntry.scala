@@ -239,6 +239,14 @@ object SparkEntry {
     "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
     "ann_bq_ivf" -> (Similarity.annBqIvf _),
     "ann_graph_probe" -> (Similarity.annGraphProbe _),
+    "ann_graph_recall" -> (Similarity.annGraphRecall _),
+    "emb_cos_hist" -> (Similarity.embCosHist _),
+    "ts_subquery_maxrate" -> (TimeSeriesOps.subqueryMaxRate _),
+    "ts_absent" -> (TimeSeriesOps.absentSeries _),
+    "q_skew_stats" -> (Analytics.qSkewStats _),
+    "text_zipf_check" -> (TextOps.zipfCheck _),
+    "text_simpson_diversity" -> (TextOps.simpsonDiversity _),
+    "source_csv_roundtrip" -> (graft.sources.DocCsv.roundtrip _),
     "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
     "stream_topk" -> (graft.streaming.StreamOps.topkBatch _),
     "text_ccnet_bucket" -> (TextOps.ccnetBucket _),
@@ -1361,6 +1369,83 @@ object SparkEntry {
     "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
     "ann_bq_ivf" -> OracleSqlGen.annBqIvf,
     "ann_graph_probe" -> OracleSqlGen.annGraphProbe,
+    "ann_graph_recall" -> OracleSqlGen.annGraphRecall,
+    "emb_cos_hist" -> OracleSqlGen.embCosHist,
+    "ts_subquery_maxrate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 3600.0 AS hr_rate
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, day_us, max(hr_rate) AS max_rate,
+        |  CAST(count(*) AS BIGINT) AS n_hours
+        |FROM hourly GROUP BY 1, 2""".stripMargin,
+    "ts_absent" ->
+      s"""WITH agg AS (
+         |  SELECT user_id, max(epoch_us(ts)) AS last_ts_us,
+         |    sum(CASE WHEN ts >= TIMESTAMP '${TimeSeriesOps.AbsentCutoff}'
+         |      THEN 1 ELSE 0 END) AS recent_cnt
+         |  FROM events GROUP BY 1)
+         |SELECT user_id, last_ts_us,
+         |  CAST(floor((epoch_us(TIMESTAMP '${TimeSeriesOps.AbsentNow}') - last_ts_us)
+         |    / 3600000000.0) AS BIGINT) AS stale_hours
+         |FROM agg WHERE recent_cnt = 0""".stripMargin,
+    "q_skew_stats" ->
+      """WITH perkey AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |hist AS (SELECT cnt, count(*) AS nk FROM perkey GROUP BY 1),
+        |cum AS (SELECT cnt, nk, sum(nk) OVER (ORDER BY cnt) AS ck FROM hist),
+        |tot AS (SELECT CAST(sum(cnt * nk) AS BIGINT) AS n_rows,
+        |    CAST(sum(nk) AS BIGINT) AS n_keys, max(cnt) AS top1_rows FROM hist),
+        |sel AS (SELECT
+        |    min(CASE WHEN ck >= (n_keys + 1) // 2 THEN cnt END) AS p50_key_rows,
+        |    min(CASE WHEN ck >= (n_keys * 99 + 99) // 100 THEN cnt END) AS p99_key_rows
+        |  FROM cum, tot)
+        |SELECT n_rows, n_keys, top1_rows,
+        |  CAST(top1_rows AS DOUBLE) / n_rows AS top1_share,
+        |  p50_key_rows, p99_key_rows,
+        |  CAST(p99_key_rows AS DOUBLE) / p50_key_rows AS skew_ratio
+        |FROM tot, sel""".stripMargin,
+    "text_zipf_check" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |lw AS (SELECT d.lang, unnest(t.t) AS w
+         |  FROM documents d JOIN toks t USING (doc_id)),
+         |wc AS (SELECT lang, w, count(*) AS cnt FROM lw GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types FROM wc GROUP BY 1),
+         |top AS (SELECT lang, cnt, rnk, rnk * cnt AS k FROM (
+         |    SELECT lang, cnt, w, row_number() OVER (PARTITION BY lang
+         |      ORDER BY cnt DESC, w) AS rnk FROM wc)
+         |  WHERE rnk <= ${graft.operators.TextOps.ZipfTopR}),
+         |ts AS (SELECT lang, min(k) AS min_k, max(k) AS max_k,
+         |    CAST(sum(CASE WHEN rnk <= ${graft.operators.TextOps.ZipfHead}
+         |      THEN cnt ELSE 0 END) AS BIGINT) AS head_tokens,
+         |    CAST(sum(cnt) AS BIGINT) AS top_tokens FROM top GROUP BY 1)
+         |SELECT ts.lang, n_tokens, n_types, min_k, max_k,
+         |  CAST(max_k AS DOUBLE) / min_k AS k_spread,
+         |  CAST(head_tokens AS DOUBLE) / n_tokens AS head_share,
+         |  CAST(top_tokens AS DOUBLE) / n_tokens AS top_share
+         |FROM ts JOIN tot USING (lang)""".stripMargin,
+    "text_simpson_diversity" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |tw AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM tw GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep_num FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, rep_num,
+         |  CASE WHEN n_tokens < 2 THEN 0.0
+         |    ELSE CAST(rep_num AS DOUBLE) / (n_tokens * (n_tokens - 1)) END AS simpson,
+         |  CAST(CASE WHEN n_tokens >= 2 AND rep_num * ${graft.operators.TextOps.SimpsonDen}
+         |      >= n_tokens * (n_tokens - 1) * ${graft.operators.TextOps.SimpsonNum}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+         |FROM a""".stripMargin,
+    "source_csv_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents""".stripMargin,
     "ann_hybrid_rrf" -> OracleSqlGen.annHybridRrf,
     "stream_topk" -> OracleSqlGen.streamTopk,
     "text_ccnet_bucket" -> OracleSqlGen.textCcnetBucket,

@@ -1295,4 +1295,48 @@ object Analytics {
       .agg(count(lit(1)).as("n_purchases"),
         sum(dec("value")).cast("double").as("credited_value"))
   }
+
+  /** #243 — JOIN-KEY SKEW DIAGNOSTIC: the report an operator consults
+    * BEFORE choosing the salted twin (#38 / #239) — per-key row-count
+    * distribution of the events key. Shape: per-key counts (one
+    * combinable key shuffle), then a count-VALUE histogram (distinct
+    * count values ≪ keys ≪ rows), so the cumulative window and the
+    * exact-integer disc-percentile selection ride a frame bounded by
+    * how many distinct per-key counts exist — never by keys and never
+    * by rows. ceil(q·n) ranks stay integer as (q_num·n + q_den−1) div
+    * q_den; every emitted double is one division of exact longs.
+    * Output is ONE row: total rows/keys, the hottest key's share, p50
+    * and p99 of per-key rows, and the p99/p50 skew ratio — >4 is the
+    * "salt this join" signal. */
+  def qSkewStats(s: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    // checkpointed: three consumers (totals, cumulative, selection)
+    // would otherwise each replay the corpus scan — the histogram is
+    // distinct-count-values-bounded, the cheapest frame in the plan
+    val hist = perKey.groupBy("cnt").agg(count(lit(1)).as("nk"))
+      .localCheckpoint()
+    val wCum = Window.orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("ck", sum(col("nk")).over(wCum))
+    val tot = hist.agg(
+      sum(col("cnt") * col("nk")).as("n_rows"),
+      sum(col("nk")).as("n_keys"),
+      max(col("cnt")).as("top1_rows"))
+    // disc percentile = smallest count value whose cumulative key
+    // coverage reaches ceil(q * n_keys); selection is a conditional min
+    // over the histogram frame against the broadcast 1-row totals
+    val sel = cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("ck") >= expr("(n_keys + 1) div 2"), col("cnt")))
+          .as("p50_key_rows"),
+        min(when(col("ck") >= expr("(n_keys * 99 + 99) div 100"), col("cnt")))
+          .as("p99_key_rows"))
+    tot.crossJoin(broadcast(sel))
+      .select(col("n_rows"), col("n_keys"), col("top1_rows"),
+        (col("top1_rows").cast("double") / col("n_rows")).as("top1_share"),
+        col("p50_key_rows"), col("p99_key_rows"),
+        (col("p99_key_rows").cast("double") / col("p50_key_rows"))
+          .as("skew_ratio"))
+  }
 }

@@ -1998,4 +1998,66 @@ object Similarity {
         ((col("ss").cast("double") / KmFixScale.toDouble) / col("n_vecs"))
           .as("mean_sil"))
   }
+
+  /** Deterministic id strides of the cosine-histogram pair sample
+    * (#246): three fixed lags give near-neighbour, mid, and far pair
+    * populations without any RNG state. */
+  val CosHistStrides = Seq(1L, 7L, 97L)
+
+  /** #246 — PAIRWISE-COSINE HISTOGRAM: the embedding-space health
+    * report (anisotropy / collapsed-space check — a healthy space
+    * piles mass near 0, a collapsed one near 1; the embedding twin of
+    * dedup_jaccard_histogram's threshold-tuning view). All-pairs is
+    * quadratic, so the sample is DETERMINISTIC id-stride pairs
+    * (vec_id, vec_id + Δ) for the three [[CosHistStrides]] lags — 3n
+    * pairs at any corpus size, each stride one key equi-join (a
+    * self-join on an arithmetic key, no window, no crossJoin). Cosines
+    * round to 6 (the shared fold), bins are floor(rcos·10) clamped to
+    * [-10, 9], and the rollup is one combinable (stride, bin) count. */
+  def embCosHist(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    // ONE corpus scan: each row explodes into its 2×|strides| pair
+    // roles (a bounded 6× expansion — the left role keyed at
+    // vec_id + Δ, the right at vec_id), so pairing is a single
+    // (pair key, stride) shuffle instead of a per-stride self-join
+    // whose equal-size sides can neither broadcast nor avoid
+    // re-scanning the corpus at 100 TB. Each group holds ≤ 1 vector
+    // per role, so the struct-max extraction is deterministic.
+    val roles = e.select(explode(array(CosHistStrides.flatMap { d =>
+        Seq(struct((col("vec_id") + d).as("k"), lit(d).as("stride"),
+              lit(0).as("role"), col("v").as("v")),
+          struct(col("vec_id").as("k"), lit(d).as("stride"),
+              lit(1).as("role"), col("v").as("v")))
+      }: _*)).as("p"))
+      .select(col("p.k"), col("p.stride"), col("p.role"), col("p.v"))
+    roles.groupBy("k", "stride")
+      .agg(max(when(col("role") === 0, col("v"))).as("va"),
+        max(when(col("role") === 1, col("v"))).as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+      .select(col("stride").cast("long").as("stride"),
+        round(cosine(col("va"), col("vb")), 6).as("rcos"))
+      .withColumn("bin",
+        greatest(lit(-10L), least(lit(9L), floor(col("rcos") * 10.0d))))
+      .groupBy("stride", "bin")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** #247 — GRAPH-ANN RECALL GATE: #ann_graph_probe's beam-search
+    * top-3, hit-flagged against the exact brute-force leg (#58, nested
+    * verbatim in the oracle) — the eval that says whether
+    * [[GraphBeam]]/[[GraphHops]] are safe to serve with, completing
+    * the recall matrix (IVF #133, PQ #135, BQ #217) for the traversal
+    * index class. The probe side re-runs the registered staged-probe
+    * pipeline unchanged (work ∝ beam × degree × hops); the exact side
+    * is the one unavoidable sampled ground-truth scan; the hit join
+    * touches two 30-row frames. */
+  def annGraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val probe = annGraphProbe(s, dir)
+    val full = annBatchTopk(s, dir)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    probe.join(full, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+  }
 }

@@ -1165,4 +1165,82 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)
   }
+
+  /** Rank depth of the Zipf constancy check (#244). */
+  val ZipfTopR = 100
+  /** Head depth whose coverage share the check also reports. */
+  val ZipfHead = 10
+
+  /** #244 — ZIPF CONSTANCY CHECK, transcendental-free: Zipf's law says
+    * freq ∝ 1/rank, i.e. k = rank·freq is CONSTANT down the rank table
+    * — so instead of an OLS slope in log-log space (ln() is the one
+    * function whose last ulp the two engines don't share — the same
+    * reason text_bigram_lift is log-free and text_dsir uses mean
+    * ratios), the check reports the EXACT integer spread of k over the
+    * top-[[ZipfTopR]] terms per language plus the head coverage
+    * shares. A Zipfian corpus shows max_k/min_k near 1-3; gibberish or
+    * mass duplication blows the spread out. The per-lang rank window
+    * runs over the DISTINCT-word count frame (vocab-bounded, the
+    * text_top_term argument — never corpus rows); totals re-enter from
+    * the same frame, so the corpus tokenizes exactly once. Every
+    * emitted double is one division of exact longs. */
+  def zipfCheck(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed (the BPE vocab discipline): the totals and rank
+    // branches would otherwise each re-tokenize the corpus — the
+    // count frame is vocab-bounded (Heaps law), the corpus is not
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = counts.groupBy("lang")
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val wR = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
+    val top = counts
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .filter(col("rnk") <= ZipfTopR)
+      .withColumn("k", col("rnk") * col("cnt"))
+    top.groupBy("lang")
+      .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(when(col("rnk") <= ZipfHead, col("cnt")).otherwise(0L))
+          .as("head_tokens"),
+        sum(col("cnt")).as("top_tokens"))
+      .join(broadcast(totals), "lang")
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("min_k"), col("max_k"),
+        (col("max_k").cast("double") / col("min_k")).as("k_spread"),
+        (col("head_tokens").cast("double") / col("n_tokens")).as("head_share"),
+        (col("top_tokens").cast("double") / col("n_tokens")).as("top_share"))
+  }
+
+  /** Repetitiveness flag threshold of #245 as an exact ratio: flagged
+    * when the collision probability is ≥ 1/20 (0.05). */
+  val SimpsonNum = 1
+  val SimpsonDen = 20
+
+  /** #245 — SIMPSON DIVERSITY (repeat-rate) quality filter: the
+    * probability two tokens drawn without replacement from the doc are
+    * the SAME type — Σ c·(c−1) / (n·(n−1)), an exact rational (the
+    * transcendental-free stand-in for token entropy; Herdan's vm /
+    * Simpson's D, the repetition signal Gopher's dup-fraction rules
+    * approximate). Per-doc (doc, word) counts ride one doc_id-prefixed
+    * shuffle; numerator and denominator are exact BIGINTs, the score
+    * is ONE mirrored division, and the keep/flag bit compares integer
+    * cross-products ([[SimpsonNum]]/[[SimpsonDen]]) — no epsilon
+    * anywhere. Docs with < 2 tokens have score 0 by definition. */
+  def simpsonDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1L)).as("rep_num"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("rep_num"),
+        when(col("n_tokens") < 2L, lit(0.0d))
+          .otherwise(col("rep_num").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1L))).as("simpson"),
+        (when(col("n_tokens") >= 2L,
+          col("rep_num") * SimpsonDen >=
+            col("n_tokens") * (col("n_tokens") - 1L) * SimpsonNum)
+          .otherwise(lit(false))).cast("long").as("repetitive"))
 }

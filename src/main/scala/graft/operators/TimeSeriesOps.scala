@@ -1336,4 +1336,53 @@ object TimeSeriesOps {
       .filter(col("rnk") <= ReservoirK)
       .select("user_id", "day_us", "rnk", "event_id", "value")
   }
+
+  /** #241 — PromQL SUBQUERY: `max_over_time(rate(value[1h])[1d:1h])`.
+    * The inner range vector is the per-(key, hour) per-second rate
+    * (decimal sum / 3600 — ONE mirrored double division per bucket);
+    * the outer aggregation takes each key's daily max of those hourly
+    * points. BOTH grains are calendar-keyed combinable aggregates: the
+    * corpus crosses ONE exchange at (key, day, hour); the day
+    * regroup's second exchange moves only the hourly aggregate frame.
+    * No window, no self-join: safe at any corpus size because
+    * per-group state is one (max, count) pair. */
+  def subqueryMaxRate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"))
+      .agg((sum(dec("value")).cast("double") / 3600.0d).as("hr_rate"))
+      .groupBy("user_id", "day_us")
+      .agg(max(col("hr_rate")).as("max_rate"),
+        count(lit(1)).as("n_hours"))
+
+  /** Staleness horizon of #242: series silent since this instant are
+    * ABSENT (PromQL absent()/staleness marking). Fixed literal like
+    * ts_scan_range's bounds — the corpus spans 2024-01-01..30, and a
+    * one-day lookback marks a real slice absent at every SF (17 keys
+    * at sf0.01, 156 at sf0.1). */
+  val AbsentCutoff = "2024-01-30"
+  /** The "now" the staleness age is measured against. */
+  val AbsentNow = "2024-01-31"
+
+  /** #242 — ABSENT/STALE series detection: keys that were alive before
+    * [[AbsentCutoff]] but emitted NOTHING since — the alert PromQL's
+    * absent() feeds and the first question an on-call asks of a TSDB
+    * ("which hosts stopped reporting?"). ONE combinable per-key
+    * aggregate (max ts + a conditional recent-count) on the key
+    * shuffle; the age is an exact integer microsecond difference
+    * floored to hours. Keys-bounded output at any corpus size; no
+    * window, no join, no second scan. */
+  def absentSeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_ts_us"),
+        sum(when(col("ts") >= lit(AbsentCutoff).cast("timestamp"), 1L)
+          .otherwise(0L)).as("recent_cnt"))
+      .filter(col("recent_cnt") === 0L)
+      // explicit floor: Spark truncates double→long casts while DuckDB
+      // rounds them — floor() is the one form both engines agree on
+      .select(col("user_id"), col("last_ts_us"),
+        floor((unix_micros(lit(AbsentNow).cast("timestamp")) - col("last_ts_us"))
+          / lit(3600000000.0d)).as("stale_hours"))
 }

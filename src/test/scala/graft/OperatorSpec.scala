@@ -3529,4 +3529,185 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Set((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)),
       s"1-cell fallback must serve exact top-3, got $got")
   }
+
+  test("ts_subquery_maxrate: daily max of hourly rates matches a driver recompute") {
+    // value → exact cents via the engine's own decimal cast (collected
+    // per row, folded in the driver), so the recompute is bit-honest
+    val events = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[java.sql.Timestamp](1).getTime, r.getLong(2)))
+    def trunc(ms: Long, unitMs: Long): Long = (ms / unitMs) * unitMs * 1000L
+    val hourly = events.groupBy { case (u, ms, _) =>
+      (u, trunc(ms, 86400000L), trunc(ms, 3600000L))
+    }.toSeq.map { case ((u, d, _), rows) =>
+      val cents = rows.map(_._3).sum
+      ((u, d), (cents / 100.0) / 3600.0)
+    }
+    val want = hourly.groupBy(h => (h._1._1, h._1._2)).map { case ((u, d), hs) =>
+      (u, d) -> ((hs.map(_._2).max, hs.size.toLong))
+    }
+    val got = TimeSeriesOps.subqueryMaxRate(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (mx, nh)) =>
+      assert(got(k)._2 == nh, s"$k n_hours")
+      assert(math.abs(got(k)._1 - mx) < 1e-12, s"$k max_rate")
+    }
+  }
+
+  test("ts_absent: exactly the keys silent past the cutoff, aged in whole hours") {
+    val cutoffMs = java.time.Instant.parse(
+      TimeSeriesOps.AbsentCutoff + "T00:00:00Z").toEpochMilli
+    val nowUs = java.time.Instant.parse(
+      TimeSeriesOps.AbsentNow + "T00:00:00Z").toEpochMilli * 1000L
+    // collect epoch-µs straight from the engine's own projection —
+    // java.sql.Timestamp.getTime truncates to ms and loses the tail
+    val lastSeen = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    val want = lastSeen.filter(_._2 < cutoffMs * 1000L)
+    val got = TimeSeriesOps.absentSeries(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == want.keySet, "absent key set")
+    assert(got.nonEmpty, "the fixed cutoff must mark a real slice absent")
+    want.foreach { case (u, lastUs) =>
+      assert(got(u)._1 == lastUs, s"user $u last_ts")
+      assert(got(u)._2 == (nowUs - lastUs) / 3600000000L,
+        s"user $u stale_hours")
+      assert(got(u)._2 >= 24L, "absent keys are silent at least the lookback day")
+    }
+  }
+
+  test("q_skew_stats: one-row diagnostic matches exact per-key distribution") {
+    val counts = graft.core.Tables.events(spark, Sf)
+      .groupBy("user_id").count().collect().map(_.getLong(1)).sorted
+    val nKeys = counts.length.toLong
+    val nRows = counts.sum
+    def discP(qNum: Long, qDen: Long): Long = {
+      val rank = (nKeys * qNum + qDen - 1) / qDen // ceil(q*n)
+      counts((rank - 1).toInt)
+    }
+    val r = Analytics.qSkewStats(spark, Sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == nRows && row.getLong(1) == nKeys)
+    assert(row.getLong(2) == counts.max, "top1_rows")
+    assert(row.getDouble(3) == counts.max.toDouble / nRows, "top1_share")
+    assert(row.getLong(4) == discP(1, 2), "p50 = disc percentile over key counts")
+    assert(row.getLong(5) == discP(99, 100), "p99")
+    assert(row.getDouble(6) >= 1.0, "p99/p50 >= 1 by construction")
+  }
+
+  test("text_zipf_check: per-lang rank*freq spread matches a driver recompute") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val byLang = docs.groupBy(_._1).map { case (lang, ds) =>
+      val words = ds.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      val wc = words.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      val ranked = wc.toSeq.sortBy { case (w, c) => (-c, w) }
+        .take(TextOps.ZipfTopR).zipWithIndex
+        .map { case ((w, c), i) => (i + 1L, c) }
+      val ks = ranked.map { case (rnk, c) => rnk * c }
+      lang -> (words.length.toLong, wc.size.toLong, ks.min, ks.max,
+        ranked.filter(_._1 <= TextOps.ZipfHead).map(_._2).sum,
+        ranked.map(_._2).sum)
+    }
+    val got = TextOps.zipfCheck(spark, Sf).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    }.toMap
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, (nTok, nTyp, minK, maxK, head, top)) =>
+      val g = got(lang)
+      assert((g._1, g._2, g._3, g._4) == ((nTok, nTyp, minK, maxK)), s"lang $lang")
+      assert(g._5 == maxK.toDouble / minK, s"lang $lang k_spread")
+      assert(g._6 == head.toDouble / nTok && g._7 == top.toDouble / nTok)
+      // a natural-ish corpus: the head covers a real share, and the
+      // Zipf constant can't shrink below rank-1's own frequency bound
+      assert(g._6 > 0.0 && g._6 <= g._7 && g._7 <= 1.0)
+    }
+  }
+
+  test("text_simpson_diversity: exact repeat-rate per doc, flag = integer cross-product") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val cs = toks.groupBy(identity).values.map(_.length.toLong)
+      val num = cs.map(c => c * (c - 1)).sum
+      id -> (n, cs.size.toLong, num,
+        if (n < 2) 0.0 else num.toDouble / (n * (n - 1)),
+        if (n >= 2 && num * TextOps.SimpsonDen >= n * (n - 1) * TextOps.SimpsonNum) 1L else 0L)
+    }.toMap
+    val got = TextOps.simpsonDiversity(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(got == want)
+    // both classes must exist on the corpus or the flag is vacuous
+    assert(got.values.exists(_._5 == 1L) && got.values.exists(_._5 == 0L))
+  }
+
+  test("emb_cos_hist: stride pair populations complete and bins match a driver recompute") {
+    val vecs = graft.core.Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = collection.mutable.Map[(Long, Long), Long]()
+    for (d <- Similarity.CosHistStrides; (id, va) <- vecs; vb <- vecs.get(id + d)) {
+      val bin = math.max(-10L, math.min(9L, math.floor(cos(va, vb) * 10.0).toLong))
+      val k = (d, bin); want(k) = want.getOrElse(k, 0L) + 1L
+    }
+    val got = Similarity.embCosHist(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want.toMap)
+    // every stride's pair population is complete: n - lag pairs each
+    val n = vecs.keys.max - vecs.keys.min + 1
+    Similarity.CosHistStrides.foreach { d =>
+      assert(got.collect { case ((s, _), c) if s == d => c }.sum == n - d,
+        s"stride $d pair count")
+    }
+  }
+
+  test("source_csv_roundtrip: parse(render(row)) is the identity on every field") {
+    val got = graft.sources.DocCsv.roundtrip(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    val want = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), md5(col("text")), col("lang"), col("source"),
+        col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got == want, "CSV quote/escape/coercion mangled a field")
+  }
+
+  test("ann_graph_recall: flags the probe's rows against the exact leg, nothing else") {
+    val probe = Similarity.annGraphProbe(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.annBatchTopk(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.annGraphRecall(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == probe,
+      "recall rows must be exactly the probe's top-3")
+    got.foreach { case (qid, _, vid, hit) =>
+      assert(hit == (if (exact((qid, vid))) 1L else 0L), s"hit flag ($qid,$vid)")
+    }
+    // the staged graph + kcenter seeds must actually serve: recall > 0
+    assert(got.count(_._4 == 1L) > 0, "beam search found none of the true top-3")
+  }
 }

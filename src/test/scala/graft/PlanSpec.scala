@@ -843,6 +843,52 @@ class PlanSpec extends SparkTestBase {
       "only the exact ground-truth leg may rank via a window")
   }
 
+  test("emb_cos_hist pairs via ONE corpus scan + explode — no self-join, no window") {
+    val p = plan("emb_cos_hist")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("embeddings.parquet"))
+    assert(scans == 1, s"the corpus must be scanned once, got $scans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no unbounded join may exist")
+    assert(!p.contains("windowspecdefinition"), "no window anywhere")
+    assert(p.contains("Generate"), "pair roles must come from the explode")
+  }
+
+  test("q_skew_stats runs entirely off the checkpointed histogram — the corpus never re-enters") {
+    // the per-key count + count-value histogram collapse happens ONCE
+    // (inside the localCheckpoint job); the published plan's three
+    // consumers (totals, cumulative window, percentile selection) may
+    // only read the checkpoint
+    val p = plan("q_skew_stats")
+    assert(!p.contains("events.parquet"),
+      "every consumer must read the checkpointed histogram, not the corpus")
+  }
+
+  test("text_zipf_check's rank and totals branches share the checkpointed vocab frame") {
+    val p = plan("text_zipf_check")
+    assert(!p.contains("documents.parquet"),
+      "both branches must read the checkpointed (lang, word) counts — one tokenize")
+  }
+
+  test("ts_subquery_maxrate: corpus crosses one exchange; the day regroup moves the hourly frame") {
+    val p = plan("ts_subquery_maxrate")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 1, s"the fact must be scanned once, got $scans")
+    // each node appears twice in FormattedMode (tree + details):
+    // 2 exchanges = 4 mentions
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 4,
+      "two grains, two exchanges — the second over the hourly aggregate only")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      "both grains are aggregates: no window, no join")
+  }
+
+  test("source_csv_roundtrip is a pure codegen projection — zero exchanges") {
+    val p = plan("source_csv_roundtrip")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "render+parse must stay map-side")
+  }
+
   test("ts_quantile_daily ranks and brackets on ONE (key, day) exchange") {
     val p = plan("ts_quantile_daily")
     val scans = p.linesIterator.count(l =>
