@@ -2878,6 +2878,37 @@ object OracleSqlGen {
        |FROM r GROUP BY 1, 2""".stripMargin
   }
 
+  /** #249 — SQ coarse + exact re-rank: the #119 quantization grid
+    * verbatim, all-integer dot products, (dot desc, vec_id) shortlist
+    * of 32, exact-cosine top-3 — rank order ≡ the engine's packed-long
+    * heap order by construction. */
+  val annSqRerank: String = {
+    import graft.operators.Similarity.{SqShortlist, SqLevels}
+    val m = SqLevels - 1
+    s"""WITH $eCte,
+       |mm AS (SELECT min(list_min(v)) AS lo, max(list_max(v)) AS hi FROM e),
+       |c AS (SELECT vec_id, list_transform(v, x ->
+       |    CAST(least($m.0, greatest(0.0,
+       |      floor(((x - lo) * $m) / (hi - lo)))) AS BIGINT)) AS c
+       |  FROM e CROSS JOIN mm),
+       |q AS (SELECT vec_id AS qid, c AS qc FROM c WHERE vec_id < 10),
+       |scored AS (SELECT q.qid, c2.vec_id,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> c2.c[i] * q.qc[i]), (a, b) -> a + b) AS dot
+       |  FROM c c2, q WHERE c2.vec_id >= 10),
+       |short AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dot DESC, vec_id) AS rn FROM scored)
+       |  WHERE rn <= $SqShortlist),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id FROM (
+       |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+       |    ORDER BY round(${cos("e2.v", "q.qv")}, 6) DESC, s.vec_id) AS rnk
+       |  FROM short s JOIN e e2 ON e2.vec_id = s.vec_id
+       |  JOIN qv q ON q.qid = s.qid)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   /** #247 — graph-ANN recall: the probe trajectory (#ann_graph_probe,
     * nested verbatim) hit-flagged against the exact batch leg (#58,
     * also nested verbatim) — same composition as embBqRecall. */

@@ -240,7 +240,10 @@ object SparkEntry {
     "ann_bq_ivf" -> (Similarity.annBqIvf _),
     "ann_graph_probe" -> (Similarity.annGraphProbe _),
     "ann_graph_recall" -> (Similarity.annGraphRecall _),
+    "ann_sq_rerank" -> (Similarity.annSqRerank _),
     "emb_cos_hist" -> (Similarity.embCosHist _),
+    "doc_interleave" -> (TextOps.docInterleave _),
+    "ts_counter_correct" -> (TimeSeriesOps.counterCorrect _),
     "ts_subquery_maxrate" -> (TimeSeriesOps.subqueryMaxRate _),
     "ts_absent" -> (TimeSeriesOps.absentSeries _),
     "q_skew_stats" -> (Analytics.qSkewStats _),
@@ -1370,7 +1373,35 @@ object SparkEntry {
     "ann_bq_ivf" -> OracleSqlGen.annBqIvf,
     "ann_graph_probe" -> OracleSqlGen.annGraphProbe,
     "ann_graph_recall" -> OracleSqlGen.annGraphRecall,
+    "ann_sq_rerank" -> OracleSqlGen.annSqRerank,
     "emb_cos_hist" -> OracleSqlGen.embCosHist,
+    "doc_interleave" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY hk, doc_id) AS grank FROM h),
+        |si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*) AS ns FROM si)
+        |SELECT r.doc_id, r.source, CAST(r.grank AS BIGINT) AS grank,
+        |  CAST((r.grank - 1) * ns + sidx AS BIGINT) AS slot
+        |FROM r JOIN si USING (source) CROSS JOIN n""".stripMargin,
+    "ts_counter_correct" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (SELECT user_id, ts_us, event_id, cents,
+        |    lag(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev FROM b),
+        |c AS (SELECT user_id, ts_us, event_id, cents,
+        |    sum(CASE WHEN prev > cents THEN prev ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS comp
+        |  FROM l)
+        |SELECT user_id, ts_us, event_id,
+        |  CAST(cents + comp AS BIGINT) AS adj_cents,
+        |  CAST(cents + comp AS DOUBLE) / 100 AS adj
+        |FROM c""".stripMargin,
     "ts_subquery_maxrate" ->
       """WITH hourly AS (
         |  SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

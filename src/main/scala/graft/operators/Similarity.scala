@@ -1999,6 +1999,62 @@ object Similarity {
           .as("mean_sil"))
   }
 
+  /** Coarse shortlist size of the SQ serve path (#249). */
+  val SqShortlist = 32
+  /** Max possible int8×int8 64-dim dot — bounds the descending-dot →
+    * ascending-long pack: 64·255² < 2²³, far under the 24 high bits
+    * the (score << 40 | id) pack affords. */
+  val MaxSqDot: Long = 64L * (SqLevels - 1) * (SqLevels - 1)
+
+  /** #249 — SCALAR-QUANTIZED COARSE + EXACT RE-RANK: the int8 serve
+    * path (FAISS SQ8 / the quantization every vector DB offers between
+    * floats and binary codes), completing the quantization serve
+    * matrix: BQ #218 (1 bit/dim), PQ #101 (codebooks), SQ here
+    * (8 bits/dim). Stage 1 scores per-dim uniform-quantized codes —
+    * #119's exact (lo, hi) grid, codes derived MAP-SIDE from the 1-row
+    * broadcast minmax (a multiply per element; unlike BQ's 32×
+    * fingerprint shrink there is no staging win to buy, so no index
+    * artifact) — by ALL-INTEGER dot products (zip_with/aggregate over
+    * longs — exact, order-free, engine-identical), keeps
+    * [[SqShortlist]] survivors per query via the bounded-heap top-k on
+    * `(MaxSqDot − dot) << 40 | vec_id` (one primitive long comparison
+    * IS the (dot desc, vec_id asc) tie order, id overflow guarded);
+    * stage 2 fetches ONLY the shortlist's floats and re-ranks by exact
+    * cosine — per-query full-precision work is 32 rows at any corpus
+    * size, and no corpus×nqueries shuffle or rank window exists in the
+    * coarse pass. */
+  def annSqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val mm = e.agg(min(array_min(col("v"))).as("lo"),
+      max(array_max(col("v"))).as("hi"))
+    // the #119 grid, verbatim: q = clamp(floor((x-lo)*255/(hi-lo)))
+    def qOf(x: Column) = least(lit(255L), greatest(lit(0L),
+      floor(((x - col("lo")) * (SqLevels - 1)) / (col("hi") - col("lo")))))
+    val coded = e.crossJoin(broadcast(mm))
+      .select(col("vec_id"), transform(col("v"), x => qOf(x)).as("c"))
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    val shortlist = coded.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", aggregate(
+        zip_with(col("c"), col("qc"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("packed", packHamId(lit(MaxSqDot) - col("dot"), col("vec_id")))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topkMinLongs(col("packed"), SqShortlist).as("top"))
+      .select(col("qid"), explode(col("top")).as("packed"))
+      .select(col("qid"), col("packed").bitwiseAND(lit((1L << 40) - 1)).as("vec_id"))
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wC = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(e, "vec_id").join(broadcast(qv), "qid")
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(wC).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"))
+  }
+
   /** Deterministic id strides of the cosine-histogram pair sample
     * (#246): three fixed lags give near-neighbour, mid, and far pair
     * populations without any RNG state. */

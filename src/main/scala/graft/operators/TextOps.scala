@@ -1166,6 +1166,51 @@ object TextOps {
       .limit(20)
   }
 
+  /** Order-aligned bucket width of #250's two-level rank: the first
+    * two hex chars of the md5 order key — 256 buckets that partition
+    * the (hk, doc_id) sort order, so within-bucket ranks + a per-source
+    * 256-row carry compose the exact per-source dense rank. */
+  val InterleaveBuckets = 2
+
+  /** #250 — DETERMINISTIC TRAINING-ORDER INTERLEAVE: the execution
+    * step after #53 decides mixture proportions — lay every source's
+    * docs in a reproducible shuffled order (md5-of-id rank, the
+    * ts_sample_reservoir discipline: no RNG state crosses machines,
+    * re-runs and re-partitions reproduce bit-identically) and
+    * round-robin the sources into one global training stream:
+    * slot = (rank_in_source − 1) · n_sources + source_idx, so
+    * consecutive slots cycle sources and each source's own docs appear
+    * in hash order — the "shuffle and interleave" every epoch assembly
+    * performs. The per-source rank is NEVER one window partition: ranks
+    * compute within (source, 2-hex-char bucket of the order key) — the
+    * bucket prefix partitions the sort order — and a per-source
+    * 256-row cumulative carry (the docPackBins two-level discipline)
+    * lifts them to exact source-global ranks. Source ids are a
+    * broadcast sources-bounded frame. */
+  def docInterleave(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("b", substring(col("hk"), 1, InterleaveBuckets))
+    val wIn = Window.partitionBy("source", "b").orderBy("hk", "doc_id")
+    val wCarry = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = h.groupBy("source", "b").agg(count(lit(1)).as("bc"))
+      .withColumn("carry", coalesce(sum("bc").over(wCarry), lit(0L)))
+      .select("source", "b", "carry")
+    val sidx = Tables.documents(s, dir).select("source").distinct()
+      .withColumn("sidx",
+        (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+    val ns = sidx.agg(count(lit(1)).as("ns"))
+    h.join(carry, Seq("source", "b"))
+      .withColumn("grank",
+        (col("carry") + row_number().over(wIn)).cast("long"))
+      .join(broadcast(sidx), "source")
+      .crossJoin(broadcast(ns))
+      .select(col("doc_id"), col("source"), col("grank"),
+        ((col("grank") - 1L) * col("ns") + col("sidx")).as("slot"))
+  }
+
   /** Rank depth of the Zipf constancy check (#244). */
   val ZipfTopR = 100
   /** Head depth whose coverage share the check also reports. */

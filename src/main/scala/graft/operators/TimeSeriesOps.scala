@@ -1385,4 +1385,31 @@ object TimeSeriesOps {
       .select(col("user_id"), col("last_ts_us"),
         floor((unix_micros(lit(AbsentNow).cast("timestamp")) - col("last_ts_us"))
           / lit(3600000000.0d)).as("stale_hours"))
+
+  /** #251 — COUNTER CORRECTION (PromQL's monotonize): rewrite each
+    * key's series as the reset-corrected cumulative — every time the
+    * raw value drops below its predecessor, the predecessor's value
+    * joins a running offset, so the corrected series is the monotone
+    * counter the raw samples would form had the process never
+    * restarted. #82 counts the resets and #196 sums the positive
+    * deltas; this emits the full corrected SERIES — what a recording
+    * rule materializes before any rate/increase runs downstream. The
+    * lag and the running offset sum share ONE (key) exchange with a
+    * (ts, event_id) sort (the ts_delta_encode shape; partitions are
+    * per-key series); all arithmetic is exact cents (longs), the one
+    * emitted double is a single mirrored division. */
+  def counterCorrect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), (dec("value") * 100).cast("long").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("comp",
+        sum(when(col("prev") > col("cents"), col("prev")).otherwise(0L))
+          .over(ws))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        (col("cents") + col("comp")).as("adj_cents"),
+        ((col("cents") + col("comp")).cast("double") / 100.0d).as("adj"))
+  }
 }

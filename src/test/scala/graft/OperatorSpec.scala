@@ -3695,6 +3695,97 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want, "CSV quote/escape/coercion mangled a field")
   }
 
+  test("ann_sq_rerank: int8 coarse + exact re-rank replayed bit-exactly in the driver") {
+    val vecs = graft.core.Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val all = vecs.values.flatten
+    val (lo, hi) = (all.min, all.max)
+    def codes(v: Array[Double]): Array[Long] =
+      v.map(x => math.min(255.0, math.max(0.0,
+        math.floor(((x - lo) * 255) / (hi - lo)))).toLong)
+    def rcos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val corpus = vecs.filter(_._1 >= 10)
+    val want = vecs.filter(_._1 < 10).toSeq.flatMap { case (qid, qv) =>
+      val qc = codes(qv)
+      val short = corpus.toSeq
+        .map { case (id, v) => (id, codes(v).zip(qc).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, dot) => (-dot, id) }.take(Similarity.SqShortlist)
+      short.map { case (id, _) => (id, rcos(vecs(id), qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1L, id) }
+    }.toSet
+    val got = Similarity.annSqRerank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "the SQ serve trajectory must replay exactly")
+  }
+
+  test("doc_interleave: exact slots, round-robin by construction, a permutation of the corpus") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val sources = docs.map(_._2).distinct.sorted
+    val sidx = sources.zipWithIndex.toMap
+    val ns = sources.length.toLong
+    val want = docs.toSeq.groupBy(_._2).flatMap { case (src, ds) =>
+      ds.map { case (id, _) => (id, md5hex(id.toString)) }
+        .sortBy { case (id, hk) => (hk, id) }.zipWithIndex
+        .map { case ((id, _), i) =>
+          id -> ((src, i + 1L, i.toLong * ns + sidx(src)))
+        }
+    }.toMap
+    val res = graft.operators.TextOps.docInterleave(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(res == want, "two-level ranks must equal the per-source dense rank")
+    // round-robin: slot mod n_sources identifies the source; slots unique
+    val slots = res.values.map(_._3).toSeq
+    assert(slots.distinct.size == slots.size, "slots must be collision-free")
+    res.values.foreach { case (src, _, slot) =>
+      assert(slot % ns == sidx(src), "consecutive slots must cycle sources")
+    }
+  }
+
+  test("ts_counter_correct: reset-corrected series is monotone and replays exactly") {
+    val rows = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = rows.toSeq.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var comp = 0L; var prev = -1L; var first = true
+      sorted.map { case (_, ts, eid, c) =>
+        if (!first && prev > c) comp += prev
+        first = false; prev = c
+        (u, ts, eid) -> ((c + comp, (c + comp).toDouble / 100.0))
+      }
+    }.toMap
+    val res = TimeSeriesOps.counterCorrect(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(res == want, "the corrected series must replay exactly")
+    // the whole point of the correction: per-key monotone non-decreasing
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      val adj = es.sortBy(e => (e._2, e._3)).map(e => res((u, e._2, e._3))._1)
+      assert(adj.zip(adj.tail).forall { case (a, b) => b >= a },
+        s"key $u corrected series must be monotone")
+    }
+    // and it actually fired somewhere (raw values do reset)
+    assert(res.exists { case ((u, ts, eid), (a, _)) =>
+      rows.find(r => r._1 == u && r._2 == ts && r._3 == eid).get._4 != a },
+      "at least one reset must have been compensated")
+  }
+
   test("ann_graph_recall: flags the probe's rows against the exact leg, nothing else") {
     val probe = Similarity.annGraphProbe(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

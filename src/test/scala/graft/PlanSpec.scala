@@ -843,6 +843,41 @@ class PlanSpec extends SparkTestBase {
       "only the exact ground-truth leg may rank via a window")
   }
 
+  test("ann_sq_rerank: heap shortlist in the coarse pass; the lone window ranks the shortlist") {
+    val p = plan("ann_sq_rerank")
+    assert(p.contains("graft_topk_min"),
+      "the coarse top-32 must be the bounded-heap aggregate")
+    // exactly one window — the <=32-row exact re-rank; a second would
+    // mean the coarse pass ranks the corpus
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size == 1,
+      "only the shortlist re-rank may use a window")
+  }
+
+  test("doc_interleave never windows a whole source: every rank partitions by (source, bucket)") {
+    val p = plan("doc_interleave")
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    // the carry window partitions by source over 256 bucket rows; the
+    // rank window by (source, bucket); the source-index window rides
+    // the sources-bounded distinct frame — none may be a bare
+    // partitionless window over doc rows (hk present = doc grain)
+    assert(specs.nonEmpty)
+    specs.filter(_.contains("hk")).foreach { l =>
+      assert(l.contains("source") && l.contains("b#"),
+        s"doc-grain rank must partition by (source, bucket): $l")
+    }
+  }
+
+  test("ts_counter_correct: lag and offset sum share one key exchange; no join") {
+    val p = plan("ts_counter_correct")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 1, s"one corpus scan, got $scans")
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).size <= 2,
+      "both windows must ride one user_id exchange")
+    assert(!p.contains("Join"), "no join anywhere")
+  }
+
   test("emb_cos_hist pairs via ONE corpus scan + explode — no self-join, no window") {
     val p = plan("emb_cos_hist")
     val scans = p.linesIterator.count(l =>
