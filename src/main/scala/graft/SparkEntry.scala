@@ -244,6 +244,7 @@ object SparkEntry {
     "emb_cos_hist" -> (Similarity.embCosHist _),
     "doc_interleave" -> (TextOps.docInterleave _),
     "ts_counter_correct" -> (TimeSeriesOps.counterCorrect _),
+    "stream_counter_correct" -> (graft.streaming.StreamOps.counterStateBatch _),
     "ts_subquery_maxrate" -> (TimeSeriesOps.subqueryMaxRate _),
     "ts_absent" -> (TimeSeriesOps.absentSeries _),
     "q_skew_stats" -> (Analytics.qSkewStats _),
@@ -1402,6 +1403,25 @@ object SparkEntry {
         |  CAST(cents + comp AS BIGINT) AS adj_cents,
         |  CAST(cents + comp AS DOUBLE) / 100 AS adj
         |FROM c""".stripMargin,
+    "stream_counter_correct" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (SELECT user_id, cents,
+        |    lag(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev FROM b),
+        |a AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN prev > cents THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_resets,
+        |    CAST(sum(CASE WHEN prev > cents THEN prev ELSE 0 END) AS BIGINT)
+        |      AS comp_total
+        |  FROM l GROUP BY 1),
+        |last AS (SELECT user_id, cents AS last_cents FROM (
+        |    SELECT user_id, cents, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM b) WHERE rn = 1)
+        |SELECT a.user_id, n_resets,
+        |  CAST(last_cents + comp_total AS BIGINT) AS final_adj_cents
+        |FROM a JOIN last USING (user_id)""".stripMargin,
     "ts_subquery_maxrate" ->
       """WITH hourly AS (
         |  SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

@@ -361,4 +361,73 @@ object StreamOps {
       }
       .toDF("user_id", "epoch", "n_sessions")
   }
+
+  /** #252 batch twin — the per-key FINAL counter state a streaming
+    * recording rule's store holds after #251's correction ran over the
+    * whole history: (last corrected value, reset count). The lag
+    * window and the final aggregate share one key exchange; the last
+    * raw sample is a struct-ordered max (no second window), cents
+    * exact. */
+  def counterStateBatch(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("prev") > col("cents"), 1L).otherwise(0L)).as("n_resets"),
+        sum(when(col("prev") > col("cents"), col("prev")).otherwise(0L))
+          .as("comp_total"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("last_cents"))
+      .select(col("user_id"), col("n_resets"),
+        (col("last_cents") + col("comp_total")).as("final_adj_cents"))
+  }
+
+  /** Streaming counter correction via mapGroupsWithState — the
+    * recording-rule form of #251: per-key state is (last raw cents,
+    * accumulated reset offset, reset count), folded over arrivals in
+    * (ts, event_id) order within each trigger. NO timeout by contract:
+    * a counter's offset is PERMANENT series state (evicting it would
+    * silently restart the counter — the exact corruption the operator
+    * exists to prevent), so the store holds 3 longs per ACTIVE series
+    * for the series' lifetime — the deliberate opposite of
+    * sessionization's evictable state, and what a real TSDB keeps per
+    * live series. Emits the key's running (final_adj, n_resets) each
+    * trigger; the last emission per key equals the batch twin. */
+  def counterStateStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    import s.implicits._
+    val reader0 = s.readStream.schema(schema).format("parquet")
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    reader.load(eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (prev, comp, resets) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          // (ts, event_id) order within the trigger; cross-trigger
+          // order is the file-arrival contract the spec stages
+          val es = it.toArray.sortBy(e => (e._2, e._3))
+          es.foreach { case (_, _, _, c) =>
+            if (prev != Long.MinValue && prev > c) { comp += prev; resets += 1 }
+            prev = c
+          }
+          state.update((prev, comp, resets))
+          (uid, resets, prev + comp)
+      }
+      .toDF("user_id", "n_resets", "final_adj_cents")
+  }
 }

@@ -346,4 +346,76 @@ class StreamingSpec extends SparkTestBase {
       "the streaming-safe shape must equal the oracled daily incremental")
     assert(streamed.nonEmpty)
   }
+
+  test("stateful streaming counter correction matches the oracled batch state twin") {
+    val staged = tmpDir("stream-counter")
+    Tables.events(spark, Sf).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.counterStateStreaming(spark, staged, schema)
+      .writeStream.format("memory").queryName("counter_out")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    // last emission per key IS the final state
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val streamed = spark.table("counter_out")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_resets"), col("final_adj_cents"))).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))).toMap
+    val batch = StreamOps.counterStateBatch(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch)
+    // and the state agrees with the full corrected series (#251): the
+    // final adjusted value is the series' last row
+    val series = graft.operators.TimeSeriesOps.counterCorrect(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastAdj = series.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.maxBy(e => (e._2, e._3))._4
+    }
+    lastAdj.foreach { case (u, adj) =>
+      assert(batch(u)._2 == adj, s"key $u final state vs series tail")
+    }
+    assert(streamed.nonEmpty)
+  }
+
+  test("counter state carries across micro-batches: a planted reset sequence survives triggers") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+    val dir = tmpDir("stream-counter-multi")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val t0 = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+    def rows(es: Seq[(Long, Long, Long, Double)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(es.map { case (u, us, eid, v) =>
+        Row(u, new java.sql.Timestamp(us / 1000), eid, v) }, 1), schema)
+    val m = 60L * 1000000
+    // batch 1: 10.0 then a reset to 5.0 (offset += 1000 cents)
+    rows(Seq((1L, t0, 1L, 10.0), (1L, t0 + m, 2L, 5.0)))
+      .write.parquet(s"$dir/b1")
+    Thread.sleep(50) // distinct mtimes: the file source orders by them
+    // batch 2: the 5.0 -> 3.0 reset spans the TRIGGER boundary — only
+    // carried state can see it (offset += 500), then growth to 7.0
+    rows(Seq((1L, t0 + 2 * m, 3L, 3.0), (1L, t0 + 3 * m, 4L, 7.0)))
+      .write.parquet(s"$dir/b2")
+    val src = spark.read.parquet(s"$dir/b1").schema
+    val q = StreamOps.counterStateStreaming(spark, s"$dir/{b1,b2}", src,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("counter_multi")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val fin = spark.table("counter_multi")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_resets"), col("final_adj_cents"))).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))).toMap
+    // 2 resets (10->5 and the cross-trigger 5->3); final = 700 + 1500
+    assert(fin(1L) == ((2L, 2200L)),
+      s"cross-trigger reset must be compensated, got ${fin(1L)}")
+  }
 }
