@@ -316,11 +316,18 @@ object Analytics {
     * the raw estimate's accuracy off this; the registered query
     * projects the oracled audit columns. */
   private[graft] def qApproxDistinctFull(s: SparkSession, dir: String): DataFrame =
+    // the exact leg two-levels through the (type, user) pair frame
+    // instead of countDistinct beside the sketch: a mixed
+    // distinct/non-distinct aggregate plans an Expand that doubles the
+    // corpus shuffle, while HLL is duplicate-INSENSITIVE — identical
+    // registers over the deduped pairs — so both legs and the row
+    // count ride the pair frame (measured 2.54 → 0.94 s at sf0.1)
     Tables.events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
-        count(lit(1)).as("cnt"))
+        count(lit(1)).as("exact_users"),
+        sum(col("c")).as("cnt"))
 
   /** #44 — HyperLogLog distinct-count WITH ITS ACCURACY AUDIT: the
     * sketch estimate (the only affordable distinct at 100 TB — one
