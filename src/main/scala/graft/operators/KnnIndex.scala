@@ -13,10 +13,18 @@ import org.apache.spark.sql.SparkSession
  * computes.
  */
 object KnnIndex {
-  /** Ensure the staged graph exists for `dir`; returns the g/ path. */
+  private val LayoutVersion = "v1"
+
+  /** Ensure the staged graph exists for `dir`; returns the g/ path.
+    * [[Similarity.KnnK]] governs the artifact's CONTENT (the per-node
+    * degree of the staged edge list), so it is part of the staging
+    * key — the KcSeedIndex discipline: bumping k can never silently
+    * serve a stale lower-degree graph to the probe/recall queries
+    * while the oracle re-derives at the new k. */
   def ensure(s: SparkSession, dir: String): String = {
-    val base = Staging.ensure("knng",
-      Staging.fingerprint(dir, "embeddings.parquet")) { tmp =>
+    val key = s"${Staging.fingerprint(dir, "embeddings.parquet")}" +
+      s"-k${Similarity.KnnK}-$LayoutVersion"
+    val base = Staging.ensure("knng", key) { tmp =>
       Similarity.knnGraphBuild(s, dir).write.parquet(tmp.resolve("g").toString)
     }
     base.resolve("g").toString

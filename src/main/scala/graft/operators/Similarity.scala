@@ -524,7 +524,12 @@ object Similarity {
     * contract: db.rs:67 scan's user-comparator-ordered merge — a
     * deterministic traversal order over a staged layout. Output:
     * top-3 visited per query, (qid, rnk, vec_id, rcos). */
-  def annGraphProbe(s: SparkSession, dir: String): DataFrame = {
+  /** The graph probe's shared construction — ONE definition serving
+    * both the registered query and the PlanSpec hop probe, so the
+    * plan-shape test can never drift from the real operator:
+    * (hop-0 frontier, frontier expansion, visited-node scoring). */
+  private def graphProbeParts(s: SparkSession, dir: String):
+      (DataFrame, DataFrame => DataFrame, DataFrame => DataFrame) = {
     val g = s.read.parquet(KnnIndex.ensure(s, dir)).select("src", "dst")
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
@@ -548,6 +553,11 @@ object Similarity {
       vis.join(e, "vec_id").join(broadcast(q), "qid")
         .select(col("qid"), col("vec_id"),
           round(cosine(col("v"), col("qv")), 6).as("rcos"))
+    (f0, expand, score)
+  }
+
+  def annGraphProbe(s: SparkSession, dir: String): DataFrame = {
+    val (f0, expand, score) = graphProbeParts(s, dir)
     val wB = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id"))
     def beam(scored: DataFrame): DataFrame =
       scored.withColumn("rn", row_number().over(wB))
@@ -577,20 +587,8 @@ object Similarity {
     * clusterIncrementalReduced pattern): seeds and edges from staged
     * parquet, one edge scan per hop, vectors fetched by key. */
   private[graft] def annGraphProbeHop(s: SparkSession, dir: String): DataFrame = {
-    val g = s.read.parquet(KnnIndex.ensure(s, dir)).select("src", "dst")
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val seeds = s.read.parquet(KcSeedIndex.ensure(s, dir)).select("vec_id")
-    val f0 = q.select("qid").crossJoin(broadcast(seeds))
-    val vis = f0.select("qid", "vec_id").unionAll(
-      f0.select(col("qid"), col("vec_id").as("src"))
-        .join(g, "src").select(col("qid"), col("dst").as("vec_id")))
-      .filter(col("vec_id") >= 10).distinct()
-    vis.join(e, "vec_id").join(broadcast(q), "qid")
-      .select(col("qid"), col("vec_id"),
-        round(cosine(col("v"), col("qv")), 6).as("rcos"))
+    val (f0, expand, score) = graphProbeParts(s, dir)
+    score(expand(f0))
   }
 
   /** #58 — BATCH ANN: top-3 cosine neighbours for EVERY query in a
@@ -1789,15 +1787,24 @@ object Similarity {
     * discipline). max|err| is a selection over doubles both engines
     * compute identically (same parenthesization, mirrored verbatim).
     * ONE combinable shuffle on the label key. */
+  /** The ONE #119 scalar-quantization grid, shared by the distortion
+    * report (#119) and the SQ serve path (#249):
+    * clamp(floor((x−lo)·(L−1)/(hi−lo))) as an exact small integer.
+    * Requires the broadcast 1-row minmax (`lo`, `hi`) in scope. Any
+    * change here must move the mirrored oracle expressions of BOTH
+    * consumers in lockstep. */
+  private def sqCode(x: Column): Column =
+    least(lit((SqLevels - 1).toLong), greatest(lit(0L),
+      floor(((x - col("lo")) * (SqLevels - 1)) / (col("hi") - col("lo")))))
+
   def quantizeSq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("label"), toDoubleVec(col("embedding")).as("v"))
     val mm = e.agg(min(array_min(col("v"))).as("lo"), max(array_max(col("v"))).as("hi"))
-    // q = clamp(floor((x-lo)*255/(hi-lo))); r = lo + (q+0.5)*(hi-lo)/255
-    def qOf(x: Column) = least(lit(SqLevels - 1), greatest(lit(0.0),
-      floor(((x - col("lo")) * (SqLevels - 1)) / (col("hi") - col("lo")))))
+    // q = sqCode; r = lo + (q+0.5)*(hi-lo)/255 — the long code promotes
+    // to double in the reconstruction arithmetic, value-identically
     def rOf(x: Column) =
-      col("lo") + ((qOf(x) + 0.5) * (col("hi") - col("lo"))) / (SqLevels - 1)
+      col("lo") + ((sqCode(x) + 0.5) * (col("hi") - col("lo"))) / (SqLevels - 1)
     def errOf(x: Column) = x - rOf(x)
     e.crossJoin(broadcast(mm))
       .withColumn("sse_fix",
@@ -2028,11 +2035,8 @@ object Similarity {
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val mm = e.agg(min(array_min(col("v"))).as("lo"),
       max(array_max(col("v"))).as("hi"))
-    // the #119 grid, verbatim: q = clamp(floor((x-lo)*255/(hi-lo)))
-    def qOf(x: Column) = least(lit(255L), greatest(lit(0L),
-      floor(((x - col("lo")) * (SqLevels - 1)) / (col("hi") - col("lo")))))
     val coded = e.crossJoin(broadcast(mm))
-      .select(col("vec_id"), transform(col("v"), x => qOf(x)).as("c"))
+      .select(col("vec_id"), transform(col("v"), x => sqCode(x)).as("c"))
     val q = coded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("c").as("qc"))
     val shortlist = coded.filter(col("vec_id") >= 10)
@@ -2047,9 +2051,13 @@ object Similarity {
       .select(col("qid"), col("packed").bitwiseAND(lit((1L << 40) - 1)).as("vec_id"))
     val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // rounded cosine in the rank order — the annGraphProbe discipline:
+    // the oracle and the spec replay both rank on round(cos, 6), so
+    // the engine must too or a 6-decimal near-tie straddling rank 3
+    // diverges
     val wC = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     shortlist.join(e, "vec_id").join(broadcast(qv), "qid")
-      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
       .withColumn("rnk", row_number().over(wC).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("vec_id"))
