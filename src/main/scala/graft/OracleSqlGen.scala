@@ -2210,9 +2210,13 @@ object OracleSqlGen {
     * non-overlapping; chr(57344 + i) = the engine's 0xE000 + i
     * private-use sentinels), over the distinct-word vocab; the final
     * report re-joins per-doc word occurrences and sources. */
-  val textBpeApply: String = {
+  /** Shared CTE chain of the two BPE-encoding consumers (#153 apply,
+    * #253 fertility): word frame, merge-table learning, recursive
+    * replace fold, per-word encoded symbol count with the sentinel
+    * guard — mirrors TextOps.bpeEncodedVocab, ONE definition. */
+  private val bpeNsymCtes: String = {
     val m = graft.operators.TextOps.BpeMerges
-    s"""WITH RECURSIVE $toksCte,
+    s"""$toksCte,
        |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
        |wc AS (SELECT w AS wd, count(*) AS wc FROM w GROUP BY 1),
        |p AS (SELECT substr(wd, CAST(i AS INTEGER), 2) AS pair, wc
@@ -2230,7 +2234,11 @@ object OracleSqlGen {
        |  FROM ap a JOIN mt m ON m.mi = a.mi + 1),
        |nsym AS (SELECT w0, CAST(CASE WHEN regexp_matches(w0, '[\\x{E000}-\\x{E01F}]')
        |    THEN length(w0) ELSE length(wd) END AS BIGINT) AS nb
-       |  FROM ap WHERE mi = $m)
+       |  FROM ap WHERE mi = $m)""".stripMargin
+  }
+
+  val textBpeApply: String =
+    s"""WITH RECURSIVE $bpeNsymCtes
        |SELECT d.source, CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
        |  CAST(count(*) AS BIGINT) AS ws_tokens,
        |  CAST(sum(nb) AS BIGINT) AS bpe_tokens,
@@ -2239,7 +2247,22 @@ object OracleSqlGen {
        |FROM w JOIN nsym ON w.w = nsym.w0
        |JOIN documents d ON w.doc_id = d.doc_id
        |GROUP BY 1""".stripMargin
-  }
+
+  /** #253 — fertility by language: the same encoded vocab regrouped
+    * by lang; unmerged = encoded length equals raw length. */
+  val textBpeFertility: String =
+    s"""WITH RECURSIVE $bpeNsymCtes
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(nb) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(CASE WHEN nb = length(w.w) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unmerged,
+       |  CAST(sum(nb) AS DOUBLE) / count(*) AS fertility,
+       |  CAST(sum(CASE WHEN nb = length(w.w) THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS unmerged_share
+       |FROM w JOIN nsym ON w.w = nsym.w0
+       |JOIN documents d ON w.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
 
   /** #text_bpe_train — iterated BPE training unrolled as N static SQL
     * stages (DuckDB recursive CTEs cannot aggregate over the recursive

@@ -245,6 +245,9 @@ object SparkEntry {
     "doc_interleave" -> (TextOps.docInterleave _),
     "ts_counter_correct" -> (TimeSeriesOps.counterCorrect _),
     "stream_counter_correct" -> (graft.streaming.StreamOps.counterStateBatch _),
+    "text_bpe_fertility" -> (TextOps.bpeFertility _),
+    "q_decile_lift" -> (Analytics.qDecileLift _),
+    "q_event_paths" -> (Analytics.qEventPaths _),
     "ts_subquery_maxrate" -> (TimeSeriesOps.subqueryMaxRate _),
     "ts_absent" -> (TimeSeriesOps.absentSeries _),
     "q_skew_stats" -> (Analytics.qSkewStats _),
@@ -1339,6 +1342,37 @@ object SparkEntry {
     "ts_cross_corr" -> OracleSqlGen.tsCrossCorr,
     "text_bpe_merge" -> OracleSqlGen.textBpeMerge,
     "text_bpe_apply" -> OracleSqlGen.textBpeApply,
+    "text_bpe_fertility" -> OracleSqlGen.textBpeFertility,
+    "q_decile_lift" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(rev) AS BIGINT) AS total_rev FROM pc),
+        |r AS (SELECT rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn FROM pc),
+        |d AS (SELECT ((rn - 1) * 10) // nc + 1 AS decile, rev, total_rev
+        |  FROM r CROSS JOIN tot),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(rev) AS BIGINT) AS rev_cents,
+        |    max(total_rev) AS total_rev
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers, rev_cents,
+        |  CAST(rev_cents AS DOUBLE) / total_rev AS rev_share,
+        |  CAST(sum(rev_cents) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total_rev AS cum_rev_share
+        |FROM g""".stripMargin,
+    "q_event_paths" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |  FROM events),
+        |p AS (SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w || '>' ||
+        |    lead(event_type, 2) OVER w AS path
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p WHERE path IS NOT NULL
+        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
     "text_bpe_train" -> OracleSqlGen.textBpeTrain,
     "emb_silhouette" -> OracleSqlGen.embSilhouette,
     "emb_pagerank_knn" -> OracleSqlGen.embPagerankKnn,

@@ -1346,4 +1346,69 @@ object Analytics {
         (col("p99_key_rows").cast("double") / col("p50_key_rows"))
           .as("skew_ratio"))
   }
+
+  /** #254 — CUSTOMER DECILE LIFT: customers ranked by lifetime spend,
+    * cut into 10 equal-count deciles, each reporting its revenue share
+    * and the cumulative concentration curve — the Pareto/"whale"
+    * report behind every LTV analysis (q_abc_analysis gives the A/B/C
+    * cut over parts; this is the decile-grain customer view). The
+    * corpus collapses to the per-customer decimal-cents frame in one
+    * combinable shuffle; the rank rides that CUSTOMER-dimension frame
+    * (the q_abc precedent — never event volume), the decile id is
+    * exact integer arithmetic ((rn−1)·10 div n), and the cumulative
+    * share runs over 10 decile rows. Every double is a division of
+    * exact longs. */
+  def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("rev"))
+    val tot = perCust.agg(count(lit(1)).as("nc"),
+      sum(col("rev")).as("total_rev"))
+    val wR = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perCust
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rn - 1) * 10) div nc") + 1L)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("rev_cents"),
+        max(col("total_rev")).as("total_rev"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("decile"), col("n_customers"), col("rev_cents"),
+        (col("rev_cents").cast("double") / col("total_rev")).as("rev_share"),
+        (col("cum_cents").cast("double") / col("total_rev"))
+          .as("cum_rev_share"))
+  }
+
+  /** Path length and output depth of #255. */
+  val PathLen = 3
+  val PathTopK = 10
+
+  /** #255 — EVENT PATH MINING: the top-10 most common 3-step event
+    * sequences across all user journeys — the "what do users actually
+    * do" path report product analytics builds Sankeys from (#121's
+    * attribution asks who gets credit; this asks what the flows ARE).
+    * Two leads over the (ts, event_id)-ordered user exchange emit each
+    * row's forward 3-gram (per-key series partitions — the
+    * ts_delta_encode shape); the count is one combinable aggregate
+    * over a bounded key space (|event_types|³ ≤ 125 here), and the
+    * top-10 is TakeOrderedAndProject on the (cnt desc, path) total
+    * order — never a global sort. */
+  def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(PathTopK)
+  }
 }

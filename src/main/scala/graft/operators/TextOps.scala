@@ -1010,22 +1010,32 @@ object TextOps {
     * to the driver and baked in as literals (the bloom-literal
     * discipline). Reference: fn_registry.rs's UDCF dispatch is the
     * contract for registering such derived text functions. */
-  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+  /** The DISTINCT vocabulary with each word's encoded symbol count
+    * under the learned merge table — shared by #153's per-source
+    * compression report and #253's per-language fertility eval, ONE
+    * definition so the sentinel guard and the replace chain can never
+    * diverge between them. A word already containing a private-use
+    * sentinel would be MISCOUNTED by the replace chain (its chars
+    * collide with the encoding), so such words count as unmergeable
+    * raw length — the CASE is mirrored verbatim in both oracles (zero
+    * such words in practice; the guard exists so one can never corrupt
+    * the count). */
+  private def bpeEncodedVocab(s: SparkSession, dir: String,
+      words: DataFrame): DataFrame = {
     val merges: Seq[String] =
       bpeMergeStep(s, dir).collect().map(_.getString(0)).toSeq
     val applied = merges.zipWithIndex.foldLeft(col("w")) { case (c, (p, i)) =>
       replace(c, lit(p), lit(new String(Character.toChars(0xE000 + i))))
     }
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
-    // a word already containing a private-use sentinel would be
-    // MISCOUNTED by the replace chain (its chars collide with the
-    // encoding), so such words count as unmergeable raw length — the
-    // CASE is mirrored verbatim in the oracle (zero such words in
-    // practice; the guard exists so one can never corrupt the count)
-    val vocab = words.select("w").distinct()
+    words.select("w").distinct()
       .withColumn("nb", when(col("w").rlike(BpeSentinelClass),
         length(col("w"))).otherwise(length(applied)).cast("long"))
+  }
+
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+    val vocab = bpeEncodedVocab(s, dir, words)
     words.join(vocab, "w")
       .groupBy("source")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -1034,6 +1044,36 @@ object TextOps {
       .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
         (col("ws_tokens").cast("double") / col("n_docs")).as("ws_per_doc"),
         (col("bpe_tokens").cast("double") / col("n_docs")).as("bpe_per_doc"))
+  }
+
+  /** #253 — TOKENIZER FERTILITY BY LANGUAGE: symbols-per-word under
+    * the learned merge table, per language — THE tokenizer-equity
+    * metric (a tokenizer trained on one language's statistics encodes
+    * the others at higher fertility: more compute and context per
+    * word; Ács'19 / Rust et al. ACL'21 measure exactly this). Same
+    * staged machinery as #153 (shared [[bpeEncodedVocab]] — the
+    * replace chain and sentinel guard are literally the same
+    * expression), regrouped by lang with the eval's two ratios:
+    * fertility = encoded symbols / words, unmerged_share = the share
+    * of word occurrences no merge touched (encoded length = raw
+    * length — coverage's complement). Corpus cost: one explode + a
+    * broadcastable vocab join; ratios are single divisions of exact
+    * longs. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    val vocab = bpeEncodedVocab(s, dir, words)
+    words.join(vocab, "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(col("nb")).as("bpe_tokens"),
+        sum(when(col("nb") === length(col("w")).cast("long"), 1L)
+          .otherwise(0L)).as("n_unmerged"))
+      .select(col("lang"), col("ws_tokens"), col("bpe_tokens"),
+        col("n_unmerged"),
+        (col("bpe_tokens").cast("double") / col("ws_tokens")).as("fertility"),
+        (col("n_unmerged").cast("double") / col("ws_tokens"))
+          .as("unmerged_share"))
   }
 
   /** Training rounds for #text_bpe_train. */

@@ -3791,6 +3791,84 @@ class OperatorSpec extends SparkTestBase {
       "at least one reset must have been compensated")
   }
 
+  test("text_bpe_fertility: per-lang symbol counts replay the merge chain exactly") {
+    val merges = TextOps.bpeMergeStep(spark, Sf).collect().map(_.getString(0))
+    def encode(w: String): Long = {
+      if (w.exists(c => c >= 0xE000.toChar && c <= 0xE01F.toChar)) w.length.toLong
+      else merges.zipWithIndex.foldLeft(w) { case (s, (p, i)) =>
+        s.replace(p, new String(Character.toChars(0xE000 + i)))
+      }.length.toLong
+    }
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val want = docs.toSeq.groupBy(_._1).map { case (lang, ds) =>
+      val ws = ds.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      val enc = ws.map(w => (encode(w), w.length.toLong))
+      val bpe = enc.map(_._1).sum
+      val unm = enc.count { case (n, raw) => n == raw }.toLong
+      lang -> ((ws.length.toLong, bpe, unm,
+        bpe.toDouble / ws.length, unm.toDouble / ws.length))
+    }
+    val got = TextOps.bpeFertility(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == want)
+    // the merges compress SOMETHING and fertility is a real ratio > 0
+    assert(got.values.exists(v => v._2 < v._1 * 10), "sanity")
+    assert(got.values.forall(v => v._4 >= 1.0 || v._2 <= v._1 * 20))
+  }
+
+  test("q_decile_lift: ten equal-count deciles, exact shares, monotone concentration") {
+    val perCust = graft.core.Tables.orders(spark, Sf)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+    val ranked = perCust.sortBy { case (k, rev) => (-rev, k) }
+    val nc = ranked.length.toLong
+    val totalRev = ranked.map(_._2).sum
+    val want = ranked.zipWithIndex
+      .groupBy { case (_, i) => (i.toLong * 10) / nc + 1 }
+      .map { case (d, xs) => d -> ((xs.length.toLong, xs.map(_._1._2).sum)) }
+    val got = Analytics.qDecileLift(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet && got.keySet == (1L to 10L).toSet)
+    var cum = 0L
+    (1L to 10L).foreach { d =>
+      val (n, rev) = want(d); cum += rev
+      assert(got(d)._1 == n && got(d)._2 == rev, s"decile $d counts")
+      assert(got(d)._3 == rev.toDouble / totalRev, s"decile $d share")
+      assert(got(d)._4 == cum.toDouble / totalRev, s"decile $d cum share")
+    }
+    // top decile concentrates: shares are non-increasing by construction
+    val shares = (1L to 10L).map(got(_)._3)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b - 1e-12 })
+  }
+
+  test("q_event_paths: top-10 forward 3-grams match a driver recompute") {
+    val rows = graft.core.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val counts = collection.mutable.Map[String, Long]()
+    rows.toSeq.groupBy(_._1).values.foreach { es =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.size == 3).foreach { tri =>
+        val p = tri.mkString(">")
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(Analytics.PathTopK)
+    val got = Analytics.qEventPaths(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.size == Analytics.PathTopK)
+  }
+
   test("ann_graph_recall: flags the probe's rows against the exact leg, nothing else") {
     val probe = Similarity.annGraphProbe(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
