@@ -2004,21 +2004,28 @@ object OracleSqlGen {
     * banding and candidates over `documents` — ONE definition shared by
     * the mm pair miner and its capped form, so a fingerprint or banding
     * change can never reach one oracle and not the other. */
-  private val mmPhashCandCtes: String = {
+  /** The phash fingerprint chain alone (window hashes → bit sums →
+    * 32-bit SimHash) — shared by the pair miners and the #257 distance
+    * histogram; mirrors Multimodal.phashesOf. */
+  private val mmPhashFpCtes: String = {
     val bitSums = (0 until 32)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
     val simExpr = (0 until 32)
       .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    val bandSelects = (0 until 4).map(b =>
-      s"SELECT doc_id, phash, $b AS band, (phash >> ${8 * b}) & 255 AS byte FROM ph")
-      .mkString("\n  UNION ALL ")
     s"""win AS (SELECT doc_id,
        |    substr(hex(text), 2 * i - 1, 16) AS w
        |  FROM (SELECT doc_id, text, unnest(generate_series(1, strlen(text) - 7, 4)) AS i
        |        FROM documents WHERE strlen(text) >= 8)),
        |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM win),
        |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
-       |ph AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS phash FROM bits),
+       |ph AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS phash FROM bits)""".stripMargin
+  }
+
+  private val mmPhashCandCtes: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, phash, $b AS band, (phash >> ${8 * b}) & 255 AS byte FROM ph")
+      .mkString("\n  UNION ALL ")
+    s"""$mmPhashFpCtes,
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2,
        |    x.phash AS p1, y.phash AS p2
@@ -2030,6 +2037,41 @@ object OracleSqlGen {
     s"""WITH $mmPhashCandCtes
        |SELECT doc_id1, doc_id2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS ham
        |FROM cand WHERE bit_count(xor(p1, p2)) <= ${graft.operators.Multimodal.PhashMaxHam}""".stripMargin
+
+  /** #257 — phash hamming histogram: the shared fingerprint chain +
+    * the three stride self-joins (semantics identical to the engine's
+    * one-scan role explode) + the (stride, ham) rollup. */
+  val mmPhashHist: String = {
+    val pairSelects = graft.operators.Multimodal.PhashHistStrides.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS stride, a.phash AS pa, b.phash AS pb
+         |  FROM ph a JOIN ph b ON b.doc_id = a.doc_id + $d""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $mmPhashFpCtes,
+       |p AS ($pairSelects)
+       |SELECT stride, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS ham,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM p GROUP BY 1, 2""".stripMargin
+  }
+
+  /** #256 — IVF cell purity: the assignment fixpoint re-derived from
+    * raw embeddings, per-(cell, label) counts, majority by
+    * (cnt desc, label asc). */
+  val embIvfPurity: String =
+    s"""WITH $eCte,
+       |$ivfAssignedCtes,
+       |al AS (SELECT CAST(a.assigned_label AS BIGINT) AS cell,
+       |    CAST(e2.label AS BIGINT) AS lbl
+       |  FROM assigned a JOIN e e2 USING (vec_id)),
+       |pc AS (SELECT cell, lbl, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM al GROUP BY 1, 2),
+       |tot AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs
+       |  FROM pc GROUP BY 1),
+       |maj AS (SELECT cell, lbl AS majority_label, cnt AS majority_n FROM (
+       |    SELECT cell, lbl, cnt, row_number() OVER (PARTITION BY cell
+       |      ORDER BY cnt DESC, lbl) AS rn FROM pc) WHERE rn = 1)
+       |SELECT t.cell, n_vecs, majority_label, majority_n,
+       |  CAST(majority_n AS DOUBLE) / n_vecs AS purity
+       |FROM tot t JOIN maj USING (cell)""".stripMargin
 
   /** #209 — bloom-prefiltered incremental exact dedup: the bloom is a
     * PREFILTER with no false negatives and verify-eliminated false

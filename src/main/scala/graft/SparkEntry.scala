@@ -248,6 +248,8 @@ object SparkEntry {
     "text_bpe_fertility" -> (TextOps.bpeFertility _),
     "q_decile_lift" -> (Analytics.qDecileLift _),
     "q_event_paths" -> (Analytics.qEventPaths _),
+    "emb_ivf_purity" -> (Similarity.ivfPurity _),
+    "mm_phash_hist" -> (Multimodal.phashHist _),
     "ts_subquery_maxrate" -> (TimeSeriesOps.subqueryMaxRate _),
     "ts_absent" -> (TimeSeriesOps.absentSeries _),
     "q_skew_stats" -> (Analytics.qSkewStats _),
@@ -1343,6 +1345,8 @@ object SparkEntry {
     "text_bpe_merge" -> OracleSqlGen.textBpeMerge,
     "text_bpe_apply" -> OracleSqlGen.textBpeApply,
     "text_bpe_fertility" -> OracleSqlGen.textBpeFertility,
+    "emb_ivf_purity" -> OracleSqlGen.embIvfPurity,
+    "mm_phash_hist" -> OracleSqlGen.mmPhashHist,
     "q_decile_lift" ->
       """WITH pc AS (SELECT o_custkey,
         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -519,6 +519,44 @@ object Multimodal {
       .select(col("doc_id"),
         explode(filter(sequence(lit(0L), col("n_frames") - 1),
           i => i % 3 === 0)).as("frame_no"))
+
+  /** Deterministic id strides of the phash-distance histogram (#257)
+    * — the emb_cos_hist lags, giving near/mid/far pair populations
+    * with no RNG state. */
+  val PhashHistStrides: Seq[Long] = Seq(1L, 7L, 97L)
+
+  /** #257 — PHASH HAMMING HISTOGRAM: the media-modality
+    * threshold-tuning view completing the histogram trilogy
+    * (dedup_jaccard_histogram for text sets, emb_cos_hist for
+    * embeddings, hamming here) — where does the corpus's pair-distance
+    * mass sit relative to PhashMaxHam, i.e. is the near-dup cut in a
+    * valley or a cliff. All-pairs is quadratic, so pairs are the
+    * DETERMINISTIC id-stride sample over the STAGED [[PhashIndex]]
+    * fingerprints (8 bytes/doc — payload bytes never enter the plan):
+    * ONE scan, each row exploding into its 6 bounded pair roles, one
+    * (pair key, stride) shuffle pairs them (the emb_cos_hist
+    * discipline — a per-stride self-join would rescan per stride), and
+    * the (stride, ham) rollup is bounded by 3 × 33 cells. All-integer
+    * end to end. */
+  def phashHist(s: SparkSession, dir: String): DataFrame = {
+    val ph = s.read.parquet(PhashIndex.ensure(s, dir))
+      .select(col("doc_id"), col("phash"))
+    val roles = ph.select(explode(array(PhashHistStrides.flatMap { d =>
+        Seq(struct((col("doc_id") + d).as("k"), lit(d).as("stride"),
+              lit(0).as("role"), col("phash").as("p")),
+          struct(col("doc_id").as("k"), lit(d).as("stride"),
+              lit(1).as("role"), col("phash").as("p")))
+      }: _*)).as("r"))
+      .select(col("r.k"), col("r.stride"), col("r.role"), col("r.p"))
+    roles.groupBy("k", "stride")
+      .agg(max(when(col("role") === 0, col("p"))).as("pa"),
+        max(when(col("role") === 1, col("p"))).as("pb"))
+      .filter(col("pa").isNotNull && col("pb").isNotNull)
+      .select(col("stride").cast("long").as("stride"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("ham"))
+      .groupBy("stride", "ham")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }
 
 /**

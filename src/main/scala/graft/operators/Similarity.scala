@@ -2006,6 +2006,32 @@ object Similarity {
           .as("mean_sil"))
   }
 
+  /** #256 — IVF CELL PURITY: per coarse cell, how concentrated the
+    * TRUE labels of its members are (majority-label share) — the
+    * index-quality eval beside #128's size balance: a quantizer whose
+    * cells mix labels forces filtered/hybrid queries to over-probe,
+    * and a purity collapse after re-training is the first sign the
+    * coarse space drifted. ZERO corpus work: one column-pruned scan of
+    * the staged assignment parquet (vec_id never leaves the scan), a
+    * (cell, label) count bounded by cells × labels, and a struct-max
+    * majority pick ((cnt desc, label asc) — total order, no window).
+    * Oracle re-derives the assignment fixpoint from raw embeddings and
+    * mirrors the majority rule. */
+  def ivfPurity(s: SparkSession, dir: String): DataFrame = {
+    val (_, assignedPath) = IvfIndex.ensure(s, dir)
+    val pc = s.read.parquet(assignedPath)
+      .select(col("assigned_label").cast("long").as("cell"),
+        col("label").cast("long").as("lbl"))
+      .groupBy("cell", "lbl").agg(count(lit(1)).as("cnt"))
+    pc.groupBy("cell")
+      .agg(sum(col("cnt")).as("n_vecs"),
+        max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("cell"), col("n_vecs"),
+        (-col("m.nl")).as("majority_label"),
+        col("m.cnt").as("majority_n"),
+        (col("m.cnt").cast("double") / col("n_vecs")).as("purity"))
+  }
+
   /** Coarse shortlist size of the SQ serve path (#249). */
   val SqShortlist = 32
   /** Max possible int8×int8 64-dim dot — bounds the descending-dot →

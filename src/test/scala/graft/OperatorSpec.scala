@@ -3869,6 +3869,48 @@ class OperatorSpec extends SparkTestBase {
     assert(got.size == Analytics.PathTopK)
   }
 
+  test("emb_ivf_purity: majority-label shares match the staged assignment exactly") {
+    val (_, assignedPath) = IvfIndex.ensure(spark, Sf)
+    val rows = spark.read.parquet(assignedPath)
+      .select(col("assigned_label").cast("long"), col("label").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = rows.toSeq.groupBy(_._1).map { case (cell, xs) =>
+      val byLbl = xs.groupBy(_._2).map { case (l, ys) => (l, ys.size.toLong) }
+      val (ml, mn) = byLbl.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      cell -> ((xs.size.toLong, ml, mn, mn.toDouble / xs.size))
+    }
+    val got = Similarity.ivfPurity(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want)
+    // label-seeded cells must be meaningfully pure or the eval is noise
+    assert(got.values.forall(v => v._4 > 0.0 && v._4 <= 1.0))
+    // the synthetic labels are weak, so "pure" here means beating
+    // chance clearly, not dominance
+    val nLabels = rows.map(_._2).distinct.length
+    assert(got.values.exists(_._4 > 1.5 / nLabels),
+      s"at least one cell must beat ${1.5 / nLabels} (1.5x chance)")
+  }
+
+  test("mm_phash_hist: stride pair hamming bins replay the staged fingerprints") {
+    val ph = spark.read.parquet(PhashIndex.ensure(spark, Sf))
+      .select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = collection.mutable.Map[(Long, Long), Long]()
+    for (d <- Multimodal.PhashHistStrides; (id, pa) <- ph; pb <- ph.get(id + d)) {
+      val k = (d, java.lang.Long.bitCount(pa ^ pb).toLong)
+      want(k) = want.getOrElse(k, 0L) + 1L
+    }
+    val got = Multimodal.phashHist(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want.toMap)
+    // pair populations complete per stride (only docs with fingerprints pair)
+    Multimodal.PhashHistStrides.foreach { d =>
+      val expect = ph.keys.count(id => ph.contains(id + d)).toLong
+      assert(got.collect { case ((s, _), c) if s == d => c }.sum == expect)
+    }
+  }
+
   test("ann_graph_recall: flags the probe's rows against the exact leg, nothing else") {
     val probe = Similarity.annGraphProbe(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
