@@ -250,6 +250,8 @@ object SparkEntry {
     "q_event_paths" -> (Analytics.qEventPaths _),
     "emb_ivf_purity" -> (Similarity.ivfPurity _),
     "mm_phash_hist" -> (Multimodal.phashHist _),
+    "q_basket_rules" -> (Analytics.qBasketRules _),
+    "text_source_drift" -> (TextOps.sourceDrift _),
     "ts_subquery_maxrate" -> (TimeSeriesOps.subqueryMaxRate _),
     "ts_absent" -> (TimeSeriesOps.absentSeries _),
     "q_skew_stats" -> (Analytics.qSkewStats _),
@@ -1347,6 +1349,48 @@ object SparkEntry {
     "text_bpe_fertility" -> OracleSqlGen.textBpeFertility,
     "emb_ivf_purity" -> OracleSqlGen.embIvfPurity,
     "mm_phash_hist" -> OracleSqlGen.mmPhashHist,
+    "q_basket_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS c_ab
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2
+         |  HAVING count(*) >= ${Analytics.RuleMinSup}),
+         |supp AS (SELECT pk, count(*) AS c FROM op GROUP BY 1),
+         |n AS (SELECT count(DISTINCT ok) AS n_ord FROM op),
+         |scored AS (SELECT p1, p2, c_ab, sa.c AS c_1, sb.c AS c_2
+         |  FROM pairs JOIN supp sa ON p1 = sa.pk JOIN supp sb ON p2 = sb.pk),
+         |rules AS (
+         |  SELECT p1 AS ante, p2 AS cons, c_ab, c_1 AS c_a, c_2 AS c_b FROM scored
+         |  UNION ALL
+         |  SELECT p2, p1, c_ab, c_2, c_1 FROM scored)
+         |SELECT ante, cons, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(c_ab AS DOUBLE) / c_a AS conf,
+         |  CAST(c_ab * n_ord AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+         |FROM rules, n
+         |ORDER BY lift DESC, ante, cons LIMIT ${Analytics.RuleTopK}""".stripMargin,
+    "text_source_drift" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sw AS (SELECT d.source, unnest(t.t) AS w
+        |  FROM documents d JOIN toks t USING (doc_id)),
+        |wc AS (SELECT source, w, count(*) AS c FROM sw GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |co AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS DECIMAL(38,0)) AS co_abs,
+        |    CAST(sum(a.c * tb.n) AS DECIMAL(38,0)) AS co_12,
+        |    CAST(sum(b.c * ta.n) AS DECIMAL(38,0)) AS co_21
+        |  FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+        |  FROM tot a JOIN tot b ON a.source < b.source)
+        |SELECT s1, s2, n1, n2,
+        |  CAST(coalesce(co_abs, 0)
+        |    + (CAST(n1 AS DECIMAL(38,0)) * n2 - coalesce(co_12, 0))
+        |    + (CAST(n1 AS DECIMAL(38,0)) * n2 - coalesce(co_21, 0)) AS DOUBLE)
+        |    / (2.0 * n1 * n2) AS tv
+        |FROM pairs LEFT JOIN co USING (s1, s2)""".stripMargin,
     "q_decile_lift" ->
       """WITH pc AS (SELECT o_custkey,
         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))

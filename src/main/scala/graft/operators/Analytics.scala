@@ -1036,6 +1036,49 @@ object Analytics {
       .limit(20)
   }
 
+  /** Min joint support and output depth of #258. */
+  val RuleMinSup = 3
+  val RuleTopK = 10
+
+  /** #258 — ASSOCIATION RULES (A→B by LIFT): #118 ranks pairs by raw
+    * joint support, which buries rare-but-correlated pairs under the
+    * bestsellers; this is the Agrawal-Srikant second half — DIRECTED
+    * rules over the min-support survivors, confidence = P(B|A) and
+    * lift = P(AB)/(P(A)P(B)), ranked by (lift desc, antecedent,
+    * consequent). Same staged incidence frame and bounded pair join as
+    * #118 (fanout ≤ lines-per-order²; lineitem never enters the plan);
+    * the direction expansion is a 2× projection of the pair frame;
+    * conf and lift are single divisions of exact longs, so their
+    * doubles — and the rank order — are bit-identical cross-engine
+    * (the text_bigram_lift precedent); top-10 via
+    * TakeOrderedAndProject. */
+  def qBasketRules(s: SparkSession, dir: String): DataFrame = {
+    val op = BasketIndex.frame(s, dir)
+    val pairs = op.select(col("ok"), col("pk").as("p1"))
+      .join(op.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= RuleMinSup)
+    val supp = op.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val nOrders = op.select("ok").distinct().agg(count(lit(1)).as("n_ord"))
+    val scored = pairs
+      .join(supp.select(col("pk").as("p1"), col("c").as("c_1")), "p1")
+      .join(supp.select(col("pk").as("p2"), col("c").as("c_2")), "p2")
+    // both directions of each surviving pair — confidence is the only
+    // directed quantity; lift is symmetric
+    val rules = scored.select(col("p1").as("ante"), col("p2").as("cons"),
+        col("c_ab"), col("c_1").as("c_a"), col("c_2").as("c_b"))
+      .unionAll(scored.select(col("p2").as("ante"), col("p1").as("cons"),
+        col("c_ab"), col("c_2").as("c_a"), col("c_1").as("c_b")))
+    rules.crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("c_ab"),
+        (col("c_ab").cast("double") / col("c_a")).as("conf"),
+        ((col("c_ab") * col("n_ord")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(RuleTopK)
+  }
+
   /** #145 — RFM CUSTOMER SEGMENTATION (recency / frequency / monetary
     * — the classic marketing-analytics scoring an OLAP engine serves):
     * per customer, last order time, order count, and integer-cents

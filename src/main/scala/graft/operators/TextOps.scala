@@ -1251,6 +1251,57 @@ object TextOps {
         ((col("grank") - 1L) * col("ns") + col("sidx")).as("slot"))
   }
 
+  /** #259 — SOURCE DISTRIBUTION DRIFT: the pairwise TOTAL-VARIATION
+    * distance matrix between per-source unigram distributions — the
+    * curation monitor for "which sources are distributionally
+    * near-duplicates / which new crawl drifted" (the doc-level
+    * companion is #229's shared-duplicate matrix; this one sees
+    * distribution shift with NO shared documents at all). TV needs
+    * Σ|p−q| — a float sum over the vocabulary, which the determinism
+    * contract forbids — so the identity
+    * Σ_w |c₁n₂ − c₂n₁| = Σ_co-present |c₁n₂ − c₂n₁| + (n₁n₂ − Σ_co c₁n₂)
+    * + (n₁n₂ − Σ_co c₂n₁) turns it EXACT: only co-present words join
+    * (one vocab-keyed self-join of the CHECKPOINTED count frame —
+    * absent-word mass recovers from the totals algebraically),
+    * integer products sum in DECIMAL(38,0), and the single division
+    * by 2n₁n₂ is the one double. Pair work is vocab × sources² — the
+    * sources axis is bounded, the vocab axis Heaps-law small. */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = wc.groupBy("source").agg(sum(col("c")).as("n"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val co = wc.select(col("source").as("s1"), col("w"), col("c").as("c1"))
+      .join(wc.select(col("source").as("s2"), col("w"), col("c").as("c2")), "w")
+      .filter(col("s1") < col("s2"))
+      .join(broadcast(tot.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(tot.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .groupBy("s1", "s2")
+      .agg(
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1")).cast(dec))
+          .as("co_abs"),
+        sum((col("c1") * col("n2")).cast(dec)).as("co_12"),
+        sum((col("c2") * col("n1")).cast(dec)).as("co_21"))
+    // the matrix is TOTAL: a pair sharing zero words still appears
+    // (its co-sums are 0 and tv = 1 by the identity) — the pair frame
+    // comes from the sources-bounded totals cross
+    val pairs = tot.select(col("source").as("s1"), col("n").as("n1"))
+      .crossJoin(tot.select(col("source").as("s2"), col("n").as("n2")))
+      .filter(col("s1") < col("s2"))
+    pairs.join(co, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        (coalesce(col("co_abs"), lit(0).cast(dec))
+          + (col("n1").cast(dec) * col("n2")
+            - coalesce(col("co_12"), lit(0).cast(dec)))
+          + (col("n1").cast(dec) * col("n2")
+            - coalesce(col("co_21"), lit(0).cast(dec)))).as("tv_num"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        (col("tv_num").cast("double") /
+          (lit(2.0d) * col("n1") * col("n2"))).as("tv"))
+  }
+
   /** Rank depth of the Zipf constancy check (#244). */
   val ZipfTopR = 100
   /** Head depth whose coverage share the check also reports. */

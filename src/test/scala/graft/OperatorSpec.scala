@@ -3911,6 +3911,75 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("q_basket_rules: directed confidence/lift over min-support pairs, driver-replayed") {
+    val op = graft.core.Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.toSeq.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val nOrd = byOrder.size.toLong
+    val supp = op.toSeq.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val pairCnt = collection.mutable.Map[(Long, Long), Long]()
+    byOrder.foreach { ps =>
+      val sorted = ps.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.size) {
+        val k = (sorted(i), sorted(j))
+        pairCnt(k) = pairCnt.getOrElse(k, 0L) + 1L
+      }
+    }
+    val rules = pairCnt.toSeq.filter(_._2 >= Analytics.RuleMinSup).flatMap {
+      case ((a, b), cab) => Seq((a, b, cab, supp(a), supp(b)),
+        (b, a, cab, supp(b), supp(a)))
+    }.map { case (ante, cons, cab, ca, cb) =>
+      (ante, cons, cab, cab.toDouble / ca,
+        (cab * nOrd).toDouble / (ca * cb).toDouble)
+    }
+    val want = rules.sortBy { case (a, c, _, _, l) => (-l, a, c) }
+      .take(Analytics.RuleTopK)
+    val got = Analytics.qBasketRules(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // lift-ranked rules must surface pairs support-ranking buries:
+    // the top rule's lift strictly beats 1 (real correlation)
+    assert(got.head._5 > 1.0)
+  }
+
+  test("text_source_drift: exact TV identity — co-present join + totals equals the direct sum") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val wcs = docs.toSeq.groupBy(_._1).map { case (src, ds) =>
+      val ws = ds.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      src -> ws.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    }
+    val tot = wcs.map { case (s, m) => s -> m.values.sum }
+    val sources = wcs.keys.toSeq.sorted
+    val want = (for {
+      i <- sources.indices; j <- i + 1 until sources.size
+    } yield {
+      val (s1, s2) = (sources(i), sources(j))
+      val (m1, m2) = (wcs(s1), wcs(s2))
+      val (n1, n2) = (tot(s1), tot(s2))
+      // direct definition: Σ over the UNION vocabulary, exact BigInt
+      val num = (m1.keySet ++ m2.keySet).toSeq.map { w =>
+        (BigInt(m1.getOrElse(w, 0L)) * n2 - BigInt(m2.getOrElse(w, 0L)) * n1).abs
+      }.sum
+      (s1, s2) -> ((n1, n2,
+        (BigDecimal(num) / (BigDecimal(2.0) * n1 * n2)).toDouble))
+    }).toMap
+    val got = TextOps.sourceDrift(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet, "the matrix must be total over source pairs")
+    want.foreach { case (k, (n1, n2, tv)) =>
+      assert(got(k)._1 == n1 && got(k)._2 == n2, s"$k totals")
+      assert(math.abs(got(k)._3 - tv) < 1e-12, s"$k tv: ${got(k)._3} vs $tv")
+      assert(got(k)._3 >= 0.0 && got(k)._3 <= 1.0)
+    }
+    // drift is a real signal on this corpus: not all pairs identical
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("ann_graph_recall: flags the probe's rows against the exact leg, nothing else") {
     val probe = Similarity.annGraphProbe(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
