@@ -1082,6 +1082,64 @@ object OracleSqlGen {
        |ORDER BY rnk LIMIT 10""".stripMargin
   }
 
+  /** #ann_ivf_rebalance — drift-scoped rebalance: centroids +
+    * assignment rebuilt over the indexed slice, arrivals folded in
+    * against them, centroids refreshed incrementally ((mean·n_old +
+    * arrival sums)/(n_old+n_arr) — the same double-op order as the
+    * engine), the RebDriftCells most round-6-cosine-shifted cells
+    * selected, and ONLY their members re-assigned against the
+    * refreshed set with the shared fold tie order. */
+  val annIvfRebalance: String = {
+    val (mod, rem) = (graft.operators.IvfIndex.IncrMod, graft.operators.IvfIndex.IncrRem)
+    val k = graft.operators.Similarity.RebDriftCells
+    s"""WITH $eCte,
+       |eo AS (SELECT * FROM e WHERE vec_id % $mod <> $rem),
+       |${ivfAssignedCtesOver("eo")},
+       |arr AS (SELECT vec_id, v FROM e WHERE vec_id % $mod = $rem),
+       |arras AS (SELECT vec_id, v, clabel AS assigned_label FROM (
+       |  SELECT arr.vec_id, arr.v, cvt.clabel, row_number() OVER (
+       |    PARTITION BY arr.vec_id
+       |    ORDER BY ${rcosSafe("arr.v", "cvt.cv")} DESC, cvt.clabel) AS rn
+       |  FROM arr, cvt) WHERE rn = 1),
+       |nold AS (SELECT assigned_label AS clabel, count(*) AS n_old
+       |  FROM assigned GROUP BY 1),
+       |sad AS (SELECT clabel, j, sum(x) AS sx FROM (
+       |  SELECT assigned_label AS clabel, unnest(generate_series(1, 64)) AS j,
+       |    unnest(v) AS x FROM arras) GROUP BY 1, 2),
+       |sal AS (SELECT clabel, list(sx ORDER BY j) AS sa FROM sad GROUP BY 1),
+       |narr AS (SELECT assigned_label AS clabel, count(*) AS n_arr
+       |  FROM arras GROUP BY 1),
+       |ncx AS (SELECT c.clabel, c.cv, n_old, coalesce(n_arr, 0) AS n_arr,
+       |    list_transform(generate_series(1, 64), j ->
+       |      (c.cv[j] * n_old + coalesce(sa[j], 0))
+       |        / (n_old + coalesce(n_arr, 0))) AS ncv
+       |  FROM cvt c JOIN nold USING (clabel)
+       |  LEFT JOIN sal USING (clabel) LEFT JOIN narr USING (clabel)),
+       |ncs AS (SELECT clabel, n_old, n_arr, ncv,
+       |    round(1 - ${cos("cv", "ncv")}, 6) AS shift FROM ncx),
+       |drift AS (SELECT clabel FROM ncs ORDER BY shift DESC, clabel LIMIT $k),
+       |mem AS (
+       |  SELECT a.vec_id, a.v, a.assigned_label FROM assigned a
+       |    JOIN drift d ON a.assigned_label = d.clabel
+       |  UNION ALL
+       |  SELECT r.vec_id, r.v, r.assigned_label FROM arras r
+       |    JOIN drift d ON r.assigned_label = d.clabel),
+       |re AS (SELECT old_cell, new_cell FROM (
+       |  SELECT m.assigned_label AS old_cell, n.clabel AS new_cell,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${rcosSafe("m.v", "n.ncv")} DESC, n.clabel) AS rn
+       |  FROM mem m, ncs n) WHERE rn = 1),
+       |mv AS (SELECT old_cell AS clabel,
+       |    sum(CASE WHEN new_cell <> old_cell THEN 1 ELSE 0 END) AS moved
+       |  FROM re GROUP BY 1)
+       |SELECT CAST(n.clabel AS BIGINT) AS cell, CAST(n_old AS BIGINT) AS n_old,
+       |  CAST(n_arr AS BIGINT) AS n_arr, shift,
+       |  (d.clabel IS NOT NULL) AS drifted,
+       |  CAST(coalesce(mv.moved, 0) AS BIGINT) AS moved,
+       |  CAST(n_old + n_arr - coalesce(mv.moved, 0) AS BIGINT) AS kept
+       |FROM ncs n LEFT JOIN drift d USING (clabel) LEFT JOIN mv USING (clabel)""".stripMargin
+  }
+
   /** #97 — decontamination: distinct-3-gram overlap of train docs
     * against the eval slice (doc_id ≡ 0 mod EvalMod). Shares the
     * shingle CTEs with the dedup family. */

@@ -1,0 +1,148 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Second-growth-point sweep (verdict r16 #7): the ×10/×4 sweep cannot
+  * distinguish n·log n from n^1.3 — one more point can. The 25 most
+  * expensive queries (by the committed bench_full.json best times at
+  * the r16 HEAD) run at the FIRST grown copy (events ×10,
+  * docs/emb/facts ×4 — /tmp/scale, the Scale layout) and at a SECOND
+  * (events ×30, docs/emb/facts ×8 — /tmp/scale2), two passes each, min
+  * taken; the per-query two-point exponent is
+  * ln(t2/t1) / ln(g2/g1) with (g1, g2) the growth pair of the query's
+  * dominant table (events 10→30, everything else 4→8). Exponent ≤ ~1
+  * = linear; > 1.15 needs adjudication in SURVEY §6. Results land in
+  * scale_sweep2.json. */
+object Scale2 {
+
+  /** Top-25 by bench_full.json best time at the r16 HEAD (see scaladoc). */
+  private val Picks: Seq[String] = Seq(
+    "dedup_ngram_jaccard_capped", "emb_kmeans_train", "dedup_lsh_recall",
+    "dedup_ngram_jaccard", "dedup_containment_capped",
+    "dedup_cluster_incremental", "ann_graph_recall", "q8_market_share",
+    "text_bpe_train", "q_join_salted", "ann_graph_probe", "emb_dim_stats",
+    "q_basket_rules", "mm_scene_cuts", "text_bpe_apply", "ts_above_p95",
+    "dedup_containment", "text_ccnet_bucket", "q21_late_supplier",
+    "q_market_basket", "dedup_cluster_survivor", "stream_cdc_incremental",
+    "mm_cdc_incremental", "q_approx_distinct", "text_bpe_fertility")
+
+  /** Queries whose dominant table is EVENTS (growth 10 → 30);
+    * everything else rides documents/embeddings/facts (4 → 8). */
+  private val EventsDriven = Set("ts_above_p95", "q_approx_distinct")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val s1 = "/tmp/scale"   // built by Scale (events ×10, rest ×4)
+    val s2 = "/tmp/scale2"  // events ×30, rest ×8
+
+    // ---- stage the second grown copy (same discipline as Scale) -------
+    val readyMarker = java.nio.file.Paths.get(s2, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(readyMarker)) {
+      val ev = graft.core.Tables.events(spark, base)
+      (0 until 30).map(i =>
+          ev.withColumn("user_id", col("user_id") + lit(i * 10000L))
+            .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$s2/events.parquet")
+      val docs = graft.core.Tables.documents(spark, base)
+      (0 until 8).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 100000L)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$s2/documents.parquet")
+      val emb = graft.core.Tables.embeddings(spark, base)
+      (0 until 8).map(i => emb
+          .withColumn("vec_id", when(lit(i) === 0, col("vec_id"))
+            .otherwise(col("vec_id") + lit(i * 100000L)))
+          .filter(lit(i) === 0 || col("vec_id") >= 100000L))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$s2/embeddings.parquet")
+      val li = graft.core.Tables.lineitem(spark, base)
+      (0 until 8).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$s2/lineitem.parquet")
+      val ord = spark.read.parquet(s"$base/orders.parquet")
+      (0 until 8).map(i =>
+          ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$s2/orders.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$s2/$t.parquet")
+      java.nio.file.Files.writeString(readyMarker, "ok"): Unit
+    }
+
+    // ---- pre-build staged artifacts untimed ----------------------------
+    import graft.operators._
+    for (dir <- Seq(s1, s2);
+         build <- Seq[() => Any](
+           () => DedupIndex.ensure(spark, dir),
+           () => IvfIndex.ensure(spark, dir),
+           () => PhashIndex.ensure(spark, dir),
+           () => KnnIndex.ensure(spark, dir),
+           () => KcSeedIndex.ensure(spark, dir),
+           () => TextIndex.ensure(spark, dir),
+           () => OldClusterIndex.ensure(spark, dir),
+           () => CdcIndex.ensure(spark, dir),
+           () => BasketIndex.ensure(spark, dir)))
+      try build() catch { case e: Throwable =>
+        System.err.println(s"[scale2] prebuild failed for $dir: ${e.toString.take(150)}")
+      }
+
+    // ---- two passes over both grown dirs, min per (query, dir) ---------
+    val times = scala.collection.mutable.Map[(String, String), Double]()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (pass <- 1 to 2; dir <- Seq(s1, s2)) {
+      println(s"--- pass $pass $dir")
+      for (name <- Picks if !failed.contains(name)) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val k = (name, dir)
+          times(k) = math.min(times.getOrElse(k, Double.MaxValue), sec)
+          println(f"SCALE2 $name%-28s $sec%7.2f s  ($dir)")
+        } catch { case e: Throwable =>
+          failed(name) = e.toString.take(150)
+          System.err.println(s"[scale2] $name FAILED on $dir: ${e.toString.take(200)}")
+        }
+      }
+    }
+
+    // ---- report + two-point exponents ----------------------------------
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = Picks.filterNot(failed.contains).map { n =>
+      val t1 = times.getOrElse((n, s1), 0.0)
+      val t2 = times.getOrElse((n, s2), 0.0)
+      val (g1, g2) = if (EventsDriven(n)) (10.0, 30.0) else (4.0, 8.0)
+      val expo = if (t1 > 0.005 && t2 > 0.0)
+        math.log(t2 / t1) / math.log(g2 / g1) else 0.0
+      (n, t1, t2, g1, g2, expo)
+    }
+    println("==== SCALE2: two-point growth exponents (min of 2) ====")
+    rows.sortBy(-_._6).foreach { case (n, t1, t2, g1, g2, e) =>
+      println(f"$n%-28s t1=$t1%6.2f t2=$t2%6.2f g=$g1%.0f->$g2%.0f exp=$e%5.2f")
+    }
+    val json = rows.map { case (n, t1, t2, g1, g2, e) =>
+      "\"" + n + "\":{\"t_g1\":" + f2(t1) + ",\"t_g2\":" + f2(t2) +
+        ",\"g1\":" + f2(g1) + ",\"g2\":" + f2(g2) + ",\"exp\":" + f2(e) + "}"
+    }.mkString(
+      "{\"grown1\":\"events x10, docs/emb/facts x4\"," +
+        "\"grown2\":\"events x30, docs/emb/facts x8\",\"queries\":{", ",", "}")
+    val errs = failed.map { case (k, v) =>
+      "\"" + k + "\":\"" + Bench.escJson(v) + "\""
+    }.mkString(",\"failed\":{", ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_sweep2.json"),
+      json + (if (failed.isEmpty) ",\"failed\":{}}" else errs))
+    println(s"wrote scale_sweep2.json (${rows.size} queries, ${failed.size} failed)")
+    spark.stop()
+  }
+}

@@ -163,6 +163,7 @@ object SparkEntry {
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_decode_stub" -> (Multimodal.decodeFeatures _),
+    "mm_decode_image" -> (Multimodal.decodeImage _),
     "mm_chunk" -> (Multimodal.chunkLayout _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
     "mm_phash" -> (Multimodal.phashPairs _),
@@ -271,6 +272,7 @@ object SparkEntry {
     "ann_ivf_delete" -> (Similarity.annIvfDelete _),
     "stream_cdc_incremental" -> (Multimodal.cdcIncrementalStreamTwin _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
+    "ann_ivf_rebalance" -> (Similarity.annIvfRebalance _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
     "ts_deriv" -> (TimeSeriesOps.deriv _),
@@ -1122,7 +1124,8 @@ object SparkEntry {
         |supp AS (SELECT pk, count(*) AS c FROM op GROUP BY 1),
         |n AS (SELECT count(DISTINCT ok) AS n FROM op)
         |SELECT p1, p2, c_ab,
-        |  CAST(c_ab * n AS DOUBLE) / CAST(sa.c * sb.c AS DOUBLE) AS lift
+        |  CAST(CAST(c_ab AS DECIMAL(38,0)) * n AS DOUBLE)
+        |    / CAST(CAST(sa.c AS DECIMAL(38,0)) * sb.c AS DOUBLE) AS lift
         |FROM pairs JOIN supp sa ON p1 = sa.pk JOIN supp sb ON p2 = sb.pk, n
         |ORDER BY c_ab DESC, p1, p2 LIMIT 20""".stripMargin,
     // the cascade's decimal sums are associative-exact, so each grain
@@ -1327,6 +1330,21 @@ object SparkEntry {
     "mm_binary_meta" -> OracleSqlGen.mmBinaryMeta,
     "mm_frame_sample" -> OracleSqlGen.mmFrameSample,
     "mm_decode_stub" -> OracleSqlGen.mmDecodeStub,
+    // the REAL decode: the oracle recomputes the rasterized formula;
+    // the engine must round-trip it through actual PNG bytes
+    "mm_decode_image" -> {
+      val side = graft.operators.Multimodal.ImgSide
+      val cell = side / graft.operators.Multimodal.ImgGrid
+      s"""WITH g AS (SELECT unnest(generate_series(0, ${side - 1})) AS i),
+         |px AS (SELECT d.doc_id, gx.i AS x, gy.i AS y,
+         |    (d.doc_id * 31 + gx.i * 7 + gy.i * 13) % 256 AS p
+         |  FROM documents d, g gx, g gy)
+         |SELECT doc_id, CAST($side AS BIGINT) AS width,
+         |  CAST($side AS BIGINT) AS height,
+         |  CAST(x // $cell AS BIGINT) AS gx, CAST(y // $cell AS BIGINT) AS gy,
+         |  CAST(sum(p) AS BIGINT) AS luma_sum
+         |FROM px GROUP BY doc_id, x // $cell, y // $cell""".stripMargin
+    },
     "mm_chunk" -> {
       val cb = graft.operators.Multimodal.ChunkBytes
       s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
@@ -1364,7 +1382,8 @@ object SparkEntry {
          |  SELECT p2, p1, c_ab, c_2, c_1 FROM scored)
          |SELECT ante, cons, CAST(c_ab AS BIGINT) AS c_ab,
          |  CAST(c_ab AS DOUBLE) / c_a AS conf,
-         |  CAST(c_ab * n_ord AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+         |  CAST(CAST(c_ab AS DECIMAL(38,0)) * n_ord AS DOUBLE)
+         |    / CAST(CAST(c_a AS DECIMAL(38,0)) * c_b AS DOUBLE) AS lift
          |FROM rules, n
          |ORDER BY lift DESC, ante, cons LIMIT ${Analytics.RuleTopK}""".stripMargin,
     "text_source_drift" ->
@@ -1376,9 +1395,10 @@ object SparkEntry {
         |wc AS (SELECT source, w, count(*) AS c FROM sw GROUP BY 1, 2),
         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1),
         |co AS (SELECT a.source AS s1, b.source AS s2,
-        |    CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS DECIMAL(38,0)) AS co_abs,
-        |    CAST(sum(a.c * tb.n) AS DECIMAL(38,0)) AS co_12,
-        |    CAST(sum(b.c * ta.n) AS DECIMAL(38,0)) AS co_21
+        |    sum(abs(CAST(a.c AS DECIMAL(38,0)) * tb.n
+        |          - CAST(b.c AS DECIMAL(38,0)) * ta.n)) AS co_abs,
+        |    sum(CAST(a.c AS DECIMAL(38,0)) * tb.n) AS co_12,
+        |    sum(CAST(b.c AS DECIMAL(38,0)) * ta.n) AS co_21
         |  FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
         |  JOIN tot ta ON ta.source = a.source
         |  JOIN tot tb ON tb.source = b.source
@@ -1593,6 +1613,7 @@ object SparkEntry {
     // #221 shares #219's oracle: same output contract by construction
     "stream_cdc_incremental" -> OracleSqlGen.mmCdcIncremental,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
+    "ann_ivf_rebalance" -> OracleSqlGen.annIvfRebalance,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
         |  count(*) AS n_samples,

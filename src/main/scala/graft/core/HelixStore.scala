@@ -246,6 +246,14 @@ final class HelixStore private (
   require(opts.compactPromptIntervalMs.forall(_ > 0),
     s"compactPromptIntervalMs must be positive: ${opts.compactPromptIntervalMs}")
 
+  /** TEST-ONLY crash injection (StoreCrashSpec): invoked at named
+    * points inside the commit protocol so a spec can simulate a
+    * process death between any two protocol steps by throwing from
+    * here. Production value is a no-op; the hook sits outside every
+    * hot path (commit windows only). Declared BEFORE `ptr`: the
+    * pointer initializer commits on first open and already fires it. */
+  private[graft] var crashHook: String => Unit = _ => ()
+
   private val root: Path = Paths.get(path)
   private val seqsDir: Path = root.resolve("_seqs")
   private val pointerFile: Path = root.resolve("_current")
@@ -630,17 +638,20 @@ final class HelixStore private (
       .mkString("", "\n", "\n")
     val tmp = root.resolve("_current.tmp")
     Files.write(tmp, body.getBytes)
+    crashHook("pointer:tmp-written")
     Files.move(tmp, pointerFile,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def commit(p: Pointer): Unit = {
+    crashHook("commit:begin")
     // stamp the seq high-water mark into every commit: max over this
     // instance's counter and the `_seqs` ledger (another instance may
     // have minted higher), so a later recovery never mints a stale seq
     val hw = math.max(seqHw, scanSeqFiles())
     val stamped = p.copy(seqhw = math.max(p.seqhw, hw))
     writePointer(stamped)
+    crashHook("commit:pointer-durable")
     ptr = stamped
     manifestCache = None
     // Prune the ledger below the stamp (recovery takes max over ledger,
@@ -1468,15 +1479,25 @@ final class HelixStore private (
       finally st.close()
     }
 
-  /** Move every parquet file under `from` that is NOT in `snapshot` into
+  /** COPY every parquet file under `from` that is NOT in `snapshot` into
     * the same relative location under `to` — the entries put while a
     * compaction was building its new generation. Runs inside the commit
-    * window (no put in flight), so the leftover set is stable. */
-  private def moveLeftovers(from: Path, snapshot: Set[Path], to: Path): Unit =
+    * window (no put in flight), so the leftover set is stable.
+    *
+    * Copy, NOT move (crash atomicity — StoreCrashSpec): the target
+    * generation is still UNCOMMITTED here, and reopen-after-crash rolls
+    * back unreferenced, un-graveyarded generation dirs. A move would
+    * strand acknowledged puts inside the rolled-back dir — a crash in
+    * the window between the move and the pointer commit would LOSE
+    * them. With a copy the old generation keeps the originals until it
+    * is buried (which happens only after the commit), so a crash at any
+    * step leaves one complete generation; the duplicate copies are
+    * never visible twice because the pointer selects exactly one dir. */
+  private def copyLeftovers(from: Path, snapshot: Set[Path], to: Path): Unit =
     listParquetFiles(from).filterNot(snapshot).foreach { f =>
       val dest = to.resolve(from.relativize(f))
       Files.createDirectories(dest.getParent)
-      Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
+      Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
     }
 
   /** Serializes this instance's compactions (the cross-process mutex is
@@ -1518,10 +1539,13 @@ final class HelixStore private (
         .sortWithinPartitions("key", "ts")
         .write.mode("overwrite").partitionBy("shard", "bucket")
         .parquet(dirOf(newRows).toString)
+      crashHook("compact:staged")
       withPutsExcluded {
-        moveLeftovers(dirOf(cur.rows), snapshot.toSet, dirOf(newRows))
+        copyLeftovers(dirOf(cur.rows), snapshot.toSet, dirOf(newRows))
+        crashHook("compact:leftovers-copied")
         commit(cur.copy(gen = g, rows = newRows))
       }
+      crashHook("compact:committed")
       bury(Seq(cur.rows)) // deferred deletion: in-flight readers drain first
     }
   }}
@@ -1602,13 +1626,16 @@ final class HelixStore private (
     }
     // allocGen already claimed r-<g> as the fresh rick layer; entries
     // put during the build move into it inside the commit window
+    crashHook("blockCompact:staged")
     withPutsExcluded {
-      moveLeftovers(dirOf(cur.rows), rickSnapshot.toSet, dirOf(newRows))
+      copyLeftovers(dirOf(cur.rows), rickSnapshot.toSet, dirOf(newRows))
+      crashHook("blockCompact:leftovers-copied")
       commit(Pointer(g, newRows,
         if (wroteBlocks) Some(newBlocks) else None,
         if (wroteBlocks) Some(newManifest) else None,
         minb = cur.minb))
     }
+    crashHook("blockCompact:committed")
     // deferred deletion of the absorbed generations: in-flight readers
     // keep resolving against them until vacuum's retention expires
     bury(Seq(cur.rows) ++ cur.blocks ++ cur.manifest)
@@ -1634,6 +1661,7 @@ final class HelixStore private (
     // pointer refresh
     commit(ptr.copy(gen = ptr.gen + 1,
       minb = math.max(ptr.minb, cutoff)))
+    crashHook("outdate:committed")
     // graveyard the now-invisible bucket dirs (relative paths) so vacuum
     // reclaims them once retention has drained in-flight readers
     val dataRoots = Seq(ptr.rows).filter(_ => hasRows) ++

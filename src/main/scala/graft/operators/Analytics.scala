@@ -1025,13 +1025,17 @@ object Analytics {
     // order count rides as a broadcast 1-row frame — no driver-side
     // action in the query path
     val nOrders = op.select("ok").distinct().agg(count(lit(1)).as("n_ord"))
+    // lift's integer products form in DECIMAL(38,0) (one operand cast
+    // before the multiply, oracle in lockstep): at 100 TB support
+    // counts, c·n would wrap a 64-bit intermediate silently
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     pairs
       .join(supp.select(col("pk").as("p1"), col("c").as("c_a")), "p1")
       .join(supp.select(col("pk").as("p2"), col("c").as("c_b")), "p2")
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("c_ab"),
-        ((col("c_ab") * col("n_ord")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        ((col("c_ab").cast(dec) * col("n_ord")).cast("double") /
+          (col("c_a").cast(dec) * col("c_b")).cast("double")).as("lift"))
       .orderBy(col("c_ab").desc, col("p1"), col("p2"))
       .limit(20)
   }
@@ -1070,11 +1074,13 @@ object Analytics {
         col("c_ab"), col("c_1").as("c_a"), col("c_2").as("c_b"))
       .unionAll(scored.select(col("p2").as("ante"), col("p1").as("cons"),
         col("c_ab"), col("c_2").as("c_a"), col("c_1").as("c_b")))
+    // same DECIMAL(38,0)-before-multiply discipline as qMarketBasket
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     rules.crossJoin(broadcast(nOrders))
       .select(col("ante"), col("cons"), col("c_ab"),
         (col("c_ab").cast("double") / col("c_a")).as("conf"),
-        ((col("c_ab") * col("n_ord")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        ((col("c_ab").cast(dec) * col("n_ord")).cast("double") /
+          (col("c_a").cast(dec) * col("c_b")).cast("double")).as("lift"))
       .orderBy(col("lift").desc, col("ante"), col("cons"))
       .limit(RuleTopK)
   }
@@ -1390,29 +1396,54 @@ object Analytics {
           .as("skew_ratio"))
   }
 
+  /** Order-aligned value-bucket width of #254's two-level rank:
+    * $1k-wide lifetime-spend buckets (rev div 10⁵ cents) partition the
+    * (rev desc, custkey) sort order, so within-bucket ranks plus a
+    * bucket-histogram carry compose the exact global rank. The bucket
+    * count is VALUE-RANGE/width bounded (a rev histogram — the
+    * q_skew_stats count-histogram witness), never customer-count
+    * bounded: at 100 TB the customer dimension grows ~linearly but the
+    * spend range only drifts, so the carry frame stays thousands of
+    * rows while no single window partition ever holds the dimension. */
+  val DecileBucketCents = 100000L
+
   /** #254 — CUSTOMER DECILE LIFT: customers ranked by lifetime spend,
     * cut into 10 equal-count deciles, each reporting its revenue share
     * and the cumulative concentration curve — the Pareto/"whale"
     * report behind every LTV analysis (q_abc_analysis gives the A/B/C
     * cut over parts; this is the decile-grain customer view). The
     * corpus collapses to the per-customer decimal-cents frame in one
-    * combinable shuffle; the rank rides that CUSTOMER-dimension frame
-    * (the q_abc precedent — never event volume), the decile id is
-    * exact integer arithmetic ((rn−1)·10 div n), and the cumulative
-    * share runs over 10 decile rows. Every double is a division of
-    * exact longs. */
+    * combinable shuffle; the global rank is NEVER one window
+    * partition: ranks compute within [[DecileBucketCents]] rev buckets
+    * (the bucket value partitions the sort order) and a broadcast
+    * bucket-histogram carry (the docInterleave two-level discipline)
+    * lifts them to exact global ranks. The decile id is exact integer
+    * arithmetic ((rn−1)·10 div n) and the cumulative share runs over
+    * 10 decile rows. Every double is a division of exact longs;
+    * output is bit-identical to the single-window formulation it
+    * replaces (same total order, same carry algebra). */
   def qDecileLift(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).as("rev"))
+      .withColumn("b", expr(s"rev div ${DecileBucketCents}L"))
     val tot = perCust.agg(count(lit(1)).as("nc"),
       sum(col("rev")).as("total_rev"))
-    val wR = Window.orderBy(col("rev").desc, col("o_custkey"))
+    // carry(b) = customers in HIGHER-rev buckets (rank order is rev
+    // desc) — a combinable count over the bucket histogram, cumulated
+    // over that bounded frame only
+    val wCarry = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perCust.groupBy("b").agg(count(lit(1)).as("bc"))
+      .withColumn("carry", coalesce(sum(col("bc")).over(wCarry), lit(0L)))
+      .select("b", "carry")
+    val wIn = Window.partitionBy("b").orderBy(col("rev").desc, col("o_custkey"))
     val wCum = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perCust
-      .withColumn("rn", row_number().over(wR).cast("long"))
+      .join(broadcast(carry), "b")
+      .withColumn("rn", (col("carry") + row_number().over(wIn)).cast("long"))
       .crossJoin(broadcast(tot))
       .withColumn("decile", expr("((rn - 1) * 10) div nc") + 1L)
       .groupBy("decile")

@@ -78,6 +78,87 @@ object Multimodal {
       .toDF()
   }
 
+  /** Geometry of #mm_decode_image's PNG payloads: 16×16 8-bit
+    * grayscale rasters, pooled into an 8×8 grid of 2×2-pixel cells. */
+  val ImgSide = 16
+  val ImgGrid = 8
+  private val CellPx = ImgSide / ImgGrid
+
+  /** Deterministic luma of pixel (x, y) for a document — the formula
+    * the generator rasterizes and the oracle recomputes directly; the
+    * path between them is REAL PNG bytes through javax.imageio, so a
+    * broken encode, decode, or sample extraction breaks the hash. */
+  @inline private def pixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** The documents frame with a REAL PNG payload column: each doc's
+    * deterministic [[ImgSide]]² grayscale raster encoded through the
+    * JVM's PNG writer inside mapPartitions — one encoder per
+    * partition, payload bytes born map-side and never shuffled. */
+  private[graft] def withPngPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            ImgSide, ImgSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val r = img.getRaster
+          var y = 0
+          while (y < ImgSide) {
+            var x = 0
+            while (x < ImgSide) { r.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded grid cell of #mm_decode_image. */
+  final case class LumaCell(doc_id: Long, width: Long, height: Long,
+      gx: Long, gy: Long, luma_sum: Long)
+
+  /** #mm_decode_image — a REAL image decoder in the [[decodeFeatures]]
+    * mapPartitions shape (no stand-in arithmetic: the payload is a
+    * genuine PNG and the decoder is javax.imageio, shipped with every
+    * JVM — zero new dependencies): per document, decode the PNG
+    * payload, report its true width/height and the 8×8 grid of exact
+    * per-cell luma sums. PNG is lossless, so the oracle recomputes the
+    * same sums from the pixel formula — any quoting/packing/codec
+    * defect anywhere on the encode→decode path diverges the hash.
+    * Scale: decode is embarrassingly map-side (the exact-dedup →
+    * decode-unique discipline of [[payloadDedup]] applies upstream at
+    * 100 TB); output is a bounded 64× row expansion of the DOC COUNT,
+    * never payload bytes. [[decodeFeatures]] stays registered as the
+    * documented native-lib stub shape. */
+  def decodeImage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPngPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // real pipeline: one codec handle per partition, opened here
+        batch.flatMap { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val r = img.getRaster
+          for { gy <- 0 until ImgGrid; gx <- 0 until ImgGrid } yield {
+            var sum = 0L
+            var y = gy * CellPx
+            while (y < (gy + 1) * CellPx && y < h) {
+              var x = gx * CellPx
+              while (x < (gx + 1) * CellPx && x < w) {
+                sum += r.getSample(x, y, 0); x += 1
+              }
+              y += 1
+            }
+            LumaCell(id, w.toLong, h.toLong, gx.toLong, gy.toLong, sum)
+          }
+        }
+      }.toDF()
+  }
+
   /** Chunk size for [[chunkLayout]] — small because the synthetic
     * payloads are; a real pipeline uses MiB-scale chunks. */
   val ChunkBytes = 64

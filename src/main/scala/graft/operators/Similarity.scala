@@ -818,6 +818,102 @@ object Similarity {
       .withColumn("cos", cosine(col("v"), col("qv"))), 10)
   }
 
+  /** Drift set size of #ann_ivf_rebalance: the rebalance re-homes the
+    * [[RebDriftCells]] cells whose incremental centroid shift ranks
+    * highest — ε is implicitly the (RebDriftCells+1)-th largest shift,
+    * a RANK threshold (the median-selection discipline) so the op is
+    * non-degenerate at every SF while rebalance work stays bounded by
+    * the drift set, never the cell count. */
+  val RebDriftCells = 3
+
+  /** #ann_ivf_rebalance — INDEX REBALANCE UNDER DRIFT, completing the
+    * IVF maintenance lifecycle (#36 steady state, #203 arrivals, #220
+    * deletes — this is the compaction analogue for the vector store;
+    * reference contract: level.rs:356 moves rick → levels on the same
+    * cadence): arrivals since the stage have pulled cell means away
+    * from their stored centroids, so the pass (1) refreshes each
+    * centroid INCREMENTALLY — new = (stored mean · n_old + arrival
+    * sums) / (n_old + n_arr), touching only the 5% arrival slice, the
+    * K-row centroid table and a partition-column-only count of the
+    * lists (parquet footer weight — no vector bytes); (2) ranks cells
+    * by round-6 cosine shift and takes the [[RebDriftCells]] most
+    * drifted; (3) re-assigns ONLY those cells' members (the staged
+    * lists partition-prune to the drift set; the arrivals filter to
+    * it) against the refreshed centroid set via the [[assignByFold]]
+    * map-side argmax. Work ∝ drifted-cell mass — the full corpus never
+    * re-assigns (PlanSpec-locked). Output: per cell, list sizes, the
+    * shift, the drift flag and moved/kept counts — the report an
+    * operator reads before swapping the index generation. Recall
+    * non-decrease on the drifted corpus is spec-gated
+    * (OperatorSpec). */
+  def annIvfRebalance(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignedPath) = IvfIndex.ensureIndexed(s, dir)
+    val cents = s.read.parquet(centPath)
+    // arrivals since the stage (the fresh 5% tail), folded into cells
+    // against the OLD centroids — the ann_ivf_incremental state
+    val arrivals = assignByFold(
+      Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(IvfIndex.IncrMod)) === IvfIndex.IncrRem)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v")),
+      cents)
+    val dimSums = (0 until 64).map(j =>
+      sum(element_at(col("v"), j + 1)).as(s"s$j"))
+    val arrStats = arrivals.groupBy(col("assigned_label").as("clabel"))
+      .agg(count(lit(1)).as("n_arr"), dimSums: _*)
+      .select(col("clabel"), col("n_arr"),
+        array((0 until 64).map(j => col(s"s$j")): _*).as("sa"))
+    // per-cell list sizes: a scan that reads NO data columns (the cell
+    // is the partition column; row counts come from parquet metadata)
+    val oldCounts = s.read.parquet(assignedPath)
+      .groupBy(col("assigned_label").as("clabel"))
+      .agg(count(lit(1)).as("n_old"))
+    // K-row refreshed-centroid frame, checkpointed so the drift rank,
+    // the re-assign fold and the report read ONE materialization
+    val nc = cents.join(oldCounts, "clabel")
+      .join(arrStats, Seq("clabel"), "left")
+      .withColumn("n_arr", coalesce(col("n_arr"), lit(0L)))
+      .withColumn("ncv", array((0 until 64).map(j =>
+        (element_at(col("cv"), j + 1) * col("n_old")
+          + coalesce(element_at(col("sa"), j + 1), lit(0.0)))
+          / (col("n_old") + col("n_arr"))): _*))
+      .withColumn("shift", round(lit(1.0) - cosine(col("cv"), col("ncv")), 6))
+      .select("clabel", "n_old", "n_arr", "ncv", "shift")
+      .localCheckpoint()
+    // the drift set is K-bounded and ALREADY MATERIALIZED (the
+    // checkpointed K-row frame), so it folds back into the plan as
+    // literals: the staged member scan gets STATIC partition pruning
+    // (PartitionFilters IN — the strongest work∝drift witness, no
+    // reliance on runtime DPP heuristics over an RDD-backed build side)
+    val driftedIds: Seq[Int] = nc.select(col("clabel"), col("shift"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy { case (l, sh) => (-sh, l) }
+      .take(RebDriftCells).map(_._1).toSeq
+    val inDrift = col("assigned_label").isin(driftedIds: _*)
+    // members of drifted cells ONLY — the lists partition-prune to the
+    // drift set; the arrivals filter to it
+    val members = s.read.parquet(assignedPath)
+      .select(col("vec_id"), col("v"), col("assigned_label"))
+      .filter(inDrift)
+      .unionAll(arrivals
+        .select(col("vec_id"), col("v"), col("assigned_label"))
+        .filter(inDrift))
+      .withColumnRenamed("assigned_label", "old_cell")
+    val newCents = nc.select(col("clabel"), col("ncv").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val moved = assignByFold(members, newCents)
+      .groupBy(col("old_cell").as("clabel"))
+      .agg(sum(when(col("assigned_label") =!= col("old_cell"), 1L)
+        .otherwise(0L)).as("moved"))
+    nc.join(broadcast(moved), Seq("clabel"), "left")
+      .select(col("clabel").cast("long").as("cell"),
+        col("n_old"), col("n_arr"), col("shift"),
+        col("clabel").isin(driftedIds: _*).as("drifted"),
+        coalesce(col("moved"), lit(0L)).as("moved"),
+        (col("n_old") + col("n_arr") - coalesce(col("moved"), lit(0L)))
+          .as("kept"))
+  }
+
   /** #emb_remove_top_pc — ALL-BUT-THE-TOP de-biasing eval (Mu &
     * Viswanath, ICLR'18 — public): embedding spaces are anisotropic
     * (a dominant common direction carries frequency, not meaning);
@@ -2100,8 +2196,11 @@ object Similarity {
     * dedup_jaccard_histogram's threshold-tuning view). All-pairs is
     * quadratic, so the sample is DETERMINISTIC id-stride pairs
     * (vec_id, vec_id + Δ) for the three [[CosHistStrides]] lags — 3n
-    * pairs at any corpus size, each stride one key equi-join (a
-    * self-join on an arithmetic key, no window, no crossJoin). Cosines
+    * pairs at any corpus size, paired in ONE corpus scan: each row
+    * explodes into its 2×|strides| pair roles and one (pair key,
+    * stride) groupBy mates them (no self-join, no window, no
+    * crossJoin — see the inline note on why this beats a per-stride
+    * equi-join at 100 TB). Cosines
     * round to 6 (the shared fold), bins are floor(rcos·10) clamped to
     * [-10, 9], and the rollup is one combinable (stride, bin) count. */
   def embCosHist(s: SparkSession, dir: String): DataFrame = {

@@ -1263,8 +1263,9 @@ object TextOps {
     * + (n₁n₂ − Σ_co c₂n₁) turns it EXACT: only co-present words join
     * (one vocab-keyed self-join of the CHECKPOINTED count frame —
     * absent-word mass recovers from the totals algebraically),
-    * integer products sum in DECIMAL(38,0), and the single division
-    * by 2n₁n₂ is the one double. Pair work is vocab × sources² — the
+    * integer products FORM in DECIMAL(38,0) (one operand casts before
+    * the multiply — no 64-bit intermediate to wrap) and sum there, and
+    * the single division by 2n₁n₂ is the one double. Pair work is vocab × sources² — the
     * sources axis is bounded, the vocab axis Heaps-law small. */
   def sourceDrift(s: SparkSession, dir: String): DataFrame = {
     val wc = Tables.documents(s, dir)
@@ -1279,11 +1280,16 @@ object TextOps {
       .join(broadcast(tot.select(col("source").as("s1"), col("n").as("n1"))), "s1")
       .join(broadcast(tot.select(col("source").as("s2"), col("n").as("n2"))), "s2")
       .groupBy("s1", "s2")
+      // one operand casts to DECIMAL(38,0) BEFORE the multiply (the
+      // oracle mirrors with the same cast): at 100 TB the per-source
+      // token totals push c·n past 64 bits, where a long intermediate
+      // wraps silently in Spark but errors in DuckDB — the product
+      // must never exist in 64-bit form
       .agg(
-        sum(abs(col("c1") * col("n2") - col("c2") * col("n1")).cast(dec))
+        sum(abs(col("c1").cast(dec) * col("n2") - col("c2").cast(dec) * col("n1")))
           .as("co_abs"),
-        sum((col("c1") * col("n2")).cast(dec)).as("co_12"),
-        sum((col("c2") * col("n1")).cast(dec)).as("co_21"))
+        sum(col("c1").cast(dec) * col("n2")).as("co_12"),
+        sum(col("c2").cast(dec) * col("n1")).as("co_21"))
     // the matrix is TOTAL: a pair sharing zero words still appears
     // (its co-sums are 0 and tv = 1 by the identity) — the pair frame
     // comes from the sources-bounded totals cross

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,17 +23,28 @@ import graft.core.Tables
  */
 object DocCsv {
 
+  /** Explicit null/empty representations on BOTH directions: with the
+    * defaults, from_csv parses a quoted-empty field (`""`) as NULL, so
+    * a document with empty text/lang/source would round-trip to NULL
+    * (and md5(NULL) = NULL breaks the identity oracle). Writing NULL
+    * as `\N` and reading `\N` back as NULL keeps the two cases — empty
+    * string and absent value — distinct through the roundtrip. */
+  private val WriteOpts =
+    Map("nullValue" -> "\\N", "emptyValue" -> "\"\"")
+  private val ReadOpts =
+    Map("nullValue" -> "\\N", "emptyValue" -> "")
+
   /** #248 — CSV roundtrip: docs → CSV lines → parsed docs; text
     * travels as md5 (the DocJsonl convention — the hash is what the
     * oracle compares; mangled bytes change it). */
   def roundtrip(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(to_csv(struct(col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars"))).as("line"))
+        col("source"), col("n_chars")), WriteOpts.asJava).as("line"))
       .select(from_csv(col("line"),
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"),
-        Map.empty[String, String]).as("d"))
+        ReadOpts).as("d"))
       .select(col("d.doc_id").as("doc_id"), md5(col("d.text")).as("text_md5"),
         col("d.lang").as("lang"), col("d.source").as("source"),
         col("d.n_chars").as("n_chars"))

@@ -935,4 +935,131 @@ class PlanSpec extends SparkTestBase {
       assert(!l.contains("props"), s"payload column must be pruned: $l")
     }
   }
+
+  test("ann_ivf_rebalance re-assigns drifted cells only; list sizes read no vector bytes") {
+    val p = plan("ann_ivf_rebalance")
+    assert(p.contains("graft-stage"), "must read the staged sliced index")
+    // the K-bounded drift set folds into the plan as literals, so the
+    // staged member scan is STATICALLY partition-pruned to the drift
+    // set — rebalance work is ∝ drifted-cell mass, never the corpus
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.contains("assigned_label") && l.contains(" IN (")),
+      "the member scan must carry a static IN partition filter on the drift set")
+    assert(!p.contains("windowspecdefinition"),
+      "both assignment folds are map-side argmaxes — no per-vector window")
+    // the per-cell list-size pass (inside the checkpointed refresh
+    // frame) reads zero data columns: the cell is the partition
+    // column, so counts come from parquet metadata
+    val (_, assignedPath) = graft.operators.IvfIndex.ensureIndexed(spark, Sf)
+    val cnt = spark.read.parquet(assignedPath)
+      .groupBy("assigned_label").count()
+      .queryExecution.explainString(FormattedMode)
+    assert(cnt.linesIterator.exists(l =>
+      l.trim.startsWith("ReadSchema") && l.contains("struct<>")),
+      "n_old's scan shape must read no data columns")
+  }
+
+  test("q_decile_lift ranks within rev buckets — the customer dim never hits one partition") {
+    val p = plan("q_decile_lift")
+    // the global-rank window must be partitioned by the rev bucket
+    assert("windowspecdefinition\\(b#\\d+L, rev#\\d+L DESC".r.findFirstIn(p).isDefined,
+      "the row_number window must partition by the DecileBucketCents bucket")
+    // no row_number may ride a partitionless spec (that was the r16 defect)
+    assert(!"row_number\\(\\) windowspecdefinition\\(rev#".r.findFirstIn(p).isDefined,
+      "no global single-partition rank over the customer frame")
+  }
+
+  // ---- partitionless-window bound invariant (verdict r16 #2) ----------
+  //
+  // A Window with NO partition spec moves its whole input to ONE
+  // partition — acceptable ONLY over a provably bounded frame. This
+  // invariant enumerates every allowed site with its bound witness
+  // (shortlist limit / bounded-key aggregate / calendar spine /
+  // checkpointed histogram / rectangle scan) as a structural frame
+  // signature, and fails on ANY new partitionless window anywhere in
+  // the 259 registered queries until it is either partitioned or
+  // argued bounded and added here with a witness.
+
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+  /** Structural signature of the frame below a partitionless window:
+    * the first cardinality-determining node on each branch. Aggregates
+    * carry their grouping keys (the bound must be a property of the
+    * KEY domain, never the corpus); scans carry the table basename so
+    * a staged K-row centroid table can never be confused with a
+    * corpus parquet. */
+  private def frameSig(p: LogicalPlan): String = p match {
+    case a: Aggregate =>
+      s"agg[${a.groupingExpressions.flatMap(_.references.map(_.name)).distinct.sorted.mkString(",")}]"
+    case _: GlobalLimit | _: LocalLimit => "limit"
+    case u: Union => u.children.map(frameSig).mkString("union(", "+", ")")
+    case j: Join => s"join(${frameSig(j.left)},${frameSig(j.right)})"
+    case l: LogicalRelation =>
+      val base = l.relation match {
+        case h: HadoopFsRelation =>
+          val n = h.location.rootPaths.headOption.map(_.getName).getOrElse("?")
+          if (n.matches("^[rbm]-[0-9]+$")) "rick" else n
+        case _ => "?"
+      }
+      s"scan:$base"
+    case l: LeafNode if l.getClass.getSimpleName == "LogicalRDD" => "rdd"
+    case _: LeafNode => s"leaf:${p.getClass.getSimpleName}"
+    case o if o.children.size == 1 => frameSig(o.children.head)
+    case o => s"?${o.getClass.getSimpleName}"
+  }
+
+  /** query -> allowed (frame signature, bound witness) sites. */
+  private val BoundedWindowSites: Map[String, Seq[(String, String)]] = Map(
+    "ann_filtered_adaptive" -> Seq(
+      ("join(join(scan:centroids,scan:embeddings.parquet),agg[assigned_label])",
+        "cumulative filtered mass over the ncells-row (cell rank × cell stats) frame"),
+      ("join(scan:centroids,scan:embeddings.parquet)",
+        "probe rank over the K-row centroid table × 1-row query")),
+    "ann_hybrid_rrf" -> Seq(
+      ("limit", "RRF rank over a TakeOrdered shortlist")),
+    "dedup_jaccard_histogram" -> Seq(
+      ("agg[bucket]", "cumulative count over the 10-bin similarity histogram")),
+    "doc_interleave" -> Seq(
+      ("agg[source]", "source index over the sources catalogue dimension")),
+    "doc_pack_bins" -> Seq(
+      ("agg[chunk]", "bin carry over the chunk-count histogram (two-level pack)")),
+    "helix_scan_custom_order" -> Seq(
+      ("scan:rick", "comparator order over the scan's key×time rectangle " +
+        "(range-pushed store scan, a few hundred rows at any corpus scale)")),
+    "q_abc_analysis" -> Seq(
+      ("agg[l_partkey]", "ABC rank over the part catalogue dimension " +
+        "(assortment-bounded; the q_decile_lift bucket-carry is the " +
+        "escape hatch if the catalogue ever grows corpus-like)")),
+    "q_decile_lift" -> Seq(
+      ("agg[decile]", "cumulative share over the 10 decile rows"),
+      ("agg[b]", "rank carry over the DecileBucketCents value histogram " +
+        "(value-range/width bounded, never customer-count bounded)")),
+    "q_session_concurrency" -> Seq(
+      ("agg[day_us]", "concurrency spine over the calendar-day aggregate")),
+    "q_skew_stats" -> Seq(
+      ("rdd", "selection over the checkpointed count-of-counts histogram " +
+        "(distinct per-key row counts, not keys)")),
+    "text_heaps_vocab" -> Seq(
+      ("agg[sup]", "Heaps curve over the bounded sample-point frame")),
+    "ts_sla_multiwindow" -> Seq(
+      ("join(agg[],rdd)", "trailing windows over the calendar spine " +
+        "(1-row min/max × checkpointed 5-minute bucket frame)")))
+
+  test("every partitionless window rides an enumerated, provably bounded frame") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, Sf)
+      val sigs = df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => frameSig(w.child)
+      }
+      val allowed = BoundedWindowSites.getOrElse(name, Seq.empty).map(_._1)
+      if (sigs.sorted != allowed.sorted)
+        offenders += s"$name: got ${sigs.sorted.mkString("; ")} " +
+          s"— allowed ${allowed.sorted.mkString("; ")}"
+    }
+    assert(offenders.isEmpty,
+      "partitionless windows off the allowlist (add a bound witness or partition them):\n" +
+        offenders.mkString("\n"))
+  }
 }
