@@ -164,6 +164,7 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_decode_stub" -> (Multimodal.decodeFeatures _),
     "mm_decode_image" -> (Multimodal.decodeImage _),
+    "mm_decode_audio" -> (Multimodal.decodeAudio _),
     "mm_chunk" -> (Multimodal.chunkLayout _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
     "mm_phash" -> (Multimodal.phashPairs _),
@@ -1344,6 +1345,21 @@ object SparkEntry {
          |  CAST(x // $cell AS BIGINT) AS gx, CAST(y // $cell AS BIGINT) AS gy,
          |  CAST(sum(p) AS BIGINT) AS luma_sum
          |FROM px GROUP BY doc_id, x // $cell, y // $cell""".stripMargin
+    },
+    // the REAL audio decode: oracle recomputes the PCM formula; the
+    // engine must round-trip it through actual WAV container bytes
+    "mm_decode_audio" -> {
+      val nf = graft.operators.Multimodal.AudFrames
+      val nb = graft.operators.Multimodal.AudBlocks
+      val rate = graft.operators.Multimodal.AudRate
+      s"""WITH s AS (SELECT d.doc_id, g.i,
+         |    (d.doc_id * 17 + g.i * 11) % 256 AS p
+         |  FROM documents d, (SELECT unnest(generate_series(0, ${nf - 1})) AS i) g)
+         |SELECT doc_id, CAST($rate AS BIGINT) AS sample_rate,
+         |  CAST($nf AS BIGINT) AS n_frames,
+         |  CAST(i // ${nf / nb} AS BIGINT) AS blk,
+         |  CAST(sum(p) AS BIGINT) AS pcm_sum
+         |FROM s GROUP BY doc_id, i // ${nf / nb}""".stripMargin
     },
     "mm_chunk" -> {
       val cb = graft.operators.Multimodal.ChunkBytes

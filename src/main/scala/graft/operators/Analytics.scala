@@ -1093,30 +1093,60 @@ object Analytics {
     * (5·rank−1) div n + 1 with rank = row_number ordered by (metric,
     * custkey) — so ties and engine boundaries cannot flip a score
     * (ntile's remainder distribution is mirrored exactly by the same
-    * integer formula on both sides). The three rank windows share ONE
-    * nation shuffle (same partition key, three sort orders); partition
-    * sizes are customers-per-nation, the doc_len_percentiles precedent
-    * — the scale treatment for an unbounded segment key would be the
-    * two-phase percentile machinery. Output: per customer, the three
-    * scores and the composed RFM cell. */
+    * integer formula on both sides). Each rank is TWO-LEVEL (see the
+    * bucket widths below): a whole nation's customers never sort in
+    * one task. Output: per customer, the three scores and the composed
+    * RFM cell. */
+  /** Order-aligned bucket widths of #145's two-level ranks (r17 — the
+    * q_decile_lift discipline applied to the per-NATION ranks, whose
+    * partitions are customers/25 and grow with the corpus): recency
+    * buckets are calendar DAYS of the last-order time, frequency
+    * buckets the small-integer order count itself, monetary buckets
+    * $1k of lifetime cents. Each bucket value partitions its metric's
+    * (metric, custkey) sort order, so within-(nation, bucket) ranks
+    * plus a per-nation bucket-histogram carry compose the exact
+    * per-nation rank — no task ever sorts a whole nation's
+    * customers. */
+  val RfmDayUs = 86400000000L
+  val RfmSpendBucketCents = 100000L
+
   def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
         count(lit(1)).as("freq"),
         sum(cents("o_totalprice")).as("spend_c"))
+    // checkpointed: the three carries, the nation counts and the main
+    // frame all read this once instead of re-running the orders agg
     val j = perCust.join(
-      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
-      col("o_custkey") === col("c_custkey"))
-    val wN = Window.partitionBy("c_nationkey")
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("b_r", expr(s"last_us div $RfmDayUs"))
+      .withColumn("b_f", col("freq"))
+      .withColumn("b_m", expr(s"spend_c div $RfmSpendBucketCents"))
+      .localCheckpoint()
+    val cnts = j.groupBy("c_nationkey").agg(count(lit(1)).as("cnt_n"))
+    // per-nation bucket-histogram carry for one metric: rows in
+    // LOWER-valued buckets (rank order is metric ascending); the
+    // cumulation rides nation-bounded histogram frames, never customers
+    def carryOf(b: String) = {
+      val wC = Window.partitionBy("c_nationkey").orderBy(col(b))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      j.groupBy(col("c_nationkey"), col(b)).agg(count(lit(1)).as("bc"))
+        .withColumn(s"carry_$b", coalesce(sum(col("bc")).over(wC), lit(0L)))
+        .select(col("c_nationkey"), col(b), col(s"carry_$b"))
+    }
+    def rnOf(b: String, m: String) =
+      row_number().over(Window.partitionBy(col("c_nationkey"), col(b))
+        .orderBy(col(m), col("c_custkey"))).cast("long")
     val scored = j
-      .withColumn("cnt_n", count(lit(1)).over(wN))
-      .withColumn("rn_r", row_number().over(Window.partitionBy("c_nationkey")
-        .orderBy(col("last_us"), col("c_custkey"))).cast("long"))
-      .withColumn("rn_f", row_number().over(Window.partitionBy("c_nationkey")
-        .orderBy(col("freq"), col("c_custkey"))).cast("long"))
-      .withColumn("rn_m", row_number().over(Window.partitionBy("c_nationkey")
-        .orderBy(col("spend_c"), col("c_custkey"))).cast("long"))
+      .join(broadcast(carryOf("b_r")), Seq("c_nationkey", "b_r"))
+      .join(broadcast(carryOf("b_f")), Seq("c_nationkey", "b_f"))
+      .join(broadcast(carryOf("b_m")), Seq("c_nationkey", "b_m"))
+      .join(broadcast(cnts), "c_nationkey")
+      .withColumn("rn_r", col("carry_b_r") + rnOf("b_r", "last_us"))
+      .withColumn("rn_f", col("carry_b_f") + rnOf("b_f", "freq"))
+      .withColumn("rn_m", col("carry_b_m") + rnOf("b_m", "spend_c"))
     scored.select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
         expr("(rn_r * 5 - 1) div cnt_n + 1").as("r_score"),
         expr("(rn_f * 5 - 1) div cnt_n + 1").as("f_score"),
@@ -1239,34 +1269,57 @@ object Analytics {
         (col("med2_us").cast("double") / 2.0).as("med_us"))
   }
 
+  /** Order-aligned value-bucket width of #171's two-level cumulative
+    * sum: $10k revenue buckets (rq div 10⁸ exact 10⁻⁴-dollar units)
+    * partition the (rq desc, partkey) sort order. Bucket count is
+    * value-range/width bounded (a revenue histogram — the
+    * q_decile_lift witness), so the carry frame stays hundreds of rows
+    * while the part dimension grows with the corpus. */
+  val AbcBucketUnits = 100000000L
+
   /** #171 — ABC (Pareto) ANALYSIS of parts by revenue — the 80/95
     * inventory-classification cut every ops/merchandising warehouse
     * serves: parts ranked by exact decimal revenue, class A while the
     * running share ≤ 80%, B ≤ 95%, else C. Revenue quantizes to exact
     * 10^-4 integer units (the product scale of price × (1−disc)), so
-    * the cumulative window and both share thresholds compare as pure
+    * the cumulative sums and both share thresholds compare as pure
     * integers — no float can flip a class at any scale. ONE fact
-    * shuffle to per-part revenue, ONE sort: the grand total comes from
-    * a second window over the SAME ordering with an unbounded frame,
-    * so Spark reuses the cumulative window's sorted child instead of
-    * re-materializing the frame (the previous localCheckpoint +
-    * crossJoin(total) re-ran the checkpoint every invocation); the
-    * ordered cumulative window spans the PART dimension (bounded by
-    * catalogue size, never fact volume). */
+    * shuffle to per-part revenue; the running revenue is NEVER one
+    * window partition (the r16 q_decile_lift lesson applied before it
+    * bites — TPC-H's part table grows with SF, so "catalogue-bounded"
+    * does not hold at 100 TB): cumulative sums compute within
+    * [[AbcBucketUnits]] revenue buckets plus a broadcast
+    * bucket-histogram carry of SUMS (decimal sums are associative, so
+    * carry + within-bucket running sum is bit-identical to the global
+    * window it replaces); the grand total is a broadcast 1-row
+    * aggregate. */
   def qAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // checkpointed: the total, the carry histogram and the main frame
+    // all read the part-dimension frame once — without it each branch
+    // re-runs the corpus aggregate (three lineitem scans, sweep ratio
+    // 1.73 measured; one scan + a dimension-sized materialization after)
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg((sum(dec("l_extendedprice") *
         (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
         * 10000)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("rq"))
-    val ord = Seq(col("rq").desc, col("l_partkey"))
-    val w = Window.orderBy(ord: _*)
+        .cast(dec38).as("rq"))
+      .withColumn("b", expr(s"CAST(rq div $AbcBucketUnits AS BIGINT)"))
+      .localCheckpoint()
+    val tot = rev.agg(sum("rq").cast(dec38).as("t"))
+    // carry(b) = revenue in HIGHER-revenue buckets (order is rq desc)
+    val wCarry = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rev.groupBy("b").agg(sum("rq").as("bs"))
+      .withColumn("carry",
+        coalesce(sum(col("bs")).over(wCarry), lit(0).cast(dec38)))
+      .select("b", "carry")
+    val wIn = Window.partitionBy("b").orderBy(col("rq").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    rev.withColumn("cum", sum("rq").over(w))
-      .withColumn("t", sum("rq").over(wAll))
+    rev.join(broadcast(carry), "b")
+      .withColumn("cum", (col("carry") + sum("rq").over(wIn)).cast(dec38))
+      .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum") * 5 <= col("t") * 4, "A")
           .when(col("cum") * 20 <= col("t") * 19, "B")
@@ -1423,11 +1476,15 @@ object Analytics {
     * output is bit-identical to the single-window formulation it
     * replaces (same total order, same carry algebra). */
   def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: the total, the carry histogram and the ranked main
+    // frame all read the customer-dimension frame once instead of each
+    // re-running the orders aggregate (the q_abc_analysis measurement)
     val perCust = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).as("rev"))
       .withColumn("b", expr(s"rev div ${DecileBucketCents}L"))
+      .localCheckpoint()
     val tot = perCust.agg(count(lit(1)).as("nc"),
       sum(col("rev")).as("total_rev"))
     // carry(b) = customers in HIGHER-rev buckets (rank order is rev

@@ -97,7 +97,15 @@ object Multimodal {
     * partition, payload bytes born map-side and never shuffled. */
   private[graft] def withPngPayload(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    // decode parallelism must come from a shuffle of the 8-byte ids,
+    // not the parquet split (a doc-id projection is one footer-sized
+    // split, which would serialize every codec call on one core —
+    // measured 6x at the grown sweep). The count is EXPLICIT: the rows
+    // are bytes-tiny but each carries real codec work, so AQE's
+    // size-based coalescing would fold the exchange back to one
+    // partition (the putWritersPerPartition precedent).
+    Tables.documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val img = new java.awt.image.BufferedImage(
@@ -154,6 +162,80 @@ object Multimodal {
               y += 1
             }
             LumaCell(id, w.toLong, h.toLong, gx.toLong, gy.toLong, sum)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Geometry of #mm_decode_audio's WAV payloads: [[AudFrames]] frames
+    * of 8-bit unsigned mono PCM at [[AudRate]] Hz, pooled into
+    * [[AudBlocks]] blocks of [[AudFrames]]/[[AudBlocks]] samples. */
+  val AudFrames = 256
+  val AudBlocks = 8
+  val AudRate = 8000
+  private val AudBlockLen = AudFrames / AudBlocks
+
+  /** Deterministic 8-bit PCM sample i for a document — rendered into
+    * real WAV bytes by the generator and recomputed directly by the
+    * oracle; the path between them is javax.sound.sampled. */
+  @inline private def pcm(docId: Long, i: Int): Int =
+    ((docId * 17 + i * 11) % 256).toInt
+
+  /** The documents frame with a REAL WAV payload column: each doc's
+    * deterministic PCM render encoded through the JVM's own WAV writer
+    * inside mapPartitions — payload bytes born map-side, never
+    * shuffled. */
+  private[graft] def withWavPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ids-only explicit-count repartition for codec parallelism — see
+    // withPngPayload (AQE would coalesce a size-based exchange away)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          AudRate.toFloat, 8, 1, false, false) // 8-bit unsigned mono PCM
+        ids.map { id =>
+          val raw = Array.tabulate(AudFrames)(i => pcm(id, i).toByte)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, AudFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded PCM block of #mm_decode_audio. */
+  final case class PcmBlock(doc_id: Long, sample_rate: Long, n_frames: Long,
+      blk: Long, pcm_sum: Long)
+
+  /** #mm_decode_audio — a REAL audio decoder beside [[decodeImage]]'s
+    * image one (multimodal's second modality as a first-class operator;
+    * javax.sound.sampled ships with every JVM — zero new deps): per
+    * document, parse the WAV payload, report the container's true
+    * sample rate and frame count, and the exact per-block sums of the
+    * decoded 8-bit PCM stream. PCM in a WAV container is lossless, so
+    * the oracle recomputes the sums from the sample formula — a header
+    * mis-parse, a sign/endianness slip, or a truncated read diverges
+    * the hash. Scale: identical map-side story to [[decodeImage]]. */
+  def decodeAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withWavPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val rate = ais.getFormat.getSampleRate.toLong
+          val frames = ais.getFrameLength
+          val data = ais.readAllBytes()
+          (0 until AudBlocks).map { b =>
+            var sum = 0L
+            var i = b * AudBlockLen
+            while (i < (b + 1) * AudBlockLen && i < data.length) {
+              sum += data(i) & 0xff; i += 1
+            }
+            PcmBlock(id, rate, frames, b.toLong, sum)
           }
         }
       }.toDF()

@@ -526,27 +526,30 @@ object TextOps {
     * division until the final report) and p95 as the exact
     * order-statistic at rank ⌈0.95·n⌉ (selection, integer compare
     * 20·rank ≥ 19·n) — the corpus length profile consulted when
-    * choosing packing bin sizes and truncation limits. One rank
-    * window + full-partition conditional sums on the source shuffle;
-    * no joins. */
+    * choosing packing bin sizes and truncation limits. r17: selection
+    * runs over the per-source COUNT-VALUE HISTOGRAM (the q_skew_stats
+    * discipline — the value at rank r is min{v : cum_count(v) ≥ r}):
+    * the corpus folds into one combinable (source, n_toks) aggregate,
+    * and every window rides the histogram frame — bounded by DISTINCT
+    * token counts per source, never document count (the previous
+    * per-source rank window sorted a whole source's docs in one
+    * task). */
   def lenPercentiles(s: SparkSession, dir: String): DataFrame = {
     val bySrc = Window.partitionBy("source")
-    val w = bySrc.orderBy(col("n_toks"), col("doc_id"))
+    val wC = bySrc.orderBy("n_toks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir)
-      .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(bySrc))
-      .withColumn("m2",
-        sum(when(col("rn") === expr("(n + 1) div 2"), col("n_toks"))).over(bySrc) +
-          sum(when(col("rn") === expr("(n + 2) div 2"), col("n_toks"))).over(bySrc))
-      // first rank whose 20·rn >= 19·n — exactly ⌈0.95·n⌉ in integers
-      .withColumn("p95v",
-        min(when(col("rn") * 20 >= col("n") * 19, col("n_toks"))).over(bySrc))
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source", "n_toks").agg(count(lit(1)).as("c"))
+      .withColumn("ck", sum("c").over(wC))
+      .withColumn("n", sum("c").over(bySrc))
       .groupBy("source")
       .agg(max(col("n")).as("n_docs"),
-        (max(col("m2")).cast("double") / 2.0).as("p50_tokens"),
-        max(col("p95v")).as("p95_tokens"))
+        ((min(when(col("ck") >= expr("(n + 1) div 2"), col("n_toks")))
+          + min(when(col("ck") >= expr("(n + 2) div 2"), col("n_toks"))))
+          .cast("double") / 2.0).as("p50_tokens"),
+        min(when(col("ck") * 20 >= col("n") * 19, col("n_toks")))
+          .as("p95_tokens"))
   }
 
   /** Fixed-point grid for cross-source weight sums (√tokens ≈ 2.5e3 at

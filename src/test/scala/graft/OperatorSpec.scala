@@ -4023,6 +4023,30 @@ class OperatorSpec extends SparkTestBase {
     assert(got.size == docs.length * Multimodal.ImgGrid * Multimodal.ImgGrid)
   }
 
+  test("mm_decode_audio: real WAV roundtrip — decoded PCM blocks equal the sample formula") {
+    // payloads are genuine RIFF/WAVE containers, not arithmetic stand-ins
+    val pay = Multimodal.withWavPayload(spark, Sf).limit(5).collect()
+    pay.foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(new String(b.take(4)) == "RIFF" &&
+        new String(b.slice(8, 12)) == "WAVE",
+        "payload must be a real WAV container")
+    }
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val blockLen = Multimodal.AudFrames / Multimodal.AudBlocks
+    val expected = (for { id <- docs; b <- 0 until Multimodal.AudBlocks } yield {
+      var sum = 0L
+      for (i <- b * blockLen until (b + 1) * blockLen)
+        sum += (id * 17 + i * 11) % 256
+      (id, Multimodal.AudRate.toLong, Multimodal.AudFrames.toLong, b.toLong, sum)
+    }).toSet
+    val got = Multimodal.decodeAudio(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected, "decoded PCM blocks must equal the formula exactly")
+  }
+
   test("ann_ivf_rebalance: drift rank, moved/kept and recall non-decrease vs a driver replay") {
     val all = graft.core.Tables.embeddings(spark, Sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),

@@ -1028,9 +1028,9 @@ class PlanSpec extends SparkTestBase {
       ("scan:rick", "comparator order over the scan's key×time rectangle " +
         "(range-pushed store scan, a few hundred rows at any corpus scale)")),
     "q_abc_analysis" -> Seq(
-      ("agg[l_partkey]", "ABC rank over the part catalogue dimension " +
-        "(assortment-bounded; the q_decile_lift bucket-carry is the " +
-        "escape hatch if the catalogue ever grows corpus-like)")),
+      ("agg[b]", "cumulative-revenue carry over the AbcBucketUnits value " +
+        "histogram (range/width bounded — the part dimension itself " +
+        "never hits one partition)")),
     "q_decile_lift" -> Seq(
       ("agg[decile]", "cumulative share over the 10 decile rows"),
       ("agg[b]", "rank carry over the DecileBucketCents value histogram " +
