@@ -281,6 +281,7 @@ object SparkEntry {
     "ts_quantile_daily" -> (TimeSeriesOps.quantileDaily _),
     // Streaming batch twins (#30, #77)
     "stream_tumbling" -> (graft.streaming.StreamOps.tumblingBatch _),
+    "stream_late_data" -> (graft.streaming.StreamOps.lateDataBatch _),
     "stream_session_window" -> (graft.streaming.StreamOps.sessionWindowBatch _),
     "stream_dedup" -> (graft.streaming.StreamOps.dedupBatch _),
     "stream_interval_join" -> (graft.streaming.StreamOps.intervalJoinBatch _),
@@ -1739,6 +1740,28 @@ object SparkEntry {
     "emb_knn_accuracy" -> OracleSqlGen.embKnnAccuracy,
     "mm_scene_cuts" -> OracleSqlGen.mmSceneCuts,
     "stream_tumbling" -> OracleSqlGen.streamTumbling,
+    // watermark accounting: the oracle replays the deterministic
+    // arrival model (jitter, slices, trajectory, drop rule) in SQL
+    "stream_late_data" -> {
+      import graft.streaming.StreamOps._
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+         |      % $LateJitterUs AS arr
+         |  FROM events),
+         |eb AS (SELECT ts_us, arr // $LateSliceUs AS b FROM e),
+         |wm AS (SELECT b, (max(m) OVER (ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) // 1000) * 1000
+         |    - $LateWmUs AS wm
+         |  FROM (SELECT b, max(ts_us) AS m FROM eb GROUP BY b)),
+         |f AS (SELECT ts_us,
+         |    (wm IS NOT NULL AND (ts_us // $LateWinUs + 1) * $LateWinUs <= wm) AS late
+         |  FROM eb JOIN wm USING (b))
+         |SELECT (ts_us // $LateWinUs) * $LateWinUs AS window_start_us,
+         |  count(*) AS n_total,
+         |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_accepted
+         |FROM f GROUP BY 1""".stripMargin
+    },
     // session_window contract: merge requires ts < prev session end
     // (strict), so the island rule is diff >= gap; end = last + gap
     "stream_session_window" ->

@@ -430,4 +430,103 @@ object StreamOps {
       }
       .toDF("user_id", "n_resets", "final_adj_cents")
   }
+
+  // ---- watermark late-data accounting (#263) --------------------------
+
+  /** Deterministic arrival model of #263: per-event transport delay =
+    * a 48-bit md5(event_id) jitter modulo [[LateJitterUs]] (≤ 12 h —
+    * retries and offline devices make heavy delay tails the realistic
+    * case), micro-batch = [[LateSliceUs]] (3 h) ARRIVAL-time slices,
+    * watermark delay [[LateWmUs]] (4 h), 1 h tumbling windows. The
+    * jitter is deterministic so the whole arrival history — and with
+    * it the watermark trajectory — replays bit-identically in the
+    * batch twin, the DuckDB oracle and the spec's spooled stream. */
+  val LateJitterUs = 43200000000L
+  val LateSliceUs = 10800000000L
+  val LateWmUs = 14400000000L
+  val LateWinUs = 3600000000L
+
+  /** The events frame with its deterministic arrival time and arrival
+    * slice — ONE definition shared by the batch twin and the spec's
+    * per-slice spool, so model and stream can never disagree about
+    * what arrives when. */
+  def withArrival(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("arr", col("ts_us") + pmod(
+        conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(LateJitterUs)))
+      .withColumn("b", expr(s"arr div $LateSliceUs"))
+
+  /** Streaming half of #263: the REAL watermark — late rows drop out
+    * of the windowed aggregation inside Spark's state store, and the
+    * spec compares both the surviving per-window counts and the
+    * listener-reported drop total against the batch twin's model. */
+  def lateWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "4 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_accepted"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_accepted"))
+
+  /** One FILE per trigger: the spool stages one file per arrival
+    * slice, so each micro-batch is exactly one slice and the watermark
+    * trajectory matches the twin's slice-grain model. */
+  def lateDataStreaming(s: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    lateWindowCounts(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet").load(eventsDir))
+
+  /** #263 — WATERMARK LATE-DATA ACCOUNTING (batch twin, oracled): the
+    * operational question behind every watermark setting — how much
+    * data does this delay bound actually drop, and from which
+    * windows? Under the deterministic arrival model, the watermark a
+    * slice's filter sees is max(event time over slices ≤ b−2) − delay,
+    * ms-floored (exactly Structured Streaming's measured trajectory —
+    * see the inline notes on the two pinned microbatch facts), and a
+    * row is DROPPED iff its window END ≤ that watermark (state for
+    * the window was already evicted — parity-pinned by StreamingSpec
+    * against a real spooled stream, including the listener-counted
+    * drop total). Per 1 h event-time window: total rows,
+    * dropped rows, accepted rows. Scale: the corpus crosses one
+    * map-side arrival projection and one combinable window rollup; the
+    * watermark trajectory rides the arrival-slice spine (wall-clock
+    * bounded — the ts_sla_multiwindow witness), broadcast back. */
+  /** The per-event late flags behind [[lateDataBatch]] — exposed so
+    * the spec can also count late (slice, window) GROUPS, the grain
+    * Spark's numRowsDroppedByWatermark metric reports at. */
+  private[graft] def lateFlagged(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withArrival(Tables.events(s, dir))
+    // TWO empirically-pinned Spark microbatch facts the model mirrors
+    // (each divergence isolated by running the REAL spooled stream and
+    // diffing — StreamingSpec): (1) the watermark a batch's late-row
+    // filter SEES lags TWO batches (the frame ends at -2, not -1: the
+    // commit pipeline publishes batch n−1's event-time stats only
+    // after batch n is planned, so batch n filters with the stats of
+    // batch n−2 — with a -1 frame, exactly the rows arriving within
+    // one slice of the frontier diverge); (2) the watermark is tracked
+    // in MILLISECONDS (the max event time floors to ms before the
+    // delay subtracts — without the floor, µs-boundary rows diverge).
+    val wCarry = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -2)
+    val wm = e.groupBy("b").agg(max(col("ts_us")).as("m"))
+      .withColumn("pm", max(col("m")).over(wCarry))
+      .withColumn("wm", expr("(pm div 1000) * 1000") - LateWmUs)
+      .select("b", "wm")
+    e.join(broadcast(wm), "b")
+      .withColumn("late", col("wm").isNotNull &&
+        (expr(s"(ts_us div $LateWinUs + 1) * $LateWinUs") <= col("wm")))
+  }
+
+  def lateDataBatch(s: SparkSession, dir: String): DataFrame =
+    lateFlagged(s, dir)
+      .groupBy(expr(s"(ts_us div $LateWinUs) * $LateWinUs")
+        .as("window_start_us"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late"), 0L).otherwise(1L)).as("n_accepted"))
 }

@@ -1044,7 +1044,11 @@ class PlanSpec extends SparkTestBase {
       ("agg[sup]", "Heaps curve over the bounded sample-point frame")),
     "ts_sla_multiwindow" -> Seq(
       ("join(agg[],rdd)", "trailing windows over the calendar spine " +
-        "(1-row min/max × checkpointed 5-minute bucket frame)")))
+        "(1-row min/max × checkpointed 5-minute bucket frame)")),
+    "stream_late_data" -> Seq(
+      ("agg[b]", "watermark trajectory over the arrival-slice spine " +
+        "(3 h wall-clock slices — calendar-bounded, the " +
+        "ts_sla_multiwindow witness)")))
 
   test("every partitionless window rides an enumerated, provably bounded frame") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -418,4 +418,70 @@ class StreamingSpec extends SparkTestBase {
     assert(fin(1L) == ((2L, 2200L)),
       s"cross-trigger reset must be compensated, got ${fin(1L)}")
   }
+
+  test("watermark late-data: REAL streamed drops equal the batch twin's model") {
+    import org.apache.spark.sql.functions.{col, max}
+    val staged = tmpDir("stream-late")
+    // spool: one parquet file per arrival slice, written in slice order
+    // (FileStreamSource orders new files by mtime; each slice is its
+    // own write job, so mtimes strictly increase) — with
+    // maxFilesPerTrigger=1 the stream replays the arrival history and
+    // its watermark trajectory exactly as the twin models it
+    val eventCols = Tables.events(spark, Sf).columns.map(col)
+    val arr = StreamOps.withArrival(Tables.events(spark, Sf))
+      .select(col("b") +: eventCols: _*)
+    val slices = arr.select("b").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cached = arr.cache()
+    slices.foreach { b =>
+      cached.filter(col("b") === b).drop("b")
+        .coalesce(1).write.mode("append").parquet(staged)
+    }
+    cached.unpersist()
+    // count the REAL drops across every micro-batch from the query's
+    // own progress buffer (synchronous, unlike the async listener bus,
+    // which can still be draining when the query terminates); the
+    // buffer default of 100 is smaller than the spool's slice count
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", 1000)
+    val schema = spark.read.parquet(staged).schema
+    val q = StreamOps.lateDataStreaming(spark, staged, schema)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("stream-late-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000L)
+    val dropped = new java.util.concurrent.atomic.AtomicLong(
+      q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum)
+    // update-mode memory sink appends one row per (window, update);
+    // counts only grow, so the final value per window is the max
+    val streamed = spark.table("late_out")
+      .groupBy("window_start_us").agg(max("n_accepted").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twin = StreamOps.lateDataBatch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val twinAccepted = twin.collect {
+      case (w, _, _, acc) if acc > 0 => w -> acc
+    }.toMap
+    assert(streamed == twinAccepted,
+      s"per-window accepted counts diverge: stream-only=" +
+        s"${streamed.toSet -- twinAccepted.toSet}, " +
+        s"twin-only=${twinAccepted.toSet -- streamed.toSet}")
+    // numRowsDroppedByWatermark counts at the STATE OPERATOR'S grain:
+    // its input is the batch's PARTIAL aggregation, so the metric is
+    // dropped (batch, window) GROUPS, not events — the model's late
+    // events collapse to exactly that group count
+    val lateGroups = StreamOps.lateFlagged(spark, Sf)
+      .filter(col("late"))
+      .select(col("b"),
+        org.apache.spark.sql.functions
+          .expr(s"ts_us div ${StreamOps.LateWinUs}").as("w"))
+      .distinct().count()
+    val twinLate = twin.map(_._3).sum
+    assert(twinLate > 0, "the model must drop SOMETHING on this corpus")
+    assert(dropped.get() == lateGroups,
+      s"real group-grain drop metric ${dropped.get()} != model's $lateGroups " +
+        s"(event-grain late total: $twinLate)")
+  }
 }
