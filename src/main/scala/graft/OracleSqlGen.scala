@@ -1140,6 +1140,73 @@ object OracleSqlGen {
        |FROM ncs n LEFT JOIN drift d USING (clabel) LEFT JOIN mv USING (clabel)""".stripMargin
   }
 
+  /** #ann_ivf_commit — post-swap probe of the COMMITTED rebalanced
+    * generation: the rebalance CTEs verbatim (sliced index, arrival
+    * fold, incremental refresh, drift rank), then the committed list
+    * set — kept base cells + kept arrivals + the re-homed drift mass
+    * assigned against the refreshed centroids — probed at nprobe 2
+    * against the refreshed centroid table with the engine's exact
+    * (cos desc, vec_id) rank order. */
+  val annIvfCommit: String = {
+    val (mod, rem) = (graft.operators.IvfIndex.IncrMod, graft.operators.IvfIndex.IncrRem)
+    val k = graft.operators.Similarity.RebDriftCells
+    s"""WITH $eCte,
+       |eo AS (SELECT * FROM e WHERE vec_id % $mod <> $rem),
+       |${ivfAssignedCtesOver("eo")},
+       |arr AS (SELECT vec_id, v FROM e WHERE vec_id % $mod = $rem),
+       |arras AS (SELECT vec_id, v, clabel AS assigned_label FROM (
+       |  SELECT arr.vec_id, arr.v, cvt.clabel, row_number() OVER (
+       |    PARTITION BY arr.vec_id
+       |    ORDER BY ${rcosSafe("arr.v", "cvt.cv")} DESC, cvt.clabel) AS rn
+       |  FROM arr, cvt) WHERE rn = 1),
+       |nold AS (SELECT assigned_label AS clabel, count(*) AS n_old
+       |  FROM assigned GROUP BY 1),
+       |sad AS (SELECT clabel, j, sum(x) AS sx FROM (
+       |  SELECT assigned_label AS clabel, unnest(generate_series(1, 64)) AS j,
+       |    unnest(v) AS x FROM arras) GROUP BY 1, 2),
+       |sal AS (SELECT clabel, list(sx ORDER BY j) AS sa FROM sad GROUP BY 1),
+       |narr AS (SELECT assigned_label AS clabel, count(*) AS n_arr
+       |  FROM arras GROUP BY 1),
+       |ncx AS (SELECT c.clabel, c.cv,
+       |    list_transform(generate_series(1, 64), j ->
+       |      (c.cv[j] * n_old + coalesce(sa[j], 0))
+       |        / (n_old + coalesce(n_arr, 0))) AS ncv
+       |  FROM cvt c JOIN nold USING (clabel)
+       |  LEFT JOIN sal USING (clabel) LEFT JOIN narr USING (clabel)),
+       |ncs AS (SELECT clabel, ncv,
+       |    round(1 - ${cos("cv", "ncv")}, 6) AS shift FROM ncx),
+       |drift AS (SELECT clabel FROM ncs ORDER BY shift DESC, clabel LIMIT $k),
+       |mem AS (
+       |  SELECT a.vec_id, a.v FROM assigned a
+       |    JOIN drift d ON a.assigned_label = d.clabel
+       |  UNION ALL
+       |  SELECT r.vec_id, r.v FROM arras r
+       |    JOIN drift d ON r.assigned_label = d.clabel),
+       |re AS (SELECT vec_id, v, new_cell FROM (
+       |  SELECT m.vec_id, m.v, n.clabel AS new_cell,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${rcosSafe("m.v", "n.ncv")} DESC, n.clabel) AS rn
+       |  FROM mem m, ncs n) WHERE rn = 1),
+       |lists AS (
+       |  SELECT a.vec_id, a.v, a.assigned_label FROM assigned a
+       |    LEFT JOIN drift d ON a.assigned_label = d.clabel
+       |    WHERE d.clabel IS NULL
+       |  UNION ALL
+       |  SELECT r.vec_id, r.v, r.assigned_label FROM arras r
+       |    LEFT JOIN drift d ON r.assigned_label = d.clabel
+       |    WHERE d.clabel IS NULL
+       |  UNION ALL
+       |  SELECT vec_id, v, new_cell AS assigned_label FROM re),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT clabel AS assigned_label FROM ncs, q
+       |  ORDER BY round(${cos("ncs.ncv", "q.qv")}, 6) DESC, clabel LIMIT 2)
+       |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk FROM (
+       |  SELECT l.vec_id, ${cos("l.v", "q.qv")} AS c
+       |  FROM lists l JOIN probe p ON l.assigned_label = p.assigned_label, q
+       |  WHERE l.vec_id <> 0)
+       |ORDER BY rnk LIMIT 10""".stripMargin
+  }
+
   /** #97 — decontamination: distinct-3-gram overlap of train docs
     * against the eval slice (doc_id ≡ 0 mod EvalMod). Shares the
     * shingle CTEs with the dedup family. */

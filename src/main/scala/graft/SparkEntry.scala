@@ -274,6 +274,7 @@ object SparkEntry {
     "stream_cdc_incremental" -> (Multimodal.cdcIncrementalStreamTwin _),
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ann_ivf_rebalance" -> (Similarity.annIvfRebalance _),
+    "ann_ivf_commit" -> (Similarity.annIvfCommit _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
     "ts_deriv" -> (TimeSeriesOps.deriv _),
@@ -1631,6 +1632,7 @@ object SparkEntry {
     "stream_cdc_incremental" -> OracleSqlGen.mmCdcIncremental,
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ann_ivf_rebalance" -> OracleSqlGen.annIvfRebalance,
+    "ann_ivf_commit" -> OracleSqlGen.annIvfCommit,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
         |  count(*) AS n_samples,

@@ -914,6 +914,41 @@ object Similarity {
           .as("kept"))
   }
 
+  /** #ann_ivf_commit — THE GENERATION SWAP the rebalance report gates
+    * (verdict r17 #1; reference contract: level.rs:356 — compaction
+    * COMMITS the rick → level move atomically, it does not just plan
+    * it): the rebalanced post-state (same math as #ann_ivf_rebalance —
+    * incremental centroid refresh, round-6 shift rank, drift-set
+    * re-homing via the shared fold argmax) is written as a NEW index
+    * generation and swapped in through [[IvfGen]]'s pointer protocol
+    * (files → pointer tmp → atomic rename → bury → vacuum, each step
+    * crash-injected in IvfGenSpec). The registered query is the
+    * POST-SWAP probe: nprobe-2 top-10 against the committed
+    * generation, read back through the pointer (base-minus-dropped ∪
+    * delta) — so the oracle checks the full round trip: rebalance math
+    * → parquet generation → pointer resolution → probe. Commit I/O is
+    * K-row centroids + drift+arrival-sized delta; the kept base
+    * partitions are referenced, never rewritten (work ∝ drift at any
+    * corpus scale). */
+  def annIvfCommit(s: SparkSession, dir: String): DataFrame =
+    commitProbe(s, dir, IvfGen.ensureCommitted(s, dir))
+
+  /** The post-swap probe against a committed [[IvfGen]] generation —
+    * shared by the registered query and IvfGenSpec's crash tests so
+    * the serving path under test is the product's. */
+  private[graft] def commitProbe(s: SparkSession, dir: String,
+      g: IvfGen): DataFrame = {
+    val q = queryVec(s, dir)
+    val cells = scoredCells(g.centroids(s), q)
+      .orderBy(probeOrder: _*).limit(2)
+      .select(col("clabel").as("assigned_label"))
+    rankedTopK(g.lists(s)
+      .join(broadcast(cells), "assigned_label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("v"), col("qv"))), 10)
+  }
+
   /** #emb_remove_top_pc — ALL-BUT-THE-TOP de-biasing eval (Mu &
     * Viswanath, ICLR'18 — public): embedding spaces are anisotropic
     * (a dominant common direction carries frequency, not meaning);

@@ -959,6 +959,23 @@ class PlanSpec extends SparkTestBase {
       "n_old's scan shape must read no data columns")
   }
 
+  test("ann_ivf_commit serves the committed generation: static drop filter + DPP on both legs") {
+    val p = plan("ann_ivf_commit")
+    assert(p.contains("graft-stage"), "must read the staged committed generation")
+    // the pointer's dropped set enters the BASE scan as a static NOT IN
+    // partition filter (re-homed cells' base lists are never read), and
+    // the probe's 2 cells prune dynamically — commit never rewrites the
+    // kept base partitions, so the probe must prove it reads them in place
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.contains("NOT assigned_label") && l.contains(" IN (")),
+      "base scan must carry the pointer's static NOT-IN dropped-cell filter")
+    assert(p.linesIterator.count(l => l.contains("PartitionFilters") &&
+      l.contains("dynamicpruningexpression(assigned_label")) >= 2,
+      "both generation legs (base + delta) must partition-prune to the probed cells")
+    assert(!p.contains("windowspecdefinition"),
+      "the post-swap probe is TakeOrdered + broadcast joins — no window")
+  }
+
   test("q_decile_lift ranks within rev buckets — the customer dim never hits one partition") {
     val p = plan("q_decile_lift")
     // the global-rank window must be partitioned by the rev bucket
