@@ -1067,6 +1067,101 @@ class PlanSpec extends SparkTestBase {
         "(3 h wall-clock slices — calendar-bounded, the " +
         "ts_sla_multiwindow witness)")))
 
+  // ---- cross-join bound invariant (verdict r17 #4) ---------------------
+  //
+  // A condition-free join (crossJoin / BroadcastNestedLoopJoin /
+  // CartesianProduct) multiplies cardinalities, so it is acceptable
+  // ONLY when at least one side is PROVABLY K-bounded — a 1-row scalar
+  // aggregate, a limit shortlist, a unique-key slice (=/</IN on
+  // vec_id/doc_id against literals — the probe-query frames), the
+  // K-row staged centroid table, or plan literals. Exactly like the
+  // partitionless-window contract above: any NEW unwitnessed cross
+  // join anywhere in the registered queries fails this suite until it
+  // is bounded or given a witness here.
+
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, And => CAnd}
+
+  /** Unique-key columns whose literal slices bound row counts: ids are
+    * dense and unique in their tables, so `= lit` is one row and
+    * `< lit` is at most `lit` rows at ANY corpus scale. */
+  private val UniqueKeys = Set("vec_id", "doc_id")
+
+  /** Top-level conjuncts only — a bound inside Not/Or bounds nothing. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def uniqueKeySlice(cond: Expression): Boolean =
+    conjuncts(cond).exists {
+      case EqualTo(a: AttributeReference, _: Literal) => UniqueKeys(a.name)
+      case EqualTo(_: Literal, a: AttributeReference) => UniqueKeys(a.name)
+      case LessThan(a: AttributeReference, _: Literal) => UniqueKeys(a.name)
+      case LessThanOrEqual(a: AttributeReference, _: Literal) => UniqueKeys(a.name)
+      case GreaterThan(_: Literal, a: AttributeReference) => UniqueKeys(a.name)
+      case GreaterThanOrEqual(_: Literal, a: AttributeReference) => UniqueKeys(a.name)
+      case In(a: AttributeReference, vs) =>
+        UniqueKeys(a.name) && vs.forall(_.isInstanceOf[Literal])
+      case _ => false
+    }
+
+  /** Staged artifacts that are K-row BY CONSTRUCTION (one row per
+    * cluster cell), safe as a cross-join side at any corpus scale. */
+  private val KRowArtifacts = Set("centroids")
+
+  /** Bound witness for one side of a condition-free join, or None. */
+  private def xjBounded(p: LogicalPlan): Option[String] = p match {
+    case a: Aggregate if a.groupingExpressions.isEmpty => Some("scalar-agg")
+    case _: GlobalLimit | _: LocalLimit => Some("limit")
+    case f: Filter if uniqueKeySlice(f.condition) => Some("unique-key-slice")
+    case f: Filter => xjBounded(f.child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation
+        if h.location.rootPaths.headOption.exists(r => KRowArtifacts(r.getName)) =>
+        Some(s"staged-K-row:${h.location.rootPaths.head.getName}")
+      case _ => None
+    }
+    case _: LocalRelation => Some("plan-literals")
+    case j: Join =>
+      // a join is bounded if EITHER input is (the other side can only
+      // match, never multiply past the bounded side × per-key matches
+      // — and every equi-join key here is unique on the bounded side)
+      xjBounded(j.left).orElse(xjBounded(j.right))
+    case u: Union =>
+      val cs = u.children.map(xjBounded)
+      if (cs.forall(_.isDefined)) Some(cs.flatten.mkString("union(", "+", ")"))
+      else None
+    case o if o.children.size == 1 => xjBounded(o.children.head)
+    case _ => None
+  }
+
+  test("every condition-free join has a provably K-bounded side") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, Sf)
+      df.queryExecution.optimizedPlan.foreach {
+        case j: Join if j.condition.isEmpty =>
+          if (xjBounded(j.left).isEmpty && xjBounded(j.right).isEmpty)
+            offenders += s"$name: ${frameSig(j.left)} × ${frameSig(j.right)}"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      "condition-free joins with NO bounded side (bound one side or add a witness rule):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("the cross-join fence catches an unwitnessed corpus × corpus join (red path)") {
+    val e = graft.core.Tables.embeddings(spark, Sf).select("vec_id")
+    val bad = e.crossJoin(e.withColumnRenamed("vec_id", "v2"))
+    val unbounded = bad.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty
+        && xjBounded(j.left).isEmpty && xjBounded(j.right).isEmpty => j
+    }
+    assert(unbounded.nonEmpty,
+      "the fence must flag a corpus × corpus cross join — the checker went blind")
+  }
+
   test("every partitionless window rides an enumerated, provably bounded frame") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
