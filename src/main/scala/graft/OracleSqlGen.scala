@@ -1207,6 +1207,79 @@ object OracleSqlGen {
        |ORDER BY rnk LIMIT 10""".stripMargin
   }
 
+  /** #mm_decode_image_robust — driver-side recompute of the varied +
+    * poisoned PNG corpus: kind/dims from the container cycle
+    * (doc_id % 4), poison slice (doc_id % 17 ∈ {magic, empty}) flagged
+    * ok=false with zeroed fields, and the exact whole-image sums per
+    * shape from the pixel formulas (gray/indexed share the 8-bit
+    * formula; rgb sums the three derived channels; gray16 the widened
+    * 16-bit formula). */
+  val mmDecodeImageRobust: String = {
+    import graft.operators.Multimodal.{CorruptMod, CorruptMagicRem, CorruptEmptyRem, ImgSide}
+    val side = ImgSide - 1
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |px AS (SELECT d.doc_id,
+       |    (d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 AS p,
+       |    (d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 65536 AS p16
+       |  FROM d, generate_series(0, $side) gx(x), generate_series(0, $side) gy(y)),
+       |sums AS (SELECT doc_id,
+       |    CAST(sum(p) AS BIGINT) AS s8,
+       |    CAST(sum(p + (p + 85) % 256 + (p + 170) % 256) AS BIGINT) AS srgb,
+       |    CAST(sum(p16) AS BIGINT) AS s16
+       |  FROM px GROUP BY 1)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem) THEN 'corrupt'
+       |       WHEN doc_id % 4 = 0 THEN 'gray8'
+       |       WHEN doc_id % 4 = 1 THEN 'rgb8'
+       |       WHEN doc_id % 4 = 2 THEN 'indexed8'
+       |       ELSE 'gray16' END AS kind,
+       |  doc_id % $CorruptMod NOT IN ($CorruptMagicRem, $CorruptEmptyRem) AS ok,
+       |  CAST(CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem)
+       |    THEN 0 ELSE $ImgSide END AS BIGINT) AS width,
+       |  CAST(CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem)
+       |    THEN 0 ELSE $ImgSide END AS BIGINT) AS height,
+       |  CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem) THEN 0
+       |       WHEN doc_id % 4 = 0 THEN s8
+       |       WHEN doc_id % 4 IN (1, 2) THEN srgb
+       |       ELSE s16 END AS luma_sum
+       |FROM sums""".stripMargin
+  }
+
+  /** #mm_decode_audio_robust — same recompute for the varied + poisoned
+    * WAV corpus: format cycle doc_id % 3 (8-bit mono / 16-bit signed
+    * mono / 8-bit stereo with R = L + 128 mod 256), poison slice
+    * flagged, exact all-channel PCM sums from the sample formulas. */
+  val mmDecodeAudioRobust: String = {
+    import graft.operators.Multimodal.{CorruptMod, CorruptMagicRem, CorruptEmptyRem, AudFrames, AudRate}
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |t AS (SELECT d.doc_id,
+       |    (d.doc_id * 17 + g.i * 11) % 256 AS p,
+       |    ((d.doc_id * 17 + g.i * 11) % 65536) - 32768 AS p16
+       |  FROM d, generate_series(0, ${AudFrames - 1}) g(i)),
+       |sums AS (SELECT doc_id,
+       |    CAST(sum(p) AS BIGINT) AS s8,
+       |    CAST(sum(p16) AS BIGINT) AS s16,
+       |    CAST(sum(p + (p + 128) % 256) AS BIGINT) AS sst
+       |  FROM t GROUP BY 1)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem) THEN 'corrupt'
+       |       WHEN doc_id % 3 = 0 THEN 'pcm8'
+       |       WHEN doc_id % 3 = 1 THEN 'pcm16'
+       |       ELSE 'pcm8stereo' END AS kind,
+       |  doc_id % $CorruptMod NOT IN ($CorruptMagicRem, $CorruptEmptyRem) AS ok,
+       |  CAST(CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem)
+       |    THEN 0 ELSE $AudRate END AS BIGINT) AS sample_rate,
+       |  CAST(CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem) THEN 0
+       |       WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+       |  CAST(CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem)
+       |    THEN 0 ELSE $AudFrames END AS BIGINT) AS n_frames,
+       |  CASE WHEN doc_id % $CorruptMod IN ($CorruptMagicRem, $CorruptEmptyRem) THEN 0
+       |       WHEN doc_id % 3 = 0 THEN s8
+       |       WHEN doc_id % 3 = 1 THEN s16
+       |       ELSE sst END AS pcm_sum
+       |FROM sums""".stripMargin
+  }
+
   /** #97 — decontamination: distinct-3-gram overlap of train docs
     * against the eval slice (doc_id ≡ 0 mod EvalMod). Shares the
     * shingle CTEs with the dedup family. */

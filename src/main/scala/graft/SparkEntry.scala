@@ -165,6 +165,8 @@ object SparkEntry {
     "mm_decode_stub" -> (Multimodal.decodeFeatures _),
     "mm_decode_image" -> (Multimodal.decodeImage _),
     "mm_decode_audio" -> (Multimodal.decodeAudio _),
+    "mm_decode_image_robust" -> (Multimodal.decodeImageRobust _),
+    "mm_decode_audio_robust" -> (Multimodal.decodeAudioRobust _),
     "mm_chunk" -> (Multimodal.chunkLayout _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
     "mm_phash" -> (Multimodal.phashPairs _),
@@ -1363,6 +1365,10 @@ object SparkEntry {
          |  CAST(sum(p) AS BIGINT) AS pcm_sum
          |FROM s GROUP BY doc_id, i // ${nf / nb}""".stripMargin
     },
+    // robust decoders: varied containers + the poison slice — the
+    // oracle replays formulas, container cycle and corruption arithmetic
+    "mm_decode_image_robust" -> OracleSqlGen.mmDecodeImageRobust,
+    "mm_decode_audio_robust" -> OracleSqlGen.mmDecodeAudioRobust,
     "mm_chunk" -> {
       val cb = graft.operators.Multimodal.ChunkBytes
       s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),

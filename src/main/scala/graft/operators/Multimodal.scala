@@ -107,6 +107,10 @@ object Multimodal {
     Tables.documents(s, dir).select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        // keep ImageIO fully in-memory: its default stream cache spools
+        // through a temp FILE per encode — a syscall tax per row and a
+        // disk dependency a 100 TB scan must not have
+        javax.imageio.ImageIO.setUseCache(false)
         ids.map { id =>
           val img = new java.awt.image.BufferedImage(
             ImgSide, ImgSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -145,7 +149,10 @@ object Multimodal {
     import s.implicits._
     withPngPayload(s, dir).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // real pipeline: one codec handle per partition, opened here
+        // in-memory ImageIO (no temp-file stream cache — see
+        // withPngPayload); reader instances are per-call inside
+        // ImageIO.read, nothing is held across rows
+        javax.imageio.ImageIO.setUseCache(false)
         batch.flatMap { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -237,6 +244,245 @@ object Multimodal {
             }
             PcmBlock(id, rate, frames, b.toLong, sum)
           }
+        }
+      }.toDF()
+  }
+
+  // ---- robust decoders over a VARIED + partially CORRUPT corpus -------
+  // (verdict r17 #5) Real corpora are not one container shape: the
+  // image side cycles 8-bit gray / 8-bit RGB / palette-indexed /
+  // 16-bit gray PNGs, the audio side cycles 8-bit mono / 16-bit mono /
+  // 8-bit stereo WAVs, and a deterministic slice of rows is POISONED
+  // (broken magic, empty payload). The robust decoders follow the
+  // Catalyst-expression discipline: flag, don't throw — one poison
+  // byte must not kill a 100 TB scan — so every row decodes to either
+  // real metadata + exact content sums or an ok=false error row.
+
+  /** Corruption slice: doc_id % [[CorruptMod]] picks the poison kind —
+    * [[CorruptMagicRem]] = leading magic bytes zeroed (no reader claims
+    * the payload), [[CorruptEmptyRem]] = empty payload. */
+  val CorruptMod = 17L
+  val CorruptMagicRem = 5L
+  val CorruptEmptyRem = 11L
+
+  private def poison(id: Long, bytes: Array[Byte]): Array[Byte] =
+    id % CorruptMod match {
+      case CorruptMagicRem =>
+        val b = bytes.clone(); var i = 0
+        while (i < 4 && i < b.length) { b(i) = 0; i += 1 }
+        b
+      case CorruptEmptyRem => Array.empty[Byte]
+      case _ => bytes
+    }
+
+  /** 16-bit luma of pixel (x, y) — the [[pixel]] formula widened to the
+    * full 16-bit sample range of the gray16 variant. */
+  @inline private def pixel16(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 65536).toInt
+
+  /** The varied-PNG payload corpus: container kind cycles with
+    * doc_id % 4 (gray8 / rgb8 / indexed8 / gray16), then the poison
+    * slice corrupts its rows. Same explicit-count id repartition as
+    * [[withPngPayload]] (codec parallelism must not ride a one-split
+    * projection or a coalescible exchange). */
+  private[graft] def withVariedPngPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
+        // a genuinely COLORED palette (a gray ramp would let the PNG
+        // writer legally collapse the container to grayscale — measured:
+        // indexed rows came back as gray8); entry i maps to the same
+        // channel derivation the rgb8 variant uses
+        val rLut = Array.tabulate(256)(i => i.toByte)
+        val gLut = Array.tabulate(256)(i => ((i + 85) % 256).toByte)
+        val bLut = Array.tabulate(256)(i => ((i + 170) % 256).toByte)
+        ids.map { id =>
+          import java.awt.image.BufferedImage
+          val img = (id % 4) match {
+            case 0 =>
+              val im = new BufferedImage(ImgSide, ImgSide, BufferedImage.TYPE_BYTE_GRAY)
+              val r = im.getRaster
+              for (y <- 0 until ImgSide; x <- 0 until ImgSide)
+                r.setSample(x, y, 0, pixel(id, x, y))
+              im
+            case 1 =>
+              val im = new BufferedImage(ImgSide, ImgSide, BufferedImage.TYPE_INT_RGB)
+              for (y <- 0 until ImgSide; x <- 0 until ImgSide) {
+                val p = pixel(id, x, y)
+                im.setRGB(x, y, (p << 16) | (((p + 85) % 256) << 8) | ((p + 170) % 256))
+              }
+              im
+            case 2 =>
+              val icm = new java.awt.image.IndexColorModel(
+                8, 256, rLut, gLut, bLut)
+              val im = new BufferedImage(ImgSide, ImgSide,
+                BufferedImage.TYPE_BYTE_INDEXED, icm)
+              val r = im.getRaster
+              for (y <- 0 until ImgSide; x <- 0 until ImgSide)
+                r.setSample(x, y, 0, pixel(id, x, y))
+              im
+            case _ =>
+              val im = new BufferedImage(ImgSide, ImgSide, BufferedImage.TYPE_USHORT_GRAY)
+              val r = im.getRaster
+              for (y <- 0 until ImgSide; x <- 0 until ImgSide)
+                r.setSample(x, y, 0, pixel16(id, x, y))
+              im
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, poison(id, bos.toByteArray))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One robust-decode report row: container kind as DECODED (not
+    * assumed), ok flag, true dims and the exact whole-image luma sum
+    * (gray/indexed: raw samples; rgb: r+g+b; gray16: 16-bit samples). */
+  final case class ImgDecode(doc_id: Long, kind: String, ok: Boolean,
+      width: Long, height: Long, luma_sum: Long)
+
+  /** #mm_decode_image_robust — the [[decodeImage]] path hardened for
+    * payload variety and poison rows: the decoder DETECTS the container
+    * shape from the decoded ColorModel (never trusts the id), extracts
+    * samples per shape (raster samples for gray depths, palette lookup
+    * for indexed, sRGB channels for rgb — each is the exact inverse of
+    * its encoder, PNG being lossless at every depth), and flags
+    * undecodable payloads as ok=false rows instead of throwing. The
+    * oracle recomputes kind/dims/sums from the pixel formulas and the
+    * poison arithmetic, so a mis-detected palette, a gamma-shifted
+    * 16-bit read, or a thrown error on the poison slice all diverge. */
+  def decodeImageRobust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withVariedPngPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, bytes) =>
+          scala.util.Try(Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))).toOption.flatten match {
+            case None => ImgDecode(id, "corrupt", ok = false, 0L, 0L, 0L)
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val cm = img.getColorModel
+              val raster = img.getRaster
+              val indexed = cm.isInstanceOf[java.awt.image.IndexColorModel]
+              val kind =
+                if (indexed) "indexed8"
+                else if (raster.getNumBands == 1 && cm.getPixelSize <= 8) "gray8"
+                else if (raster.getNumBands == 1) "gray16"
+                else "rgb8"
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += (kind match {
+                    case "indexed8" | "rgb8" =>
+                      // palette lookup and direct color share the exact
+                      // sRGB channel read — both containers carry the
+                      // same derived (r, g, b) per source value
+                      val p = img.getRGB(x, y)
+                      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                    case _ => raster.getSample(x, y, 0)
+                  }).toLong
+                  x += 1
+                }
+                y += 1
+              }
+              ImgDecode(id, kind, ok = true, w.toLong, h.toLong, sum)
+          }
+        }
+      }.toDF()
+  }
+
+  /** 16-bit signed PCM sample i — the [[pcm]] formula widened to the
+    * pcm16 variant's sample range. */
+  @inline private def pcm16(docId: Long, i: Int): Int =
+    ((docId * 17 + i * 11) % 65536).toInt - 32768
+
+  /** The varied-WAV payload corpus: container cycles with doc_id % 3
+    * (8-bit unsigned mono / 16-bit signed mono / 8-bit unsigned
+    * stereo, right channel = left + 128 mod 256), then the poison
+    * slice corrupts its rows. */
+  private[graft] def withVariedWavPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        import javax.sound.sampled._
+        ids.map { id =>
+          val (fmt, raw) = (id % 3) match {
+            case 0 =>
+              (new AudioFormat(AudRate.toFloat, 8, 1, false, false),
+                Array.tabulate(AudFrames)(i => pcm(id, i).toByte))
+            case 1 =>
+              val b = new Array[Byte](AudFrames * 2)
+              var i = 0
+              while (i < AudFrames) {
+                val v = pcm16(id, i)
+                b(2 * i) = (v & 0xff).toByte
+                b(2 * i + 1) = ((v >> 8) & 0xff).toByte
+                i += 1
+              }
+              (new AudioFormat(AudRate.toFloat, 16, 1, true, false), b)
+            case _ =>
+              val b = new Array[Byte](AudFrames * 2)
+              var i = 0
+              while (i < AudFrames) {
+                b(2 * i) = pcm(id, i).toByte
+                b(2 * i + 1) = ((pcm(id, i) + 128) % 256).toByte
+                i += 1
+              }
+              (new AudioFormat(AudRate.toFloat, 8, 2, false, false), b)
+          }
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, AudFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          (id, poison(id, bos.toByteArray))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One robust audio-decode report row: format as PARSED from the
+    * container, ok flag, and the exact all-channel sample sum (8-bit:
+    * unsigned bytes; 16-bit: signed little-endian shorts). */
+  final case class WavDecode(doc_id: Long, kind: String, ok: Boolean,
+      sample_rate: Long, channels: Long, n_frames: Long, pcm_sum: Long)
+
+  /** #mm_decode_audio_robust — [[decodeAudio]] hardened the same way:
+    * the decoder reads the format from the RIFF header (bits, channel
+    * count, rate, frame length all parsed, never assumed), sums
+    * samples per the parsed sample width, and turns undecodable
+    * payloads into ok=false rows. Oracle recomputes everything from
+    * the PCM formulas + poison arithmetic. */
+  def decodeAudioRobust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withVariedWavPayload(s, dir).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          scala.util.Try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val data = ais.readAllBytes()
+            var sum = 0L
+            if (bits == 8) {
+              var i = 0
+              while (i < data.length) { sum += data(i) & 0xff; i += 1 }
+            } else {
+              var i = 0
+              while (i + 1 < data.length) {
+                sum += ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+                i += 2
+              }
+            }
+            WavDecode(id, s"pcm$bits${if (fmt.getChannels == 2) "stereo" else ""}",
+              ok = true, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              ais.getFrameLength, sum)
+          }.getOrElse(WavDecode(id, "corrupt", ok = false, 0L, 0L, 0L, 0L))
         }
       }.toDF()
   }

@@ -4047,6 +4047,67 @@ class OperatorSpec extends SparkTestBase {
     assert(got == expected, "decoded PCM blocks must equal the formula exactly")
   }
 
+  test("robust decoders: poison rows flag (never throw), good rows decode their true container") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    def poisoned(id: Long) = id % Multimodal.CorruptMod == Multimodal.CorruptMagicRem ||
+      id % Multimodal.CorruptMod == Multimodal.CorruptEmptyRem
+    assert(docs.exists(poisoned), "the poison slice must be non-empty at this SF")
+    // the corpus really is varied + corrupted: the poisoned payloads
+    // have broken magic or zero length, the good ones are real containers
+    val pay = Multimodal.withVariedPngPayload(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toMap
+    docs.foreach { id =>
+      val b = pay(id)
+      if (poisoned(id)) assert(b.isEmpty || b(0) == 0, s"doc $id must be poisoned")
+      else assert((b(0) & 0xff) == 0x89 && b(1) == 'P', s"doc $id must be a real PNG")
+    }
+    // error-row contract, image side: flag exactly the poison slice,
+    // decode every good row to its intended container kind
+    val img = Multimodal.decodeImageRobust(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(5)))).toMap
+    assert(img.keySet == docs.toSet, "one report row per document — poison included")
+    docs.foreach { id =>
+      val (kind, ok, luma) = img(id)
+      if (poisoned(id))
+        assert(!ok && kind == "corrupt" && luma == 0L, s"doc $id must be an error row")
+      else {
+        val want = (id % 4) match {
+          case 0 => "gray8"; case 1 => "rgb8"; case 2 => "indexed8"; case _ => "gray16"
+        }
+        assert(ok && kind == want,
+          s"doc $id decoded as $kind, container cycle says $want")
+      }
+    }
+    // 16-bit samples must survive the round trip unscaled: a gray16
+    // doc's sum exceeds the 8-bit-possible maximum for at least one doc
+    val g16 = docs.filter(id => id % 4 == 3 && !poisoned(id))
+    assert(g16.exists(id => img(id)._3 > 255L * Multimodal.ImgSide * Multimodal.ImgSide),
+      "gray16 sums look 8-bit — the 16-bit read is being rescaled")
+    // audio side: same contract, format parsed not assumed
+    val aud = Multimodal.decodeAudioRobust(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        r.getLong(4), r.getLong(6)))).toMap
+    assert(aud.keySet == docs.toSet)
+    docs.foreach { id =>
+      val (kind, ok, ch, sum) = aud(id)
+      if (poisoned(id)) assert(!ok && kind == "corrupt" && sum == 0L)
+      else {
+        val (wantKind, wantCh) = (id % 3) match {
+          case 0 => ("pcm8", 1L); case 1 => ("pcm16", 1L); case _ => ("pcm8stereo", 2L)
+        }
+        assert(ok && kind == wantKind && ch == wantCh,
+          s"doc $id parsed as ($kind, $ch ch), container cycle says ($wantKind, $wantCh)")
+        // signed 16-bit sums can be negative; stereo sums both channels
+        if (id % 3 == 1) {
+          val want = (0 until Multimodal.AudFrames)
+            .map(i => ((id * 17 + i * 11) % 65536) - 32768).sum
+          assert(sum == want, s"doc $id pcm16 sum $sum != $want (sign/endian slip)")
+        }
+      }
+    }
+  }
+
   test("ann_ivf_rebalance: drift rank, moved/kept and recall non-decrease vs a driver replay") {
     val all = graft.core.Tables.embeddings(spark, Sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
