@@ -46,8 +46,7 @@ object Scale {
     val emb = graft.core.Tables.embeddings(spark, base)
     (0 until 4).map(i => emb
         .withColumn("vec_id", when(lit(i) === 0, col("vec_id"))
-          .otherwise(col("vec_id") + lit(i * 100000L)))
-        .filter(lit(i) === 0 || col("vec_id") >= 100000L))
+          .otherwise(col("vec_id") + lit(i * 100000L))))
       .reduce(_.unionAll(_))
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
     // lineitem + orders x4 with the SAME disjoint order-key offsets so

@@ -58,8 +58,7 @@ object Scale2 {
       val emb = graft.core.Tables.embeddings(spark, base)
       (0 until 8).map(i => emb
           .withColumn("vec_id", when(lit(i) === 0, col("vec_id"))
-            .otherwise(col("vec_id") + lit(i * 100000L)))
-          .filter(lit(i) === 0 || col("vec_id") >= 100000L))
+            .otherwise(col("vec_id") + lit(i * 100000L))))
         .reduce(_.unionAll(_))
         .write.mode("overwrite").parquet(s"$s2/embeddings.parquet")
       val li = graft.core.Tables.lineitem(spark, base)

@@ -446,6 +446,23 @@ object StreamOps {
   val LateWmUs = 14400000000L
   val LateWinUs = 3600000000L
 
+  /** The Spark version the batch twin's TWO pinned microbatch facts
+    * (lag-2 watermark publication, ms-floored tracking — see
+    * [[lateFlagged]]) were empirically isolated on. They are
+    * version-sensitive internals of the streaming commit pipeline, so
+    * any Spark bump fails HERE, loudly, instead of silently shifting
+    * the trajectory — re-isolate both facts by diffing the real
+    * spooled stream (StreamingSpec's parity test is the mandatory
+    * gate) before moving this pin. */
+  val PinnedSparkVersion = "4.1.2"
+
+  private def assertPinnedSpark(version: String): Unit =
+    require(version == PinnedSparkVersion,
+      s"stream_late_data models Spark-$PinnedSparkVersion microbatch internals " +
+        s"(lag-2 watermark publication, ms-floored tracking) but this session runs " +
+        s"Spark $version — re-isolate both facts against the real spooled stream " +
+        "(StreamingSpec parity diff) and move PinnedSparkVersion")
+
   /** The events frame with its deterministic arrival time and arrival
     * slice — ONE definition shared by the batch twin and the spec's
     * per-slice spool, so model and stream can never disagree about
@@ -464,8 +481,10 @@ object StreamOps {
     * listener-reported drop total against the batch twin's model. */
   def lateWindowCounts(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "4 hours")
-      .groupBy(window(col("ts"), "1 hour"))
+      // intervals DERIVED from the shared constants — the stream and
+      // its batch twin cannot drift apart by editing one of them
+      .withWatermark("ts", s"${LateWmUs / 3600000000L} hours")
+      .groupBy(window(col("ts"), s"${LateWinUs / 3600000000L} hours"))
       .agg(count(lit(1)).as("n_accepted"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("n_accepted"))
@@ -500,6 +519,7 @@ object StreamOps {
     * Spark's numRowsDroppedByWatermark metric reports at. */
   private[graft] def lateFlagged(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    assertPinnedSpark(s.version)
     val e = withArrival(Tables.events(s, dir))
     // TWO empirically-pinned Spark microbatch facts the model mirrors
     // (each divergence isolated by running the REAL spooled stream and

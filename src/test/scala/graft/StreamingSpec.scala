@@ -442,7 +442,10 @@ class StreamingSpec extends SparkTestBase {
     // own progress buffer (synchronous, unlike the async listener bus,
     // which can still be draining when the query terminates); the
     // buffer default of 100 is smaller than the spool's slice count
+    val prevProgressUpdates =
+      spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", 1000)
+    try {
     val schema = spark.read.parquet(staged).schema
     val q = StreamOps.lateDataStreaming(spark, staged, schema)
       .writeStream.format("memory").queryName("late_out")
@@ -483,5 +486,13 @@ class StreamingSpec extends SparkTestBase {
     assert(dropped.get() == lateGroups,
       s"real group-grain drop metric ${dropped.get()} != model's $lateGroups " +
         s"(event-grain late total: $twinLate)")
+    } finally {
+      // restore the shared session's progress-buffer size — this suite
+      // must not leak config into later tests in the same JVM
+      prevProgressUpdates match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+        case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+      }
+    }
   }
 }
