@@ -134,10 +134,30 @@ object Scale {
     val errs = failed.map { case (k, v) =>
       "\"" + k + "\":\"" + Bench.escJson(v) + "\""
     }.mkString(",\"failed\":{", ",", "}}")
+    // ---- the sweep GATE (verdict r17 #7): a >3x growth ratio is
+    // allowed ONLY for the registry-flagged unbounded baselines and
+    // the linear-in-docs codec set (docs grow DocGrowth x, so their
+    // contract ceiling is DocGrowth x a noise margin); sub-second
+    // bases are noise-exempt. Everything else crossing 3x FAILS the
+    // sweep here, machine-checked, instead of hiding in prose.
+    val DocGrowth = 4.0
+    val violations = rows.filter { case (n, b, _, r) =>
+      b >= 0.10 && r > 3.0 &&
+        !SparkEntry.unboundedBaselineOf.contains(n) &&
+        !(SparkEntry.linearInDocs(n) && r <= DocGrowth * 1.5)
+    }
+    val gateJson = violations.map { case (n, _, _, r) =>
+      "\"" + n + "\":" + f2(r)
+    }.mkString(",\"gate_violations\":{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("scale_sweep.json"),
-      json + (if (failed.isEmpty) ",\"failed\":{}}" else errs))
+      json + gateJson + (if (failed.isEmpty) ",\"failed\":{}}" else errs))
     println(s"wrote scale_sweep.json (${rows.size} queries, ${failed.size} failed)")
+    violations.foreach { case (n, b, s, r) =>
+      System.err.println(f"[scale] GATE VIOLATION $n base=$b%.2f scaled=$s%.2f " +
+        f"ratio=$r%.2f — unflagged super-3x growth")
+    }
     spark.stop()
+    if (violations.nonEmpty || failed.nonEmpty) sys.exit(1)
   }
 }

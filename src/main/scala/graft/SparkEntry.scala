@@ -311,6 +311,33 @@ object SparkEntry {
       |    FROM events)
       |  GROUP BY event_type, n)""".stripMargin
 
+  /** Labelled UNBOUNDED BASELINES (verdict r17 #7 — machine-checkable):
+    * queries kept DELIBERATELY quadratic in planted duplicate mass (or
+    * spine-unbounded, for ts_gap_fill) as the measuring stick beside
+    * their bounded production twin. The grown-copy sweep gate
+    * ([[Scale]]) permits a >3× ratio ONLY for these keys and the
+    * [[linearInDocs]] codec set — any other query crossing 3× fails
+    * the sweep instead of hiding in prose adjudication. */
+  val unboundedBaselineOf: Map[String, String] = Map(
+    "ts_gap_fill" -> "ts_gap_fill_range",
+    "dedup_simhash_pairs" -> "dedup_simhash_pairs_capped",
+    "dedup_minhash_lsh" -> "dedup_minhash_lsh_capped",
+    "dedup_embedding" -> "dedup_embedding_capped",
+    "mm_phash" -> "mm_phash_pairs_capped",
+    // the precision gate reads the UNBOUNDED pair population by
+    // construction (it measures the index, so it pays the index's
+    // pair-mass contract); its capped serving twin is the same
+    "mm_phash_precision" -> "mm_phash_pairs_capped",
+  )
+
+  /** Queries whose grown-sweep ratio tracks the DOCS growth factor by
+    * contract: real per-payload codec work, linear in the doc count
+    * (the sweep grows docs 4×, so ratios near 4 are the expected
+    * shape, not a plan defect). */
+  val linearInDocs: Set[String] = Set(
+    "mm_decode_image", "mm_decode_audio",
+    "mm_decode_image_robust", "mm_decode_audio_robust")
+
   /** Shared by dedup_survivor and the pipeline_curate composition. */
   private val SurvivorSql: String =
     """SELECT doc_id, md5(text) AS text_md5,

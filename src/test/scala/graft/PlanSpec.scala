@@ -1135,6 +1135,22 @@ class PlanSpec extends SparkTestBase {
     case _ => None
   }
 
+  test("sweep-gate registry: every flagged baseline and its bounded twin are registered queries") {
+    SparkEntry.unboundedBaselineOf.foreach { case (baseline, twin) =>
+      assert(SparkEntry.queries.contains(baseline),
+        s"flagged baseline $baseline is not a registered query")
+      assert(SparkEntry.queries.contains(twin),
+        s"$baseline's bounded twin $twin is not a registered query")
+      assert(baseline != twin, s"$baseline cannot be its own bounded twin")
+    }
+    SparkEntry.linearInDocs.foreach { q =>
+      assert(SparkEntry.queries.contains(q),
+        s"linear-in-docs flag $q is not a registered query")
+    }
+    assert(SparkEntry.unboundedBaselineOf.keySet.intersect(SparkEntry.linearInDocs).isEmpty,
+      "a query cannot carry both sweep contracts")
+  }
+
   test("every condition-free join has a provably K-bounded side") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
