@@ -2,21 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Second-growth-point sweep (verdict r16 #7): the ×10/×4 sweep cannot
-  * distinguish n·log n from n^1.3 — one more point can. The 25 most
-  * expensive queries (by the committed bench_full.json best times at
-  * the r16 HEAD) run at the FIRST grown copy (events ×10,
-  * docs/emb/facts ×4 — /tmp/scale, the Scale layout) and at a SECOND
-  * (events ×30, docs/emb/facts ×8 — /tmp/scale2), two passes each, min
-  * taken; the per-query two-point exponent is
-  * ln(t2/t1) / ln(g2/g1) with (g1, g2) the growth pair of the query's
-  * dominant table (events 10→30, everything else 4→8). Exponent ≤ ~1
-  * = linear; > 1.15 needs adjudication in SURVEY §6. Results land in
-  * scale_sweep2.json. */
+/** Second-growth-point sweep (verdict r16 #7, coverage widened per
+  * r17 #3): the ×10/×4 sweep cannot distinguish n·log n from n^1.3 —
+  * one more point can. The pick set is the 25 most expensive queries
+  * (by committed bench best times) UNION every query whose ×10/×4
+  * sweep ratio in scale_sweep.json exceeds [[RatioPickBar]] — a cheap
+  * query with a super-linear shape is exactly what cost-only picking
+  * missed (q_decile_lift hid that way pre-r16). Each runs at the FIRST
+  * grown copy (events ×10, docs/emb/facts ×4 — /tmp/scale, the Scale
+  * layout) and at a SECOND (events ×30, docs/emb/facts ×8 —
+  * /tmp/scale2), two passes each, min taken; the per-query two-point
+  * exponent is ln(t2/t1) / ln(g2/g1) with (g1, g2) the growth pair of
+  * the query's dominant table (events 10→30, everything else 4→8),
+  * detected from the query's own plan (events.parquet scan or the
+  * events-built helix store) rather than hand-classified. Exponent
+  * ≤ ~1 = linear; > [[ExpGateBar]] FAILS the run unless the query
+  * carries a named contract flag ([[SparkEntry.unboundedBaselineOf]] /
+  * [[SparkEntry.linearInDocs]]). Results land in scale_sweep2.json. */
 object Scale2 {
 
-  /** Top-25 by bench_full.json best time at the r16 HEAD (see scaladoc). */
-  private val Picks: Seq[String] = Seq(
+  /** Top-25 by bench_full.json best time at the r16 HEAD. */
+  private val ExpensivePicks: Seq[String] = Seq(
     "dedup_ngram_jaccard_capped", "emb_kmeans_train", "dedup_lsh_recall",
     "dedup_ngram_jaccard", "dedup_containment_capped",
     "dedup_cluster_incremental", "ann_graph_recall", "q8_market_share",
@@ -26,9 +32,55 @@ object Scale2 {
     "q_market_basket", "dedup_cluster_survivor", "stream_cdc_incremental",
     "mm_cdc_incremental", "q_approx_distinct", "text_bpe_fertility")
 
-  /** Queries whose dominant table is EVENTS (growth 10 → 30);
-    * everything else rides documents/embeddings/facts (4 → 8). */
-  private val EventsDriven = Set("ts_above_p95", "q_approx_distinct")
+  /** A ×10/×4 ratio above this adds the query to the exponent set. */
+  val RatioPickBar = 1.5
+  /** Two-point exponents above this fail the run unless flagged. */
+  val ExpGateBar = 1.15
+
+  /** ExpensivePicks ∪ {ratio > RatioPickBar in scale_sweep.json} —
+    * derived from the artifact so the set can never silently shrink. */
+  private def picksOf(): Seq[String] = {
+    val p = java.nio.file.Paths.get("scale_sweep.json")
+    val fromSweep: Seq[String] =
+      if (!java.nio.file.Files.exists(p)) {
+        System.err.println("[scale2] no scale_sweep.json — run graft.Scale first; " +
+          "falling back to the expensive-25 set")
+        Seq.empty
+      } else {
+        val txt = java.nio.file.Files.readString(p)
+        // {"name":{"base":..,"scaled":..,"ratio":N.NN}, ...}
+        """"([A-Za-z0-9_]+)":\{"base":[0-9.]+,"scaled":[0-9.]+,"ratio":([0-9.]+)\}""".r
+          .findAllMatchIn(txt)
+          .collect { case m if m.group(2).toDouble > RatioPickBar => m.group(1) }
+          .toSeq
+      }
+    (ExpensivePicks ++ fromSweep).distinct.sorted
+      .filter(SparkEntry.queries.contains)
+  }
+
+  /** Hand overrides for queries whose events provenance a plan scan
+    * cannot see (the helix store stages rick/block dirs FROM events,
+    * so its scans carry generation dir names, not events.parquet). */
+  private val EventsDrivenOverride = Set(
+    "helix_scan_range", "helix_get_point", "helix_multiget", "helix_latest",
+    "helix_outdate_scan", "helix_stream_scan", "helix_scan_custom_order")
+
+  /** Dominant growth pair from the query's own plan: any events.parquet
+    * scan (or a helix-store override) rides the 10→30 pair, everything
+    * else the 4→8 docs/emb/facts pair. */
+  private def isEventsDriven(spark: SparkSession, name: String, dir: String): Boolean =
+    EventsDrivenOverride.contains(name) || {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      try {
+        SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.collect {
+          case l: LogicalRelation => l.relation match {
+            case h: HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("events.parquet"))
+            case _ => false
+          }
+        }.exists(identity)
+      } catch { case _: Throwable => false }
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -94,6 +146,10 @@ object Scale2 {
         System.err.println(s"[scale2] prebuild failed for $dir: ${e.toString.take(150)}")
       }
 
+    val Picks = picksOf()
+    println(s"[scale2] exponent set: ${Picks.size} queries " +
+      s"(expensive-25 ∪ sweep ratio > $RatioPickBar)")
+
     // ---- two passes over both grown dirs, min per (query, dir) ---------
     val times = scala.collection.mutable.Map[(String, String), Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -120,7 +176,7 @@ object Scale2 {
     val rows = Picks.filterNot(failed.contains).map { n =>
       val t1 = times.getOrElse((n, s1), 0.0)
       val t2 = times.getOrElse((n, s2), 0.0)
-      val (g1, g2) = if (EventsDriven(n)) (10.0, 30.0) else (4.0, 8.0)
+      val (g1, g2) = if (isEventsDriven(spark, n, s1)) (10.0, 30.0) else (4.0, 8.0)
       val expo = if (t1 > 0.005 && t2 > 0.0)
         math.log(t2 / t1) / math.log(g2 / g1) else 0.0
       (n, t1, t2, g1, g2, expo)
@@ -135,13 +191,29 @@ object Scale2 {
     }.mkString(
       "{\"grown1\":\"events x10, docs/emb/facts x4\"," +
         "\"grown2\":\"events x30, docs/emb/facts x8\",\"queries\":{", ",", "}")
+    // ---- the exponent GATE (r17 #3/#7): exponents above the bar fail
+    // the run unless the query carries a named contract flag; t1 below
+    // noise is exempt from the gate but still recorded.
+    val violations = rows.filter { case (n, t1, _, _, _, e) =>
+      t1 >= 0.10 && e > ExpGateBar &&
+        !SparkEntry.unboundedBaselineOf.contains(n) &&
+        !SparkEntry.linearInDocs.contains(n)
+    }
+    val gateJson = violations.map { case (n, _, _, _, _, e) =>
+      "\"" + n + "\":" + f2(e)
+    }.mkString(",\"gate_violations\":{", ",", "}")
     val errs = failed.map { case (k, v) =>
       "\"" + k + "\":\"" + Bench.escJson(v) + "\""
     }.mkString(",\"failed\":{", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("scale_sweep2.json"),
-      json + (if (failed.isEmpty) ",\"failed\":{}}" else errs))
+      json + gateJson + (if (failed.isEmpty) ",\"failed\":{}}" else errs))
     println(s"wrote scale_sweep2.json (${rows.size} queries, ${failed.size} failed)")
+    violations.foreach { case (n, t1, t2, _, _, e) =>
+      System.err.println(f"[scale2] GATE VIOLATION $n t1=$t1%.2f t2=$t2%.2f " +
+        f"exp=$e%.2f — unflagged super-$ExpGateBar%.2f exponent")
+    }
     spark.stop()
+    if (violations.nonEmpty || failed.nonEmpty) sys.exit(1)
   }
 }
