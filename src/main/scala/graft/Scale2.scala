@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * missed (q_decile_lift hid that way pre-r16). Each runs at the FIRST
   * grown copy (events ×10, docs/emb/facts ×4 — /tmp/scale, the Scale
   * layout) and at a SECOND (events ×30, docs/emb/facts ×8 —
-  * /tmp/scale2), two passes each, min taken; the per-query two-point
+  * /tmp/scale2), three passes each, min taken; the per-query two-point
   * exponent is ln(t2/t1) / ln(g2/g1) with (g1, g2) the growth pair of
   * the query's dominant table (events 10→30, everything else 4→8),
   * detected from the query's own plan (events.parquet scan or the
@@ -71,6 +71,11 @@ object Scale2 {
   private def isEventsDriven(spark: SparkSession, name: String, dir: String): Boolean =
     EventsDrivenOverride.contains(name) || {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      // cache substitution hides scans: a query that .cache()s a
+      // projection (q_percentiles) shows InMemoryRelation instead of
+      // its events scan if a timing pass left the entry alive —
+      // detection must see the raw relations
+      spark.catalog.clearCache()
       try {
         SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.collect {
           case l: LogicalRelation => l.relation match {
@@ -150,10 +155,15 @@ object Scale2 {
     println(s"[scale2] exponent set: ${Picks.size} queries " +
       s"(expensive-25 ∪ sweep ratio > $RatioPickBar)")
 
-    // ---- two passes over both grown dirs, min per (query, dir) ---------
+    // ---- three passes over both grown dirs, min per (query, dir) -------
     val times = scala.collection.mutable.Map[(String, String), Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (pass <- 1 to 2; dir <- Seq(s1, s2)) {
+    // min of 3 passes per dir: the box is co-tenant-contended and a
+    // load spike spanning one grown-dir pass was measured inflating
+    // two-point exponents past the gate (ts_heavy_hitters 0.69 → 1.84
+    // min-of-2 under load); a third pass makes the min robust to a
+    // single contended window
+    for (pass <- 1 to 3; dir <- Seq(s1, s2)) {
       println(s"--- pass $pass $dir")
       for (name <- Picks if !failed.contains(name)) {
         spark.catalog.clearCache()
@@ -173,15 +183,53 @@ object Scale2 {
 
     // ---- report + two-point exponents ----------------------------------
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val rows = Picks.filterNot(failed.contains).map { n =>
-      val t1 = times.getOrElse((n, s1), 0.0)
-      val t2 = times.getOrElse((n, s2), 0.0)
-      val (g1, g2) = if (isEventsDriven(spark, n, s1)) (10.0, 30.0) else (4.0, 8.0)
-      val expo = if (t1 > 0.005 && t2 > 0.0)
-        math.log(t2 / t1) / math.log(g2 / g1) else 0.0
-      (n, t1, t2, g1, g2, expo)
+    // growth-pair classification is a pure plan property — compute once
+    val gPair: Map[String, (Double, Double)] =
+      Picks.filterNot(failed.contains).map(n =>
+        n -> (if (isEventsDriven(spark, n, s1)) (10.0, 30.0) else (4.0, 8.0))).toMap
+    def rowsOf(): Seq[(String, Double, Double, Double, Double, Double)] =
+      Picks.filterNot(failed.contains).map { n =>
+        val t1 = times.getOrElse((n, s1), 0.0)
+        val t2 = times.getOrElse((n, s2), 0.0)
+        val (g1, g2) = gPair(n)
+        val expo = if (t1 > 0.005 && t2 > 0.0)
+          math.log(t2 / t1) / math.log(g2 / g1) else 0.0
+        (n, t1, t2, g1, g2, expo)
+      }
+    def violationsOf(rs: Seq[(String, Double, Double, Double, Double, Double)]) =
+      rs.filter { case (n, t1, _, _, _, e) =>
+        t1 >= 0.10 && e > ExpGateBar &&
+          !SparkEntry.unboundedBaselineOf.contains(n) &&
+          !SparkEntry.linearInDocs.contains(n)
+      }
+    // targeted re-adjudication (the Bench guard-retry discipline): a
+    // gate offender gets extra timed passes for ITSELF alone — a
+    // co-tenant load spike spanning one grown-dir pass was measured
+    // inflating an exponent from 0.3 (quiet best-of) to 1.3; the min
+    // over retries absorbs the spike without re-running the 88-query
+    // sweep. A true super-linear shape survives every retry.
+    var rows = rowsOf()
+    var retries = 0
+    while (violationsOf(rows).nonEmpty && retries < 2) {
+      retries += 1
+      for ((n, _, _, _, _, e) <- violationsOf(rows)) {
+        println(f"[scale2] retry $retries for $n (exp=$e%.2f over gate)")
+        for (dir <- Seq(s1, s2); _ <- 1 to 2) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            times((n, dir)) = math.min(times.getOrElse((n, dir), Double.MaxValue), sec)
+            println(f"SCALE2-RETRY $n%-28s $sec%7.2f s  ($dir)")
+          } catch { case e2: Throwable =>
+            System.err.println(s"[scale2] retry $n FAILED on $dir: ${e2.toString.take(150)}")
+          }
+        }
+      }
+      rows = rowsOf()
     }
-    println("==== SCALE2: two-point growth exponents (min of 2) ====")
+    println("==== SCALE2: two-point growth exponents (min of 3) ====")
     rows.sortBy(-_._6).foreach { case (n, t1, t2, g1, g2, e) =>
       println(f"$n%-28s t1=$t1%6.2f t2=$t2%6.2f g=$g1%.0f->$g2%.0f exp=$e%5.2f")
     }
@@ -194,11 +242,7 @@ object Scale2 {
     // ---- the exponent GATE (r17 #3/#7): exponents above the bar fail
     // the run unless the query carries a named contract flag; t1 below
     // noise is exempt from the gate but still recorded.
-    val violations = rows.filter { case (n, t1, _, _, _, e) =>
-      t1 >= 0.10 && e > ExpGateBar &&
-        !SparkEntry.unboundedBaselineOf.contains(n) &&
-        !SparkEntry.linearInDocs.contains(n)
-    }
+    val violations = violationsOf(rows)
     val gateJson = violations.map { case (n, _, _, _, _, e) =>
       "\"" + n + "\":" + f2(e)
     }.mkString(",\"gate_violations\":{", ",", "}")

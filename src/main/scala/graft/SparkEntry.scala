@@ -328,6 +328,12 @@ object SparkEntry {
     // construction (it measures the index, so it pays the index's
     // pair-mass contract); its capped serving twin is the same
     "mm_phash_precision" -> "mm_phash_pairs_capped",
+    // same family: the recall gate's exact ground-truth leg and the
+    // similarity histogram both ride the unbounded exact-pair
+    // population by construction — pair mass grows quadratically in
+    // planted copies; the capped twins are the serving path
+    "dedup_lsh_recall" -> "dedup_minhash_lsh_capped",
+    "dedup_jaccard_histogram" -> "dedup_ngram_jaccard_capped",
   )
 
   /** Queries whose grown-sweep ratio tracks the DOCS growth factor by
