@@ -71,13 +71,14 @@ object Scale2 {
   private def isEventsDriven(spark: SparkSession, name: String, dir: String): Boolean =
     EventsDrivenOverride.contains(name) || {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      // cache substitution hides scans: a query that .cache()s a
-      // projection (q_percentiles) shows InMemoryRelation instead of
-      // its events scan if a timing pass left the entry alive —
-      // detection must see the raw relations
+      // inspect the ANALYZED plan: cache substitution (a query that
+      // .cache()s a fragment DURING construction — q_percentiles'
+      // stats frame — swaps the events scan for an InMemoryRelation in
+      // the optimized plan the moment it registers) happens in
+      // withCachedData, which the analyzed plan precedes
       spark.catalog.clearCache()
       try {
-        SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.collect {
+        SparkEntry.queries(name)(spark, dir).queryExecution.analyzed.collect {
           case l: LogicalRelation => l.relation match {
             case h: HadoopFsRelation =>
               h.location.rootPaths.exists(_.toString.contains("events.parquet"))
