@@ -1140,17 +1140,14 @@ object OracleSqlGen {
        |FROM ncs n LEFT JOIN drift d USING (clabel) LEFT JOIN mv USING (clabel)""".stripMargin
   }
 
-  /** #ann_ivf_commit — post-swap probe of the COMMITTED rebalanced
-    * generation: the rebalance CTEs verbatim (sliced index, arrival
-    * fold, incremental refresh, drift rank), then the committed list
-    * set — kept base cells + kept arrivals + the re-homed drift mass
-    * assigned against the refreshed centroids — probed at nprobe 2
-    * against the refreshed centroid table with the engine's exact
-    * (cos desc, vec_id) rank order. */
-  val annIvfCommit: String = {
+  /** The shared CTE chain of the commit family (#ann_ivf_commit /
+    * #ann_ivf_commit_report): the rebalance CTEs verbatim (sliced
+    * index, arrival fold, incremental refresh, drift rank), then the
+    * re-homed delta (`re`) beside the kept legs. */
+  private val ivfCommitCtes: String = {
     val (mod, rem) = (graft.operators.IvfIndex.IncrMod, graft.operators.IvfIndex.IncrRem)
     val k = graft.operators.Similarity.RebDriftCells
-    s"""WITH $eCte,
+    s"""$eCte,
        |eo AS (SELECT * FROM e WHERE vec_id % $mod <> $rem),
        |${ivfAssignedCtesOver("eo")},
        |arr AS (SELECT vec_id, v FROM e WHERE vec_id % $mod = $rem),
@@ -1186,7 +1183,16 @@ object OracleSqlGen {
        |  SELECT m.vec_id, m.v, n.clabel AS new_cell,
        |    row_number() OVER (PARTITION BY m.vec_id
        |      ORDER BY ${rcosSafe("m.v", "n.ncv")} DESC, n.clabel) AS rn
-       |  FROM mem m, ncs n) WHERE rn = 1),
+       |  FROM mem m, ncs n) WHERE rn = 1)""".stripMargin
+  }
+
+  /** #ann_ivf_commit — post-swap probe of the COMMITTED rebalanced
+    * generation (see [[ivfCommitCtes]]): the committed list set —
+    * kept base cells + kept arrivals + the re-homed drift mass —
+    * probed at nprobe 2 against the refreshed centroid table with the
+    * engine's exact (cos desc, vec_id) rank order. */
+  val annIvfCommit: String =
+    s"""WITH $ivfCommitCtes,
        |lists AS (
        |  SELECT a.vec_id, a.v, a.assigned_label FROM assigned a
        |    LEFT JOIN drift d ON a.assigned_label = d.clabel
@@ -1205,7 +1211,26 @@ object OracleSqlGen {
        |  FROM lists l JOIN probe p ON l.assigned_label = p.assigned_label, q
        |  WHERE l.vec_id <> 0)
        |ORDER BY rnk LIMIT 10""".stripMargin
-  }
+
+  /** #ann_ivf_commit_report — the post-swap per-cell state report:
+    * base-leg counts (kept cells of the old lists), delta-leg counts
+    * (kept arrivals + the re-homed drift mass), and the total each
+    * committed cell serves. */
+  val annIvfCommitReport: String =
+    s"""WITH $ivfCommitCtes,
+       |bt AS (SELECT a.assigned_label AS cell, count(*) AS n_base
+       |  FROM assigned a LEFT JOIN drift d ON a.assigned_label = d.clabel
+       |  WHERE d.clabel IS NULL GROUP BY 1),
+       |dl AS (SELECT cell, count(*) AS n_delta FROM (
+       |  SELECT r.assigned_label AS cell FROM arras r
+       |    LEFT JOIN drift d ON r.assigned_label = d.clabel
+       |    WHERE d.clabel IS NULL
+       |  UNION ALL SELECT new_cell FROM re) GROUP BY 1)
+       |SELECT CAST(coalesce(bt.cell, dl.cell) AS BIGINT) AS cell,
+       |  CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+       |  CAST(coalesce(n_delta, 0) AS BIGINT) AS n_delta,
+       |  CAST(coalesce(n_base, 0) + coalesce(n_delta, 0) AS BIGINT) AS n_total
+       |FROM bt FULL JOIN dl ON bt.cell = dl.cell""".stripMargin
 
   /** #mm_decode_image_robust — driver-side recompute of the varied +
     * poisoned PNG corpus: kind/dims from the container cycle

@@ -277,6 +277,7 @@ object SparkEntry {
     "ann_ivf_incremental" -> (Similarity.annIvfIncremental _),
     "ann_ivf_rebalance" -> (Similarity.annIvfRebalance _),
     "ann_ivf_commit" -> (Similarity.annIvfCommit _),
+    "ann_ivf_commit_report" -> (Similarity.annIvfCommitReport _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
     "ts_deriv" -> (TimeSeriesOps.deriv _),
@@ -1677,6 +1678,7 @@ object SparkEntry {
     "ann_ivf_incremental" -> OracleSqlGen.annIvfIncremental,
     "ann_ivf_rebalance" -> OracleSqlGen.annIvfRebalance,
     "ann_ivf_commit" -> OracleSqlGen.annIvfCommit,
+    "ann_ivf_commit_report" -> OracleSqlGen.annIvfCommitReport,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
         |  count(*) AS n_samples,

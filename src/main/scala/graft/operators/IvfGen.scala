@@ -49,7 +49,9 @@ final class IvfGen(rootDir: String) {
 
   // ---- pointer ---------------------------------------------------------
 
-  private def resolve(p: String): String =
+  /** Resolve a pointer path: absolute = an external staged artifact,
+    * relative = a dir this root owns. */
+  private[graft] def resolve(p: String): String =
     if (p.startsWith("/")) p else root.resolve(p).toString
 
   /** Top-level `g-N` dir names a pointer's root-relative paths live in. */

@@ -933,6 +933,34 @@ object Similarity {
   def annIvfCommit(s: SparkSession, dir: String): DataFrame =
     commitProbe(s, dir, IvfGen.ensureCommitted(s, dir))
 
+  /** #ann_ivf_commit_report — the POST-swap state report, the
+    * counterpart of #ann_ivf_rebalance's pre-swap one: per cell of the
+    * committed generation, how many vectors it serves and which leg
+    * they come from (kept base partitions vs re-homed delta lists).
+    * This is what an operator reads AFTER the swap to confirm the
+    * generation is whole — every corpus vector in exactly one cell —
+    * and how the drift mass redistributed. Scale: the base leg is a
+    * partition-column-only count (parquet footer weight, no vector
+    * bytes — the rebalance report's n_old discipline) and the delta
+    * leg is drift+arrival-sized; output is K rows. */
+  def annIvfCommitReport(s: SparkSession, dir: String): DataFrame = {
+    val g = IvfGen.ensureCommitted(s, dir)
+    val p = g.pointer()
+    val base = s.read.parquet(g.resolve(p.base))
+      .filter(!col("assigned_label").isin(p.dropped: _*))
+      .groupBy(col("assigned_label").as("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val delta = s.read.parquet(g.resolve(p.delta.get))
+      .groupBy(col("assigned_label").as("cell"))
+      .agg(count(lit(1)).as("n_delta"))
+    base.join(delta, Seq("cell"), "full")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_total"))
+  }
+
   /** The post-swap probe against a committed [[IvfGen]] generation —
     * shared by the registered query and IvfGenSpec's crash tests so
     * the serving path under test is the product's. */

@@ -119,6 +119,23 @@ class IvfGenSpec extends SparkTestBase {
       "committed generation must cover the whole corpus exactly")
   }
 
+  test("commit report: whole-corpus coverage, drift cells serve delta-only") {
+    val (_, _, _, memAfter) = model
+    val g = IvfGen.ensureCommitted(spark, Sf)
+    val dropped = g.pointer().dropped.toSet
+    val rep = Similarity.annIvfCommitReport(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep.values.map(_._3).sum == all.length.toLong,
+      "report totals must cover the whole corpus exactly once")
+    rep.foreach { case (cell, (nBase, nDelta, nTotal)) =>
+      assert(nTotal == nBase + nDelta, s"cell $cell legs must sum")
+      if (dropped(cell.toInt))
+        assert(nBase == 0L, s"dropped cell $cell must serve delta rows only")
+      assert(nTotal == memAfter.getOrElse(cell.toInt, Seq.empty).size.toLong,
+        s"cell $cell total must equal the modelled post-state membership")
+    }
+  }
+
   // ---- crash injection at every commit step ----------------------------
 
   test("crash at each commit step: reopen always serves one complete generation") {

@@ -976,6 +976,17 @@ class PlanSpec extends SparkTestBase {
       "the post-swap probe is TakeOrdered + broadcast joins — no window")
   }
 
+  test("ann_ivf_commit_report counts cells from partition columns only — no vector bytes") {
+    val p = plan("ann_ivf_commit_report")
+    // both generation legs count on the partition column alone, so the
+    // scans read zero data columns (parquet footer weight — the
+    // rebalance report's n_old discipline, post-swap)
+    assert(p.linesIterator.count(l =>
+      l.trim.startsWith("ReadSchema") && l.contains("struct<>")) >= 2,
+      "both leg scans must read no data columns")
+    assert(!p.contains("windowspecdefinition"))
+  }
+
   test("q_decile_lift ranks within rev buckets — the customer dim never hits one partition") {
     val p = plan("q_decile_lift")
     // the global-rank window must be partitioned by the rev bucket
