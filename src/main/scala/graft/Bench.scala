@@ -48,7 +48,10 @@ object Bench {
         "SetGroupIndex" -> (() => operators.SetGroupIndex.ensure(spark, sfDir)),
         "VecGroupIndex" -> (() => operators.VecGroupIndex.ensure(spark, sfDir)),
         "CdcIndex" -> (() => operators.CdcIndex.ensure(spark, sfDir)),
-        "BasketIndex" -> (() => operators.BasketIndex.ensure(spark, sfDir)))) {
+        "BasketIndex" -> (() => operators.BasketIndex.ensure(spark, sfDir)),
+        "IvfGen.committed" -> (() => operators.IvfGen.ensureCommitted(spark, sfDir)),
+        "IvfGen.committedDeleted" -> (() => operators.IvfGen.ensureCommittedDeleted(spark, sfDir)),
+        "DedupGen.committed" -> (() => operators.DedupGen.ensureCommitted(spark, sfDir)))) {
       val t0 = System.nanoTime()
       // one line per build, success XOR failure — a success line after
       // a failure would let a 'staged' grep conclude all artifacts built

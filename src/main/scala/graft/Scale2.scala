@@ -49,10 +49,17 @@ object Scale2 {
       } else {
         val txt = java.nio.file.Files.readString(p)
         // {"name":{"base":..,"scaled":..,"ratio":N.NN}, ...}
-        """"([A-Za-z0-9_]+)":\{"base":[0-9.]+,"scaled":[0-9.]+,"ratio":([0-9.]+)\}""".r
-          .findAllMatchIn(txt)
-          .collect { case m if m.group(2).toDouble > RatioPickBar => m.group(1) }
-          .toSeq
+        val parsed =
+          """"([A-Za-z0-9_]+)":\{"base":[0-9.]+,"scaled":[0-9.]+,"ratio":([0-9.]+)\}""".r
+            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        // the file exists but the pattern matched NOTHING → the
+        // serialization drifted; failing loudly beats silently
+        // shrinking the exponent set back to the expensive-25
+        require(parsed.nonEmpty,
+          s"scale_sweep.json exists but no query entries matched the expected " +
+            s"serialization — Scale's format drifted; update picksOf's pattern " +
+            s"(first 200 chars: ${txt.take(200)})")
+        parsed.collect { case (n, r) if r > RatioPickBar => n }
       }
     (ExpensivePicks ++ fromSweep).distinct.sorted
       .filter(SparkEntry.queries.contains)

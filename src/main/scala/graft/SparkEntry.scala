@@ -239,6 +239,7 @@ object SparkEntry {
     "dedup_embedding_capped" -> (Dedup.embeddingCosineCapped _),
     "dedup_simhash_pairs_capped" -> (Dedup.simhashPairsCapped _),
     "dedup_minhash_lsh_capped" -> (Dedup.minhashLshCapped _),
+    "dedup_index_commit" -> (DedupGen.dedupIndexCommit _),
     "mm_phash_pairs_capped" -> (Multimodal.phashPairsCapped _),
     "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
     "ann_bq_ivf" -> (Similarity.annBqIvf _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "ann_ivf_rebalance" -> (Similarity.annIvfRebalance _),
     "ann_ivf_commit" -> (Similarity.annIvfCommit _),
     "ann_ivf_commit_report" -> (Similarity.annIvfCommitReport _),
+    "ann_ivf_gen_delete" -> (Similarity.annIvfGenDelete _),
     "ts_increase" -> (TimeSeriesOps.increase _),
     "ts_irate" -> (TimeSeriesOps.irate _),
     "ts_deriv" -> (TimeSeriesOps.deriv _),
@@ -1534,6 +1536,9 @@ object SparkEntry {
     "dedup_embedding_capped" -> OracleSqlGen.dedupEmbeddingCapped,
     "dedup_simhash_pairs_capped" -> OracleSqlGen.dedupSimhashPairsCapped,
     "dedup_minhash_lsh_capped" -> OracleSqlGen.dedupMinhashLshCapped,
+    // #dedup_index_commit shares #241's oracle: the committed
+    // generation must serve the from-scratch capped miner bit-equal
+    "dedup_index_commit" -> OracleSqlGen.dedupMinhashLshCapped,
     "mm_phash_pairs_capped" -> OracleSqlGen.mmPhashPairsCapped,
     "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
     "ann_bq_ivf" -> OracleSqlGen.annBqIvf,
@@ -1679,6 +1684,7 @@ object SparkEntry {
     "ann_ivf_rebalance" -> OracleSqlGen.annIvfRebalance,
     "ann_ivf_commit" -> OracleSqlGen.annIvfCommit,
     "ann_ivf_commit_report" -> OracleSqlGen.annIvfCommitReport,
+    "ann_ivf_gen_delete" -> OracleSqlGen.annIvfGenDelete,
     "ts_increase" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
         |  count(*) AS n_samples,

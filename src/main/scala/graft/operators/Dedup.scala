@@ -1011,7 +1011,7 @@ object Dedup {
     * mining/verify plan executes once — the unionAll of two
     * projections over the same frame it replaces planned that frame
     * TWICE, doubling the dominant stage of every capped miner. */
-  private def symmetrize(p: DataFrame, id1: String, id2: String,
+  private[operators] def symmetrize(p: DataFrame, id1: String, id2: String,
       score: String, outId: String, outNbr: String): DataFrame =
     p.select(explode(array(
         struct(col(id1).as(outId), col(id2).as(outNbr), col(score)),

@@ -36,12 +36,42 @@ import graft.core.Tables
  * a test's single thread); readers on other JVMs only ever read the
  * committed pointer.
  */
-final class IvfGen(rootDir: String) {
+final class IvfGen(rootDir: String,
+    /** Delta mass (rows) ≥ this fraction of the generation's total
+      * rows triggers a FOLD: the commit rewrites base := kept-base ∪
+      * delta and resets dropped/delta — one corpus-proportional
+      * compaction that re-arms the "commit I/O ∝ accumulated delta"
+      * bound (without it, repeated rebalances re-carry every kept
+      * delta row and delta mass approaches the corpus — the classic
+      * LSM L0 pile-up). */
+    val foldFrac: Double = IvfGen.DefaultFoldFrac) {
   import IvfGen._
 
   private val root = Paths.get(rootDir)
   private val pointerFile = root.resolve("_current")
   private val graveyardFile = root.resolve("_graveyard")
+
+  /** Cross-PROCESS single-writer guard (verdict r18 #7): commits take
+    * an exclusive file lock on `_wlock` for the whole protocol, so two
+    * committers racing from different JVMs serialize — exactly one
+    * wins each generation number and no half-written `g-N` dir is ever
+    * pointer-referenced. Within one JVM, FileChannel locks are
+    * process-wide (a second lock attempt throws, it doesn't block), so
+    * a per-root monitor serializes same-JVM writers FIRST. */
+  private def withWriteLock[T](f: => T): T = {
+    val monitor = jvmLocks.computeIfAbsent(root.toAbsolutePath.toString,
+      _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(root)
+      val ch = java.nio.channels.FileChannel.open(root.resolve("_wlock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other process releases
+        try f finally lock.release()
+      } finally ch.close()
+    }
+  }
 
   /** Test hook: called between commit-protocol steps with the step
     * name; a throwing hook simulates a crash there (IvfGenSpec). */
@@ -56,7 +86,7 @@ final class IvfGen(rootDir: String) {
 
   /** Top-level `g-N` dir names a pointer's root-relative paths live in. */
   private def ownedDirs(p: Pointer): Set[String] =
-    (Seq(p.centroids) ++ p.delta.toSeq)
+    (Seq(p.centroids, p.base) ++ p.delta.toSeq ++ p.tombs.toSeq)
       .filterNot(_.startsWith("/"))
       .map(_.split("/", 2).head).toSet
 
@@ -67,7 +97,8 @@ final class IvfGen(rootDir: String) {
     Pointer(kv("gen").toLong, kv("centroids"), kv("base"),
       kv.get("dropped").filter(_.nonEmpty)
         .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq.empty),
-      kv.get("delta").filter(_.nonEmpty))
+      kv.get("delta").filter(_.nonEmpty),
+      kv.get("tombs").filter(_.nonEmpty))
   }
 
   /** Atomic commit: temp file, then rename over `_current`. */
@@ -75,7 +106,8 @@ final class IvfGen(rootDir: String) {
     val body = (Seq(s"gen=${p.gen}", s"centroids=${p.centroids}",
       s"base=${p.base}") ++
       (if (p.dropped.nonEmpty) Seq(s"dropped=${p.dropped.mkString(",")}") else Nil) ++
-      p.delta.map(d => s"delta=$d"))
+      p.delta.map(d => s"delta=$d") ++
+      p.tombs.map(t => s"tombs=$t"))
       .mkString("", "\n", "\n")
     val tmp = root.resolve("_current.tmp")
     Files.write(tmp, body.getBytes)
@@ -118,10 +150,17 @@ final class IvfGen(rootDir: String) {
 
   /** Open the root: write the gen-1 pointer (referencing the external
     * staged base index) if none exists, else roll back any crashed
-    * swap — un-referenced, un-graveyarded `g-N` dirs are a crashed
-    * commit's half-written output and are deleted; a stale pointer tmp
-    * is discarded. After open, the committed pointer names one
-    * complete generation. */
+    * swap — a stale pointer tmp is discarded, and un-referenced,
+    * un-graveyarded `g-N` dirs are handled by WHEN they could have
+    * been live: a dir NEWER than the committed generation can only be
+    * a crashed commit's half-written output (its pointer never
+    * landed) and is deleted at once; a dir AT OR BELOW the committed
+    * generation was referenced by an earlier committed pointer — a
+    * crash between pointer swap and bury left it unburied — so it is
+    * GRAVEYARDED, not deleted, preserving the retention-gated vacuum
+    * window that stale readers in other JVMs were promised
+    * (StoreSnapshotSpec contract). After open, the committed pointer
+    * names one complete generation. */
   def open(centroidsPath: String, basePath: String): Pointer = synchronized {
     Files.createDirectories(root)
     if (!Files.exists(pointerFile)) {
@@ -133,12 +172,18 @@ final class IvfGen(rootDir: String) {
       val p = readPointer()
       val live = ownedDirs(p)
       val buried = readGraveyard().map(_._1).toSet
-      listDir(root)
-        .filter { d =>
-          val n = d.getFileName.toString
-          n.matches("^g-[0-9]+$") && !live.contains(n) && !buried.contains(n)
-        }
-        .foreach(deleteRecursively)
+      val orphans = listDir(root).filter { d =>
+        val n = d.getFileName.toString
+        n.matches("^g-[0-9]+$") && !live.contains(n) && !buried.contains(n)
+      }
+      val (crashedAttempts, supersededUnburied) = orphans.partition(
+        _.getFileName.toString.stripPrefix("g-").toLong > p.gen)
+      crashedAttempts.foreach(deleteRecursively)
+      if (supersededUnburied.nonEmpty) {
+        val now = System.currentTimeMillis()
+        writeGraveyard(readGraveyard() ++
+          supersededUnburied.map(_.getFileName.toString).sorted.map(_ -> now))
+      }
       p
     }
   }
@@ -150,10 +195,12 @@ final class IvfGen(rootDir: String) {
     s.read.parquet(resolve(readPointer().centroids))
 
   /** The committed generation's inverted lists: base partitions minus
-    * the dropped (re-homed) cells, union the delta lists. The dropped
-    * set enters as a STATIC partition filter (plan literals) and the
-    * delta is drift+arrival sized, so a probe's cell pruning works
-    * identically on both legs. */
+    * the dropped (re-homed) cells, union the delta lists, minus the
+    * committed tombstones. The dropped set enters as a STATIC
+    * partition filter (plan literals) and the delta is drift+arrival
+    * sized, so a probe's cell pruning works identically on both legs;
+    * the tombstone set (bounded by deletes-since-rebuild) anti-joins
+    * as a BROADCAST side, never a corpus shuffle. */
   def lists(s: SparkSession): DataFrame = {
     val p = readPointer()
     val cols = Seq(col("vec_id"), col("label"), col("v"), col("assigned_label"))
@@ -161,9 +208,15 @@ final class IvfGen(rootDir: String) {
     val kept =
       if (p.dropped.isEmpty) base
       else base.filter(!col("assigned_label").isin(p.dropped: _*))
-    p.delta match {
+    val merged = p.delta match {
       case Some(d) => kept.unionAll(s.read.parquet(resolve(d)).select(cols: _*))
       case None => kept
+    }
+    p.tombs match {
+      case Some(t) => merged.join(
+        broadcast(s.read.parquet(resolve(t)).select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      case None => merged
     }
   }
 
@@ -181,7 +234,7 @@ final class IvfGen(rootDir: String) {
     * atomic rename → bury superseded dirs (crash-hook named at each
     * step). Returns the committed pointer. */
   def commitRebalance(s: SparkSession, arrivals: DataFrame): Pointer =
-    synchronized {
+    withWriteLock {
       import graft.operators.Similarity.{RebDriftCells, assignByFold, cosine, l2norm}
       val cur = readPointer()
       val newGen = cur.gen + 1
@@ -208,6 +261,7 @@ final class IvfGen(rootDir: String) {
       val oldCounts = curLists
         .groupBy(col("assigned_label").as("clabel"))
         .agg(count(lit(1)).as("n_old"))
+        .localCheckpoint() // K rows; the fold decision re-reads it
       val nc = curCents.join(oldCounts, "clabel")
         .join(arrStats, Seq("clabel"), "left")
         .withColumn("n_arr", coalesce(col("n_arr"), lit(0L)))
@@ -254,13 +308,87 @@ final class IvfGen(rootDir: String) {
         .parquet(gdir.resolve("delta").toString)
       crashHook("commit:staged")
 
-      val next = Pointer(newGen, s"$gname/centroids", cur.base,
-        (cur.dropped ++ driftedIds).distinct.sorted,
-        Some(s"$gname/delta"))
+      // ---- fold decision (advice r18 #3): every commit re-carries the
+      // kept prior-delta rows, so delta mass grows with ACCUMULATED
+      // arrivals — the I/O bound is "∝ accumulated delta", not "∝ this
+      // commit's drift". Once the just-written delta crosses
+      // [[foldFrac]] of the generation's rows, compact: rewrite base
+      // := kept-base ∪ delta (tombstones applied physically) and reset
+      // dropped/delta/tombs — one corpus-proportional write that
+      // re-arms the bound, the LSM delta→base compaction.
+      val vcolsAll = Seq(col("vec_id"), col("label"), col("v"),
+        col("assigned_label"))
+      val deltaCnt = s.read.parquet(gdir.resolve("delta").toString).count()
+      val totalCnt =
+        oldCounts.agg(sum(col("n_old"))).collect().head.getLong(0) +
+          arrAssigned.count()
+      val dropped2 = (cur.dropped ++ driftedIds).distinct.sorted
+      val next = if (deltaCnt >= foldFrac * totalCnt) {
+        val keptBase0 = s.read.parquet(resolve(cur.base)).select(vcolsAll: _*)
+        val keptBase =
+          if (dropped2.isEmpty) keptBase0
+          else keptBase0.filter(!col("assigned_label").isin(dropped2: _*))
+        val folded0 = keptBase.unionAll(
+          s.read.parquet(gdir.resolve("delta").toString).select(vcolsAll: _*))
+        val folded = cur.tombs match {
+          case Some(t) => folded0.join(
+            broadcast(s.read.parquet(resolve(t)).select(col("vec_id"))),
+            Seq("vec_id"), "left_anti")
+          case None => folded0
+        }
+        folded.repartition(col("assigned_label"))
+          .write.partitionBy("assigned_label")
+          .parquet(gdir.resolve("base").toString)
+        crashHook("commit:folded")
+        Pointer(newGen, s"$gname/centroids", s"$gname/base",
+          Seq.empty, None, None)
+      } else
+        Pointer(newGen, s"$gname/centroids", cur.base, dropped2,
+          Some(s"$gname/delta"), cur.tombs)
       writePointer(next)
       crashHook("commit:pointer-durable")
       // bury the superseded generation's OWNED dirs (never the shared
       // external base); physical deletion is vacuum's, after retention
+      val superseded = ownedDirs(cur) -- ownedDirs(next)
+      if (superseded.nonEmpty) {
+        val now = System.currentTimeMillis()
+        writeGraveyard(readGraveyard() ++ superseded.toSeq.sorted.map(_ -> now))
+      }
+      crashHook("commit:buried")
+      next
+    }
+
+  /** Commit corpus-row DELETES as generation gen+1 (verdict r18 #5 —
+    * the survivor pipeline's dup kills must reach the served index
+    * without a rebuild): writes the merged tombstone list (prior
+    * tombs ∪ the new delete ids, distinct) as the new generation's
+    * ONLY artifact and swaps the pointer — centroids, base, dropped
+    * and delta are all REFERENCED unchanged, so commit I/O is ∝
+    * accumulated deletes, never corpus or drift. [[lists]] anti-joins
+    * the committed tombstones as a broadcast side (bounded by
+    * deletes-since-rebuild); the next FOLD applies them physically and
+    * resets the list. Same protocol + crash hooks as
+    * [[commitRebalance]]. */
+  def commitDeletes(s: SparkSession, deletes: DataFrame): Pointer =
+    withWriteLock {
+      val cur = readPointer()
+      val newGen = cur.gen + 1
+      val gname = s"g-$newGen"
+      val gdir = root.resolve(gname)
+      deleteRecursively(gdir)
+      Files.createDirectories(gdir)
+      val fresh = deletes.select(col("vec_id"))
+      val merged = cur.tombs match {
+        case Some(t) => s.read.parquet(resolve(t)).select(col("vec_id"))
+          .unionAll(fresh).distinct()
+        case None => fresh.distinct()
+      }
+      merged.coalesce(1).write.parquet(gdir.resolve("tombs").toString)
+      crashHook("commit:staged")
+      val next = Pointer(newGen, cur.centroids, cur.base, cur.dropped,
+        cur.delta, Some(s"$gname/tombs"))
+      writePointer(next)
+      crashHook("commit:pointer-durable")
       val superseded = ownedDirs(cur) -- ownedDirs(next)
       if (superseded.nonEmpty) {
         val now = System.currentTimeMillis()
@@ -287,12 +415,33 @@ final class IvfGen(rootDir: String) {
 }
 
 object IvfGen {
-  /** One committed generation: `centroids` and `delta` are dirs the
-    * root owns (root-relative) or external staged artifacts (absolute);
-    * `base` is the original full inverted-list layout, `dropped` the
-    * cells whose base lists are superseded by re-homed delta rows. */
+  /** One committed generation: `centroids`, `delta` and `tombs` are
+    * dirs the root owns (root-relative) or external staged artifacts
+    * (absolute); `base` is the full inverted-list layout (external
+    * until the first fold rewrites it as an owned dir), `dropped` the
+    * cells whose base lists are superseded by re-homed delta rows,
+    * `tombs` the committed delete ids probes anti-join. */
   final case class Pointer(gen: Long, centroids: String, base: String,
-      dropped: Seq[Int], delta: Option[String])
+      dropped: Seq[Int], delta: Option[String],
+      tombs: Option[String] = None)
+
+  /** Default [[IvfGen.foldFrac]]: fold once delta mass reaches half
+    * the generation's rows — late enough that the registered staged
+    * path (one arrival commit ≈ 5% arrivals + drift mass) never folds,
+    * early enough that delta can never exceed base. */
+  val DefaultFoldFrac = 0.5
+
+  /** Per-root monitors serializing same-JVM writers (see
+    * [[IvfGen.withWriteLock]]). */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Deterministic committed-delete slice for #ann_ivf_gen_delete:
+    * vec_id ≡ GenTombRem (mod GenTombMod) — disjoint from the arrival
+    * slice ([[IvfIndex.IncrRem]] = 7) and the static tombstone demo
+    * ([[Similarity.TombRem]] = 5), and never the probe vector (0). */
+  val GenTombMod = 20
+  val GenTombRem = 9
 
   /** The arrival slice of the commit's registered query — the same
     * not-yet-indexed 5% tail `ann_ivf_incremental` serves by brute
@@ -314,6 +463,27 @@ object IvfGen {
       val g = new IvfGen(tmp.toString)
       g.open(centPath, assignedPath)
       g.commitRebalance(s, arrivalSlice(s, dir)): Unit
+    }
+    val g = new IvfGen(base.toString)
+    g.open(centPath, assignedPath)
+    g
+  }
+
+  /** Staged committed generation WITH a delete commit on top of
+    * [[ensureCommitted]]'s state: gen-1 = the sliced index, gen-2 =
+    * the rebalance commit, gen-3 = the tombstone commit over the
+    * [[GenTombMod]]/[[GenTombRem]] slice — the `ann_ivf_gen_delete`
+    * serving state. Built at most once per source fingerprint. */
+  def ensureCommittedDeleted(s: SparkSession, dir: String): IvfGen = {
+    val (centPath, assignedPath) = IvfIndex.ensureIndexed(s, dir)
+    val base = Staging.ensure("ivfgendel",
+      s"${Staging.fingerprint(dir, "embeddings.parquet")}-v1") { tmp =>
+      val g = new IvfGen(tmp.toString)
+      g.open(centPath, assignedPath)
+      g.commitRebalance(s, arrivalSlice(s, dir)): Unit
+      g.commitDeletes(s, Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(GenTombMod)) === GenTombRem)
+        .select(col("vec_id"))): Unit
     }
     val g = new IvfGen(base.toString)
     g.open(centPath, assignedPath)

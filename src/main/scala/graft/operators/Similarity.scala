@@ -933,6 +933,21 @@ object Similarity {
   def annIvfCommit(s: SparkSession, dir: String): DataFrame =
     commitProbe(s, dir, IvfGen.ensureCommitted(s, dir))
 
+  /** #ann_ivf_gen_delete — TOMBSTONES THROUGH THE COMMITTED GENERATION
+    * (verdict r18 #5): #220's tombstone probe filters a STATIC slice at
+    * query time; here the deletes are DURABLE index state — a
+    * [[IvfGen.commitDeletes]] generation swap (pointer protocol, crash
+    * hooks, I/O ∝ accumulated deletes: centroids/base/delta referenced
+    * unchanged) whose tombstone list every probe anti-joins as a
+    * broadcast side. The registered query is the post-delete probe of
+    * the committed generation, so the oracle checks the full round
+    * trip: rebalance commit → delete commit → pointer resolution →
+    * tombstone anti-join → probe. The survivor pipeline's dup kills
+    * reach the served ANN index this way at 100 TB — no rebuild, the
+    * next fold compacts the tombstones away physically. */
+  def annIvfGenDelete(s: SparkSession, dir: String): DataFrame =
+    commitProbe(s, dir, IvfGen.ensureCommittedDeleted(s, dir))
+
   /** #ann_ivf_commit_report — the POST-swap state report, the
     * counterpart of #ann_ivf_rebalance's pre-swap one: per cell of the
     * committed generation, how many vectors it serves and which leg

@@ -445,6 +445,13 @@ object StreamOps {
   val LateSliceUs = 10800000000L
   val LateWmUs = 14400000000L
   val LateWinUs = 3600000000L
+  // The watermark/window interval STRINGS below are formatted via
+  // integer division by 1 h; a non-whole-hour constant would truncate
+  // silently and split the stream from its batch twin — fail at class
+  // load instead.
+  require(LateWmUs % 3600000000L == 0L && LateWinUs % 3600000000L == 0L,
+    "LateWmUs/LateWinUs must be whole hours: the '<n> hours' interval " +
+      "strings are derived by integer division and would truncate")
 
   /** The Spark version the batch twin's TWO pinned microbatch facts
     * (lag-2 watermark publication, ms-floored tracking — see

@@ -175,7 +175,7 @@ class IvfGenSpec extends SparkTestBase {
     }
   }
 
-  test("crash between pointer swap and bury on a LATER commit: recovery reclaims the superseded dirs") {
+  test("crash between pointer swap and bury on a LATER commit: recovery graveyards (not deletes) the superseded dirs") {
     val (centPath, basePath) = IvfIndex.ensureIndexed(spark, Sf)
     val root = tmpDir("ivfgen-bury")
     val g = new IvfGen(root)
@@ -191,9 +191,20 @@ class IvfGenSpec extends SparkTestBase {
     val g2 = new IvfGen(root)
     val p = g2.open(centPath, basePath)
     assert(p.gen == 3L, "second commit's pointer was durable")
-    // gen-2's dirs are unreferenced and unburied — recovery deletes them
+    // gen-2's dirs are unreferenced and unburied — but an EARLIER
+    // committed pointer referenced them, so a stale reader in another
+    // JVM may still hold a plan over them: recovery must BURY them
+    // (restoring the retention-gated vacuum window), never delete
+    // outright (advice r18 — immediate deletion is only for dirs NEWER
+    // than the committed generation, i.e. crashed attempts)
+    assert(Files.exists(Paths.get(root, "g-2")),
+      "recovery must graveyard, not delete, a superseded-but-unburied generation")
+    g2.vacuum(Long.MaxValue)
+    assert(Files.exists(Paths.get(root, "g-2")),
+      "inside the retention window the graveyarded generation must survive vacuum")
+    g2.vacuum(0L)
     assert(!Files.exists(Paths.get(root, "g-2")),
-      "recovery must reclaim the superseded, unburied generation")
+      "vacuum past retention must reclaim the recovered graveyard entry")
     assert(g2.lists(spark).count() == all.length.toLong,
       "the served generation must still cover the whole corpus")
   }
@@ -218,6 +229,176 @@ class IvfGenSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(root, "g-3")))
     assert(g.lists(spark).count() == served,
       "vacuum must not disturb the committed generation")
+  }
+
+  // ---- tombstone commits (verdict r18 #5) -------------------------------
+
+  test("ann_ivf_gen_delete: committed tombstone probe == probing the filtered post-state, all 50 queries") {
+    val (_, newCents, _, memAfter) = model
+    val memDeleted = memAfter.view.mapValues(_.filterNot { case (id, _) =>
+      id % IvfGen.GenTombMod == IvfGen.GenTombRem }).toMap
+    // the registered query's single probe, bit-equal
+    val got = probeRows(Similarity.annIvfGenDelete(spark, Sf))
+    val want = probe(all.find(_._1 == 0L).get._3, 0L, 2, 10, newCents, memDeleted)
+      .zipWithIndex.map { case (id, i) => (id, i + 1) }
+    assert(got == want, s"post-delete probe $got != filtered post-state $want")
+    // the recall re-gate in its exact form: EVERY query of the recall
+    // set must serve exactly the filtered post-state's probe (subsumes
+    // a recall floor — the tombstoned index cannot drift from the
+    // deleted corpus anywhere in the probe set)
+    val g = IvfGen.ensureCommittedDeleted(spark, Sf)
+    val centsAfter: Seq[(Int, Array[Double])] = g.centroids(spark).collect()
+      .map(r => (r.getAs[Int]("clabel"),
+        r.getAs[scala.collection.Seq[Double]]("cv").toArray)).sortBy(_._1)
+    val memCommitted: Map[Int, Seq[(Long, Array[Double])]] =
+      g.lists(spark).collect()
+        .map(r => (r.getAs[Int]("assigned_label"), (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Double]]("v").toArray)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    (0L until 50L).foreach { qid =>
+      val qv = all.find(_._1 == qid).get._3
+      assert(probe(qv, qid, 3, 10, centsAfter, memCommitted)
+        == probe(qv, qid, 3, 10, newCents, memDeleted),
+        s"query $qid: committed tombstone probe diverges from the filtered post-state")
+    }
+  }
+
+  test("commitDeletes I/O is ∝ deletes: every prior artifact is referenced, the new gen holds only tombs") {
+    val g = IvfGen.ensureCommittedDeleted(spark, Sf)
+    val p = g.pointer()
+    assert(p.gen == 3L)
+    assert(p.tombs.contains("g-3/tombs"))
+    // centroids/base/delta/dropped carried over by REFERENCE — the
+    // delete commit wrote no list or centroid bytes
+    val prev = IvfGen.ensureCommitted(spark, Sf).pointer()
+    assert(p.centroids == prev.centroids && p.base == prev.base
+      && p.dropped == prev.dropped && p.delta == prev.delta,
+      "a delete commit must not touch the list/centroid artifacts")
+    val gen3 = Paths.get(g.resolve("g-3"))
+    val entries = Files.list(gen3)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      entries.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally entries.close()
+    assert(names == Set("tombs"), s"gen-3 must hold only the tombstone list, got $names")
+    // lists() excludes exactly the tombstoned ids
+    val ids = g.lists(spark).select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect = all.map(_._1)
+      .filterNot(id => id % IvfGen.GenTombMod == IvfGen.GenTombRem).toSet
+    assert(ids == expect, "served ids must be corpus minus the committed tombstones")
+  }
+
+  test("crash at each commitDeletes step: reopen always serves one complete generation") {
+    val (centPath, basePath) = IvfIndex.ensureIndexed(spark, Sf)
+    val tombSlice = graft.core.Tables.embeddings(spark, Sf)
+      .filter(pmod(col("vec_id"), lit(IvfGen.GenTombMod)) === IvfGen.GenTombRem)
+      .select(col("vec_id"))
+    for (point <- Seq("commit:staged", "pointer:tmp-written",
+        "commit:pointer-durable", "commit:buried")) {
+      val root = tmpDir("ivfgen-delcrash")
+      val g = new IvfGen(root)
+      g.open(centPath, basePath)
+      g.commitRebalance(spark, IvfGen.arrivalSlice(spark, Sf))
+      g.crashHook = n => if (n == point) throw Boom(point)
+      intercept[Boom] { g.commitDeletes(spark, tombSlice) }
+      val g2 = new IvfGen(root)
+      val p = g2.open(centPath, basePath)
+      val ids = g2.lists(spark).select("vec_id").collect().map(_.getLong(0)).toSet
+      val durable = point == "commit:pointer-durable" || point == "commit:buried"
+      if (durable) {
+        assert(p.gen == 3L && p.tombs.isDefined, s"$point: delete commit was durable")
+        assert(ids == all.map(_._1).filterNot(
+          _ % IvfGen.GenTombMod == IvfGen.GenTombRem).toSet,
+          s"$point: must serve the tombstoned generation")
+      } else {
+        assert(p.gen == 2L && p.tombs.isEmpty, s"$point: pointer not durable")
+        assert(ids == all.map(_._1).toSet, s"$point: must serve the whole corpus")
+        assert(!Files.exists(Paths.get(root, "g-3")),
+          s"$point: recovery must roll back the crashed delete commit")
+      }
+    }
+  }
+
+  // ---- fold-back compaction (advice r18 #3) -----------------------------
+
+  test("fold-back: an always-fold root serves bit-identical lists to a never-fold root, and resets delta") {
+    val (centPath, basePath) = IvfIndex.ensureIndexed(spark, Sf)
+    val rootFold = tmpDir("ivfgen-fold")
+    val rootKeep = tmpDir("ivfgen-keep")
+    val gf = new IvfGen(rootFold, foldFrac = 0.0) // every commit compacts
+    val gk = new IvfGen(rootKeep, foldFrac = 2.0) // never compacts
+    gf.open(centPath, basePath); gk.open(centPath, basePath)
+    def served(g: IvfGen): Set[(Long, Int)] =
+      g.lists(spark).select("vec_id", "assigned_label").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    for (round <- 1 to 2) {
+      val arrivals =
+        if (round == 1) IvfGen.arrivalSlice(spark, Sf)
+        else IvfGen.arrivalSlice(spark, Sf).filter(lit(false))
+      gf.commitRebalance(spark, arrivals)
+      gk.commitRebalance(spark, arrivals)
+      assert(served(gf) == served(gk),
+        s"round $round: folded and unfolded roots must serve the same assignment")
+      val pf = gf.pointer()
+      assert(pf.base.startsWith(s"g-") && pf.dropped.isEmpty && pf.delta.isEmpty,
+        s"round $round: a fold must own its base and reset dropped/delta")
+      assert(gk.pointer().delta.isDefined,
+        s"round $round: the never-fold root must keep accumulating delta")
+    }
+    // a fold also applies tombstones physically
+    val tombSlice = graft.core.Tables.embeddings(spark, Sf)
+      .filter(pmod(col("vec_id"), lit(IvfGen.GenTombMod)) === IvfGen.GenTombRem)
+      .select(col("vec_id"))
+    gf.commitDeletes(spark, tombSlice)
+    gf.commitRebalance(spark, IvfGen.arrivalSlice(spark, Sf).filter(lit(false)))
+    val pf = gf.pointer()
+    assert(pf.tombs.isEmpty, "the fold must compact tombstones away")
+    assert(served(gf).map(_._1) == all.map(_._1).filterNot(
+      _ % IvfGen.GenTombMod == IvfGen.GenTombRem).toSet,
+      "the folded base must physically exclude the tombstoned rows")
+  }
+
+  // ---- two-writer contention (verdict r18 #7) ---------------------------
+
+  test("two concurrent committers serialize: each wins exactly one generation, no orphans survive") {
+    val (centPath, basePath) = IvfIndex.ensureIndexed(spark, Sf)
+    val root = tmpDir("ivfgen-race")
+    val g0 = new IvfGen(root)
+    g0.open(centPath, basePath)
+    val sliceA = graft.core.Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % 40 === 9).select(col("vec_id"))
+    val sliceB = graft.core.Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % 40 === 29).select(col("vec_id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(sliceA, sliceB).map { sl =>
+      new Thread(() => {
+        try { new IvfGen(root).commitDeletes(spark, sl): Unit }
+        catch { case e: Throwable => errs.add(e): Unit }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"a racing committer failed: ${errs.peek()}")
+    val g = new IvfGen(root)
+    val p = g.open(centPath, basePath)
+    assert(p.gen == 3L, "two commits must land as exactly two generations")
+    // the merged tombstone list is order-independent: each commit folds
+    // the prior list in, so the winner's union is both slices
+    val ids = g.lists(spark).select("vec_id").collect().map(_.getLong(0)).toSet
+    // gen-1's base is the SLICED index (no rebalance commit ran here),
+    // so the arrival slice is absent by construction
+    val expect = all.map(_._1)
+      .filter(_ % IvfIndex.IncrMod != IvfIndex.IncrRem)
+      .filterNot(id => id % 40 == 9 || id % 40 == 29).toSet
+    assert(ids == expect, "both racing delete sets must be served")
+    g.vacuum(0L)
+    val left = Files.list(Paths.get(root))
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      left.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("^g-[0-9]+$")).toSet
+    } finally left.close()
+    assert(dirs.forall(Set("g-2", "g-3").contains),
+      s"no orphaned generation dir may survive vacuum, got $dirs")
   }
 
   // ---- recall re-gate, POST-swap, on the committed artifact ------------

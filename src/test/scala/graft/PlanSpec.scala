@@ -1134,10 +1134,19 @@ class PlanSpec extends SparkTestBase {
     }
     case _: LocalRelation => Some("plan-literals")
     case j: Join =>
-      // a join is bounded if EITHER input is (the other side can only
-      // match, never multiply past the bounded side × per-key matches
-      // — and every equi-join key here is unique on the bounded side)
-      xjBounded(j.left).orElse(xjBounded(j.right))
+      // a nested join's output is K-bounded only when that is provable
+      // from the join's SHAPE: both inputs bounded (≤ K·K rows), or a
+      // semi/anti join whose output is a subset of a bounded left side.
+      // One bounded input alone proves nothing — (corpus ⋈ 1-row) is
+      // corpus-sized, and treating it as bounded let an unflagged
+      // O(N²) product through the fence (advice r18).
+      import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+      j.joinType match {
+        case LeftSemi | LeftAnti => xjBounded(j.left).map(w => s"semi($w)")
+        case _ =>
+          for (l <- xjBounded(j.left); r <- xjBounded(j.right))
+            yield s"join($l×$r)"
+      }
     case u: Union =>
       val cs = u.children.map(xjBounded)
       if (cs.forall(_.isDefined)) Some(cs.flatten.mkString("union(", "+", ")"))
@@ -1187,6 +1196,22 @@ class PlanSpec extends SparkTestBase {
     }
     assert(unbounded.nonEmpty,
       "the fence must flag a corpus × corpus cross join — the checker went blind")
+  }
+
+  test("the fence catches (corpus ⋈ scalar) × corpus — one bounded input does not bound a join") {
+    // regression for the r18-advice hole: a 1-row side joined to a
+    // corpus side yields up to corpus-many rows, so the nested join
+    // must NOT count as a K-bound witness for the outer cross join
+    val e = graft.core.Tables.embeddings(spark, Sf).select("vec_id")
+    val scalarized = e.crossJoin(e.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))) // corpus ⋈ 1-row: corpus-sized
+    val bad = scalarized.crossJoin(e.withColumnRenamed("vec_id", "v2"))
+    val unbounded = bad.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty
+        && xjBounded(j.left).isEmpty && xjBounded(j.right).isEmpty => j
+    }
+    assert(unbounded.nonEmpty,
+      "the fence must flag (corpus ⋈ scalar) × corpus — the Join rule is unsound again")
   }
 
   test("every partitionless window rides an enumerated, provably bounded frame") {
