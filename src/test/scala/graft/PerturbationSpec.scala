@@ -7,8 +7,10 @@ package graft
   * cluster at 100 TB. Every query runs at sf0.01 under the shared
   * local[4] context in three SQL regimes — (baseline)
   * shuffle.partitions=4 + AQE on, (a) shuffle.partitions=7 + AQE on,
-  * (b) shuffle.partitions=7 + AQE OFF — and the canonical result hash
-  * must be identical in all three. Any divergence is a latent scale
+  * (b) shuffle.partitions=7 + AQE OFF + 2 MB scan splits (the read
+  * side: more input partitions changes map-side combine grouping and
+  * scan task count) — and the canonical result hash must be identical
+  * in all three. Any divergence is a latent scale
   * bug: an aggregation whose double combine order leaks into the
   * output, a window whose tie order depends on partitioning, a limit
   * without a pinned order.
@@ -41,6 +43,10 @@ class PerturbationSpec extends SparkTestBase {
     val noAqe = spark.newSession()
     noAqe.conf.set("spark.sql.shuffle.partitions", "7")
     noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    // also shrink the scan splits in this regime: more input partitions
+    // changes map-side combine grouping and scan task count — the READ
+    // side of the same invariance claim
+    noAqe.conf.set("spark.sql.files.maxPartitionBytes", "2m")
 
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
