@@ -410,6 +410,59 @@ object OracleSqlGen {
        |    PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rnk FROM sym)
        |WHERE rnk <= ${Dedup.PairCapM}""".stripMargin
 
+  /** #dedup_index_commit_report — the committed generation's per-leg
+    * state, re-derived from raw documents: base = the historical
+    * slice's docs / identical-hash-set groups / band-verified pairs
+    * among group reps; delta = the arrival slice's docs, the groups
+    * the commit MINTED (arrival sets matching no historical set), and
+    * the verified rep pairs with ≥ 1 minted-rep endpoint (new × old
+    * normalized by least/greatest + new × new) — mirroring the
+    * engine's commit mining exactly (same band keys, same threshold
+    * comparison; group identity = the sorted distinct-hash set,
+    * keyed here as md5 of its comma string). */
+  val dedupIndexCommitReport: String = {
+    val (mod, rem) = (Dedup.IncrMod, Dedup.IncrRem)
+    val verify = (cand: String, d1: String, d2: String) =>
+      s"""SELECT count(*) FROM (
+         |    SELECT c1.$d1, c1.$d2, count(*) AS c FROM $cand c1
+         |    JOIN shh a ON a.doc_id = c1.$d1
+         |    JOIN shh b ON b.doc_id = c1.$d2 AND b.h = a.h
+         |    GROUP BY 1, 2) i
+         |  JOIN szh s1 ON i.$d1 = s1.doc_id JOIN szh s2 ON i.$d2 = s2.doc_id
+         |  WHERE i.c * ${Dedup.ThreshDen} >= ${Dedup.ThreshNum} * (s1.n + s2.n - i.c)"""
+        .stripMargin
+    s"""WITH $minhashSigCtes,
+       |k AS (SELECT doc_id,
+       |    md5(array_to_string(list(h ORDER BY h), ',')) AS kk
+       |  FROM shh GROUP BY doc_id),
+       |oldk AS (SELECT * FROM k WHERE doc_id % $mod <> $rem),
+       |newk AS (SELECT * FROM k WHERE doc_id % $mod = $rem),
+       |oldg AS (SELECT kk, min(doc_id) AS rep FROM oldk GROUP BY kk),
+       |minted AS (SELECT n.kk, min(n.doc_id) AS rep FROM newk n
+       |  LEFT JOIN oldg o ON n.kk = o.kk WHERE o.kk IS NULL GROUP BY n.kk),
+       |orb AS (SELECT b.* FROM bands b JOIN oldg g ON b.doc_id = g.rep),
+       |nrb AS (SELECT b.* FROM bands b JOIN minted g ON b.doc_id = g.rep),
+       |bcand AS (SELECT DISTINCT x.doc_id AS doc_id1, y.doc_id AS doc_id2
+       |  FROM orb x JOIN orb y ON x.band = y.band AND x.bkey = y.bkey
+       |  AND x.doc_id < y.doc_id),
+       |dcand AS (SELECT DISTINCT doc_id1, doc_id2 FROM (
+       |  SELECT x.doc_id AS doc_id1, y.doc_id AS doc_id2
+       |  FROM nrb x JOIN nrb y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id
+       |  UNION ALL
+       |  SELECT least(x.doc_id, y.doc_id), greatest(x.doc_id, y.doc_id)
+       |  FROM nrb x JOIN orb y ON x.band = y.band AND x.bkey = y.bkey))
+       |SELECT 'base' AS leg,
+       |  CAST((SELECT count(*) FROM oldk) AS BIGINT) AS n_docs,
+       |  CAST((SELECT count(*) FROM oldg) AS BIGINT) AS n_groups,
+       |  CAST((${verify("bcand", "doc_id1", "doc_id2")}) AS BIGINT) AS n_reppairs
+       |UNION ALL
+       |SELECT 'delta',
+       |  CAST((SELECT count(*) FROM newk) AS BIGINT),
+       |  CAST((SELECT count(*) FROM minted) AS BIGINT),
+       |  CAST((${verify("dcand", "doc_id1", "doc_id2")}) AS BIGINT)""".stripMargin
+  }
+
   /** Connected components over the MINHASH dup pairs (same pair source
     * as the Spark operator): transitive closure by recursive CTE, then
     * min reachable id per node — the same fixpoint the Spark min-label

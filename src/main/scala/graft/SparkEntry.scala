@@ -240,6 +240,7 @@ object SparkEntry {
     "dedup_simhash_pairs_capped" -> (Dedup.simhashPairsCapped _),
     "dedup_minhash_lsh_capped" -> (Dedup.minhashLshCapped _),
     "dedup_index_commit" -> (DedupGen.dedupIndexCommit _),
+    "dedup_index_commit_report" -> (DedupGen.dedupIndexCommitReport _),
     "mm_phash_pairs_capped" -> (Multimodal.phashPairsCapped _),
     "dedup_bloom_incremental" -> (Dedup.bloomIncremental _),
     "ann_bq_ivf" -> (Similarity.annBqIvf _),
@@ -1539,6 +1540,7 @@ object SparkEntry {
     // #dedup_index_commit shares #241's oracle: the committed
     // generation must serve the from-scratch capped miner bit-equal
     "dedup_index_commit" -> OracleSqlGen.dedupMinhashLshCapped,
+    "dedup_index_commit_report" -> OracleSqlGen.dedupIndexCommitReport,
     "mm_phash_pairs_capped" -> OracleSqlGen.mmPhashPairsCapped,
     "dedup_bloom_incremental" -> OracleSqlGen.dedupBloomIncremental,
     "ann_bq_ivf" -> OracleSqlGen.annBqIvf,

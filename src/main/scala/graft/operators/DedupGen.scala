@@ -218,6 +218,36 @@ final class DedupGen(rootDir: String) {
       .select("doc_id", "rnk", "nbr_id", "jaccard")
   }
 
+  /** The post-commit state report — [[IvfGen]]'s commit-report
+    * discipline for the dedup generation: per leg (base / delta), how
+    * many docs' signatures it serves, how many groups it REPRESENTS
+    * (base = the historical set groups; delta = the groups this
+    * commit MINTED — matched arrivals join base groups and mint
+    * nothing), and how many rep-level verified pairs it stores. This
+    * is what an operator reads after a commit to confirm the delta is
+    * arrival-sized and the mined pair volume is sane before pointing
+    * consumers at the new generation. Scale: three column-pruned
+    * counts per leg over the staged artifacts — the corpus never
+    * re-shingles, no verify re-runs. */
+  def commitReport(s: SparkSession): DataFrame = {
+    def legOf(leg: String, hset: DataFrame, gset: DataFrame,
+        reppairs: DataFrame): DataFrame = {
+      val nd = hset.select(count(lit(1)).as("n_docs"))
+      val ng = gset.filter(col("doc_id") === col("rep"))
+        .select(count(lit(1)).as("n_groups"))
+      val np = reppairs.select(count(lit(1)).as("n_reppairs"))
+      nd.crossJoin(ng).crossJoin(np).select(lit(leg).as("leg"),
+        col("n_docs"), col("n_groups"), col("n_reppairs"))
+    }
+    val base = legOf("base", baseRead(s, "hset"), baseRead(s, "gset"),
+      baseRead(s, "reppairs"))
+    deltaRead(s, "hset") match {
+      case Some(dh) => base.unionAll(legOf("delta", dh,
+        deltaRead(s, "gset").get, deltaRead(s, "reppairs").get))
+      case None => base
+    }
+  }
+
   // ---- the commit ----------------------------------------------------------
 
   /** Commit an arrival batch (`isNew` selects it from `dir`'s
@@ -412,4 +442,9 @@ object DedupGen {
     * checks the full round trip against the same SQL as #241). */
   def dedupIndexCommit(s: SparkSession, dir: String): DataFrame =
     ensureCommitted(s, dir).cappedPairs(s)
+
+  /** #dedup_index_commit_report — the post-commit per-leg state report
+    * of the staged committed generation (see [[DedupGen.commitReport]]). */
+  def dedupIndexCommitReport(s: SparkSession, dir: String): DataFrame =
+    ensureCommitted(s, dir).commitReport(s)
 }

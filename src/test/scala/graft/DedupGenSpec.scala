@@ -102,6 +102,35 @@ class DedupGenSpec extends SparkTestBase {
     }
   }
 
+  test("commit report: per-leg counts match a driver-side model of the commit") {
+    val g = DedupGen.ensureCommitted(spark, Sf)
+    val rep = DedupGen.dedupIndexCommitReport(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rep.keySet == Set("base", "delta"))
+    // model the group/mint split from the staged hsets directly
+    val root = Paths.get(g.resolve(""))
+    def keysOf(sub: String): Map[Long, Seq[Long]] = spark.read
+      .parquet(root.resolve(sub).toString)
+      .select("doc_id", "hs").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("hs").sorted.toSeq).toMap
+    val baseK = keysOf("base/hset")
+    val deltaK = keysOf("g-2/hset")
+    val baseGroups = baseK.values.toSet
+    val mintedGroups = deltaK.values.filterNot(baseGroups).toSet
+    assert(rep("base")._1 == baseK.size.toLong, "base n_docs")
+    assert(rep("base")._2 == baseGroups.size.toLong, "base n_groups")
+    assert(rep("delta")._1 == deltaK.size.toLong, "delta n_docs")
+    assert(rep("delta")._2 == mintedGroups.size.toLong, "delta n_groups")
+    // pair counts equal the staged artifacts' row counts, and the legs
+    // partition the committed rep-pair space
+    assert(rep("base")._3 ==
+      spark.read.parquet(root.resolve("base/reppairs").toString).count())
+    assert(rep("delta")._3 ==
+      spark.read.parquet(root.resolve("g-2/reppairs").toString).count())
+  }
+
   test("a later commit buries the superseded delta; vacuum reclaims it past retention") {
     val baseSrc = Paths.get(DedupGen.ensureCommitted(spark, Sf)
       .resolve("base"))
