@@ -50,6 +50,26 @@ object OverheadProbe {
         .groupBy(col("r")).agg(count(lit(1)))
         .queryExecution.toRdd.count(): Unit
     }
+    // --- decomposition probes ---
+    val tinyRdd = spark.sparkContext.parallelize(1 to 32, 32).cache()
+    tinyRdd.count()
+    time("raw job: cached 32-task RDD") { () => tinyRdd.count(): Unit }
+    val tiny1 = spark.sparkContext.parallelize(1 to 4, 1).cache()
+    tiny1.count()
+    time("raw job: cached 1-task RDD") { () => tiny1.count(): Unit }
+    val prebuilt = base.select((col("x") * 2).as("y"))
+    val preRdd = prebuilt.queryExecution.toRdd
+    time("prebuilt RDD re-count (no plan)") { () => preRdd.count(): Unit }
+    time("plan only: toRdd, no action") { () =>
+      base.select((col("x") * 2).as("y")).queryExecution.toRdd: Unit
+    }
+    val df32 = spark.range(0, 32, 1, 2).toDF("x")
+    time("tiny localCheckpoint") { () =>
+      df32.localCheckpoint(): Unit
+    }
+    time("tiny DF isEmpty") { () =>
+      df32.filter(col("x") < 0).isEmpty: Unit
+    }
     spark.stop()
   }
 }

@@ -923,8 +923,41 @@ final class HelixStore private (
   private def rawEntries(decompress: Boolean = true,
       rowFilesSnapshot: Option[Seq[Path]] = None,
       partitionPrune: Option[Seq[(Long, Long)]] = None,
-      reader: SparkSession = spark): DataFrame = {
+      reader: SparkSession = spark,
+      pruneKey: Option[(Array[Byte], Array[Byte])] = None,
+      pruneTsLt: Option[Long] = None,
+      pruneBucket: Option[(Long, Long)] = None): DataFrame = {
     val cols = Seq("key", "ts", "value", "seq", "subseq", "shard", "bucket")
+    // Range pruning BEFORE the block-decode flatMap (r20, reference
+    // analogue: SSTable block-meta pruning): Catalyst cannot push a
+    // predicate through the typed flatMap, so without these a key- or
+    // time-ranged scan decodes EVERY bucket-pruned block and discards
+    // most entries after the fact — and orderBy's range-partitioner
+    // sampling pass pays that decode a second time. A block holds one
+    // key with ascending timestamps from t0, so [k0, k1) applies to
+    // blocks exactly and `t0 < hi` is a sound upper prune (every entry
+    // of a t0 ≥ hi block is ≥ hi). The rick side carries raw entry
+    // rows, so both predicates push to its parquet scan as-is. Sound
+    // under the LWW window too: it partitions by (…, key, ts), and
+    // pruning never removes a row of a surviving (key, ts) group.
+    // `bucket` is a partition column on BOTH layers, but scan()'s
+    // bucket-range filter cannot push through the flatMap — applied
+    // here it prunes at the file index instead of decoding every
+    // bucket and discarding.
+    val bucketPred = pruneBucket.map { case (b0, b1) =>
+      col("bucket").between(b0, b1) }.getOrElse(lit(true))
+    def pruneRows(df: DataFrame): DataFrame = {
+      val k = pruneKey.map { case (k0, k1) =>
+        col("key") >= lit(k0) && col("key") < lit(k1) }.getOrElse(lit(true))
+      val t = pruneTsLt.map(hi => col("ts") < hi).getOrElse(lit(true))
+      df.filter(k && t && bucketPred)
+    }
+    def pruneBlocks(df: DataFrame): DataFrame = {
+      val k = pruneKey.map { case (k0, k1) =>
+        col("key") >= lit(k0) && col("key") < lit(k1) }.getOrElse(lit(true))
+      val t = pruneTsLt.map(hi => col("t0") < hi).getOrElse(lit(true))
+      df.filter(k && t && bucketPred)
+    }
     // (shard, bucket) pruning must land ON THE PARQUET SCANS, before
     // the block-decompress flatMap: Catalyst cannot push a predicate
     // through a typed flatMap, so filtering afterwards would decode
@@ -943,10 +976,11 @@ final class HelixStore private (
       // generation at commit instead)
       case Some(files) =>
         if (files.isEmpty) None
-        else Some(prune(reader.read.option("basePath", rowsPath)
-          .parquet(files.map(_.toString): _*)).select(cols.map(col): _*))
+        else Some(pruneRows(prune(reader.read.option("basePath", rowsPath)
+          .parquet(files.map(_.toString): _*))).select(cols.map(col): _*))
       case None =>
-        if (hasRows) Some(prune(reader.read.parquet(rowsPath)).select(cols.map(col): _*))
+        if (hasRows)
+          Some(pruneRows(prune(reader.read.parquet(rowsPath))).select(cols.map(col): _*))
         else None
     }
     val blocks =
@@ -957,7 +991,7 @@ final class HelixStore private (
         val codecsByName = opts.codecs
         // block entries are already LWW winners; their in-block position
         // serves as the subseq tiebreak
-        Some(prune(reader.read.parquet(dirOf(ptr.blocks.get).toString))
+        Some(pruneBlocks(prune(reader.read.parquet(dirOf(ptr.blocks.get).toString)))
           .as[HelixStore.BinBlock]
           .flatMap { b =>
             val codec = codecsByName.getOrElse(b.codec, throw new IllegalArgumentException(
@@ -1396,7 +1430,12 @@ final class HelixStore private (
         s
       case None => spark
     }
-    val filtered = toDFWithPartitions(reader)
+    // key range + ts upper bound also prune BELOW the block-decode
+    // flatMap (see rawEntries) — the per-entry filters here stay for
+    // the bounds block metadata cannot express (ts lower bound)
+    val filtered = toDFWithPartitions(reader,
+        pruneKey = Some((k0, k1)), pruneTsLt = Some(t1),
+        pruneBucket = Some((b0, b1)))
       .filter(col("bucket").between(b0, b1))
       .filter(col("ts") >= t0 && col("ts") < t1)
       .filter(col("key") >= lit(k0) && col("key") < lit(k1))
@@ -1433,7 +1472,10 @@ final class HelixStore private (
       .foreachBatch { (batch: DataFrame, _: Long) => put(batch) }
       .start()
 
-  private def toDFWithPartitions(reader: SparkSession = spark): DataFrame = {
+  private def toDFWithPartitions(reader: SparkSession = spark,
+      pruneKey: Option[(Array[Byte], Array[Byte])] = None,
+      pruneTsLt: Option[Long] = None,
+      pruneBucket: Option[(Long, Long)] = None): DataFrame = {
     refreshPointer()
     // Post-compaction fast path: with the rick empty, the block layer is
     // the only source and blockCompact already resolved LWW per
@@ -1442,7 +1484,9 @@ final class HelixStore private (
     // shuffle from every read of a compacted store (the common state —
     // at 100 TB the read-amplification win is the whole point of
     // compacting).
-    if (!hasRows && hasBlocks) rawEntries(reader = reader)
+    if (!hasRows && hasBlocks)
+      rawEntries(reader = reader, pruneKey = pruneKey, pruneTsLt = pruneTsLt,
+        pruneBucket = pruneBucket)
     else {
       // LWW scoped per shard (like the reference, whose shards are
       // independent trees): for routed writes key determines shard so
@@ -1456,7 +1500,8 @@ final class HelixStore private (
       // for the rank before cutting the range.
       val w = Window.partitionBy("shard", "bucket", "key", "ts")
         .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
-      rawEntries(reader = reader)
+      rawEntries(reader = reader, pruneKey = pruneKey, pruneTsLt = pruneTsLt,
+          pruneBucket = pruneBucket)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     }
   }
@@ -1464,7 +1509,13 @@ final class HelixStore private (
   /** Latest value per key at or before `asOf` (TimeIterator newest-wins). */
   def latest(asOf: Long): DataFrame = {
     val w = Window.partitionBy("key").orderBy(col("ts").desc)
-    toDF.filter(col("ts") <= asOf)
+    // asOf prunes below the block decode too (t0 ≤ asOf blocks only —
+    // sound: the per-key window only ever KEEPS entries with ts ≤ asOf,
+    // and those live in blocks with t0 ≤ ts ≤ asOf)
+    toDFWithPartitions(
+        pruneTsLt = if (asOf == Long.MaxValue) None else Some(asOf + 1))
+      .select(EntryColumns.map(col): _*)
+      .filter(col("ts") <= asOf)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(EntryColumns.map(col): _*)
   }

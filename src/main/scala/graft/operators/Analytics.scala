@@ -1015,12 +1015,26 @@ object Analytics {
     * (c_ab·n) / (c_a·c_b) — all integers into ONE IEEE division
     * mirrored by the oracle; top-k is TakeOrderedAndProject on
     * (count desc, p1, p2). */
+  /** Within-order part pairs (p1 < p2) of the staged incidence frame —
+    * one ok-keyed shuffle into per-order sorted part arrays, pairs
+    * generated MAP-SIDE from each array (r20: replaces the ok-keyed
+    * self-join, which shuffled the incidence twice and sort-merged it
+    * before the same fanout — one Exchange fewer, no join; identical
+    * pair multiset: the ok sets are distinct, so sorted-array (i < j)
+    * enumeration IS the p1 < p2 equi-join). Fanout stays bounded by
+    * lines-per-order². */
+  private def basketPairs(op: DataFrame): DataFrame = {
+    val grouped = op.groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+    grouped.select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c_ab"))
+  }
+
   def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
     val op = BasketIndex.frame(s, dir) // staged distinct (ok, pk)
-    val pairs = op.select(col("ok"), col("pk").as("p1"))
-      .join(op.select(col("ok"), col("pk").as("p2")), "ok")
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("c_ab"))
+    val pairs = basketPairs(op)
     val supp = op.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     // order count rides as a broadcast 1-row frame — no driver-side
     // action in the query path
@@ -1058,10 +1072,7 @@ object Analytics {
     * TakeOrderedAndProject. */
   def qBasketRules(s: SparkSession, dir: String): DataFrame = {
     val op = BasketIndex.frame(s, dir)
-    val pairs = op.select(col("ok"), col("pk").as("p1"))
-      .join(op.select(col("ok"), col("pk").as("p2")), "ok")
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("c_ab"))
+    val pairs = basketPairs(op) // shared map-side pair mining (see above)
       .filter(col("c_ab") >= RuleMinSup)
     val supp = op.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val nOrders = op.select("ok").distinct().agg(count(lit(1)).as("n_ord"))

@@ -111,16 +111,20 @@ object Multimodal {
         // through a temp FILE per encode — a syscall tax per row and a
         // disk dependency a 100 TB scan must not have
         javax.imageio.ImageIO.setUseCache(false)
+        // one reused fill buffer per task; setSamples is the bulk
+        // equivalent of the per-pixel setSample loop (same samples,
+        // ~10x less SampleModel dispatch — guide §1.2 per-task work)
+        val buf = new Array[Int](ImgSide * ImgSide)
         ids.map { id =>
           val img = new java.awt.image.BufferedImage(
             ImgSide, ImgSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val r = img.getRaster
           var y = 0
           while (y < ImgSide) {
             var x = 0
-            while (x < ImgSide) { r.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+            while (x < ImgSide) { buf(y * ImgSide + x) = pixel(id, x, y); x += 1 }
             y += 1
           }
+          img.getRaster.setSamples(0, 0, ImgSide, ImgSide, 0, buf)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           (id, bos.toByteArray)
@@ -157,14 +161,17 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           val (w, h) = (img.getWidth, img.getHeight)
-          val r = img.getRaster
+          // bulk row reads (getSamples == the per-pixel getSample loop,
+          // sample-for-sample) — per-pixel raster dispatch dominated the
+          // decode task time (guide §1.2 per-task work)
+          val samples = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
           for { gy <- 0 until ImgGrid; gx <- 0 until ImgGrid } yield {
             var sum = 0L
             var y = gy * CellPx
             while (y < (gy + 1) * CellPx && y < h) {
               var x = gx * CellPx
               while (x < (gx + 1) * CellPx && x < w) {
-                sum += r.getSample(x, y, 0); x += 1
+                sum += samples(y * w + x); x += 1
               }
               y += 1
             }
@@ -188,6 +195,41 @@ object Multimodal {
   @inline private def pcm(docId: Long, i: Int): Int =
     ((docId * 17 + i * 11) % 256).toInt
 
+  /** The WAV codec providers, resolved ONCE per JVM through the public
+    * ServiceLoader SPI. Every javax.sound.sampled.AudioSystem entry
+    * point funnels through a JVM-GLOBAL synchronized provider lookup
+    * (JDK13Services), which serializes the 32 codec tasks — measured
+    * 20x on this box (CodecProbe: 522 -> 25 ms for the identical
+    * encode work at 32 threads). Dispatching to the provider directly
+    * is behaviour-identical: the corpus is WAV-only, and a payload the
+    * WAV provider rejects throws exactly as AudioSystem would after
+    * all providers rejected it. Provider choice is behaviour-based
+    * (parses a canonical WAV we render at init), not name-based, so it
+    * holds on any JDK. */
+  private[operators] lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAV AudioFileWriter SPI"))
+  }
+  private[operators] lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val fmt = new javax.sound.sampled.AudioFormat(AudRate.toFloat, 8, 1, false, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    wavWriter.write(new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](0, 1, 2, 3)), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val probe = bos.toByteArray
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAV AudioFileReader SPI"))
+  }
+
   /** The documents frame with a REAL WAV payload column: each doc's
     * deterministic PCM render encoded through the JVM's own WAV writer
     * inside mapPartitions — payload bytes born map-side, never
@@ -206,8 +248,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(raw), fmt, AudFrames.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           (id, bos.toByteArray)
         }
       }.toDF("doc_id", "payload")
@@ -231,7 +272,7 @@ object Multimodal {
     withWavPayload(s, dir).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.flatMap { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          val ais = wavReader.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val rate = ais.getFormat.getSampleRate.toLong
           val frames = ais.getFrameLength
@@ -298,36 +339,43 @@ object Multimodal {
         val rLut = Array.tabulate(256)(i => i.toByte)
         val gLut = Array.tabulate(256)(i => ((i + 85) % 256).toByte)
         val bLut = Array.tabulate(256)(i => ((i + 170) % 256).toByte)
+        // reused fill buffers per task; setSamples / bulk setRGB are the
+        // bulk equivalents of the per-pixel loops (same samples in the
+        // same positions — guide §1.2 per-task work)
+        val buf = new Array[Int](ImgSide * ImgSide)
         ids.map { id =>
           import java.awt.image.BufferedImage
+          def fill(px: (Long, Int, Int) => Int): Array[Int] = {
+            var y = 0
+            while (y < ImgSide) {
+              var x = 0
+              while (x < ImgSide) { buf(y * ImgSide + x) = px(id, x, y); x += 1 }
+              y += 1
+            }
+            buf
+          }
           val img = (id % 4) match {
             case 0 =>
               val im = new BufferedImage(ImgSide, ImgSide, BufferedImage.TYPE_BYTE_GRAY)
-              val r = im.getRaster
-              for (y <- 0 until ImgSide; x <- 0 until ImgSide)
-                r.setSample(x, y, 0, pixel(id, x, y))
+              im.getRaster.setSamples(0, 0, ImgSide, ImgSide, 0, fill(pixel))
               im
             case 1 =>
               val im = new BufferedImage(ImgSide, ImgSide, BufferedImage.TYPE_INT_RGB)
-              for (y <- 0 until ImgSide; x <- 0 until ImgSide) {
-                val p = pixel(id, x, y)
-                im.setRGB(x, y, (p << 16) | (((p + 85) % 256) << 8) | ((p + 170) % 256))
-              }
+              im.setRGB(0, 0, ImgSide, ImgSide, fill((d, x, y) => {
+                val p = pixel(d, x, y)
+                (p << 16) | (((p + 85) % 256) << 8) | ((p + 170) % 256)
+              }), 0, ImgSide)
               im
             case 2 =>
               val icm = new java.awt.image.IndexColorModel(
                 8, 256, rLut, gLut, bLut)
               val im = new BufferedImage(ImgSide, ImgSide,
                 BufferedImage.TYPE_BYTE_INDEXED, icm)
-              val r = im.getRaster
-              for (y <- 0 until ImgSide; x <- 0 until ImgSide)
-                r.setSample(x, y, 0, pixel(id, x, y))
+              im.getRaster.setSamples(0, 0, ImgSide, ImgSide, 0, fill(pixel))
               im
             case _ =>
               val im = new BufferedImage(ImgSide, ImgSide, BufferedImage.TYPE_USHORT_GRAY)
-              val r = im.getRaster
-              for (y <- 0 until ImgSide; x <- 0 until ImgSide)
-                r.setSample(x, y, 0, pixel16(id, x, y))
+              im.getRaster.setSamples(0, 0, ImgSide, ImgSide, 0, fill(pixel16))
               im
           }
           val bos = new java.io.ByteArrayOutputStream()
@@ -372,23 +420,23 @@ object Multimodal {
                 else if (raster.getNumBands == 1 && cm.getPixelSize <= 8) "gray8"
                 else if (raster.getNumBands == 1) "gray16"
                 else "rgb8"
+              // bulk reads, branch hoisted out of the pixel loop: bulk
+              // getRGB is the exact per-pixel getRGB (palette lookup and
+              // direct color share the same sRGB channel read), bulk
+              // getSamples the exact per-pixel getSample — the per-pixel
+              // dispatch dominated the decode task time (guide §1.2)
               var sum = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  sum += (kind match {
-                    case "indexed8" | "rgb8" =>
-                      // palette lookup and direct color share the exact
-                      // sRGB channel read — both containers carry the
-                      // same derived (r, g, b) per source value
-                      val p = img.getRGB(x, y)
-                      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-                    case _ => raster.getSample(x, y, 0)
-                  }).toLong
-                  x += 1
+              var i = 0
+              if (kind == "indexed8" || kind == "rgb8") {
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                while (i < px.length) {
+                  val p = px(i)
+                  sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  i += 1
                 }
-                y += 1
+              } else {
+                val sm = raster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+                while (i < sm.length) { sum += sm(i); i += 1 }
               }
               ImgDecode(id, kind, ok = true, w.toLong, h.toLong, sum)
           }
@@ -439,7 +487,7 @@ object Multimodal {
           val ais = new AudioInputStream(
             new java.io.ByteArrayInputStream(raw), fmt, AudFrames.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
           (id, poison(id, bos.toByteArray))
         }
       }.toDF("doc_id", "payload")
@@ -463,7 +511,7 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
           scala.util.Try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            val ais = wavReader.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             val fmt = ais.getFormat
             val bits = fmt.getSampleSizeInBits
