@@ -178,7 +178,8 @@ object Bench {
     }
     val load = loadAvg
     val line = jsonLine(results, errors.toSeq, sfDir, spreads, load,
-      stagingSec, warmupSec, stagingColdSec, loadStart, retried.size)
+      stagingSec, warmupSec, stagingColdSec, loadStart, retried.size,
+      cpus = cpus.toIntOption.getOrElse(-1))
     // the COMPLETE map (every query, every spread) beside the run — the
     // stdout line elides to fit the driver's 2000-char tail window
     try java.nio.file.Files.writeString(
@@ -260,7 +261,8 @@ object Bench {
       load: Double = -1.0,
       staging: Double = -1.0, warmup: Double = -1.0,
       stagingCold: Double = -1.0,
-      loadStart: Double = -1.0, retries: Int = -1): String = {
+      loadStart: Double = -1.0, retries: Int = -1,
+      cpus: Int = -1): String = {
     // The driver tails only the last 2000 chars of output and parses the
     // JSON line out of that window; full-precision doubles pushed the line
     // past 2000 chars (rounds 1-4 all recorded parsed:null). 10 ms
@@ -300,7 +302,11 @@ object Bench {
     def lineFor(qmap: Seq[(String, Double)], omitted: Int): String = {
       val qs = qmap.map { case (k, v) => "\"" + k + "\":" + f2(v) }
         .mkString("{", ",", "}")
-      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      // elided entries are always the FASTEST — said explicitly so the
+      // driver's round-over-round diff can tell "dropped because faster"
+      // from "dropped from the suite" without consulting bench_full.json
+      val om = if (omitted > 0)
+        s""","queries_omitted":$omitted,"omitted_are_fastest":true""" else ""
       val noiseField = if (spreads.isEmpty) "" else {
         val sorted = spreads.values.toSeq.sorted
         val med = sorted(sorted.size / 2)
@@ -326,7 +332,12 @@ object Bench {
       val phases = (if (staging >= 0) s""","staging":${f2(staging)}""" else "") +
         (if (stagingCold >= 0) s""","staging_cold":${f2(stagingCold)}""" else "") +
         (if (warmup >= 0) s""","warmup":${f2(warmup)}""" else "")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec"$phases,"queries":$qs$om$errField$noiseField,"sf":"$sfDir"}"""
+      // the $SPARK_GRAFT_CPUS the session actually ran with, echoed so
+      // the driver can verify the core-count contract directly instead
+      // of inferring it from scaling ratios (r20: suspect_cpus_ignored
+      // false-fired because the suite is scheduler-floor-bound at sf0.1)
+      val cpusField = if (cpus > 0) s""","cpus":$cpus""" else ""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec"$cpusField$phases,"queries":$qs$om$errField$noiseField,"sf":"$sfDir"}"""
     }
     var keep = bySlowest.length
     var line = lineFor(bySlowest.take(keep), 0)

@@ -557,28 +557,77 @@ object Similarity {
   }
 
   def annGraphProbe(s: SparkSession, dir: String): DataFrame = {
-    val (f0, expand, score) = graphProbeParts(s, dir)
-    val wB = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id"))
-    def beam(scored: DataFrame): DataFrame =
-      scored.withColumn("rn", row_number().over(wB))
-        .filter(col("rn") <= GraphBeam).select("qid", "vec_id")
     // GraphHops fixed expansions: visited accumulates, the beam
     // re-selects from ALL visited each hop — best-first search's
     // "never lose a better node seen earlier" property, and exactly
-    // what the oracle replays. Each hop's visited frame is
-    // localCheckpointed (qids × beam × degree × hop rows — tiny by
-    // construction): a recursive plan without the cut re-derives hop
-    // h−1 at EVERY reference, doubling the staged probes per extra
-    // hop (measured 13 edge scans for 3 hops) — the clusterDups
-    // iteration discipline applies verbatim.
-    var visited = expand(f0).localCheckpoint()
-    for (_ <- 2 to GraphHops)
-      visited = visited.unionAll(expand(beam(score(visited))))
-        .distinct().localCheckpoint()
-    score(visited)
-      .withColumn("rnk", row_number().over(wB).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("rcos"))
+    // what the oracle replays. The beam STATE is bounded by operator
+    // constants, never corpus size (≤ 10 qids × ([[KcK]] seeds +
+    // [[GraphHops]] × [[GraphBeam]] × [[KnnK]] expansions)), so it
+    // lives on the driver — the kmeansTrain/kcenter bounded-collect
+    // discipline — and each hop runs as ONE fused distributed pass
+    // (frontier⋈edges → vectors by key → rounded cosine) instead of
+    // the former per-hop localCheckpoint + distinct + beam-window
+    // pipeline (r20 JobProfile: 33 jobs for ann_graph_recall, nearly
+    // all per-job scheduler floor + AQE stage materializations; the
+    // fused form runs ~1 job per hop). The corpus legs are unchanged:
+    // the staged edge parquet is joined once per hop against the tiny
+    // frontier and vectors are fetched BY KEY — work ∝ beam × degree,
+    // and the rounded-cosine scoring expression is the identical
+    // Catalyst tree, so every (qid, vec_id) score is bit-equal.
+    val g = s.read.parquet(KnnIndex.ensure(s, dir)).select("src", "dst")
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val seeds = s.read.parquet(KcSeedIndex.ensure(s, dir))
+      .select("vec_id").collect().map(_.getAs[Number](0).longValue).toSeq
+    def rcosOf(cand: DataFrame): Array[(Long, Long, Double)] =
+      cand.join(e, "vec_id")
+        .select(col("qid"), col("vec_id"), col("v"))
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("v"), col("qv")), 6).as("rcos"))
+        .collect().map(r => (r.getAs[Number](0).longValue,
+          r.getAs[Number](1).longValue, r.getDouble(2)))
+    // visited scores per query; scores are a pure function of
+    // (qid, vec_id), so a node scored on an earlier hop never re-scores
+    val visited = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    // hop 1: every query shares the seed frontier — candidates are the
+    // seeds' closed out-neighbourhood restricted to corpus ids, scored
+    // against every query vector (the f0 crossJoin, fused with scoring)
+    val seedSrc = s.createDataFrame(seeds.map(Tuple1(_))).toDF("src")
+    // no distinct on the candidate multisets: the driver's
+    // getOrElseUpdate dedups, and scores are per-(qid, vec_id)
+    // deterministic — an exchange per hop for dedup would cost more
+    // than re-scoring the handful of duplicate candidates
+    val hop1 = rcosOf(
+      seedSrc.join(g, "src").select(col("dst").as("vec_id"))
+        .unionAll(s.createDataFrame(
+          seeds.filter(_ >= 10).map(Tuple1(_))).toDF("vec_id"))
+        .filter(col("vec_id") >= 10)
+        .crossJoin(q.select("qid")))
+    hop1.foreach { case (qid, vid, c) => visited.getOrElseUpdate((qid, vid), c) }
+    def beamOf(qid: Long): Seq[Long] = visited.iterator
+      .collect { case ((q0, v0), c) if q0 == qid => (c, v0) }.toSeq
+      .sortWith { case ((c1, v1), (c2, v2)) =>
+        val d = java.lang.Double.compare(c2, c1) // rcos desc, vec_id asc
+        if (d != 0) d < 0 else v1 < v2
+      }.take(GraphBeam).map(_._2)
+    val qids = visited.keysIterator.map(_._1).toSeq.distinct.sorted
+    for (_ <- 2 to GraphHops) {
+      val frontier = qids.flatMap(qid => beamOf(qid).map(v0 => (qid, v0)))
+      val scored = rcosOf(
+        s.createDataFrame(frontier).toDF("qid", "src")
+          .join(g, "src").select(col("qid"), col("dst").as("vec_id"))
+          .filter(col("vec_id") >= 10))
+      scored.foreach { case (qid, vid, c) => visited.getOrElseUpdate((qid, vid), c) }
+    }
+    val out = qids.flatMap { qid =>
+      beamOf(qid).take(3).zipWithIndex.map { case (vid, i) =>
+        (qid, (i + 1).toLong, vid, visited((qid, vid)))
+      }
+    }
+    s.createDataFrame(out).toDF("qid", "rnk", "vec_id", "rcos")
   }
 
   /** One scored hop of #ann_graph_probe BEFORE the checkpoint cut —
@@ -1876,56 +1925,85 @@ object Similarity {
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble
     var cents: Seq[Seq[Double]] = init
+    val K = init.length
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double, Double)]()
-    val dimSums = (0 until 64).map(j =>
-      sum(floor(element_at(col("v"), j + 1) * KmFixScale)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$j"))
+    // ONE analyzed/optimized plan for the corpus projection, executed
+    // per iteration as a plain RDD fold (assign + accumulate in a
+    // single closure): the previous formulation rebuilt and
+    // re-optimized a 66-aggregate plan with K literal centroid arrays
+    // EVERY iteration — ~1.0 s of the query's 1.6 s wall was
+    // driver-side planning (JobProfile/PlanTime r20), plus 2 AQE
+    // exchange-materialization jobs per iteration. The closure is
+    // bit-identical to the Catalyst plan it replaces: the
+    // [[KmFixScale]] grid makes every cross-row sum an exact integer
+    // (accumulation order cannot matter), the per-row distance folds
+    // left-to-right exactly as the zip_with/aggregate HOF did, the
+    // argmin mirrors array_min over (round-6 d, cid) structs (only a
+    // strictly smaller rounded d displaces, so ties keep the lowest
+    // cid), round-6 mirrors Catalyst Round's double codegen
+    // (BigDecimal.valueOf(x).setScale(6, HALF_UP)), floor mirrors
+    // Floor's (long) Math.floor, and Math.addExact throws on overflow
+    // exactly where the Decimal(38,0) sums' longValueExact did. The
+    // column-pruned parquet scan still re-runs per iteration — nothing
+    // is cached (the measured-faster-than-cache design is unchanged).
+    val vRdd = e.select(col("v")).queryExecution.toRdd
     var it = 1
     var converged = false
     while (it <= KmTrainIters && !converged) {
-      // one fold per centroid: the K distances evaluate ONCE into a
-      // let-bound array (HOFs get no CSE — an inlined fold would run
-      // twice per centroid, rounded + unrounded; measured ~2× whole-
-      // query), then the argmin is an in-array struct min over cheap
-      // element_at picks: (rounded d, cid) is a total order; the
-      // unrounded du rides along for the exact SSE. Centroids enter as
-      // LITERALS: the per-iteration plan change costs less than the
-      // alternative's per-iteration broadcast join of a 1-row centroid
-      // frame (measured 3.3 vs 4.0 s whole-query).
-      val duArr = transform(typedLit(cents.map(_.toVector).toVector),
-        cv => aggregate(zip_with(col("v"), cv, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
-      val picks = Multimodal.bind(duArr) { da =>
-        array_min(array(cents.indices.map { cid =>
-          struct(round(element_at(da, cid + 1), 6).as("d"),
-            lit(cid.toLong).as("cid"), element_at(da, cid + 1).as("du"))
-        }: _*))
-      }
-      val aggCols = count(lit(1)).as("n") +:
-        sum(floor(col("b.du") * KmFixScale)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sf") +:
-        dimSums
-      val stats = e.withColumn("b", picks)
-        .groupBy(col("b.cid").as("cid"))
-        .agg(aggCols.head, aggCols.tail: _*)
-        .collect()
-        .map(r => r.getLong(0).toInt -> r).toMap
-      val next = cents.indices.map { cid =>
-        stats.get(cid) match {
-          case Some(r) =>
-            val n = r.getLong(1).toDouble
-            (0 until 64).map(j =>
-              (r.getDecimal(3 + j).longValueExact().toDouble / S) / n)
-          case None => cents(cid) // empty cluster keeps its centroid
+      val cn = cents.map(_.toArray).toArray // K x 64, plain serializable capture
+      val zero = (new Array[Long](K), new Array[Long](K), new Array[Long](K * 64))
+      val (nArr, sfArr, dimArr) = vRdd.mapPartitions { rows =>
+        val n = new Array[Long](K)
+        val sf = new Array[Long](K)
+        val dims = new Array[Long](K * 64)
+        while (rows.hasNext) {
+          val v = rows.next().getArray(0).toDoubleArray()
+          var best = 0; var bestD = 0.0; var bestDu = 0.0
+          var c = 0
+          while (c < K) {
+            val cv = cn(c)
+            var du = 0.0
+            var j = 0
+            while (j < 64) { val d = v(j) - cv(j); du += d * d; j += 1 }
+            val dr = java.math.BigDecimal.valueOf(du)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (c == 0 || dr < bestD) { best = c; bestD = dr; bestDu = du }
+            c += 1
+          }
+          n(best) += 1
+          sf(best) = Math.addExact(sf(best), math.floor(bestDu * S).toLong)
+          var j = 0
+          while (j < 64) {
+            dims(best * 64 + j) = Math.addExact(dims(best * 64 + j),
+              math.floor(v(j) * S).toLong)
+            j += 1
+          }
         }
+        Iterator.single((n, sf, dims))
+      }.fold(zero) { (a, b) =>
+        var i = 0
+        while (i < K) {
+          a._1(i) += b._1(i)
+          a._2(i) = Math.addExact(a._2(i), b._2(i))
+          i += 1
+        }
+        i = 0
+        while (i < K * 64) {
+          a._3(i) = Math.addExact(a._3(i), b._3(i))
+          i += 1
+        }
+        a
+      }
+      val next = cents.indices.map { cid =>
+        if (nArr(cid) > 0) {
+          val n = nArr(cid).toDouble
+          (0 until 64).map(j => (dimArr(cid * 64 + j).toDouble / S) / n)
+        } else cents(cid) // empty cluster keeps its centroid
       }
       var maxShift = 0.0
       for (cid <- cents.indices) {
-        val (n, sse) = stats.get(cid) match {
-          case Some(r) =>
-            (r.getLong(1), r.getDecimal(2).longValueExact().toDouble / S)
-          case None => (0L, 0.0)
-        }
+        val n = nArr(cid)
+        val sse = if (n > 0) sfArr(cid).toDouble / S else 0.0
         val shift = r6(cents(cid).indices.foldLeft(0.0) { (acc, j) =>
           val d = next(cid)(j) - cents(cid)(j); acc + d * d
         })

@@ -1126,15 +1126,33 @@ object TextOps {
     * spec drives crafted vocabularies through it to prove the sentinel
     * encoding against a reference symbol-list BPE. */
   private[graft] def bpeTrainOf(s: SparkSession, vocab0: DataFrame): DataFrame = {
-    var vocab = vocab0.localCheckpoint()
-    // Σ wc — with it, symbols-after-merge needs NO extra vocab scan:
-    // len(w) = pairs(w) + 1 for every (non-empty) word, so
-    // Σ wc·len = Σ pair counts + Σ wc, and round r+1's pair aggregate
-    // already computes the pair mass of round r's vocab. One tiny agg
-    // here; per round ONE heavy job (the pair aggregate, which also
-    // carries the top-1 via min(struct(-cnt, pair))) + the rewrite
-    // checkpoint — down from three vocab-scanning jobs per round.
-    val totalWc = vocab.agg(sum("wc")).collect().head.getLong(0)
+    // The base vocab is checkpointed ONCE; each round applies the
+    // driver-held merge list INSIDE one planning-free RDD pass instead
+    // of materializing a rewrite checkpoint + a 2-exchange Catalyst
+    // aggregate per round (49 jobs → ~12: the r20 JobProfile put
+    // text_bpe_train at 49 jobs / 0.39 task-s / 1.8 s wall — nearly all
+    // per-job scheduler floor + per-round planning). Bit-equivalence
+    // with the replaced plan, piece by piece:
+    //  - the rewrite: String.replace == UTF8String.replace (literal,
+    //    all occurrences, left-to-right non-overlapping) for
+    //    whole-code-point needles — a pair is always a sequence of
+    //    complete code points, so byte-wise and char-wise matching see
+    //    identical boundaries; merges apply in round order exactly as
+    //    the stacked per-round selects did;
+    //  - pair extraction: substr(i, 2)/length count CODE POINTS
+    //    (UTF8String semantics), mirrored via codePoints; the len >= 2
+    //    guard stays (a fully-merged 1-char word emits no pairs);
+    //  - the top pair: min(struct(-cnt, pair)) compared pairs in
+    //    UTF8String BINARY order — mirrored by an unsigned UTF-8 byte
+    //    comparison on ties;
+    //  - sums: wc and pair counts are exact longs; Math.addExact
+    //    throws on overflow exactly where ANSI sum() did, and the
+    //    per-pair map is bounded by |symbols|² (symbols = corpus chars
+    //    + 10 sentinels), so the folded maps stay driver-safe at any
+    //    corpus scale — the same bound that let the old plan's
+    //    single-row collect exist.
+    val vocab = vocab0.select(col("w"), col("wc")).localCheckpoint()
+    val vRdd = vocab.queryExecution.toRdd
     val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
     val raw = scala.collection.mutable.ArrayBuffer[String]()
     // expand a sentinel-encoded string back to readable chars: replace
@@ -1143,42 +1161,84 @@ object TextOps {
     def expand(p: String): String =
       (raw.size to 1 by -1).foldLeft(p)((acc, j) =>
         acc.replace(new String(Character.toChars(0xE000 + j - 1)), raw(j - 1)))
-    // (top pair by cnt desc / pair asc via min(struct(-cnt, pair)),
-    // total pair mass) of the CURRENT vocab, in one job
-    def pairStats(): (Option[(String, Long)], Long) = {
-      // len >= 2 guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
-      // so a fully-merged 1-char word would emit phantom pairs
-      // (DuckDB's generate_series is empty there — the engines diverge
-      // without the filter; bpeMergeStep carries the same guard)
-      val r = vocab.filter(length(col("w")) >= 2)
-        .select(col("wc"), explode(transform(
-          sequence(lit(1), length(col("w")) - 1),
-          i => col("w").substr(i, lit(2)))).as("pair"))
-        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("b"),
-          sum(col("cnt")).as("mass"))
-        .collect().head
-      if (r.isNullAt(0)) (None, 0L)
+    // unsigned UTF-8 byte order — UTF8String.binaryCompare's tie rule
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // (top pair by cnt desc / pair asc, total pair mass, Σ wc) of the
+    // current vocab (base ∘ merges so far), in ONE job
+    def pairStats(): (Option[(String, Long)], Long, Long) = {
+      val merges = raw.toArray
+      val sents = Array.tabulate(merges.length)(k =>
+        new String(Character.toChars(0xE000 + k)))
+      val zero = (scala.collection.mutable.HashMap.empty[String, Long], 0L)
+      val (m, wcSum) = vRdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var wcs = 0L
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0)) {
+            var w = row.getUTF8String(0).toString
+            val wc = row.getLong(1)
+            wcs = Math.addExact(wcs, wc)
+            var k = 0
+            while (k < merges.length) { w = w.replace(merges(k), sents(k)); k += 1 }
+            val cps = w.codePoints.toArray
+            var p = 0
+            while (p < cps.length - 1) {
+              val pair = new String(cps, p, 2)
+              m.update(pair, Math.addExact(m.getOrElse(pair, 0L), wc))
+              p += 1
+            }
+          }
+        }
+        Iterator.single((m, wcs))
+      }.fold(zero) { (a, b) =>
+        b._1.foreach { case (k, v) =>
+          a._1.update(k, Math.addExact(a._1.getOrElse(k, 0L), v))
+        }
+        (a._1, Math.addExact(a._2, b._2))
+      }
+      if (m.isEmpty) (None, 0L, wcSum)
       else {
-        val b = r.getStruct(0)
-        (Some((b.getString(1), -b.getLong(0))), r.getLong(1))
+        var mass = 0L
+        var bestPair: String = null
+        var bestCnt = 0L
+        m.foreach { case (p, c) =>
+          mass = Math.addExact(mass, c)
+          if (bestPair == null || c > bestCnt ||
+            (c == bestCnt && utf8Less(p, bestPair))) { bestPair = p; bestCnt = c }
+        }
+        (Some((bestPair, bestCnt)), mass, wcSum)
       }
     }
+    // Σ wc — read off round 1's pass (wc never changes across rounds),
+    // so symbols-after-merge needs NO extra vocab scan: len(w) =
+    // pairs(w) + 1 per word, so Σ wc·len = Σ pair counts + Σ wc, and
+    // round r+1's pair pass already computes round r's pair mass.
+    var totalWc = 0L
+    var haveTotal = false
     var r = 0
     var exhausted = false
     var pending: Option[Int] = None // row index awaiting its symbols
     while (r < BpeTrainRounds && !exhausted) {
-      val (top, mass) = pairStats()
+      val (top, mass, wcSum) = pairStats()
+      if (!haveTotal) { totalWc = wcSum; haveTotal = true }
       // this round's pair mass IS the previous round's symbol count
       pending.foreach { i => rows(i) = rows(i).copy(_5 = totalWc + mass) }
       pending = None
       top match {
         case None => exhausted = true // every word fully merged
         case Some((pair, cnt)) =>
-          val sent = new String(Character.toChars(0xE000 + r))
-          vocab = vocab
-            .select(replace(col("w"), lit(pair), lit(sent)).as("w"), col("wc"))
-            .localCheckpoint()
           val merged = expand(pair)
           raw += pair
           rows += ((r + 1L, pair, merged, cnt, -1L))
@@ -1189,7 +1249,7 @@ object TextOps {
     // the final round's symbols: one last pair-mass pass over the
     // rewritten vocab (the only vocab scan not amortized into a round)
     pending.foreach { i =>
-      val (_, mass) = pairStats()
+      val (_, mass, _) = pairStats()
       rows(i) = rows(i).copy(_5 = totalWc + mass)
     }
     s.createDataFrame(rows.toSeq)

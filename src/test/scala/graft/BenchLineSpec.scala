@@ -69,6 +69,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(node.get("total").asDouble - results.values.sum) < 0.01)
   }
 
+  test("cpus contract field: echoed when known, omitted when unknown; elision self-describes") {
+    val line = Bench.jsonLine(Map("a" -> 0.5), Nil, "sf", cpus = 32)
+    val node = mapper.readTree(line)
+    assert(node.get("cpus").asInt == 32,
+      "the driver must be able to verify SPARK_GRAFT_CPUS from the line")
+    assert(mapper.readTree(Bench.jsonLine(Map("a" -> 0.5), Nil, "sf"))
+      .get("cpus") == null, "unknown core count must not fabricate a field")
+    // an elided line must say the omitted entries are the fastest ones
+    val results = (1 to 150).map(i => f"q_synthetic_query_$i%03d" -> i * 0.07).toMap
+    val big = mapper.readTree(Bench.jsonLine(results, Nil, "sf", cpus = 8))
+    assert(big.get("queries_omitted").asInt > 0)
+    assert(big.get("omitted_are_fastest").asBoolean,
+      "elision must self-describe as fastest-first")
+    assert(big.get("cpus").asInt == 8)
+  }
+
   test("no spreads passed: line is unchanged (no noise fields)") {
     val line = Bench.jsonLine(Map("a" -> 0.5), Nil, "sf")
     val node = mapper.readTree(line)
