@@ -1065,12 +1065,21 @@ object Dedup {
     * never grows the edge set (each undirected edge re-emits from its
     * smaller endpoint only). */
   private def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-    val m = sym.groupBy("u").agg(min("v").as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    // no distinct here: the following smallStar dedups, and an extra
-    // shuffle per round costs more than the few duplicate edges
-    sym.join(m, "u")
+    // symmetrize via explode — ONE reference of the input (a union of
+    // two subtrees would re-derive it twice) — then the closed-
+    // neighbourhood min via a full-frame window: ONE exchange of the
+    // edge set per contraction where the former groupBy + equi-join
+    // shuffled it twice (the join's broadcast fallback only exists
+    // while the min frame fits; at corpus scale it was a second full
+    // sort-merge of the edges). No distinct here: the following
+    // smallStar dedups, and an extra shuffle per round costs more than
+    // the few duplicate edges.
+    val sym = e.select(explode(array(
+        struct(col("u").as("u"), col("v").as("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("s"))
+      .select(col("s.u").as("u"), col("s.v").as("v"))
+    sym.withColumn("m",
+        least(col("u"), min("v").over(Window.partitionBy("u"))))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
   }
@@ -1080,12 +1089,20 @@ object Dedup {
     * Operates directly on the canonical (u > v) edge list — the group
     * key IS the larger endpoint, no symmetrization needed. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val m = e.groupBy("u").agg(min("v").as("m")) // m < u by canonical form
-    val withM = e.join(m, "u")
-    val relinked = withM.filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v")) // v > m: m is the min
-    val self = m.select(col("u"), col("m").as("v"))
-    relinked.unionAll(self).distinct()
+    // same one-exchange window form as largeStar (the group key IS the
+    // larger endpoint — no symmetrization needed); each row emits its
+    // relink (v, m) plus the self edge (u, m), and the trailing
+    // distinct collapses the per-row self-edge duplicates exactly as
+    // it collapsed the former relinked ∪ per-u-self union (equal SETS,
+    // and only the set survives the distinct). m < u on every row by
+    // canonical form, so emitted edges stay canonical.
+    e.withColumn("m", min("v").over(Window.partitionBy("u")))
+      .select(explode(when(col("v") =!= col("m"),
+          array(struct(col("v").as("u"), col("m").as("v")),
+            struct(col("u").as("u"), col("m").as("v"))))
+        .otherwise(array(struct(col("u").as("u"), col("m").as("v"))))).as("s"))
+      .select(col("s.u").as("u"), col("s.v").as("v"))
+      .distinct()
   }
 
   /** Staged dup-pair source: the [[minhashLsh]] output persisted once
@@ -1141,11 +1158,13 @@ object Dedup {
       // maps to itself under both stars), so an overshoot round cannot
       // change labels — and the blocking driver probe (the dominant
       // per-round latency beside the checkpoint job) runs half as
-      // often. The intermediate is checkpointed too: largeStar
-      // references its input 3× and AQE does not reliably reuse the
-      // exchange across those subtrees (measured 6× uncheckpointed).
-      val mid = smallStar(largeStar(edges)).localCheckpoint()
-      val next = smallStar(largeStar(mid)).localCheckpoint()
+      // often. The explode+window star forms reference their input
+      // ONCE each, so the 2-round chain is fully linear and needs only
+      // the single end-of-round checkpoint (the former groupBy+join
+      // forms referenced their input 3×, forcing a mid-round
+      // checkpoint as well — measured 6× slower uncheckpointed).
+      val next = smallStar(largeStar(smallStar(largeStar(edges))))
+        .localCheckpoint()
       // converged iff the edges form DISJOINT depth-1 stars: no parent
       // (v side) is itself a child (u side), AND no child has two
       // parents. Depth-1 alone is NOT sufficient — a chain like
@@ -1154,14 +1173,19 @@ object Dedup {
       // node 4 still bridges two would-be clusters; one more round is
       // required. Disjoint min-rooted stars ARE the fixpoint (edges
       // always point child > parent, so a star's root is its
-      // component minimum), and both probes fold into one emptiness
-      // check over the tiny checkpointed edge set.
-      val chained = next.select("v")
-        .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
-        .select(lit(1).as("bad"))
-      val multiParent = next.groupBy("u").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(lit(1).as("bad"))
-      converged = chained.unionAll(multiParent).isEmpty
+      // component minimum). Both probes fold into ONE aggregate over
+      // the tiny checkpointed edge set: per node, nu = #edges where it
+      // is the child (u) side and hv = whether it ever appears as a
+      // parent (v) — multi-parent ⟺ some nu > 1, chained ⟺ some node
+      // has nu > 0 AND hv > 0 — one exchange where the former
+      // semi-join + groupBy + union probe paid three.
+      val bad = next
+        .select(col("u").as("node"), lit(1L).as("uc"), lit(0L).as("vc"))
+        .unionAll(next
+          .select(col("v").as("node"), lit(0L).as("uc"), lit(1L).as("vc")))
+        .groupBy("node").agg(sum("uc").as("nu"), max("vc").as("hv"))
+        .filter(col("nu") > 1 || (col("nu") > 0 && col("hv") > 0))
+      converged = bad.isEmpty
       edges = next
       iter += 2
     }
