@@ -213,12 +213,14 @@ object HelixStore {
   }
 
   /** Compressed block: one key's run within one (shard, bucket), ts
-    * delta-encoded from t0, per-entry seq preserved for LWW, values
-    * packed into one `payload` blob by the named UDCF `codec` — the
-    * SSTable+UDCF unit (reference: src/file/sstable.rs +
-    * fn_registry.rs compress_entries). */
+    * delta-encoded from t0 with the max ts carried as t1 (so BOTH time
+    * bounds of a ranged scan prune at the parquet scan before the
+    * decode — the reference's SSTable block-meta time range), per-entry
+    * seq preserved for LWW, values packed into one `payload` blob by
+    * the named UDCF `codec` — the SSTable+UDCF unit (reference:
+    * src/file/sstable.rs + fn_registry.rs compress_entries). */
   final case class BinBlock(key: Array[Byte], shard: Int, bucket: Long,
-      t0: Long, deltas: Array[Long], seqs: Array[Long],
+      t0: Long, t1: Long, deltas: Array[Long], seqs: Array[Long],
       codec: String, payload: Array[Byte])
 
   def open(spark: SparkSession, path: String,
@@ -926,6 +928,7 @@ final class HelixStore private (
       reader: SparkSession = spark,
       pruneKey: Option[(Array[Byte], Array[Byte])] = None,
       pruneTsLt: Option[Long] = None,
+      pruneTsGe: Option[Long] = None,
       pruneBucket: Option[(Long, Long)] = None): DataFrame = {
     val cols = Seq("key", "ts", "value", "seq", "subseq", "shard", "bucket")
     // Range pruning BEFORE the block-decode flatMap (r20, reference
@@ -934,10 +937,12 @@ final class HelixStore private (
     // time-ranged scan decodes EVERY bucket-pruned block and discards
     // most entries after the fact — and orderBy's range-partitioner
     // sampling pass pays that decode a second time. A block holds one
-    // key with ascending timestamps from t0, so [k0, k1) applies to
-    // blocks exactly and `t0 < hi` is a sound upper prune (every entry
-    // of a t0 ≥ hi block is ≥ hi). The rick side carries raw entry
-    // rows, so both predicates push to its parquet scan as-is. Sound
+    // key with ascending timestamps from t0 to t1, so [k0, k1) applies
+    // to blocks exactly, `t0 < hi` is a sound upper prune (every entry
+    // of a t0 ≥ hi block is ≥ hi) and `t1 ≥ lo` a sound lower prune
+    // (every entry of a t1 < lo block is < lo). The rick side carries
+    // raw entry rows, so the predicates push to its parquet scan as-is.
+    // Sound
     // under the LWW window too: it partitions by (…, key, ts), and
     // pruning never removes a row of a surviving (key, ts) group.
     // `bucket` is a partition column on BOTH layers, but scan()'s
@@ -950,13 +955,15 @@ final class HelixStore private (
       val k = pruneKey.map { case (k0, k1) =>
         col("key") >= lit(k0) && col("key") < lit(k1) }.getOrElse(lit(true))
       val t = pruneTsLt.map(hi => col("ts") < hi).getOrElse(lit(true))
-      df.filter(k && t && bucketPred)
+      val g = pruneTsGe.map(lo => col("ts") >= lo).getOrElse(lit(true))
+      df.filter(k && t && g && bucketPred)
     }
     def pruneBlocks(df: DataFrame): DataFrame = {
       val k = pruneKey.map { case (k0, k1) =>
         col("key") >= lit(k0) && col("key") < lit(k1) }.getOrElse(lit(true))
       val t = pruneTsLt.map(hi => col("t0") < hi).getOrElse(lit(true))
-      df.filter(k && t && bucketPred)
+      val g = pruneTsGe.map(lo => col("t1") >= lo).getOrElse(lit(true))
+      df.filter(k && t && g && bucketPred)
     }
     // (shard, bucket) pruning must land ON THE PARQUET SCANS, before
     // the block-decompress flatMap: Catalyst cannot push a predicate
@@ -1430,12 +1437,14 @@ final class HelixStore private (
         s
       case None => spark
     }
-    // key range + ts upper bound also prune BELOW the block-decode
-    // flatMap (see rawEntries) — the per-entry filters here stay for
-    // the bounds block metadata cannot express (ts lower bound)
+    // key range + BOTH ts bounds also prune BELOW the block-decode
+    // flatMap (see rawEntries: t0 < hi on the block start, t1 >= lo on
+    // the block max written at compaction) — the per-entry filters
+    // here stay for the entries a surviving block carries outside the
+    // range
     val filtered = toDFWithPartitions(reader,
         pruneKey = Some((k0, k1)), pruneTsLt = Some(t1),
-        pruneBucket = Some((b0, b1)))
+        pruneTsGe = Some(t0), pruneBucket = Some((b0, b1)))
       .filter(col("bucket").between(b0, b1))
       .filter(col("ts") >= t0 && col("ts") < t1)
       .filter(col("key") >= lit(k0) && col("key") < lit(k1))
@@ -1475,6 +1484,7 @@ final class HelixStore private (
   private def toDFWithPartitions(reader: SparkSession = spark,
       pruneKey: Option[(Array[Byte], Array[Byte])] = None,
       pruneTsLt: Option[Long] = None,
+      pruneTsGe: Option[Long] = None,
       pruneBucket: Option[(Long, Long)] = None): DataFrame = {
     refreshPointer()
     // Post-compaction fast path: with the rick empty, the block layer is
@@ -1486,7 +1496,7 @@ final class HelixStore private (
     // compacting).
     if (!hasRows && hasBlocks)
       rawEntries(reader = reader, pruneKey = pruneKey, pruneTsLt = pruneTsLt,
-        pruneBucket = pruneBucket)
+        pruneTsGe = pruneTsGe, pruneBucket = pruneBucket)
     else {
       // LWW scoped per shard (like the reference, whose shards are
       // independent trees): for routed writes key determines shard so
@@ -1501,7 +1511,7 @@ final class HelixStore private (
       val w = Window.partitionBy("shard", "bucket", "key", "ts")
         .orderBy(col("seq").desc, col("subseq").desc, col("value").desc)
       rawEntries(reader = reader, pruneKey = pruneKey, pruneTsLt = pruneTsLt,
-          pruneBucket = pruneBucket)
+          pruneTsGe = pruneTsGe, pruneBucket = pruneBucket)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     }
   }
@@ -1655,7 +1665,7 @@ final class HelixStore private (
         val codec = codecsByName.getOrElse(codecName, throw new IllegalArgumentException(
           s"codec dispatch returned unregistered name '$codecName' " +
             s"(registered: ${codecsByName.keys.mkString(", ")})"))
-        HelixStore.BinBlock(keyBytes, k._2, k._3, t0, deltas,
+        HelixStore.BinBlock(keyBytes, k._2, k._3, t0, byTs.last._2, deltas,
           byTs.map(_._4), codecName, codec.encode(byTs.map(_._3)))
       }
       .toDF()

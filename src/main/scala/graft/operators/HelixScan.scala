@@ -42,9 +42,13 @@ object HelixScan {
       (col("value").cast("decimal(18,2)") * 100).cast("long")
         .cast("string").cast("binary").as("value"))
 
-  /** Build the staged store (put + compact) at most once per corpus. */
+  /** Build the staged store (put + compact) at most once per corpus.
+    * The `2` suffix on every helix staging prefix versions the block
+    * FORMAT: r21 blocks carry a per-block max-ts column (t1) for
+    * lower-bound scan pruning, so stores staged by older rounds must
+    * rebuild rather than be read with the new schema. */
   def ensure(s: SparkSession, dir: String): String = {
-    val base = Staging.ensure("helixq",
+    val base = Staging.ensure("helixq2",
       Staging.fingerprint(dir, "events.parquet")) { tmp =>
       val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
       try { st.put(entriesOf(s, dir)); st.blockCompact() } finally st.close()
@@ -129,7 +133,7 @@ object HelixScan {
   /** Build the HALF-COMPACTED staged store at most once per corpus:
     * put(pre-cut) → blockCompact → put(post-cut). */
   def ensurePoint(s: SparkSession, dir: String): String = {
-    val base = Staging.ensure("helixg",
+    val base = Staging.ensure("helixg2",
       Staging.fingerprint(dir, "events.parquet")) { tmp =>
       val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
       try {
@@ -217,7 +221,7 @@ object HelixScan {
 
   /** Build the user-keyed compacted store at most once per corpus. */
   def ensureLatest(s: SparkSession, dir: String): String = {
-    val base = Staging.ensure("helixl",
+    val base = Staging.ensure("helixl2",
       Staging.fingerprint(dir, "events.parquet")) { tmp =>
       val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
       try { st.put(userEntriesOf(s, dir)); st.blockCompact() } finally st.close()
@@ -250,7 +254,7 @@ object HelixScan {
     * put → blockCompact → outdate (the reference's full lifecycle,
     * level.rs TimestampAction Compact + Outdate). */
   def ensureOutdated(s: SparkSession, dir: String): String = {
-    val base = Staging.ensure("helixo",
+    val base = Staging.ensure("helixo2",
       Staging.fingerprint(dir, "events.parquet")) { tmp =>
       val st = HelixStore.open(s, tmp.resolve("store").toString, opts)
       try {
@@ -340,7 +344,7 @@ object HelixScan {
     * deterministic oracle must not (helix_outdate_scan covers the
     * retention path from the batch side). */
   def ensureStream(s: SparkSession, dir: String): String = {
-    val base = Staging.ensure("helixst",
+    val base = Staging.ensure("helixst2",
       Staging.fingerprint(dir, "events.parquet")) { tmp =>
       val spool = tmp.resolve("spool").toString
       entriesOf(s, dir).repartitionByRange(8, col("ts"))
