@@ -778,13 +778,27 @@ object Analytics {
         (unix_micros(col("l_shipdate").cast("timestamp")) >
           unix_micros(col("o_orderdate").cast("timestamp")) + lit(7776000000000L))
           .cast("int").as("late"))
+    // One explicit orderkey exchange serves BOTH the (orderkey,
+    // suppkey) dedup aggregate (hash(ok) clusters every (ok, sk) group)
+    // and the per-order window (guide §2.4: same-keyed operations share
+    // one exchange). Over the deduped pairs the EXISTS/NOT-EXISTS
+    // counts are a plain count and sum — the former per-row
+    // collect_set windows built two hash sets per order group over
+    // every LINE (r21: 5.5 summed task-seconds, the query's whole
+    // compute). A pair survives iff max(late) = 1 ∧ n_supp > 1 ∧
+    // n_late_supp = 1 — exactly the rows the per-line filter + distinct
+    // kept: a (ok, sk) pair passed late = 1 on SOME line ⟺ max = 1,
+    // n_supp = #distinct suppliers, n_late_supp = #suppliers with a
+    // late line.
     val w = Window.partitionBy("l_orderkey")
     flagged
-      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
-      .withColumn("n_late_supp",
-        size(collect_set(when(col("late") === 1, col("l_suppkey"))).over(w)))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum(col("late")).over(w))
       .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late_supp") === 1)
-      .select("l_orderkey", "l_suppkey").distinct()
+      .select("l_orderkey", "l_suppkey")
       .groupBy("l_suppkey").agg(count(lit(1)).as("n_orders"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
