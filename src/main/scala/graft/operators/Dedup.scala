@@ -57,12 +57,6 @@ object Dedup {
 
   /** (doc_id, shingle) exploded-distinct frame; `docFilter` restricts
     * the source docs (pushed into the parquet scan). */
-  private def shingleTable(s: SparkSession, dir: String,
-      docFilter: Option[Column] = None): DataFrame = {
-    val base = docFilter.foldLeft(Tables.documents(s, dir))(_.filter(_))
-    base.withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), explode(shinglesOf(col("t"))).as("s"))
-  }
 
   /** 52-bit md5-prefix hash of a shingle (13 hex chars — positive in a
     * signed i64, and the DuckDB oracle computes the identical value via
@@ -86,11 +80,19 @@ object Dedup {
     * mirrors the oracle's DISTINCT(doc_id, hash) so a within-doc
     * collision (were one ever to occur) collapses identically. */
   private[operators] def raritySortedSets(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(s, dir)
-      .select(col("doc_id"), shingleHash(col("s")).as("g"))
-      .distinct()
-    val rarity = sh.groupBy("g").agg(count(lit(1)).as("df"))
-    sh.join(rarity, "g")
+    // Per-doc distinct is MAP-SIDE (doc_id keys every exploded pair, so
+    // corpus-wide DISTINCT(doc_id, g) IS array_distinct over the row's
+    // own hashed shingles — r21, guide §2.4): the old explode+distinct
+    // exchange is gone, and the exploded rows are 8-byte longs, never
+    // strings. Document frequency then comes from a g-partitioned
+    // window over those per-doc-distinct rows — the same by-g exchange
+    // the old rarity join already paid (a boilerplate shingle funnels
+    // one key's rows either way), minus the separate df aggregate and
+    // the join's second shuffle of sh: 4 exchanges -> 2.
+    val sh = Tables.documents(s, dir).select(col("doc_id"),
+      explode(Multimodal.bind(tokens(col("text")))(t =>
+        array_distinct(transform(shinglesOf(t), shingleHash(_))))).as("g"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"),
         sort_array(collect_list(struct(col("df"), col("g")))).as("byRarity"))
@@ -525,12 +527,22 @@ object Dedup {
     * and no per-shingle join exists at all. This is the corpus
     * "signature store" [[DedupIndex]] persists. */
   private[operators] def minhashHset(s: SparkSession, dir: String,
-      docFilter: Option[Column] = None): DataFrame =
-    shingleTable(s, dir, docFilter)
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
-      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+      docFilter: Option[Column] = None): DataFrame = {
+    // MAP-SIDE per-doc distinct (the incrementalPairsOf pattern, r21):
+    // doc_id keys every shingle of a row, so the corpus-wide
+    // collect_set exchange reduced to array_distinct over the row's own
+    // shingle hashes — zero shuffles (guide §2.4). Consumers are
+    // element-order-insensitive (minhashSig min-fold, array_intersect
+    // size, array_sort keys). Docs too short to shingle drop on the
+    // size filter exactly as the old explode dropped them.
+    val base = docFilter.foldLeft(Tables.documents(s, dir))(_.filter(_))
+    base.select(col("doc_id"),
+        Multimodal.bind(tokens(col("text")))(t =>
+          array_distinct(transform(shinglesOf(t),
+            sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long")))).as("hs"))
+      .filter(size(col("hs")) > 0)
       .withColumn("n", size(col("hs")))
+  }
 
   /** (doc_id, band, bkey) LSH band keys of a minhash hash-set frame —
     * the native single-pass signature (permutation family must stay in

@@ -43,7 +43,17 @@ object DedupIndex {
 
   /** Bumped whenever the staged layout changes: a dir staged by older
     * code must not be served to code expecting new artifacts. */
-  private val LayoutVersion = "v7"
+  private val LayoutVersion = "v8"
+
+  /** Build-leg wall-clock logging (stderr, build time only) — the cold
+    * staging cost is a reported bench phase, so each leg's share must
+    * stay measurable without re-instrumenting. */
+  private def leg[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(f"[dedup-index] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
 
   final case class StagedPaths(hset: String, bands: String, pairs: String,
       rset: String, fps: String, fpos: String, wfp: String, sim: String)
@@ -57,8 +67,8 @@ object DedupIndex {
       // the band projection, and both sides of the pair verification.
       val hset = Dedup.minhashHset(s, dir).cache()
       try {
-        hset.write.parquet(tmp.resolve("hset").toString)
-        Dedup.bandsOf(hset).write.parquet(tmp.resolve("bands").toString)
+        leg("hset")(hset.write.parquet(tmp.resolve("hset").toString))
+        leg("bands")(Dedup.bandsOf(hset).write.parquet(tmp.resolve("bands").toString))
         // candidate self-join reads the just-written band table so the
         // signature computation doesn't run once per join side
         val sb = s.read.parquet(tmp.resolve("bands").toString)
@@ -67,10 +77,10 @@ object DedupIndex {
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id1"), col("y.doc_id").as("doc_id2"))
           .distinct()
-        Dedup.verifyJaccard(cand, hset, hset, "doc_id1", "doc_id2")
-          .write.parquet(tmp.resolve("pairs").toString)
+        leg("pairs")(Dedup.verifyJaccard(cand, hset, hset, "doc_id1", "doc_id2")
+          .write.parquet(tmp.resolve("pairs").toString))
       } finally hset.unpersist(): Unit
-      Dedup.raritySortedSets(s, dir).write.parquet(tmp.resolve("rset").toString)
+      leg("rset")(Dedup.raritySortedSets(s, dir).write.parquet(tmp.resolve("rset").toString))
       // ONE tokenization + Rabin-Karp pass feeds both fingerprint
       // selections: the full window-hash frame lands in a build-local
       // parquet dir (disk-backed — at corpus scale this is the scratch
@@ -78,19 +88,19 @@ object DedupIndex {
       // its mod-p filter and wfp/ its winnowing argmin, then the
       // scratch dir is dropped before the atomic rename.
       val whDir = tmp.resolve("_wh_scratch")
-      Dedup.windowHashes(s, dir).write.parquet(whDir.toString)
+      leg("wh_scratch")(Dedup.windowHashes(s, dir).write.parquet(whDir.toString))
       val wh = s.read.parquet(whDir.toString)
-      wh.filter(col("fp") % Dedup.WinSelMod === 0)
-        .write.parquet(tmp.resolve("fpos").toString)
-      Dedup.winnowSelection(wh).write.parquet(tmp.resolve("wfp").toString)
+      leg("fpos")(wh.filter(col("fp") % Dedup.WinSelMod === 0)
+        .write.parquet(tmp.resolve("fpos").toString))
+      leg("wfp")(Dedup.winnowSelection(wh).write.parquet(tmp.resolve("wfp").toString))
       Staging.deleteRecursively(whDir)
       // fps/ is the doc-level distinct projection of fpos/ — derived
       // from the just-written artifact (a column-pruned parquet scan),
       // never a second corpus tokenization pass
-      s.read.parquet(tmp.resolve("fpos").toString)
+      leg("fps")(s.read.parquet(tmp.resolve("fpos").toString)
         .select("doc_id", "fp").distinct()
-        .write.parquet(tmp.resolve("fps").toString)
-      Dedup.simhashBuild(s, dir).write.parquet(tmp.resolve("sim").toString)
+        .write.parquet(tmp.resolve("fps").toString))
+      leg("sim")(Dedup.simhashBuild(s, dir).write.parquet(tmp.resolve("sim").toString))
     }
     StagedPaths(base.resolve("hset").toString,
       base.resolve("bands").toString, base.resolve("pairs").toString,

@@ -89,7 +89,7 @@ object HelixScan {
     // release the cached handles before the staged dirs vanish
     Staging.registerClearHook(() => closeStores())
   }
-  private def closeStores(): Unit = openStores.synchronized {
+  private[graft] def closeStores(): Unit = openStores.synchronized {
     openStores.valuesIterator.foreach(st =>
       try st.close() catch { case _: Throwable => () })
     openStores.clear()

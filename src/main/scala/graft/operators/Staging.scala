@@ -86,7 +86,7 @@ object Staging {
     }.sum
   }
 
-  private[operators] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try {
