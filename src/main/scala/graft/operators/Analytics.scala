@@ -109,72 +109,86 @@ object Analytics {
     * into one bucket; rank extraction there is bounded by the group's
     * duplicate count — recursing the bucketing would bound it further.)
     *
-    * CACHE LIFETIME: this operator cache()s two intermediate frames that
-    * the returned (lazy) DataFrame consumes at materialization, so they
-    * cannot be unpersisted here. The Verify/Bench harnesses clearCache()
-    * between queries; a long-lived session should do the same — or
-    * `spark.catalog.clearCache()` / unpersist selectively — once the
-    * percentile result (and anything composed on it, e.g. tsAboveP95)
-    * has been materialized. */
+    * Phases 1–3 are EAGER (two collect jobs whose results fold back as
+    * literals); only phase 4's bounded-bucket extraction rides the
+    * returned lazy frame. Nothing is cached — callers need no
+    * unpersist discipline. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     val B = 256
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-    // cached: consumed by the bucketing join, the target ranks, and the
-    // final n_rows join — uncached, each reruns the fact scan + agg.
-    // Tiny (one row per group).
-    val stats = ev.groupBy("event_type").agg(
-      count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
-      .cache()
-    val bucketed = ev.join(broadcast(stats), "event_type")
-      .withColumn("bucket",
-        when(col("mx") === col("mn"), lit(0))
-          .otherwise(least(lit(B - 1),
-            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * B).cast("int"))))
-      .select(col("event_type"), col("value"), col("bucket"))
-      // consumed twice (histogram + within-bucket rank): a disk-backed
-      // persist of this 3-column projection costs about what one extra
-      // columnar re-scan would, and saves the second full fact pass.
-      // At cluster scale the executor-local cache shards with the data.
-      // Cache LIFETIME is the caller's: the Verify/Bench harnesses
-      // clearCache() between queries; a long-lived session should do
-      // the same (or unpersist via spark.catalog) once the percentile
-      // consumers have run.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hist = bucketed.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
-    val wB = Window.partitionBy("event_type").orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = hist.withColumn("off", coalesce(sum("c").over(wB), lit(0L)))
-    // the 4 target ranks per group: floor(pos)+1 and its successor, for
-    // q in {0.5, 0.95} (successor ranks past n are dropped; the interp
-    // coalesces hi to lo exactly as before)
-    def pos(q: Double): Column = (col("n") - 1) * lit(q)
-    val targets = stats.select(col("event_type"), col("n"),
-        explode(array(Seq(0.5 -> "50", 0.95 -> "95").flatMap { case (q, tag) => Seq(
-          struct(lit(s"lo$tag").as("which"), (floor(pos(q)).cast("long") + 1).as("k")),
-          struct(lit(s"hi$tag").as("which"), (floor(pos(q)).cast("long") + 2).as("k")))
-        }: _*)).as("t"))
-      .select(col("event_type"), col("t.which").as("which"), col("t.k").as("k"))
-      .filter(col("k") <= col("n"))
-    val located = targets.join(offs, "event_type")
-      .filter(col("k") > col("off") && col("k") <= col("off") + col("c"))
-      .select(col("event_type"), col("which"), col("bucket"), (col("k") - col("off")).as("kb"))
-    val neededBuckets = located.select("event_type", "bucket").distinct()
-    val wInB = Window.partitionBy("event_type", "bucket").orderBy("value")
-    val ranked = bucketed.join(broadcast(neededBuckets), Seq("event_type", "bucket"))
-      .withColumn("rnb", row_number().over(wInB))
-    val found = located.join(ranked.withColumnRenamed("rnb", "kb"),
-        Seq("event_type", "bucket", "kb"))
+    // The phase frames are bounded by the EVENT-TYPE DOMAIN (the former
+    // broadcast(stats)/cached-histogram design carried the same
+    // boundedness assumption), so they COLLECT and fold back as
+    // literals — the kmeans/rebalance literal-plan discipline (r21):
+    // per-group stats and the ≤ groups×B histogram move to the driver,
+    // rank location becomes the identical long/double arithmetic there,
+    // and both persisted fact-wide frames disappear — at 100 TB a cache
+    // write of the corpus costs more than the one extra columnar scan
+    // this takes (guide §5), and the job count drops ~3x.
+    val statRows = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    if (statRows.isEmpty) // empty fact: same empty frame the old plan made
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, n_rows BIGINT, p50 DOUBLE, p95 DOUBLE"))
+    def byEt(f: ((String, Long, Double, Double)) => Column): Column =
+      statRows.tail.foldLeft(f(statRows.head)) { (acc, st) =>
+        when(col("event_type") === st._1, f(st)).otherwise(acc) }
+    // the SAME bucket expression with mn/mx as per-group literals — no
+    // broadcast join under either fact scan
+    val bucketExpr = byEt { case (_, _, mn, mx) =>
+      if (mx == mn) lit(0)
+      else least(lit(B - 1),
+        floor((col("value") - lit(mn)) / lit(mx - mn) * B).cast("int")) }
+    val bucketed = ev.withColumn("bucket", bucketExpr)
+    val hist = bucketed.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // driver-side rank location — the arithmetic the old offs/targets/
+    // located frames ran, on the same longs: bucket-ascending prefix
+    // sums, k = floor((n−1)·q)+1 and successor (successors past n
+    // drop), a rank lands in the bucket covering (off, off+c]
+    val located: Seq[(String, String, Int, Long)] = statRows.toSeq.flatMap {
+      case (et, n, _, _) =>
+        val offs = hist.filter(_._1 == et).sortBy(_._2)
+          .scanLeft((0, 0L, 0L)) { case ((_, off, c0), (_, b, c)) =>
+            (b, off + c0, c) }.tail // (bucket, off, count)
+        Seq(0.5 -> "50", 0.95 -> "95").flatMap { case (q, tag) =>
+          val k0 = math.floor((n - 1).toDouble * q).toLong + 1
+          Seq(s"lo$tag" -> k0, s"hi$tag" -> (k0 + 1)).collect {
+            case (which, k) if k <= n =>
+              val (b, off, _) = offs.find { case (_, o, c) =>
+                k > o && k <= o + c }.get
+              (et, which, b, k - off)
+          }
+        }
+    }
+    // ONE distributed pass over the needed buckets (~4/B of the data):
+    // the located (which, bucket, kb) rows join as a driver-local
+    // relation (broadcast without a job); the in-bucket rank replays
+    // per which-copy, so each copy ranks the same bucket identically
+    val locDf = s.createDataFrame(located)
+      .toDF("event_type", "which", "bucket", "kb")
+    val wInB = Window.partitionBy("event_type", "bucket", "which")
+      .orderBy("value")
+    val found = bucketed.join(broadcast(locDf), Seq("event_type", "bucket"))
+      .withColumn("rnb", row_number().over(wInB).cast("long"))
+      .filter(col("rnb") === col("kb"))
       .select(col("event_type"), col("which"), col("value"))
     def pick(which: String): Column = max(when(col("which") === which, col("value")))
     def interp(q: Double, lo: Column, hi: Column): Column = {
-      val frac = pos(q) - floor(pos(q))
-      lo + frac.cast("double") * (coalesce(hi, lo) - lo)
+      val frac = byEt { case (_, n, _, _) =>
+        val p = (n - 1).toDouble * q
+        lit(p - math.floor(p)) }
+      lo + frac * (coalesce(hi, lo) - lo)
     }
     found.groupBy("event_type")
       .agg(pick("lo50").as("lo50"), pick("hi50").as("hi50"),
         pick("lo95").as("lo95"), pick("hi95").as("hi95"))
-      .join(stats.select(col("event_type"), col("n")), "event_type")
-      .select(col("event_type"), col("n").as("n_rows"),
+      .select(col("event_type"),
+        byEt { case (_, n, _, _) => lit(n) }.as("n_rows"),
         interp(0.5, col("lo50"), col("hi50")).as("p50"),
         interp(0.95, col("lo95"), col("hi95")).as("p95"))
   }
@@ -243,11 +257,17 @@ object Analytics {
   /** #40 — multi-level ROLLUP aggregate: (flag, status), (flag), () in
     * one pass — Spark expands grouping sets without re-reading the
     * input. */
-  def qRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
-        count(lit(1)).as("cnt"))
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    // Same pre-aggregation as [[qCube]] (r21): rollup expands the fact
+    // 3x map-side; aggregate the |rf|x|ls| cell frame once and roll THAT
+    // up — exact decimal addition, bit-identical sums, one fact pass.
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+    cells.rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("sq")).cast("double").as("sum_qty"),
+        sum(col("cnt")).as("cnt"))
+  }
 
   /** #43 — funnel: users who did view → click → purchase in strict
     * timestamp order; per-stage first-times via one conditional-min
@@ -853,11 +873,23 @@ object Analytics {
     * sets map-side, so the fact table is read and shuffled once for
     * all four aggregation levels (the complement of q_rollup's
     * hierarchy). */
-  def qCube(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
-        count(lit(1)).as("cnt"))
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    // Pre-aggregate per (rf, ls) BEFORE the cube (r21, guide §2.3
+    // shuffle fewer bytes / §4): Spark plans cube as Expand-below-
+    // Aggregate, so the raw form pushes every fact row through the
+    // expand 4× map-side; the cell frame is |rf|×|ls| rows, and cubing
+    // THAT re-derives every grouping set by exact decimal addition of
+    // the cell sums (associative) — bit-identical sums, one fact pass.
+    // Natural-null keys land in the same null groups either way: the
+    // pre-aggregation only merges rows the cube's finest grouping set
+    // merged anyway.
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+    cells.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("sq")).cast("double").as("sum_qty"),
+        sum(col("cnt")).as("cnt"))
+  }
 
   /** #79 — daily event matrix: counts pivoted to one column per event
     * type. With the value list given explicitly, pivot plans as plain
@@ -1150,16 +1182,29 @@ object Analytics {
       .withColumn("b_f", col("freq"))
       .withColumn("b_m", expr(s"spend_c div $RfmSpendBucketCents"))
       .localCheckpoint()
-    val cnts = j.groupBy("c_nationkey").agg(count(lit(1)).as("cnt_n"))
-    // per-nation bucket-histogram carry for one metric: rows in
-    // LOWER-valued buckets (rank order is metric ascending); the
-    // cumulation rides nation-bounded histogram frames, never customers
+    // ONE histogram pass serves all three carries AND the nation
+    // counts (r21, guide §2.4): each customer explodes into its three
+    // (metric, bucket) memberships, one aggregate counts them, and one
+    // per-(nation, metric) prefix-sum window replaces the three former
+    // aggregate+window chains — same carry values, a third of the jobs.
+    // Nation×bucket-bounded, so the checkpoint is tiny and the three
+    // broadcast probes below re-read it without re-aggregating.
+    val hist = j.select(col("c_nationkey"), explode(array(
+        struct(lit("r").as("m"), col("b_r").as("b")),
+        struct(lit("f").as("m"), col("b_f").as("b")),
+        struct(lit("m").as("m"), col("b_m").as("b")))).as("e"))
+      .groupBy(col("c_nationkey"), col("e.m").as("m"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("carry", coalesce(sum(col("bc")).over(
+        Window.partitionBy("c_nationkey", "m").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint()
+    val cnts = hist.filter(col("m") === "r")
+      .groupBy("c_nationkey").agg(sum("bc").as("cnt_n"))
     def carryOf(b: String) = {
-      val wC = Window.partitionBy("c_nationkey").orderBy(col(b))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      j.groupBy(col("c_nationkey"), col(b)).agg(count(lit(1)).as("bc"))
-        .withColumn(s"carry_$b", coalesce(sum(col("bc")).over(wC), lit(0L)))
-        .select(col("c_nationkey"), col(b), col(s"carry_$b"))
+      val m = b.stripPrefix("b_") // "b_r" -> metric tag "r"
+      hist.filter(col("m") === m)
+        .select(col("c_nationkey"), col("b").as(b), col("carry").as(s"carry_$b"))
     }
     def rnOf(b: String, m: String) =
       row_number().over(Window.partitionBy(col("c_nationkey"), col(b))

@@ -1672,16 +1672,30 @@ object Similarity {
       .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"))
       .localCheckpoint()
-    (1 to NprobeCurveMax).map { p =>
-      val ivf10 = cand.filter(col("pr") <= p)
-        .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
-        .select(col("qid"), col("vec_id"))
-      exact10.join(ivf10, Seq("qid", "vec_id"))
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(p.toLong).as("nprobe"), col("n_hits"),
-          (col("n_hits").cast("double") /
-            lit(10.0 * NprobeCurveQueries)).as("recall"))
-    }.reduce(_.unionAll(_))
+    // ONE pass serves every depth (r21, guide §2.4): candidate sets
+    // nest, so each candidate replays at every p ≥ its probe rank via
+    // a ≤4× explode of the checkpointed bounded frame, the per-(qid,p)
+    // rank window selects each depth's top-10 with the same
+    // (cos desc, vec_id) order the per-branch window used, and hits
+    // aggregate by p — the former 4 union branches each re-windowed and
+    // re-joined the same frame. Zero-hit depths restore via the
+    // driver-local depth spine (no row may vanish from the curve).
+    val ivf10 = cand.select(col("qid"), col("vec_id"), col("cos"),
+        explode(sequence(col("pr").cast("long"),
+          lit(NprobeCurveMax.toLong))).as("nprobe"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid", "nprobe")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("nprobe"))
+    val hits = exact10.join(ivf10, Seq("qid", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("nh"))
+    s.createDataFrame((1 to NprobeCurveMax).map(p => Tuple1(p.toLong)))
+      .toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"), coalesce(col("nh"), lit(0L)).as("n_hits"),
+        (coalesce(col("nh"), lit(0L)).cast("double") /
+          lit(10.0 * NprobeCurveQueries)).as("recall"))
   }
 
   /** #emb_knn_outliers — kNN-distance OUTLIER ranking off the STAGED

@@ -321,11 +321,15 @@ class PlanSpec extends SparkTestBase {
       "the chunk-grain running sum must be superchunk-partitioned")
   }
 
-  test("q_percentiles caches its shared frames instead of rescanning the fact") {
+  test("q_percentiles folds its domain-bounded phases back as literals (r21)") {
     val p = plan("q_percentiles")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      "stats and bucketed are multi-consumer: they must read from cache, " +
-        "not recompute the fact scan per consumer")
+    // the stats/histogram phases run eagerly and return as literals, so
+    // the returned frame holds NO cache and exactly ONE fact scan (the
+    // bounded-bucket extraction pass)
+    assert(!p.contains("InMemoryTableScan") && !p.contains("InMemoryRelation"),
+      "no cached frame may remain in the extraction plan")
+    assert(p.linesIterator.count(_.contains("events.parquet")) == 1,
+      "the extraction pass must scan the fact exactly once")
   }
 
   test("dedup_cluster's pair source is the staged table, never a corpus re-mine") {
