@@ -20,6 +20,9 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
     // experiment hook: SPARK_GRAFT_CONF="k=v;k=v" overlays session confs
     // so config candidates can be A/B-timed without editing Bench
+    // NOTE: ';' is the entry separator unconditionally — a conf VALUE
+    // containing ';' (e.g. extraJavaOptions) cannot ride this overlay
+    // (measurement hook only; use a code-level config for such keys)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     val spark = b.getOrCreate()

@@ -70,8 +70,10 @@ object JobProfile {
           val t0 = System.nanoTime()
           fn(spark, dir).queryExecution.toRdd.count()
           val wall = (System.nanoTime() - t0) / 1e9
-          // allow listener queue to drain before reading counters
-          Thread.sleep(150)
+          // drain the listener bus before reading counters (a fixed
+          // sleep undercounted task metrics on a loaded box — r20 advice)
+          org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(
+            spark.sparkContext, 10000)
           spark.sparkContext.removeSparkListener(acc)
           (wall, acc)
         }

@@ -18,6 +18,9 @@ object OverheadProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+    // NOTE: ';' is the entry separator unconditionally — a conf VALUE
+    // containing ';' (e.g. extraJavaOptions) cannot ride this overlay
+    // (measurement hook only; use a code-level config for such keys)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     val spark = b.getOrCreate()

@@ -157,6 +157,11 @@ object Multimodal {
         // withPngPayload); reader instances are per-call inside
         // ImageIO.read, nothing is held across rows
         javax.imageio.ImageIO.setUseCache(false)
+        // one sample buffer per task, grown on demand — a fresh w*h Int
+        // array per image was avoidable GC churn in the hot decode loop
+        var fill = new Array[Int](0)
+        def fillOf(n: Int): Array[Int] = {
+          if (fill.length < n) fill = new Array[Int](n); fill }
         batch.flatMap { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -164,7 +169,7 @@ object Multimodal {
           // bulk row reads (getSamples == the per-pixel getSample loop,
           // sample-for-sample) — per-pixel raster dispatch dominated the
           // decode task time (guide §1.2 per-task work)
-          val samples = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+          val samples = img.getRaster.getSamples(0, 0, w, h, 0, fillOf(w * h))
           for { gy <- 0 until ImgGrid; gx <- 0 until ImgGrid } yield {
             var sum = 0L
             var y = gy * CellPx
@@ -206,11 +211,22 @@ object Multimodal {
     * all providers rejected it. Provider choice is behaviour-based
     * (parses a canonical WAV we render at init), not name-based, so it
     * holds on any JDK. */
+  /** Among behaviour-matching providers, prefer the JDK's own
+    * (java.desktop module): a third-party SPI jar on the classpath
+    * (mp3spi/tritonus-style) could otherwise win first-match and report
+    * subtly different format metadata (r20 advice). */
+  private def preferJdk[T](candidates: Seq[T]): Option[T] =
+    candidates.find { c =>
+      val m = c.getClass.getModule
+      m != null && m.getName == "java.desktop"
+    }.orElse(candidates.headOption)
   private[operators] lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
     import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+    preferJdk(java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
       .asScala
-      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .filter(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .toSeq)
       .getOrElse(throw new IllegalStateException("no WAV AudioFileWriter SPI"))
   }
   private[operators] lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
@@ -221,12 +237,14 @@ object Multimodal {
       new java.io.ByteArrayInputStream(Array[Byte](0, 1, 2, 3)), fmt, 4L),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     val probe = bos.toByteArray
-    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+    preferJdk(java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
       .asScala
-      .find { r =>
+      .filter { r =>
         try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
         catch { case _: Exception => false }
       }
+      .toSeq)
       .getOrElse(throw new IllegalStateException("no WAV AudioFileReader SPI"))
   }
 
@@ -406,6 +424,10 @@ object Multimodal {
     withVariedPngPayload(s, dir).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         javax.imageio.ImageIO.setUseCache(false)
+        // per-task grow-on-demand sample buffer (see decodeImage)
+        var fill = new Array[Int](0)
+        def fillOf(n: Int): Array[Int] = {
+          if (fill.length < n) fill = new Array[Int](n); fill }
         batch.map { case (id, bytes) =>
           scala.util.Try(Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes)))).toOption.flatten match {
@@ -428,15 +450,18 @@ object Multimodal {
               var sum = 0L
               var i = 0
               if (kind == "indexed8" || kind == "rgb8") {
-                val px = img.getRGB(0, 0, w, h, null, 0, w)
-                while (i < px.length) {
+                val n = w * h
+                val px = img.getRGB(0, 0, w, h, fillOf(n), 0, w)
+                while (i < n) {
                   val p = px(i)
                   sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
                   i += 1
                 }
               } else {
-                val sm = raster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
-                while (i < sm.length) { sum += sm(i); i += 1 }
+                // bound by w*h, not the (possibly larger) reused buffer
+                val n = w * h
+                val sm = raster.getSamples(0, 0, w, h, 0, fillOf(n))
+                while (i < n) { sum += sm(i); i += 1 }
               }
               ImgDecode(id, kind, ok = true, w.toLong, h.toLong, sum)
           }
