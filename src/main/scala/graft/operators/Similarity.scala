@@ -581,12 +581,22 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val seeds = s.read.parquet(KcSeedIndex.ensure(s, dir))
       .select("vec_id").collect().map(_.getAs[Number](0).longValue).toSeq
+    // the ≤10 query vectors collect ONCE and fold back as array
+    // literals (r21): each hop's scoring pass then joins e once (vector
+    // fetch by key) instead of e plus a per-hop q broadcast build —
+    // same cosine expression over the same doubles, ~2 fewer jobs/hop
+    val qVecs: Seq[(Long, Seq[Double])] = q.collect().toSeq.map(r =>
+      (r.getAs[Number](0).longValue, r.getSeq[Double](1)))
+    if (qVecs.isEmpty)
+      return s.createDataFrame(Seq.empty[(Long, Long, Long, Double)])
+        .toDF("qid", "rnk", "vec_id", "rcos")
+    val qvCol: Column = qVecs.tail.foldLeft(typedLit(qVecs.head._2)) {
+      case (acc, (id, arr)) =>
+        when(col("qid") === id, typedLit(arr)).otherwise(acc) }
     def rcosOf(cand: DataFrame): Array[(Long, Long, Double)] =
       cand.join(e, "vec_id")
-        .select(col("qid"), col("vec_id"), col("v"))
-        .join(broadcast(q), "qid")
         .select(col("qid"), col("vec_id"),
-          round(cosine(col("v"), col("qv")), 6).as("rcos"))
+          round(cosine(col("v"), qvCol), 6).as("rcos"))
         .collect().map(r => (r.getAs[Number](0).longValue,
           r.getAs[Number](1).longValue, r.getDouble(2)))
     // visited scores per query; scores are a pure function of
@@ -605,7 +615,10 @@ object Similarity {
         .unionAll(s.createDataFrame(
           seeds.filter(_ >= 10).map(Tuple1(_))).toDF("vec_id"))
         .filter(col("vec_id") >= 10)
-        .crossJoin(q.select("qid")))
+        // the qid spine is the collected query-id set — a local
+        // relation, not another scan of e
+        .crossJoin(s.createDataFrame(qVecs.map(qv => Tuple1(qv._1)))
+          .toDF("qid")))
     hop1.foreach { case (qid, vid, c) => visited.getOrElseUpdate((qid, vid), c) }
     def beamOf(qid: Long): Seq[Long] = visited.iterator
       .collect { case ((q0, v0), c) if q0 == qid => (c, v0) }.toSeq
