@@ -929,9 +929,13 @@ object Similarity {
     val oldCounts = s.read.parquet(assignedPath)
       .groupBy(col("assigned_label").as("clabel"))
       .agg(count(lit(1)).as("n_old"))
-    // K-row refreshed-centroid frame, checkpointed so the drift rank,
-    // the re-assign fold and the report read ONE materialization
-    val nc = cents.join(oldCounts, "clabel")
+    // K-row refreshed-centroid frame: ONE collect materializes it (the
+    // arithmetic stays in this distributed plan — nothing re-derives on
+    // the driver) and the rows fold back as a LOCAL relation, so the
+    // drift rank, the re-assign fold's centroid side and the report all
+    // read driver-held rows instead of re-scanning a checkpoint
+    // (r21: the checkpoint job + a second 2-column collect are gone)
+    val ncFrame = cents.join(oldCounts, "clabel")
       .join(arrStats, Seq("clabel"), "left")
       .withColumn("n_arr", coalesce(col("n_arr"), lit(0L)))
       .withColumn("ncv", array((0 until 64).map(j =>
@@ -940,17 +944,18 @@ object Similarity {
           / (col("n_old") + col("n_arr"))): _*))
       .withColumn("shift", round(lit(1.0) - cosine(col("cv"), col("ncv")), 6))
       .select("clabel", "n_old", "n_arr", "ncv", "shift")
-      .localCheckpoint()
-    // the drift set is K-bounded and ALREADY MATERIALIZED (the
-    // checkpointed K-row frame), so it folds back into the plan as
-    // literals: the staged member scan gets STATIC partition pruning
-    // (PartitionFilters IN — the strongest work∝drift witness, no
-    // reliance on runtime DPP heuristics over an RDD-backed build side)
-    val driftedIds: Seq[Int] = nc.select(col("clabel"), col("shift"))
-      .collect()
-      .map(r => (r.getInt(0), r.getDouble(1)))
+    val ncRows = ncFrame.collect()
+    val nc = s.createDataFrame(
+      java.util.Arrays.asList(ncRows: _*), ncFrame.schema)
+    // the drift set is K-bounded and ALREADY MATERIALIZED, so it folds
+    // back into the plan as literals: the staged member scan gets
+    // STATIC partition pruning (PartitionFilters IN — the strongest
+    // work∝drift witness, no reliance on runtime DPP heuristics over
+    // an RDD-backed build side)
+    val driftedIds: Seq[Int] = ncRows.toSeq
+      .map(r => (r.getInt(0), r.getDouble(r.fieldIndex("shift"))))
       .sortBy { case (l, sh) => (-sh, l) }
-      .take(RebDriftCells).map(_._1).toSeq
+      .take(RebDriftCells).map(_._1)
     val inDrift = col("assigned_label").isin(driftedIds: _*)
     // members of drifted cells ONLY — the lists partition-prune to the
     // drift set; the arrivals filter to it
